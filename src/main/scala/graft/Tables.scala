@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet test tables (TESTDATA.md).
+  *
+  * At production scale these are catalog-resolved partitioned tables (the
+  * reference resolves them through an Iceberg REST catalog,
+  * /root/reference/spark.py:26-28); the loader keeps call sites identical
+  * (`Tables(spark, dir, "lineitem")`) so a catalog-backed resolver can be
+  * swapped in without touching any query. Parquet scans go through Spark's
+  * vectorized reader, so filter/column pushdown behave the same either way.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read nanos as long and truncate to microsecond TimestampType. Integer
+    // `div` keeps full precision (a double division would lose bits past
+    // 2^53 — epoch-nanos are ~1.7e18).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` queries (SQL-surface
+    * parity with the reference's pipelines) resolve bare table names. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.RelationalOps._
+
+/** Relational operator coverage for SURVEY.md §2.4–§2.9, re-expressed over
+  * the TPC-H-ish test tables. Each query cites the reference pattern it
+  * mirrors. Scale intent: dimension joins broadcast, fact-side aggregations
+  * are partial (map-side) by construction, every filter/projection is
+  * declarative so Catalyst pushes it into the parquet scan.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val list: Seq[Q] = Seq(
+
+    // A3/A10 — multi-key groupBy with sum/avg/count over the biggest fact
+    // (reference analog: dremio.sql:5-8 agg shape; retail.sql:204-210).
+    Q("q01_pricing_summary", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02 23:59:59").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59'
+      GROUP BY l_returnflag, l_linestatus""")),
+
+    // A1/A13 — global scalar aggregate, the BASELINE.md cold-scan analog
+    // (reference: dremio.sql:2,5-8).
+    Q("q02_global_avg", (s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+    }, Some("""
+      SELECT count(*) AS n,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem""")),
+
+    // A2 — COUNT(DISTINCT) per group (reference: clinicdata.sql:380).
+    Q("q03_count_distinct", (s, dir) => {
+      t(s, dir, "customer").groupBy(col("c_mktsegment")).agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_cust"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+    }, Some("""
+      SELECT c_mktsegment,
+             count(DISTINCT c_nationkey) AS n_nations,
+             count(*) AS n_cust,
+             round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer GROUP BY c_mktsegment""")),
+
+    // A4/A5/A8 — conditional aggregates (reference: retail.sql:207-210,
+    // semantic_example.sql:296-298, supply_chain_example.sql:102-104).
+    Q("q04_conditional_agg", (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_orderpriority")).agg(
+        round(sumIf(col("o_orderstatus") === "F", col("o_totalprice")), 2).as("fulfilled_rev"),
+        countIf(col("o_orderstatus") === "P").as("n_pending"),
+        round(rate(col("o_orderstatus") === "O"), 6).as("open_rate"))
+    }, Some("""
+      SELECT o_orderpriority,
+             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS fulfilled_rev,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+             round(avg(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 6) AS open_rate
+      FROM orders GROUP BY o_orderpriority""")),
+
+    // A6 — COUNT(*) FILTER (WHERE …) via the SQL surface
+    // (reference: clinicdata.sql:326-334). Identical text runs on DuckDB.
+    Q.sql("q05_filter_clause", """
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""),
+
+    // A7 — per-group existence flag (reference: clinicdata.sql:319).
+    Q("q06_exists_flag", (s, dir) => {
+      t(s, dir, "customer").groupBy(col("c_nationkey")).agg(
+        existsFlag(col("c_acctbal") < 0).as("has_negative_bal"),
+        count(lit(1)).as("n_cust"))
+    }, Some("""
+      SELECT c_nationkey,
+             max(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS has_negative_bal,
+             count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey""")),
+
+    // A9 — pivot-style per-type averages with implicit ELSE NULL
+    // (reference: manufacturing.sql:208-210), over the events table.
+    Q("q07_pivot_avg", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          round(avg(when(col("event_type") === "click", col("value"))), 4).as("avg_click"),
+          round(avg(when(col("event_type") === "purchase", col("value"))), 4).as("avg_purchase"),
+          round(avg(when(col("event_type") === "error", col("value"))), 4).as("avg_error"),
+          count(lit(1)).as("n_events"))
+    }, Some("""
+      SELECT CAST(ts AS DATE) AS day,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS avg_click,
+             round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS avg_purchase,
+             round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS avg_error,
+             count(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)""")),
+
+    // A11 — HAVING over grouped counts (reference: manufacturing.sql:86-91).
+    Q("q08_having", (s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("tot"))
+        .filter(col("n_orders") >= 15)
+    }, Some("""
+      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS tot
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 15""")),
+
+    // A12 — LISTAGG(DISTINCT …) with deterministic order
+    // (reference: media_ai.sql:195). Broadcast join on the tiny dim.
+    Q("q09_listagg", (s, dir) => {
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(listaggDistinct(col("n_name"), ", ").as("nations"))
+    }, Some("""
+      SELECT r_name, string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""")),
+
+    // A14 — guarded-ratio KPI (reference: insurance_example.sql:123-131).
+    Q("q10_ratio_kpi", (s, dir) => {
+      t(s, dir, "customer").groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n_cust"),
+        countIf(col("c_acctbal") < 0).as("n_negative"))
+        .select(col("c_nationkey"), col("n_cust"),
+          round(guardedRatio(lit(100.0) * col("n_negative"), col("n_cust")), 4).as("pct_negative"))
+    }, Some("""
+      SELECT c_nationkey, count(*) AS n_cust,
+             round(CASE WHEN count(*) > 0
+                   THEN CAST(100.0 AS DOUBLE) * count(CASE WHEN c_acctbal < 0 THEN 1 END) / count(*)
+                   END, 4) AS pct_negative
+      FROM customer GROUP BY c_nationkey""")),
+
+    // J1 — the flagship customer_spend join+agg (reference: readme.md:307-315).
+    Q("q11_customer_spend", (s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+    }, Some("""
+      SELECT c_custkey, c_name, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name""")),
+
+    // J1 chain — 4-way dim chain revenue rollup
+    // (reference: semantic_example.sql:265-269 3-way chain).
+    Q("q12_region_revenue", (s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    }, Some("""
+      SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""")),
+
+    // J4 — equi + range (interval) join: lineitems shipped within 90 days of
+    // their order date (reference: clinicdata.sql:294-297). The equi key
+    // stays in the join condition so Spark hashes on it.
+    Q("q13_interval_join", (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      intervalJoin(li, o, col("l_orderkey") === col("o_orderkey"),
+        col("l_shipdate"), col("o_orderdate"), col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_within_90d"),
+          round(sum(col("l_extendedprice")), 2).as("rev_within_90d"))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n_within_90d,
+             round(sum(l_extendedprice), 2) AS rev_within_90d
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+       AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_returnflag""")),
+
+    // J3 — left outer join keeping unmatched rows, null-probing aggregate
+    // (reference: retail.sql:168-170).
+    Q("q14_left_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+          count(col("o_orderkey")).as("n_big_orders"),
+          countIf(col("o_orderkey").isNull).as("n_unmatched_rows"))
+    }, Some("""
+      SELECT c_mktsegment,
+             count(DISTINCT c_custkey) AS n_cust,
+             count(o_orderkey) AS n_big_orders,
+             count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_unmatched_rows
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        ON c_custkey = o_custkey
+      GROUP BY c_mktsegment""")),
+
+    // J6 — anti join (reference FK probe, manufacturing.sql:220-225):
+    // customers with no pending order.
+    Q("q15_anti_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val p = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      antiJoin(c, p, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""")),
+
+    // Semi join (EXISTS) — customers with at least one very large order.
+    Q("q16_semi_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      semiJoin(c, big, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust_with_big_order"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_cust_with_big_order
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      GROUP BY c_mktsegment""")),
+
+    // W1 — keep-latest dedup, the reference's most repeated pattern
+    // (clinicdata.sql:145-161): latest order per customer, deterministic
+    // tiebreak on orderkey.
+    Q("q17_keep_latest", (s, dir) => {
+      dedupKeepLatest(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1""")),
+
+    // W2 — 7-row trailing rolling revenue over a daily grain
+    // (reference: retail.sql:230-240).
+    Q("q18_rolling_7d", (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+        .agg(round(sum(col("o_totalprice")), 2).as("day_rev"))
+      rollingSum(daily, col("day_rev"), "rev_7d",
+        Seq(col("o_orderpriority")), Seq(col("d")), 6)
+        .select(col("o_orderpriority"), col("d"), col("day_rev"),
+          round(col("rev_7d"), 2).as("rev_7d"))
+    }, Some("""
+      WITH daily AS (
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+               round(sum(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, d, day_rev,
+             round(sum(day_rev) OVER (PARTITION BY o_orderpriority ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+      FROM daily""")),
+
+    // W3/J5 — successive-row pairing via lead() (idiomatic rewrite of the
+    // reference's rn self-join, manufacturing.sql:289-317): mean days
+    // between consecutive orders, per market segment.
+    Q("q19_lead_gap", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val seq = leadCol(
+        o.select(col("o_custkey"), to_date(col("o_orderdate")).as("d"), col("o_orderkey")),
+        col("d"), "nd", Seq(col("o_custkey")), Seq(col("d"), col("o_orderkey")))
+        .withColumn("gap", datediff(col("nd"), col("d")))
+      seq.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(avg(col("gap")), 4).as("avg_gap_days"), count(col("gap")).as("n_gaps"))
+    }, Some("""
+      WITH s AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               lead(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nd
+        FROM orders)
+      SELECT c_mktsegment,
+             round(avg(date_diff('day', d, nd)), 4) AS avg_gap_days,
+             count(nd) AS n_gaps
+      FROM s JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""")),
+
+    // P10 — SELECT DISTINCT (reference: clinicdata.sql:355-360).
+    Q("q20_distinct", (s, dir) => {
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }, Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // O3 — UNION ALL of filtered branches (reference: manufacturing.sql:81-84).
+    Q("q21_union_all", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("bucket"), col("o_totalprice"))
+      val fulfilled = o.filter(col("o_orderstatus") === "F")
+        .select(lit("fulfilled").as("bucket"), col("o_totalprice"))
+      urgent.unionAll(fulfilled)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+    }, Some("""
+      SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM (SELECT 'urgent' AS bucket, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'fulfilled' AS bucket, o_totalprice FROM orders WHERE o_orderstatus = 'F') u
+      GROUP BY bucket""")),
+
+    // O4 — CTE chain (CTE referencing CTE; reference: retail.sql:248-276),
+    // identical SQL text on both engines.
+    Q.sql("q22_cte_chain", """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               round(sum(o_totalprice), 2) AS rev, count(*) AS n
+        FROM orders GROUP BY 1),
+      busy AS (SELECT d, rev, n FROM daily WHERE n >= 5)
+      SELECT count(*) AS n_busy_days, round(avg(rev), 4) AS avg_rev,
+             round(max(rev), 2) AS max_rev
+      FROM busy"""),
+
+    // O1 — ORDER BY in a view-style trend (reference: semantics.sql:241).
+    Q.sql("q23_monthly_trend", """
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS rev, count(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+
+    // §2.9 strings — UPPER/TRIM, concat, LIKE, regex, COALESCE, substring
+    // (reference: retail.sql:96, logistics_AI.sql:128-134,
+    // semantic_example.sql:112-124).
+    Q("q24_string_funcs", (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(trim(col("p_type"))).as("type_u"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+        col("p_type").like("PROMO%").as("is_promo"),
+        col("p_name").rlike("green").as("has_green"),
+        coalesce(col("p_name"), lit("?")).as("name_nn"),
+        substring(col("p_name"), 1, 5).as("name5"))
+    }, Some("""
+      SELECT p_partkey,
+             upper(trim(p_type)) AS type_u,
+             p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size,
+             p_type LIKE 'PROMO%' AS is_promo,
+             regexp_matches(p_name, 'green') AS has_green,
+             coalesce(p_name, '?') AS name_nn,
+             substring(p_name, 1, 5) AS name5
+      FROM part""")),
+
+    // §2.9 dates — TO_DATE, DATE_TRUNC, year/month, DATEDIFF (end-first,
+    // day grain), +INTERVAL arithmetic (reference: clinicdata.sql:267-296,
+    // insurance_example.sql:71-86, gov_example.sql:77-85).
+    Q("q25_date_funcs", (s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate"))).as("days_to_2000"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("date").as("plus30"))
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS m,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_2000,
+             CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30
+      FROM orders""")),
+
+    // P5/P7 — BETWEEN on timestamps + IN list (reference:
+    // clinicdata.sql:296-297, manufacturing.sql:116).
+    Q("q26_between_in", (s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01 00:00:00").cast("timestamp"),
+          lit("1996-12-31 23:59:59").cast("timestamp")))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderstatus""")),
+
+    // P4 + NULLIF — null production/probing without relying on source nulls.
+    Q.sql("q27_null_handling", """
+      SELECT count(*) AS n,
+             count(nullif(o_orderstatus, 'P')) AS n_not_pending,
+             count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_null_status
+      FROM orders"""),
+
+    // O5 — derived-table subquery feeding an outer aggregate
+    // (reference: healthcare_example.sql:121-124).
+    Q.sql("q28_subquery", """
+      SELECT round(avg(CAST(cnt AS DOUBLE)), 4) AS avg_orders_per_cust,
+             max(cnt) AS max_orders
+      FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t""")
+  )
+}
