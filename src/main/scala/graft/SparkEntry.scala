@@ -18,7 +18,8 @@ object SparkEntry {
     queries_registry
 
   private lazy val queries_registry: Seq[Q] =
-    graft.queries.CoreQueries.list
+    graft.queries.CoreQueries.list ++
+      graft.queries.DataPipelineQueries.list
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The readme's customer_spend join+agg (reference: readme.md:307-315). */

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines:
+  * tokenization, n-gram shingling, language ID, quality scoring.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` higher-order
+  * functions — no UDFs — so the whole stage stays inside Catalyst (column
+  * pruning, codegen where available) and runs as a pure map: no shuffle, which
+  * is what makes these viable over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. The BPE-ish variant below splits off
+    * punctuation like a subword pre-tokenizer would. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-style pre-tokenization: word/number runs plus each non-space symbol
+    * as its own token (approximates LLM token budgeting better than
+    * whitespace count). RE2-compatible pattern, so the same regex runs in
+    * other engines for cross-checking. */
+  val bpeishPattern = "[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty array when
+    * the document is shorter than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  // --- language ID (n-gram/stopword heuristic) ------------------------------
+
+  /** Marker words per language. Tiny on purpose: broadcasts as literals into
+    * the plan; extendable without code changes via `langIdWith`. */
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "was", "with", "his"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den", "von", "sich"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "por", "las", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "pour", "dans", "que"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Heuristic language ID: CJK codepoints → zh, else argmax of stopword hits
+    * (deterministic tie-break: earlier language in `markers` wins ties; zero
+    * hits → "unknown"). Pure map-side — no shuffle. */
+  def langId(text: Column): Column = langIdWith(text, defaultMarkers)
+
+  def langIdWith(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scored = markers.map { case (l, ws) => (l, markerHits(toks, ws)) }
+    val (bestLang, bestScore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(cjk > 0, lit("zh"))
+      .otherwise(when(bestScore > 0, bestLang).otherwise(lit("unknown")))
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  def upperCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", ""))
+
+  def stopwordCount(toks: Column): Column =
+    markerHits(toks, defaultMarkers.head._2)
+
+  /** Composite document quality in [0,1]: length band + punctuation density +
+    * stopword density (the reference's medallion "silver" cleanliness idea —
+    * clinicdata.sql:174-176 — generalized to web-scale text filtering). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val lenOk = when(nTok.between(5, 5000), lit(1.0)).otherwise(lit(0.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChar, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
+    val swRatio = stopwordCount(toks).cast("double") / greatest(nTok, lit(1.0))
+    val swOk = least(swRatio * 4.0, lit(1.0))
+    round(lit(0.4) * lenOk + lit(0.3) * punctOk + lit(0.3) * swOk, 6)
+  }
+
+  /** Polynomial rolling-hash document fingerprint over tokens (order
+    * sensitive, unlike a bag-of-words hash). Works mod the Mersenne prime
+    * 2^31-1 so every intermediate product stays < 2^51 — no long overflow
+    * under ANSI arithmetic. */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(2147483647L)),
+        lit(2147483647L)))
+}

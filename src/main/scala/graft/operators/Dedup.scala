@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → MinHash/LSH → SimHash → n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup = one shuffle on a 128-bit content hash (not on the text
+  *    itself — keys stay small).
+  *  - MinHash: signatures are computed map-side with higher-order functions;
+  *    only the banded buckets shuffle. Candidate pairs come from equi-joins
+  *    on (band, bucket) — never an all-pairs cross join.
+  *  - SimHash: 64-bit fingerprint map-side (UDF today; custom codegen
+  *    Expression is the optimization path), near-dup candidates via
+  *    band-of-16-bits equi-join, verified by hamming distance (`bit_count`).
+  */
+object Dedup {
+
+  /** Exact dedup keeping a deterministic winner per content hash
+    * (reference dedup pattern W1, clinicdata.sql:145-161, applied to text). */
+  def exactDedup(df: DataFrame, text: Column, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(md5(text)).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate-group report: one row per content hash appearing >1 time. */
+  def exactDupGroups(df: DataFrame, text: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  // --- MinHash + LSH --------------------------------------------------------
+
+  /** k-permutation MinHash signature over word-`shingleN` shingles.
+    * Universal hashing h_i(x) = (a_i * xxhash64(x) + b_i) mod p with a fixed
+    * seed; all arithmetic in native columns (one `transform`+`array_min` per
+    * permutation, evaluated once per row, map-side).
+    */
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3,
+                       seed: Long = 42L): Column = {
+    // 31-bit domain: a,b < 2^31 and h < 2^31 keep a*h+b < 2^62, so the
+    // arithmetic never overflows a long even under ANSI mode.
+    val p = 2147483647L // 2^31 - 1
+    val rnd = new scala.util.Random(seed)
+    val ab = Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    val hashes = transform(shingles(tokens(text), shingleN), s => pmod(xxhash64(s), lit(p)))
+    array(ab.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** Banded-LSH candidate pairs: signature → `bands` buckets (hash of the
+    * band's row slice), explode, equi-join on (band, bucket), dedupe pairs.
+    * Output: (left id, right id) with left < right. The join key is
+    * (band, bucket) so the shuffle is linear in corpus size; only same-bucket
+    * rows ever meet.
+    */
+  def minhashCandidatePairs(df: DataFrame, id: Column, sig: Column,
+                            bands: Int = 8): DataFrame = {
+    val k = 32 // default signature width; callers using custom k pass matching bands
+    val withSig = df.select(id.as("__id"), sig.as("__sig"))
+    val r = k / bands
+    val banded = withSig.select(col("__id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(lit(b), concat_ws(",", slice(col("__sig"), b * r + 1, r)))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+      col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns (verification
+    * step after LSH candidate generation). */
+  def jaccard(aShingles: Column, bShingles: Column): Column = {
+    val inter = size(array_intersect(array_distinct(aShingles), array_distinct(bShingles)))
+    val uni = size(array_union(aShingles, bShingles))
+    when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Near-duplicate pairs with verified n-gram Jaccard ≥ threshold:
+    * LSH candidates → join back shingle sets → exact verify. At scale the
+    * verify join is two broadcast-or-shuffle hash joins on the id key.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("__sh"),
+      minhashSignature(col(textCol), k, shingleN).as("__sig"))
+    val cands = minhashCandidatePairs(base, col("__id"), col("__sig"), bands)
+    val sa = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val sb = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --- SimHash --------------------------------------------------------------
+
+  /** FNV-1a 64-bit — stable token hash for the SimHash UDF (independent of
+    * JVM String.hashCode). */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens. UDF (scalar, deterministic,
+    * map-side); upgrade path is a codegen'd Catalyst Expression with the same
+    * contract. */
+  val simhash64 = udf { text: String =>
+    if (text == null) 0L
+    else {
+      val votes = new Array[Int](64)
+      text.toLowerCase.trim.split("\\s+").foreach { t =>
+        val h = fnv1a64(t)
+        var i = 0
+        while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (any-band equality catches all pairs within hamming distance 3),
+    * equi-join on (band, chunk), verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__fp"))
+    val banded = fp.select(col("__id"), col("__fp"), posexplode(
+      array((0 until 4).map(b => shiftright(col("__fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band", "chunk")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__fp").bitwiseXOR(col("b.__fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

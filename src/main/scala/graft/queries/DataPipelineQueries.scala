@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH ANN), and text analysis.
+  *
+  * The source corpus has no duplicates by construction, so dedup queries run
+  * over a *seeded* corpus: the table unioned with copies (exact or perturbed)
+  * of every 10th document — the same construction is used in the oracle SQL,
+  * and in ScalaTest specs with hand-computable expectations.
+  */
+object DataPipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** documents ∪ exact copies of every-10th doc (known duplicate seeding). */
+  private def seededExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** documents ∪ perturbed copies (re-keyed, one token appended) of
+    * every-10th doc — near-duplicates, not exact. */
+  private def seededNear(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionAll(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(col("text"), lit(" appended marker token"))))
+  }
+
+  val list: Seq[Q] = Seq(
+
+    // Exact dedup, group report: one row per duplicated content hash.
+    Q("q40_dedup_exact_groups", (s, dir) => {
+      Dedup.exactDupGroups(seededExact(s, dir), col("text"))
+    }, Some("""
+      SELECT md5(text) AS content_hash, count(*) AS n_copies
+      FROM (SELECT * FROM documents
+            UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0) u
+      GROUP BY md5(text) HAVING count(*) > 1""")),
+
+    // Exact dedup, keep-one semantics: per-language doc counts after dedup.
+    Q("q41_dedup_exact_keep", (s, dir) => {
+      Dedup.exactDedup(seededExact(s, dir), col("text"), Seq(col("doc_id")))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }, Some("""
+      SELECT lang, count(DISTINCT text) AS n_docs
+      FROM (SELECT * FROM documents
+            UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0) u
+      GROUP BY lang""")),
+
+    // MinHash + banded LSH near-dup pairs, Jaccard-verified. Not ANSI-SQL
+    // expressible (engine-specific hash) → rows-only check; exactness is
+    // asserted in DedupSpec against the seeded corpus.
+    Q("q42_dedup_minhash_lsh", (s, dir) => {
+      Dedup.nearDupPairs(seededNear(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"))
+    }, None),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit fingerprints).
+    Q("q43_dedup_simhash", (s, dir) => {
+      Dedup.simhashPairs(seededNear(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"))
+    }, None),
+
+    // n-gram Jaccard on known near-dup pairs (original vs perturbed copy):
+    // verifies the similarity metric itself, exactly, per pair.
+    Q("q44_ngram_jaccard", (s, dir) => {
+      val base = seededNear(s, dir)
+        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      val orig = base.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val copy = base.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("id_a"), col("sh").as("sh_b"))
+      orig.join(copy, "id_a")
+        .select(col("id_a").as("doc_id"), round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard_to_copy"))
+    }, None),
+
+    // Embedding cosine between consecutive vectors — oracle-checked exact
+    // vector math (HOF dot/norm vs DuckDB list_cosine_similarity).
+    Q("q45_cosine_consecutive", (s, dir) => {
+      import graft.functions.VectorFunctions._
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id"), asDouble(col("embedding")).as("va"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), asDouble(col("embedding")).as("vb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"), round(cosine(col("va"), col("vb")), 6).as("cos_next"))
+    }, Some("""
+      SELECT a.vec_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_next
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""")),
+
+    // Brute-force exact ANN baseline: top-5 cosine neighbors for the first
+    // 10 vectors. Oracle-checked against a DuckDB window over all pairs.
+    Q("q46_ann_bruteforce", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }, Some("""
+      WITH sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS s
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10)
+      SELECT query_id, neighbor_id, round(s, 6) AS sim,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id) AS rank FROM sims) t
+      WHERE rank <= 5""")),
+
+    // LSH-bucketed ANN (the 100 TB path): approximate → rows-only; recall
+    // vs the exact baseline is asserted in SimilaritySpec.
+    Q("q47_ann_lsh", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64, nBits = 16, bands = 4)
+    }, None),
+
+    // Embedding-cosine near-duplicate pairs, exact — oracle-checked.
+    Q("q48_embedding_neardup", (s, dir) => {
+      Similarity.cosinePairsAbove(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4""")),
+
+    // Text statistics — regex/length-based, exactly replicable in ANSI SQL
+    // (RE2-compatible patterns): whitespace tokens, BPE-ish tokens,
+    // punctuation count, stopword hits, chars-per-token.
+    Q("q50_token_stats", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        nTok.as("n_tokens"),
+        size(bpeishTokens(col("text"))).as("n_bpeish"),
+        punctCount(col("text")).as("n_punct"),
+        regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is|in)\\b")).as("n_stop"),
+        round(length(trim(col("text"))).cast("double") /
+          greatest(nTok, lit(1)).cast("double"), 4).as("chars_per_token"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars_calc,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS n_bpeish,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS INTEGER) AS n_stop,
+             round(CAST(length(trim(text)) AS DOUBLE) /
+                   greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS chars_per_token
+      FROM documents""")),
+
+    // Language ID + quality score + order-sensitive fingerprint — heuristic
+    // columns, rows-only here; accuracy vs the corpus's `lang` label is
+    // asserted in TextAnalysisSpec (≥90% on the seeded corpus).
+    Q("q51_lang_quality", (s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"),
+        qualityScore(col("text")).as("quality"),
+        fingerprint(tokens(col("text"))).as("fp"))
+    }, None),
+
+    // Aggregated text-quality profile per source — joins the heuristic
+    // columns back to an oracle-checkable grouping shape (rows-only because
+    // lang_pred/quality are engine-heuristic).
+    Q("q52_source_profile", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), langId(col("text")).as("lang_pred"),
+          qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("q")), 6).as("avg_quality"),
+          countDistinct(col("lang_pred")).as("n_langs"))
+        .orderBy(col("source"))
+    }, None)
+  )
+}

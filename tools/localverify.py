@@ -25,7 +25,12 @@ for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
-    spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    try:
+        spark_df = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    except Exception as e:
+        print(f"✗ {name}: no spark output ({e})")
+        fail += 1
+        continue
     if name not in oracle:
         print(f"  [rows-only] {name}: {len(spark_df)} rows")
         continue
