@@ -19,7 +19,8 @@ object SparkEntry {
 
   private lazy val queries_registry: Seq[Q] =
     graft.queries.CoreQueries.list ++
-      graft.queries.DataPipelineQueries.list
+      graft.queries.DataPipelineQueries.list ++
+      graft.queries.AiQueries.list
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The readme's customer_spend join+agg (reference: readme.md:307-315). */

@@ -1,0 +1,117 @@
+package graft.ai
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** The reference's AI SQL-function surface (SURVEY.md §2.10): AI_CLASSIFY,
+  * AI_GENERATE (structured extraction), AI_COMPLETE — reference:
+  * recipes.sql:18, logistics_AI.sql:126-239, media_ai.sql:94-177.
+  *
+  * Implemented as registered Scala UDFs over a pluggable backend. The default
+  * backend is a deterministic heuristic stub so pipelines run offline and
+  * reproducibly (the reference invokes a hosted LLM; capability parity here
+  * means the call sites, types, and plumbing — prompt assembly, closed label
+  * sets, struct-typed outputs, bracket field access — not model quality).
+  * Swap in a real client by implementing LlmBackend.
+  *
+  * Scale note: each UDF is a scalar map-side function — no shuffle, no
+  * driver round-trips; a real backend would batch per partition.
+  */
+trait LlmBackend extends Serializable {
+  def complete(prompt: String): String
+  def classify(prompt: String, labels: Seq[String]): String
+}
+
+/** Deterministic stub: keyword-overlap scoring for classify, template
+  * summarization for complete. Same input → same output, always. */
+object StubBackend extends LlmBackend {
+  def classify(prompt: String, labels: Seq[String]): String = {
+    if (labels == null || labels.isEmpty) return null
+    val p = if (prompt == null) "" else prompt.toLowerCase
+    val toks = p.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSet
+    // Score = label-word overlap with the prompt; deterministic tie-break on
+    // label order (mirrors "closed label set, always answers" semantics —
+    // the reference's examples fall back to the last/'Unknown' label).
+    val scored = labels.map { l =>
+      val lw = l.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      l -> lw.count(w => toks.contains(w) || p.contains(w.toLowerCase))
+    }
+    val best = scored.maxBy(_._2)
+    if (best._2 > 0) best._1 else labels.last
+  }
+
+  def complete(prompt: String): String = {
+    if (prompt == null) return null
+    val words = prompt.trim.split("\\s+")
+    val head = words.take(12).mkString(" ")
+    s"[completion] $head" + (if (words.length > 12) " …" else "")
+  }
+}
+
+/** AI_GENERATE's structured output for the logistics exemplar
+  * (logistics_AI.sql:135-140): a typed ROW the caller reads with
+  * bracket/dot access. */
+case class ExtractedIssue(
+    primary_issue: String,
+    severity: String,
+    requires_apology: Boolean,
+    summary: String)
+
+object AiFunctions {
+
+  def backend: LlmBackend = StubBackend
+
+  /** U1 — AI_CLASSIFY(prompt, ARRAY[labels]) → one label from the closed set. */
+  val aiClassify = udf((prompt: String, labels: Seq[String]) =>
+    backend.classify(prompt, labels))
+
+  /** U4 — AI_COMPLETE(prompt) → free-text VARCHAR. */
+  val aiComplete = udf((prompt: String) => backend.complete(prompt))
+
+  /** U2 — AI_GENERATE(prompt WITH SCHEMA ROW(...)) → typed struct. The stub
+    * extracts deterministically: issue keyword scan, severity from intensity
+    * markers, apology iff negative sentiment markers appear. */
+  val aiGenerateIssue = udf { prompt: String =>
+    if (prompt == null) null
+    else {
+      val p = prompt.toLowerCase
+      val issue =
+        if (p.contains("late") || p.contains("delay")) "late_delivery"
+        else if (p.contains("damage") || p.contains("broken")) "damaged_goods"
+        else if (p.contains("missing") || p.contains("lost")) "missing_item"
+        else if (p.contains("cold") || p.contains("temperature")) "temperature_breach"
+        else "other"
+      val severity =
+        if (p.contains("very") || p.contains("extremely") || p.contains("!")) "high"
+        else if (p.contains("somewhat") || p.contains("minor")) "low"
+        else "medium"
+      val apology = Seq("angry", "unacceptable", "terrible", "worst", "refund")
+        .exists(p.contains)
+      ExtractedIssue(issue, severity, apology, StubBackend.complete(prompt))
+    }
+  }
+
+  /** U3 — model-qualified multimodal AI_GENERATE((prompt, file) …): takes the
+    * binary content alongside the prompt (ai_generate.sql:8-18). The stub
+    * folds a content checksum into the output so the binary path is exercised. */
+  val aiGenerateMultimodal = udf { (prompt: String, content: Array[Byte]) =>
+    val size = if (content == null) 0 else content.length
+    var h = 0xcbf29ce484222325L
+    if (content != null) content.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    ExtractedIssue(
+      primary_issue = if (size == 0) "empty_file" else "document",
+      severity = if (size > 4096) "high" else "low",
+      requires_apology = false,
+      summary = s"[file ${java.lang.Long.toHexString(h)} ${size}B] " +
+        StubBackend.complete(prompt))
+  }
+
+  /** SQL-surface registration so `spark.sql("SELECT ai_classify(...)")` works
+    * like the reference's Dremio functions. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("ai_classify", aiClassify)
+    spark.udf.register("ai_complete", aiComplete)
+    spark.udf.register("ai_generate_issue", aiGenerateIssue)
+    spark.udf.register("ai_generate_file", aiGenerateMultimodal)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ai.AiFunctions
+import graft.multimodal.Multimodal
+
+/** AI-function surface (SURVEY.md §2.10) and multimodal plumbing, exercised
+  * over the documents table. Outputs are deterministic (stub backend) but not
+  * ANSI-SQL-expressible → rows-only driver checks; exact values are asserted
+  * in AiFunctionsSpec / MultimodalSpec.
+  */
+object AiQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val list: Seq[Q] = Seq(
+
+    // U1 — AI_CLASSIFY with a closed label set, via the registered SQL
+    // function exactly like the reference calls it (recipes.sql:18).
+    Q("q60_ai_classify", (s, dir) => {
+      AiFunctions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT label, count(*) AS n_docs
+        FROM (SELECT ai_classify(text,
+                array('query processing', 'joins and shuffles',
+                      'storage and caching', 'streaming')) AS label
+              FROM documents)
+        GROUP BY label""")
+    }, None),
+
+    // U2 — AI_GENERATE WITH SCHEMA ROW(...): struct-typed extraction with
+    // bracket-style field access (logistics_AI.sql:135-160).
+    Q("q61_ai_generate", (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.withColumn("ai", AiFunctions.aiGenerateIssue(col("text")))
+        .select(col("doc_id"), col("ai")("primary_issue").as("primary_issue"),
+          col("ai")("severity").as("severity"),
+          col("ai")("requires_apology").as("requires_apology"))
+        .groupBy(col("primary_issue"), col("severity"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("requires_apology"), 1).otherwise(0)).as("n_apology"))
+    }, None),
+
+    // U4 — AI_COMPLETE free-text (logistics_AI.sql:223-239): prompt built
+    // with || concatenation like the reference's prompt assembly.
+    Q("q62_ai_complete", (s, dir) => {
+      t(s, dir, "documents").limit(100)
+        .select(col("doc_id"),
+          AiFunctions.aiComplete(
+            concat(lit("Summarize for ops: "), col("text"))).as("summary"))
+    }, None),
+
+    // U3 + multimodal plumbing — binary payload column with typed metadata:
+    // decode (STUB) → resize → frame-sample → per-format stats. The payload
+    // here is the document text encoded as bytes; a real corpus would carry
+    // image/audio bytes through the identical plan.
+    Q("q63_multimodal_decode", (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("content", encode(col("text"), "utf-8"))
+        .withColumn("meta", Multimodal.decodeStub(col("content")))
+        .withColumn("meta_small", Multimodal.resizeMeta(col("meta"), 640))
+      d.groupBy(col("meta")("format").as("format"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("meta")("width")), 2).as("avg_w"),
+          round(avg(col("meta_small")("width")), 2).as("avg_w_small"),
+          round(avg(col("meta")("duration_s")), 4).as("avg_dur"))
+    }, None),
+
+    // Frame sampling: one row per 24th frame, then multimodal AI_GENERATE
+    // over (prompt, content) — the ai_generate.sql:8-18 shape.
+    Q("q64_multimodal_frames", (s, dir) => {
+      val d = t(s, dir, "documents").limit(50)
+        .withColumn("content", encode(col("text"), "utf-8"))
+        .withColumn("meta", Multimodal.decodeStub(col("content")))
+      Multimodal.sampleFrames(d, col("meta"), step = 24)
+        .withColumn("ai", AiFunctions.aiGenerateMultimodal(
+          concat(lit("Describe frame "), col("frame_idx")), col("content")))
+        .select(col("doc_id"), col("frame_idx"),
+          col("ai")("primary_issue").as("kind"), col("ai")("severity").as("severity"))
+    }, None),
+
+    // Embedding feature extraction from binary payloads (featuresStub stands
+    // in for an image/audio encoder) feeding the vector ops.
+    Q("q65_multimodal_features", (s, dir) => {
+      import graft.functions.VectorFunctions._
+      val d = t(s, dir, "documents")
+        .withColumn("content", encode(col("text"), "utf-8"))
+        .withColumn("feat", Multimodal.featuresStub(col("content")))
+      d.select(col("source"), vnorm(asDouble(col("feat"))).as("n2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), round(avg(col("n2")), 6).as("avg_feat_norm"))
+    }, None)
+  )
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion surface mirroring the reference (SURVEY.md §2.2/§2.3):
+  *  - `copyInto` = Dremio `COPY INTO t FROM dir REGEX r FILE_FORMAT csv`
+  *    (COPY INTO EXAMPLE/example.sql:13-21): bulk-load files matching a
+  *    regex into an existing table, header-mapped to the target schema.
+  *  - `listFiles` = `TABLE(LIST_FILES('@src/prefix'))` (ai_generate.sql:19-21):
+  *    one row per file with path/size/mtime and the content handle.
+  *
+  * Scale: both are plain Spark sources — file listing distributes via the
+  * InMemoryFileIndex, CSV parsing is per-file parallel, and binaryFile
+  * prunes `content` unless projected.
+  */
+object Ingest {
+
+  /** Header-mapped CSV bulk load into an existing table's schema; returns the
+    * loaded DataFrame and appends it to `targetTable` (saveAsTable append).
+    * `fileRegex` filters file *names*, as the reference's REGEX option does. */
+  def copyInto(spark: SparkSession, targetTable: String, sourceDir: String,
+               fileRegex: String = ".*\\.csv", sep: String = ",",
+               header: Boolean = true): DataFrame = {
+    val target = spark.table(targetTable)
+    val files = new java.io.File(sourceDir).listFiles()
+      .filter(f => f.isFile && f.getName.matches(fileRegex))
+      .map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"copyInto: no files in $sourceDir matching $fileRegex")
+    val df = spark.read
+      .option("header", header.toString).option("sep", sep)
+      .schema(target.schema)
+      .csv(files: _*)
+    df.write.mode("append").insertInto(targetTable)
+    df
+  }
+
+  /** One row per file under `dir`: path, modificationTime, length, content.
+    * `pathGlobFilter` narrows like the reference's `WHERE file['path'] LIKE`. */
+  def listFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** Metadata-only variant (never reads content bytes — parquet/binaryFile
+    * column pruning keeps this cheap at any scale). */
+  def listFileMeta(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    listFiles(spark, dir, glob).select(col("path"), col("length"), col("modificationTime"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (4L, "completely different content about distributed query engines and shuffles"),
+      (5L, "another unrelated document discussing vectorized execution and codegen stages"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps one row per distinct text") {
+    val out = Dedup.exactDedup(corpus, col("text"), Seq(col("doc_id")))
+    assert(out.count() === 4)
+    // deterministic winner: lowest doc_id
+    assert(out.filter(col("doc_id") === 1).count() === 1)
+    assert(out.filter(col("doc_id") === 2).count() === 0)
+  }
+
+  test("exactDupGroups reports exactly the duplicated hash") {
+    val g = Dedup.exactDupGroups(corpus, col("text")).collect()
+    assert(g.length === 1 && g(0).getLong(1) === 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))  // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => b === 4L || b === 5L })
+  }
+
+  test("jaccard is exact on known shingle sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12) // 2 shared / 4 union
+  }
+
+  test("simhash: identical text → identical fingerprint; near text → close") {
+    import spark.implicits._
+    val df = corpus.withColumn("fp", Dedup.simhash64(col("text")))
+    val fps = df.select("doc_id", "fp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) <= 8)
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(4L)) > 8)
+  }
+
+  test("simhashPairs flags the exact-dup pair") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("shingles produce overlapping word n-grams") {
+    import spark.implicits._
+    val out = Seq("a b c d").toDF("t")
+      .select(shingles(tokens(col("t")), 2)).head.getSeq[String](0)
+    assert(out === Seq("a b", "b c", "c d"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** COPY INTO (M3) and LIST_FILES (S5) parity — fixture cloned from the
+  * reference's COPY INTO EXAMPLE (example.sql:5-21, file1-5.csv shape). */
+class IngestSpec extends SparkSpec {
+
+  private def writeCsvFixture(): java.io.File = {
+    val dir = Files.createTempDirectory("copy_into").toFile
+    val rows = Seq(
+      "file1.csv" -> Seq("id,name,amount,event_date", "1,alpha,10.5,2025-01-01", "2,beta,20.0,2025-01-02"),
+      "file2.csv" -> Seq("id,name,amount,event_date", "3,gamma,30.25,2025-01-03", "4,delta,40.0,2025-01-04"),
+      "file3.csv" -> Seq("id,name,amount,event_date", "5,epsilon,50.0,2025-01-05", "6,zeta,60.75,2025-01-06"),
+      "file4.csv" -> Seq("id,name,amount,event_date", "7,eta,70.0,2025-01-07", "8,theta,80.0,2025-01-08"),
+      "file5.csv" -> Seq("id,name,amount,event_date", "9,iota,90.0,2025-01-09", "10,kappa,100.0,2025-01-10", "11,lambda,110.0,2025-01-11"),
+      "notes.txt" -> Seq("should be ignored by the regex"))
+    rows.foreach { case (name, lines) =>
+      Files.write(new java.io.File(dir, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  test("copyInto loads all regex-matched CSVs header-mapped into the target table") {
+    val dir = writeCsvFixture()
+    val warehouse = Files.createTempDirectory("wh").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS transactions")
+    spark.sql(s"""
+      CREATE TABLE transactions (id INT, name STRING, amount DOUBLE, event_date DATE)
+      USING parquet LOCATION '$warehouse/transactions'""")
+    val loaded = Ingest.copyInto(spark, "transactions", dir.getAbsolutePath, ".*\\.csv")
+    assert(loaded.count() === 11) // expected loaded count per FIXTURES.md A7
+    val t = spark.table("transactions")
+    assert(t.count() === 11)
+    assert(t.agg(sum(col("amount"))).head.getDouble(0) === 661.5)
+    // idempotent rebuild pattern: second COPY INTO appends (reference M3 is append)
+    Ingest.copyInto(spark, "transactions", dir.getAbsolutePath, ".*\\.csv")
+    assert(spark.table("transactions").count() === 22)
+    spark.sql("DROP TABLE IF EXISTS transactions")
+  }
+
+  test("listFiles yields one row per file with path/length/content") {
+    val dir = writeCsvFixture()
+    val files = Ingest.listFiles(spark, dir.getAbsolutePath, "*.csv")
+    assert(files.count() === 5)
+    val meta = Ingest.listFileMeta(spark, dir.getAbsolutePath, "*.csv")
+    assert(meta.columns.toSeq === Seq("path", "length", "modificationTime"))
+    // LIKE filter on path, as in ai_generate.sql:22
+    assert(files.filter(col("path").like("%file1.csv")).count() === 1)
+    // content is the real bytes
+    val c = files.filter(col("path").like("%file1.csv"))
+      .select(col("content").cast("string")).head.getString(0)
+    assert(c.startsWith("id,name,amount,event_date"))
+  }
+}
