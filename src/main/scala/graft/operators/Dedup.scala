@@ -61,8 +61,7 @@ object Dedup {
     * rows ever meet.
     */
   def minhashCandidatePairs(df: DataFrame, id: Column, sig: Column,
-                            bands: Int = 8): DataFrame = {
-    val k = 32 // default signature width; callers using custom k pass matching bands
+                            k: Int = 32, bands: Int = 4): DataFrame = {
     val withSig = df.select(id.as("__id"), sig.as("__sig"))
     val r = k / bands
     val banded = withSig.select(col("__id"), posexplode(
@@ -89,16 +88,32 @@ object Dedup {
     * verify join is two broadcast-or-shuffle hash joins on the id key.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 32, bands: Int = 8,
+                   threshold: Double, k: Int = 32, bands: Int = 4,
                    shingleN: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("__id"),
-      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("__sh"),
-      minhashSignature(col(textCol), k, shingleN).as("__sig"))
-    val cands = minhashCandidatePairs(base, col("__id"), col("__sig"), bands)
+    import graft.functions.NativeTextExpressions
+    val spark = df.sparkSession
+    // One pass computes both the verification shingle set (hashed to longs —
+    // set ops on 8-byte keys, not full strings) and the MinHash signature.
+    // Native kernels when available (~µs/row); declarative HOF fallback
+    // otherwise. Persisted: feeds the bucket join once + the verify join
+    // twice; recomputing k×|shingles| hashes 3× would dominate runtime.
+    val shCol = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN)
+      .getOrElse(array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
+        s => xxhash64(s))))
+    val sigCol = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN) match {
+      case Some(sh) => NativeTextExpressions.minhashSig(spark)(sh, k, 42L)
+        .getOrElse(minhashSignature(col(textCol), k, shingleN))
+      case None => minhashSignature(col(textCol), k, shingleN)
+    }
+    val base = df.select(col(idCol).as("__id"), shCol.as("__sh"), sigCol.as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatePairs(base, col("__id"), col("__sig"), k, bands)
     val sa = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
     val sb = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    val jac = NativeTextExpressions.longSetJaccard(spark)(col("sh_a"), col("sh_b"))
+      .getOrElse(jaccard(col("sh_a"), col("sh_b")))
     cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(jac, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -25,11 +25,12 @@ object Similarity {
     * query_id, neighbor_id, sim (rounded to 6), rank (1-based). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(corpus.sparkSession) _
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("__sim"))
+        cos(col("__qv"), col("__cv")).as("__sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -55,9 +56,10 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .dropDuplicates("query_id", "neighbor_id")
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(corpus.sparkSession) _
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
-    cands.withColumn("__sim", cosine(col("__qv"), col("__cv")))
+    cands.withColumn("__sim", cos(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -69,10 +71,11 @@ object Similarity {
     * for corpora where O(n²) is prohibitive. */
   def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(df.sparkSession) _
     val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("__va"))
     val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .withColumn("sim", cos(col("__va"), col("__vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
