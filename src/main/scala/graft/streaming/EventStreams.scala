@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirror of the batch event pipelines (builder
+  * contract: "readStream → transforms → writeStream; watermarks + windowed
+  * aggs; mapGroupsWithState for custom state").
+  *
+  * The reference models events as batch tables (SURVEY.md §1.1 — no streams
+  * exist there); this module exposes the same semantics over unbounded
+  * input so the engine covers continuous ingestion:
+  *  - windowed revenue (tumbling window + watermark bounds state),
+  *  - streaming dedup (watermarked dropDuplicates = the W1 pattern online),
+  *  - sessionization via flatMapGroupsWithState (gap-timeout sessions).
+  *
+  * Scale notes: state is partitioned by group key across executors; the
+  * watermark bounds state size (late events beyond it are dropped), which is
+  * what makes these stateful operators viable on unbounded 100 TB/day feeds.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Int,
+                                  start_ts: Timestamp, end_ts: Timestamp,
+                                  total_value: Double)
+  private final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+
+  /** Tumbling-window per-type revenue with a watermark for late data
+    * (the streaming shape of gold_daily_revenue). */
+  def windowedRevenue(events: DataFrame, window_ : String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(sum(col("value")).as("revenue"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("revenue"), col("n_events"))
+
+  /** Streaming exact dedup on event_id, state bounded by the watermark —
+    * the online form of the W1 keep-first pattern. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of inactivity (processing-time timeout) and emits a
+    * summary row. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.n,
+              new Timestamp(s.start), new Timestamp(s.last), s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMinutes * 60000L =>
+                  cur = Some(SessionState(s.n + 1, s.start, t, s.total + e.value))
+                case Some(s) =>
+                  closed += SessionSummary(userId, s.n, new Timestamp(s.start),
+                    new Timestamp(s.last), s.total)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** File-source entry: treat a directory of parquet event files as an
+    * unbounded stream (readStream; file discovery is incremental). */
+  def readEventStream(spark: SparkSession, dir: String,
+                      schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+}
