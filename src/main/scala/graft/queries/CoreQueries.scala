@@ -428,6 +428,70 @@ object CoreQueries {
     Q.sql("q28_subquery", """
       SELECT round(avg(CAST(cnt AS DOUBLE)), 4) AS avg_orders_per_cust,
              max(cnt) AS max_orders
-      FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t""")
+      FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t"""),
+
+    // P2/P3 — rename projection (semantic layer) + star-expansion join
+    // projection `o.*` plus enrichment columns (reference:
+    // semantic_example.sql:99-102; retail.sql:162-167).
+    Q("q29_star_enrich", (s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(o.col("*"),
+          col("c_name").as("customer_name"),
+          col("c_mktsegment").as("segment"))
+        .filter(col("o_totalprice") > 300000.0)
+    }, Some("""
+      SELECT o.*, c_name AS customer_name, c_mktsegment AS segment
+      FROM orders o JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 300000""")),
+
+    // J2/J5 — composite-key self-join on computed successor line number
+    // (reference: supply_chain_example.sql:88-91 composite keys;
+    // manufacturing.sql:289-317 rn self-join form, kept literal here —
+    // q19 is the lead() rewrite of the same idea).
+    Q("q30_composite_selfjoin", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val b = li.select(col("l_orderkey").as("r_orderkey"),
+        col("l_linenumber").as("r_linenumber"), col("l_extendedprice").as("next_price"))
+      a.join(b, col("l_orderkey") === col("r_orderkey") &&
+          col("r_linenumber") === col("l_linenumber") + 1)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_adjacent_pairs"),
+          // sum (not avg): cent-valued inputs make the sum a multiple of
+          // 0.01, so 2-decimal rounding never lands on a half-way boundary
+          // where engine-internal summation order could flip the result.
+          round(sum(col("next_price") - col("l_extendedprice")), 2).as("total_price_step"))
+    }, Some("""
+      SELECT a.l_orderkey, count(*) AS n_adjacent_pairs,
+             round(sum(b.l_extendedprice - a.l_extendedprice), 2) AS total_price_step
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+      GROUP BY a.l_orderkey""")),
+
+    // J7 — join facts against an aggregated CTE (reference:
+    // manufacturing.sql:86-91 dup list; insurance_example.sql:132-136).
+    Q.sql("q31_join_agg_cte", """
+      WITH heavy AS (
+        SELECT o_custkey AS h_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 12)
+      SELECT o_orderstatus, count(*) AS n_heavy_cust_orders,
+             round(sum(o_totalprice), 2) AS heavy_rev
+      FROM orders JOIN heavy ON o_custkey = h_custkey
+      GROUP BY o_orderstatus"""),
+
+    // A15 — reconciliation aggregate: recompute a gold rollup from silver and
+    // emit mismatching rows; empty result = invariant holds (reference:
+    // manufacturing.sql:345-364).
+    Q.sql("q32_reconciliation", """
+      WITH by_day_prio AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+               sum(o_totalprice) AS rev FROM orders GROUP BY 1, 2),
+      gold AS (SELECT d, round(sum(rev), 2) AS day_rev FROM by_day_prio GROUP BY d),
+      silver AS (SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS day_rev2
+                 FROM orders GROUP BY 1)
+      SELECT gold.d, day_rev, day_rev2
+      FROM gold JOIN silver ON gold.d = silver.d
+      WHERE abs(day_rev - day_rev2) > 0.011""")
   )
 }
