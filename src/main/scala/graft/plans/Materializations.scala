@@ -24,7 +24,9 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
 
   private case class Entry(define: () => DataFrame,
                            var materialized: Option[DataFrame],
-                           var refreshedAtMs: Option[Long])
+                           var refreshedAtMs: Option[Long],
+                           var fingerprint: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = None)
 
   private val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
 
@@ -49,8 +51,17 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
     }
     e.materialized = Some(mat)
     e.refreshedAtMs = Some(System.currentTimeMillis())
+    // Fingerprint once at refresh (optimizer rules run per query — matching
+    // must not re-analyze the definition each time).
+    e.fingerprint = try Some((
+      classic(df).queryExecution.optimizedPlan.canonicalized,
+      classic(mat).queryExecution.analyzed))
+    catch { case _: Throwable => None }
     mat
   }
+
+  private def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[_] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
 
   def refreshAll(): Unit = synchronized(entries.keys.foreach(refresh))
 
@@ -74,4 +85,11 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
   def status(): Seq[(String, Boolean, Option[Long])] = synchronized {
     entries.toSeq.map { case (n, e) => (n, e.materialized.isDefined, e.refreshedAtMs) }
   }
+
+  /** (definition's canonicalized optimized plan, materialized analyzed plan)
+    * for every refreshed entry — the matching index used by
+    * MaterializationSubstitution; cached at refresh time. */
+  def fingerprints(): Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    synchronized(entries.values.toSeq.flatMap(_.fingerprint))
 }

@@ -40,4 +40,36 @@ class MaterializationsSpec extends SparkSpec {
     assert(new java.io.File(s"$wh/daily").exists())
     assert(spark.read.parquet(s"$wh/daily").count() === m.table("daily").count())
   }
+
+  test("optimizer rule substitutes a matching query with the materialized scan") {
+    val wh = java.nio.file.Files.createTempDirectory("subst").toFile.getAbsolutePath
+    val m = new Materializations(spark, Some(wh))
+    def definition() =
+      sf("orders").groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+    m.register("prio_rev", () => definition())
+    m.refresh("prio_rev")
+    MaterializationSubstitution.install(spark, m)
+    try {
+      // an INDEPENDENTLY built identical query must hit the materialization:
+      // the physical plan becomes a scan of the materialized parquet (its
+      // path shows in FileScan) with no aggregation left to do
+      val q = definition()
+      val physical = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("prio_rev"), s"expected materialized scan in:\n$physical")
+      assert(!physical.contains("HashAggregate"), s"aggregate should be gone:\n$physical")
+      // and still return correct results
+      val direct = definition().collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted === direct)
+      // a different query is untouched
+      val other = sf("orders").groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val otherPlan = other.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(!otherPlan.contains("prio_rev"))
+      assert(otherPlan.contains("HashAggregate"))
+    } finally {
+      spark.experimental.extraOptimizations = Seq.empty
+    }
+  }
 }
