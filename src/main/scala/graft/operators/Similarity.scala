@@ -66,6 +66,92 @@ object Similarity {
         round(col("__sim"), 6).as("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: coarse k-means quantization + nprobe search.
+    *
+    * Training collects a bounded sample to the driver (standard IVF practice
+    * — centroids are tiny and training is O(sample), not O(corpus)), runs a
+    * few seeded Lloyd iterations, then broadcasts the centroid list as plan
+    * literals. Corpus rows are assigned to their nearest centroid (one pass,
+    * map-side); each query probes its `nprobe` nearest centroid cells and
+    * scores only those rows — the O(n²)→O(n·nprobe/k) scale path, with
+    * exact cosine re-scoring inside the probed cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
+              iters: Int = 5, sampleN: Int = 10000, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
+
+    // --- train centroids on a driver-side sample (deterministic) ---
+    val sample = corpus.select(asDouble(col(vecCol))).limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
+      sample(rnd.nextInt(sample.length)).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = sums(c); var i = 0; while (i < m.length) { m(i) /= counts(c); i += 1 }; m }
+      }.toArray
+    }
+
+    // --- assignment expression: argmin over centroid literals (map-side) ---
+    def cellOf(v: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (cVec, i) =>
+        val lit_ = array(cVec.map(lit): _*)
+        struct(vdotNeg(v, lit_).as("negsim"), lit(i).as("cell"))
+      }
+      array_min(array(dists: _*)).getField("cell")
+    }
+    // nprobe cells per query: the nprobe smallest distances
+    def probeCells(v: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (cVec, i) =>
+        struct(vdotNeg(v, array(cVec.map(lit): _*)).as("negsim"), lit(i).as("cell"))
+      }
+      slice(transform(array_sort(array(dists: _*)), s => s.getField("cell")), 1, nprobe)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell", cellOf(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("cell", explode(probeCells(col("__qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__sim", cos(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Negated cosine as a sortable "distance" column. */
+  private def vdotNeg(a: Column, b: Column): Column = {
+    import graft.functions.VectorFunctions.{vdot, vnorm}
+    -(vdot(a, b) / (vnorm(a) * vnorm(b)))
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** All pairs with cosine ≥ threshold — embedding-based near-duplicate
     * detection. Exact (cross-product within id order); use the LSH variant
     * for corpora where O(n²) is prohibitive. */

@@ -492,6 +492,44 @@ object CoreQueries {
                  FROM orders GROUP BY 1)
       SELECT gold.d, day_rev, day_rev2
       FROM gold JOIN silver ON gold.d = silver.d
-      WHERE abs(day_rev - day_rev2) > 0.011""")
-  )
+      WHERE abs(day_rev - day_rev2) > 0.011"""),
+
+    // Semi-structured: JSON property extraction from the events stream
+    // (the reference's "unstructured columns processed by functions" idea,
+    // SURVEY.md §1.1, over typed JSON instead of an LLM).
+    Q("q33_json_props", (s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          countIf(col("k").isNull).as("n_missing"))
+    }, Some("""
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+             count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
+      FROM events GROUP BY event_type""")),
+
+    // Behavioral funnel over events: first signup → later purchase
+    // conversion, built from pivot-style per-type MIN timestamps (A7/A9
+    // pattern applied to a funnel; groupBy user shuffles once).
+    Q("q34_event_funnel", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("st"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("pt"))
+        .agg(
+          countIf(col("st").isNotNull).as("n_signed"),
+          countIf(col("st").isNotNull && col("pt") > col("st")).as("n_converted"))
+    }, Some("""
+      WITH f AS (SELECT user_id,
+                        min(CASE WHEN event_type = 'signup' THEN ts END) AS st,
+                        min(CASE WHEN event_type = 'purchase' THEN ts END) AS pt
+                 FROM events GROUP BY user_id)
+      SELECT count(CASE WHEN st IS NOT NULL THEN 1 END) AS n_signed,
+             count(CASE WHEN st IS NOT NULL AND pt > st THEN 1 END) AS n_converted
+      FROM f""")
+  ))
 }

@@ -125,6 +125,15 @@ object DataPipelineQueries {
         k = 5, dim = 64, nBits = 16, bands = 4)
     }, None),
 
+    // IVF ANN (coarse k-means quantization + nprobe probing) — the second
+    // scale path besides LSH; approximate → rows-only; recall and the
+    // probe-all=exact invariant are asserted in SimilaritySpec.
+    Q("q49_ann_ivf", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 16, nprobe = 4)
+    }, None),
+
     // Embedding-cosine near-duplicate pairs, exact — oracle-checked.
     Q("q48_embedding_neardup", (s, dir) => {
       Similarity.cosinePairsAbove(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)

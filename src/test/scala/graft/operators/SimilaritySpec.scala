@@ -54,4 +54,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(r => r.getDouble(2) >= 0.3))
   }
+
+  test("ivfTopK achieves reasonable recall and exact sims within probed cells") {
+    val e = sf("embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nCells = 8, nprobe = 4)
+    val rows = ivf.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // probing all cells = exact search
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nCells = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
 }
