@@ -530,6 +530,74 @@ object CoreQueries {
                  FROM events GROUP BY user_id)
       SELECT count(CASE WHEN st IS NOT NULL THEN 1 END) AS n_signed,
              count(CASE WHEN st IS NOT NULL AND pt > st THEN 1 END) AS n_converted
-      FROM f""")
+      FROM f""")),
+
+    // Array operators (reference: recipes.sql ARRAY[...] + ARRAY_TO_STRING,
+    // ai_classify label arrays): build, sort, measure, stringify, probe.
+    Q("q35_array_ops", (s, dir) => {
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sort_array(collect_list(col("n_name"))).as("nations_arr"))
+        .select(col("r_name"),
+          // scalar derivatives only: array-typed outputs hash differently
+          // across engines' result serializations
+          size(col("nations_arr")).as("n_nations"),
+          array_join(col("nations_arr"), "|").as("nations_str"),
+          array_contains(col("nations_arr"), "CHINA").as("has_china"),
+          element_at(col("nations_arr"), 1).as("first_nation"))
+    }, Some("""
+      SELECT r_name,
+             CAST(len(list_sort(list(n_name))) AS INTEGER) AS n_nations,
+             array_to_string(list_sort(list(n_name)), '|') AS nations_str,
+             list_contains(list(n_name), 'CHINA') AS has_china,
+             list_sort(list(n_name))[1] AS first_nation
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name""")),
+
+    // Batch sessionization over events: sessions start where the gap from
+    // the previous event exceeds 30 minutes (lag + conditional flag +
+    // running sum — the W-series composed); per-user session stats.
+    Q("q36_sessions", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).cast("long").as("n_sessions"),
+          round(avg(col("n_events")), 4).as("avg_events_per_session"),
+          max(col("n_events")).as("max_session_len"))
+    }, Some("""
+      WITH s AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session,
+               ts, event_id
+        FROM s),
+      numbered AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id)
+      SELECT user_id,
+             CAST(max(session_id) AS BIGINT) AS n_sessions,
+             round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events_per_session,
+             max(n_events) AS max_session_len
+      FROM per_session GROUP BY user_id""")
   ))
 }

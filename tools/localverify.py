@@ -50,6 +50,12 @@ for name in sorted(os.listdir(outdir)):
         print(f"✗ {name}: row count {len(a)} vs {len(b)}")
         fail += 1
         continue
+    for df_ in (a, b):  # make list/array cells sortable+comparable
+        for c_ in df_.columns:
+            if df_[c_].dtype == object:
+                df_[c_] = df_[c_].map(
+                    lambda x: tuple(x.tolist()) if hasattr(x, "tolist") and not
+                    isinstance(x, (str, bytes)) else x)
     a = a.sort_values(list(a.columns)).reset_index(drop=True)
     b = b.sort_values(list(b.columns)).reset_index(drop=True)
     dt_mismatch = [(c, str(a[c].dtype), str(b[c].dtype))
