@@ -36,12 +36,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   def currentVersion: Option[Long] = readMeta().lastOption.map(_._1)
 
-  /** Commit a new snapshot (append = previous data + df; overwrite = df). */
+  /** Commit a new snapshot (append = previous data + df; overwrite = df).
+    * Appends support SCHEMA EVOLUTION (the Iceberg behavior this mirrors):
+    * new columns may appear and old columns may be absent — the union is by
+    * name with missing columns null-filled, and the committed snapshot
+    * carries the widened schema. */
   def commit(df: DataFrame, op: String = "overwrite"): Long = {
     val prev = currentVersion
     val next = prev.map(_ + 1).getOrElse(0L)
     val data = (op, prev) match {
-      case ("append", Some(v)) => read(Some(v)).unionByName(df)
+      case ("append", Some(v)) =>
+        read(Some(v)).unionByName(df, allowMissingColumns = true)
       case _ => df
     }
     data.write.mode("overwrite").parquet(s"$root/v=$next")

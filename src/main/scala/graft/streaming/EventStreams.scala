@@ -28,7 +28,8 @@ object EventStreams {
   final case class SessionSummary(user_id: Long, n_events: Int,
                                   start_ts: Timestamp, end_ts: Timestamp,
                                   total_value: Double)
-  private final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+  // public: the state encoder's generated code must access the fields
+  final case class SessionState(n: Int, start: Long, last: Long, total: Double)
 
   /** Tumbling-window per-type revenue with a watermark for late data
     * (the streaming shape of gold_daily_revenue). */
@@ -48,14 +49,19 @@ object EventStreams {
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session closes
-    * after `gapMinutes` of inactivity (processing-time timeout) and emits a
-    * summary row. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    * either inline (a later event arrives past the gap) or — with the
+    * default processing-time timeout — after `gapMinutes` of wall-clock
+    * inactivity. Pass `GroupStateTimeout.NoTimeout` for inline-only closing
+    * (deterministic; used by replay-style tests). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -81,7 +87,7 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(s"$gapMinutes minutes")
+              if (useTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
             }
             closed.iterator
           }

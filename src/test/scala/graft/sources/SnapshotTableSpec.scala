@@ -42,4 +42,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(Some(cv)).count() === 40)
     assert(t.history().filter(col("operation") === "compact").count() === 1)
   }
+
+  test("append with evolved schema widens columns and null-fills history") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap3").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1, "a")).toDF("id", "v"))
+    // evolved: new column `score`, and `v` missing entirely
+    t.commit(Seq((2, 0.9)).toDF("id", "score"), op = "append")
+    val latest = t.read()
+    assert(latest.columns.toSet === Set("id", "v", "score"))
+    val rows = latest.orderBy("id").collect()
+    assert(rows(0).getString(1) === "a" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) === 0.9)
+    // time travel still returns the ORIGINAL schema for the old version
+    assert(t.read(Some(0L)).columns.toSet === Set("id", "v"))
+  }
 }

@@ -79,4 +79,30 @@ class EventStreamsSpec extends SparkSpec {
       Seq(Vector(1L, 2L), Vector(3L)))
     assert(sessionsOf(grouped(2L).toSeq, 30).size === 1)
   }
+
+  test("sessionization runs through the streaming engine and closes sessions across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMinutes = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("live_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("live_sessions").count() === 0) // session still open
+      // an event past the gap closes the first session inline
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "a", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("live_sessions").collect()
+      assert(closed.length === 1)
+      assert(closed(0).getLong(0) === 1L)      // user_id
+      assert(closed(0).getInt(1) === 2)        // n_events in first session
+      assert(closed(0).getDouble(4) === 3.0)   // total_value 1+2
+    } finally q.stop()
+  }
 }
