@@ -69,4 +69,31 @@ object Multimodal {
   def sampleFrames(df: DataFrame, meta: Column, step: Int): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(meta.getField("n_frames") - 1, lit(0)), lit(step))))
+
+  /** Batched decode over partitions: the mapPartitions shape a real codec
+    * runs in — the decoder library loads ONCE per partition (not per row)
+    * and processes an iterator of payloads. The stub mirrors `decodeStub`;
+    * swapping in javax.imageio/ffmpeg touches only the marked line. */
+  def decodeBatched(df: DataFrame, contentCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val schema = df.schema
+    val idx = schema.fieldIndex(contentCol)
+    val encoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.row(schema),
+      org.apache.spark.sql.Encoders.product[MediaMeta])
+    df.mapPartitions { rows =>
+      // per-partition decoder init goes here (the expensive native handle)
+      val decode: Array[Byte] => MediaMeta = bytes => {       // STUB decode
+        val h = fnv(bytes)
+        val w = 160 + (math.abs(h) % 8).toInt * 160
+        val ht = 120 + (math.abs(h >> 8) % 8).toInt * 120
+        val frames = 1 + (math.abs(h >> 16) % 240).toInt
+        MediaMeta(Seq("jpeg", "png", "webm", "wav")((math.abs(h >> 24) % 4).toInt),
+          w, ht, frames, frames / 24.0)
+      }
+      rows.map(r => (r, decode(r.getAs[Array[Byte]](idx))))
+    }(encoder)
+      .toDF("row", "meta")
+      .select(col("row.*"), col("meta"))
+  }
 }

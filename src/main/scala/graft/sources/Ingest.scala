@@ -23,9 +23,13 @@ object Ingest {
                fileRegex: String = ".*\\.csv", sep: String = ",",
                header: Boolean = true): DataFrame = {
     val target = spark.table(targetTable)
-    val files = new java.io.File(sourceDir).listFiles()
-      .filter(f => f.isFile && f.getName.matches(fileRegex))
-      .map(_.getAbsolutePath).sorted
+    // Hadoop FS listing, not java.io — works on any scheme (s3a://, hdfs://,
+    // file://), matching the reference's object-storage source ('@s3/...').
+    val path = new org.apache.hadoop.fs.Path(sourceDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.matches(fileRegex))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"copyInto: no files in $sourceDir matching $fileRegex")
     val df = spark.read
       .option("header", header.toString).option("sep", sep)
@@ -36,10 +40,13 @@ object Ingest {
   }
 
   /** One row per file under `dir`: path, modificationTime, length, content.
-    * `pathGlobFilter` narrows like the reference's `WHERE file['path'] LIKE`. */
-  def listFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    * `pathGlobFilter` narrows like the reference's `WHERE file['path'] LIKE`;
+    * `recursive` descends prefixes like an object-store listing. */
+  def listFiles(spark: SparkSession, dir: String, glob: String = "*",
+                recursive: Boolean = false): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", recursive.toString)
       .load(dir)
 
   /** Metadata-only variant (never reads content bytes — parquet/binaryFile
