@@ -29,16 +29,18 @@ object CoreQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          // exact-lattice numerators (integer qty / cent discounts) then one
+          // IEEE division: bit-identical across engines, no rounding boundary
+          (round(sum(col("l_quantity")), 0) / count(lit(1))).as("avg_qty"),
+          (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_base_price,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_discount), 6) AS avg_disc,
+             round(sum(l_quantity), 0) / count(*) AS avg_qty,
+             round(sum(l_discount), 2) / count(*) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59'
@@ -49,14 +51,14 @@ object CoreQueries {
     Q("q02_global_avg", (s, dir) => {
       t(s, dir, "lineitem").agg(
         count(lit(1)).as("n"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"))
+        (round(sum(col("l_quantity")), 0) / count(lit(1))).as("avg_qty"),
+        (round(sum(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
+        (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"))
     }, Some("""
       SELECT count(*) AS n,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
-             round(avg(l_discount), 6) AS avg_disc
+             round(sum(l_quantity), 0) / count(*) AS avg_qty,
+             round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+             round(sum(l_discount), 2) / count(*) AS avg_disc
       FROM lineitem""")),
 
     // A2 — COUNT(DISTINCT) per group (reference: clinicdata.sql:380).
@@ -64,12 +66,12 @@ object CoreQueries {
       t(s, dir, "customer").groupBy(col("c_mktsegment")).agg(
         countDistinct(col("c_nationkey")).as("n_nations"),
         count(lit(1)).as("n_cust"),
-        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        (round(sum(col("c_acctbal")), 2) / count(lit(1))).as("avg_bal"))
     }, Some("""
       SELECT c_mktsegment,
              count(DISTINCT c_nationkey) AS n_nations,
              count(*) AS n_cust,
-             round(avg(c_acctbal), 4) AS avg_bal
+             round(sum(c_acctbal), 2) / count(*) AS avg_bal
       FROM customer GROUP BY c_mktsegment""")),
 
     // A4/A5/A8 — conditional aggregates (reference: retail.sql:207-210,
@@ -79,12 +81,12 @@ object CoreQueries {
       o.groupBy(col("o_orderpriority")).agg(
         round(sumIf(col("o_orderstatus") === "F", col("o_totalprice")), 2).as("fulfilled_rev"),
         countIf(col("o_orderstatus") === "P").as("n_pending"),
-        round(rate(col("o_orderstatus") === "O"), 6).as("open_rate"))
+        (countIf(col("o_orderstatus") === "O").cast("double") / count(lit(1))).as("open_rate"))
     }, Some("""
       SELECT o_orderpriority,
              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS fulfilled_rev,
              count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
-             round(avg(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 6) AS open_rate
+             CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS DOUBLE) / count(*) AS open_rate
       FROM orders GROUP BY o_orderpriority""")),
 
     // A6 — COUNT(*) FILTER (WHERE …) via the SQL surface
@@ -152,12 +154,12 @@ object CoreQueries {
         count(lit(1)).as("n_cust"),
         countIf(col("c_acctbal") < 0).as("n_negative"))
         .select(col("c_nationkey"), col("n_cust"),
-          round(guardedRatio(lit(100.0) * col("n_negative"), col("n_cust")), 4).as("pct_negative"))
+          guardedRatio(lit(100.0) * col("n_negative"), col("n_cust")).as("pct_negative"))
     }, Some("""
       SELECT c_nationkey, count(*) AS n_cust,
-             round(CASE WHEN count(*) > 0
-                   THEN CAST(100.0 AS DOUBLE) * count(CASE WHEN c_acctbal < 0 THEN 1 END) / count(*)
-                   END, 4) AS pct_negative
+             CASE WHEN count(*) > 0
+                  THEN CAST(100.0 AS DOUBLE) * count(CASE WHEN c_acctbal < 0 THEN 1 END) / count(*)
+                  END AS pct_negative
       FROM customer GROUP BY c_nationkey""")),
 
     // J1 — the flagship customer_spend join+agg (reference: readme.md:307-315).
@@ -301,7 +303,8 @@ object CoreQueries {
         .withColumn("gap", datediff(col("nd"), col("d")))
       seq.join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(avg(col("gap")), 4).as("avg_gap_days"), count(col("gap")).as("n_gaps"))
+        .agg((sum(col("gap")).cast("double") / count(col("gap"))).as("avg_gap_days"),
+          count(col("gap")).as("n_gaps"))
     }, Some("""
       WITH s AS (
         SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
@@ -310,7 +313,7 @@ object CoreQueries {
                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nd
         FROM orders)
       SELECT c_mktsegment,
-             round(avg(date_diff('day', d, nd)), 4) AS avg_gap_days,
+             CAST(sum(date_diff('day', d, nd)) AS DOUBLE) / count(nd) AS avg_gap_days,
              count(nd) AS n_gaps
       FROM s JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment""")),
@@ -345,7 +348,7 @@ object CoreQueries {
                round(sum(o_totalprice), 2) AS rev, count(*) AS n
         FROM orders GROUP BY 1),
       busy AS (SELECT d, rev, n FROM daily WHERE n >= 5)
-      SELECT count(*) AS n_busy_days, round(avg(rev), 4) AS avg_rev,
+      SELECT count(*) AS n_busy_days, round(sum(rev), 2) / count(*) AS avg_rev,
              round(max(rev), 2) AS max_rev
       FROM busy"""),
 
@@ -426,7 +429,7 @@ object CoreQueries {
     // O5 — derived-table subquery feeding an outer aggregate
     // (reference: healthcare_example.sql:121-124).
     Q.sql("q28_subquery", """
-      SELECT round(avg(CAST(cnt AS DOUBLE)), 4) AS avg_orders_per_cust,
+      SELECT CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_orders_per_cust,
              max(cnt) AS max_orders
       FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) t"""),
 
@@ -502,12 +505,13 @@ object CoreQueries {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).cast("long").as("sum_k"),
-          round(avg(col("k")), 4).as("avg_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
           countIf(col("k").isNull).as("n_missing"))
     }, Some("""
       SELECT event_type,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-             round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+               / count(json_extract_string(props, '$.k')) AS avg_k,
              count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS n_missing
       FROM events GROUP BY event_type""")),
 
@@ -572,7 +576,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_events"))
         .groupBy(col("user_id"))
         .agg(max(col("session_id")).cast("long").as("n_sessions"),
-          round(avg(col("n_events")), 4).as("avg_events_per_session"),
+          (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events_per_session"),
           max(col("n_events")).as("max_session_len"))
     }, Some("""
       WITH s AS (
@@ -596,7 +600,7 @@ object CoreQueries {
         FROM numbered GROUP BY user_id, session_id)
       SELECT user_id,
              CAST(max(session_id) AS BIGINT) AS n_sessions,
-             round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events_per_session,
+             CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session,
              max(n_events) AS max_session_len
       FROM per_session GROUP BY user_id""")
   ))

@@ -52,9 +52,14 @@ object DataPipelineQueries {
       Dedup.exactDedup(seededExact(s, dir), col("text"), Seq(col("doc_id")))
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }, Some("""
-      SELECT lang, count(DISTINCT text) AS n_docs
-      FROM (SELECT * FROM documents
-            UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0) u
+      -- keep-one is attributed to the surviving (min doc_id) row's lang;
+      -- count(DISTINCT text) per lang would double-count the texts that
+      -- appear under multiple langs in the corpus
+      SELECT lang, count(*) AS n_docs
+      FROM (SELECT arg_min(lang, doc_id) AS lang
+            FROM (SELECT * FROM documents
+                  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0) u
+            GROUP BY text) t
       GROUP BY lang""")),
 
     // MinHash + banded LSH near-dup pairs, Jaccard-verified. Not ANSI-SQL
@@ -158,8 +163,8 @@ object DataPipelineQueries {
         size(bpeishTokens(col("text"))).as("n_bpeish"),
         punctCount(col("text")).as("n_punct"),
         regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is|in)\\b")).as("n_stop"),
-        round(length(trim(col("text"))).cast("double") /
-          greatest(nTok, lit(1)).cast("double"), 4).as("chars_per_token"))
+        (length(trim(col("text"))).cast("double") /
+          greatest(nTok, lit(1)).cast("double")).as("chars_per_token"))
     }, Some("""
       SELECT doc_id,
              CAST(length(text) AS INTEGER) AS n_chars_calc,
@@ -167,8 +172,8 @@ object DataPipelineQueries {
              CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS n_bpeish,
              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
              CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS INTEGER) AS n_stop,
-             round(CAST(length(trim(text)) AS DOUBLE) /
-                   greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS chars_per_token
+             CAST(length(trim(text)) AS DOUBLE) /
+               greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS chars_per_token
       FROM documents""")),
 
     // Language ID + quality score + order-sensitive fingerprint — heuristic
