@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-level guardrails over the whole query registry: the properties that
+  * make these queries viable at 100 TB are asserted on the optimized
+  * physical plans, so a regression (a lost equi-key, a filter that stops
+  * pushing down) fails CI before it becomes a runtime cliff.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = graft.SparkSpec.sfDir
+
+  /** Queries whose semantics REQUIRE a non-equi pair join (exact O(n²)
+    * baselines over the small embeddings table — documented in
+    * ARCHITECTURE.md; the LSH/IVF variants are their scale path). */
+  private val intendedNonEqui = Set(
+    "q46_ann_bruteforce",  // corpus × broadcast queries, id <> id
+    "q48_embedding_neardup" // all-pairs id < id exact near-dup baseline
+  )
+
+  test("no query plan contains an unintended cartesian or nested-loop join") {
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val plan =
+        try q.run(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"${q.name} failed to plan: ${e.getMessage}") }
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !intendedNonEqui.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unintended cartesian/nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("scan-heavy fact queries push their filters into the parquet scan") {
+    val q01 = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val plan = q01.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    val q26 = SparkEntry.queries("q26_between_in")(spark, sfDir)
+    val plan26 = q26.queryExecution.executedPlan.toString
+    assert(plan26.contains("PushedFilters") && plan26.contains("GreaterThanOrEqual(o_orderdate"),
+      s"between bounds not pushed:\n$plan26")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    Seq("q11_customer_spend", "q12_region_revenue", "q13_interval_join").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: unexpected SMJ at this scale")
+    }
+  }
+
+  test("every oracle query has matching column names on both sides (static check)") {
+    // cheap static guard: every AS alias in the oracle appears in the Spark
+    // result's schema, catching alias drift before the driver's hash compare
+    SparkEntry.allQueries.filter(_.oracle.isDefined).foreach { q =>
+      val cols = q.run(spark, sfDir).columns.map(_.toLowerCase).toSet
+      val aliases = "(?i)AS\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(q.oracle.get).map(_.group(1).toLowerCase).toSet
+        .diff(Set("rank", "rn", "t", "u", "f", "s", "o", "daily", "busy", "heavy",
+          "gold", "silver", "sims", "flagged", "numbered", "per_session", "by_day_prio",
+          // CAST(x AS <type>) false positives
+          "double", "integer", "bigint", "varchar", "date", "timestamp"))
+      // ≤2-char aliases are CTE-internal shorthands (d, nd, st…), not outputs
+      val missing = aliases.diff(cols).filter(_.length > 2)
+      assert(missing.isEmpty,
+        s"${q.name}: oracle aliases $missing not in Spark columns ${cols.mkString(",")}")
+    }
+  }
+}
