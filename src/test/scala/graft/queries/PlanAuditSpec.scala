@@ -53,18 +53,47 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("every oracle query has matching column names on both sides (static check)") {
-    // cheap static guard: every AS alias in the oracle appears in the Spark
-    // result's schema, catching alias drift before the driver's hash compare
+    // static guard: every AS alias in the oracle's FINAL top-level SELECT
+    // list appears in the Spark result's schema, catching alias drift before
+    // the driver's hash compare. The select list is located with a
+    // paren-depth scan (CTE bodies and subqueries are at depth > 0).
+    def finalSelectList(sql: String): String = {
+      val s = sql
+      var depth = 0
+      var lastSelect = -1
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'S' | 's' if depth == 0 && s.regionMatches(true, i, "SELECT", 0, 6) =>
+            lastSelect = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (lastSelect < 0) return ""
+      // cut at the matching top-level FROM
+      var j = lastSelect; depth = 0; var end = s.length
+      while (j < s.length && end == s.length) {
+        s.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'F' | 'f' if depth == 0 && s.regionMatches(true, j, "FROM", 0, 4) => end = j
+          case _ =>
+        }
+        j += 1
+      }
+      s.substring(lastSelect, end)
+    }
+    val typeNames = Set("double", "integer", "bigint", "varchar", "date", "timestamp")
     SparkEntry.allQueries.filter(_.oracle.isDefined).foreach { q =>
       val cols = q.run(spark, sfDir).columns.map(_.toLowerCase).toSet
       val aliases = "(?i)AS\\s+([a-z_][a-z0-9_]*)".r
-        .findAllMatchIn(q.oracle.get).map(_.group(1).toLowerCase).toSet
-        .diff(Set("rank", "rn", "t", "u", "f", "s", "o", "daily", "busy", "heavy",
-          "gold", "silver", "sims", "flagged", "numbered", "per_session", "by_day_prio",
-          // CAST(x AS <type>) false positives
-          "double", "integer", "bigint", "varchar", "date", "timestamp"))
-      // ≤2-char aliases are CTE-internal shorthands (d, nd, st…), not outputs
-      val missing = aliases.diff(cols).filter(_.length > 2)
+        .findAllMatchIn(finalSelectList(q.oracle.get))
+        .map(_.group(1).toLowerCase).toSet
+        .diff(typeNames) // CAST(x AS <type>) false positives
+      val missing = aliases.diff(cols)
       assert(missing.isEmpty,
         s"${q.name}: oracle aliases $missing not in Spark columns ${cols.mkString(",")}")
     }
