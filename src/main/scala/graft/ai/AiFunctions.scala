@@ -96,8 +96,7 @@ object AiFunctions {
     * folds a content checksum into the output so the binary path is exercised. */
   val aiGenerateMultimodal = udf { (prompt: String, content: Array[Byte]) =>
     val size = if (content == null) 0 else content.length
-    var h = 0xcbf29ce484222325L
-    if (content != null) content.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    val h = graft.util.Hashing.fnv1a64(content)
     ExtractedIssue(
       primary_issue = if (size == 0) "empty_file" else "document",
       severity = if (size > 4096) "high" else "low",

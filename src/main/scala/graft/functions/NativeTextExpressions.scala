@@ -26,12 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeTextExpressions {
 
-  private[functions] def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  private[functions] def fnv1a64(s: String): Long = graft.util.Hashing.fnv1a64(s)
 
   /** word-n-gram shingle hashes of a string: lowercase, whitespace tokenize,
     * hash each n-gram, distinct, order of first appearance. */

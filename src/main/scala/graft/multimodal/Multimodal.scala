@@ -22,32 +22,29 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int,
                        n_frames: Int, duration_s: Double)
 
-  private def fnv(content: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    if (content != null) content.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-    h
+  /** The ONE stub decode implementation (deterministic metadata from a
+    * content checksum); both the scalar UDF and the batched mapPartitions
+    * path call it, so they can never desynchronize. Production = replace
+    * this body with javax.imageio / ffmpeg probing. */
+  def decodeMeta(content: Array[Byte]): MediaMeta = {
+    if (content == null) return null
+    val h = graft.util.Hashing.fnv1a64(content)
+    val w = 160 + (math.abs(h) % 8).toInt * 160            // 160..1280
+    val ht = 120 + (math.abs(h >> 8) % 8).toInt * 120      // 120..960
+    val frames = 1 + (math.abs(h >> 16) % 240).toInt
+    MediaMeta(
+      format = Seq("jpeg", "png", "webm", "wav")((math.abs(h >> 24) % 4).toInt),
+      width = w, height = ht, n_frames = frames,
+      duration_s = frames / 24.0)
   }
 
-  /** STUB decode: derives plausible, deterministic metadata from the bytes.
-    * Production implementation = javax.imageio / ffmpeg probe per partition. */
-  val decodeStub = udf { content: Array[Byte] =>
-    if (content == null) null
-    else {
-      val h = fnv(content)
-      val w = 160 + (math.abs(h) % 8).toInt * 160            // 160..1280
-      val ht = 120 + (math.abs(h >> 8) % 8).toInt * 120      // 120..960
-      val frames = 1 + (math.abs(h >> 16) % 240).toInt
-      MediaMeta(
-        format = Seq("jpeg", "png", "webm", "wav")((math.abs(h >> 24) % 4).toInt),
-        width = w, height = ht, n_frames = frames,
-        duration_s = frames / 24.0)
-    }
-  }
+  /** STUB decode as a scalar UDF. */
+  val decodeStub = udf { content: Array[Byte] => decodeMeta(content) }
 
   /** STUB feature extraction: fixed-width float vector from the payload —
     * stands in for an image/audio embedding model. Deterministic. */
   val featuresStub = udf { content: Array[Byte] =>
-    val h = fnv(content)
+    val h = graft.util.Hashing.fnv1a64(content)
     Array.tabulate(8)(i => (((h >> (i * 8)) & 0xff).toInt - 128) / 128.0f)
   }
 
@@ -82,16 +79,9 @@ object Multimodal {
       org.apache.spark.sql.Encoders.row(schema),
       org.apache.spark.sql.Encoders.product[MediaMeta])
     df.mapPartitions { rows =>
-      // per-partition decoder init goes here (the expensive native handle)
-      val decode: Array[Byte] => MediaMeta = bytes => {       // STUB decode
-        val h = fnv(bytes)
-        val w = 160 + (math.abs(h) % 8).toInt * 160
-        val ht = 120 + (math.abs(h >> 8) % 8).toInt * 120
-        val frames = 1 + (math.abs(h >> 16) % 240).toInt
-        MediaMeta(Seq("jpeg", "png", "webm", "wav")((math.abs(h >> 24) % 4).toInt),
-          w, ht, frames, frames / 24.0)
-      }
-      rows.map(r => (r, decode(r.getAs[Array[Byte]](idx))))
+      // per-partition decoder init goes here (the expensive native handle);
+      // the per-row work delegates to the shared decodeMeta
+      rows.map(r => (r, decodeMeta(r.getAs[Array[Byte]](idx))))
     }(encoder)
       .toDF("row", "meta")
       .select(col("row.*"), col("meta"))

@@ -97,10 +97,14 @@ object Dedup {
     // Native kernels when available (~µs/row); declarative HOF fallback
     // otherwise. Persisted: feeds the bucket join once + the verify join
     // twice; recomputing k×|shingles| hashes 3× would dominate runtime.
-    val shCol = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN)
+    // (Cache lifecycle: the cached projection lives until the session drops
+    // it — batch harnesses should call spark.catalog.clearCache() between
+    // corpora, as Verify/Bench do.)
+    val nativeSh = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN)
+    val shCol = nativeSh
       .getOrElse(array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
         s => xxhash64(s))))
-    val sigCol = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN) match {
+    val sigCol = nativeSh match {
       case Some(sh) => NativeTextExpressions.minhashSig(spark)(sh, k, 42L)
         .getOrElse(minhashSignature(col(textCol), k, shingleN))
       case None => minhashSignature(col(textCol), k, shingleN)
@@ -120,15 +124,6 @@ object Dedup {
 
   // --- SimHash --------------------------------------------------------------
 
-  /** FNV-1a 64-bit — stable token hash for the SimHash UDF (independent of
-    * JVM String.hashCode). */
-  private def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
-
   /** 64-bit SimHash over whitespace tokens. UDF (scalar, deterministic,
     * map-side); upgrade path is a codegen'd Catalyst Expression with the same
     * contract. */
@@ -137,7 +132,7 @@ object Dedup {
     else {
       val votes = new Array[Int](64)
       text.toLowerCase.trim.split("\\s+").foreach { t =>
-        val h = fnv1a64(t)
+        val h = graft.util.Hashing.fnv1a64(t)
         var i = 0
         while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
       }

@@ -83,8 +83,13 @@ object Similarity {
     val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
 
     // --- train centroids on a driver-side sample (deterministic) ---
+    // SPHERICAL k-means: sample vectors are L2-normalized and centroid means
+    // are renormalized each iteration, so Euclidean argmin during training
+    // and dot-product argmax during assignment give the SAME partition (for
+    // unit centroids, argmax dot ≡ argmax cosine ≡ argmin L2 on the sphere).
     val sample = corpus.select(asDouble(col(vecCol))).limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
+      .map(normalize).filter(_ != null)
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     val rnd = new scala.util.Random(seed)
     var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
@@ -99,22 +104,28 @@ object Similarity {
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)
-        else { val m = sums(c); var i = 0; while (i < m.length) { m(i) /= counts(c); i += 1 }; m }
+        else Option(normalize(sums(c))).getOrElse(centroids(c))
       }.toArray
     }
 
-    // --- assignment expression: argmin over centroid literals (map-side) ---
+    // --- assignment expression: argmax dot with UNIT centroids (map-side).
+    // Plain negated dot, no division: the row's own norm is constant across
+    // centroids so the ordering equals cosine ordering, and zero vectors tie
+    // at 0 and deterministically take the lowest cell id. ---
+    def negDot(v: Column, cVec: Array[Double]): Column = {
+      import graft.functions.VectorFunctions.vdot
+      -vdot(v, array(cVec.map(lit): _*))
+    }
     def cellOf(v: Column): Column = {
       val dists = centroids.zipWithIndex.map { case (cVec, i) =>
-        val lit_ = array(cVec.map(lit): _*)
-        struct(vdotNeg(v, lit_).as("negsim"), lit(i).as("cell"))
+        struct(negDot(v, cVec).as("negsim"), lit(i).as("cell"))
       }
       array_min(array(dists: _*)).getField("cell")
     }
-    // nprobe cells per query: the nprobe smallest distances
+    // nprobe cells per query: the nprobe largest dots
     def probeCells(v: Column): Column = {
       val dists = centroids.zipWithIndex.map { case (cVec, i) =>
-        struct(vdotNeg(v, array(cVec.map(lit): _*)).as("negsim"), lit(i).as("cell"))
+        struct(negDot(v, cVec).as("negsim"), lit(i).as("cell"))
       }
       slice(transform(array_sort(array(dists: _*)), s => s.getField("cell")), 1, nprobe)
     }
@@ -134,10 +145,16 @@ object Similarity {
         round(col("__sim"), 6).as("sim"), col("rank"))
   }
 
-  /** Negated cosine as a sortable "distance" column. */
-  private def vdotNeg(a: Column, b: Column): Column = {
-    import graft.functions.VectorFunctions.{vdot, vnorm}
-    -(vdot(a, b) / (vnorm(a) * vnorm(b)))
+  /** L2-normalize; null for the zero vector. */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    if (n == 0.0) null
+    else {
+      val s = math.sqrt(n); val out = new Array[Double](v.length)
+      i = 0; while (i < v.length) { out(i) = v(i) / s; i += 1 }
+      out
+    }
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

@@ -40,6 +40,10 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
     * like a Dremio reflection store). */
   def refresh(name: String): DataFrame = synchronized {
     val e = entries(name)
+    // Retire the old fingerprint FIRST: the substitution rule runs on write
+    // jobs too, and a stale fingerprint would rewrite this refresh to read
+    // the very parquet path it is about to overwrite.
+    e.fingerprint = None
     e.materialized.foreach(_.unpersist())
     val df = e.define()
     val mat = warehouseDir match {

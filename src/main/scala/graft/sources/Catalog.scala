@@ -61,10 +61,23 @@ object Catalog {
   def truncate(spark: SparkSession, table: String): Unit = {
     // An empty frame of the same schema, built without reading the table's
     // files (overwrite-while-reading is rejected), overwrite-inserted.
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      spark.table(table).schema)
-    empty.write.mode(SaveMode.Overwrite).insertInto(table)
+    // partitionOverwriteMode is pinned to static for the call: under dynamic
+    // mode an empty input overwrites no partitions at all, silently keeping
+    // every row.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "static")
+    try {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        spark.table(table).schema)
+      empty.write.mode(SaveMode.Overwrite).insertInto(table)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** D11 — GRANT … ON … TO USER: governance metadata only; Spark's session

@@ -31,10 +31,19 @@ object Ingest {
       .filter(st => st.isFile && st.getPath.getName.matches(fileRegex))
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"copyInto: no files in $sourceDir matching $fileRegex")
-    val df = spark.read
+    // TRUE header mapping (the Dremio COPY INTO contract): read columns as
+    // named by the header, then bind to the target schema BY NAME with casts.
+    // (Passing the target schema to the csv reader would bind positionally —
+    // a reordered-column file would be silently mismapped.)
+    val raw = spark.read
       .option("header", header.toString).option("sep", sep)
-      .schema(target.schema)
       .csv(files: _*)
+    val df = target.schema.fields.foldLeft(raw) { (acc, f) =>
+      require(raw.columns.contains(f.name),
+        s"copyInto: source files missing header column '${f.name}'")
+      acc
+    }.select(target.schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
     df.write.mode("append").insertInto(targetTable)
     df
   }
