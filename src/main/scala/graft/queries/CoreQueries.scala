@@ -536,6 +536,35 @@ object CoreQueries {
              count(CASE WHEN st IS NOT NULL AND pt > st THEN 1 END) AS n_converted
       FROM f""")),
 
+    // ROLLUP — beyond the reference's surface (it has no grouping sets),
+    // included because Catalyst provides it natively and warehouse users
+    // expect subtotal rows.
+    Q("q37_rollup", (s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
+    // Percentiles + dispersion — also beyond the reference's surface.
+    // Interpolated percentiles over integer-valued quantities sit on an
+    // exact lattice (k/4 here), so direct equality holds across engines;
+    // stddev is continuous-valued (boundary risk is measure-zero) and
+    // rounded on both sides.
+    Q("q38_percentiles", (s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+    }, Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_quantity, 0.25) AS p25_qty,
+             round(stddev_samp(l_extendedprice), 4) AS sd_price
+      FROM lineitem GROUP BY l_returnflag""")),
+
     // Array operators (reference: recipes.sql ARRAY[...] + ARRAY_TO_STRING,
     // ai_classify label arrays): build, sort, measure, stringify, probe.
     Q("q35_array_ops", (s, dir) => {
