@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Transparent reflection substitution (SURVEY.md §4.2.4 stretch path;
@@ -29,14 +29,49 @@ final case class MaterializationSubstitution(mats: Materializations)
           case (canonical, matPlan)
             if sub.canonicalized == canonical &&
               sub.output.length == matPlan.output.length =>
-            // Re-key the materialized output to the substituted subtree's
-            // attribute ids so references above the swap stay valid.
+            // Exact match: re-key the materialized output to the substituted
+            // subtree's attribute ids so references above stay valid.
             Project(sub.output.zip(matPlan.output).map { case (orig, m) =>
               Alias(m, orig.name)(exprId = orig.exprId)
+            }, matPlan)
+          case (canonical, matPlan)
+            if partialAggPositions(sub, canonical).isDefined =>
+            // OUTPUT-SUBSET match: the query is the same Aggregate but
+            // column-pruned (the optimizer drops unused aggregate outputs) —
+            // serve the needed columns from the materialization by position.
+            val positions = partialAggPositions(sub, canonical).get
+            Project(sub.output.zip(positions).map { case (orig, pos) =>
+              Alias(matPlan.output(pos), orig.name)(exprId = orig.exprId)
             }, matPlan)
         }.getOrElse(sub)
     }
   }
+
+  /** If `sub` is an Aggregate with the same child and grouping as the
+    * definition but only a SUBSET of its aggregate outputs, return each
+    * output's position in the definition's output list. Both sides are
+    * compared via canonicalized plans over the identical canonical child, so
+    * attribute normalization lines up and expression equality is meaningful.
+    */
+  private def partialAggPositions(sub: LogicalPlan,
+                                  defCanonical: LogicalPlan): Option[Seq[Int]] =
+    (sub.canonicalized, defCanonical) match {
+      case (a: Aggregate, d: Aggregate)
+        if a.child == d.child &&
+          a.groupingExpressions == d.groupingExpressions &&
+          a.aggregateExpressions.length < d.aggregateExpressions.length =>
+        // Alias exprIds are normalized by POSITION during canonicalization,
+        // so compare with aliases stripped (children are normalized against
+        // the identical canonical child, so equality is well-defined).
+        def strip(e: org.apache.spark.sql.catalyst.expressions.Expression) = e match {
+          case al: Alias => al.child
+          case x => x
+        }
+        val dStripped = d.aggregateExpressions.map(strip)
+        val positions = a.aggregateExpressions.map(e => dStripped.indexOf(strip(e)))
+        if (positions.forall(_ >= 0)) Some(positions) else None
+      case _ => None
+    }
 
   /** The materialized scan itself must never be re-substituted. */
   private def isMaterializedScan(p: LogicalPlan,

@@ -89,11 +89,13 @@ class MaterializationsSpec extends SparkSpec {
       val planF = filtered.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.executedPlan.toString
       assert(planF.contains("prio_rev2"), s"filter-over-def not substituted:\n$planF")
-      // An aggregate over the definition column-prunes the inner subtree, so
-      // whole-subtree matching does NOT fire (partial/output-subset matching
-      // is the documented next increment) — but results remain correct via
-      // the base tables.
+      // An aggregate over the definition column-prunes the inner subtree;
+      // OUTPUT-SUBSET matching serves the pruned columns from the
+      // materialization by position.
       val reagg = definition().agg(sum(col("rev")).as("total"))
+      val planA = reagg.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(planA.contains("prio_rev2"), s"agg-over-def not substituted:\n$planA")
       assert(reagg.head.getDouble(0) ===
         definition().agg(sum(col("rev"))).head.getDouble(0))
     } finally {
