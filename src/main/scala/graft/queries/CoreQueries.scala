@@ -565,6 +565,29 @@ object CoreQueries {
              round(stddev_samp(l_extendedprice), 4) AS sd_price
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // Full ranking-window suite — beyond the reference (it only uses
+    // ROW_NUMBER/LEAD): rank, dense_rank, ntile, lag, first_value over a
+    // deterministic total order.
+    Q("q39_window_suite", (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          first_value(col("o_orderkey")).over(w).as("first_order"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(rank() OVER w AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             first_value(o_orderkey) OVER w AS first_order
+      FROM orders WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
     // Array operators (reference: recipes.sql ARRAY[...] + ARRAY_TO_STRING,
     // ai_classify label arrays): build, sort, measure, stringify, probe.
     Q("q35_array_ops", (s, dir) => {
