@@ -548,6 +548,16 @@ object CoreQueries {
              round(sum(o_totalprice), 2) AS rev
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
+    // CUBE — all grouping-set combinations (companion to q37's ROLLUP).
+    Q("q37b_cube", (s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // Percentiles + dispersion — also beyond the reference's surface.
     // Interpolated percentiles over integer-valued quantities sit on an
     // exact lattice (k/4 here), so direct equality holds across engines;

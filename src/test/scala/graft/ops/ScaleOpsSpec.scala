@@ -16,6 +16,13 @@ class ScaleOpsSpec extends SparkSpec {
     val salted = ScaleOps.saltedEquiJoin(left, right, "k", buckets = 8)
       .select("k", "lv", "rv").collect().toSet
     assert(salted === plain)
+    // left-preserving variant: unmatched left rows appear exactly once
+    val rightPartial = (1 to 25).map(k => (k, s"dim$k")).toDF("k", "rv")
+    val plainLeft = left.join(rightPartial, Seq("k"), "left")
+      .select("k", "lv", "rv").collect().toSet
+    val saltedLeft = ScaleOps.saltedEquiJoin(left, rightPartial, "k", 8, "left")
+      .select("k", "lv", "rv").collect().toSet
+    assert(saltedLeft === plainLeft)
   }
 
   test("bucketed tables join without an exchange on either side") {
