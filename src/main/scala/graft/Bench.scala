@@ -28,14 +28,18 @@ object Bench {
 
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { q.run(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} FAILED: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // release per-query persisted intermediates
-      q.name -> dt
+      // A thrown query must not masquerade as a fast success: report -1.
+      q.name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+      (if (results.exists(_._2 < 0)) 1e9 else 0.0) // failures blow up the total, never shrink it
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

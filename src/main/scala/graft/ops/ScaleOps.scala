@@ -17,11 +17,17 @@ object ScaleOps {
     * of one. AQE's skew-join handles moderate skew automatically; explicit
     * salting is for pathological keys known in advance.
     *
-    * Join type is inner/left-preserving equi join on `key`.
+    * Join type is inner/left-preserving equi join on `key` — enforced:
+    * the right side is replicated once per salt, so right/full-outer would
+    * emit every unmatched right row `buckets` times.
     */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedEquiJoin: joinType '$joinType' would duplicate unmatched right rows " +
+        "(right side is replicated per salt); use inner/left/left_semi/left_anti")
     val salted = left.withColumn("__salt", (rand(42) * buckets).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -22,30 +22,60 @@ final case class MaterializationSubstitution(mats: Materializations)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val candidates = mats.fingerprints()
-    if (candidates.isEmpty) plan
-    else plan.transformUp {
+    if (candidates.isEmpty) return plan
+    // Each injection of a materialized scan must carry UNIQUE attribute ids:
+    // two substitution sites sharing one matPlan instance (e.g. a self-join
+    // over the registered view) would otherwise violate the optimizer's
+    // unique-ExprId invariant below the re-keying Projects. Track which
+    // instances are already present and mint a fresh instance per extra site.
+    val used = scala.collection.mutable.Set.empty[LogicalPlan]
+    candidates.foreach { case (_, m) =>
+      // A prior fixed-point iteration may already have injected m verbatim.
+      if (plan.exists(p => (p eq m) || p.output == m.output && p.sameResult(m)))
+        used += m
+    }
+    plan.transformUp {
       case sub if !isMaterializedScan(sub, candidates) =>
         candidates.collectFirst {
           case (canonical, matPlan)
             if sub.canonicalized == canonical &&
               sub.output.length == matPlan.output.length =>
-            // Exact match: re-key the materialized output to the substituted
-            // subtree's attribute ids so references above stay valid.
-            Project(sub.output.zip(matPlan.output).map { case (orig, m) =>
-              Alias(m, orig.name)(exprId = orig.exprId)
-            }, matPlan)
+            instantiate(matPlan, used).map { inst =>
+              // Exact match: re-key the materialized output to the substituted
+              // subtree's attribute ids so references above stay valid.
+              Project(sub.output.zip(inst.output).map { case (orig, m) =>
+                Alias(m, orig.name)(exprId = orig.exprId)
+              }, inst): LogicalPlan
+            }
           case (canonical, matPlan)
             if partialAggPositions(sub, canonical).isDefined =>
             // OUTPUT-SUBSET match: the query is the same Aggregate but
             // column-pruned (the optimizer drops unused aggregate outputs) —
             // serve the needed columns from the materialization by position.
             val positions = partialAggPositions(sub, canonical).get
-            Project(sub.output.zip(positions).map { case (orig, pos) =>
-              Alias(matPlan.output(pos), orig.name)(exprId = orig.exprId)
-            }, matPlan)
-        }.getOrElse(sub)
+            instantiate(matPlan, used).map { inst =>
+              Project(sub.output.zip(positions).map { case (orig, pos) =>
+                Alias(inst.output(pos), orig.name)(exprId = orig.exprId)
+              }, inst): LogicalPlan
+            }
+        }.flatten.getOrElse(sub)
     }
   }
+
+  /** First use serves matPlan as-is; every further use needs a copy with
+    * fresh output ids (MultiInstanceRelation.newInstance). A materialization
+    * whose plan can't be re-instantiated (persist()-tier: an arbitrary tree,
+    * not a leaf relation) is substituted at most once — skipping a second
+    * site loses an acceleration, never correctness. */
+  private def instantiate(matPlan: LogicalPlan,
+                          used: scala.collection.mutable.Set[LogicalPlan])
+      : Option[LogicalPlan] =
+    if (used.add(matPlan)) Some(matPlan)
+    else matPlan match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        Some(m.newInstance().asInstanceOf[LogicalPlan])
+      case _ => None
+    }
 
   /** If `sub` is an Aggregate with the same child and grouping as the
     * definition but only a SUBSET of its aggregate outputs, return each

@@ -31,19 +31,41 @@ object Ingest {
       .filter(st => st.isFile && st.getPath.getName.matches(fileRegex))
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"copyInto: no files in $sourceDir matching $fileRegex")
-    // TRUE header mapping (the Dremio COPY INTO contract): read columns as
-    // named by the header, then bind to the target schema BY NAME with casts.
-    // (Passing the target schema to the csv reader would bind positionally —
-    // a reordered-column file would be silently mismapped.)
-    val raw = spark.read
-      .option("header", header.toString).option("sep", sep)
-      .csv(files: _*)
-    val df = target.schema.fields.foldLeft(raw) { (acc, f) =>
-      require(raw.columns.contains(f.name),
-        s"copyInto: source files missing header column '${f.name}'")
-      acc
-    }.select(target.schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+    // TRUE header mapping (the Dremio COPY INTO contract). A single
+    // spark.read.csv over many files takes column ORDER from the first file
+    // and binds the rest positionally (their header line is merely skipped),
+    // so files with re-ordered headers would be silently mismapped. Group
+    // files by their actual header line (one cheap first-line read each) and
+    // issue one scan per distinct header, binding each group's columns to the
+    // target schema BY NAME with casts. The usual case — all files share one
+    // header — stays a single multi-file scan.
+    val df =
+      if (!header) {
+        // No header to map: positional binding against the declared schema
+        // is the contract (Dremio EXTRACT_HEADER FALSE).
+        spark.read.schema(target.schema).option("header", "false")
+          .option("sep", sep).csv(files: _*)
+      } else {
+        val byHeader = files.map { f =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(f))
+          val line =
+            try new java.io.BufferedReader(
+              new java.io.InputStreamReader(in, "UTF-8")).readLine()
+            finally in.close()
+          (if (line == null) "" else line) -> f
+        }.groupBy(_._1).toSeq.sortBy(_._1)
+        byHeader.map { case (_, group) =>
+          val raw = spark.read
+            .option("header", "true").option("sep", sep)
+            .csv(group.map(_._2): _*)
+          target.schema.fields.foreach { f =>
+            require(raw.columns.contains(f.name),
+              s"copyInto: source files ${group.map(_._2)} missing header column '${f.name}'")
+          }
+          raw.select(target.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        }.reduce(_ unionByName _)
+      }
     df.write.mode("append").insertInto(targetTable)
     df
   }

@@ -44,9 +44,16 @@ object EventStreams {
         col("event_type"), col("revenue"), col("n_events"))
 
   /** Streaming exact dedup on event_id, state bounded by the watermark —
-    * the online form of the W1 keep-first pattern. */
+    * the online form of the W1 keep-first pattern.
+    *
+    * Uses dropDuplicatesWithinWatermark: plain dropDuplicates("event_id")
+    * only evicts state when the event-time column is part of the dedup key,
+    * so on an id-only key its state would grow without bound. The
+    * WithinWatermark variant expires each id's state once the watermark
+    * passes its event time — bounded state on an unbounded feed.
+    */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session closes
     * either inline (a later event arrives past the gap) or — with the
