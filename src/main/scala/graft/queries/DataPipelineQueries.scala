@@ -36,6 +36,43 @@ object DataPipelineQueries {
         .withColumn("text", concat(col("text"), lit(" appended marker token"))))
   }
 
+  /** DuckDB re-statement of TextFunctions' marker lists and per-doc counters
+    * (shared by the q51/q52 oracles). Lambda list_filter mirrors Spark's
+    * higher-order `filter`; counts hit every occurrence, like Spark. */
+  private def markerFilter(words: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+
+  private val langQualityOracleCte: String = {
+    val hits = graft.functions.TextFunctions.defaultMarkers.map {
+      case (lang, words) => s"${markerFilter(words)} AS s_$lang"
+    }.mkString(",\n             ")
+    s"""
+      SELECT doc_id, source,
+             $hits,
+             length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(text) AS DOUBLE) AS n_char,
+             CAST(len(toks) AS DOUBLE) AS n_tok
+      FROM (SELECT doc_id, source, text,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents)"""
+  }
+
+  /** First-maximal language (ties keep the earlier language, matching the
+    * fold in TextFunctions.langIdWith); zero hits → unknown; CJK → zh. */
+  private val langPredOracleExpr: String = """
+      CASE WHEN n_cjk > 0 THEN 'zh'
+           WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END"""
+
+  private val qualityOracleExpr: String = """
+      round(0.4 * (CASE WHEN n_tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (1.0 - least(n_punct / greatest(n_char, 1.0) * 5.0, 1.0))
+          + 0.3 * least(s_en / greatest(n_tok, 1.0) * 4.0, 1.0), 6)"""
+
   val list: Seq[Q] = Seq(
 
     // Exact dedup, group report: one row per duplicated content hash.
@@ -176,20 +213,22 @@ object DataPipelineQueries {
                greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS chars_per_token
       FROM documents""")),
 
-    // Language ID + quality score + order-sensitive fingerprint — heuristic
-    // columns, rows-only here; accuracy vs the corpus's `lang` label is
-    // asserted in TextAnalysisSpec (≥90% on the seeded corpus).
+    // Language ID + quality score — the full heuristics re-expressed in
+    // ANSI SQL (stopword-hit argmax as a priority CASE, ratio arithmetic
+    // verbatim), so the oracle checks them EXACTLY, per row.
     Q("q51_lang_quality", (s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
         langId(col("text")).as("lang_pred"),
-        qualityScore(col("text")).as("quality"),
-        fingerprint(tokens(col("text"))).as("fp"))
-    }, None),
+        qualityScore(col("text")).as("quality"))
+    }, Some(s"""
+      WITH s AS ($langQualityOracleCte)
+      SELECT doc_id, $langPredOracleExpr AS lang_pred,
+             $qualityOracleExpr AS quality
+      FROM s""")),
 
-    // Aggregated text-quality profile per source — joins the heuristic
-    // columns back to an oracle-checkable grouping shape (rows-only because
-    // lang_pred/quality are engine-heuristic).
+    // Aggregated text-quality profile per source, over the same
+    // SQL-replicated heuristics — oracle-checked end to end.
     Q("q52_source_profile", (s, dir) => {
       t(s, dir, "documents")
         .select(col("source"), langId(col("text")).as("lang_pred"),
@@ -199,6 +238,21 @@ object DataPipelineQueries {
           round(avg(col("q")), 6).as("avg_quality"),
           countDistinct(col("lang_pred")).as("n_langs"))
         .orderBy(col("source"))
+    }, Some(s"""
+      WITH s AS ($langQualityOracleCte),
+      q AS (SELECT source, $langPredOracleExpr AS lang_pred,
+                   $qualityOracleExpr AS q FROM s)
+      SELECT source, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+             count(DISTINCT lang_pred) AS n_langs
+      FROM q GROUP BY source""")),
+
+    // Order-sensitive rolling-hash fingerprint — engine-specific hash
+    // (xxhash64 seed), not ANSI-expressible → rows-only; the hash algebra
+    // (order sensitivity, stability) is asserted in TextFunctionsSpec.
+    Q("q53_fingerprint", (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
     }, None)
   )
+
 }
