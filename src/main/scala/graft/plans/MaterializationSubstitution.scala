@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, ExprId, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 /** Transparent reflection substitution (SURVEY.md §4.2.4 stretch path;
   * reference behavior: readme.md:322-329 — Dremio swaps a matching
@@ -58,8 +60,146 @@ final case class MaterializationSubstitution(mats: Materializations)
                 Alias(inst.output(pos), orig.name)(exprId = orig.exprId)
               }, inst): LogicalPlan
             }
+          case (canonical, matPlan)
+            if rollupRecipe(sub, canonical).isDefined =>
+            // ROLL-UP match (aggregation reflection, readme.md:323-329): the
+            // query aggregates the same child at a COARSER grain than the
+            // materialized aggregate — re-aggregate the mat instead of the
+            // raw data (sum of sums, min of mins, avg from sum+count).
+            val (groupPos, recipe) = rollupRecipe(sub, canonical).get
+            instantiate(matPlan, used).map(inst => buildRollup(sub, inst, groupPos, recipe))
         }.flatten.getOrElse(sub)
     }
+  }
+
+  // --- aggregate roll-up rewrite ---------------------------------------------
+
+  private sealed trait RollupCol
+  private case class GroupCol(pos: Int) extends RollupCol
+  private case class RollSum(pos: Int) extends RollupCol // sum & count both re-sum
+  private case class RollMin(pos: Int) extends RollupCol
+  private case class RollMax(pos: Int) extends RollupCol
+  private case class RollAvg(sumPos: Int, cntPos: Int) extends RollupCol
+
+  /** Matches `sub` = Aggregate over the definition's child with grouping ⊆
+    * the definition's grouping and every output derivable from the
+    * materialized columns: grouping passthrough, SUM→sum of sums,
+    * COUNT→sum of counts, MIN/MAX→min/max of mins/maxes, AVG→sum(sum)/
+    * sum(count). Matching runs on canonicalized plans; the child may be
+    * column-pruned on either side (attribute positions are composed through
+    * the pruning Projects). DISTINCT/FILTER aggregates never roll up. */
+  private def rollupRecipe(sub: LogicalPlan, defCanonical: LogicalPlan)
+      : Option[(Seq[Int], Seq[RollupCol])] =
+    (sub.canonicalized, defCanonical) match {
+      case (q: Aggregate, d: Aggregate) if q.groupingExpressions.nonEmpty =>
+        childRemap(q.child, d.child).flatMap { remap =>
+          val dOut = d.aggregateExpressions.map(strip)
+          def dFn(j: Int): Option[AggregateFunction] = dOut(j) match {
+            case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+              Some(ae.aggregateFunction)
+            case _ => None
+          }
+          def findAgg(p: AggregateFunction => Boolean): Option[Int] =
+            dOut.indices.find(j => dFn(j).exists(p))
+          def remapE(e: Expression): Option[Expression] = {
+            var ok = true
+            val r = e.transform {
+              case ar: AttributeReference => remap(ar.exprId.id) match {
+                case Some(j) => ar.withExprId(ExprId(j))
+                case None => ok = false; ar
+              }
+            }
+            if (ok) Some(r) else None
+          }
+          def groupColOf(e: Expression): Option[Int] =
+            remapE(e).flatMap { re =>
+              val j = dOut.indexOf(re)
+              if (j >= 0) Some(j) else None
+            }
+          val groupPos = q.groupingExpressions.map(groupColOf)
+          val recipe = q.aggregateExpressions.map(strip).map {
+            case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+              ae.aggregateFunction match {
+                case s: Sum => remapE(s.child).flatMap(x =>
+                  findAgg { case s2: Sum => s2.child == x; case _ => false }).map(RollSum)
+                case c: Count => c.children.foldLeft(Option(Seq.empty[Expression])) {
+                  (acc, ch) => acc.flatMap(xs => remapE(ch).map(xs :+ _))
+                }.flatMap(xs =>
+                  findAgg { case c2: Count => c2.children == xs; case _ => false }).map(RollSum)
+                case m: Min => remapE(m.child).flatMap(x =>
+                  findAgg { case m2: Min => m2.child == x; case _ => false }).map(RollMin)
+                case m: Max => remapE(m.child).flatMap(x =>
+                  findAgg { case m2: Max => m2.child == x; case _ => false }).map(RollMax)
+                case a: Average if a.dataType == DoubleType =>
+                  for {
+                    x <- remapE(a.child)
+                    js <- findAgg { case s: Sum => s.child == x; case _ => false }
+                    jc <- findAgg { case c: Count => c.children == Seq(x); case _ => false }
+                  } yield RollAvg(js, jc)
+                case _ => None
+              }
+            case e => groupColOf(e).map(GroupCol) // grouping passthrough
+          }
+          if (groupPos.forall(_.isDefined) && recipe.forall(_.isDefined)) {
+            val gset = groupPos.flatten.toSet
+            // a passthrough output must BE one of the grouping columns, or
+            // the rebuilt Aggregate would reference a non-grouped attribute
+            val valid = recipe.flatten.forall {
+              case GroupCol(j) => gset.contains(j)
+              case _ => true
+            }
+            if (valid) Some((groupPos.map(_.get), recipe.map(_.get))) else None
+          } else None
+        }
+      case _ => None
+    }
+
+  /** Position remap from q-child output ordinals to d-child output ordinals,
+    * composing through column-pruning Projects on either side. Canonicalized
+    * attribute ids ARE ordinals, which is what makes this a pure Int map. */
+  private def childRemap(qc: LogicalPlan, dc: LogicalPlan)
+      : Option[Long => Option[Long]] = {
+    def attrPos(p: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : Option[Seq[Long]] =
+      if (p.forall(_.isInstanceOf[AttributeReference]))
+        Some(p.map(_.asInstanceOf[AttributeReference].exprId.id))
+      else None
+    if (qc == dc) Some(i => Some(i))
+    else (qc, dc) match {
+      case (Project(pq, x), _) if x == dc =>
+        attrPos(pq).map(mq => (i: Long) => mq.lift(i.toInt))
+      case (_, Project(pd, y)) if qc == y =>
+        attrPos(pd).map(md => (i: Long) => { val j = md.indexOf(i); if (j >= 0) Some(j.toLong) else None })
+      case (Project(pq, x), Project(pd, y)) if x == y =>
+        for { mq <- attrPos(pq); md <- attrPos(pd) } yield
+          (i: Long) => mq.lift(i.toInt).flatMap { r =>
+            val j = md.indexOf(r); if (j >= 0) Some(j.toLong) else None
+          }
+      case _ => None
+    }
+  }
+
+  /** Construct the replacement Aggregate over the instantiated mat scan,
+    * re-keyed to the substituted subtree's attribute ids. */
+  private def buildRollup(sub: LogicalPlan, inst: LogicalPlan,
+                          groupPos: Seq[Int], recipe: Seq[RollupCol]): LogicalPlan = {
+    val out = inst.output
+    def agg(f: AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    val exprs = sub.output.zip(recipe).map { case (orig, rc) =>
+      val e: Expression = rc match {
+        case GroupCol(j) => out(j)
+        case RollSum(j) => agg(new Sum(out(j)))
+        case RollMin(j) => agg(Min(out(j)))
+        case RollMax(j) => agg(Max(out(j)))
+        case RollAvg(js, jc) =>
+          Divide(Cast(agg(new Sum(out(js))), DoubleType),
+            Cast(agg(new Sum(out(jc))), DoubleType))
+      }
+      val typed = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
+      Alias(typed, orig.name)(exprId = orig.exprId)
+    }
+    Aggregate(groupPos.distinct.map(out), exprs, inst)
   }
 
   /** First use serves matPlan as-is; every further use needs a copy with
@@ -93,15 +233,17 @@ final case class MaterializationSubstitution(mats: Materializations)
         // Alias exprIds are normalized by POSITION during canonicalization,
         // so compare with aliases stripped (children are normalized against
         // the identical canonical child, so equality is well-defined).
-        def strip(e: org.apache.spark.sql.catalyst.expressions.Expression) = e match {
-          case al: Alias => al.child
-          case x => x
-        }
         val dStripped = d.aggregateExpressions.map(strip)
         val positions = a.aggregateExpressions.map(e => dStripped.indexOf(strip(e)))
         if (positions.forall(_ >= 0)) Some(positions) else None
       case _ => None
     }
+
+  /** Canonicalized Alias exprIds are positional; compare with them stripped. */
+  private def strip(e: Expression): Expression = e match {
+    case al: Alias => al.child
+    case x => x
+  }
 
   /** The materialized scan itself must never be re-substituted. */
   private def isMaterializedScan(p: LogicalPlan,
@@ -110,10 +252,12 @@ final case class MaterializationSubstitution(mats: Materializations)
 }
 
 object MaterializationSubstitution {
-  /** Install the rule once per session (idempotent). */
+  /** Install the rule (idempotent; REPLACES a previously installed instance
+    * so the rule always consults the caller's Materializations registry). */
   def install(spark: SparkSession, mats: Materializations): Unit = {
     val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[MaterializationSubstitution]))
-      spark.experimental.extraOptimizations = existing :+ MaterializationSubstitution(mats)
+    spark.experimental.extraOptimizations =
+      existing.filterNot(_.isInstanceOf[MaterializationSubstitution]) :+
+        MaterializationSubstitution(mats)
   }
 }

@@ -664,6 +664,46 @@ object CoreQueries {
              CAST(max(session_id) AS BIGINT) AS n_sessions,
              CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session,
              max(n_events) AS max_session_len
-      FROM per_session GROUP BY user_id""")
-  ))
+      FROM per_session GROUP BY user_id""")),
+
+    // Reflection acceleration end-to-end (readme.md:320-329, dremio.sql:10-13
+    // — the reference's headline feature): register an aggregation
+    // materialization at (returnflag, linestatus) grain, then ask a COARSER
+    // query incl. AVG (which the mat never stored — it rolls up from
+    // sum+count). The optimizer rule must rewrite the raw-table query to the
+    // mat scan — enforced by a require() on the physical plan — and the
+    // DuckDB oracle checks the rolled-up numbers against the raw table.
+    // No round(): l_quantity is integer-valued, so sums are exact in double
+    // and avg = exact_sum/count is bit-identical across engines.
+    Q("q54_reflection_rollup", (s, dir) => {
+      import graft.plans.{MaterializationSubstitution, Materializations}
+      val wh = java.nio.file.Files.createTempDirectory("graft_refl").toFile.getAbsolutePath
+      val m = new Materializations(s, Some(wh))
+      m.register("li_agg_rf_ls", () =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(col("l_quantity")).as("cnt_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty")))
+      m.refresh("li_agg_rf_ls")
+      MaterializationSubstitution.install(s, m)
+      val q = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("avg_qty"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      val physical = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      require(physical.contains("li_agg_rf_ls"),
+        s"reflection rollup did not substitute:\n$physical")
+      q
+    }, Some("""
+      SELECT l_returnflag, avg(l_quantity) AS avg_qty,
+             sum(l_quantity) AS sum_qty, count(l_quantity) AS cnt_qty,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+  )
 }

@@ -73,6 +73,53 @@ class MaterializationsSpec extends SparkSpec {
     }
   }
 
+  test("coarser aggregates roll up from an aggregation reflection (sum/count/min/max/avg)") {
+    val wh = java.nio.file.Files.createTempDirectory("rollup").toFile.getAbsolutePath
+    val m = new Materializations(spark, Some(wh))
+    val li = sf("lineitem")
+    // aggregation reflection at (returnflag, linestatus) grain with the
+    // classic measure set: sum+count (which also serves AVG), min, max
+    m.register("li_cube", () =>
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty")))
+    m.refresh("li_cube")
+    MaterializationSubstitution.install(spark, m)
+    try {
+      // COARSER grain (returnflag only) + AVG, which the mat never stored
+      def query = li.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("avg_qty"),
+          sum(col("l_quantity")).as("sum_qty"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+      val physical = query.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("li_cube"), s"rollup not served from mat:\n$physical")
+      assert(!physical.contains("lineitem.parquet"), s"raw scan still present:\n$physical")
+      // results identical to the raw aggregation (computed with the rule off)
+      spark.experimental.extraOptimizations = Seq.empty
+      val raw = query.orderBy("l_returnflag").collect().map(_.toString)
+      MaterializationSubstitution.install(spark, m)
+      val rolled = query.orderBy("l_returnflag").collect().map(_.toString)
+      assert(rolled === raw)
+      // an aggregate the mat cannot serve (different measure column) is untouched
+      val miss = li.groupBy(col("l_returnflag")).agg(sum(col("l_extendedprice")).as("s"))
+      val planMiss = miss.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(!planMiss.contains("li_cube"))
+      // DISTINCT aggregates never roll up
+      val dist = li.groupBy(col("l_returnflag")).agg(countDistinct(col("l_quantity")).as("d"))
+      val planDist = dist.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(!planDist.contains("li_cube"))
+    } finally {
+      spark.experimental.extraOptimizations = Seq.empty
+    }
+  }
+
   test("queries built ON TOP of a materialized definition also hit the scan (containment)") {
     val wh = java.nio.file.Files.createTempDirectory("subst2").toFile.getAbsolutePath
     val m = new Materializations(spark, Some(wh))
