@@ -40,28 +40,43 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
     * like a Dremio reflection store). */
   def refresh(name: String): DataFrame = synchronized {
     val e = entries(name)
-    // Retire the old fingerprint FIRST: the substitution rule runs on write
-    // jobs too, and a stale fingerprint would rewrite this refresh to read
-    // the very parquet path it is about to overwrite.
+    // The whole refresh runs with EVERY MaterializationSubstitution stripped
+    // (this registry's or any other's): a live rule would (a) rewrite the
+    // refresh write to read the very parquet path it is overwriting, and
+    // (b) rewrite the definition's optimizedPlan onto an old materialized
+    // scan, storing a poisoned fingerprint that no raw-table query can ever
+    // match again (the round-2 re-invocation defect). A refresh must always
+    // recompute from the raw definition.
     e.fingerprint = None
     e.materialized.foreach(_.unpersist())
-    val df = e.define()
-    val mat = warehouseDir match {
-      case Some(dir) =>
-        df.write.mode("overwrite").parquet(s"$dir/$name")
-        spark.read.parquet(s"$dir/$name")
-      case None =>
-        df.persist(StorageLevel.MEMORY_AND_DISK)
+    withoutSubstitutionRules {
+      val df = e.define()
+      val mat = warehouseDir match {
+        case Some(dir) =>
+          df.write.mode("overwrite").parquet(s"$dir/$name")
+          spark.read.parquet(s"$dir/$name")
+        case None =>
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      e.materialized = Some(mat)
+      e.refreshedAtMs = Some(System.currentTimeMillis())
+      // Fingerprint once at refresh (optimizer rules run per query —
+      // matching must not re-analyze the definition each time).
+      e.fingerprint = try Some((
+        classic(e.define()).queryExecution.optimizedPlan.canonicalized,
+        classic(mat).queryExecution.analyzed))
+      catch { case _: Throwable => None }
+      mat
     }
-    e.materialized = Some(mat)
-    e.refreshedAtMs = Some(System.currentTimeMillis())
-    // Fingerprint once at refresh (optimizer rules run per query — matching
-    // must not re-analyze the definition each time).
-    e.fingerprint = try Some((
-      classic(df).queryExecution.optimizedPlan.canonicalized,
-      classic(mat).queryExecution.analyzed))
-    catch { case _: Throwable => None }
-    mat
+  }
+
+  /** Run `body` with every MaterializationSubstitution stripped from the
+    * session's extra optimizer rules, restoring them afterwards. */
+  private def withoutSubstitutionRules[A](body: => A): A = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_.isInstanceOf[MaterializationSubstitution])
+    try body finally spark.experimental.extraOptimizations = saved
   }
 
   private def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[_] =

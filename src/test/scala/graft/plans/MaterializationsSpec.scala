@@ -120,6 +120,56 @@ class MaterializationsSpec extends SparkSpec {
     }
   }
 
+  test("refresh under an installed rule does not poison the fingerprint (re-invocation)") {
+    // Round-2 headline defect: refresh() computed the definition's
+    // optimizedPlan while a previously installed MaterializationSubstitution
+    // was active, so the fingerprint stored a Project-over-old-parquet and
+    // later raw-table queries never matched. This replays q54's flow twice in
+    // one session, plus a second registered mat, asserting substitution still
+    // fires every time.
+    val wh = java.nio.file.Files.createTempDirectory("repoison").toFile.getAbsolutePath
+    val li = sf("lineitem")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+    try {
+      (1 to 2).foreach { round =>
+        val m = new Materializations(spark, Some(wh))
+        m.register("li_agg_rf_ls", () =>
+          li.groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_quantity")).as("sum_qty"),
+              count(col("l_quantity")).as("cnt_qty")))
+        m.refresh("li_agg_rf_ls") // round 2: rule from round 1 is installed HERE
+        MaterializationSubstitution.install(spark, m)
+        val q = li.groupBy(col("l_returnflag"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        assert(planOf(q).contains("li_agg_rf_ls"),
+          s"round $round: rollup not substituted:\n${planOf(q)}")
+      }
+      // refreshing one entry while ANOTHER entry's rule is live must not
+      // poison either fingerprint
+      val m2 = new Materializations(spark, Some(wh))
+      m2.register("ord_prio", () =>
+        sf("orders").groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice")).as("rev"),
+            count(col("o_totalprice")).as("cnt")))
+      m2.register("li_rf", () =>
+        li.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("s"), count(col("l_quantity")).as("c")))
+      m2.refresh("ord_prio")
+      MaterializationSubstitution.install(spark, m2)
+      m2.refresh("li_rf") // refreshed with ord_prio's rule installed
+      MaterializationSubstitution.install(spark, m2)
+      val q1 = sf("orders").groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      val q2 = li.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+      assert(planOf(q1).contains("ord_prio"), s"mat1 lost:\n${planOf(q1)}")
+      assert(planOf(q2).contains("li_rf"), s"mat2 lost:\n${planOf(q2)}")
+    } finally {
+      spark.experimental.extraOptimizations = Seq.empty
+    }
+  }
+
   test("queries built ON TOP of a materialized definition also hit the scan (containment)") {
     val wh = java.nio.file.Files.createTempDirectory("subst2").toFile.getAbsolutePath
     val m = new Materializations(spark, Some(wh))
