@@ -176,9 +176,13 @@ object DataPipelineQueries {
         k = 5, nCells = 16, nprobe = 4)
     }, None),
 
-    // Embedding-cosine near-duplicate pairs, exact — oracle-checked.
+    // Embedding-cosine near-duplicate pairs, exact — oracle-checked. The
+    // blocked form distributes the (inherently quadratic at threshold 0.4)
+    // compare as B(B+1)/2 independent equi-join tasks — no cartesian operator,
+    // memory-bounded partitions; see Similarity.cosinePairsAboveBlocked.
     Q("q48_embedding_neardup", (s, dir) => {
-      Similarity.cosinePairsAbove(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      Similarity.cosinePairsAboveBlocked(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, blocks = 16)
     }, Some("""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -55,6 +55,49 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.3))
   }
 
+  test("cosinePairsAboveBlocked equals the all-pairs ground truth, with no cartesian") {
+    val e = sf("embeddings")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = asSet(Similarity.cosinePairsAbove(e, "vec_id", "embedding", 0.4))
+    val blocked = Similarity.cosinePairsAboveBlocked(e, "vec_id", "embedding", 0.4, blocks = 8)
+    assert(asSet(blocked) === truth)
+    val plan = blocked.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked pair join must be an equi-join:\n$plan")
+    // every unordered pair compared exactly once: a 1-block degenerate run
+    // (pure diagonal) and a many-block run agree too
+    assert(asSet(Similarity.cosinePairsAboveBlocked(e, "vec_id", "embedding", 0.4, blocks = 1)) === truth)
+  }
+
+  test("cosinePairsAboveLsh finds all high-threshold pairs (verified candidates)") {
+    import spark.implicits._
+    // synthetic corpus with seeded near-duplicates (cosine ≳ 0.97): base
+    // vectors are deterministic pseudo-random; each dup adds a tiny offset
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val base = (0L until 200L).map { i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val dups = (0L until 40L).map { i =>
+      val (_, v) = base(i.toInt)
+      (1000L + i, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def pairsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsOf(Similarity.cosinePairsAbove(df, "vec_id", "embedding", 0.9))
+    assert(truth.size >= 40, s"fixture should seed ≥40 true pairs, got ${truth.size}")
+    val lsh = Similarity.cosinePairsAboveLsh(df, "vec_id", "embedding", 0.9,
+      dim = dim, nBits = 64, bands = 16)
+    val got = pairsOf(lsh)
+    // verified candidates → no false positives; banding at 0.9 → full recall here
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall === 1.0, s"LSH pair recall $recall < 1.0 on a 0.97-sim corpus")
+  }
+
   test("ivfTopK achieves reasonable recall and exact sims within probed cells") {
     val e = sf("embeddings")
     val q = e.filter(col("vec_id") < 20)

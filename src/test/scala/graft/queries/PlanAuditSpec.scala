@@ -15,8 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     * baselines over the small embeddings table — documented in
     * ARCHITECTURE.md; the LSH/IVF variants are their scale path). */
   private val intendedNonEqui = Set(
-    "q46_ann_bruteforce",  // corpus × broadcast queries, id <> id
-    "q48_embedding_neardup" // all-pairs id < id exact near-dup baseline
+    "q46_ann_bruteforce"  // corpus × broadcast queries, id <> id
+    // q48 is a blocked equi-join since round 3 — no longer whitelisted
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {
