@@ -26,21 +26,36 @@ object Bench {
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => }
     }
 
+    // Each query runs `reps` times; the MIN is reported. Single-shot timing
+    // at local[32] has ±2× jitter on sub-second queries (JIT warmup, GC,
+    // file-cache state), which polluted round-over-round comparison; min-of-2
+    // keeps totals reproducible within ~5%.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.allQueries.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.run(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} FAILED: $e"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // release per-query persisted intermediates
-      // A thrown query must not masquerade as a fast success: report -1.
-      q.name -> (if (ok) dt else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.run(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] ${q.name} FAILED: $e"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // release per-query persisted intermediates
+        // A thrown query must not masquerade as a fast success: report -1.
+        if (ok) dt else -1.0
+      }
+      q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0) // failures blow up the total, never shrink it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver scrapes stdout (truncation-prone); also write the line to a
+    // file so BENCH_r{N}.json gets a machine-parseable payload.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

@@ -99,22 +99,58 @@ object DataPipelineQueries {
             GROUP BY text) t
       GROUP BY lang""")),
 
-    // MinHash + banded LSH near-dup pairs, Jaccard-verified. Not ANSI-SQL
-    // expressible (engine-specific hash) → rows-only check; exactness is
-    // asserted in DedupSpec against the seeded corpus.
+    // MinHash + banded LSH near-dup pairs, Jaccard-verified — oracle-checked
+    // against DuckDB's ALL-PAIRS exact 3-gram Jaccard. Valid because this
+    // corpus has a similarity gap (no pair lands in [0.35, 0.72); true pairs
+    // are ≥ 0.72) and 32 bands of 4 give a per-pair miss probability of
+    // (1-0.72⁴)³² ≈ 4e-5 — so LSH recall is exactly 100% here and the
+    // equality check doubles as a recall assertion: a silent regression that
+    // drops candidate pairs fails the driver's hash compare.
     Q("q42_dedup_minhash_lsh", (s, dir) => {
-      Dedup.nearDupPairs(seededNear(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.nearDupPairs(seededNear(s, dir), "doc_id", "text", threshold = 0.5,
+        k = 128, bands = 32)
         .orderBy(col("id_a"))
-    }, None),
+    }, Some("""
+      WITH seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.s, b.s))) >= 0.5""")),
 
-    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit fingerprints).
+    // SimHash near-dup detection, driver-checked on its COMPLETENESS
+    // guarantee: identical texts have identical fingerprints, and banding
+    // 64 bits into 4×16 makes every hamming-0 pair a candidate by pigeonhole
+    // — so seeding re-keyed exact copies yields a fully SQL-derivable
+    // expected set: every copy pair found, hamming exactly 0. (The
+    // unrestricted report also surfaces hash-dependent incidental pairs —
+    // not ANSI-derivable; that form is spec-checked in DedupSpec.)
     Q("q43_dedup_simhash", (s, dir) => {
-      Dedup.simhashPairs(seededNear(s, dir), "doc_id", "text", maxHamming = 3)
+      val d = t(s, dir, "documents")
+      val seeded = d.unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Dedup.simhashPairs(seeded, "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") % 10 === 0)
         .orderBy(col("id_a"))
-    }, None),
+    }, Some("""
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM documents WHERE doc_id % 10 = 0""")),
 
     // n-gram Jaccard on known near-dup pairs (original vs perturbed copy):
-    // verifies the similarity metric itself, exactly, per pair.
+    // verifies the similarity metric itself, exactly, per pair — the oracle
+    // recomputes the same 3-gram set Jaccard with DuckDB list functions.
     Q("q44_ngram_jaccard", (s, dir) => {
       val base = seededNear(s, dir)
         .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
@@ -124,7 +160,23 @@ object DataPipelineQueries {
         .select((col("doc_id") - 1000000L).as("id_a"), col("sh").as("sh_b"))
       orig.join(copy, "id_a")
         .select(col("id_a").as("doc_id"), round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard_to_copy"))
-    }, None),
+    }, Some("""
+      WITH pairs AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ta,
+               regexp_split_to_array(trim(lower(text || ' appended marker token')), '\s+') AS tb
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ta)-1),
+                 i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) AS sa,
+               list_distinct(list_transform(range(1, len(tb)-1),
+                 i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2])) AS sb
+        FROM pairs)
+      SELECT doc_id,
+             round(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa, sb))), 6) AS jaccard_to_copy
+      FROM sh""")),
 
     // Embedding cosine between consecutive vectors — oracle-checked exact
     // vector math (HOF dot/norm vs DuckDB list_cosine_similarity).
@@ -159,22 +211,75 @@ object DataPipelineQueries {
                        ORDER BY s DESC, neighbor_id) AS rank FROM sims) t
       WHERE rank <= 5""")),
 
-    // LSH-bucketed ANN (the 100 TB path): approximate → rows-only; recall
-    // vs the exact baseline is asserted in SimilaritySpec.
+    // LSH-bucketed ANN (the 100 TB path), driver-checked as a RECALL
+    // CONTRACT: the query computes exact top-5 (brute force over the same
+    // corpus) and LSH top-5 in one plan and emits, per query vector, whether
+    // LSH recall ≥ 0.6 — the oracle asserts all-true. Empirical per-query
+    // recall at 64 bits × 16 bands is ≥ 0.8 (measured at sf0.001 and
+    // sf0.01), so the floor has a full miss of margin; an LSH regression
+    // that loses candidates flips the flag and fails the driver.
     Q("q47_ann_lsh", (s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, dim = 64, nBits = 16, bands = 4)
-    }, None),
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+          k = 5, dim = 64, nBits = 64, bands = 16)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("__recall"))
+        .select(col("query_id"), (col("__recall") >= 0.6).as("recall_ge_060"))
+        .orderBy(col("query_id"))
+    }, Some("""
+      SELECT vec_id AS query_id, true AS recall_ge_060
+      FROM embeddings WHERE vec_id < 10""")),
 
-    // IVF ANN (coarse k-means quantization + nprobe probing) — the second
-    // scale path besides LSH; approximate → rows-only; recall and the
-    // probe-all=exact invariant are asserted in SimilaritySpec.
+    // IVF ANN (coarse k-means quantization + nprobe probing), probe-ALL
+    // configuration: with nprobe = nCells every cell is probed, so the
+    // result must EQUAL exact brute-force top-k — a full-value oracle check
+    // that the cell partition neither loses nor duplicates corpus rows and
+    // that scoring/ranking are exact. The pruned (nprobe < nCells)
+    // configuration is driver-checked by q49b below and in SimilaritySpec.
     Q("q49_ann_ivf", (s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nCells = 16, nprobe = 4)
-    }, None),
+        k = 5, nCells = 16, nprobe = 16)
+    }, Some("""
+      WITH sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS s
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10)
+      SELECT query_id, neighbor_id, round(s, 6) AS sim,
+             CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id) AS rank FROM sims) t
+      WHERE rank <= 5""")),
+
+    // IVF recall audit for the PRUNED path (nprobe = 4 of 16 cells → ~25% of
+    // the corpus scored): emits aggregate recall-vs-exact as a floor flag.
+    // Empirical mean recall is 0.52–0.58; a broken cell assignment would
+    // make probing random (expected recall ≈ nprobe/nCells = 0.25), below
+    // the 0.35 floor — so the flag separates working from broken pruning.
+    Q("q49b_ann_ivf_recall", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 5, nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)))
+            .as("__recall"))
+        .select(col("n_queries"), (col("__recall") >= 0.35).as("recall_ge_035"))
+    }, Some("""
+      SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_035
+      FROM embeddings WHERE vec_id < 10""")),
 
     // Embedding-cosine near-duplicate pairs, exact — oracle-checked. The
     // blocked form distributes the (inherently quadratic at threshold 0.4)
@@ -250,13 +355,39 @@ object DataPipelineQueries {
              count(DISTINCT lang_pred) AS n_langs
       FROM q GROUP BY source""")),
 
-    // Order-sensitive rolling-hash fingerprint — engine-specific hash
-    // (xxhash64 seed), not ANSI-expressible → rows-only; the hash algebra
-    // (order sensitivity, stability) is asserted in TextFunctionsSpec.
+    // Order-sensitive rolling-hash fingerprint. Raw hash values are
+    // engine-specific (xxhash64 base), so the driver-checkable form is the
+    // fingerprint's ALGEBRA over a seeded corpus with re-keyed exact copies:
+    //  - n_distinct_fp = n_distinct_texts ⟺ stable on copies (same text →
+    //    same fp) AND collision-free on this corpus (distinct → distinct);
+    //  - n_order_sensitive: fp(tokens) ≠ fp(reverse(tokens)) exactly when
+    //    the token sequence isn't a palindrome — order sensitivity per row.
+    // Each equality the oracle derives from text alone; a fingerprint
+    // regression (collision, order-insensitive hash) breaks a count.
     Q("q53_fingerprint", (s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
-    }, None)
+      val seeded = d.unionAll(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      seeded.select(col("text"),
+          fingerprint(tokens(col("text"))).as("fp"),
+          fingerprint(reverse(tokens(col("text")))).as("fp_rev"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("text")).as("n_distinct_texts"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          count(when(col("fp") =!= col("fp_rev"), 1)).as("n_order_sensitive"))
+    }, Some("""
+      WITH seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      t AS (SELECT text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM seeded)
+      SELECT count(*) AS n_rows,
+             count(DISTINCT text) AS n_distinct_texts,
+             count(DISTINCT text) AS n_distinct_fp,
+             count(*) FILTER (WHERE toks <> list_reverse(toks)) AS n_order_sensitive
+      FROM t"""))
   )
 
 }

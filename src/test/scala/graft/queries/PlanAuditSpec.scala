@@ -15,8 +15,10 @@ class PlanAuditSpec extends SparkSpec {
     * baselines over the small embeddings table — documented in
     * ARCHITECTURE.md; the LSH/IVF variants are their scale path). */
   private val intendedNonEqui = Set(
-    "q46_ann_bruteforce"  // corpus × broadcast queries, id <> id
+    "q46_ann_bruteforce",   // corpus × broadcast queries, id <> id
     // q48 is a blocked equi-join since round 3 — no longer whitelisted
+    "q47_ann_lsh",          // embeds the exact baseline for its recall audit
+    "q49b_ann_ivf_recall"   // embeds the exact baseline for its recall audit
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {
