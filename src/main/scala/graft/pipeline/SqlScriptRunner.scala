@@ -67,7 +67,7 @@ final class SqlScriptRunner(spark: SparkSession) {
   }
 
   private def execute(raw: String): Option[DataFrame] = {
-    val stmt = rewriteFolderPaths(raw)
+    val stmt = DremioDialect.rewriteAiGenerate(rewriteFolderPaths(raw))
     val upper = stmt.toUpperCase.replaceAll("\\s+", " ").trim
     if (upper.startsWith("CREATE FOLDER IF NOT EXISTS") || upper.startsWith("CREATE FOLDER")) {
       val path = stmt.trim.split("\\s+").last.stripSuffix(";")

@@ -32,11 +32,19 @@ object AiQueries {
         GROUP BY label""")
     }, None),
 
-    // U2 — AI_GENERATE WITH SCHEMA ROW(...): struct-typed extraction with
-    // bracket-style field access (logistics_AI.sql:135-160).
+    // U2 — AI_GENERATE WITH SCHEMA ROW(...): struct-typed extraction with a
+    // per-call-site schema (logistics_AI.sql:135-160) through the GENERIC
+    // schema-parameterized path (AiFunctions.aiGenerate + from_json typing);
+    // a second, different ROW schema runs in AiFunctionsSpec (media shape).
     Q("q61_ai_generate", (s, dir) => {
+      import org.apache.spark.sql.types._
+      val issueSchema = StructType(Seq(
+        StructField("primary_issue", StringType),
+        StructField("severity", StringType),
+        StructField("requires_apology", BooleanType),
+        StructField("estimated_delay_minutes", IntegerType)))
       val d = t(s, dir, "documents")
-      d.withColumn("ai", AiFunctions.aiGenerateIssue(col("text")))
+      d.withColumn("ai", AiFunctions.aiGenerate(col("text"), issueSchema))
         .select(col("doc_id"), col("ai")("primary_issue").as("primary_issue"),
           col("ai")("severity").as("severity"),
           col("ai")("requires_apology").as("requires_apology"))

@@ -39,6 +39,19 @@ object Catalog {
       .saveAsTable(name)
   }
 
+  /** D4 — CTAS with a HIDDEN day-grain partition on `tsCol` (the reference's
+    * `PARTITION BY (DAY(admit_ts))`, clinicdata.sql:41-51): the writer
+    * derives a `<tsCol>_day` DATE partition column; readers keep filtering
+    * the base timestamp — plans/HiddenPartitionPruning (installed here) maps
+    * base-column bounds onto the partition column so the scan prunes. */
+  def ctasDayPartitioned(spark: SparkSession, name: String, df: DataFrame,
+                         tsCol: String, distributeBy: Seq[Column] = Nil): Unit = {
+    graft.plans.HiddenPartitionPruning.install(spark)
+    val withDay = df.withColumn(s"${tsCol}_day",
+      org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col(tsCol)))
+    ctas(spark, name, withDay, partitionBy = Seq(s"${tsCol}_day"), distributeBy = distributeBy)
+  }
+
   /** D9 — CREATE OR REPLACE VIEW (the semantic layer; ~40 occurrences in the
     * reference). Temp views for session scope, global for cross-session. */
   def createOrReplaceView(spark: SparkSession, name: String, df: DataFrame): Unit =
