@@ -9,15 +9,24 @@ import graft.sources.Catalog
   * of CREATE FOLDER / CREATE TABLE / INSERT / CREATE VIEW / SELECT run in
   * order), translating the dialect gaps:
   *
-  *  - `CREATE FOLDER IF NOT EXISTS a.b.c` → session-catalog namespace
-  *    `a_b_c`; every later reference to the folder path (`a.b.c.t`) is
-  *    rewritten to `a_b_c.t` (longest prefix first). With an Iceberg catalog
-  *    on the classpath the rewrite is unnecessary — nested namespaces pass
-  *    through — so the mapping is confined to this runner.
+  *  - `CREATE FOLDER IF NOT EXISTS a.b.c` → a REAL nested namespace: the
+  *    first path segment (`a` — the reference's `dremio` root) is
+  *    auto-registered as a GraftCatalog (DSv2, parquet warehouse), and the
+  *    folder becomes `CREATE NAMESPACE a.b.c` on it. Tables then resolve
+  *    their full dotted paths natively — `a.b.c.t` stays `a.b.c.t` through
+  *    DDL, DML and queries, matching the reference hierarchy
+  *    (semantics.sql:8-23) with no name mangling.
+  *  - `CREATE [OR REPLACE] VIEW a.b.v` → session temp view `a_b_v`, with
+  *    references in later statements rewritten. Views are the one surface
+  *    kept session-scoped: Spark's v2 catalog API hosts tables, not views
+  *    (a ViewCatalog SPI exists but CREATE VIEW doesn't route to it), and
+  *    the reference's views are session-lifecycle pipeline steps anyway.
+  *  - `DELETE FROM t` (unqualified) → v2 truncate (overwrite with the empty
+  *    set), the reference's repeatable-run reset (logistics_AI.sql:60).
   *  - `GRANT …` → recorded as governance metadata (Catalog.grant), not
   *    executed (Spark has no ACL store).
-  *  - AI functions (`AI_CLASSIFY` etc.) are pre-registered as `ai_classify`
-  *    and name-lowered.
+  *  - `AI_GENERATE(… WITH SCHEMA ROW(…))` → schema-typed generic path
+  *    (DremioDialect.rewriteAiGenerate); AI functions pre-registered.
   *  - Comments (`-- …`) are stripped; statements split on top-level `;`
   *    (quote-aware).
   *
@@ -26,7 +35,9 @@ import graft.sources.Catalog
   */
 final class SqlScriptRunner(spark: SparkSession) {
 
-  private val folderPrefixes = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** dotted view name → flattened temp-view name, longest first at rewrite. */
+  private val viewRewrites =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
 
   def run(script: String): Map[Int, DataFrame] = {
     graft.ai.AiFunctions.register(spark)
@@ -66,17 +77,48 @@ final class SqlScriptRunner(spark: SparkSession) {
     out.toSeq
   }
 
+  /** Register a GraftCatalog for the path's first segment, once per name. */
+  private def ensureCatalog(cat: String): Unit = {
+    val key = s"spark.sql.catalog.$cat"
+    if (spark.conf.getOption(key).isEmpty) {
+      spark.conf.set(key, classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"$key.warehouse",
+        java.nio.file.Files.createTempDirectory(s"graft_cat_$cat").toString)
+    }
+  }
+
   private def execute(raw: String): Option[DataFrame] = {
-    val stmt = DremioDialect.rewriteAiGenerate(rewriteFolderPaths(raw))
+    val stmt = DremioDialect.rewriteAiGenerate(rewriteViewPaths(raw))
     val upper = stmt.toUpperCase.replaceAll("\\s+", " ").trim
-    if (upper.startsWith("CREATE FOLDER IF NOT EXISTS") || upper.startsWith("CREATE FOLDER")) {
+    if (upper.startsWith("CREATE FOLDER")) {
       val path = stmt.trim.split("\\s+").last.stripSuffix(";")
-      folderPrefixes += path
-      folderPrefixes.sortBy(-_.length) // longest-prefix-first rewriting
-      Catalog.createNamespace(spark, path.split("\\."))
+      ensureCatalog(path.split("\\.").head)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $path")
       None
     } else if (upper.startsWith("GRANT ")) {
       Catalog.grant(stmt)
+      None
+    } else if (upper.startsWith("CREATE OR REPLACE VIEW ") ||
+        upper.startsWith("CREATE VIEW ")) {
+      val m = "(?is)^(CREATE(?:\\s+OR\\s+REPLACE)?\\s+)VIEW\\s+([\\w.]+)(.*)$".r
+      stmt match {
+        case m(head, name, rest) if name.contains(".") =>
+          val flat = name.replace('.', '_')
+          viewRewrites(name) = flat
+          spark.sql(s"${head}TEMP VIEW $flat$rest")
+          None
+        case _ =>
+          spark.sql(stmt); None
+      }
+    } else if (upper.startsWith("DELETE FROM ") && !upper.contains(" WHERE ")) {
+      // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
+      // doesn't advertise the v2 TRUNCATE capability, so truncate = drop +
+      // recreate with the saved schema — same observable state for the
+      // script's managed tables.
+      val table = stmt.trim.split("\\s+")(2).stripSuffix(";")
+      val schema = spark.table(table).schema
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
       None
     } else {
       val df = spark.sql(stmt)
@@ -84,10 +126,10 @@ final class SqlScriptRunner(spark: SparkSession) {
     }
   }
 
-  /** Rewrite declared folder paths (`a.b.c.t` → `a_b_c.t`). */
-  private def rewriteFolderPaths(stmt: String): String =
-    folderPrefixes.sortBy(-_.length).foldLeft(stmt) { (s, prefix) =>
-      s.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(prefix) + "\\.",
-        prefix.replace(".", "_") + ".")
+  /** Rewrite declared dotted VIEW names (`a.b.v` → `a_b_v`); table paths
+    * pass through untouched — they resolve in the nested catalog. */
+  private def rewriteViewPaths(stmt: String): String =
+    viewRewrites.toSeq.sortBy(-_._1.length).foldLeft(stmt) { case (s, (dotted, flat)) =>
+      s.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(dotted) + "\\b", flat)
     }
 }

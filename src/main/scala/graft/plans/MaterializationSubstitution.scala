@@ -38,38 +38,101 @@ final case class MaterializationSubstitution(mats: Materializations)
     }
     plan.transformUp {
       case sub if !isMaterializedScan(sub, candidates) =>
-        candidates.collectFirst {
-          case (canonical, matPlan)
-            if sub.canonicalized == canonical &&
-              sub.output.length == matPlan.output.length =>
-            instantiate(matPlan, used).map { inst =>
-              // Exact match: re-key the materialized output to the substituted
-              // subtree's attribute ids so references above stay valid.
-              Project(sub.output.zip(inst.output).map { case (orig, m) =>
-                Alias(m, orig.name)(exprId = orig.exprId)
-              }, inst): LogicalPlan
-            }
-          case (canonical, matPlan)
-            if partialAggPositions(sub, canonical).isDefined =>
-            // OUTPUT-SUBSET match: the query is the same Aggregate but
-            // column-pruned (the optimizer drops unused aggregate outputs) —
-            // serve the needed columns from the materialization by position.
-            val positions = partialAggPositions(sub, canonical).get
-            instantiate(matPlan, used).map { inst =>
-              Project(sub.output.zip(positions).map { case (orig, pos) =>
-                Alias(inst.output(pos), orig.name)(exprId = orig.exprId)
-              }, inst): LogicalPlan
-            }
-          case (canonical, matPlan)
-            if rollupRecipe(sub, canonical).isDefined =>
-            // ROLL-UP match (aggregation reflection, readme.md:323-329): the
-            // query aggregates the same child at a COARSER grain than the
-            // materialized aggregate — re-aggregate the mat instead of the
-            // raw data (sum of sums, min of mins, avg from sum+count).
-            val (groupPos, recipe) = rollupRecipe(sub, canonical).get
-            instantiate(matPlan, used).map(inst => buildRollup(sub, inst, groupPos, recipe))
-        }.flatten.getOrElse(sub)
+        trySubstitute(sub, candidates, used)
+          .orElse(tryFilterContainment(sub, candidates, used))
+          .getOrElse(sub)
     }
+  }
+
+  private def trySubstitute(sub: LogicalPlan,
+                            candidates: Seq[(LogicalPlan, LogicalPlan)],
+                            used: scala.collection.mutable.Set[LogicalPlan])
+      : Option[LogicalPlan] =
+    candidates.collectFirst {
+      case (canonical, matPlan)
+        if sub.canonicalized == canonical &&
+          sub.output.length == matPlan.output.length =>
+        instantiate(matPlan, used).map { inst =>
+          // Exact match: re-key the materialized output to the substituted
+          // subtree's attribute ids so references above stay valid.
+          Project(sub.output.zip(inst.output).map { case (orig, m) =>
+            Alias(m, orig.name)(exprId = orig.exprId)
+          }, inst): LogicalPlan
+        }
+      case (canonical, matPlan)
+        if partialAggPositions(sub, canonical).isDefined =>
+        // OUTPUT-SUBSET match: the query is the same Aggregate but
+        // column-pruned (the optimizer drops unused aggregate outputs) —
+        // serve the needed columns from the materialization by position.
+        val positions = partialAggPositions(sub, canonical).get
+        instantiate(matPlan, used).map { inst =>
+          Project(sub.output.zip(positions).map { case (orig, pos) =>
+            Alias(inst.output(pos), orig.name)(exprId = orig.exprId)
+          }, inst): LogicalPlan
+        }
+      case (canonical, matPlan)
+        if rollupRecipe(sub, canonical).isDefined =>
+        // ROLL-UP match (aggregation reflection, readme.md:323-329): the
+        // query aggregates the same child at a COARSER grain than the
+        // materialized aggregate — re-aggregate the mat instead of the
+        // raw data (sum of sums, min of mins, avg from sum+count).
+        val (groupPos, recipe) = rollupRecipe(sub, canonical).get
+        instantiate(matPlan, used).map(inst => buildRollup(sub, inst, groupPos, recipe))
+    }.flatten
+
+  /** FILTER containment: a predicate pushed BELOW the aggregate (a join-key
+    * `isnotnull` from an inner join over the definition, a user WHERE on a
+    * dimension) breaks whole-subtree equality even though the
+    * materialization still answers the query. A filter on grouping columns
+    * commutes with the aggregate — every row of group v passes or the whole
+    * group does — so: strip Filters under the Aggregate, match the stripped
+    * subtree through the normal paths, and re-apply the predicates ABOVE the
+    * substituted scan, remapped onto the aggregate's passthrough outputs.
+    * Predicates referencing non-surfacing or non-grouping columns abort
+    * (return None) — correctness over coverage. */
+  private def tryFilterContainment(sub: LogicalPlan,
+                                   candidates: Seq[(LogicalPlan, LogicalPlan)],
+                                   used: scala.collection.mutable.Set[LogicalPlan])
+      : Option[LogicalPlan] = sub match {
+    case agg @ Aggregate(_, aggs, child, _) =>
+      val (stripped, conds) = stripFilters(child)
+      if (conds.isEmpty) None
+      else {
+        // filter references must surface as plain (possibly aliased)
+        // passthroughs — in a valid Aggregate those are grouping columns
+        val outFor: Map[ExprId, Expression] = aggs.zip(agg.output).collect {
+          case (al: Alias, out) if al.child.isInstanceOf[AttributeReference] =>
+            al.child.asInstanceOf[AttributeReference].exprId -> (out: Expression)
+          case (ar: AttributeReference, out) => ar.exprId -> (out: Expression)
+        }.toMap
+        val refs = conds.flatMap(_.references.toSeq)
+        if (!refs.forall(r => outFor.contains(r.exprId))) None
+        else trySubstitute(agg.copy(child = stripped), candidates, used).map { repl =>
+          val mapped = conds.map(_.transform {
+            case ar: AttributeReference if outFor.contains(ar.exprId) => outFor(ar.exprId)
+          }).reduce(org.apache.spark.sql.catalyst.expressions.And)
+          org.apache.spark.sql.catalyst.plans.logical.Filter(mapped, repl)
+        }
+      }
+    case _ => None
+  }
+
+  /** Collect Filter conjuncts under pruning Projects (Project output ids ==
+    * input ids for plain column prunes, so references stay valid). */
+  private def stripFilters(p: LogicalPlan): (LogicalPlan, Seq[Expression]) = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(f, x) =>
+      val (x2, fs) = stripFilters(x)
+      (x2, splitConjuncts(f) ++ fs)
+    case pr @ Project(pl, x) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      val (x2, fs) = stripFilters(x)
+      (pr.copy(child = x2), fs)
+    case other => (other, Nil)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
   }
 
   // --- aggregate roll-up rewrite ---------------------------------------------

@@ -56,16 +56,31 @@ object EventStreams {
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessionization with flatMapGroupsWithState: a session closes
-    * either inline (a later event arrives past the gap) or — with the
-    * default processing-time timeout — after `gapMinutes` of wall-clock
-    * inactivity. Pass `GroupStateTimeout.NoTimeout` for inline-only closing
-    * (deterministic; used by replay-style tests). */
+    * either inline (a later event arrives past the gap) or by timeout after
+    * `gapMinutes` of inactivity.
+    *
+    * The DEFAULT timeout is event-time: the input gets a watermark and each
+    * open session times out when the WATERMARK passes `last event + gap` —
+    * so closes are driven by the data's own clock and a historical replay
+    * produces byte-identical sessions regardless of wall-clock speed (the
+    * processing-time variant closes sessions `gapMinutes` of *wall-clock*
+    * time after the last batch, which under replay at 1000× speed closes
+    * everything late). `ProcessingTimeTimeout` remains available for
+    * genuinely wall-clock-driven jobs; `NoTimeout` for inline-only closing. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
-                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+                 timeout: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout(),
+                 watermarkDelay: String = "10 minutes")
       : Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
-    events
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout()
+    val procTime = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    // plain vals: the state function closes over these, and a captured
+    // Dataset reference would not survive serialization to executors
+    val streaming = events.isStreaming
+    val src =
+      if (eventTime && streaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append(), timeout) {
@@ -94,7 +109,14 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              if (useTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+              if (procTime) state.setTimeoutDuration(s"$gapMinutes minutes")
+              else if (eventTime && streaming) {
+                // a within-watermark late row can leave s.last behind the
+                // current watermark; the timeout must still be in its future
+                val floor = state.getCurrentWatermarkMs() + 1
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMinutes * 60000L, floor))
+              }
             }
             closed.iterator
           }

@@ -51,7 +51,29 @@ class SqlScriptRunnerSpec extends SparkSpec {
       Seq(("CARDIO", 1L), ("ENDO", 1L), ("UNASSIGNED", 1L)))
     // GRANT recorded, not executed
     assert(graft.sources.Catalog.recordedGrants.exists(_.contains("clinic")))
-    spark.sql("DROP TABLE IF EXISTS clinic_raw.encounters")
+    // the namespace hierarchy is REAL: the dotted path resolves natively,
+    // no a_b_c flattening (reference fidelity, semantics.sql:8-23)
+    assert(spark.sql("SELECT count(*) FROM clinic.raw.encounters").head.getLong(0) === 4)
+    assert(spark.sql("SHOW NAMESPACES IN clinic").collect().map(_.getString(0))
+      .contains("raw"))
+    assert(spark.sql("SHOW TABLES IN clinic.raw").collect().map(_.getString(1))
+      .contains("encounters"))
+    spark.sql("DROP TABLE IF EXISTS clinic.raw.encounters")
+  }
+
+  test("DELETE FROM on a nested-catalog table truncates for repeatable runs") {
+    val runner = new SqlScriptRunner(spark)
+    runner.run("""
+      CREATE FOLDER IF NOT EXISTS logi.raw;
+      DROP TABLE IF EXISTS logi.raw.deliveries;
+      CREATE TABLE logi.raw.deliveries (id BIGINT, city STRING) USING parquet;
+      INSERT INTO logi.raw.deliveries VALUES (1, 'Oakland'), (2, 'Fresno');
+      DELETE FROM logi.raw.deliveries;
+      INSERT INTO logi.raw.deliveries VALUES (3, 'Denver');
+    """)
+    val rows = spark.sql("SELECT id, city FROM logi.raw.deliveries").collect()
+    assert(rows.length === 1 && rows(0).getLong(0) === 3L)
+    spark.sql("DROP TABLE IF EXISTS logi.raw.deliveries")
   }
 
   test("statement splitter is quote- and comment-aware") {

@@ -73,6 +73,53 @@ class MaterializationsSpec extends SparkSpec {
     }
   }
 
+  test("self-join over a materialized definition: both legs substitute with unique ids") {
+    val wh = java.nio.file.Files.createTempDirectory("substsj").toFile.getAbsolutePath
+    val m = new Materializations(spark, Some(wh))
+    def definition() =
+      sf("orders").groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+    m.register("prio_rev_sj", () => definition())
+    m.refresh("prio_rev_sj")
+    MaterializationSubstitution.install(spark, m)
+    try {
+      // two references to the SAME definition in one query — the ADVICE
+      // failure mode was both legs sharing one matPlan's ExprIds
+      val a = definition().select(col("o_orderpriority").as("p"), col("rev"))
+      val b = definition().select(col("o_orderpriority").as("p"), col("n"))
+      val j = a.join(b, "p")
+      val expected = {
+        spark.experimental.extraOptimizations = Seq.empty
+        val d1 = definition().select(col("o_orderpriority").as("p"), col("rev"))
+        val d2 = definition().select(col("o_orderpriority").as("p"), col("n"))
+        val r = d1.join(d2, "p").collect().map(_.toString).sorted
+        MaterializationSubstitution.install(spark, m)
+        r
+      }
+      val physical = j.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan
+      val planStr = physical.toString
+      assert(planStr.contains("prio_rev_sj"), s"expected materialized scan:\n$planStr")
+      assert(!planStr.contains("orders.parquet"),
+        s"raw table should not be scanned on either leg:\n$planStr")
+      // unique-ExprId invariant: no attribute id appears on both join legs
+      // (AQE wraps the plan; collect from the inner plan)
+      val root = physical match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val scans = root.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.output.map(_.exprId)
+      }
+      assert(scans.length === 2, s"expected both legs served from the mat:\n$planStr")
+      assert(scans(0).toSet.intersect(scans(1).toSet).isEmpty,
+        s"join legs share attribute ids: ${scans(0)} vs ${scans(1)}")
+      assert(j.collect().map(_.toString).sorted === expected)
+    } finally {
+      spark.experimental.extraOptimizations = Seq.empty
+    }
+  }
+
   test("coarser aggregates roll up from an aggregation reflection (sum/count/min/max/avg)") {
     val wh = java.nio.file.Files.createTempDirectory("rollup").toFile.getAbsolutePath
     val m = new Materializations(spark, Some(wh))

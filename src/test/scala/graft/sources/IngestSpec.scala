@@ -44,6 +44,29 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS transactions")
   }
 
+  test("copyInto maps files with REORDERED headers by name, not position") {
+    val dir = Files.createTempDirectory("copy_into_ro").toFile
+    Seq(
+      "a.csv" -> Seq("id,name,amount,event_date", "1,alpha,10.5,2025-01-01"),
+      "b.csv" -> Seq("amount,id,event_date,name", "20.0,2,2025-01-02,beta"))
+      .foreach { case (n, ls) =>
+        Files.write(new java.io.File(dir, n).toPath, ls.mkString("\n").getBytes("UTF-8"))
+      }
+    val wh = Files.createTempDirectory("whro").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS tx_ro")
+    spark.sql(s"""
+      CREATE TABLE tx_ro (id INT, name STRING, amount DOUBLE, event_date DATE)
+      USING parquet LOCATION '$wh/tx_ro'""")
+    Ingest.copyInto(spark, "tx_ro", dir.getAbsolutePath, ".*\\.csv")
+    val rows = spark.table("tx_ro").orderBy(col("id")).collect()
+    assert(rows.length === 2)
+    // b.csv's columns land by NAME despite its different physical order
+    assert(rows(1).getInt(0) === 2)
+    assert(rows(1).getString(1) === "beta")
+    assert(rows(1).getDouble(2) === 20.0)
+    spark.sql("DROP TABLE IF EXISTS tx_ro")
+  }
+
   test("listFiles yields one row per file with path/length/content") {
     val dir = writeCsvFixture()
     val files = Ingest.listFiles(spark, dir.getAbsolutePath, "*.csv")

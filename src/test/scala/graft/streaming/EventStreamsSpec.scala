@@ -105,4 +105,34 @@ class EventStreamsSpec extends SparkSpec {
       assert(closed(0).getDouble(4) === 3.0)   // total_value 1+2
     } finally q.stop()
   }
+
+  test("event-time timeout closes sessions when the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // default timeout = EventTimeTimeout, watermark 10 minutes
+    val q = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("et_sessions").count() === 0) // open, watermark at 10:00
+      // OTHER-user events advance the watermark to 12:50 — past user 1's
+      // 10:40 gap deadline. No user-1 event arrives: the close is purely
+      // watermark-driven (event time), not wall-clock-driven.
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 13:00:00"), 2, "b", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 13:01:00"), 2, "b", 6.0))
+      q.processAllAvailable()
+      val u1 = spark.table("et_sessions").filter(col("user_id") === 1).collect()
+      assert(u1.length === 1)
+      assert(u1(0).getInt(1) === 2)       // both events in the closed session
+      assert(u1(0).getDouble(4) === 3.0)  // total_value
+      assert(u1(0).getTimestamp(3) === Timestamp.valueOf("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
 }
