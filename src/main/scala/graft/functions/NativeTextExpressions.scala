@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -16,9 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * functions) evaluates interpreted per element: k=32 permutations × ~50
   * shingles × rows was ~100 s for 5.5k docs — unusable at scale. These
   * expressions do the same math in one tight primitive-array loop per row
-  * (~µs/row). They use CodegenFallback: ONE virtual call per row into
-  * JIT-compiled Scala, which profiling shows is within noise of full codegen
-  * here (work per call ≫ call overhead), while keeping the kernels simple.
+  * (~µs/row).
+  *
+  * Each implements `doGenCode` as a reference-object call into the
+  * JIT-compiled kernel (ONE virtual call per row): children stay inside
+  * whole-stage codegen — no interpreted re-evaluation of inputs, and
+  * Catalyst's subexpression elimination applies, so a projection computing
+  * both `shingle_hashes(text)` and `minhash_sig(shingle_hashes(text))`
+  * hashes the shingles ONCE per row.
   *
   * Hashing is FNV-1a64 (public-domain constant set) — stable across engines
   * and JVMs; MinHash permutations are universal hashes in a 31-bit domain
@@ -31,7 +36,7 @@ object NativeTextExpressions {
   /** word-n-gram shingle hashes of a string: lowercase, whitespace tokenize,
     * hash each n-gram, distinct, order of first appearance. */
   case class WordShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -60,6 +65,12 @@ object NativeTextExpressions {
       }
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shingleKernel", this, classOf[WordShingleHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($c);")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -68,7 +79,7 @@ object NativeTextExpressions {
     * sig[j] = min over shingles of ((h mod p) * a_j + b_j) mod p,
     * p = 2^31-1. Empty shingle set → array of p (sentinel max). */
   case class MinHashSig(child: Expression, k: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -102,6 +113,12 @@ object NativeTextExpressions {
       new GenericArrayData(mins)
     }
 
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhashKernel", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($c);")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -109,7 +126,7 @@ object NativeTextExpressions {
   /** Exact Jaccard between two array<long> hash sets (sorted-merge-free:
     * hash-set probe of the smaller side). */
   case class LongSetJaccard(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (Seq(left, right).forall(_.dataType match {
         case ArrayType(LongType, _) => true; case _ => false
@@ -132,6 +149,12 @@ object NativeTextExpressions {
         val union = nx + seenY.size - inter
         if (union == 0) 0.0 else inter.toDouble / union
       }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("jaccardKernel", this, classOf[LongSetJaccard].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ((java.lang.Double) $self.nullSafeEval($a, $b)).doubleValue();")
     }
 
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

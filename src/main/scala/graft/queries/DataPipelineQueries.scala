@@ -387,7 +387,43 @@ object DataPipelineQueries {
              count(DISTINCT text) AS n_distinct_texts,
              count(DISTINCT text) AS n_distinct_fp,
              count(*) FILTER (WHERE toks <> list_reverse(toks)) AS n_order_sensitive
-      FROM t"""))
+      FROM t""")),
+
+    // Deterministic train/val/test split — content-hash assignment (md5, so
+    // the oracle recomputes the IDENTICAL buckets), checked exactly: per
+    // split, row count and sum of member ids.
+    Q("q55_train_split", (s, dir) => {
+      import graft.operators.Sampling
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"), 80, 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"))
+    }, Some("""
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+            FROM documents)
+      GROUP BY 1""")),
+
+    // Reproducible epoch shuffle — seeded content-hash total order, checked
+    // exactly on the head of the permutation (rank → doc_id for the first
+    // 20 positions; the same md5 order is recomputed by the oracle).
+    Q("q56_epoch_shuffle", (s, dir) => {
+      import graft.operators.Sampling
+      Sampling.epochShuffle(t(s, dir, "documents"), col("doc_id"), seed = 7L)
+        .limit(20)
+        .select(col("doc_id"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            md5(concat(col("doc_id").cast("string"), lit("7"))))))
+    }, Some("""
+      SELECT doc_id, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT doc_id,
+                   row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '7')) AS rank
+            FROM documents)
+      WHERE rank <= 20"""))
   )
 
 }
