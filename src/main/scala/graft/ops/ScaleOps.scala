@@ -48,11 +48,14 @@ object ScaleOps {
 
   /** Key-distribution profile — the operational tool for deciding between
     * broadcast / AQE / explicit salting: top-n heaviest keys with their share
-    * of all rows. */
+    * of all rows. ONE scan of `df`: the total comes from an unpartitioned
+    * window over the (already tiny, post-aggregation) per-key counts, not a
+    * second pass over the raw data. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
-      .withColumn("share", round(col("n_rows") / total, 6))
+      .withColumn("share", round(col("n_rows") /
+        sum(col("n_rows")).over(Window.partitionBy()), 6))
       .orderBy(col("n_rows").desc)
       .limit(topN)
   }

@@ -123,6 +123,34 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: a streaming fact joined to a batch
+    * dimension. The dim side broadcasts per micro-batch (and is re-read each
+    * batch, so a slowly-changing dimension table stays fresh without
+    * restarting the query) — the streaming form of the q29 star-enrichment
+    * pattern. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream interval join: pair each left event with
+    * right events of the same `key` whose timestamp falls within
+    * [left.ts, left.ts + withinMinutes] — e.g. refunds correlated to the
+    * purchase they follow. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so Spark can expire
+    * buffered state on each side once the watermark passes the window: state
+    * stays bounded on unbounded feeds, which is what makes a stream-stream
+    * join viable at 100 TB/day. Right-side columns come back `_r`-suffixed. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+                          tsCol: String = "ts", withinMinutes: Int = 60,
+                          watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_r"))
+    val r = renamed.withWatermark(s"${tsCol}_r", watermark)
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col(s"${tsCol}_r") >= col(tsCol) &&
+        col(s"${tsCol}_r") <= col(tsCol) + expr(s"INTERVAL $withinMinutes MINUTES"))
+  }
+
   /** File-source entry: treat a directory of parquet event files as an
     * unbounded stream (readStream; file discovery is incremental). */
   def readEventStream(spark: SparkSession, dir: String,

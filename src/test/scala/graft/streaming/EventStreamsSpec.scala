@@ -135,4 +135,46 @@ class EventStreamsSpec extends SparkSpec {
       assert(u1(0).getTimestamp(3) === Timestamp.valueOf("2024-01-01 10:10:00"))
     } finally q.stop()
   }
+
+  test("stream-static enrichment join broadcasts the dimension per batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream_enrich").toFile.getAbsolutePath
+    eventDf(base).write.mode("overwrite").parquet(dir)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = readEventStream(spark, dir, eventDf(base))
+    val q = enrichStream(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("enriched")
+    assert(out.count() === 5)
+    assert(out.filter(col("tier") === "gold").count() === 3)  // user 1's events
+    assert(out.filter(col("tier") === "silver").count() === 2) // user 2's events
+  }
+
+  test("watermarked stream-stream interval join matches refunds to purchases in-window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val refunds = MemoryStream[Event]
+    val joined = intervalJoinStreams(
+      purchases.toDF(), refunds.toDF(), key = "user_id", withinMinutes = 60)
+    val q = joined.writeStream.format("memory").queryName("pr_join")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 100.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "purchase", 50.0))
+      refunds.addData(
+        Event(10, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "refund", -100.0), // in window
+        Event(11, Timestamp.valueOf("2024-01-01 13:00:00"), 2, "refund", -50.0))  // 3h later: out
+      q.processAllAvailable()
+      val rows = spark.table("pr_join").collect()
+      assert(rows.length === 1)
+      val r = spark.table("pr_join")
+        .select(col("user_id"), col("event_id"), col("event_id_r")).head
+      assert(r.getLong(0) === 1L && r.getLong(1) === 1L && r.getLong(2) === 10L)
+    } finally q.stop()
+  }
 }
