@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd vector kernels: the hot path for pairwise similarity at scale.
   *
@@ -112,6 +112,50 @@ object NativeVectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** All `nBits` hyperplane sign bits in ONE pass over the vector (the HOF
+    * formulation evaluates nBits separate interpreted dot products per row).
+    * The seeded Gaussian planes are drawn in the identical RNG order as
+    * VectorFunctions.hyperplaneBits, so the two paths are bit-identical. */
+  case class HyperplaneBits(child: Expression, dim: Int, nBits: Int, seed: Long)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $t")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_bits"
+
+    @transient private lazy val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData].toDoubleArray()
+      var bits = 0L
+      var i = 0
+      while (i < nBits) {
+        val p = planes(i)
+        val n = math.min(v.length, p.length)
+        var d = 0.0; var j = 0
+        while (j < n) { d += v(j) * p(j); j += 1 }
+        if (d > 0) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("hyperplaneKernel", this, classOf[HyperplaneBits].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = ((java.lang.Long) $self.nullSafeEval($c)).longValue();")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private val installedSessions =
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
@@ -129,6 +173,12 @@ object NativeVectorExpressions {
       registry.registerFunction(FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
         (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
+      def intLit(e: Expression): Int = e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+      def longLit(e: Expression): Long = e.asInstanceOf[Literal].value.asInstanceOf[Number].longValue()
+      registry.registerFunction(FunctionIdentifier("hyperplane_bits"),
+        new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+        (exprs: Seq[Expression]) =>
+          HyperplaneBits(exprs(0), intLit(exprs(1)), intLit(exprs(2)), longLit(exprs(3))))
       installedSessions.add(spark)
       true
     } catch { case _: Throwable => false }
@@ -138,4 +188,20 @@ object NativeVectorExpressions {
   def cosineFast(spark: SparkSession)(a: Column, b: Column): Column =
     if (install(spark)) call_function("vec_cosine", a, b)
     else VectorFunctions.cosine(a, b)
+
+  /** Fused dot product: native kernel when installed, HOF fallback. */
+  def dotFast(spark: SparkSession)(a: Column, b: Column): Column =
+    if (install(spark)) call_function("vec_dot", a, b)
+    else VectorFunctions.vdot(a, b)
+
+  /** Fused hyperplane signature: native kernel when installed, HOF fallback
+    * (identical planes — same seed, same RNG draw order). */
+  def hyperplaneBitsFast(spark: SparkSession)(v: Column, dim: Int, nBits: Int,
+                                              seed: Long): Column =
+    if (install(spark))
+      call_function("hyperplane_bits", v,
+        org.apache.spark.sql.functions.lit(dim),
+        org.apache.spark.sql.functions.lit(nBits),
+        org.apache.spark.sql.functions.lit(seed))
+    else VectorFunctions.hyperplaneBits(v, dim, nBits, seed)
 }

@@ -44,9 +44,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nBits: Int = 16,
               bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val bitsOf = graft.functions.NativeVectorExpressions
+      .hyperplaneBitsFast(corpus.sparkSession) _
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs),
-          hyperplaneBits(asDouble(col(vecCol)), dim, nBits, seed).as("__bits"))
+          bitsOf(asDouble(col(vecCol)), dim, nBits, seed).as("__bits"))
         .select(col(idAs), col(vecAs),
           explode(bandBuckets(col("__bits"), nBits, bands)).as("__bb"))
         .select(col(idAs), col(vecAs), col("__bb.band"), col("__bb.bucket"))
@@ -112,10 +114,9 @@ object Similarity {
     // Plain negated dot, no division: the row's own norm is constant across
     // centroids so the ordering equals cosine ordering, and zero vectors tie
     // at 0 and deterministically take the lowest cell id. ---
-    def negDot(v: Column, cVec: Array[Double]): Column = {
-      import graft.functions.VectorFunctions.vdot
-      -vdot(v, array(cVec.map(lit): _*))
-    }
+    val dot = graft.functions.NativeVectorExpressions.dotFast(spark) _
+    def negDot(v: Column, cVec: Array[Double]): Column =
+      -dot(v, array(cVec.map(lit): _*))
     def cellOf(v: Column): Column = {
       val dists = centroids.zipWithIndex.map { case (cVec, i) =>
         struct(negDot(v, cVec).as("negsim"), lit(i).as("cell"))
@@ -237,9 +238,11 @@ object Similarity {
                           threshold: Double, dim: Int, nBits: Int = 64,
                           bands: Int = 16, seed: Long = 42L): DataFrame = {
     val cos = graft.functions.NativeVectorExpressions.cosineFast(df.sparkSession) _
+    val bitsOf = graft.functions.NativeVectorExpressions
+      .hyperplaneBitsFast(df.sparkSession) _
     val banded = df
       .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
-        hyperplaneBits(asDouble(col(vecCol)), dim, nBits, seed).as("__bits"))
+        bitsOf(asDouble(col(vecCol)), dim, nBits, seed).as("__bits"))
       .select(col("__id"), col("__v"),
         explode(bandBuckets(col("__bits"), nBits, bands)).as("__bb"))
       .select(col("__id"), col("__v"), col("__bb.band"), col("__bb.bucket"))

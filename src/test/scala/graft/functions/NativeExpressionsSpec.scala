@@ -69,4 +69,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(out(1) === 1.0)
     assert(out(2) === 0.0)
   }
+
+  test("hyperplane_bits: native kernel is bit-identical to the HOF formulation") {
+    assume(NativeVectorExpressions.install(spark))
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val e = sf("embeddings").limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = e.select(
+      NativeVectorExpressions.hyperplaneBitsFast(spark)(col("v"), 64, 64, 42L).as("native"),
+      VectorFunctions.hyperplaneBits(col("v"), 64, 64, 42L).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // and nBits < 64 variants agree too
+    val both16 = e.select(
+      NativeVectorExpressions.hyperplaneBitsFast(spark)(col("v"), 64, 16, 7L).as("native"),
+      VectorFunctions.hyperplaneBits(col("v"), 64, 16, 7L).as("hof"))
+    assert(both16.filter(col("native") =!= col("hof")).count() === 0)
+  }
 }
