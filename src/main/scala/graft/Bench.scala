@@ -48,7 +48,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0) // failures blow up the total, never shrink it
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver scrapes stdout (truncation-prone); also write the line to a
     // file so BENCH_r{N}.json gets a machine-parseable payload.

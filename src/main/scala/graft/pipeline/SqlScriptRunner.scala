@@ -110,6 +110,25 @@ final class SqlScriptRunner(spark: SparkSession) {
         case _ =>
           spark.sql(stmt); None
       }
+    } else if (upper.startsWith("CREATE TABLE") &&
+        "(?i)PARTITION\\s+BY\\s*\\(".r.findFirstIn(stmt).isDefined) {
+      // Dremio `PARTITION BY (DAY(ts))` / `(col)` on CREATE TABLE: Spark's
+      // parser doesn't accept the spelling and the v2 parquet write path
+      // doesn't lay out transform partitions, so the clause is recorded as
+      // declared intent and the table is created unpartitioned. Day-grain
+      // pruning is provided by the engine's own write path
+      // (Catalog.ctasDayPartitioned + HiddenPartitionPruning).
+      // one nesting level inside the clause covers DAY(ts)/TRUNCATE(n, col)
+      val m = "(?is)(.*?)PARTITION\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)(.*)".r
+      stmt match {
+        case m(before, clause, after) =>
+          val tName = "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)".r
+            .findFirstMatchIn(stmt).map(_.group(1)).getOrElse("?")
+          Catalog.recordPartitionIntent(tName, clause.trim)
+          spark.sql(before + after)
+        case _ => spark.sql(stmt)
+      }
+      None
     } else if (upper.startsWith("DELETE FROM ") && !upper.contains(" WHERE ")) {
       // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
       // doesn't advertise the v2 TRUNCATE capability, so truncate = drop +

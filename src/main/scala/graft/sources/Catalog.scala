@@ -99,4 +99,14 @@ object Catalog {
   private val grants = scala.collection.mutable.ArrayBuffer.empty[String]
   def grant(statement: String): Unit = synchronized { grants += statement }
   def recordedGrants: Seq[String] = synchronized(grants.toSeq)
+
+  /** Declared Dremio `PARTITION BY (...)` clauses from script CREATE TABLEs:
+    * recorded intent (table → transform list). The v2 parquet write path
+    * doesn't lay out transform partitions, so SqlScriptRunner strips the
+    * clause and the engine's own write path (ctasDayPartitioned +
+    * HiddenPartitionPruning) supplies day-grain pruning. */
+  private val partitionIntents = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  def recordPartitionIntent(table: String, clause: String): Unit =
+    synchronized { partitionIntents += (table -> clause) }
+  def recordedPartitionIntents: Seq[(String, String)] = synchronized(partitionIntents.toSeq)
 }

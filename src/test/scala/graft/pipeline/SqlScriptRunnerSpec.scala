@@ -76,6 +76,22 @@ class SqlScriptRunnerSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS logi.raw.deliveries")
   }
 
+  test("Dremio PARTITION BY clause on CREATE TABLE is stripped and recorded") {
+    val runner = new SqlScriptRunner(spark)
+    runner.run("""
+      CREATE FOLDER IF NOT EXISTS clin2.raw;
+      DROP TABLE IF EXISTS clin2.raw.encounters;
+      CREATE TABLE clin2.raw.encounters (
+        encounter_id BIGINT, admit_ts TIMESTAMP
+      ) PARTITION BY (DAY(admit_ts));
+      INSERT INTO clin2.raw.encounters VALUES (1, TIMESTAMP '2025-02-10 09:00:00');
+    """)
+    assert(spark.sql("SELECT count(*) FROM clin2.raw.encounters").head.getLong(0) === 1)
+    assert(graft.sources.Catalog.recordedPartitionIntents
+      .exists { case (t, c) => t == "clin2.raw.encounters" && c.contains("DAY(admit_ts)") })
+    spark.sql("DROP TABLE IF EXISTS clin2.raw.encounters")
+  }
+
   test("statement splitter is quote- and comment-aware") {
     val r = new SqlScriptRunner(spark)
     val stmts = r.statements(
