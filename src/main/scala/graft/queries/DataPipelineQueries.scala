@@ -423,7 +423,50 @@ object DataPipelineQueries {
       FROM (SELECT doc_id,
                    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '7')) AS rank
             FROM documents)
-      WHERE rank <= 20"""))
+      WHERE rank <= 20""")),
+
+    // Nested-namespace catalog end-to-end (D1/D2 driver check): CTAS the
+    // per-source doc counts into a REAL `graft_e2e.pipeline.gold` namespace
+    // (GraftCatalog, DSv2), then read the dotted path back with SQL. The
+    // oracle recomputes the same aggregate straight from the parquet — so a
+    // regression anywhere in namespace resolution, v2 createTable, the
+    // write, or the dotted-path read breaks the value compare.
+    Q("q57_nested_catalog", (s, dir) => {
+      val cat = "graft_e2e"
+      if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_e2e_wh").toString)
+      }
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.pipeline.gold")
+      s.sql(s"DROP TABLE IF EXISTS $cat.pipeline.gold.source_counts")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+        .writeTo(s"$cat.pipeline.gold.source_counts").create()
+      s.sql(s"SELECT source, n_docs, n_langs FROM $cat.pipeline.gold.source_counts")
+    }, Some("""
+      SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source""")),
+
+    // Snapshot time travel end-to-end (S3/S4 driver check): commit v1 = the
+    // even-id docs, v2 = all docs; read VERSION AS OF v1 and aggregate. The
+    // oracle recomputes v1's content from the source — time travel must
+    // reproduce the historical snapshot exactly, not the current table.
+    Q("q58_time_travel", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val st = new SnapshotTable(s, root)
+      val d = t(s, dir, "documents")
+      val v1 = st.commit(d.filter(col("doc_id") % 2 === 0), "seed-even")
+      st.commit(d, "overwrite-all")
+      st.read(versionAsOf = Some(v1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, max(doc_id) AS max_id
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang"""))
   )
 
 }
