@@ -68,4 +68,31 @@ class PropertySpec extends SparkSpec {
       assert(sa.zip(sb).forall { case (x, y) => y <= x })
     }
   }
+
+  test("property: hidden-partition pruning never changes results (soundness)") {
+    // The optimizer rule derives day-granularity bounds; for ANY comparison
+    // shape and bound, the pruned result must equal the same filter over an
+    // unpartitioned copy of the identical data.
+    import spark.implicits._
+    val rows = samples(Gen.zip(Gen.choose(1, 28), Gen.choose(0, 23)), 40)
+      .zipWithIndex.map { case ((day, hour), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2025-03-$day%02d $hour%02d:30:00"))
+      }
+    val df = rows.toDF("id", "ts")
+    graft.sources.Catalog.ctasDayPartitioned(spark, "prop_hidden_day", df, "ts")
+    try {
+      val partitioned = spark.table("prop_hidden_day")
+      val bounds = Seq("2025-03-05 11:00:00", "2025-03-14 00:00:00", "2025-03-27 23:59:59")
+      val preds = for {
+        b <- bounds
+        p <- Seq(col("ts") >= b, col("ts") > b, col("ts") <= b, col("ts") < b,
+          col("ts") === rows.head._2, col("ts") >= bounds(0) && col("ts") < bounds(1))
+      } yield p
+      preds.foreach { p =>
+        val pruned = partitioned.filter(p).select("id").as[Long].collect().sorted.toSeq
+        val plain = df.filter(p).select("id").as[Long].collect().sorted.toSeq
+        assert(pruned === plain, s"pruning changed results for predicate $p")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS prop_hidden_day")
+  }
 }
