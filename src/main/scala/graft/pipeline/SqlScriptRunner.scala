@@ -27,6 +27,16 @@ import graft.sources.Catalog
   *    executed (Spark has no ACL store).
   *  - `AI_GENERATE(… WITH SCHEMA ROW(…))` → schema-typed generic path
   *    (DremioDialect.rewriteAiGenerate); AI functions pre-registered.
+  *  - `ALTER DATASET d CREATE REFLECTION r USING RAW` (readme.md:322-326,
+  *    plus the public `CREATE RAW REFLECTION … USING DISPLAY (…)` /
+  *    `CREATE AGGREGATE REFLECTION … USING DIMENSIONS (…) MEASURES (…)`
+  *    spellings) → a refreshed [[graft.plans.Materializations]] entry with
+  *    [[graft.plans.MaterializationSubstitution]] installed, so later
+  *    SELECTs over the dataset are served from the materialization
+  *    transparently — the Dremio acceleration contract.
+  *  - `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))`
+  *    (readme.md:357-369) → [[graft.sources.MetadataFunctions]] metadata
+  *    scans bound as temp views in place.
   *  - Comments (`-- …`) are stripped; statements split on top-level `;`
   *    (quote-aware).
   *
@@ -38,6 +48,14 @@ final class SqlScriptRunner(spark: SparkSession) {
   /** dotted view name → flattened temp-view name, longest first at rewrite. */
   private val viewRewrites =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Reflections declared by this script (`ALTER DATASET … CREATE
+    * REFLECTION`), refreshed eagerly and substituted into later SELECTs. */
+  lazy val reflections: graft.plans.Materializations =
+    new graft.plans.Materializations(spark,
+      Some(java.nio.file.Files.createTempDirectory("graft_reflections").toString))
+
+  private var metaViewCount = 0
 
   def run(script: String): Map[Int, DataFrame] = {
     graft.ai.AiFunctions.register(spark)
@@ -98,6 +116,9 @@ final class SqlScriptRunner(spark: SparkSession) {
     } else if (upper.startsWith("GRANT ")) {
       Catalog.grant(stmt)
       None
+    } else if (upper.startsWith("ALTER DATASET ") && upper.contains(" REFLECTION ")) {
+      createReflection(stmt)
+      None
     } else if (upper.startsWith("CREATE OR REPLACE VIEW ") ||
         upper.startsWith("CREATE VIEW ")) {
       val m = "(?is)^(CREATE(?:\\s+OR\\s+REPLACE)?\\s+)VIEW\\s+([\\w.]+)(.*)$".r
@@ -140,9 +161,102 @@ final class SqlScriptRunner(spark: SparkSession) {
       spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
       None
     } else {
-      val df = spark.sql(stmt)
+      val df = spark.sql(rewriteMetadataTables(stmt))
       if (upper.startsWith("SELECT") || upper.startsWith("WITH")) Some(df) else None
     }
+  }
+
+  /** `ALTER DATASET d CREATE [RAW|AGGREGATE] REFLECTION r USING …` — the
+    * reference's acceleration DDL (readme.md:322-326). RAW materializes the
+    * dataset (optionally a `DISPLAY (…)` column subset); AGGREGATE
+    * materializes a groupBy over `DIMENSIONS (…)` with the declared
+    * `MEASURES (…)` (per-measure fn list; SUM+COUNT when unspecified,
+    * Dremio's default measure set). Registered + refreshed eagerly, and the
+    * substitution rule is installed so later SELECTs over the dataset are
+    * served from the materialization without the query changing. */
+  private def createReflection(stmt: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val ddl = ("(?is)ALTER\\s+DATASET\\s+([\\w.]+)\\s+CREATE\\s+" +
+      "(?:(RAW|AGGREGATE|AGGREGATION)\\s+)?REFLECTION\\s+(\\w+)\\s+USING\\s+(.*)").r
+    stmt.trim.stripSuffix(";") match {
+      case ddl(ds, kindOrNull, rname, usingRaw) =>
+        val using = usingRaw.trim
+        val kind = Option(kindOrNull).map(_.toUpperCase).getOrElse(
+          if (using.toUpperCase.startsWith("RAW")) "RAW" else "AGGREGATE")
+        def section(name: String): Seq[String] =
+          ("(?is)" + name + "\\s*\\(([^)]*)\\)").r.findFirstMatchIn(using)
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+        val define: () => DataFrame = kind match {
+          case "RAW" =>
+            val display = section("DISPLAY")
+            () => {
+              val t = spark.table(ds)
+              if (display.isEmpty) t else t.select(display.map(col): _*)
+            }
+          case _ =>
+            val dims = section("DIMENSIONS")
+            require(dims.nonEmpty,
+              s"AGGREGATE REFLECTION $rname needs DIMENSIONS (…)")
+            val measuresClause = "(?is)MEASURES\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+              .findFirstMatchIn(using).map(_.group(1)).getOrElse("")
+            val measures = "(\\w+)\\s*(?:\\(([^)]*)\\))?".r
+              .findAllMatchIn(measuresClause)
+              .map(m => m.group(1) -> Option(m.group(2))
+                .map(_.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq("SUM", "COUNT")))
+              .toSeq
+            () => {
+              val aggs = measures.flatMap { case (c, fns) => fns.map {
+                case "SUM"   => sum(col(c)).as(s"sum_$c")
+                case "COUNT" => count(col(c)).as(s"count_$c")
+                case "MIN"   => min(col(c)).as(s"min_$c")
+                case "MAX"   => max(col(c)).as(s"max_$c")
+                case "AVG" | "MEAN" => avg(col(c)).as(s"avg_$c")
+                case "APPROX_COUNT_DISTINCT" =>
+                  approx_count_distinct(col(c)).as(s"acd_$c")
+                case other =>
+                  throw new IllegalArgumentException(s"measure function $other")
+              }}
+              spark.table(ds).groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+            }
+        }
+        reflections.register(rname, define)
+        reflections.refresh(rname)
+        installSubstitution()
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse reflection DDL: $other")
+    }
+  }
+
+  private def installSubstitution(): Unit = {
+    val present = spark.experimental.extraOptimizations.exists {
+      case graft.plans.MaterializationSubstitution(m) => m eq reflections
+      case _ => false
+    }
+    if (!present)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.MaterializationSubstitution(reflections)
+  }
+
+  /** Bind `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))`
+    * metadata scans (readme.md:357-369) as temp views in place. */
+  private def rewriteMetadataTables(stmt: String): String = {
+    val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history)" +
+      "\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)").r
+    p.replaceAllIn(stmt, m => {
+      val df = m.group(1).toLowerCase match {
+        case "table_snapshot" =>
+          graft.sources.MetadataFunctions.tableSnapshot(spark, m.group(2))
+        case _ =>
+          graft.sources.MetadataFunctions.tableHistory(spark, m.group(2))
+      }
+      metaViewCount += 1
+      val v = s"graft_meta_$metaViewCount"
+      df.createOrReplaceTempView(v)
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
   }
 
   /** Rewrite declared dotted VIEW names (`a.b.v` → `a_b_v`); table paths

@@ -143,9 +143,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException((ident.namespace :+ ident.name).mkString("."))
-    require(partitions.isEmpty,
-      "GraftCatalog: partition transforms not supported yet — write day-grain " +
-        "tables via Catalog.ctasDayPartitioned")
+    // PARTITIONED BY (days(ts)) / (col): the v2 parquet write path doesn't
+    // lay out transform partitions, so the clause is recorded as declared
+    // intent (the same contract as the scripted Dremio PARTITION BY path) and
+    // the table is created unpartitioned; day-grain pruning is provided by
+    // Catalog.ctasDayPartitioned + HiddenPartitionPruning.
+    if (partitions.nonEmpty)
+      Catalog.recordPartitionIntent(
+        s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}",
+        partitions.map(_.describe()).mkString(", "))
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     require(provider.forall(_.equalsIgnoreCase("parquet")),
       s"GraftCatalog stores parquet; got USING ${provider.get}")

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg metadata table functions (SURVEY.md §2.3 S3/S4; reference
+  * readme.md:357-369: `SELECT * FROM TABLE(table_snapshot('t'))` /
+  * `TABLE(table_history('t'))` "track data evolution, perform time travel
+  * queries, or monitor file-level metrics").
+  *
+  * Two backing shapes, resolved automatically:
+  *  - a `SnapshotTable`-managed root (versioned `v=N` directories plus a
+  *    `_graft_meta.jsonl` commit log): every committed version is a snapshot
+  *    row with real file-level metrics per version;
+  *  - any other resolvable table (nested-catalog parquet, temp view over a
+  *    parquet directory): the current state is surfaced as a single
+  *    synthesized snapshot from file statistics — the Iceberg equivalence for
+  *    a table whose whole content is one commit.
+  *
+  * Metadata rows are O(#snapshots + #files) and built driver-side, exactly
+  * like an Iceberg metadata scan reads manifests on the coordinator — the
+  * 100 TB data path is never touched (no data files are opened).
+  */
+object MetadataFunctions {
+
+  private val snapshotSchema = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("operation", StringType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = true),
+    StructField("total_data_files", LongType, nullable = false),
+    StructField("total_records", LongType, nullable = false),
+    StructField("total_size_bytes", LongType, nullable = false)))
+
+  private val historySchema = StructType(Seq(
+    StructField("made_current_at", TimestampType, nullable = true),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  /** `TABLE(table_snapshot('name'))` — one row per snapshot. */
+  def tableSnapshot(spark: SparkSession, table: String): DataFrame =
+    snapshotRoot(spark, table) match {
+      case Some(root) => snapshotRows(spark, root)
+      case None       => synthesizedSnapshot(spark, table)
+    }
+
+  /** `TABLE(table_history('name'))` — the snapshot lineage. Every commit in
+    * the linear `SnapshotTable` log is an ancestor of the current snapshot. */
+  def tableHistory(spark: SparkSession, table: String): DataFrame =
+    snapshotRoot(spark, table) match {
+      case Some(root) =>
+        val rows = new SnapshotTable(spark, root).history()
+          .collect().toSeq.map { r =>
+            val v = r.getAs[Long]("version")
+            Row(new java.sql.Timestamp(r.getAs[Long]("committed_at_ms")),
+              v, if (v == 0L) null else v - 1L, true)
+          }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), historySchema)
+      case None =>
+        val snap = synthesizedSnapshot(spark, table)
+        snap.select(col("committed_at").as("made_current_at"),
+          col("snapshot_id"), col("parent_id"),
+          lit(true).as("is_current_ancestor"))
+    }
+
+  /** A versioned root when `table` reads a SnapshotTable layout (input files
+    * under `root/v=N` with the commit log beside them), else None. */
+  private def snapshotRoot(spark: SparkSession, table: String): Option[String] = {
+    val files = inputFiles(spark, table)
+    files.headOption.flatMap { f =>
+      val parent = new Path(f).getParent
+      if (parent != null && parent.getName.startsWith("v=")) {
+        val root = parent.getParent.toUri.getPath
+        if (Files.exists(Paths.get(root, "_graft_meta.jsonl"))) Some(root) else None
+      } else None
+    }
+  }
+
+  private def snapshotRows(spark: SparkSession, root: String): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = new SnapshotTable(spark, root).history().collect().toSeq.map { r =>
+      val v = r.getAs[Long]("version")
+      val dir = new Path(root, s"v=$v")
+      val stats =
+        if (fs.exists(dir))
+          fs.listStatus(dir).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        else Array.empty[org.apache.hadoop.fs.FileStatus] // expired snapshot
+      Row(v, if (v == 0L) null else v - 1L, r.getAs[String]("operation"),
+        new java.sql.Timestamp(r.getAs[Long]("committed_at_ms")),
+        stats.length.toLong, r.getAs[Long]("row_count"),
+        stats.map(_.getLen).sum)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), snapshotSchema)
+  }
+
+  /** Single-snapshot view of a plain table: file stats from the scan's own
+    * file listing; the record count is the one distributed job. */
+  private def synthesizedSnapshot(spark: SparkSession, table: String): DataFrame = {
+    val files = inputFiles(spark, table)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stats = files.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      (st.getLen, st.getModificationTime)
+    }
+    val records = spark.table(table).count()
+    val committed =
+      if (stats.isEmpty) null
+      else new java.sql.Timestamp(stats.map(_._2).max)
+    val row = Row(0L, null, "APPEND", committed,
+      files.length.toLong, records, stats.map(_._1).sum)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), snapshotSchema)
+  }
+
+  private def inputFiles(spark: SparkSession, table: String): Seq[String] =
+    spark.table(table).inputFiles.toSeq.sorted
+}

@@ -92,6 +92,94 @@ class SqlScriptRunnerSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS clin2.raw.encounters")
   }
 
+  test("ALTER DATASET … CREATE REFLECTION USING RAW accelerates later SELECTs") {
+    val saved = spark.experimental.extraOptimizations
+    try {
+      val runner = new SqlScriptRunner(spark)
+      val results = runner.run("""
+        CREATE FOLDER IF NOT EXISTS refl.demo;
+        DROP TABLE IF EXISTS refl.demo.orders;
+        CREATE TABLE refl.demo.orders (o_id BIGINT, cust STRING, amount DOUBLE)
+          USING parquet;
+        INSERT INTO refl.demo.orders VALUES
+          (1, 'alice', 10.0), (2, 'alice', 5.0), (3, 'bob', 7.0);
+
+        -- readme.md:322-326 shape: raw reflection on a declared view
+        CREATE OR REPLACE VIEW refl.demo.customer_spend AS
+          SELECT cust, SUM(amount) AS total_spend
+          FROM refl.demo.orders GROUP BY cust;
+
+        ALTER DATASET refl.demo.customer_spend
+        CREATE REFLECTION customer_spend_reflection
+        USING RAW;
+
+        SELECT cust, total_spend FROM refl.demo.customer_spend ORDER BY cust
+      """)
+      val df = results.values.head
+      assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+        Seq(("alice", 15.0), ("bob", 7.0)))
+      // transparent substitution: the SELECT is served from the reflection's
+      // parquet snapshot, not by re-running the aggregate over the base table
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("customer_spend_reflection"),
+        s"expected reflection scan in:\n$physical")
+      assert(!physical.contains("HashAggregate"),
+        s"aggregate should be served from the reflection:\n$physical")
+      spark.sql("DROP TABLE IF EXISTS refl.demo.orders")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("AGGREGATE REFLECTION with DIMENSIONS/MEASURES serves matching rollups") {
+    val saved = spark.experimental.extraOptimizations
+    try {
+      val runner = new SqlScriptRunner(spark)
+      val results = runner.run("""
+        CREATE FOLDER IF NOT EXISTS refl2.demo;
+        DROP TABLE IF EXISTS refl2.demo.sales;
+        CREATE TABLE refl2.demo.sales (region STRING, amount DOUBLE) USING parquet;
+        INSERT INTO refl2.demo.sales VALUES
+          ('west', 1.0), ('west', 2.0), ('east', 10.0);
+
+        ALTER DATASET refl2.demo.sales
+        CREATE AGGREGATE REFLECTION sales_agg
+        USING DIMENSIONS (region) MEASURES (amount (SUM, COUNT));
+
+        SELECT region, SUM(amount) AS sum_amount
+        FROM refl2.demo.sales GROUP BY region ORDER BY region
+      """)
+      val df = results.values.head
+      assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+        Seq(("east", 10.0), ("west", 3.0)))
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("sales_agg"),
+        s"expected aggregate-reflection scan in:\n$physical")
+      spark.sql("DROP TABLE IF EXISTS refl2.demo.sales")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("TABLE(table_snapshot/table_history) metadata scans inside a script") {
+    val runner = new SqlScriptRunner(spark)
+    val results = runner.run("""
+      CREATE FOLDER IF NOT EXISTS meta.demo;
+      DROP TABLE IF EXISTS meta.demo.customers;
+      CREATE TABLE meta.demo.customers (id BIGINT, name STRING) USING parquet;
+      INSERT INTO meta.demo.customers VALUES (1, 'a'), (2, 'b');
+
+      SELECT snapshot_id, operation, total_records
+      FROM TABLE(table_snapshot('meta.demo.customers'));
+
+      SELECT snapshot_id, is_current_ancestor
+      FROM TABLE(table_history('meta.demo.customers'))
+    """)
+    assert(results.size === 2)
+    val Seq(snap, hist) = results.toSeq.sortBy(_._1).map(_._2)
+    val s = snap.collect()
+    assert(s.length === 1 && s(0).getLong(0) === 0L && s(0).getLong(2) === 2L)
+    val h = hist.collect()
+    assert(h.length === 1 && h(0).getBoolean(1))
+    spark.sql("DROP TABLE IF EXISTS meta.demo.customers")
+  }
+
   test("statement splitter is quote- and comment-aware") {
     val r = new SqlScriptRunner(spark)
     val stmts = r.statements(

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))` metadata scans
+  * (reference readme.md:357-369) over both backing shapes. */
+class MetadataFunctionsSpec extends SparkSpec {
+
+  test("versioned SnapshotTable root: one snapshot row per commit with file metrics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("metasnap").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.commit(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    t.commit(Seq((4, "d")).toDF("id", "v"), op = "append")
+    t.read().createOrReplaceTempView("meta_versioned")
+
+    val snaps = MetadataFunctions.tableSnapshot(spark, "meta_versioned")
+      .orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    // lineage: v0 has no parent, each later version points at its predecessor
+    assert(snaps(0).isNullAt(1) && snaps(1).getLong(1) === 0L && snaps(2).getLong(1) === 1L)
+    assert(snaps.map(_.getString(2)).toSeq === Seq("overwrite", "overwrite", "append"))
+    // record counts per committed version; real file counts and sizes
+    assert(snaps.map(_.getLong(5)).toSeq === Seq(2L, 3L, 4L))
+    assert(snaps.forall(r => r.getLong(4) > 0L && r.getLong(6) > 0L))
+
+    val hist = MetadataFunctions.tableHistory(spark, "meta_versioned")
+      .orderBy("snapshot_id").collect()
+    assert(hist.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(hist.forall(_.getBoolean(3))) // linear log: all current ancestors
+  }
+
+  test("expired snapshot stays in history with zero remaining files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("metaexp").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    (1 to 3).foreach(i => t.commit(Seq.tabulate(i)(j => (j, s"r$j")).toDF("id", "v")))
+    t.expireSnapshots(keep = 2)
+    t.read().createOrReplaceTempView("meta_expired")
+    val snaps = MetadataFunctions.tableSnapshot(spark, "meta_expired")
+      .orderBy("snapshot_id").collect()
+    // history retains the kept versions only (expire rewrites the log)
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(snaps.forall(_.getLong(4) > 0L))
+  }
+
+  test("plain table: single synthesized snapshot from file statistics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("metaplain").toFile.getAbsolutePath
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("meta_plain")
+    val snaps = MetadataFunctions.tableSnapshot(spark, "meta_plain").collect()
+    assert(snaps.length === 1)
+    val s = snaps(0)
+    assert(s.getLong(0) === 0L && s.isNullAt(1) && s.getString(2) === "APPEND")
+    assert(s.getLong(4) === 2L)  // two parquet files from repartition(2)
+    assert(s.getLong(5) === 3L)  // record count
+    assert(s.getLong(6) > 0L)
+    val hist = MetadataFunctions.tableHistory(spark, "meta_plain").collect()
+    assert(hist.length === 1 && hist(0).getLong(1) === 0L && hist(0).getBoolean(3))
+  }
+}
