@@ -21,6 +21,12 @@ object CoreQueries {
   private[queries] val reflectionFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, graft.plans.Materializations]()
 
+  /** q66's scripted-pipeline fixture: the reflection DDL runs once per
+    * (session, sf dir) — reflections refresh out-of-band in the reference
+    * (readme.md:322-329) — so per-invocation timing measures the SERVE path. */
+  private[queries] val scriptRunnerFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.SqlScriptRunner]()
+
   val list: Seq[Q] = Seq(
 
     // A3/A10 — multi-key groupBy with sum/avg/count over the biggest fact
@@ -716,6 +722,54 @@ object CoreQueries {
       SELECT l_returnflag, avg(l_quantity) AS avg_qty,
              sum(l_quantity) AS sum_qty, count(l_quantity) AS cnt_qty,
              min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-      FROM lineitem GROUP BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // Iceberg metadata-table functions (readme.md:357-369: `SELECT * FROM
+    // TABLE(table_snapshot('t'))`): the metadata scan over a plain table
+    // synthesizes the single current snapshot from file statistics. The
+    // deterministic columns (snapshot id, operation, record count) are
+    // oracle-checked — the record count must equal the table's true
+    // cardinality, proving the metadata path agrees with the data path
+    // without ever scanning data pages for file metrics.
+    Q("q59_table_metadata", (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q59_meta_customer")
+      graft.sources.MetadataFunctions.tableSnapshot(s, "q59_meta_customer")
+        .select(col("snapshot_id"), col("operation"), col("total_records"))
+    }, Some("""
+      SELECT CAST(0 AS BIGINT) AS snapshot_id, 'APPEND' AS operation,
+             count(*) AS total_records FROM customer""")),
+
+    // Scripted acceleration end-to-end (readme.md:322-326's exact DDL shape):
+    // a Dremio-style script declares a view and `ALTER DATASET … CREATE
+    // REFLECTION … USING RAW`; a later SELECT over the view must be served
+    // from the reflection's materialized scan — require()d on the physical
+    // plan — and the values must match DuckDB recomputing the view from the
+    // raw table. Proves the SQL-surface path (parse → register → refresh →
+    // substitute), not just the programmatic Materializations API (q54).
+    Q("q66_scripted_reflection", (s, dir) => {
+      val runner = CoreQueries.scriptRunnerFixtures.computeIfAbsent(
+        System.identityHashCode(s) + "|" + dir, _ => {
+          t(s, dir, "nation").createOrReplaceTempView("q66_nation")
+          val r = new graft.pipeline.SqlScriptRunner(s)
+          r.run("""
+            CREATE OR REPLACE TEMP VIEW q66_region_counts AS
+              SELECT n_regionkey, count(*) AS n_nations
+              FROM q66_nation GROUP BY n_regionkey;
+            ALTER DATASET q66_region_counts
+            CREATE REFLECTION q66_region_counts_rf
+            USING RAW;
+          """)
+          r
+        })
+      val df = runner.run(
+        "SELECT n_regionkey, n_nations FROM q66_region_counts").values.head
+      val physical = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      require(physical.contains("q66_region_counts_rf"),
+        s"scripted reflection did not substitute:\n$physical")
+      df
+    }, Some("""
+      SELECT n_regionkey, count(*) AS n_nations
+      FROM nation GROUP BY n_regionkey"""))
   )
 }

@@ -466,7 +466,51 @@ object DataPipelineQueries {
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))
     }, Some("""
       SELECT lang, count(*) AS n_docs, max(doc_id) AS max_id
-      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang"""))
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""")),
+
+    // Semantic search over the catalog (X4, readme.md:455-459: "surface
+    // relevant datasets … even if the keywords don't exactly match the table
+    // names"): every hit here matches ONLY through wiki documentation —
+    // `client` finds customer/orders, `purchase`/`history` find orders and
+    // events, `revenue` finds lineitem; none of those words appear in any
+    // table or column name. The oracle recomputes the identical token-overlap
+    // relevance in DuckDB, harvesting column metadata from
+    // information_schema over the same registered tables.
+    Q("q67_semantic_search", (s, dir) => {
+      import graft.sources.SemanticLayer
+      SemanticLayer.seedReferenceWikis()
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val entries = SemanticLayer.entries(s, names.map(n => n -> t(s, dir, n)))
+      SemanticLayer.scored(entries, "client purchase revenue history")
+        .filter(col("score") > 0)
+        .select(col("path"), col("score"))
+    }, Some {
+      val meta = graft.sources.SemanticLayer.referenceWikiSeed
+        .map { case (p, w, ls) => s"('$p', '$w', '${ls.mkString(" ")}')" }
+        .mkString(",\n               ")
+      s"""
+      WITH cols AS (
+        SELECT table_name AS path, string_agg(column_name, ' ') AS cols_text
+        FROM information_schema.columns
+        WHERE table_name IN ('region','nation','customer','supplier','part',
+                             'orders','lineitem','events','documents','embeddings')
+        GROUP BY table_name),
+      meta AS (
+        SELECT * FROM (VALUES $meta) AS m(path, wiki, labels_text)),
+      pooled AS (
+        SELECT c.path,
+               list_distinct(list_filter(
+                 regexp_split_to_array(
+                   lower(c.path || ' ' || c.cols_text || ' ' || m.wiki || ' ' || m.labels_text),
+                   '[^a-z0-9]+'),
+                 x -> x <> '')) AS pool
+        FROM cols c JOIN meta m ON m.path = c.path)
+      SELECT path,
+             CAST(len(list_intersect(pool, ['client','purchase','revenue','history'])) AS INTEGER) AS score
+      FROM pooled
+      WHERE len(list_intersect(pool, ['client','purchase','revenue','history'])) > 0"""
+    })
   )
 
 }
