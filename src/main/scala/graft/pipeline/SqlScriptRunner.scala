@@ -43,11 +43,16 @@ import graft.sources.Catalog
   * Returns the result of every statement that produced rows (SELECTs), by
   * statement index.
   */
-final class SqlScriptRunner(spark: SparkSession) {
+final class SqlScriptRunner(spark: SparkSession,
+                            asUser: Option[String] = None) {
 
   /** dotted view name → flattened temp-view name, longest first at rewrite. */
   private val viewRewrites =
     scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** flattened temp-view name → original dotted path (for grant checks). */
+  private val viewPathsByFlat =
+    scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
 
   /** Reflections declared by this script (`ALTER DATASET … CREATE
     * REFLECTION`), refreshed eagerly and substituted into later SELECTs. */
@@ -56,9 +61,13 @@ final class SqlScriptRunner(spark: SparkSession) {
       Some(java.nio.file.Files.createTempDirectory("graft_reflections").toString))
 
   private var metaViewCount = 0
+  private var hasReflections = false
 
   def run(script: String): Map[Int, DataFrame] = {
     graft.ai.AiFunctions.register(spark)
+    // re-ensure this runner's substitution rule before each batch: another
+    // registry's install() may have run since the reflection was declared
+    if (hasReflections) installSubstitution()
     statements(script).zipWithIndex.flatMap { case (stmt, i) =>
       execute(stmt).map(i -> _)
     }.toMap
@@ -117,6 +126,11 @@ final class SqlScriptRunner(spark: SparkSession) {
       Catalog.grant(stmt)
       None
     } else if (upper.startsWith("ALTER DATASET ") && upper.contains(" REFLECTION ")) {
+      asUser.foreach { u =>
+        "(?is)ALTER\\s+DATASET\\s+([\\w.]+)".r.findFirstMatchIn(stmt).foreach(m =>
+          requirePrivilege(u, "ALTER", Seq("ALTER REFLECTION"),
+            datasetPath(m.group(1))))
+      }
       createReflection(stmt)
       None
     } else if (upper.startsWith("CREATE OR REPLACE VIEW ") ||
@@ -126,6 +140,7 @@ final class SqlScriptRunner(spark: SparkSession) {
         case m(head, name, rest) if name.contains(".") =>
           val flat = name.replace('.', '_')
           viewRewrites(name) = flat
+          viewPathsByFlat(flat) = name.split("\\.").toSeq
           spark.sql(s"${head}TEMP VIEW $flat$rest")
           None
         case _ =>
@@ -156,14 +171,69 @@ final class SqlScriptRunner(spark: SparkSession) {
       // recreate with the saved schema — same observable state for the
       // script's managed tables.
       val table = stmt.trim.split("\\s+")(2).stripSuffix(";")
+      asUser.foreach(u =>
+        requirePrivilege(u, "DELETE", Seq("WRITE"), datasetPath(table)))
       val schema = spark.table(table).schema
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
       None
     } else {
-      val df = spark.sql(rewriteMetadataTables(stmt))
+      val rewritten = rewriteMetadataTables(stmt)
+      asUser.foreach(u => enforce(u, upper, rewritten))
+      val df = spark.sql(rewritten)
       if (upper.startsWith("SELECT") || upper.startsWith("WITH")) Some(df) else None
     }
+  }
+
+  /** RBAC enforcement for `asUser` mode (reference permissions.sql:1-11):
+    * SELECTs need SELECT on every referenced dataset (folder grants cover
+    * their subtree; PROJECT covers everything); writes need their DML
+    * privilege or the folder-level WRITE. Views declared by this script are
+    * checked by their original dotted path. */
+  private def enforce(user: String, upper: String, sql: String): Unit = {
+    def target(pattern: String): Option[Seq[String]] =
+      pattern.r.findFirstMatchIn(sql).map(m => datasetPath(m.group(1)))
+    if (upper.startsWith("SELECT") || upper.startsWith("WITH")) {
+      referencedRelations(sql)
+        .map(ds => if (ds.length == 1) datasetPath(ds.head) else ds)
+        .filterNot(ds => ds.length == 1 && ds.head.startsWith("graft_meta_"))
+        .foreach(ds => requirePrivilege(user, "SELECT", Nil, ds))
+    } else if (upper.startsWith("INSERT"))
+      target("(?is)INSERT\\s+INTO\\s+([\\w.]+)")
+        .foreach(requirePrivilege(user, "INSERT", Seq("WRITE"), _))
+    else if (upper.startsWith("DROP TABLE"))
+      target("(?is)DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w.]+)")
+        .foreach(requirePrivilege(user, "DROP", Nil, _))
+    else if (upper.startsWith("CREATE TABLE"))
+      target("(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)")
+        .foreach(requirePrivilege(user, "CREATE TABLE", Seq("WRITE"), _))
+  }
+
+  private def requirePrivilege(user: String, priv: String,
+                               alternatives: Seq[String], ds: Seq[String]): Unit =
+    if (!(Catalog.authorized(user, priv, ds) ||
+        alternatives.exists(Catalog.authorized(user, _, ds))))
+      throw new Catalog.AccessDeniedException(
+        s"user $user lacks $priv on ${ds.mkString(".")}")
+
+  /** A name as written in SQL → the dataset path grants refer to (flattened
+    * script views map back to their dotted declaration). */
+  private def datasetPath(name: String): Seq[String] =
+    viewPathsByFlat.getOrElse(name, name.split("\\.").toSeq)
+
+  /** Dataset names a statement reads, from the PARSED (unresolved) plan —
+    * CTE-local names are excluded. */
+  private def referencedRelations(sql: String): Seq[Seq[String]] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val cteNames = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    plan.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        u.multipartIdentifier
+    }.distinct.filterNot(ds =>
+      ds.length == 1 && cteNames.contains(ds.head.toLowerCase))
   }
 
   /** `ALTER DATASET d CREATE [RAW|AGGREGATE] REFLECTION r USING …` — the
@@ -223,6 +293,7 @@ final class SqlScriptRunner(spark: SparkSession) {
         }
         reflections.register(rname, define)
         reflections.refresh(rname)
+        hasReflections = true
         installSubstitution()
       case other =>
         throw new IllegalArgumentException(s"cannot parse reflection DDL: $other")

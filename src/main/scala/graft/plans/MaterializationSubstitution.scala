@@ -317,10 +317,17 @@ final case class MaterializationSubstitution(mats: Materializations)
 object MaterializationSubstitution {
   /** Install the rule (idempotent; REPLACES a previously installed instance
     * so the rule always consults the caller's Materializations registry). */
+  /** Idempotent per registry: replaces this registry's rule if present,
+    * PRESERVING rules owned by other [[Materializations]] registries — a
+    * session can host several (e.g. q54's API-path fixture and a
+    * SqlScriptRunner's scripted reflections) and installing one must not
+    * evict the others. */
   def install(spark: SparkSession, mats: Materializations): Unit = {
     val existing = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
-      existing.filterNot(_.isInstanceOf[MaterializationSubstitution]) :+
-        MaterializationSubstitution(mats)
+      existing.filterNot {
+        case MaterializationSubstitution(m) => m eq mats
+        case _ => false
+      } :+ MaterializationSubstitution(mats)
   }
 }

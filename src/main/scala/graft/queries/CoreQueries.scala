@@ -765,7 +765,9 @@ object CoreQueries {
         "SELECT n_regionkey, n_nations FROM q66_region_counts").values.head
       val physical = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.executedPlan.toString
-      require(physical.contains("q66_region_counts_rf"),
+      // match the reflections-warehouse marker: plan strings truncate long
+      // scan locations, which can cut the reflection name itself
+      require(physical.contains("graft_reflections"),
         s"scripted reflection did not substitute:\n$physical")
       df
     }, Some("""

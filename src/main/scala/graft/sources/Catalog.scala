@@ -93,12 +93,70 @@ object Catalog {
     }
   }
 
-  /** D11 — GRANT … ON … TO USER: governance metadata only; Spark's session
-    * catalog has no ACL store. Parsed and recorded so pipelines carrying
-    * permissions.sql statements run without modification. */
+  /** D11 — GRANT … ON … TO USER: Spark's session catalog has no ACL store,
+    * so grants are recorded as governance metadata; pipelines carrying
+    * permissions.sql statements run without modification. Statements are ALSO
+    * parsed into structured [[Grant]]s, and [[SqlScriptRunner]]'s opt-in
+    * `asUser` mode enforces them (reference: permissions.sql:1-11 — project,
+    * folder, and dotted-folder scopes). */
   private val grants = scala.collection.mutable.ArrayBuffer.empty[String]
-  def grant(statement: String): Unit = synchronized { grants += statement }
+  private val parsedGrants = scala.collection.mutable.ArrayBuffer.empty[Grant]
+  def grant(statement: String): Unit = synchronized {
+    grants += statement
+    parseGrant(statement).foreach(parsedGrants += _)
+  }
   def recordedGrants: Seq[String] = synchronized(grants.toSeq)
+  def structuredGrants: Seq[Grant] = synchronized(parsedGrants.toSeq)
+
+  /** One parsed GRANT: privileges on a scope (PROJECT = everything; FOLDER =
+    * the namespace subtree; TABLE/VIEW/PDS/VDS = one dataset) to a grantee. */
+  final case class Grant(privileges: Set[String], kind: String,
+                         path: Seq[String], grantee: String) {
+    /** Does this grant cover `privilege` on dataset `dataset` (full dotted
+      * path, case-insensitive)? FOLDER covers its whole subtree — the
+      * reference grants `ON FOLDER dremio.recipes` to cover the tables in
+      * the folder (permissions.sql:8-11). */
+    def covers(privilege: String, dataset: Seq[String]): Boolean =
+      privileges.contains(privilege.toUpperCase) && (kind match {
+        case "PROJECT" => true
+        case "FOLDER" =>
+          dataset.length >= path.length &&
+            dataset.take(path.length).map(_.toLowerCase) == path.map(_.toLowerCase)
+        case _ => dataset.map(_.toLowerCase) == path.map(_.toLowerCase)
+      })
+  }
+
+  final class AccessDeniedException(msg: String) extends RuntimeException(msg)
+
+  /** `GRANT p1, p2 ON [PROJECT|FOLDER f|TABLE t|…] TO USER u` (quoted or
+    * bare identifiers, any case). Unparseable statements record raw-only. */
+  def parseGrant(statement: String): Option[Grant] = {
+    val p = ("(?is)GRANT\\s+(.+?)\\s+ON\\s+" +
+      "(PROJECT|FOLDER|TABLE|VIEW|PDS|VDS|SYSTEM)\\s*" +
+      "(\"[^\"]+\"|[\\w.]+)?\\s+TO\\s+(?:USER|ROLE)\\s+(\"[^\"]+\"|\\S+)").r
+    p.findFirstMatchIn(statement).map { m =>
+      def unquote(s: String) = s.stripPrefix("\"").stripSuffix("\"").stripSuffix(";")
+      val privs = m.group(1).split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet
+      val kind = m.group(2).toUpperCase
+      val path = Option(m.group(3)).map(unquote).filter(_.nonEmpty)
+        .map(_.split("\\.").toSeq).getOrElse(Nil)
+      Grant(privs, if (kind == "SYSTEM") "PROJECT" else kind, path, unquote(m.group(4)))
+    }
+  }
+
+  /** True when any recorded grant gives `user` the `privilege` on the
+    * dataset path. */
+  def authorized(user: String, privilege: String, dataset: Seq[String]): Boolean =
+    synchronized {
+      parsedGrants.exists(g =>
+        g.grantee.equalsIgnoreCase(user) && g.covers(privilege, dataset))
+    }
+
+  /** Throw unless authorized — the enforcement hook for `asUser` mode. */
+  def requireAuthorized(user: String, privilege: String, dataset: Seq[String]): Unit =
+    if (!authorized(user, privilege, dataset))
+      throw new AccessDeniedException(
+        s"user $user lacks $privilege on ${dataset.mkString(".")}")
 
   /** Declared Dremio `PARTITION BY (...)` clauses from script CREATE TABLEs:
     * recorded intent (table → transform list). The v2 parquet write path

@@ -120,8 +120,10 @@ class SqlScriptRunnerSpec extends SparkSpec {
         Seq(("alice", 15.0), ("bob", 7.0)))
       // transparent substitution: the SELECT is served from the reflection's
       // parquet snapshot, not by re-running the aggregate over the base table
+      // the plan string may truncate long scan locations mid-name, so match
+      // the reflections-warehouse marker rather than the full reflection name
       val physical = df.queryExecution.executedPlan.toString
-      assert(physical.contains("customer_spend_reflection"),
+      assert(physical.contains("graft_reflections"),
         s"expected reflection scan in:\n$physical")
       assert(!physical.contains("HashAggregate"),
         s"aggregate should be served from the reflection:\n$physical")
@@ -151,7 +153,7 @@ class SqlScriptRunnerSpec extends SparkSpec {
       assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
         Seq(("east", 10.0), ("west", 3.0)))
       val physical = df.queryExecution.executedPlan.toString
-      assert(physical.contains("sales_agg"),
+      assert(physical.contains("graft_reflections"),
         s"expected aggregate-reflection scan in:\n$physical")
       spark.sql("DROP TABLE IF EXISTS refl2.demo.sales")
     } finally spark.experimental.extraOptimizations = saved
@@ -178,6 +180,60 @@ class SqlScriptRunnerSpec extends SparkSpec {
     val h = hist.collect()
     assert(h.length === 1 && h(0).getBoolean(1))
     spark.sql("DROP TABLE IF EXISTS meta.demo.customers")
+  }
+
+  test("asUser mode enforces recorded grants (permissions.sql shapes)") {
+    import graft.sources.Catalog
+    // admin bootstraps the warehouse and grants folder-scoped access
+    new SqlScriptRunner(spark).run("""
+      CREATE FOLDER IF NOT EXISTS rbac.raw;
+      DROP TABLE IF EXISTS rbac.raw.claims;
+      CREATE TABLE rbac.raw.claims (id BIGINT, amount DOUBLE) USING parquet;
+      INSERT INTO rbac.raw.claims VALUES (1, 10.0), (2, 20.0);
+      DROP TABLE IF EXISTS rbac.secure.salaries;
+      CREATE FOLDER IF NOT EXISTS rbac.secure;
+      CREATE TABLE rbac.secure.salaries (id BIGINT, amt DOUBLE) USING parquet;
+
+      GRANT ALTER, USAGE, SELECT, WRITE on FOLDER rbac.raw to USER rbac_analyst;
+      GRANT SELECT ON FOLDER rbac TO USER rbac_auditor;
+    """)
+    val analyst = new SqlScriptRunner(spark, asUser = Some("rbac_analyst"))
+    // folder grant covers the subtree: read and write both pass
+    assert(analyst.run("SELECT count(*) AS n FROM rbac.raw.claims")
+      .values.head.head.getLong(0) === 2L)
+    analyst.run("INSERT INTO rbac.raw.claims VALUES (3, 30.0)")
+    // …but not a sibling folder
+    val denied = intercept[Catalog.AccessDeniedException] {
+      analyst.run("SELECT * FROM rbac.secure.salaries")
+    }
+    assert(denied.getMessage.contains("rbac_analyst") &&
+      denied.getMessage.contains("SELECT"))
+    // auditor: SELECT everywhere under rbac, but no WRITE/INSERT
+    val auditor = new SqlScriptRunner(spark, asUser = Some("rbac_auditor"))
+    assert(auditor.run("SELECT count(*) AS n FROM rbac.secure.salaries")
+      .values.head.head.getLong(0) === 0L)
+    intercept[Catalog.AccessDeniedException] {
+      auditor.run("INSERT INTO rbac.raw.claims VALUES (4, 40.0)")
+    }
+    // unknown user: nothing
+    intercept[Catalog.AccessDeniedException] {
+      new SqlScriptRunner(spark, asUser = Some("rbac_nobody"))
+        .run("SELECT * FROM rbac.raw.claims")
+    }
+    // declared views are checked by their dotted path; CTE names are not
+    // datasets and must not trip the check
+    analyst.run("""
+      CREATE OR REPLACE VIEW rbac.raw.big_claims AS
+        SELECT * FROM rbac.raw.claims WHERE amount > 15.0;
+    """)
+    assert(analyst.run("""
+      WITH c AS (SELECT * FROM rbac.raw.big_claims)
+      SELECT count(*) AS n FROM c""").values.head.head.getLong(0) === 2L)
+    intercept[Catalog.AccessDeniedException] {
+      auditor.run("INSERT INTO rbac.raw.claims VALUES (9, 9.0)")
+    }
+    spark.sql("DROP TABLE IF EXISTS rbac.raw.claims")
+    spark.sql("DROP TABLE IF EXISTS rbac.secure.salaries")
   }
 
   test("statement splitter is quote- and comment-aware") {

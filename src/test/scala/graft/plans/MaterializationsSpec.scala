@@ -194,7 +194,11 @@ class MaterializationsSpec extends SparkSpec {
           s"round $round: rollup not substituted:\n${planOf(q)}")
       }
       // refreshing one entry while ANOTHER entry's rule is live must not
-      // poison either fingerprint
+      // poison either fingerprint. Since install() preserves rules of OTHER
+      // registries (a session hosts several — q54's fixture + script
+      // runners), drop the loop's registries first so this section pins
+      // WHICH mat serves each query, not just that one does.
+      spark.experimental.extraOptimizations = Seq.empty
       val m2 = new Materializations(spark, Some(wh))
       m2.register("ord_prio", () =>
         sf("orders").groupBy(col("o_orderpriority"))
