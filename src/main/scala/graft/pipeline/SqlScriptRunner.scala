@@ -165,6 +165,16 @@ final class SqlScriptRunner(spark: SparkSession,
         case _ => spark.sql(stmt)
       }
       None
+    } else if (upper.startsWith("OPTIMIZE TABLE ")) {
+      // X2 maintenance surface: OPTIMIZE TABLE t [REWRITE DATA] — file
+      // compaction (readme.md:393-401). Dremio's trailing options
+      // (REWRITE DATA USING BIN_PACK, MIN/MAX_FILE_SIZE_MB…) select the
+      // strategy; this engine's single strategy IS bin-pack.
+      val table = stmt.trim.split("\\s+")(2).stripSuffix(";")
+      asUser.foreach(u =>
+        requirePrivilege(u, "ALTER", Seq("WRITE"), datasetPath(table)))
+      Catalog.compactTable(spark, table)
+      None
     } else if (upper.startsWith("DELETE FROM ") && !upper.contains(" WHERE ")) {
       // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
       // doesn't advertise the v2 TRUNCATE capability, so truncate = drop +

@@ -158,6 +158,30 @@ object Catalog {
       throw new AccessDeniedException(
         s"user $user lacks $privilege on ${dataset.mkString(".")}")
 
+  /** X2 — `OPTIMIZE TABLE t` (Dremio's manual table-optimization surface;
+    * readme.md:393-401 describes the managed version: "file compaction
+    * (bin-packing small files into larger ones)"). Rewrites the table's
+    * files into `targetFiles` bin-packed outputs: stage the current content
+    * (never overwrite files while a scan could still read them), then
+    * rebuild and append the coalesced copy. At cluster scale the same
+    * operation is Iceberg's `rewrite_data_files` per partition;
+    * [[SnapshotTable.compact]] provides the versioned-commit variant.
+    * Returns (files before, files after). */
+  def compactTable(spark: SparkSession, table: String, targetFiles: Int = 1): (Int, Int) = {
+    val df = spark.table(table)
+    val before = df.inputFiles.length
+    val schema = df.schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    df.write.mode(SaveMode.Overwrite).parquet(staged)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
+    spark.read.parquet(staged)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .coalesce(math.max(1, targetFiles))
+      .writeTo(table).append()
+    (before, spark.table(table).inputFiles.length)
+  }
+
   /** Declared Dremio `PARTITION BY (...)` clauses from script CREATE TABLEs:
     * recorded intent (table → transform list). The v2 parquet write path
     * doesn't lay out transform partitions, so SqlScriptRunner strips the

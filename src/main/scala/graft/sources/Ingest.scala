@@ -70,6 +70,41 @@ object Ingest {
     df
   }
 
+  /** Continuous COPY INTO: the streaming form of [[copyInto]] for data that
+    * keeps arriving (the training-pipeline ingestion pattern — new dump files
+    * land in a prefix and must flow into the table exactly once). Spark's
+    * file stream source tracks processed files in the checkpoint, giving
+    * exactly-once appends per file with no manual bookkeeping; `maxFilesPerTrigger`
+    * bounds each micro-batch so a backlog of thousands of files drains in
+    * controlled increments instead of one giant batch. Unlike the batch
+    * path, the streaming CSV source binds files POSITIONALLY against the
+    * declared schema (header lines are only skipped) — files must share the
+    * table's column order; use batch [[copyInto]] for header-order-varying
+    * backfills. Returns the started query — callers own its lifecycle. */
+  def copyIntoStream(spark: SparkSession, targetTable: String, sourceDir: String,
+                     checkpointDir: String, sep: String = ",",
+                     header: Boolean = true,
+                     maxFilesPerTrigger: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val target = spark.table(targetTable)
+    val stream = spark.readStream
+      .schema(target.schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(sourceDir)
+      .select(target.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").insertInto(targetTable)
+        // the micro-batch runs in a cloned session; invalidate the CALLER
+        // session's cached relation so its readers see the new files
+        spark.catalog.refreshTable(targetTable)
+      }
+      .start()
+  }
+
   /** One row per file under `dir`: path, modificationTime, length, content.
     * `pathGlobFilter` narrows like the reference's `WHERE file['path'] LIKE`;
     * `recursive` descends prefixes like an object-store listing. */

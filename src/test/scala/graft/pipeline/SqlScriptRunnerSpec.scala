@@ -236,6 +236,27 @@ class SqlScriptRunnerSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS rbac.secure.salaries")
   }
 
+  test("OPTIMIZE TABLE bin-packs small files without changing content") {
+    val runner = new SqlScriptRunner(spark)
+    runner.run("""
+      CREATE FOLDER IF NOT EXISTS opt.raw;
+      DROP TABLE IF EXISTS opt.raw.readings;
+      CREATE TABLE opt.raw.readings (id BIGINT, v DOUBLE) USING parquet;
+      INSERT INTO opt.raw.readings VALUES (1, 1.0);
+      INSERT INTO opt.raw.readings VALUES (2, 2.0);
+      INSERT INTO opt.raw.readings VALUES (3, 3.0);
+      INSERT INTO opt.raw.readings VALUES (4, 4.0);
+    """)
+    val before = spark.table("opt.raw.readings").inputFiles.length
+    assert(before >= 4, s"expected one file per insert, got $before")
+    runner.run("OPTIMIZE TABLE opt.raw.readings")
+    val t = spark.table("opt.raw.readings")
+    assert(t.inputFiles.length === 1)
+    assert(t.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    spark.sql("DROP TABLE IF EXISTS opt.raw.readings")
+  }
+
   test("statement splitter is quote- and comment-aware") {
     val r = new SqlScriptRunner(spark)
     val stmts = r.statements(

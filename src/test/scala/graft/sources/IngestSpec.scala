@@ -67,6 +67,32 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS tx_ro")
   }
 
+  test("copyIntoStream ingests arriving files exactly once across batches") {
+    val src = Files.createTempDirectory("copy_stream_src").toFile
+    val ckpt = Files.createTempDirectory("copy_stream_ck").toFile.getAbsolutePath
+    val warehouse = Files.createTempDirectory("copy_stream_wh").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS tx_stream")
+    spark.sql(s"""
+      CREATE TABLE tx_stream (id INT, name STRING, amount DOUBLE)
+      USING parquet LOCATION '$warehouse/tx_stream'""")
+    def drop(name: String, lines: String*): Unit =
+      Files.write(new java.io.File(src, name).toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+    drop("w1.csv", "id,name,amount", "1,a,10.0", "2,b,20.0")
+    val q = Ingest.copyIntoStream(spark, "tx_stream", src.getAbsolutePath, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tx_stream").count() === 2)
+      // second wave: only the NEW file is ingested (checkpointed file log)
+      drop("w2.csv", "id,name,amount", "3,c,30.0")
+      q.processAllAvailable()
+      val rows = spark.table("tx_stream").orderBy("id").collect()
+      assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+      assert(rows.map(_.getDouble(2)).sum === 60.0)
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS tx_stream")
+  }
+
   test("listFiles yields one row per file with path/length/content") {
     val dir = writeCsvFixture()
     val files = Ingest.listFiles(spark, dir.getAbsolutePath, "*.csv")
