@@ -15,7 +15,30 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Loaded frames per session — resolving a table is a catalog lookup, not
+    * a fresh file listing + parquet footer read per call (a real catalog
+    * caches metadata the same way; re-listing 10 tables per query was pure
+    * driver-side overhead in the bench). Weak keys: dropping a session
+    * releases its plans. */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate((dir, name), load(spark, dir, name))
+    }
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     // read nanos as long and truncate to microsecond TimestampType. Integer
     // `div` keeps full precision (a double division would lose bits past
@@ -28,8 +51,19 @@ object Tables {
     else df
   }
 
+  /** Which dir each session's temp views currently point at. */
+  private val registeredDir = new java.util.WeakHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so `spark.sql` queries (SQL-surface
-    * parity with the reference's pipelines) resolve bare table names. */
+    * parity with the reference's pipelines) resolve bare table names.
+    * Idempotent per (session, dir): views persist in the session, so
+    * re-registering on every query invocation would only repeat catalog
+    * churn; switching dirs re-points the views. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != dir) {
+        all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, dir)
+      }
+    }
 }
