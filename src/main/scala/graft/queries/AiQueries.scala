@@ -63,13 +63,14 @@ object AiQueries {
     }, None),
 
     // U3 + multimodal plumbing — binary payload column with typed metadata:
-    // decode (STUB) → resize → frame-sample → per-format stats. The payload
+    // decode (auto-routed: REAL javax.imageio for images, stub for a/v) →
+    // resize → frame-sample → per-format stats. The payload
     // here is the document text encoded as bytes; a real corpus would carry
     // image/audio bytes through the identical plan.
     Q("q63_multimodal_decode", (s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("content", encode(col("text"), "utf-8"))
-        .withColumn("meta", Multimodal.decodeStub(col("content")))
+        .withColumn("meta", Multimodal.decodeAutoUdf(col("content")))
         .withColumn("meta_small", Multimodal.resizeMeta(col("meta"), 640))
       d.groupBy(col("meta")("format").as("format"))
         .agg(count(lit(1)).as("n"),
@@ -83,7 +84,7 @@ object AiQueries {
     Q("q64_multimodal_frames", (s, dir) => {
       val d = t(s, dir, "documents").limit(50)
         .withColumn("content", encode(col("text"), "utf-8"))
-        .withColumn("meta", Multimodal.decodeStub(col("content")))
+        .withColumn("meta", Multimodal.decodeAutoUdf(col("content")))
       Multimodal.sampleFrames(d, col("meta"), step = 24)
         .withColumn("ai", AiFunctions.aiGenerateMultimodal(
           concat(lit("Describe frame "), col("frame_idx")), col("content")))

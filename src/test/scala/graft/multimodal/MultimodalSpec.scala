@@ -28,6 +28,57 @@ class MultimodalSpec extends SparkSpec {
     assert(batched.collect().toSet === perRow.collect().toSet)
   }
 
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL image path: decode, auto-routing, resize, quadrant features") {
+    import spark.implicits._
+    val red = png(640, 480, 0xff0000)
+    val blue = png(1600, 1200, 0x0000ff)
+    val notAnImage = "RIFFxxxxWAVE-pretend-audio".getBytes("UTF-8")
+
+    // header-only decode reports true dimensions and format
+    val m = Multimodal.decodeImage(red)
+    assert(m.format === "png" && m.width === 640 && m.height === 480)
+    // auto-routing: images take the real path, other bytes the stub
+    assert(Multimodal.decodeAuto(blue).width === 1600)
+    assert(Multimodal.decodeAuto(notAnImage) === Multimodal.decodeMeta(notAnImage))
+
+    // real resize: bytes shrink AND re-decode at the expected dimensions
+    val small = Multimodal.resizeImage(blue, maxDim = 800)
+    val sm = Multimodal.decodeImage(small)
+    assert(sm.width === 800 && sm.height === 600)
+    assert(Multimodal.resizeImage(red, maxDim = 800) eq red) // already small: pass-through
+    assert(Multimodal.resizeImage(notAnImage, 800) === null)
+
+    // features reflect actual pixel content: every quadrant of the red image
+    // is red-dominant, of the blue image blue-dominant
+    val fr = Multimodal.imageFeatures(red)
+    val fb = Multimodal.imageFeatures(blue)
+    assert(fr.length === 12 && fb.length === 12)
+    (0 until 4).foreach { q =>
+      assert(fr(q * 3) === 1.0f && fr(q * 3 + 2) === 0.0f)
+      assert(fb(q * 3) === 0.0f && fb(q * 3 + 2) === 1.0f)
+    }
+
+    // the same functions as Spark UDFs inside a distributed plan
+    val df = Seq((1L, red), (2L, blue), (3L, notAnImage)).toDF("id", "content")
+      .withColumn("meta", Multimodal.decodeAutoUdf(col("content")))
+      .withColumn("thumb", Multimodal.resizeImageUdf(col("content"), lit(100)))
+      .withColumn("feat", Multimodal.imageFeaturesUdf(col("content")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") === 640)
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("meta").getAs[String]("format") === "png")
+    assert(Multimodal.decodeImage(rows(1).getAs[Array[Byte]]("thumb")).width === 100)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("feat"))) // non-image: no features
+  }
+
   test("resizeMeta caps the longest side preserving other fields") {
     val d = docsWithContent
       .withColumn("meta", Multimodal.decodeStub(col("content")))
