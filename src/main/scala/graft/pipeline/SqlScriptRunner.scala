@@ -73,8 +73,10 @@ final class SqlScriptRunner(spark: SparkSession,
     }.toMap
   }
 
-  /** Split on `;` outside single/double quotes; strip `--` comments. */
-  private[pipeline] def statements(script: String): Seq[String] = {
+  /** Split on `;` outside single/double quotes; strip `--` line comments
+    * and `/* … */` block comments. */
+  private[pipeline] def statements(raw: String): Seq[String] = {
+    val script = DremioDialect.stripBlockComments(raw)
     val noComments = script.linesIterator.map { line =>
       var inS = false; var inD = false; var cut = line.length
       var i = 0
@@ -115,7 +117,13 @@ final class SqlScriptRunner(spark: SparkSession,
   }
 
   private def execute(raw: String): Option[DataFrame] = {
-    val stmt = DremioDialect.rewriteAiGenerate(rewriteViewPaths(raw))
+    val stmt = DremioDialect.rewriteDdlTypes(
+      DremioDialect.rewriteAiGenerate(
+        DremioDialect.rewriteToTimestamp3(
+          DremioDialect.rewriteFunctionNames(
+            DremioDialect.rewriteArrayLiterals(
+              DremioDialect.rewriteQuotedIdentifiers(
+                rewriteViewPaths(raw)))))))
     val upper = stmt.toUpperCase.replaceAll("\\s+", " ").trim
     if (upper.startsWith("CREATE FOLDER")) {
       val path = stmt.trim.split("\\s+").last.stripSuffix(";")
@@ -147,23 +155,36 @@ final class SqlScriptRunner(spark: SparkSession,
           spark.sql(stmt); None
       }
     } else if (upper.startsWith("CREATE TABLE") &&
-        "(?i)PARTITION\\s+BY\\s*\\(".r.findFirstIn(stmt).isDefined) {
+        ("(?i)PARTITION\\s+BY\\s*\\(".r.findFirstIn(stmt).isDefined ||
+         "(?i)DISTRIBUTE\\s+BY\\s*\\(".r.findFirstIn(stmt).isDefined)) {
       // Dremio `PARTITION BY (DAY(ts))` / `(col)` on CREATE TABLE: Spark's
       // parser doesn't accept the spelling and the v2 parquet write path
       // doesn't lay out transform partitions, so the clause is recorded as
       // declared intent and the table is created unpartitioned. Day-grain
       // pruning is provided by the engine's own write path
       // (Catalog.ctasDayPartitioned + HiddenPartitionPruning).
-      // one nesting level inside the clause covers DAY(ts)/TRUNCATE(n, col)
-      val m = "(?is)(.*?)PARTITION\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)(.*)".r
-      stmt match {
-        case m(before, clause, after) =>
-          val tName = "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)".r
-            .findFirstMatchIn(stmt).map(_.group(1)).getOrElse("?")
-          Catalog.recordPartitionIntent(tName, clause.trim)
-          spark.sql(before + after)
-        case _ => spark.sql(stmt)
-      }
+      // `DISTRIBUTE BY (cols)` (retail.sql:134) keeps its SEMANTICS: the
+      // clause becomes a REPARTITION hint on the CTAS select, clustering
+      // rows on the declared key exactly as Dremio lays them out.
+      // one nesting level inside the clauses covers DAY(ts)/TRUNCATE(n, col)
+      val tName = "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)".r
+        .findFirstMatchIn(stmt).map(_.group(1)).getOrElse("?")
+      var sql = stmt
+      "(?is)PARTITION\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+        .findFirstMatchIn(sql).foreach { m =>
+          Catalog.recordPartitionIntent(tName, m.group(1).trim)
+          sql = sql.substring(0, m.start) + sql.substring(m.end)
+        }
+      "(?is)DISTRIBUTE\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)".r
+        .findFirstMatchIn(sql).foreach { m =>
+          val cols = m.group(1).trim
+          Catalog.recordPartitionIntent(tName, s"DISTRIBUTE BY ($cols)")
+          sql = sql.substring(0, m.start) + sql.substring(m.end)
+          sql = "(?is)\\bSELECT\\b".r.findFirstMatchIn(sql).map(s0 =>
+            sql.substring(0, s0.end) + s" /*+ REPARTITION($cols) */" +
+              sql.substring(s0.end)).getOrElse(sql)
+        }
+      spark.sql(sql)
       None
     } else if (upper.startsWith("OPTIMIZE TABLE ")) {
       // X2 maintenance surface: OPTIMIZE TABLE t [REWRITE DATA] — file
@@ -188,7 +209,7 @@ final class SqlScriptRunner(spark: SparkSession,
       spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
       None
     } else {
-      val rewritten = rewriteMetadataTables(stmt)
+      val rewritten = rewriteMetadataTables(rewriteListFiles(stmt))
       asUser.foreach(u => enforce(u, upper, rewritten))
       val df = spark.sql(rewritten)
       if (upper.startsWith("SELECT") || upper.startsWith("WITH")) Some(df) else None
@@ -319,6 +340,43 @@ final class SqlScriptRunner(spark: SparkSession,
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.MaterializationSubstitution(reflections)
+  }
+
+  /** `TABLE(LIST_FILES('@source/prefix'))` (ai_generate.sql:19-21,
+    * logistics_AI.sql:349) → a temp view of one `file` struct per object —
+    * `file['path']` / `file['size']` / `file['mtime']` as Dremio exposes.
+    * `@name` roots resolve via `graft.source.<name>` session conf (point it
+    * at any directory/bucket mount); unconfigured sources bind to an empty
+    * staging dir so pipelines run with a no-files-yet source rather than
+    * failing on a foreign bucket. Content bytes deliberately stay OUT of
+    * the handle (metadata listing never reads payloads; a consumer fetches
+    * by path). */
+  private def rewriteListFiles(stmt: String): String = {
+    val p = "(?is)TABLE\\s*\\(\\s*LIST_FILES\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)".r
+    p.replaceAllIn(stmt, m => {
+      val ref = m.group(1)
+      val (source, prefix) = ref.stripPrefix("@").split("/", 2) match {
+        case Array(s, rest) => (s, rest)
+        case Array(s) => (s, "")
+      }
+      val root = spark.conf.getOption(s"graft.source.$source").getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_src_$source")
+        spark.conf.set(s"graft.source.$source", dir.toString)
+        dir.toString
+      }
+      val dir = new java.io.File(root, prefix)
+      java.nio.file.Files.createDirectories(dir.toPath)
+      val listing = graft.sources.Ingest.listFileMeta(spark, dir.getAbsolutePath)
+        .select(org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("path"),
+          org.apache.spark.sql.functions.col("length").as("size"),
+          org.apache.spark.sql.functions.col("modificationTime").as("mtime"))
+          .as("file"))
+      metaViewCount += 1
+      val v = s"graft_files_$metaViewCount"
+      listing.createOrReplaceTempView(v)
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
   }
 
   /** Bind `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))`
