@@ -82,7 +82,10 @@ object StubBackend extends LlmBackend {
       else if (t.startsWith("double") || t.startsWith("float") || t.startsWith("decimal")) {
         val neg = negative.count(p.contains); val pos = positive.count(p.contains)
         val score = 0.5 + 0.5 * (pos - neg).toDouble / math.max(1, pos + neg)
-        f"$score%.2f"
+        // Locale.ROOT: a comma-decimal default locale would emit "0,50",
+        // which is malformed JSON and nulls out every from_json struct
+        String.format(java.util.Locale.ROOT, "%.2f",
+          java.lang.Double.valueOf(score))
       } else if (n.contains("issue") || n.contains("category")) jsonStr {
         if (p.contains("traffic")) "Traffic"
         else if (p.contains("weather") || p.contains("snow")) "Weather"
