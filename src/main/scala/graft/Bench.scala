@@ -44,17 +44,27 @@ object Bench {
       }
       q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0) // failures blow up the total, never shrink it
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver scrapes stdout (truncation-prone); also write the line to a
-    // file so BENCH_r{N}.json gets a machine-parseable payload.
+    def jsonLine(qs: Seq[(String, Double)]): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$m,"sf":"$sfDir"}"""
+    }
+    // The driver captures only the LAST ~2000 chars of stdout; the full-name
+    // per-query map (~2.3 KB) overflows that window and arrives truncated
+    // (unparseable). Stdout therefore gets a COMPACT line — query ids
+    // shortened to their `qNN`/`qNNb` prefix (unique by construction),
+    // times rounded to ms — that fits the window with room for sbt's
+    // trailing "[success]" line. The full-name full-precision line goes to
+    // $SPARK_GRAFT_BENCH_OUT for human/per-query analysis.
+    val shortKeys = results.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> math.rint(v * 1000) / 1000 }
+    require(shortKeys.map(_._1).distinct.length == results.length,
+      "bench: short query ids collide; compact stdout line would drop entries")
+    println(jsonLine(shortKeys))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (jsonLine(results) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
