@@ -30,7 +30,30 @@ object AiQueries {
                       'storage and caching', 'streaming')) AS label
               FROM documents)
         GROUP BY label""")
-    }, None),
+    }, Some("""
+      -- The stub classifier is deterministic keyword overlap: score(label) =
+      -- number of label words appearing in lower(text) as substrings (a
+      -- token match implies a substring match, so the token check folds in);
+      -- first max wins, all-zero falls back to the LAST label.
+      WITH s AS (SELECT lower(text) AS p FROM documents),
+      sc AS (SELECT
+        (CASE WHEN contains(p,'query') THEN 1 ELSE 0 END
+       + CASE WHEN contains(p,'processing') THEN 1 ELSE 0 END) AS s1,
+        (CASE WHEN contains(p,'joins') THEN 1 ELSE 0 END
+       + CASE WHEN contains(p,'and') THEN 1 ELSE 0 END
+       + CASE WHEN contains(p,'shuffles') THEN 1 ELSE 0 END) AS s2,
+        (CASE WHEN contains(p,'storage') THEN 1 ELSE 0 END
+       + CASE WHEN contains(p,'and') THEN 1 ELSE 0 END
+       + CASE WHEN contains(p,'caching') THEN 1 ELSE 0 END) AS s3,
+        CASE WHEN contains(p,'streaming') THEN 1 ELSE 0 END AS s4
+       FROM s)
+      SELECT CASE WHEN greatest(s1,s2,s3,s4) = 0 THEN 'streaming'
+                  WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'query processing'
+                  WHEN s2 >= s3 AND s2 >= s4 THEN 'joins and shuffles'
+                  WHEN s3 >= s4 THEN 'storage and caching'
+                  ELSE 'streaming' END AS label,
+             count(*) AS n_docs
+      FROM sc GROUP BY 1""")),
 
     // U2 — AI_GENERATE WITH SCHEMA ROW(...): struct-typed extraction with a
     // per-call-site schema (logistics_AI.sql:135-160) through the GENERIC
@@ -51,16 +74,51 @@ object AiQueries {
         .groupBy(col("primary_issue"), col("severity"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("requires_apology"), 1).otherwise(0)).as("n_apology"))
-    }, None),
+    }, Some("""
+      -- Replays StubBackend.generateJson's name-aware field heuristics
+      -- (issue keyword ladder, severity intensity markers, apology =
+      -- negative-marker scan) — all plain substring checks over lower(text).
+      WITH s AS (SELECT lower(text) AS p FROM documents),
+      e AS (SELECT
+        CASE WHEN contains(p,'traffic') THEN 'Traffic'
+             WHEN contains(p,'weather') OR contains(p,'snow') THEN 'Weather'
+             WHEN contains(p,'access') OR contains(p,'gate') THEN 'Access'
+             WHEN contains(p,'mechanical') OR contains(p,'engine') THEN 'Mechanical'
+             WHEN contains(p,'angry') OR contains(p,'unacceptable') OR contains(p,'terrible')
+               OR contains(p,'worst') OR contains(p,'refund') OR contains(p,'damage') THEN 'Customer'
+             ELSE 'None' END AS primary_issue,
+        CASE WHEN contains(p,'very') OR contains(p,'extremely') OR contains(p,'!') THEN 'high'
+             WHEN contains(p,'somewhat') OR contains(p,'minor') THEN 'low'
+             ELSE 'medium' END AS severity,
+        CASE WHEN contains(p,'angry') OR contains(p,'unacceptable') OR contains(p,'terrible')
+          OR contains(p,'worst') OR contains(p,'refund') OR contains(p,'damage')
+          THEN 1 ELSE 0 END AS ap
+       FROM s)
+      SELECT primary_issue, severity, count(*) AS n,
+             CAST(sum(ap) AS BIGINT) AS n_apology
+      FROM e GROUP BY 1, 2""")),
 
     // U4 — AI_COMPLETE free-text (logistics_AI.sql:223-239): prompt built
     // with || concatenation like the reference's prompt assembly.
     Q("q62_ai_complete", (s, dir) => {
-      t(s, dir, "documents").limit(100)
+      // orderBy before limit: a bare limit picks engine-dependent rows, which
+      // would make the cross-engine hash compare nondeterministic
+      t(s, dir, "documents").orderBy(col("doc_id")).limit(100)
         .select(col("doc_id"),
           AiFunctions.aiComplete(
             concat(lit("Summarize for ops: "), col("text"))).as("summary"))
-    }, None),
+    }, Some("""
+      -- StubBackend.complete = '[completion] ' + first 12 whitespace tokens
+      -- (+ ' …' when more follow); the filter drops split artifacts exactly
+      -- like Java split's empty-token elision.
+      SELECT doc_id,
+        '[completion] ' || array_to_string(list_slice(words, 1, 12), ' ') ||
+          CASE WHEN len(words) > 12 THEN ' …' ELSE '' END AS summary
+      FROM (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(trim('Summarize for ops: ' || text), '\s+'),
+                      w -> w <> '') AS words
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100))""")),
 
     // U3 + multimodal plumbing — binary payload column with typed metadata:
     // decode (auto-routed: REAL javax.imageio for images, stub for a/v) →
