@@ -59,4 +59,75 @@ object ScaleOps {
       .orderBy(col("n_rows").desc)
       .limit(topN)
   }
+
+  // --- Z-order clustering (multi-dimensional data skipping) -----------------
+
+  /** Z-value column interleaving the quantile-bucket ranks of `cols`
+    * (numeric). Each column is bucketed into 2^bitsPerCol quantile ranges
+    * (boundaries from ONE `approxQuantile` pass — a bounded driver-side
+    * sketch, same class of setup cost as IVF centroids), then the bucket
+    * bits are interleaved: bit b of column j lands at position b*n+j. Rows
+    * close in z-value are close in EVERY clustering dimension.
+    *
+    * Built purely from codegen'd primitives — a `when`-chain per boundary
+    * (CaseWhen, whole-stage codegen) and integer shift/mask interleaving —
+    * so the z-value computation itself never leaves Tungsten. NULLs bucket
+    * to 0 (cluster together at the low end, like a NULLS FIRST sort). */
+  def zvalueCol(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 4): Column = {
+    require(cols.nonEmpty && bitsPerCol >= 1 && bitsPerCol * cols.length <= 63,
+      s"zvalueCol: need 1..63 total bits, got ${bitsPerCol * cols.length}")
+    val b = 1 << bitsPerCol
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    // date/timestamp cluster on their epoch value; everything else casts to
+    // double directly (approxQuantile needs numeric input)
+    def asNum(c: String): Column = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.DateType |
+           _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast("timestamp").cast("double")
+      case _ => col(c).cast("double")
+    }
+    val proj = df.select(cols.zipWithIndex.map { case (c, i) => asNum(c).as(s"__q$i") }: _*)
+    val bounds = proj.stat.approxQuantile(
+      cols.indices.map(i => s"__q$i").toArray, probs, 0.001)
+    val n = cols.length
+    val bucketCols = cols.zip(bounds).map { case (c, bs) =>
+      // bucket = number of distinct boundaries strictly below the value
+      bs.distinct.map(v => when(asNum(c) > lit(v), 1).otherwise(0))
+        .reduceOption((a, x) => a + x).getOrElse(lit(0))
+    }
+    bucketCols.zipWithIndex.map { case (bkt, j) =>
+      (0 until bitsPerCol).map { bit =>
+        shiftleft(shiftright(bkt, bit).bitwiseAND(lit(1)).cast("long"), bit * n + j)
+      }.reduce((a, x) => a.bitwiseOR(x))
+    }.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** OPTIMIZE ... ZORDER BY: rewrite `df` as parquet clustered on the
+    * z-order curve over `cols`. Linear sort keys skip well only on the
+    * leading column; after z-ordering, per-file min/max stats are tight on
+    * ALL clustering columns, so parquet row-group/file pruning works for
+    * predicates on any of them — the difference between scanning 100 TB and
+    * scanning the ~1/2^bits slice a 2-column predicate actually needs.
+    *
+    * `repartitionByRange` on the z-value gives non-overlapping z-ranges per
+    * file (range exchange with sampled boundaries — no global sort), and the
+    * within-partition sort keeps row groups tight inside each file. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
+                  targetFiles: Int = 64, bitsPerCol: Int = 4): Unit = {
+    val z = zvalueCol(df, cols, bitsPerCol)
+    df.withColumn("__zorder", z)
+      .repartitionByRange(targetFiles, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Per-file [min,max] of `valueCol` in ONE scan (input_file_name grouping)
+    * — the stats a reader's pruning consults; used to measure skipping
+    * effectiveness (files whose range overlaps a predicate). */
+  def fileRangeStats(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        count(lit(1)).as("n_rows"))
 }

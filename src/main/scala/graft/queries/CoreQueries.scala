@@ -27,6 +27,11 @@ object CoreQueries {
   private[queries] val scriptRunnerFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.SqlScriptRunner]()
 
+  /** q68's z-ordered-orders fixture (path of the clustered copy); the
+    * rewrite is maintenance (OPTIMIZE-time), not query-time work. */
+  private[queries] val zorderFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val list: Seq[Q] = Seq(
 
     // A3/A10 — multi-key groupBy with sum/avg/count over the biggest fact
@@ -772,6 +777,49 @@ object CoreQueries {
       df
     }, Some("""
       SELECT n_regionkey, count(*) AS n_nations
-      FROM nation GROUP BY n_regionkey"""))
+      FROM nation GROUP BY n_regionkey""")),
+
+    // X2 companion — OPTIMIZE ... ZORDER BY: orders rewritten clustered on
+    // the z-curve over (o_orderdate, o_totalprice), then a 2-column range
+    // predicate over the clustered copy. The oracle runs the same predicate
+    // on the RAW table — equality proves clustering is a pure reorder — and
+    // the require() proves the layout actually skips: the predicate's file
+    // ranges must exclude some files on BOTH clustering columns (a linear
+    // sort can only ever skip on its leading column).
+    Q("q68_zorder_skip", (s, dir) => {
+      import graft.ops.ScaleOps
+      val path = CoreQueries.zorderFixtures.computeIfAbsent(
+        System.identityHashCode(s) + "|" + dir, _ => {
+          val out = java.nio.file.Files.createTempDirectory("graft_zorder")
+            .toFile.getAbsolutePath + "/orders_z"
+          ScaleOps.zorderWrite(t(s, dir, "orders"),
+            Seq("o_orderdate", "o_totalprice"), out, targetFiles = 8)
+          out
+        })
+      val z = s.read.parquet(path)
+      def overlaps(c: String, lo: org.apache.spark.sql.Column,
+                   hi: org.apache.spark.sql.Column): Long =
+        ScaleOps.fileRangeStats(z, c)
+          .filter(col("lo") <= hi && col("hi") >= lo).count()
+      val nFiles = ScaleOps.fileRangeStats(z, "o_orderkey").count()
+      require(overlaps("o_totalprice", lit(50000.0), lit(100000.0)) < nFiles,
+        "z-order layout failed to prune files on o_totalprice")
+      require(overlaps("o_orderdate",
+        lit("1994-01-01").cast("timestamp"), lit("1994-03-31").cast("timestamp")) < nFiles,
+        "z-order layout failed to prune files on o_orderdate")
+      z.filter(col("o_orderdate").between(lit("1994-01-01").cast("timestamp"),
+          lit("1994-03-31").cast("timestamp")) &&
+          col("o_totalprice").between(50000.0, 100000.0))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+    }, Some("""
+      SELECT count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue,
+             count(DISTINCT o_custkey) AS n_customers
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                            AND TIMESTAMP '1994-03-31 00:00:00'
+        AND o_totalprice BETWEEN 50000 AND 100000"""))
   )
 }

@@ -40,6 +40,50 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("zorderWrite preserves content and skips on the non-leading column") {
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zDir = s"$dir/z"
+    val linearDir = s"$dir/linear"
+    val files = 8
+    ScaleOps.zorderWrite(li, Seq("l_partkey", "l_suppkey"), zDir, targetFiles = files)
+    // linear baseline: sorted by the LEADING column only — suppkey values
+    // spread over every file, so a suppkey predicate can't skip anything
+    li.repartitionByRange(files, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linearDir)
+
+    val z = spark.read.parquet(zDir)
+    // content identical — clustering is a pure reorder
+    assert(z.count() === li.count())
+    assert(z.agg(sum("l_quantity")).head.getDouble(0) ===
+      li.agg(sum("l_quantity")).head.getDouble(0))
+
+    // skipping effectiveness: fraction of files whose [min,max] range on the
+    // SECOND clustering column overlaps a narrow predicate
+    // predicate band = a narrow off-center slice (a median-centered band
+    // straddles the top z-bit boundary and touches both halves by design),
+    // derived from the data so the test adapts to any scale factor
+    def band(colName: String): (Double, Double) = {
+      val q = li.stat.approxQuantile(colName, Array(0.20, 0.30), 0.0)
+      (q(0), q(1))
+    }
+    def overlapping(path: String, colName: String, lo: Double, hi: Double): Long =
+      ScaleOps.fileRangeStats(spark.read.parquet(path), colName)
+        .filter(col("lo") <= hi && col("hi") >= lo).count()
+
+    val (slo, shi) = band("l_suppkey")
+    val zHit = overlapping(zDir, "l_suppkey", slo, shi)
+    val linHit = overlapping(linearDir, "l_suppkey", slo, shi)
+    assert(linHit === files.toLong, "leading-column sort should not skip on suppkey")
+    assert(zHit < linHit, s"z-order should prune files on the second column ($zHit vs $linHit)")
+
+    // and the z-order layout still skips on the FIRST column too
+    val (plo, phi) = band("l_partkey")
+    val zFirst = overlapping(zDir, "l_partkey", plo, phi)
+    assert(zFirst < files.toLong, "z-order should also prune on the first column")
+  }
+
   test("keySkewProfile surfaces the hot key first") {
     import spark.implicits._
     val df = (Seq.fill(90)("hot") ++ Seq.fill(10)("cold")).toDF("k")
