@@ -26,13 +26,35 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
                            var materialized: Option[DataFrame],
                            var refreshedAtMs: Option[Long],
                            var fingerprint: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = None)
+                             org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = None,
+                           aggShape: Option[(Seq[String], Seq[Materializations.AggSpec])] = None)
 
   private val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
 
   /** Declare a reflection: name + definition. Lazy until first refresh. */
   def register(name: String, define: () => DataFrame): Unit = synchronized {
     entries(name) = Entry(define, None, None)
+  }
+
+  /** Declare an AGGREGATE reflection with an explicit shape (group columns +
+    * sum/count/min/max measures) so it can be INCREMENTALLY maintained: at
+    * 100 TB the difference between `refresh` (rescan the whole base) and
+    * `refreshIncremental` (aggregate only the new rows and merge) is the
+    * difference between an hours-long rebuild and a seconds-long one — the
+    * reference's aggregation reflections refresh the same way on append-only
+    * tables (readme.md:320-389). `base()` must return the CURRENT base
+    * (including any appended rows) so full refresh and fingerprinting stay
+    * correct. */
+  def registerAggregate(name: String, base: () => DataFrame, groupCols: Seq[String],
+                        aggs: Seq[Materializations.AggSpec]): Unit = synchronized {
+    require(groupCols.nonEmpty && aggs.nonEmpty, "registerAggregate: empty shape")
+    aggs.foreach(a => require(Materializations.mergeableFns(a.fn),
+      s"registerAggregate: '${a.fn}' is not incrementally mergeable " +
+        "(sum/count/min/max are; avg = register sum+count, roll up at read)"))
+    val define = () => base()
+      .groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(Materializations.aggCols(aggs).head, Materializations.aggCols(aggs).tail: _*)
+    entries(name) = Entry(define, None, None, aggShape = Some((groupCols, aggs)))
   }
 
   /** Materialize (or re-materialize) now: persists in memory/disk; with a
@@ -62,6 +84,60 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
       e.refreshedAtMs = Some(System.currentTimeMillis())
       // Fingerprint once at refresh (optimizer rules run per query —
       // matching must not re-analyze the definition each time).
+      e.fingerprint = try Some((
+        classic(e.define()).queryExecution.optimizedPlan.canonicalized,
+        classic(mat).queryExecution.analyzed))
+      catch { case _: Throwable => None }
+      mat
+    }
+  }
+
+  /** Incremental refresh for an aggregate reflection on an APPEND-ONLY base:
+    * `delta` is exactly the rows appended since the last refresh. Cost is
+    * O(|delta| + |mat|) — the base table is never rescanned: the delta is
+    * aggregated to the reflection's grain and merged with the existing
+    * materialization (sum of sums, sum of counts, min of mins, max of maxes
+    * — the same re-aggregation algebra the rollup substitution uses).
+    * Updates/deletes in the base need a full `refresh` (min/max are not
+    * subtractable). Falls back to full refresh when nothing is materialized
+    * yet. */
+  def refreshIncremental(name: String, delta: DataFrame): DataFrame = synchronized {
+    val e = entries(name)
+    val (groupCols, aggs) = e.aggShape.getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshIncremental('$name'): not registered via registerAggregate"))
+    if (e.materialized.isEmpty) return refresh(name)
+    e.fingerprint = None
+    withoutSubstitutionRules {
+      import org.apache.spark.sql.functions.col
+      val old = e.materialized.get
+      val deltaAgg = delta
+        .groupBy(groupCols.map(col): _*)
+        .agg(Materializations.aggCols(aggs).head, Materializations.aggCols(aggs).tail: _*)
+      val merged = old.unionByName(deltaAgg)
+        .groupBy(groupCols.map(col): _*)
+        .agg(Materializations.mergeCols(aggs).head, Materializations.mergeCols(aggs).tail: _*)
+      val mat = warehouseDir match {
+        case Some(dir) =>
+          // staged swap: `merged` READS the live parquet at $dir/$name, so
+          // write to a stage path first and rename over the old copy
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+          val stage = new org.apache.hadoop.fs.Path(s"$dir/$name.stage")
+          merged.write.mode("overwrite").parquet(stage.toString)
+          fs.delete(live, true)
+          require(fs.rename(stage, live), s"refreshIncremental: rename failed for $name")
+          spark.read.parquet(live.toString)
+        case None =>
+          // materialize the merge FULLY before dropping the old copy it reads
+          val m = merged.persist(StorageLevel.MEMORY_AND_DISK)
+          m.count()
+          old.unpersist()
+          m
+      }
+      e.materialized = Some(mat)
+      e.refreshedAtMs = Some(System.currentTimeMillis())
       e.fingerprint = try Some((
         classic(e.define()).queryExecution.optimizedPlan.canonicalized,
         classic(mat).queryExecution.analyzed))
@@ -111,4 +187,34 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
   def fingerprints(): Seq[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
     synchronized(entries.values.toSeq.flatMap(_.fingerprint))
+}
+
+object Materializations {
+  /** One measure of an aggregate reflection: `fn` ∈ sum/count/min/max over
+    * `col` ("*" for count), surfaced as `alias`. */
+  final case class AggSpec(fn: String, col: String, alias: String)
+
+  private[plans] val mergeableFns = Set("sum", "count", "min", "max")
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Base-grain aggregation columns (used for full refresh and delta agg). */
+  private[plans] def aggCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map { a =>
+    (a.fn match {
+      case "sum" => sum(col(a.col))
+      case "count" => if (a.col == "*") count(lit(1)) else count(col(a.col))
+      case "min" => min(col(a.col))
+      case "max" => max(col(a.col))
+    }).as(a.alias)
+  }
+
+  /** Merge columns: re-aggregate already-aggregated rows (counts re-SUM). */
+  private[plans] def mergeCols(aggs: Seq[AggSpec]): Seq[Column] = aggs.map { a =>
+    (a.fn match {
+      case "sum" | "count" => sum(col(a.alias))
+      case "min" => min(col(a.alias))
+      case "max" => max(col(a.alias))
+    }).as(a.alias)
+  }
 }
