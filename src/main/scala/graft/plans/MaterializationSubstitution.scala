@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Divide, ExprId, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
@@ -40,6 +40,7 @@ final case class MaterializationSubstitution(mats: Materializations)
       case sub if !isMaterializedScan(sub, candidates) =>
         trySubstitute(sub, candidates, used)
           .orElse(tryFilterContainment(sub, candidates, used))
+          .orElse(tryJoinAgg(sub, candidates, used))
           .getOrElse(sub)
     }
   }
@@ -133,6 +134,205 @@ final case class MaterializationSubstitution(mats: Materializations)
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConjuncts(l) ++ splitConjuncts(r)
     case x => Seq(x)
+  }
+
+  // --- join-aware rewrite (aggregate over join ← agg reflection ⋈ dim) -------
+
+  /** JOIN containment: `Aggregate(g, a, fact ⋈_inner dim)` where every
+    * fact-side column the query touches (join keys, grouping columns, filter
+    * columns) is a grouping passthrough of an aggregation reflection over
+    * `fact`, and every aggregate measures fact columns the reflection
+    * stores. Rewrite: join the REFLECTION to the dim and re-aggregate (sum
+    * of sums, sum of counts, min/max of min/max, avg from sum+count).
+    *
+    * Why this is sound for ANY inner join condition: all rows of a
+    * reflection group share the fact columns the condition reads, so each
+    * group row joins exactly the dim rows every raw row of that group
+    * joined — per-pair re-aggregation reproduces the raw multiplicities
+    * (duplicate dim keys included; count(*) re-sums the stored count once
+    * per matching dim row, exactly like the raw row count multiplies).
+    * Outer joins are NOT rewritten: an unmatched fact group would surface
+    * once instead of once per raw row.
+    *
+    * At scale this is the reflection win the reference describes for star
+    * joins (readme.md:320-389): the 100 TB fact never rescans — the
+    * pre-aggregated (orders-of-magnitude smaller) reflection joins the
+    * dimension, usually as a broadcast. */
+  private def tryJoinAgg(sub: LogicalPlan,
+                         candidates: Seq[(LogicalPlan, LogicalPlan)],
+                         used: scala.collection.mutable.Set[LogicalPlan])
+      : Option[LogicalPlan] = sub match {
+    case agg @ Aggregate(_, _, child, _) =>
+      unwrapPrunes(child) match {
+        case join @ Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, cond, _) =>
+          attemptJoinAgg(agg, l, r, factIsLeft = true, cond, candidates, used)
+            .orElse(attemptJoinAgg(agg, r, l, factIsLeft = false, cond, candidates, used))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Strip pure-attribute pruning Projects (references stay valid: a prune's
+    * output attrs ARE its input attrs). */
+  private def unwrapPrunes(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, x) if pl.forall(_.isInstanceOf[AttributeReference]) => unwrapPrunes(x)
+    case x => x
+  }
+
+  /** Positional map from `qc`'s output to `dcc`'s output (both canonical):
+    * exact equality, or two column-pruning Projects over the same child
+    * matched by the projected attrs' (canonical) ids. */
+  private def posRemap(qc: LogicalPlan, dcc: LogicalPlan): Option[Int => Option[Int]] = {
+    def attrs(pl: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : Option[Seq[ExprId]] =
+      if (pl.forall(_.isInstanceOf[AttributeReference]))
+        Some(pl.map(_.asInstanceOf[AttributeReference].exprId))
+      else None
+    if (qc == dcc) Some(p => Some(p))
+    else (qc, dcc) match {
+      case (Project(pq, x), Project(pd, y)) if x == y =>
+        for { qi <- attrs(pq); di <- attrs(pd) } yield
+          (p: Int) => qi.lift(p).flatMap { id =>
+            val j = di.indexOf(id); if (j >= 0) Some(j) else None
+          }
+      case _ => None
+    }
+  }
+
+  private def attemptJoinAgg(agg: Aggregate, fact: LogicalPlan, dim: LogicalPlan,
+                             factIsLeft: Boolean, cond: Option[Expression],
+                             candidates: Seq[(LogicalPlan, LogicalPlan)],
+                             used: scala.collection.mutable.Set[LogicalPlan])
+      : Option[LogicalPlan] = {
+    // fact-side filters (inner-join isnotnull pushdowns, user predicates)
+    // commute with the reflection's grouping when they only read passthrough
+    // columns — strip for matching, re-apply above the substituted scan
+    val (stripped, factConds) = stripFilters(fact)
+    val sc = stripped.canonicalized
+    candidates.collectFirst {
+      case (dCanon @ Aggregate(_, _, _, _), matPlan)
+        if posRemap(sc, dCanon.child).isDefined =>
+        buildJoinAgg(agg, stripped, factConds, dim, factIsLeft, cond,
+          dCanon, matPlan, posRemap(sc, dCanon.child).get, used)
+    }.flatten
+  }
+
+  private def buildJoinAgg(agg: Aggregate, stripped: LogicalPlan,
+                           factConds: Seq[Expression], dim: LogicalPlan,
+                           factIsLeft: Boolean, cond: Option[Expression],
+                           dCanon: Aggregate, matPlan: LogicalPlan,
+                           remap: Int => Option[Int],
+                           used: scala.collection.mutable.Set[LogicalPlan])
+      : Option[LogicalPlan] = {
+    val dOut = dCanon.aggregateExpressions.map(strip)
+    val dChild = dCanon.child
+    val factSet = stripped.outputSet
+    val dimSet = dim.outputSet
+
+    // original fact attr → the canonical attr AS THE DEFINITION'S AGGREGATE
+    // REFERENCES IT: canonicalization re-keys a parent's expressions to its
+    // child's OUTPUT POSITIONS, so the child-output attr must be re-keyed to
+    // ExprId(position) before comparing (same model as rollupRecipe).
+    def defAttr(a: AttributeReference): Option[Expression] = {
+      val p = stripped.output.indexWhere(_.exprId == a.exprId)
+      if (p < 0) None
+      else remap(p).map(j => dChild.output(j).withExprId(ExprId(j)))
+    }
+    // original fact attr → reflection output position (grouping passthrough)
+    def matPos(a: AttributeReference): Option[Int] =
+      defAttr(a).map(dOut.indexOf).filter(_ >= 0)
+    def allFactMappable(e: Expression): Boolean = e.references.forall {
+      case a: AttributeReference if factSet.contains(a) => matPos(a).isDefined
+      case a => dimSet.contains(a)
+    }
+
+    def dFn(j: Int): Option[AggregateFunction] = dOut(j) match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        Some(ae.aggregateFunction)
+      case _ => None
+    }
+    def findAgg(p: AggregateFunction => Boolean): Option[Int] =
+      dOut.indices.find(j => dFn(j).exists(p))
+    // agg children must be single fact attrs (or foldable count literals) —
+    // matched against the definition's canonical agg children by attr object
+    def defChild(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference if factSet.contains(a) => defAttr(a)
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal => Some(lit)
+      case _ => None
+    }
+    def recipeOf(ae: AggregateExpression): Option[RollupCol] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case s: Sum => defChild(s.child).flatMap(x =>
+          findAgg { case s2: Sum => s2.child == x; case _ => false }).map(RollSum)
+        case c: Count => c.children.foldLeft(Option(Seq.empty[Expression])) {
+          (acc, ch) => acc.flatMap(xs => defChild(ch).map(xs :+ _))
+        }.flatMap(xs =>
+          findAgg { case c2: Count => c2.children == xs; case _ => false }).map(RollSum)
+        case m: Min => defChild(m.child).flatMap(x =>
+          findAgg { case m2: Min => m2.child == x; case _ => false }).map(RollMin)
+        case m: Max => defChild(m.child).flatMap(x =>
+          findAgg { case m2: Max => m2.child == x; case _ => false }).map(RollMax)
+        case a: Average if a.dataType == DoubleType =>
+          for {
+            x <- defChild(a.child)
+            js <- findAgg { case s: Sum => s.child == x; case _ => false }
+            jc <- findAgg { case c: Count => c.children == Seq(x); case _ => false }
+          } yield RollAvg(js, jc)
+        case _ => None
+      }
+
+    // every predicate that must move onto the reflection reads only
+    // passthrough fact columns (or dim columns, for the join condition)
+    val condsOk = cond.forall(allFactMappable) && factConds.forall(allFactMappable)
+    // An output may be a COMPOSITE over aggregates (CollapseProject folds
+    // `round(sum(x), 2)` into the Aggregate): validate recursively — every
+    // embedded AggregateExpression needs a recipe, every bare fact attr a
+    // passthrough position, dim attrs pass verbatim.
+    def checkOut(e: Expression): Boolean = e match {
+      case ae: AggregateExpression => recipeOf(ae).isDefined
+      case a: AttributeReference if factSet.contains(a) => matPos(a).isDefined
+      case a: AttributeReference => dimSet.contains(a)
+      case _ => e.children.forall(checkOut)
+    }
+    val outsOk = agg.aggregateExpressions.forall(ne => checkOut(strip(ne)))
+    val groupOk = agg.groupingExpressions.forall(checkOut)
+
+    if (!condsOk || !groupOk || !outsOk) None
+    else instantiate(matPlan, used).map { inst =>
+      val instOut = inst.output
+      def aggE(f: AggregateFunction): Expression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      def buildOut(e: Expression): Expression = e match {
+        case ae: AggregateExpression =>
+          val built: Expression = recipeOf(ae).get match {
+            case RollSum(j) => aggE(new Sum(instOut(j)))
+            case RollMin(j) => aggE(Min(instOut(j)))
+            case RollMax(j) => aggE(Max(instOut(j)))
+            case RollAvg(js, jc) =>
+              Divide(Cast(aggE(new Sum(instOut(js))), DoubleType),
+                Cast(aggE(new Sum(instOut(jc))), DoubleType))
+            case GroupCol(j) => instOut(j)
+          }
+          if (built.dataType == ae.dataType) built else Cast(built, ae.dataType)
+        case a: AttributeReference if factSet.contains(a) => instOut(matPos(a).get)
+        case a: AttributeReference => a
+        case _ => e.mapChildren(buildOut)
+      }
+      val factLeg: LogicalPlan =
+        if (factConds.isEmpty) inst
+        else org.apache.spark.sql.catalyst.plans.logical.Filter(
+          factConds.map(buildOut).reduce(org.apache.spark.sql.catalyst.expressions.And), inst)
+      val (nl, nr) = if (factIsLeft) (factLeg, dim) else (dim, factLeg)
+      val newJoin = Join(nl, nr, org.apache.spark.sql.catalyst.plans.Inner,
+        cond.map(buildOut), org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      val newAggs = agg.aggregateExpressions.zip(agg.output).map {
+        case (a: AttributeReference, _) => a // dim passthrough keeps its id
+        case (ne, out) => Alias(buildOut(strip(ne)), out.name)(exprId = out.exprId)
+      }
+      val newG = agg.groupingExpressions.map(buildOut)
+      Aggregate(newG, newAggs, newJoin): LogicalPlan
+    }
   }
 
   // --- aggregate roll-up rewrite ---------------------------------------------

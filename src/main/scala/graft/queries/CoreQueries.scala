@@ -32,6 +32,10 @@ object CoreQueries {
   private[queries] val zorderFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q69's join-reflection fixture (refresh is out-of-band, as in q54). */
+  private[queries] val joinReflFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.plans.Materializations]()
+
   val list: Seq[Q] = Seq(
 
     // A3/A10 — multi-key groupBy with sum/avg/count over the biggest fact
@@ -820,6 +824,47 @@ object CoreQueries {
       FROM orders
       WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
                             AND TIMESTAMP '1994-03-31 00:00:00'
-        AND o_totalprice BETWEEN 50000 AND 100000"""))
+        AND o_totalprice BETWEEN 50000 AND 100000""")),
+
+    // X1 join containment — the star-join reflection case (readme.md:320-389):
+    // the query aggregates fact⋈dim, the registered reflection pre-aggregates
+    // the FACT alone at join-key grain. The optimizer rule joins the
+    // reflection to the dim and re-aggregates (sum of sums, sum of counts) —
+    // the 100 TB fact is never rescanned. The require() proves the rewrite
+    // fired; the oracle computes the same numbers from the raw tables.
+    Q("q69_join_reflection", (s, dir) => {
+      import graft.plans.{MaterializationSubstitution, Materializations}
+      val m = CoreQueries.joinReflFixtures.computeIfAbsent(
+        System.identityHashCode(s) + "|" + dir, _ => {
+          val wh = java.nio.file.Files.createTempDirectory("graft_reflections_join")
+            .toFile.getAbsolutePath
+          val mats = new Materializations(s, Some(wh))
+          mats.registerAggregate("li_rev_by_order",
+            () => t(s, dir, "lineitem"), Seq("l_orderkey"), Seq(
+              Materializations.AggSpec("sum", "l_extendedprice", "rev"),
+              Materializations.AggSpec("count", "*", "cnt")))
+          mats.refresh("li_rev_by_order")
+          mats
+        })
+      MaterializationSubstitution.install(s, m)
+      val q = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev_raw"),
+          count(lit(1)).as("n_items"))
+        .select(col("o_orderpriority"), round(col("rev_raw"), 2).as("rev"),
+          col("n_items"))
+      val physical = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      require(physical.contains("graft_reflections_join"),
+        s"join reflection did not substitute:\n$physical")
+      require(!physical.contains("lineitem"),
+        s"fact table rescanned despite the join reflection:\n$physical")
+      q
+    }, Some("""
+      SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS rev,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
   )
 }

@@ -251,6 +251,63 @@ class MaterializationsSpec extends SparkSpec {
     }
   }
 
+  test("aggregate over a join rewrites onto the agg reflection joined to the dim") {
+    val wh = Files.createTempDirectory("graft_jrefl").toFile.getAbsolutePath
+    val m = new Materializations(spark, Some(wh))
+    m.register("li_by_order", () =>
+      sf("lineitem").groupBy(col("l_orderkey")).agg(
+        sum(col("l_extendedprice")).as("rev"),
+        count(lit(1)).as("cnt"),
+        count(col("l_extendedprice")).as("cnt_price"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_discount")).as("max_disc")))
+    m.refresh("li_by_order")
+    val query = () => sf("lineitem")
+      .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice")).as("rev"),
+        count(lit(1)).as("n_items"),
+        avg(col("l_extendedprice")).as("avg_rev"),
+        min(col("l_discount")).as("min_disc"))
+    val expected = query().collect()
+      .map(r => r.getString(0) -> (math.round(r.getDouble(1) * 100), r.getLong(2),
+        math.round(r.getDouble(3) * 100), r.getDouble(4))).toMap
+    try {
+      MaterializationSubstitution.install(spark, m)
+      val accel = query()
+      val plan = accel.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_jrefl"),
+        s"expected the reflection scan in the join:\n$plan")
+      assert(!plan.contains("lineitem"),
+        s"fact table must not rescan after the join rewrite:\n$plan")
+      val got = accel.collect()
+        .map(r => r.getString(0) -> (math.round(r.getDouble(1) * 100), r.getLong(2),
+          math.round(r.getDouble(3) * 100), r.getDouble(4))).toMap
+      assert(got === expected)
+
+      // outer joins must NOT rewrite (unmatched fact groups would collapse)
+      val outer = sf("lineitem")
+        .join(sf("orders"), col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val outerPlan = outer.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(outerPlan.contains("lineitem"), s"left join must stay raw:\n$outerPlan")
+
+      // aggregates over DIM columns must not rewrite either
+      val dimAgg = sf("lineitem")
+        .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("dim_sum"))
+      val dimPlan = dimAgg.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(dimPlan.contains("lineitem"), s"dim-measure agg must stay raw:\n$dimPlan")
+    } finally {
+      spark.experimental.extraOptimizations = Seq.empty
+    }
+  }
+
   test("incremental refresh merges an append-only delta without rescanning the base") {
     for (wh <- Seq(None, Some(Files.createTempDirectory("refl_inc").toFile.getAbsolutePath))) {
       val m = new Materializations(spark, wh)
