@@ -209,12 +209,17 @@ final case class MaterializationSubstitution(mats: Materializations)
     // columns — strip for matching, re-apply above the substituted scan
     val (stripped, factConds) = stripFilters(fact)
     val sc = stripped.canonicalized
-    candidates.collectFirst {
-      case (dCanon @ Aggregate(_, _, _, _), matPlan)
-        if posRemap(sc, dCanon.child).isDefined =>
-        buildJoinAgg(agg, stripped, factConds, dim, factIsLeft, cond,
-          dCanon, matPlan, posRemap(sc, dCanon.child).get, used)
-    }.flatten
+    // Try EVERY structurally matching reflection, not just the first: one
+    // whose measures can't serve this query (buildJoinAgg → None) must not
+    // shadow a later one that can.
+    candidates.view.flatMap {
+      case (dCanon @ Aggregate(_, _, _, _), matPlan) =>
+        posRemap(sc, dCanon.child).flatMap { rm =>
+          buildJoinAgg(agg, stripped, factConds, dim, factIsLeft, cond,
+            dCanon, matPlan, rm, used)
+        }
+      case _ => None
+    }.headOption
   }
 
   private def buildJoinAgg(agg: Aggregate, stripped: LogicalPlan,
@@ -327,7 +332,11 @@ final case class MaterializationSubstitution(mats: Materializations)
       val newJoin = Join(nl, nr, org.apache.spark.sql.catalyst.plans.Inner,
         cond.map(buildOut), org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
       val newAggs = agg.aggregateExpressions.zip(agg.output).map {
-        case (a: AttributeReference, _) => a // dim passthrough keeps its id
+        // Only DIM attrs survive unchanged — the dim leg is reused verbatim so
+        // its ids stay live. A FACT passthrough must be remapped onto the
+        // reflection instance's output (fresh ids) while keeping the original
+        // output id for parents.
+        case (a: AttributeReference, _) if !factSet.contains(a) => a
         case (ne, out) => Alias(buildOut(strip(ne)), out.name)(exprId = out.exprId)
       }
       val newG = agg.groupingExpressions.map(buildOut)

@@ -120,14 +120,21 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
       val mat = warehouseDir match {
         case Some(dir) =>
           // staged swap: `merged` READS the live parquet at $dir/$name, so
-          // write to a stage path first and rename over the old copy
+          // write to a stage path first. The swap itself is crash-safe: live
+          // is moved ASIDE (not deleted) before stage takes its place, so a
+          // crash between the renames leaves a recoverable backup rather
+          // than no live copy at all; the backup is deleted only once the
+          // new live is in place.
           val fs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
           val stage = new org.apache.hadoop.fs.Path(s"$dir/$name.stage")
+          val backup = new org.apache.hadoop.fs.Path(s"$dir/$name.backup")
           merged.write.mode("overwrite").parquet(stage.toString)
-          fs.delete(live, true)
+          fs.delete(backup, true) // stale backup from an earlier crash
+          require(fs.rename(live, backup), s"refreshIncremental: backup rename failed for $name")
           require(fs.rename(stage, live), s"refreshIncremental: rename failed for $name")
+          fs.delete(backup, true)
           spark.read.parquet(live.toString)
         case None =>
           // materialize the merge FULLY before dropping the old copy it reads

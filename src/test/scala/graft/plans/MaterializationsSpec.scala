@@ -295,6 +295,31 @@ class MaterializationsSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(outerPlan.contains("lineitem"), s"left join must stay raw:\n$outerPlan")
 
+      // FACT passthrough (r5 ADVICE high defect): grouping by AND selecting a
+      // fact column must remap it onto the reflection instance's fresh ids —
+      // the stale-ExprId bug made this crash at attribute binding.
+      val factPass = sf("lineitem")
+        .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val fpPlan = factPass.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(fpPlan.contains("graft_jrefl"),
+        s"fact-passthrough grouping should still serve from the reflection:\n$fpPlan")
+      val fpGot = factPass.collect()
+        .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+      val fpExpected = {
+        spark.experimental.extraOptimizations = Seq.empty
+        val r = sf("lineitem")
+          .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+          .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+        MaterializationSubstitution.install(spark, m)
+        r
+      }
+      assert(fpGot === fpExpected)
+
       // aggregates over DIM columns must not rewrite either
       val dimAgg = sf("lineitem")
         .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
@@ -303,6 +328,42 @@ class MaterializationsSpec extends SparkSpec {
       val dimPlan = dimAgg.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.executedPlan.toString
       assert(dimPlan.contains("lineitem"), s"dim-measure agg must stay raw:\n$dimPlan")
+    } finally {
+      spark.experimental.extraOptimizations = Seq.empty
+    }
+  }
+
+  test("join rewrite tries every matching reflection, not just the first") {
+    val wh = Files.createTempDirectory("graft_jrefl2").toFile.getAbsolutePath
+    val m = new Materializations(spark, Some(wh))
+    // first candidate matches the fact structurally but lacks the measure;
+    // the second can serve — collectFirst would have stopped at the first
+    m.register("li_min_only", () =>
+      sf("lineitem").groupBy(col("l_orderkey"))
+        .agg(min(col("l_discount")).as("min_disc")))
+    m.register("li_rev", () =>
+      sf("lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("cnt")))
+    m.refresh("li_min_only")
+    m.refresh("li_rev")
+    try {
+      MaterializationSubstitution.install(spark, m)
+      val q = sf("lineitem")
+        .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val plan = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("li_rev"), s"second reflection should serve:\n$plan")
+      assert(!plan.contains("lineitem.parquet"), s"fact must not rescan:\n$plan")
+      val got = q.collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+      spark.experimental.extraOptimizations = Seq.empty
+      val raw = sf("lineitem")
+        .join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+        .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+      assert(got === raw)
     } finally {
       spark.experimental.extraOptimizations = Seq.empty
     }
@@ -347,8 +408,10 @@ class MaterializationsSpec extends SparkSpec {
         val plan = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
           .queryExecution.executedPlan.toString
         // partial-agg path: the 2-measure query serves from the 4-measure mat
-        assert(wh.isEmpty || plan.contains("spend_by_cust") || plan.contains("InMemory"),
-          s"expected substituted scan after incremental refresh:\n$plan")
+        // (in-memory tier shows as an InMemory scan, warehouse as the path)
+        val marker = if (wh.isEmpty) "InMemory" else "spend_by_cust"
+        assert(plan.contains(marker),
+          s"expected substituted scan after incremental refresh (marker=$marker):\n$plan")
       } finally {
         spark.experimental.extraOptimizations = Seq.empty
       }
