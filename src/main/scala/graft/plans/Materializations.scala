@@ -27,7 +27,11 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
                            var refreshedAtMs: Option[Long],
                            var fingerprint: Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = None,
-                           aggShape: Option[(Seq[String], Seq[Materializations.AggSpec])] = None)
+                           aggShape: Option[(Seq[String], Seq[Materializations.AggSpec])] = None,
+                           // applied to base/delta rows BEFORE the grain
+                           // aggregation (the join leg of an agg-over-join
+                           // reflection); identity for plain aggregates
+                           prep: DataFrame => DataFrame = identity)
 
   private val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
 
@@ -55,6 +59,33 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
       .groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
       .agg(Materializations.aggCols(aggs).head, Materializations.aggCols(aggs).tail: _*)
     entries(name) = Entry(define, None, None, aggShape = Some((groupCols, aggs)))
+  }
+
+  /** Declare an AGGREGATE reflection over `fact ⋈ dim` that is still
+    * incrementally maintainable. Sound because the aggregation is
+    * distributive over FACT rows: with a STATIC dim and an APPEND-ONLY fact,
+    * each appended fact row's contribution to every group is independent of
+    * the fact rows already aggregated, so `refreshIncremental(deltaFact)`
+    * joins only the delta to the dim, aggregates it to the reflection's
+    * grain, and merges — the 100 TB fact never rescans and the (small) dim
+    * joins once per delta, usually broadcast. Dim updates or fact
+    * deletes/updates require a full `refresh`.
+    * `joinKeys` are (factCol, dimCol) equi-join pairs. */
+  def registerAggregateJoin(name: String, fact: () => DataFrame, dim: () => DataFrame,
+                            joinKeys: Seq[(String, String)], groupCols: Seq[String],
+                            aggs: Seq[Materializations.AggSpec]): Unit = synchronized {
+    require(joinKeys.nonEmpty, "registerAggregateJoin: empty join keys")
+    require(groupCols.nonEmpty && aggs.nonEmpty, "registerAggregateJoin: empty shape")
+    aggs.foreach(a => require(Materializations.mergeableFns(a.fn),
+      s"registerAggregateJoin: '${a.fn}' is not incrementally mergeable"))
+    val prep = (df: DataFrame) => {
+      val d = dim()
+      df.join(d, joinKeys.map { case (fc, dc) => df(fc) === d(dc) }.reduce(_ && _))
+    }
+    val define = () => prep(fact())
+      .groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(Materializations.aggCols(aggs).head, Materializations.aggCols(aggs).tail: _*)
+    entries(name) = Entry(define, None, None, aggShape = Some((groupCols, aggs)), prep = prep)
   }
 
   /** Materialize (or re-materialize) now: persists in memory/disk; with a
@@ -100,7 +131,8 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
     * — the same re-aggregation algebra the rollup substitution uses).
     * Updates/deletes in the base need a full `refresh` (min/max are not
     * subtractable). Falls back to full refresh when nothing is materialized
-    * yet. */
+    * yet. For an agg-over-join reflection (`registerAggregateJoin`) `delta`
+    * is the appended FACT rows — they join the static dim before merging. */
   def refreshIncremental(name: String, delta: DataFrame): DataFrame = synchronized {
     val e = entries(name)
     val (groupCols, aggs) = e.aggShape.getOrElse(
@@ -111,7 +143,7 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
     withoutSubstitutionRules {
       import org.apache.spark.sql.functions.col
       val old = e.materialized.get
-      val deltaAgg = delta
+      val deltaAgg = e.prep(delta)
         .groupBy(groupCols.map(col): _*)
         .agg(Materializations.aggCols(aggs).head, Materializations.aggCols(aggs).tail: _*)
       val merged = old.unionByName(deltaAgg)

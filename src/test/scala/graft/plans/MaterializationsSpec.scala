@@ -419,6 +419,68 @@ class MaterializationsSpec extends SparkSpec {
     }
   }
 
+  test("agg-over-join reflection refreshes incrementally: delta fact ⋈ static dim only") {
+    for (wh <- Seq(None, Some(Files.createTempDirectory("refl_incj").toFile.getAbsolutePath))) {
+      val m = new Materializations(spark, wh)
+      val all = sf("lineitem")
+      val cut = all.stat.approxQuantile("l_orderkey", Array(0.5), 0.01).head
+      val oldRows = all.filter(col("l_orderkey") < cut)
+      val delta = all.filter(col("l_orderkey") >= cut)
+      assert(oldRows.count() > 0 && delta.count() > 0)
+
+      var factCalls = 0
+      var base = oldRows
+      m.registerAggregateJoin("rev_by_prio",
+        fact = () => { factCalls += 1; base },
+        dim = () => sf("orders"),
+        joinKeys = Seq("l_orderkey" -> "o_orderkey"),
+        groupCols = Seq("o_orderpriority"),
+        aggs = Seq(
+          Materializations.AggSpec("sum", "l_extendedprice", "rev"),
+          Materializations.AggSpec("count", "*", "n_items"),
+          Materializations.AggSpec("max", "l_extendedprice", "max_price")))
+      m.refresh("rev_by_prio")
+      val callsAfterFull = factCalls
+
+      base = all // the fact append happened
+      m.refreshIncremental("rev_by_prio", delta)
+      // the incremental path must not rescan the base fact: define()/fact()
+      // is only re-invoked for FINGERPRINTING (plan analysis, no execution) —
+      // so allow the fingerprint call but prove the merge used the delta by
+      // value equality below plus the no-extra-scan contract on the counter
+      assert(factCalls <= callsAfterFull + 1,
+        s"incremental refresh re-invoked the fact ${factCalls - callsAfterFull}x")
+
+      val expected = all.join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n_items"),
+          max(col("l_extendedprice")).as("max_price"))
+        .collect().map(r => r.getString(0) ->
+          (math.round(r.getDouble(1) * 100), r.getLong(2), r.getDouble(3))).toMap
+      val got = m.table("rev_by_prio")
+        .collect().map(r => r.getString(0) ->
+          (math.round(r.getDouble(1) * 100), r.getLong(2), r.getDouble(3))).toMap
+      assert(got === expected, s"incremental join merge diverged (warehouse=$wh)")
+
+      // the merged copy still substitutes whole-subtree queries
+      try {
+        MaterializationSubstitution.install(spark, m)
+        val q = sf("lineitem").join(sf("orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n_items"),
+            max(col("l_extendedprice")).as("max_price"))
+        val plan = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan.toString
+        val marker = if (wh.isEmpty) "InMemory" else "rev_by_prio"
+        assert(plan.contains(marker),
+          s"expected substituted scan after incremental join refresh:\n$plan")
+      } finally {
+        spark.experimental.extraOptimizations = Seq.empty
+      }
+      m.retire("rev_by_prio")
+    }
+  }
+
   test("incremental refresh handles group keys that first appear in the delta") {
     import spark.implicits._
     val m = new Materializations(spark)
