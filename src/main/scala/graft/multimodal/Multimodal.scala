@@ -24,12 +24,25 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int,
                        n_frames: Int, duration_s: Double)
 
-  /** The ONE stub decode implementation (deterministic metadata from a
-    * content checksum); both the scalar UDF and the batched mapPartitions
-    * path call it, so they can never desynchronize. Production = replace
-    * this body with javax.imageio / ffmpeg probing. */
+  /** The ONE stub decode implementation; both the scalar UDF and the batched
+    * mapPartitions path call it, so they can never desynchronize.
+    *
+    * Payloads carrying the 16-byte GFTV container header are probed
+    * HEADER-ONLY — width/height/frame-count read from fixed offsets, exactly
+    * how a production ffprobe-style pass stays cheap on multi-GB media (the
+    * bytes after the header are never touched). Arbitrary bytes fall back to
+    * checksum-derived metadata so the plumbing stays total. Production =
+    * replace the fallback with real codec probing. */
   def decodeMeta(content: Array[Byte]): MediaMeta = {
     if (content == null) return null
+    if (content.length >= GftvHeaderLen &&
+        content(0) == 'G' && content(1) == 'F' && content(2) == 'T' && content(3) == 'V') {
+      def u8(i: Int) = content(i) & 0xff
+      val w = (u8(4) << 8) | u8(5)
+      val ht = (u8(6) << 8) | u8(7)
+      val nf = (u8(8) << 24) | (u8(9) << 16) | (u8(10) << 8) | u8(11)
+      return MediaMeta(if (u8(12) == 0) "webm" else "wav", w, ht, nf, nf / 24.0)
+    }
     val h = graft.util.Hashing.fnv1a64(content)
     val w = 160 + (math.abs(h) % 8).toInt * 160            // 160..1280
     val ht = 120 + (math.abs(h >> 8) % 8).toInt * 120      // 120..960
@@ -42,6 +55,48 @@ object Multimodal {
 
   /** STUB decode as a scalar UDF. */
   val decodeStub = udf { content: Array[Byte] => decodeMeta(content) }
+
+  private val GftvHeaderLen = 16
+
+  /** Build a GFTV container payload: the 16-byte header [[decodeMeta]]
+    * probes (magic, u16 width, u16 height, u32 frame count, format code
+    * 0=webm/1=wav) followed by `pad` opaque body bytes. Used by fixtures to
+    * make a/v metadata independently derivable — a correctness oracle can
+    * predict what the probe must report without running it. */
+  def makeAvPayload(width: Int, height: Int, nFrames: Int,
+                    formatCode: Int, pad: Int): Array[Byte] = {
+    val out = new Array[Byte](GftvHeaderLen + pad)
+    out(0) = 'G'; out(1) = 'F'; out(2) = 'T'; out(3) = 'V'
+    out(4) = (width >> 8).toByte; out(5) = width.toByte
+    out(6) = (height >> 8).toByte; out(7) = height.toByte
+    out(8) = (nFrames >> 24).toByte; out(9) = (nFrames >> 16).toByte
+    out(10) = (nFrames >> 8).toByte; out(11) = nFrames.toByte
+    out(12) = formatCode.toByte
+    var i = GftvHeaderLen
+    while (i < out.length) { out(i) = ((width + height + i) & 0x7f).toByte; i += 1 }
+    out
+  }
+
+  /** Render a real PNG of the given dimensions (deterministic gradient fill
+    * seeded by `seed`) — fixture counterpart of the REAL javax.imageio
+    * decode path: the oracle knows the dimensions it asked for; the engine
+    * must recover them by actually decoding the bytes. */
+  def makePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 7 + y * 13 + seed).toInt) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** REAL image metadata via javax.imageio — header-only: the reader reports
     * dimensions and format without decoding pixel data, exactly how a

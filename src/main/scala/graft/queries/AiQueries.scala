@@ -8,13 +8,50 @@ import graft.ai.AiFunctions
 import graft.multimodal.Multimodal
 
 /** AI-function surface (SURVEY.md §2.10) and multimodal plumbing, exercised
-  * over the documents table. Outputs are deterministic (stub backend) but not
-  * ANSI-SQL-expressible → rows-only driver checks; exact values are asserted
-  * in AiFunctionsSpec / MultimodalSpec.
+  * over the documents table. Outputs are deterministic (stub backend) and
+  * almost all DuckDB-oracle-checked: the stub heuristics are replayed in SQL
+  * (q60–q62) and the multimodal fixture ties asset metadata to doc_id so the
+  * decode path hash-checks too (q63/q64); only the pixel-feature rollup
+  * (q65) stays rows-only, golden-asserted in MultimodalSpec.
   */
 object AiQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Multimodal asset fixture, memoized per (session, sf dir): one binary
+    * payload per document — every 3rd doc a REAL PNG whose dimensions are a
+    * pure function of doc_id, the rest GFTV a/v containers whose header
+    * fields are too. That functional link is what upgrades q63/q64 from
+    * rows-only to hash-checked: DuckDB predicts the metadata from doc_id
+    * arithmetic while the engine must recover it by decoding actual bytes
+    * (ImageIO for images, the header probe for a/v). Driver-side generation
+    * is fixture code — production payloads arrive as parquet binary columns
+    * through the identical plan. */
+  private val mmAssetFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[queries] def mmAssets(s: SparkSession, dir: String): DataFrame =
+    mmAssetFixtures.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(120).collect().map(_.getLong(0)).toSeq
+      val rows = ids.map { id =>
+        val content =
+          if (id % 3 == 0)
+            Multimodal.makePng(16 + (id % 8).toInt * 16, 12 + (id % 5).toInt * 12, id)
+          else
+            Multimodal.makeAvPayload(
+              width = 320 + (id % 4).toInt * 160,
+              height = 240 + (id % 3).toInt * 120,
+              nFrames = 24 + (id % 200).toInt,
+              formatCode = (id % 2).toInt, // 0 = webm, 1 = wav
+              pad = (id % 64).toInt)
+        (id, content)
+      }
+      import s.implicits._
+      val df = rows.toDF("doc_id", "content").repartition(4).cache()
+      df.count()
+      df
+    })
 
   val list: Seq[Q] = Seq(
 
@@ -121,34 +158,63 @@ object AiQueries {
         FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100))""")),
 
     // U3 + multimodal plumbing — binary payload column with typed metadata:
-    // decode (auto-routed: REAL javax.imageio for images, stub for a/v) →
-    // resize → frame-sample → per-format stats. The payload
-    // here is the document text encoded as bytes; a real corpus would carry
-    // image/audio bytes through the identical plan.
+    // decode (auto-routed: REAL javax.imageio for images, header probe for
+    // a/v) → resize → per-format stats. ORACLE-CHECKED: the fixture ties
+    // every asset's true metadata to doc_id, so DuckDB recomputes the
+    // dims/durations arithmetically while the engine must recover them by
+    // decoding the actual bytes — a broken decode path hash-mismatches.
     Q("q63_multimodal_decode", (s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("content", encode(col("text"), "utf-8"))
+      val d = mmAssets(s, dir)
         .withColumn("meta", Multimodal.decodeAutoUdf(col("content")))
-        .withColumn("meta_small", Multimodal.resizeMeta(col("meta"), 640))
+        .withColumn("meta_small", Multimodal.resizeMeta(col("meta"), 64))
       d.groupBy(col("meta")("format").as("format"))
         .agg(count(lit(1)).as("n"),
           round(avg(col("meta")("width")), 2).as("avg_w"),
           round(avg(col("meta_small")("width")), 2).as("avg_w_small"),
           round(avg(col("meta")("duration_s")), 4).as("avg_dur"))
-    }, None),
+    }, Some("""
+      -- the fixture's metadata is a pure function of doc_id (every 3rd doc a
+      -- real PNG, the rest GFTV containers); resize mirrors resizeMeta(64)
+      WITH assets AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'png'
+               WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'wav' END AS format,
+          CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 8) * 16
+               ELSE 320 + (doc_id % 4) * 160 END AS w,
+          CASE WHEN doc_id % 3 = 0 THEN 12 + (doc_id % 5) * 12
+               ELSE 240 + (doc_id % 3) * 120 END AS h,
+          CASE WHEN doc_id % 3 = 0 THEN 0.0
+               ELSE (24 + (doc_id % 200)) / 24.0 END AS dur
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120))
+      SELECT format, count(*) AS n,
+        round(avg(w), 2) AS avg_w,
+        round(avg(CAST(floor(w * least(1.0, 64.0 / greatest(w, h))) AS INTEGER)), 2)
+          AS avg_w_small,
+        round(avg(dur), 4) AS avg_dur
+      FROM assets GROUP BY format""")),
 
     // Frame sampling: one row per 24th frame, then multimodal AI_GENERATE
-    // over (prompt, content) — the ai_generate.sql:8-18 shape.
+    // over (prompt, content) — the ai_generate.sql:8-18 shape. ORACLE-CHECKED:
+    // frame counts derive from the GFTV header the probe must read, and the
+    // AI stub's size-keyed fields from the payload size (header + pad < 4 KiB
+    // ⇒ severity 'low').
     Q("q64_multimodal_frames", (s, dir) => {
-      val d = t(s, dir, "documents").limit(50)
-        .withColumn("content", encode(col("text"), "utf-8"))
+      val vids = mmAssets(s, dir).filter(col("doc_id") % 3 =!= 0)
         .withColumn("meta", Multimodal.decodeAutoUdf(col("content")))
-      Multimodal.sampleFrames(d, col("meta"), step = 24)
+      Multimodal.sampleFrames(vids, col("meta"), step = 24)
         .withColumn("ai", AiFunctions.aiGenerateMultimodal(
           concat(lit("Describe frame "), col("frame_idx")), col("content")))
         .select(col("doc_id"), col("frame_idx"),
           col("ai")("primary_issue").as("kind"), col("ai")("severity").as("severity"))
-    }, None),
+    }, Some("""
+      WITH vids AS (
+        SELECT doc_id, 24 + (doc_id % 200) AS nf
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120)
+        WHERE doc_id % 3 <> 0)
+      SELECT doc_id,
+             CAST(unnest(generate_series(0, nf - 1, 24)) AS INTEGER) AS frame_idx,
+             'document' AS kind, 'low' AS severity
+      FROM vids""")),
 
     // Embedding feature extraction from binary payloads (featuresStub stands
     // in for an image/audio encoder) feeding the vector ops.

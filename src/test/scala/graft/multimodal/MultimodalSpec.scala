@@ -95,6 +95,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GFTV container probe reads header-only metadata") {
+    val p = Multimodal.makeAvPayload(640, 480, 120, formatCode = 0, pad = 32)
+    assert(Multimodal.decodeMeta(p) === Multimodal.MediaMeta("webm", 640, 480, 120, 5.0))
+    assert(Multimodal.decodeMeta(
+      Multimodal.makeAvPayload(1280, 720, 48, formatCode = 1, pad = 0)).format === "wav")
+    // auto-routing: GFTV bytes are not an image — they take the probe path
+    assert(Multimodal.decodeAuto(p) === Multimodal.decodeMeta(p))
+    // makePng round-trips through the real decoder at the requested dims
+    val img = Multimodal.makePng(176, 132, seed = 7L)
+    val m = Multimodal.decodeImage(img)
+    assert(m.format === "png" && m.width === 176 && m.height === 132)
+  }
+
   test("sampleFrames emits every step-th frame index") {
     import spark.implicits._
     val one = Seq((1L, 49)).toDF("id", "nf")
