@@ -28,8 +28,20 @@ object EventStreams {
   final case class SessionSummary(user_id: Long, n_events: Int,
                                   start_ts: Timestamp, end_ts: Timestamp,
                                   total_value: Double)
-  // public: the state encoder's generated code must access the fields
+  // public: the state encoder's generated code must access the fields.
+  // start/last are MICROSECONDS since epoch: java.sql.Timestamp carries
+  // sub-millisecond precision (parquet TIMESTAMP(MICROS/NANOS) events), and
+  // truncating to getTime's milliseconds would make a streaming replay
+  // diverge from the batch computation on µs-precision data.
   final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val ts = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
 
   /** Tumbling-window per-type revenue with a watermark for late data
     * (the streaming shape of gold_daily_revenue). */
@@ -89,19 +101,19 @@ object EventStreams {
             val s = state.get
             state.remove()
             Iterator.single(SessionSummary(userId, s.n,
-              new Timestamp(s.start), new Timestamp(s.last), s.total))
+              microsTs(s.start), microsTs(s.last), s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMinutes * 60000L =>
+                case Some(s) if t - s.last <= gapMinutes * 60000000L =>
                   cur = Some(SessionState(s.n + 1, s.start, t, s.total + e.value))
                 case Some(s) =>
-                  closed += SessionSummary(userId, s.n, new Timestamp(s.start),
-                    new Timestamp(s.last), s.total)
+                  closed += SessionSummary(userId, s.n, microsTs(s.start),
+                    microsTs(s.last), s.total)
                   cur = Some(SessionState(1, t, t, e.value))
                 case None =>
                   cur = Some(SessionState(1, t, t, e.value))
@@ -112,10 +124,12 @@ object EventStreams {
               if (procTime) state.setTimeoutDuration(s"$gapMinutes minutes")
               else if (eventTime && streaming) {
                 // a within-watermark late row can leave s.last behind the
-                // current watermark; the timeout must still be in its future
+                // current watermark; the timeout must still be in its future.
+                // Timeout granularity is ms (the API's unit) — ceil so a
+                // µs-tail session never times out a hair early.
                 val floor = state.getCurrentWatermarkMs() + 1
                 state.setTimeoutTimestamp(
-                  math.max(s.last + gapMinutes * 60000L, floor))
+                  math.max(math.floorDiv(s.last + 999L, 1000L) + gapMinutes * 60000L, floor))
               }
             }
             closed.iterator

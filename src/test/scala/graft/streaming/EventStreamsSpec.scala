@@ -136,6 +136,115 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization ≡ batch q36-form sessions on the real events table") {
+    // The driver cannot oracle streams, so equivalence is proven here: the
+    // SAME fixture (the real events table) through (a) the streaming engine
+    // (MemoryStream → flatMapGroupsWithState, event-time timeouts, chunked
+    // in-order arrival) and (b) the INDEPENDENT batch implementation q36
+    // uses (lag + gap flag + running-sum window), collected and compared as
+    // sorted session tuples.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evDf = sf("events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val evs = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evs.length === 1000)
+
+    // (b) batch truth, q36's window-function form at the same 30-min gap
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = evDf
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // millisecond gap arithmetic, matching the streaming engine (q36's
+      // oracle-facing variant truncates to seconds for DuckDB date_diff
+      // parity; the equivalence property needs the same clock resolution on
+      // both sides)
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("n_events"), col("start_ts"), col("end_ts"),
+        col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3),
+        math.round(r.getDouble(4) * 100)))
+      .sortBy(t => (t._1, t._3.getTime))
+
+    // (a) the streaming engine: 8 in-order chunks, then a far-future
+    // sentinel on a synthetic user so the global watermark passes every open
+    // session's gap deadline and event-time timeouts flush the tails
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("equiv_sessions")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.ceil(evs.length / 8.0).toInt).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val flushTs = new Timestamp(evs.map(_.ts.getTime).max + 24L * 3600 * 1000)
+      input.addData(Event(-1L, flushTs, -1L, "__flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_sessions")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2), r.getTimestamp(3),
+          math.round(r.getDouble(4) * 100)))
+        .sortBy(t => (t._1, t._3.getTime))
+      assert(streamed.length === batch.length,
+        s"session count: streaming ${streamed.length} vs batch ${batch.length}")
+      val firstDiff = streamed.zip(batch).find { case (a, b) => a != b }
+      assert(firstDiff.isEmpty, s"first differing session (streamed vs batch): $firstDiff")
+    } finally q.stop()
+  }
+
+  test("streaming dedup ≡ batch q17-form keep-first on events with injected duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evDf = sf("events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val evs = evDf.as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val dups = evs.filter(_.event_id % 7 == 0) // ~1/7 redelivered exactly
+
+    // batch truth via the q17 pattern: row_number keep-first per event_id
+    // over the duplicated input (duplicates are exact copies, so this equals
+    // the distinct original set)
+    val dupDf = evDf.union(spark.createDataset(dups.toIndexedSeq).toDF())
+    val keepFirst = Window.partitionBy(col("event_id")).orderBy(col("ts"))
+    val batch = dupDf
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1).drop("rn")
+      .as[Event].collect()
+      .sortBy(e => (e.event_id, e.ts.getTime))
+
+    // streaming: duplicates delivered in the SAME chunk as their originals
+    // (within the watermark, the hard case — state must drop them)
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDF()).writeStream.format("memory")
+      .queryName("equiv_dedup").outputMode("append").start()
+    try {
+      evs.grouped(math.ceil(evs.length / 4.0).toInt).foreach { chunk =>
+        val redelivered = chunk ++ chunk.filter(_.event_id % 7 == 0)
+        input.addData(redelivered.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("equiv_dedup").as[Event].collect()
+        .sortBy(e => (e.event_id, e.ts.getTime))
+      assert(streamed.length === evs.length) // every duplicate dropped
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension per batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream_enrich").toFile.getAbsolutePath
