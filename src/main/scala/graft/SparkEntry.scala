@@ -20,7 +20,8 @@ object SparkEntry {
   private lazy val queries_registry: Seq[Q] =
     graft.queries.CoreQueries.list ++
       graft.queries.DataPipelineQueries.list ++
-      graft.queries.AiQueries.list
+      graft.queries.AiQueries.list ++
+      graft.queries.FuzzQueries.list
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The readme's customer_spend join+agg (reference: readme.md:307-315). */
