@@ -45,7 +45,11 @@ object Tables {
     // 2^53 — epoch-nanos are ~1.7e18).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // the shim only applies when the file really stores NANOS (surfaced as
+    // long under nanosAsLong) — a rewritten events table (ScaleUp, CTAS)
+    // stores regular TIMESTAMP(MICROS) and must pass through untouched
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
