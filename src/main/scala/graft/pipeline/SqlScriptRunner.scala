@@ -209,7 +209,7 @@ final class SqlScriptRunner(spark: SparkSession,
       spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
       None
     } else {
-      val rewritten = rewriteMetadataTables(rewriteListFiles(stmt))
+      val rewritten = rewriteMetadataTables(rewriteListFiles(rewriteTimeTravel(stmt)))
       asUser.foreach(u => enforce(u, upper, rewritten))
       val df = spark.sql(rewritten)
       if (upper.startsWith("SELECT") || upper.startsWith("WITH")) Some(df) else None
@@ -225,9 +225,14 @@ final class SqlScriptRunner(spark: SparkSession,
     def target(pattern: String): Option[Seq[String]] =
       pattern.r.findFirstMatchIn(sql).map(m => datasetPath(m.group(1)))
     if (upper.startsWith("SELECT") || upper.startsWith("WITH")) {
+      // graft_tt_/graft_files_ temp views are rewrite artifacts: time travel
+      // checks SELECT on the ORIGINAL dataset name inside rewriteTimeTravel,
+      // and LIST_FILES targets sources (no dataset path to check).
       referencedRelations(sql)
         .map(ds => if (ds.length == 1) datasetPath(ds.head) else ds)
-        .filterNot(ds => ds.length == 1 && ds.head.startsWith("graft_meta_"))
+        .filterNot(ds => ds.length == 1 &&
+          (ds.head.startsWith("graft_meta_") || ds.head.startsWith("graft_tt_") ||
+            ds.head.startsWith("graft_files_")))
         .foreach(ds => requirePrivilege(user, "SELECT", Nil, ds))
     } else if (upper.startsWith("INSERT"))
       target("(?is)INSERT\\s+INTO\\s+([\\w.]+)")
@@ -375,6 +380,54 @@ final class SqlScriptRunner(spark: SparkSession,
       metaViewCount += 1
       val v = s"graft_files_$metaViewCount"
       listing.createOrReplaceTempView(v)
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
+  }
+
+  /** `t AT SNAPSHOT 'v'` / `t AT TIMESTAMP 'ts'` / `t AT BRANCH b` — Dremio's
+    * time-travel clauses over Iceberg history (readme.md:366-370 "perform
+    * time travel queries"). A table opts in by binding its versioned store
+    * root via the session conf `graft.snapshot.<name>` (the same pattern as
+    * `graft.source.<name>` for LIST_FILES roots); the clause pins the
+    * requested snapshot and binds it as a temp view in place:
+    *
+    *  - `AT SNAPSHOT 'N'`   → version N exactly ([[SnapshotTable.read]])
+    *  - `AT TIMESTAMP 'ts'` → latest version committed at or before ts
+    *    (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f…]` literal)
+    *  - `AT BRANCH main`    → latest. The store is single-branch like the
+    *    workshop's un-branched catalog, so any other branch name errors
+    *    rather than silently serving `main`'s data.
+    *
+    * In `asUser` mode the SELECT privilege is checked against the ORIGINAL
+    * dataset name here (the rewritten temp view is skipped by `enforce`). */
+  private def rewriteTimeTravel(stmt: String): String = {
+    val p = ("(?is)\\b([\\w.]+)\\s+AT\\s+(SNAPSHOT|TIMESTAMP|BRANCH)" +
+      "\\s+(?:'([^']*)'|(\\w+))").r
+    p.replaceAllIn(stmt, m => {
+      val name = m.group(1)
+      val kind = m.group(2).toUpperCase
+      val arg = Option(m.group(3)).getOrElse(m.group(4))
+      val root = spark.conf.getOption(s"graft.snapshot.$name").getOrElse(
+        throw new IllegalArgumentException(
+          s"$name AT $kind: no snapshot store bound " +
+            s"(set spark conf graft.snapshot.$name to the store root)"))
+      asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(name)))
+      val st = new graft.sources.SnapshotTable(spark, root)
+      val df = kind match {
+        case "SNAPSHOT" => st.read(versionAsOf = Some(arg.trim.toLong))
+        case "TIMESTAMP" =>
+          val ms =
+            if (arg.trim.forall(_.isDigit)) arg.trim.toLong
+            else java.sql.Timestamp.valueOf(arg.trim).getTime
+          st.readAsOfTimestamp(ms)
+        case _ =>
+          require(arg.trim.equalsIgnoreCase("main"),
+            s"$name AT BRANCH ${arg.trim}: store is single-branch (main)")
+          st.read()
+      }
+      metaViewCount += 1
+      val v = s"graft_tt_$metaViewCount"
+      df.createOrReplaceTempView(v)
       java.util.regex.Matcher.quoteReplacement(v)
     })
   }

@@ -522,7 +522,38 @@ object DataPipelineQueries {
              CAST(len(list_intersect(pool, ['client','purchase','revenue','history'])) AS INTEGER) AS score
       FROM pooled
       WHERE len(list_intersect(pool, ['client','purchase','revenue','history'])) > 0"""
-    })
+    }),
+
+    // Time travel from SCRIPTED SQL (stretch item, r5 VERDICT #8): the same
+    // committed store as q58, but pinned through the Dremio-style
+    // `table AT SNAPSHOT 'v'` clause inside a SqlScriptRunner statement
+    // (readme.md:366-370 "perform time travel queries") rather than the
+    // programmatic SnapshotTable API. The oracle recomputes v1's content
+    // (the even-id seed) from the source — the scripted clause must serve
+    // the historical snapshot, not the current table. AT TIMESTAMP and
+    // AT BRANCH are spec-covered (SqlScriptRunnerSpec) where commit timing
+    // is controllable.
+    Q("q71_script_time_travel", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val (root, v1) = snapshotFixtures.computeIfAbsent(
+        System.identityHashCode(s) + "|" + dir, _ => {
+          val r = java.nio.file.Files.createTempDirectory("graft_tt").toString
+          val st0 = new SnapshotTable(s, r)
+          val d = t(s, dir, "documents")
+          val v = st0.commit(d.filter(col("doc_id") % 2 === 0), "seed-even")
+          st0.commit(d, "overwrite-all")
+          (r, v)
+        })
+      s.conf.set("graft.snapshot.docs_history", root)
+      val runner = new graft.pipeline.SqlScriptRunner(s)
+      runner.run(s"""
+        SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
+        FROM docs_history AT SNAPSHOT '$v1'
+        GROUP BY lang;
+      """).head._2
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang"""))
   )
 
 }

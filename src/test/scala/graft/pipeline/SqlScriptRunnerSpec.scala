@@ -263,4 +263,61 @@ class SqlScriptRunnerSpec extends SparkSpec {
       "SELECT 'a;b' AS x; -- comment; with semicolon\nSELECT 2")
     assert(stmts === Seq("SELECT 'a;b' AS x", "SELECT 2"))
   }
+
+  test("AT SNAPSHOT / AT TIMESTAMP / AT BRANCH time-travel in scripted SQL") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_tt").toString
+    val st = new SnapshotTable(spark, root)
+    val v1 = st.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5) // commit log is millis-grained; keep v2 strictly later
+    st.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+    spark.conf.set("graft.snapshot.audit.log.entries", root)
+    val r = new SqlScriptRunner(spark)
+
+    val atSnap = r.run(
+      s"SELECT count(*) AS n FROM audit.log.entries AT SNAPSHOT '$v1'")
+    assert(atSnap.head._2.collect().head.getLong(0) === 2L)
+
+    // epoch-millis form and a timestamp literal both pin the pre-v2 state
+    val atTs = r.run(
+      s"SELECT count(*) AS n FROM audit.log.entries AT TIMESTAMP '$tsAfterV1'")
+    assert(atTs.head._2.collect().head.getLong(0) === 2L)
+    val lit = new java.sql.Timestamp(tsAfterV1).toString
+    val atTsLit = r.run(
+      s"SELECT count(*) AS n FROM audit.log.entries AT TIMESTAMP '$lit'")
+    assert(atTsLit.head._2.collect().head.getLong(0) === 2L)
+
+    // main = latest; other branches error (single-branch store), and an
+    // unbound table errors rather than silently reading something else
+    val atBranch = r.run(
+      "SELECT count(*) AS n FROM audit.log.entries AT BRANCH main")
+    assert(atBranch.head._2.collect().head.getLong(0) === 3L)
+    val eBranch = intercept[IllegalArgumentException] {
+      r.run("SELECT * FROM audit.log.entries AT BRANCH dev")
+    }
+    assert(eBranch.getMessage.contains("single-branch"))
+    val eUnbound = intercept[IllegalArgumentException] {
+      r.run("SELECT * FROM nowhere.t AT SNAPSHOT '0'")
+    }
+    assert(eUnbound.getMessage.contains("no snapshot store bound"))
+  }
+
+  test("time travel in asUser mode checks SELECT on the original dataset") {
+    import graft.sources.{Catalog, SnapshotTable}
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_tt_rbac").toString
+    new SnapshotTable(spark, root).commit(Seq((1L, "a")).toDF("id", "tag"))
+    spark.conf.set("graft.snapshot.finance.ledger", root)
+    Catalog.grant("GRANT SELECT ON TABLE finance.ledger TO USER auditor")
+    val ok = new SqlScriptRunner(spark, asUser = Some("auditor"))
+      .run("SELECT count(*) AS n FROM finance.ledger AT SNAPSHOT '0'")
+    assert(ok.head._2.collect().head.getLong(0) === 1L)
+    val denied = intercept[Catalog.AccessDeniedException] {
+      new SqlScriptRunner(spark, asUser = Some("intern"))
+        .run("SELECT * FROM finance.ledger AT SNAPSHOT '0'")
+    }
+    assert(denied.getMessage.contains("intern"))
+  }
 }
