@@ -122,6 +122,90 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // --- Connected components -------------------------------------------------
+
+  /** Connected components over a near-duplicate pair list — the clustering
+    * step that turns pairwise matches into dedup GROUPS (keep one canonical
+    * doc per cluster, drop the rest). Without it, transitive duplicates
+    * (A~B, B~C but A̸~C) survive pairwise dedup.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): converges in
+    * O(log² n) rounds regardless of component shape — unlike plain min-label
+    * propagation, whose round count is the component DIAMETER (a chain of
+    * crawl near-dups would need one round per link). Scale properties:
+    *  - each round is two aggregate+equi-join passes on the node key — no
+    *    collect_list of neighborhoods, so a 10M-member component never
+    *    materializes a row bigger than one (node, min) pair;
+    *  - `localCheckpoint` truncates the iterative lineage so the plan stays
+    *    O(1) per round instead of O(rounds);
+    *  - convergence is detected by an order-independent edge-set checksum
+    *    (count + sum of per-edge hashes), one tiny driver scalar per round.
+    *
+    * Returns one row per node appearing in `pairs`: (id, component) where
+    * component = the minimum id in the node's cluster (so the canonical
+    * representative satisfies id == component). Ids must be orderable.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // canonical undirected form: (hi, lo), no self-loops, deduped
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: every node v > u links to m(u) = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.filter(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    // small-star: every lo-neighbor of u (and u itself) links to the min
+    // lo-neighbor — edges only point downward, so m = min(N≤(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e)
+      val mins = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+    }
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // per-edge hashes reduced mod 1e9+7 before summing: the sum stays well
+      // under Long.MaxValue for any realistic edge count (ANSI-safe). The
+      // checksum only SCREENS for a fixpoint — equality is confirmed with an
+      // exact set compare below, so a hash collision can never end the loop
+      // on unequal edge sets.
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = canon(pairs.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint(true)
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      prev = cur
+      edges = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    // fixpoint = star graphs: every edge is (node, componentMin); roots
+    // (= the per-component minima) map to themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+  }
+
   // --- SimHash --------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens. UDF (scalar, deterministic,

@@ -553,7 +553,55 @@ object DataPipelineQueries {
       """).head._2
     }, Some("""
       SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
-      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang"""))
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""")),
+
+    // Near-dup CLUSTERING: pairwise LSH matches → connected components →
+    // one canonical doc per cluster (id == component min). The step a real
+    // dedup pipeline needs after q42's pair list — transitive duplicates
+    // (A~B, B~C, A̸~C) collapse into one cluster. Spark side runs the
+    // alternating large-star/small-star algorithm (O(log² n) rounds, two
+    // equi-join passes per round — no neighborhood collect); the oracle
+    // recomputes components exactly via a recursive reachability closure
+    // over the SAME exact-Jaccard pair list used by the q42 oracle.
+    Q("q72_dedup_clusters", (s, dir) => {
+      import graft.operators.Dedup
+      val pairs = Dedup.nearDupPairs(seededNear(s, dir), "doc_id", "text",
+        threshold = 0.5, k = 128, bands = 32)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+    }, Some("""
+      WITH RECURSIVE seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT c.id AS doc_id, c.cluster_id,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             c.id = c.cluster_id AS is_canonical
+      FROM comp c"""))
   )
 
 }

@@ -67,4 +67,31 @@ class DedupSpec extends SparkSpec {
       .select(shingles(tokens(col("t")), 2)).head.getSeq[String](0)
     assert(out === Seq("a b", "b c", "c d"))
   }
+
+  test("connectedComponents groups transitive pairs into min-labeled clusters") {
+    import spark.implicits._
+    // 1-2, 2-3 are only pairwise-similar through 2 (A~B, B~C, A̸~C), plus a
+    // disjoint 7-8 pair; 3 never pairs with 1 directly
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter >> rounds)") {
+    import spark.implicits._
+    // a 40-link chain: plain min-label propagation needs 40 rounds; the
+    // alternating star algorithm must finish well inside maxIter
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15)
+    val comps = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 41)
+    assert(comps.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents on an empty pair list returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0L)
+  }
 }
