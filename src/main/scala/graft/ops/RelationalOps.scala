@@ -90,4 +90,52 @@ object RelationalOps {
     * (reference: media_ai.sql:195). */
   def listaggDistinct(c: Column, sep: String): Column =
     array_join(sort_array(collect_set(c)), sep)
+
+  /** As-of join: each left row enriched with the LATEST right row whose
+    * timestamp is at or before the left row's, per key — temporal
+    * nearest-predecessor matching (attribution, point-in-time feature
+    * lookup, quote-to-trade alignment). Spark has no native ASOF JOIN; the
+    * naive `t_r <= t_l` theta-join explodes (every left row meets every
+    * earlier right row before the per-group max is taken).
+    *
+    * This implementation is the scalable union+window form: tag both sides,
+    * union, ONE shuffle on `keys`, and carry the most recent right payload
+    * forward with `last(ignoreNulls)` over rows ≤ current. Cost is
+    * sort-shuffle-linear in |left| + |right| — the same order as the
+    * aggregation that would follow anyway — and AQE handles key skew.
+    *
+    * Right rows sort before left rows at equal timestamps, so a right row
+    * AT the left timestamp matches (inclusive as-of, DuckDB/kdb semantics).
+    * If several right rows share (key, ts), the LAST in `tiebreak`-ascending
+    * order wins; pass a unique tiebreak (or pre-dedupe) for determinism.
+    *
+    * Output: every left column, plus each `rightPayload` column as
+    * `<prefix><name>` (null when no predecessor exists), plus
+    * `<prefix><rightTs>` = the matched row's timestamp.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightPayload: Seq[String],
+               prefix: String = "asof_", tiebreak: Seq[String] = Nil): DataFrame = {
+    val rFields = (rightTs +: rightPayload).distinct
+    val rStruct = struct(rFields.map(col): _*)
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__src"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rType).as("__r")): _*)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__src"),
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
+        rStruct.as("__r")): _*)
+    val order = (col("__ts").asc +: col("__src").asc +:
+      tiebreak.map(t => col("__r").getField(t).asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rTagged.unionByName(lTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(col("__l.*") +:
+        (rightTs +: rightPayload.filterNot(_ == rightTs)).map(f =>
+          col("__m").getField(f).as(prefix + f)): _*)
+  }
 }

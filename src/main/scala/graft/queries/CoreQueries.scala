@@ -865,6 +865,36 @@ object CoreQueries {
       SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS rev,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority"""))
+      GROUP BY o_orderpriority""")),
+
+    // As-of join (temporal nearest-predecessor): every purchase event
+    // enriched with the user's latest click at or before the purchase time
+    // — classic attribution / point-in-time-lookup semantics Spark has no
+    // native operator for. RelationalOps.asofJoin is the scalable
+    // union+window form (ONE shuffle on user_id, no t_r <= t_l theta-join
+    // blowup); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the two
+    // engines' as-of semantics (inclusive match, null when no predecessor)
+    // are compared operator-to-operator.
+    Q("q73_asof_join", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.RelationalOps.asofJoin(
+        purchases, clicks, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"), prefix = "click_",
+        tiebreak = Seq("event_id"))
+    }, Some("""
+      WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.ts AS click_ts, c.event_id AS click_event_id,
+             c.value AS click_value
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

@@ -73,4 +73,35 @@ class RelationalOpsSpec extends SparkSpec {
     val df = Seq("b", "a", "b", "c").toDF("x")
     assert(df.agg(listaggDistinct(col("x"), ", ")).head.getString(0) === "a, b, c")
   }
+
+  test("asofJoin matches latest-at-or-before per key, null when none") {
+    import spark.implicits._
+    val trades = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 5L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 15L, 3.0),
+      ("B", 9L, 9.0)).toDF("sym", "t", "px")
+    val out = asofJoin(trades, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .orderBy("trade_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3)),
+        Option(r.get(4)).map(_ => r.getDouble(4))))
+    // trade 1 at t=10: quote AT t=10 matches (inclusive), not t=8
+    // trade 2 at t=20: latest earlier quote is t=15
+    // trade 3 (B) at t=5: B's only quote is at t=9 → no predecessor → null
+    assert(out.toSeq === Seq(
+      (1L, Some(10L), Some(2.0)),
+      (2L, Some(15L), Some(3.0)),
+      (3L, None, None)))
+  }
+
+  test("asofJoin tiebreak picks the greatest when right timestamps collide") {
+    import spark.implicits._
+    val left = Seq((1L, "A", 10L)).toDF("id", "k", "t")
+    val right = Seq(("A", 10L, 7L, 1.0), ("A", 10L, 9L, 2.0), ("A", 10L, 8L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = asofJoin(left, right, Seq("k"), "t", "t", Seq("rid", "v"),
+      tiebreak = Seq("rid")).collect()(0)
+    assert(out.getLong(out.fieldIndex("asof_rid")) === 9L)
+    assert(out.getDouble(out.fieldIndex("asof_v")) === 2.0)
+  }
 }
