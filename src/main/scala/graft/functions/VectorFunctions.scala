@@ -28,6 +28,27 @@ object VectorFunctions {
     when(na > 0 && nb > 0, d / (na * nb))
   }
 
+  // --- Int8 quantization ----------------------------------------------------
+  // At 100 TB an fp32 embedding column is often the single biggest column in
+  // the lake; symmetric int8 quantization cuts it 4× (store
+  // `int8Quantize(...).cast("array<tinyint>")`) and the quantized dot/cosine
+  // runs on small exact integers — candidate generation reads a quarter of
+  // the bytes and re-ranks the shortlist against the fp32 column.
+
+  /** Per-vector symmetric quantization scale: max|x| / 127 (0 for the zero
+    * vector — quantization maps it to all-zeros). */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Quantize to the int8 grid, kept as exact small integers in doubles.
+    * `floor(x/s + 0.5)` rather than `round()` so ANY engine reproduces the
+    * identical grid from plain IEEE ops (round() half-away/half-even rules
+    * differ across engines; floor does not). Values land in [-127, 127] by
+    * construction since |x| ≤ 127·s. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    when(scale === 0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => floor(x / scale + lit(0.5))))
+
   /** Random-hyperplane (SimHash-for-vectors) LSH: `nBits` sign bits of dots
     * with seeded Gaussian hyperplanes, packed into a long. Deterministic:
     * hyperplanes come from a fixed-seed RNG at plan-build time and enter the

@@ -48,4 +48,20 @@ object Sampling {
     * the seed to get an independent order next epoch. */
   def epochShuffle(df: DataFrame, key: Column, seed: Long): DataFrame =
     df.orderBy(md5(concat(key.cast("string"), lit(seed.toString))))
+
+  /** Stratified deterministic sample — the corpus-REBALANCING op: keep a
+    * different percentage per stratum (downweight an overrepresented crawl
+    * source, keep 100% of a scarce high-quality one). `pctByStratum` maps
+    * stratum value → keep-percent; unlisted strata use `defaultPct`.
+    * Same content-hash bucketing as [[splitBucket]], so it is a pure
+    * map-side filter (no shuffle, no RNG state), retry/growth-stable, and
+    * the same row keeps its in/out fate when rates for OTHER strata change. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p => require(p >= 0 && p <= 100))
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (v, p)) =>
+      when(stratum === v, lit(p)).otherwise(acc)
+    }
+    df.filter(splitBucket(key) < pct)
+  }
 }

@@ -601,7 +601,67 @@ object DataPipelineQueries {
       SELECT c.id AS doc_id, c.cluster_id,
              count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
              c.id = c.cluster_id AS is_canonical
-      FROM comp c"""))
+      FROM comp c""")),
+
+    // Stratified rebalancing sample: per-source keep rates (100% of src1,
+    // 50% of src2, 25% of src3, 10% of everything else) over the same
+    // content-hash buckets as q55's split — a pure map-side filter, no RNG
+    // state, reproduced bit-for-bit by the oracle's identical md5 formula.
+    Q("q74_stratified_sample", (s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
+          col("source"), Map("src1" -> 100, "src2" -> 50, "src3" -> 25),
+          defaultPct = 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+    }, Some("""
+      SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM (SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+            FROM documents)
+      WHERE b < CASE source WHEN 'src1' THEN 100 WHEN 'src2' THEN 50
+                            WHEN 'src3' THEN 25 ELSE 10 END
+      GROUP BY source""")),
+
+    // Int8 embedding quantization: symmetric per-vector scale (max|x|/127),
+    // floor(x/s + 0.5) grid so the oracle reproduces the EXACT same levels
+    // from plain IEEE ops. Quantized cosines are arithmetic on small exact
+    // integers (summation-order-independent), checked against DuckDB
+    // recomputing the identical quantization; qerr bounds the quality loss
+    // vs the fp cosine on consecutive pairs. 100 TB point: the int8 column
+    // is 4× smaller than fp32 — candidate generation scans that, then
+    // re-ranks the shortlist on the full-precision column.
+    Q("q75_quantized_cosine", (s, dir) => {
+      import graft.functions.VectorFunctions._
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("s", int8Scale(col("v")))
+        .withColumn("qv", int8Quantize(col("v"), col("s")))
+      val a = q.select(col("vec_id"), col("v").as("va"), col("qv").as("qa"))
+      val b = q.select((col("vec_id") - 1).as("vec_id"),
+        col("v").as("vb"), col("qv").as("qb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"),
+          round(cosine(col("qa"), col("qb")), 6).as("qcos"),
+          round(abs(cosine(col("qa"), col("qb")) - cosine(col("va"), col("vb"))), 6)
+            .as("qerr"))
+    }, Some("""
+      WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        FROM base),
+      q AS (
+        SELECT vec_id, v,
+               CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS qv
+        FROM scaled)
+      SELECT a.vec_id,
+             round(list_cosine_similarity(a.qv, b.qv), 6) AS qcos,
+             round(abs(list_cosine_similarity(a.qv, b.qv) -
+                       list_cosine_similarity(a.v, b.v)), 6) AS qerr
+      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1"""))
   )
 
 }

@@ -39,6 +39,27 @@ class SamplingSpec extends SparkSpec {
     assert(ids1.forall(ids50.contains))
   }
 
+  test("stratifiedSample keeps per-stratum rates and is stable across rate changes") {
+    val rates = Map("src1" -> 100, "src2" -> 0)
+    val out = Sampling.stratifiedSample(docs, col("doc_id"), col("source"),
+      rates, defaultPct = 50)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src1") === totals("src1"))     // 100% kept
+    assert(!bySource.contains("src2"))              // 0% kept
+    // default strata keep exactly the rows whose bucket < 50 — the same
+    // rows deterministicSample(50) keeps, so changing OTHER strata's rates
+    // never flips a row's fate
+    val src3Kept = out.filter(col("source") === "src3")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val src3Direct = Sampling.deterministicSample(
+        docs.filter(col("source") === "src3"), col("doc_id"), 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(src3Kept === src3Direct)
+  }
+
   test("epoch shuffle is a deterministic permutation that varies by seed") {
     val base = docs.select("doc_id")
     val e1 = Sampling.epochShuffle(base, col("doc_id"), 1L).collect().map(_.getLong(0)).toSeq
