@@ -661,7 +661,83 @@ object DataPipelineQueries {
              round(list_cosine_similarity(a.qv, b.qv), 6) AS qcos,
              round(abs(list_cosine_similarity(a.qv, b.qv) -
                        list_cosine_similarity(a.v, b.v)), 6) AS qerr
-      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1"""))
+      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1""")),
+
+    // CAPSTONE — the full training-data curation pipeline as ONE declarative
+    // plan: quality gate → language filter → exact dedup (seeded corpus, so
+    // the stage provably removes rows) → stratified source rebalancing →
+    // train/val/test split → per-split corpus stats. Every stage reuses an
+    // operator whose formula is already oracle-proven (q51, q41, q74, q55);
+    // here the COMPOSITION is hash-checked end to end. The split uses an
+    // independent hash domain (`doc_id || ':split'`) from the sampling
+    // bucket — reusing one hash would correlate the stages (every row kept
+    // by b<40 sampling would land in b<80 train). Map-side projections +
+    // one md5-keyed dedup shuffle + the final tiny agg: at 100 TB this is
+    // a single linear pass over the corpus.
+    Q("q76_curation_pipeline", (s, dir) => {
+      import graft.operators.{Dedup, Sampling}
+      val scored = seededExact(s, dir).select(
+          col("doc_id"), col("source"), col("text"),
+          langId(col("text")).as("lang_pred"),
+          qualityScore(col("text")).as("quality"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      val deduped = Dedup.exactDedup(scored, col("text"), Seq(col("doc_id")))
+      val balanced = Sampling.stratifiedSample(deduped, col("doc_id"),
+        col("source"), Map("src1" -> 100, "src2" -> 50), defaultPct = 40)
+      balanced
+        .withColumn("split", Sampling.splitAssign(
+          concat(col("doc_id").cast("string"), lit(":split")), 80, 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          countDistinct(col("source")).as("n_sources"))
+    }, Some {
+      val hits = graft.functions.TextFunctions.defaultMarkers.map {
+        case (lang, words) => s"${markerFilter(words)} AS s_$lang"
+      }.mkString(",\n               ")
+      s"""
+      WITH seeded0 AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0),
+      feat AS (
+        SELECT doc_id, source, text, $hits,
+               length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_char,
+               CAST(len(toks) AS DOUBLE) AS n_tok
+        FROM (SELECT doc_id, source, text,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM seeded0)),
+      scored AS (
+        SELECT doc_id, source, text, CAST(n_tok AS BIGINT) AS n_tokens,
+               $langPredOracleExpr AS lang_pred,
+               $qualityOracleExpr AS quality
+        FROM feat),
+      filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'),
+      deduped AS (
+        SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens,
+               arg_min(quality, doc_id) AS quality
+        FROM filtered GROUP BY text),
+      balanced AS (
+        SELECT * FROM (
+          SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+          FROM deduped) t
+        WHERE b < CASE source WHEN 'src1' THEN 100 WHEN 'src2' THEN 50 ELSE 40 END),
+      final AS (
+        SELECT CASE WHEN b2 < 80 THEN 'train' WHEN b2 < 90 THEN 'val'
+                    ELSE 'test' END AS split, t.*
+        FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 AS b2
+              FROM balanced) t)
+      SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             round(avg(quality), 6) AS avg_quality,
+             count(DISTINCT source) AS n_sources
+      FROM final GROUP BY split"""
+    })
   )
 
 }
