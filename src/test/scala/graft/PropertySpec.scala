@@ -69,6 +69,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L))).map(_.filter(e => e._1 != e._2))
+    samples(edgeGen, 8).filter(_.nonEmpty).foreach { edges =>
+      // reference: textbook union-find with min-label components
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // union-find roots are not necessarily the component minimum; reduce
+      val byRoot = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === byRoot, s"edges=$edges")
+    }
+  }
+
+  test("property: asofJoin equals the naive latest-at-or-before reference") {
+    import spark.implicits._
+    val leftGen = Gen.listOfN(6, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 30L)))
+    val rightGen = Gen.listOfN(6, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 30L),
+      Gen.choose(0.0, 9.0)))
+    samples(Gen.zip(leftGen, rightGen), 10).foreach { case (ls, rs) =>
+      // unique right (key, ts) so the match is well-defined without tiebreaks
+      val rsu = rs.groupBy(t => (t._1, t._2)).values.map(_.head).toSeq
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "k", "t")
+      val right = rsu.toDF("k", "t", "v")
+      val got = asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(3)).map(_ => r.getLong(3)),
+            Option(r.get(4)).map(_ => r.getDouble(4)))).toMap
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val expect = rsu.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        assert(got(i.toLong) === ((expect.map(_._2), expect.map(_._3))),
+          s"left=($k,$t) right=$rsu")
+      }
+    }
+  }
+
   test("property: hidden-partition pruning never changes results (soundness)") {
     // The optimizer rule derives day-granularity bounds; for ANY comparison
     // shape and bound, the pruned result must equal the same filter over an
