@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Differential query fuzzer (r5 VERDICT next-round #4): seeded random
-  * filter+groupBy+agg queries over the TPC-H tables, each rendered TWICE —
+  * filter+groupBy+agg queries — plain and year(date) expression group keys,
+  * optional HAVING group-size gates, 1- and 2-table relations — each rendered TWICE —
   * as a DataFrame-API plan and as ANSI SQL that both Spark and DuckDB parse.
   * FuzzSpec compares the two Spark paths for ≥200 cases (parser vs API plan
   * construction); registry query q70 union-alls a case batch so the driver's
@@ -27,10 +28,11 @@ object Fuzz {
 
   final case class ColSpec(name: String, dom: Dom)
 
-  /** A relation the generator can query: one table or a 2-table equi-join. */
+  /** A relation the generator can query: one table or a 2-table equi-join.
+    * `dateCols` feed expression group keys (`year(c)`). */
   final case class Rel(tables: Seq[String], joinOn: Seq[(String, String)],
                        groupCols: Seq[String], measureCols: Seq[String],
-                       filterCols: Seq[ColSpec])
+                       filterCols: Seq[ColSpec], dateCols: Seq[String] = Nil)
 
   private val qty = ColSpec("l_quantity", NumDom(1, 50, int = true))
   private val eprice = ColSpec("l_extendedprice", NumDom(900, 100000, int = false))
@@ -56,11 +58,11 @@ object Fuzz {
     Rel(Seq("lineitem"), Nil,
       Seq("l_returnflag", "l_linestatus"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-      Seq(qty, eprice, disc, rflag, lstat)),
+      Seq(qty, eprice, disc, rflag, lstat), dateCols = Seq("l_shipdate")),
     Rel(Seq("orders"), Nil,
       Seq("o_orderstatus", "o_orderpriority"),
       Seq("o_totalprice"),
-      Seq(ototal, ostat, oprio)),
+      Seq(ototal, ostat, oprio), dateCols = Seq("o_orderdate")),
     Rel(Seq("customer"), Nil,
       Seq("c_mktsegment", "c_nationkey"),
       Seq("c_acctbal"),
@@ -99,8 +101,19 @@ object Fuzz {
   /** fn ∈ sum/avg/min/max/count/count_star. */
   final case class Agg(fn: String, colName: String, alias: String)
 
+  /** Group key: a plain column, or year(dateCol) — the expression-group-by
+    * shape (both engines return the integer year, so no float parity risk). */
+  sealed trait GKey { def alias: String; def sqlExpr: String }
+  final case class PlainKey(name: String) extends GKey {
+    def alias: String = name; def sqlExpr: String = name
+  }
+  final case class YearKey(c: String) extends GKey {
+    def alias: String = s"y_$c"; def sqlExpr: String = s"year($c)"
+  }
+
   final case class FuzzCase(id: String, rel: Rel, preds: Seq[Pred],
-                            groups: Seq[String], aggs: Seq[Agg])
+                            groups: Seq[GKey], aggs: Seq[Agg],
+                            having: Option[Int] = None)
 
   // --- generation -----------------------------------------------------------
 
@@ -110,13 +123,21 @@ object Fuzz {
       val rel = rels(rng.nextInt(rels.length))
       val preds = rng.shuffle(rel.filterCols).take(rng.nextInt(3))
         .map(mkPred(rng, _)).toSeq
-      val groups = rng.shuffle(rel.groupCols).take(rng.nextInt(3)).toSeq
+      val plain: Seq[GKey] =
+        rng.shuffle(rel.groupCols).take(rng.nextInt(3)).map(PlainKey.apply).toSeq
+      // ~1 in 3 cases over a dated relation also group by year(dateCol)
+      val groups = plain ++ (if (rel.dateCols.nonEmpty && rng.nextInt(3) == 0)
+        Seq(YearKey(rel.dateCols(rng.nextInt(rel.dateCols.length)))) else Nil)
       val nAgg = if (singleAgg) 1 else 1 + rng.nextInt(3)
       val aggs = (0 until nAgg).map { j =>
         val fn = Seq("sum", "avg", "min", "max", "count", "count_star")(rng.nextInt(6))
         Agg(fn, rel.measureCols(rng.nextInt(rel.measureCols.length)), s"m$j")
       }
-      FuzzCase(f"f$i%03d", rel, preds, groups, aggs)
+      // ~1 in 4 grouped cases gate on group size (HAVING count(*) >= n —
+      // integer compare, no cross-engine float parity risk)
+      val having = if (groups.nonEmpty && rng.nextInt(4) == 0)
+        Some(2 + rng.nextInt(4)) else None
+      FuzzCase(f"f$i%03d", rel, preds, groups, aggs, having)
     }
 
   private def num2(v: Double): Double = math.rint(v * 100) / 100
@@ -141,6 +162,11 @@ object Fuzz {
 
   // --- DataFrame-API rendering ---------------------------------------------
 
+  private def keyCol(k: GKey): Column = k match {
+    case PlainKey(n) => col(n)
+    case YearKey(c) => year(col(c)).as(s"y_$c")
+  }
+
   def df(s: SparkSession, dir: String, c: FuzzCase): DataFrame = {
     var d = graft.Tables(s, dir, c.rel.tables.head)
     c.rel.tables.tail.zip(c.rel.joinOn).foreach { case (tb, (lk, rk)) =>
@@ -149,7 +175,15 @@ object Fuzz {
     val filtered = c.preds.foldLeft(d)((acc, p) => acc.filter(predCol(p)))
     val aggCols = c.aggs.map(aggCol)
     if (c.groups.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-    else filtered.groupBy(c.groups.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    else c.having match {
+      case None =>
+        filtered.groupBy(c.groups.map(keyCol): _*).agg(aggCols.head, aggCols.tail: _*)
+      case Some(n) =>
+        filtered.groupBy(c.groups.map(keyCol): _*)
+          .agg(aggCols.head, (aggCols.tail :+ count(lit(1)).as("__hc")): _*)
+          .filter(col("__hc") >= n)
+          .drop("__hc")
+    }
   }
 
   private def predCol(p: Pred): Column = p match {
@@ -202,12 +236,17 @@ object Fuzz {
   }
 
   def sql(c: FuzzCase): String = {
-    val select = (c.groups ++ c.aggs.map(aggSql)).mkString(", ")
+    val keys = c.groups.map {
+      case PlainKey(n) => n
+      case k @ YearKey(_) => s"${k.sqlExpr} AS ${k.alias}"
+    }
+    val select = (keys ++ c.aggs.map(aggSql)).mkString(", ")
     val where =
       if (c.preds.isEmpty) "" else " WHERE " + c.preds.map(predSql).mkString(" AND ")
     val group =
-      if (c.groups.isEmpty) "" else " GROUP BY " + c.groups.mkString(", ")
-    s"SELECT $select FROM ${fromSql(c)}$where$group"
+      if (c.groups.isEmpty) "" else " GROUP BY " + c.groups.map(_.sqlExpr).mkString(", ")
+    val having = c.having.map(n => s" HAVING count(*) >= $n").getOrElse("")
+    s"SELECT $select FROM ${fromSql(c)}$where$group$having"
   }
 
   /** Normalized single-measure projection for the cross-engine union (q70):
@@ -215,14 +254,14 @@ object Fuzz {
   def normalizedDf(s: SparkSession, dir: String, c: FuzzCase): DataFrame = {
     val d = df(s, dir, c)
     val k = if (c.groups.isEmpty) lit("")
-            else concat_ws("|", c.groups.map(g => col(g).cast("string")): _*)
+            else concat_ws("|", c.groups.map(g => col(g.alias).cast("string")): _*)
     d.select(lit(c.id).as("case_id"), k.as("k"),
       col(c.aggs.head.alias).cast("double").as("v"))
   }
 
   def normalizedSql(c: FuzzCase): String = {
     val k = if (c.groups.isEmpty) "''"
-            else "concat_ws('|', " + c.groups.map(g => s"CAST($g AS VARCHAR)").mkString(", ") + ")"
+            else "concat_ws('|', " + c.groups.map(g => s"CAST(${g.alias} AS VARCHAR)").mkString(", ") + ")"
     s"SELECT '${c.id}' AS case_id, $k AS k, CAST(${c.aggs.head.alias} AS DOUBLE) AS v " +
       s"FROM (${sql(c)})"
   }

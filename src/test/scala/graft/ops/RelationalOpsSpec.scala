@@ -94,6 +94,17 @@ class RelationalOpsSpec extends SparkSpec {
       (3L, None, None)))
   }
 
+  test("asofJoin plans exactly one shuffle (union+window, no theta join)") {
+    import spark.implicits._
+    val left = Seq((1L, "A", 10L)).toDF("id", "k", "t")
+    val right = Seq(("A", 8L, 1.0)).toDF("k", "t", "v")
+    val plan = asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("asofJoin tiebreak picks the greatest when right timestamps collide") {
     import spark.implicits._
     val left = Seq((1L, "A", 10L)).toDF("id", "k", "t")
