@@ -867,6 +867,64 @@ object CoreQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority""")),
 
+    // UNPIVOT (wide → long): three lineitem measures melted to
+    // (flag, measure, value) rows with Spark's native Dataset.unpivot —
+    // the inverse of q07's pivot shape. At scale unpivot is a map-side
+    // row-expansion (no shuffle until the aggregate); the oracle re-melts
+    // via the engine-neutral UNION ALL form.
+    Q("q77_unpivot", (s, dir) => {
+      val melted = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+      melted.groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("val")), 2).as("total"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      WITH st AS (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      SELECT l_returnflag, measure, round(sum(val), 2) AS total, count(*) AS n
+      FROM st GROUP BY l_returnflag, measure""")),
+
+    // Mergeable HLL sketches (Apache DataSketches via Spark's
+    // hll_sketch_agg/hll_union_agg): per-source partial sketches merged
+    // must estimate ~the same cardinality as one global sketch — the
+    // map-side-combine property that makes sketch rollups linear at 100 TB
+    // (partials travel, not values). Union is not bit-identical to the
+    // global sketch (partials can be in different sparse/dense modes when
+    // merged), so the require() bounds merged-vs-global drift at 2%, and
+    // the emitted flag asserts BOTH estimates land within ±2% of the true
+    // cardinality — an error contract the oracle verifies from the exact
+    // count (the estimate itself is sketch-internal, like q49b's recall
+    // floor).
+    Q("q78_hll_mergeable", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val global = d.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est"),
+        countDistinct(col("text")).as("n_exact")).head
+      val merged = d.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head
+      val (est, exact) = (global.getLong(0), global.getLong(1))
+      val estM = merged.getLong(0)
+      require(math.abs(estM - est).toDouble / exact <= 0.02,
+        s"merged sketch estimate $estM drifted >2% from global $est")
+      val withinPct = math.abs(est - exact).toDouble / exact <= 0.02 &&
+        math.abs(estM - exact).toDouble / exact <= 0.02
+      import s.implicits._
+      Seq((exact, withinPct)).toDF("n_exact", "within_2pct")
+    }, Some("""
+      SELECT count(DISTINCT text) AS n_exact, TRUE AS within_2pct
+      FROM documents""")),
+
     // As-of join (temporal nearest-predecessor): every purchase event
     // enriched with the user's latest click at or before the purchase time
     // — classic attribution / point-in-time-lookup semantics Spark has no
