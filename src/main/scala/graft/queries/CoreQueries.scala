@@ -907,11 +907,13 @@ object CoreQueries {
     // floor).
     Q("q78_hll_mergeable", (s, dir) => {
       val d = t(s, dir, "documents")
+      // lgK=14 (~0.4% standard error) keeps the 2% contract comfortable at
+      // any corpus scale; the default lgK=12's ~0.8% would sit too close
       val global = d.agg(
-        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est"),
+        hll_sketch_estimate(hll_sketch_agg(col("text"), 14)).as("est"),
         countDistinct(col("text")).as("n_exact")).head
       val merged = d.groupBy(col("source"))
-        .agg(hll_sketch_agg(col("text")).as("sk"))
+        .agg(hll_sketch_agg(col("text"), 14).as("sk"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head
       val (est, exact) = (global.getLong(0), global.getLong(1))
       val estM = merged.getLong(0)

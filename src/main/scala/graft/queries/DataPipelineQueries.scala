@@ -663,6 +663,52 @@ object DataPipelineQueries {
                        list_cosine_similarity(a.v, b.v)), 6) AS qerr
       FROM q a JOIN q b ON b.vec_id = a.vec_id + 1""")),
 
+    // Subquadratic near-dup pairs — the SCALE PATH for q48's exact blocked
+    // join (which is O(n²) compare work by design, its oracle being the
+    // all-pairs ground truth). Here the corpus is seeded with perturbed
+    // copies (element 0 shifted by +0.3 → cosine ≈ 0.95) and
+    // cosinePairsAboveLsh finds them via banded hyperplane equi-joins —
+    // LINEAR shuffle, no block-pair expansion. The expected pair set is
+    // computable without any quadratic stage (each copy pairs only with its
+    // original), so the oracle derives it by joining original↔copy and the
+    // driver hash-checks that LSH found EVERY true pair (miss probability
+    // at cos 0.9 with 16×4-bit bands ≈ 4e-6, and the hyperplanes are
+    // seed-deterministic, so `found` is stable, not flaky).
+    Q("q79_neardup_lsh", (s, dir) => {
+      import graft.functions.VectorFunctions.{asDouble, cosine}
+      val e = t(s, dir, "embeddings")
+      val pert = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          transform(asDouble(col("embedding")),
+            (x, i) => when(i === 0, x + lit(0.3)).otherwise(x)).as("embedding"))
+      val seeded = e.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+        .unionByName(pert.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+      val lsh = Similarity.cosinePairsAboveLsh(seeded, "vec_id", "embedding",
+          threshold = 0.9, dim = 64)
+        .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+      val exact = e.select(col("vec_id"), asDouble(col("embedding")).as("va"))
+        .join(pert.select(col("vec_id"), col("embedding").as("vb")), "vec_id")
+        .withColumn("__sim", cosine(col("va"), col("vb")))
+        .filter(col("__sim") >= 0.9)
+        .select(col("vec_id").as("id_a"),
+          (col("vec_id") + 1000000L).as("id_b"),
+          round(col("__sim"), 6).as("sim"))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("sim"),
+          (coalesce(col("__hit"), lit(0)) === 1).as("found"))
+    }, Some("""
+      WITH orig AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pert AS (
+        SELECT vec_id, list_concat([v[1] + 0.3], v[2:]) AS v
+        FROM orig WHERE vec_id % 10 = 0)
+      SELECT o.vec_id AS id_a, o.vec_id + 1000000 AS id_b,
+             round(list_cosine_similarity(o.v, p.v), 6) AS sim,
+             TRUE AS found
+      FROM orig o JOIN pert p ON o.vec_id = p.vec_id
+      WHERE list_cosine_similarity(o.v, p.v) >= 0.9""")),
+
     // CAPSTONE — the full training-data curation pipeline as ONE declarative
     // plan: quality gate → language filter → exact dedup (seeded corpus, so
     // the stage provably removes rows) → stratified source rebalancing →
