@@ -663,6 +663,40 @@ object DataPipelineQueries {
                        list_cosine_similarity(a.v, b.v)), 6) AS qerr
       FROM q a JOIN q b ON b.vec_id = a.vec_id + 1""")),
 
+    // Train/eval decontamination: the seeded near-copies land in a split
+    // bucket independent of their originals (re-keyed doc_id), so some
+    // originals sit in train while their copy sits in eval — exactly the
+    // leak a real pipeline must catch before shipping a benchmark split.
+    // Cross-corpus 5-gram overlap via hashed-shingle equi-join (linear, no
+    // all-pairs stage); the oracle recomputes the same overlap on shingle
+    // STRINGS in DuckDB, so the hash-key optimization is itself checked.
+    Q("q80_decontamination", (s, dir) => {
+      import graft.operators.{Decontaminate, Sampling}
+      val seeded = seededNear(s, dir)
+      val train = seeded.filter(Sampling.splitBucket(col("doc_id")) < 80)
+      val ev = seeded.filter(Sampling.splitBucket(col("doc_id")) >= 80)
+      Decontaminate.overlapReport(train, ev, "doc_id", "text", n = 5)
+    }, Some("""
+      WITH seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+               list_distinct(list_transform(range(1, len(toks)-3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded)),
+      tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE b < 80),
+      te AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE b >= 80)
+      SELECT te.doc_id AS eval_doc, count(DISTINCT tr.doc_id) AS n_train_docs,
+             count(DISTINCT te.g) AS n_shared_shingles
+      FROM te JOIN tr ON tr.g = te.g
+      GROUP BY te.doc_id""")),
+
     // Subquadratic near-dup pairs — the SCALE PATH for q48's exact blocked
     // join (which is O(n²) compare work by design, its oracle being the
     // all-pairs ground truth). Here the corpus is seeded with perturbed
