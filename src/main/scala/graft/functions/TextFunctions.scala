@@ -91,6 +91,62 @@ object TextFunctions {
     round(lit(0.4) * lenOk + lit(0.3) * punctOk + lit(0.3) * swOk, 6)
   }
 
+  // --- repetition filtering (Gopher-style quality rules) --------------------
+
+  /** Count of the single most frequent token — the run-length max over the
+    * SORTED token array, computed with one `aggregate` pass: O(n log n) per
+    * document and map-side, vs the O(distinct·n) nested-loop a naive
+    * count-per-distinct-token does. Empty text → 0. */
+  def topTokenCount(toks: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(sort_array(toks), zero,
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Fraction of the document occupied by its most frequent token, in [0,1].
+    * The Gopher repetition rule gates on this (a page whose top token is a
+    * large share of the text is boilerplate/spam). */
+  def topTokenFraction(text: Column): Column = {
+    val t = tokens(text)
+    round(topTokenCount(t).cast("double") /
+      greatest(size(t).cast("double"), lit(1.0)), 6)
+  }
+
+  /** Distinct-token ratio in [0,1] — low values mean the document repeats a
+    * tiny vocabulary (the duplicate-line-fraction analog for one-line docs). */
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") /
+      greatest(size(t).cast("double"), lit(1.0)), 6)
+  }
+
+  // --- PII redaction ---------------------------------------------------------
+
+  /** RE2-compatible patterns (no backrefs/lookaround), so the identical regex
+    * runs in DuckDB/RE2 engines for cross-checking. Deliberately simple —
+    * production lists are config, not code. */
+  val emailPattern = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
+  /** Replace every email/phone occurrence with a typed placeholder. Pure
+    * projection (codegen'd regexp_replace) — the 100 TB shape is a map-only
+    * rewrite pass, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
   /** Polynomial rolling-hash document fingerprint over tokens (order
     * sensitive, unlike a bag-of-words hash). Works mod the Mersenne prime
     * 2^31-1 so every intermediate product stays < 2^51 — no long overflow

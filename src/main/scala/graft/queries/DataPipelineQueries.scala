@@ -817,7 +817,193 @@ object DataPipelineQueries {
              round(avg(quality), 6) AS avg_quality,
              count(DISTINCT source) AS n_sources
       FROM final GROUP BY split"""
-    })
+    }),
+
+    // Sequence packing, GPT-style concatenation-chunking form: documents are
+    // laid end-to-end per shard (hash-sharded so 100 TB parallelizes) and the
+    // stream is cut every 256 tokens. Pure window math — one shuffle on the
+    // shard key, then codegen'd offset arithmetic; the oracle replays the
+    // identical window in DuckDB. 256.0 = 2^8, so offset/256 is exact IEEE
+    // division in both engines (no rounding-boundary risk on floor()).
+    Q("q81_sequence_chunks", (s, dir) => {
+      import graft.operators.Packing
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.chunkAssign(d, col("doc_id"), col("n_tokens"),
+        Packing.shardOf(col("doc_id"), 8), seqLen = 256)
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 % 8 AS shard,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      off AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                    - n_tokens AS BIGINT) AS start_off
+        FROM base)
+      SELECT shard, doc_id, n_tokens, start_off,
+             CAST(floor(start_off / 256.0) AS BIGINT) AS first_chunk,
+             CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT) AS last_chunk,
+             floor(start_off / 256.0) <> floor((start_off + n_tokens - 1) / 256.0) AS straddles
+      FROM off""")),
+
+    // Sequence packing, greedy no-straddle form: first-fit-in-order per
+    // shard, a new pack opening when the next document would overflow the
+    // 256-token budget. Order-dependent per-group state that windows cannot
+    // express — runs as ONE repartition+sort+mapPartitions linear pass
+    // (Packing.packGreedy). The oracle replays the exact sequential recursion
+    // in DuckDB via WITH RECURSIVE over per-shard row numbers, so the
+    // imperative Spark scan is checked against a declarative restatement.
+    Q("q82_greedy_packing", (s, dir) => {
+      import graft.operators.Packing
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packGreedy(d, col("doc_id"), col("n_tokens"),
+          Packing.shardOf(col("doc_id"), 8), budget = 256)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }, Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 % 8 AS shard,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      docs AS (
+        SELECT shard, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base),
+      rec AS (
+        SELECT shard, doc_id, n_tokens, rn, n_tokens AS acc,
+               CAST(0 AS BIGINT) AS pack_id
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+               CASE WHEN r.acc + d.n_tokens > 256 THEN d.n_tokens
+                    ELSE r.acc + d.n_tokens END,
+               CASE WHEN r.acc + d.n_tokens > 256 THEN r.pack_id + 1
+                    ELSE r.pack_id END
+        FROM docs d JOIN rec r ON d.shard = r.shard AND d.rn = r.rn + 1)
+      SELECT shard, pack_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             min(doc_id) AS first_doc
+      FROM rec GROUP BY shard, pack_id""")),
+
+    // Gopher-style repetition filter: fraction of the document occupied by
+    // its most frequent token + distinct-token ratio. Spark computes the
+    // mode count map-side as a run-length max over the SORTED token array
+    // (one O(n log n) aggregate pass, no shuffle); the oracle recomputes it
+    // in DuckDB the naive O(distinct·n) way — two different algorithms must
+    // agree on every document. The `repetitive` gate is pure integer math
+    // (best*10 > n), so the boolean cannot flip on an FP rounding boundary.
+    Q("q83_repetition_filter", (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("source"),
+        topTokenFraction(col("text")).as("top_frac"),
+        distinctTokenRatio(col("text")).as("distinct_ratio"),
+        (topTokenCount(tokens(col("text"))) * 10 >
+          size(tokens(col("text"))).cast("long")).as("repetitive"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id, source, t,
+               list_max(list_transform(list_distinct(t),
+                 x -> len(list_filter(t, y -> y = x)))) AS best
+        FROM tk)
+      SELECT doc_id, source,
+             round(CAST(best AS DOUBLE) / greatest(len(t), 1), 6) AS top_frac,
+             round(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 6) AS distinct_ratio,
+             best * 10 > len(t) AS repetitive
+      FROM m""")),
+
+    // PII redaction: the corpus is seeded with deterministic synthetic
+    // emails/phones (the raw word-soup has none), then every occurrence is
+    // replaced with a typed placeholder via codegen'd regexp_replace — a
+    // map-only rewrite pass at 100 TB. The per-source md5-residue sum over
+    // the REDACTED text proves the output strings are byte-identical to
+    // DuckDB's RE2 redaction, not just the counts.
+    Q("q84_pii_redaction", (s, dir) => {
+      val seeded = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call 415-555-1234 today")))
+            .otherwise(col("text")))
+      seeded
+        .select(col("source"),
+          emailCount(col("text")).as("ne"),
+          phoneCount(col("text")).as("np"),
+          redactPii(col("text")).as("red"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ne")).cast("long").as("n_emails"),
+          sum(col("np")).cast("long").as("n_phones"),
+          sum(conv(substring(md5(col("red")), 1, 8), 16, 10).cast("long"))
+            .as("redacted_hash"))
+    }, Some("""
+      WITH seeded AS (
+        SELECT doc_id, source,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' call 415-555-1234 today' ELSE '' END AS text
+        FROM documents),
+      red AS (
+        SELECT source,
+               len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS ne,
+               len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+               regexp_replace(
+                 regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS r
+        FROM seeded)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(np) AS BIGINT) AS n_phones,
+             CAST(sum(CAST(('0x' || substr(md5(r), 1, 8)) AS BIGINT)) AS BIGINT) AS redacted_hash
+      FROM red GROUP BY source""")),
+
+    // Domain-mixture planning: temperature-scaled sampling weights per
+    // source (w_i ∝ tokens_i^0.5, the standard multilingual/multi-domain
+    // upsampling rule) and the implied epochs-over-the-source for a fixed
+    // 100M-token training budget. One tiny agg + a global window over ~20
+    // source rows — driver-light, executes as two stages at any scale.
+    Q("q85_mixture_weights", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("tok_count"))
+      counts
+        .withColumn("w_raw", sqrt(col("tok_count").cast("double")))
+        .withColumn("weight", round(col("w_raw") / sum(col("w_raw")).over(w), 6))
+        .withColumn("epochs",
+          round(col("w_raw") / sum(col("w_raw")).over(w) * lit(1.0e8) / col("tok_count"), 6))
+        .select(col("source"), col("n_docs"), col("tok_count"),
+          col("weight"), col("epochs"))
+    }, Some("""
+      WITH c AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS tok_count
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, tok_count,
+             round(sqrt(CAST(tok_count AS DOUBLE)) /
+                   sum(sqrt(CAST(tok_count AS DOUBLE))) OVER (), 6) AS weight,
+             round(sqrt(CAST(tok_count AS DOUBLE)) /
+                   sum(sqrt(CAST(tok_count AS DOUBLE))) OVER ()
+                   * 100000000.0 / tok_count, 6) AS epochs
+      FROM c"""))
   )
 
 }
