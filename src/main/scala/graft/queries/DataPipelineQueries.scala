@@ -1003,7 +1003,70 @@ object DataPipelineQueries {
              round(sqrt(CAST(tok_count AS DOUBLE)) /
                    sum(sqrt(CAST(tok_count AS DOUBLE))) OVER ()
                    * 100000000.0 / tok_count, 6) AS epochs
-      FROM c"""))
+      FROM c""")),
+
+    // Approximate-quantile CONTRACT (q49b-style): percentile_approx is the
+    // mergeable KLL/GK-sketch path for percentiles at 100 TB (partial-agg
+    // map-side, constant memory — exact percentile must materialize the
+    // whole group). Its rank-error guarantee (≤ 1/accuracy) is verified
+    // in-plan: the approx value is joined back and its true rank fraction
+    // must sit within ±0.005 of the target quantile. The oracle pins the
+    // contract booleans and the exact group sizes; no interpolated-double
+    // crosses the engine boundary (q38 covers exact-percentile parity).
+    Q("q86_approx_quantiles", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag")).agg(
+          expr("percentile_approx(l_extendedprice, array(0.5D, 0.9D), 10000)").as("ap"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("ap")(0).as("a50"),
+          col("ap")(1).as("a90"), col("n_rows"))
+      li.join(broadcast(approx), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n_rows")).as("n_rows"),
+          (sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L))
+            .cast("double") / max(col("n_rows"))).as("r50"),
+          (sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L))
+            .cast("double") / max(col("n_rows"))).as("r90"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("r50").between(0.495, 0.505).as("ok50"),
+          col("r90").between(0.895, 0.905).as("ok90"))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n_rows,
+             TRUE AS ok50, TRUE AS ok90
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // RAG-style sliding-window chunking: each document becomes overlapping
+    // 32-token windows at stride 16 (50 % overlap). Pure explode of a
+    // map-side index sequence — ~2-3× row blowup, no shuffle, the right
+    // 100 TB shape for retrieval-index ingestion. The md5 residue over each
+    // chunk's joined text proves the chunk CONTENT (boundaries, clamping of
+    // the final short window) is byte-identical to DuckDB's list-slice
+    // restatement.
+    Q("q87_chunk_overlap", (s, dir) => {
+      val window = 32; val stride = 16
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / stride).cast("int"))))
+        .withColumn("chunk",
+          slice(col("toks"), col("chunk_idx") * stride + 1, lit(window)))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          conv(substring(md5(array_join(col("chunk"), " ")), 1, 8), 16, 10)
+            .cast("long").as("chunk_hash"))
+    }, Some("""
+      WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      ch AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(floor((len(t) - 1) / 16.0) AS BIGINT) + 1)) AS chunk_idx
+        FROM tk)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(len(t[chunk_idx*16 + 1 : chunk_idx*16 + 32]) AS BIGINT) AS chunk_tokens,
+             CAST(('0x' || substr(md5(array_to_string(t[chunk_idx*16 + 1 : chunk_idx*16 + 32], ' ')), 1, 8)) AS BIGINT) AS chunk_hash
+      FROM ch"""))
   )
 
 }
