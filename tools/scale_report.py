@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Assemble SCALE_r{N}.json from warm Bench runs at sf0.1 and at the 10x
+corpus (graft.tools.ScaleUp output).
+
+Usage:
+  python3 tools/scale_report.py sf01_runs.jsonl scale10_runs.jsonl out.json
+
+Each input file holds one Bench JSON line per warm run (>=2 recommended);
+per-query times are the min across runs (each Bench line is itself a
+min-of-2-reps), excluding the cold-page-cache pass right after writing the
+corpus, which inflates I/O-bound queries up to 14x.
+"""
+import json
+import sys
+
+
+def best(path):
+    runs = [json.loads(l) for l in open(path) if l.strip()]
+    if not runs:
+        raise SystemExit(f"no bench lines in {path}")
+    qs = {k: round(min(r["queries"][k] for r in runs), 3)
+          for k in runs[0]["queries"]}
+    return qs, runs[0].get("sf")
+
+
+def main():
+    sf01_path, s10_path, out_path = sys.argv[1:4]
+    base, _ = best(sf01_path)
+    ten, _ = best(s10_path)
+    common = [q for q in base if q in ten]
+    growth = {q: round(ten[q] / base[q], 2) if base[q] > 0 else None
+              for q in common}
+    worst = max(common, key=lambda q: growth[q] or 0)
+    report = {
+        "scale_factor_multiplier": 10,
+        "src_dir": "/root/testdata/sf0.1",
+        "generator": "graft.tools.ScaleUp (key*K+copy remap; per-copy text "
+                     "salt; per-copy embedding rotation)",
+        "methodology": "per-query min over >=2 warm Bench runs (each itself "
+                       "min-of-2 reps); cold-page-cache pass excluded",
+        "registry_size": len(common),
+        "total_sec_sf01": round(sum(base[q] for q in common), 2),
+        "total_sec_10x": round(sum(ten[q] for q in common), 2),
+        "total_growth": round(sum(ten[q] for q in common) /
+                              sum(base[q] for q in common), 2),
+        "max_query_growth": growth[worst],
+        "max_query": worst,
+        "queries_failed_at_10x": [q for q in base if q not in ten],
+        "per_query_sec_10x": ten,
+        "per_query_growth": growth,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_path}: total {report['total_sec_sf01']}s -> "
+          f"{report['total_sec_10x']}s ({report['total_growth']}x), "
+          f"worst {worst} {growth[worst]}x")
+
+
+if __name__ == "__main__":
+    main()
