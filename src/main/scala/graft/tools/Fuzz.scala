@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Differential query fuzzer (r5 VERDICT next-round #4): seeded random
   * filter+groupBy+agg queries — plain and year(date) expression group keys,
-  * optional HAVING group-size gates, 1- and 2-table relations — each rendered TWICE —
+  * count(DISTINCT) measures, optional HAVING group-size gates, optional
+  * top-k slices (ORDER BY measure with a full group-key tiebreak + LIMIT,
+  * so the surviving row set is total-order deterministic),
+  * 1- and 2-table relations — each rendered TWICE —
   * as a DataFrame-API plan and as ANSI SQL that both Spark and DuckDB parse.
   * FuzzSpec compares the two Spark paths for ≥200 cases (parser vs API plan
   * construction); registry query q70 union-alls a case batch so the driver's
@@ -113,7 +116,8 @@ object Fuzz {
 
   final case class FuzzCase(id: String, rel: Rel, preds: Seq[Pred],
                             groups: Seq[GKey], aggs: Seq[Agg],
-                            having: Option[Int] = None)
+                            having: Option[Int] = None,
+                            topK: Option[Int] = None)
 
   // --- generation -----------------------------------------------------------
 
@@ -130,14 +134,21 @@ object Fuzz {
         Seq(YearKey(rel.dateCols(rng.nextInt(rel.dateCols.length)))) else Nil)
       val nAgg = if (singleAgg) 1 else 1 + rng.nextInt(3)
       val aggs = (0 until nAgg).map { j =>
-        val fn = Seq("sum", "avg", "min", "max", "count", "count_star")(rng.nextInt(6))
+        val fn = Seq("sum", "avg", "min", "max", "count", "count_star",
+          "count_distinct")(rng.nextInt(7))
         Agg(fn, rel.measureCols(rng.nextInt(rel.measureCols.length)), s"m$j")
       }
       // ~1 in 4 grouped cases gate on group size (HAVING count(*) >= n —
       // integer compare, no cross-engine float parity risk)
       val having = if (groups.nonEmpty && rng.nextInt(4) == 0)
         Some(2 + rng.nextInt(4)) else None
-      FuzzCase(f"f$i%03d", rel, preds, groups, aggs, having)
+      // ~1 in 4 grouped cases take a top-k slice. LIMIT changes WHICH rows
+      // survive, so the order must be total: the measure desc, then every
+      // group key asc (keys are unique per group ⇒ no tie survives; string
+      // keys compare binary/ASCII identically in Spark and DuckDB).
+      val topK = if (groups.nonEmpty && rng.nextInt(4) == 0)
+        Some(3 + rng.nextInt(5)) else None
+      FuzzCase(f"f$i%03d", rel, preds, groups, aggs, having, topK)
     }
 
   private def num2(v: Double): Double = math.rint(v * 100) / 100
@@ -174,7 +185,7 @@ object Fuzz {
     }
     val filtered = c.preds.foldLeft(d)((acc, p) => acc.filter(predCol(p)))
     val aggCols = c.aggs.map(aggCol)
-    if (c.groups.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+    val grouped = if (c.groups.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
     else c.having match {
       case None =>
         filtered.groupBy(c.groups.map(keyCol): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -183,6 +194,12 @@ object Fuzz {
           .agg(aggCols.head, (aggCols.tail :+ count(lit(1)).as("__hc")): _*)
           .filter(col("__hc") >= n)
           .drop("__hc")
+    }
+    c.topK match {
+      case Some(k) =>
+        grouped.orderBy(col(c.aggs.head.alias).desc +:
+          c.groups.map(g => col(g.alias).asc): _*).limit(k)
+      case None => grouped
     }
   }
 
@@ -204,6 +221,7 @@ object Fuzz {
     case "max" => round(max(col(a.colName)), 2)
     case "count" => count(col(a.colName))
     case "count_star" => count(lit(1))
+    case "count_distinct" => count_distinct(col(a.colName))
   }).as(a.alias)
 
   // --- SQL rendering (Spark SQL ∩ DuckDB) ----------------------------------
@@ -226,6 +244,7 @@ object Fuzz {
     case "max" => s"round(max(${a.colName}), 2)"
     case "count" => s"count(${a.colName})"
     case "count_star" => "count(*)"
+    case "count_distinct" => s"count(DISTINCT ${a.colName})"
   }) + s" AS ${a.alias}"
 
   private def fromSql(c: FuzzCase): String = {
@@ -246,7 +265,11 @@ object Fuzz {
     val group =
       if (c.groups.isEmpty) "" else " GROUP BY " + c.groups.map(_.sqlExpr).mkString(", ")
     val having = c.having.map(n => s" HAVING count(*) >= $n").getOrElse("")
-    s"SELECT $select FROM ${fromSql(c)}$where$group$having"
+    val order = c.topK.map { k =>
+      val tiebreak = c.groups.map(_.alias).mkString(", ")
+      s" ORDER BY ${c.aggs.head.alias} DESC, $tiebreak LIMIT $k"
+    }.getOrElse("")
+    s"SELECT $select FROM ${fromSql(c)}$where$group$having$order"
   }
 
   /** Normalized single-measure projection for the cross-engine union (q70):
