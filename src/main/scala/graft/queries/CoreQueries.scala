@@ -955,6 +955,35 @@ object CoreQueries {
              c.ts AS click_ts, c.event_id AS click_event_id,
              c.value AS click_value
       FROM purchases p ASOF LEFT JOIN clicks c
-        ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+        ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // GROUPING SETS beyond ROLLUP/CUBE (q37/q37b): an explicit, non-nested
+    // subtotal lattice — the form BI layers emit when the wanted subtotals
+    // are not a prefix chain. grouping_id() disambiguates a real NULL key
+    // from a subtotal row. Executes as ONE Expand + hash-agg pass (no
+    // re-scan per set) in Spark.
+    Q.sql("q88_grouping_sets", """
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+             CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+             count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_linestatus), ())"""),
+
+    // INTERSECT / EXCEPT set operators (distinct semantics) — the two
+    // ANSI set ops the O-series (q21 UNION ALL) did not yet cover. Both
+    // execute as hash aggregations + joins (no sort), shuffle on the full
+    // row — scale shape identical to a groupBy on the compared columns.
+    Q.sql("q89_intersect_except", """
+      SELECT 'both' AS tag, k FROM
+        (SELECT c_nationkey AS k FROM customer
+         INTERSECT
+         SELECT s_nationkey AS k FROM supplier)
+      UNION ALL
+      SELECT 'cust_only' AS tag, k FROM
+        (SELECT c_nationkey AS k FROM customer
+         EXCEPT
+         SELECT s_nationkey AS k FROM supplier)""")
   )
 }
