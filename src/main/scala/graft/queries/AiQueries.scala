@@ -31,7 +31,7 @@ object AiQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[queries] def mmAssets(s: SparkSession, dir: String): DataFrame =
-    mmAssetFixtures.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
+    mmAssetFixtures.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
         .orderBy(col("doc_id")).limit(120).collect().map(_.getLong(0)).toSeq
       val rows = ids.map { id =>

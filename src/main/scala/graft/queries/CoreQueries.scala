@@ -701,7 +701,7 @@ object CoreQueries {
       // per-invocation cost measured here is the SERVE path — substitution
       // rewrite + materialized scan — not the CTAS build.
       val m = CoreQueries.reflectionFixtures.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        s"${System.identityHashCode(s)}|$dir", _ => {
           val wh = java.nio.file.Files.createTempDirectory("graft_refl").toFile.getAbsolutePath
           val mats = new Materializations(s, Some(wh))
           mats.register("li_agg_rf_ls", () =>
@@ -757,7 +757,7 @@ object CoreQueries {
     // substitute), not just the programmatic Materializations API (q54).
     Q("q66_scripted_reflection", (s, dir) => {
       val runner = CoreQueries.scriptRunnerFixtures.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        s"${System.identityHashCode(s)}|$dir", _ => {
           t(s, dir, "nation").createOrReplaceTempView("q66_nation")
           val r = new graft.pipeline.SqlScriptRunner(s)
           r.run("""
@@ -793,7 +793,7 @@ object CoreQueries {
     Q("q68_zorder_skip", (s, dir) => {
       import graft.ops.ScaleOps
       val path = CoreQueries.zorderFixtures.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        s"${System.identityHashCode(s)}|$dir", _ => {
           val out = java.nio.file.Files.createTempDirectory("graft_zorder")
             .toFile.getAbsolutePath + "/orders_z"
           ScaleOps.zorderWrite(t(s, dir, "orders"),
@@ -835,7 +835,7 @@ object CoreQueries {
     Q("q69_join_reflection", (s, dir) => {
       import graft.plans.{MaterializationSubstitution, Materializations}
       val m = CoreQueries.joinReflFixtures.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        s"${System.identityHashCode(s)}|$dir", _ => {
           val wh = java.nio.file.Files.createTempDirectory("graft_reflections_join")
             .toFile.getAbsolutePath
           val mats = new Materializations(s, Some(wh))
@@ -911,10 +911,10 @@ object CoreQueries {
       // any corpus scale; the default lgK=12's ~0.8% would sit too close
       val global = d.agg(
         hll_sketch_estimate(hll_sketch_agg(col("text"), 14)).as("est"),
-        countDistinct(col("text")).as("n_exact")).head
+        countDistinct(col("text")).as("n_exact")).head()
       val merged = d.groupBy(col("source"))
         .agg(hll_sketch_agg(col("text"), 14).as("sk"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head()
       val (est, exact) = (global.getLong(0), global.getLong(1))
       val estM = merged.getLong(0)
       require(math.abs(estM - est).toDouble / exact <= 0.02,

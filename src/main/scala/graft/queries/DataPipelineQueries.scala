@@ -464,7 +464,7 @@ object DataPipelineQueries {
     Q("q58_time_travel", (s, dir) => {
       import graft.sources.SnapshotTable
       val (root, v1) = snapshotFixtures.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        s"${System.identityHashCode(s)}|$dir", _ => {
           val r = java.nio.file.Files.createTempDirectory("graft_tt").toString
           val st0 = new SnapshotTable(s, r)
           val d = t(s, dir, "documents")
@@ -536,7 +536,7 @@ object DataPipelineQueries {
     Q("q71_script_time_travel", (s, dir) => {
       import graft.sources.SnapshotTable
       val (root, v1) = snapshotFixtures.computeIfAbsent(
-        System.identityHashCode(s) + "|" + dir, _ => {
+        s"${System.identityHashCode(s)}|$dir", _ => {
           val r = java.nio.file.Files.createTempDirectory("graft_tt").toString
           val st0 = new SnapshotTable(s, r)
           val d = t(s, dir, "documents")
