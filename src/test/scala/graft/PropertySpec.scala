@@ -145,4 +145,29 @@ class PropertySpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS prop_hidden_day")
   }
+
+  test("property: distributed greedy packing equals the sequential definition") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // random (shard, doc, tokens) corpora incl. oversized docs (tok > budget)
+    val gen = Gen.zip(
+      Gen.choose(20L, 200L), // budget
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(1L, 250L))))
+    samples(gen, 8).foreach { case (budget, rows) =>
+      val data = rows.zipWithIndex.map { case ((shard, tok), i) => (shard, i.toLong, tok) }
+      val got = Packing
+        .packGreedy(data.toDF("shard", "doc_id", "n_tokens"),
+          col("doc_id"), col("n_tokens"), col("shard"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val want = data.groupBy(_._1).flatMap { case (shard, grp) =>
+        var acc = 0L; var pack = 0L
+        grp.sortBy(_._2).map { case (_, id, tok) =>
+          if (acc > 0 && acc + tok > budget) { pack += 1; acc = 0L }
+          acc += tok
+          (shard, id) -> pack
+        }
+      }
+      assert(got === want, s"budget=$budget rows=$data")
+    }
+  }
 }
