@@ -9,10 +9,11 @@ import graft.multimodal.Multimodal
 
 /** AI-function surface (SURVEY.md §2.10) and multimodal plumbing, exercised
   * over the documents table. Outputs are deterministic (stub backend) and
-  * almost all DuckDB-oracle-checked: the stub heuristics are replayed in SQL
-  * (q60–q62) and the multimodal fixture ties asset metadata to doc_id so the
-  * decode path hash-checks too (q63/q64); only the pixel-feature rollup
-  * (q65) stays rows-only, golden-asserted in MultimodalSpec.
+  * ALL DuckDB-oracle-checked: the stub heuristics are replayed in SQL
+  * (q60–q62), the multimodal fixture ties asset metadata to doc_id so the
+  * decode path hash-checks (q63/q64), and the fixture PNGs' pixel values
+  * are a pure function of (x, y, doc_id) so even the pixel-feature path
+  * hash-checks as an in-plan contract (q65).
   */
 object AiQueries {
 
@@ -216,16 +217,55 @@ object AiQueries {
              'document' AS kind, 'low' AS severity
       FROM vids""")),
 
-    // Embedding feature extraction from binary payloads (featuresStub stands
-    // in for an image/audio encoder) feeding the vector ops.
+    // REAL pixel features, oracle-checked (closing the registry's last
+    // rows-only gap): makePng fills each fixture PNG with a pure function of
+    // (x, y, doc_id), so the 2×2-quadrant channel means that imageFeatures
+    // must recover BY DECODING ACTUAL BYTES are predictable by arithmetic.
+    // The plan recomputes the expected means over an exploded pixel grid and
+    // compares them to the decoded features (1e-5 tolerance — float32
+    // rounding is ~3e-8, the quadrant-to-quadrant signal ~6e-3); the oracle
+    // pins the dimensions from doc_id arithmetic (as in q63) plus the
+    // contract booleans. If the decode, the PNG round-trip, or the quadrant
+    // math drifts, feats_ok flips and the driver hash-compare fails.
     Q("q65_multimodal_features", (s, dir) => {
-      import graft.functions.VectorFunctions._
-      val d = t(s, dir, "documents")
-        .withColumn("content", encode(col("text"), "utf-8"))
-        .withColumn("feat", Multimodal.featuresStub(col("content")))
-      d.select(col("source"), vnorm(asDouble(col("feat"))).as("n2"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), round(avg(col("n2")), 6).as("avg_feat_norm"))
-    }, None)
+      val pngs = mmAssets(s, dir).filter(col("doc_id") % 3 === 0)
+        .withColumn("feat", Multimodal.imageFeaturesUdf(col("content")))
+        .withColumn("meta", Multimodal.decodeAutoUdf(col("content")))
+        .withColumn("w", col("meta")("width"))
+        .withColumn("h", col("meta")("height"))
+      val px = pngs.select(col("doc_id"), col("w"), col("h"), col("feat"),
+          explode(sequence(lit(0), col("w") * col("h") - 1)).as("p"))
+        .withColumn("x", (col("p") % col("w")).cast("int"))
+        .withColumn("y", floor(col("p") / col("w")).cast("int"))
+        .withColumn("v", (col("x") * 7 + col("y") * 13 + col("doc_id"))
+          .bitwiseAND(lit(0xffffff)))
+        .withColumn("q",
+          when(col("y") >= col("h") / 2, 2).otherwise(0) +
+            when(col("x") >= col("w") / 2, 1).otherwise(0))
+      val perQuad = px.groupBy(col("doc_id"), col("q"))
+        .agg(max(col("w")).as("w"), max(col("h")).as("h"),
+          first(col("feat")).as("feat"),
+          (avg(shiftright(col("v"), 16).bitwiseAND(lit(255))) / 255.0).as("pr"),
+          (avg(shiftright(col("v"), 8).bitwiseAND(lit(255))) / 255.0).as("pg"),
+          (avg(col("v").bitwiseAND(lit(255))) / 255.0).as("pb"))
+      val tol = 1e-5
+      perQuad
+        .withColumn("ok",
+          abs(element_at(col("feat"), col("q") * 3 + 1) - col("pr")) <= tol &&
+            abs(element_at(col("feat"), col("q") * 3 + 2) - col("pg")) <= tol &&
+            abs(element_at(col("feat"), col("q") * 3 + 3) - col("pb")) <= tol)
+        .groupBy(col("doc_id"))
+        .agg(max(col("w")).as("width"), max(col("h")).as("height"),
+          bool_and(col("ok")).as("feats_ok"))
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120)
+        WHERE doc_id % 3 = 0)
+      SELECT doc_id,
+             CAST(16 + (doc_id % 8) * 16 AS INTEGER) AS width,
+             CAST(12 + (doc_id % 5) * 12 AS INTEGER) AS height,
+             TRUE AS feats_ok
+      FROM ids"""))
   )
 }

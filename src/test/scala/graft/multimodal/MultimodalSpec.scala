@@ -77,6 +77,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getAs[org.apache.spark.sql.Row]("meta").getAs[String]("format") === "png")
     assert(Multimodal.decodeImage(rows(1).getAs[Array[Byte]]("thumb")).width === 100)
     assert(rows(2).isNullAt(rows(2).fieldIndex("feat"))) // non-image: no features
+
+    // featuresStub (the marked stand-in for audio/video embeddings — no
+    // codecs in this container): fixed width, deterministic, content-
+    // sensitive, and defined even for bytes no codec recognizes
+    val stub = Seq((1L, notAnImage), (2L, notAnImage), (3L, red))
+      .toDF("id", "content")
+      .withColumn("feat", Multimodal.featuresStub(col("content")))
+      .orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("feat"))
+    assert(stub.forall(_.length === 8))
+    assert(stub(0) === stub(1))   // same bytes → same embedding
+    assert(stub(0) !== stub(2))   // different bytes → different embedding
   }
 
   test("resizeMeta caps the longest side preserving other fields") {
