@@ -1066,7 +1066,68 @@ object DataPipelineQueries {
       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
              CAST(len(t[chunk_idx*16 + 1 : chunk_idx*16 + 32]) AS BIGINT) AS chunk_tokens,
              CAST(('0x' || substr(md5(array_to_string(t[chunk_idx*16 + 1 : chunk_idx*16 + 32], ' ')), 1, 8)) AS BIGINT) AS chunk_hash
-      FROM ch"""))
+      FROM ch""")),
+
+    // Canonical selection per near-dup cluster — the step AFTER clustering
+    // (q72) in a real dedup pipeline: from each duplicate cluster keep ONE
+    // document by an explicit policy (here keep-LONGEST, tiebreak lowest id
+    // — the seeded copies carry an appended marker so the copy, not the
+    // original, must win). Spark's argmax is one lexicographic
+    // max(struct(n_tok, -id)) — a single groupBy over the linear-rounds
+    // large-star/small-star components, no window materialization; the
+    // oracle recomputes components by recursive closure and the pick via a
+    // per-cluster max window.
+    Q("q90_cluster_canonical", (s, dir) => {
+      import graft.operators.Dedup
+      val seeded = seededNear(s, dir)
+      val pairs = Dedup.nearDupPairs(seeded, "doc_id", "text",
+        threshold = 0.5, k = 128, bands = 32)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val scored = seeded.select(col("doc_id").as("id"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      cc.join(scored, "id")
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_tok"), (lit(0L) - col("id")).as("nid"))).as("m"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (lit(0L) - col("m")("nid")).as("kept_doc"),
+          col("m")("n_tok").as("kept_tokens"))
+    }, Some("""
+      WITH RECURSIVE seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      scored AS (
+        SELECT c.id, c.cluster_id, CAST(t.n_tok AS BIGINT) AS n_tok,
+               max(CAST(t.n_tok AS BIGINT)) OVER (PARTITION BY c.cluster_id) AS mx
+        FROM comp c JOIN sh t ON t.doc_id = c.id)
+      SELECT cluster_id, count(*) AS cluster_size,
+             min(CASE WHEN n_tok = mx THEN id END) AS kept_doc,
+             max(n_tok) AS kept_tokens
+      FROM scored GROUP BY cluster_id"""))
   )
 
 }
