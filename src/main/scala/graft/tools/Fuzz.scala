@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * count(DISTINCT) measures, optional HAVING group-size gates, optional
   * top-k slices (ORDER BY measure with a full group-key tiebreak + LIMIT,
   * so the surviving row set is total-order deterministic),
-  * 1- and 2-table relations — each rendered TWICE —
+  * 1- and 2-table relations including a LEFT OUTER join whose right-side
+  * measures exercise null-group aggregation — each rendered TWICE —
   * as a DataFrame-API plan and as ANSI SQL that both Spark and DuckDB parse.
   * FuzzSpec compares the two Spark paths for ≥200 cases (parser vs API plan
   * construction); registry query q70 union-alls a case batch so the driver's
@@ -32,10 +33,15 @@ object Fuzz {
   final case class ColSpec(name: String, dom: Dom)
 
   /** A relation the generator can query: one table or a 2-table equi-join.
-    * `dateCols` feed expression group keys (`year(c)`). */
+    * `dateCols` feed expression group keys (`year(c)`). `leftJoin` makes the
+    * 2-table form a LEFT OUTER join — its filterCols must then come from the
+    * LEFT table only (a right-side predicate would silently re-create inner
+    * semantics), and its right-side measures exercise the null-group agg
+    * rules (sum/avg of an all-null group is NULL, count skips nulls). */
   final case class Rel(tables: Seq[String], joinOn: Seq[(String, String)],
                        groupCols: Seq[String], measureCols: Seq[String],
-                       filterCols: Seq[ColSpec], dateCols: Seq[String] = Nil)
+                       filterCols: Seq[ColSpec], dateCols: Seq[String] = Nil,
+                       leftJoin: Boolean = false)
 
   private val qty = ColSpec("l_quantity", NumDom(1, 50, int = true))
   private val eprice = ColSpec("l_extendedprice", NumDom(900, 100000, int = false))
@@ -93,7 +99,15 @@ object Fuzz {
     Rel(Seq("lineitem", "part"), Seq("l_partkey" -> "p_partkey"),
       Seq("l_returnflag", "p_brand"),
       Seq("l_extendedprice", "p_retailprice"),
-      Seq(qty, pbrand, psize, rflag)))
+      Seq(qty, pbrand, psize, rflag)),
+    // LEFT OUTER: ~1/3 of TPC-H customers have no orders, so the right side
+    // is genuinely null for them; right-side measures hit the null-group
+    // agg rules (sum/avg NULL, count skips) and count(*) still counts the
+    // unmatched row. Filters stay on the LEFT table by contract.
+    Rel(Seq("customer", "orders"), Seq("c_custkey" -> "o_custkey"),
+      Seq("c_mktsegment", "c_nationkey"),
+      Seq("o_totalprice"),
+      Seq(cbal, cseg, cnat), leftJoin = true))
 
   sealed trait Pred { def colName: String }
   final case class Cmp(colName: String, op: String, v: Double, int: Boolean) extends Pred
@@ -180,8 +194,9 @@ object Fuzz {
 
   def df(s: SparkSession, dir: String, c: FuzzCase): DataFrame = {
     var d = graft.Tables(s, dir, c.rel.tables.head)
+    val joinType = if (c.rel.leftJoin) "left" else "inner"
     c.rel.tables.tail.zip(c.rel.joinOn).foreach { case (tb, (lk, rk)) =>
-      d = d.join(graft.Tables(s, dir, tb), col(lk) === col(rk))
+      d = d.join(graft.Tables(s, dir, tb), col(lk) === col(rk), joinType)
     }
     val filtered = c.preds.foldLeft(d)((acc, p) => acc.filter(predCol(p)))
     val aggCols = c.aggs.map(aggCol)
@@ -249,8 +264,9 @@ object Fuzz {
 
   private def fromSql(c: FuzzCase): String = {
     val head = c.rel.tables.head
+    val kw = if (c.rel.leftJoin) "LEFT JOIN" else "JOIN"
     c.rel.tables.tail.zip(c.rel.joinOn).foldLeft(head) {
-      case (acc, (tb, (lk, rk))) => s"$acc JOIN $tb ON $lk = $rk"
+      case (acc, (tb, (lk, rk))) => s"$acc $kw $tb ON $lk = $rk"
     }
   }
 
