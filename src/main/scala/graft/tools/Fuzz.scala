@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Differential query fuzzer (r5 VERDICT next-round #4): seeded random
-  * filter+groupBy+agg queries — plain and year(date) expression group keys,
+  * filter+groupBy+agg queries — numeric/IN/LIKE-prefix predicates,
+  * plain and year(date) expression group keys,
   * count(DISTINCT) measures, optional HAVING group-size gates, optional
   * top-k slices (ORDER BY measure with a full group-key tiebreak + LIMIT,
   * so the surviving row set is total-order deterministic),
@@ -114,6 +115,9 @@ object Fuzz {
   final case class Between(colName: String, lo: Double, hi: Double, int: Boolean) extends Pred
   final case class StrEq(colName: String, v: String) extends Pred
   final case class StrIn(colName: String, vs: Seq[String]) extends Pred
+  /** `col LIKE 'prefix%'` — ASCII prefixes drawn from real domain values,
+    * so the pattern semantics are identical across engines. */
+  final case class StrLike(colName: String, prefix: String) extends Pred
 
   /** fn ∈ sum/avg/min/max/count/count_star. */
   final case class Agg(fn: String, colName: String, alias: String)
@@ -181,8 +185,14 @@ object Fuzz {
           Cmp(cs.name, Seq("<", "<=", ">", ">=")(k), draw(), int)
       }
     case StrDom(vs) =>
-      if (rng.nextBoolean() || vs.length < 3) StrEq(cs.name, vs(rng.nextInt(vs.length)))
-      else StrIn(cs.name, rng.shuffle(vs).take(2 + rng.nextInt(2)).sorted.toSeq)
+      rng.nextInt(3) match {
+        case 0 if vs.length >= 3 =>
+          StrIn(cs.name, rng.shuffle(vs).take(2 + rng.nextInt(2)).sorted.toSeq)
+        case 1 =>
+          val v = vs(rng.nextInt(vs.length))
+          StrLike(cs.name, v.take(1 + rng.nextInt(math.min(3, v.length))))
+        case _ => StrEq(cs.name, vs(rng.nextInt(vs.length)))
+      }
   }
 
   // --- DataFrame-API rendering ---------------------------------------------
@@ -227,6 +237,7 @@ object Fuzz {
     case Between(c, lo, hi, _) => col(c).between(lo, hi)
     case StrEq(c, v) => col(c) === v
     case StrIn(c, vs) => col(c).isin(vs: _*)
+    case StrLike(c, p) => col(c).like(s"$p%")
   }
 
   private def aggCol(a: Agg): Column = (a.fn match {
@@ -250,6 +261,7 @@ object Fuzz {
     case Between(c, lo, hi, i) => s"$c BETWEEN ${numLit(lo, i)} AND ${numLit(hi, i)}"
     case StrEq(c, v) => s"$c = '$v'"
     case StrIn(c, vs) => s"$c IN (${vs.map(v => s"'$v'").mkString(", ")})"
+    case StrLike(c, p) => s"$c LIKE '$p%'"
   }
 
   private def aggSql(a: Agg): String = (a.fn match {

@@ -33,6 +33,7 @@ class FuzzSpec extends SparkSpec {
     assert(a.exists(_.topK.nonEmpty) && a.exists(_.topK.isEmpty))     // ORDER BY+LIMIT
     assert(a.exists(_.aggs.exists(_.fn == "count_distinct")))         // DISTINCT aggs
     assert(a.exists(_.rel.leftJoin))                                  // LEFT OUTER join
+    assert(a.exists(_.preds.exists(_.isInstanceOf[Fuzz.StrLike])))    // LIKE prefixes
     assert(Fuzz.gen(8L, 50) !== a) // different seed, different batch
     // singleAgg mode really is single-measure (q70's contract)
     assert(Fuzz.gen(70L, 30, singleAgg = true).forall(_.aggs.length == 1))
