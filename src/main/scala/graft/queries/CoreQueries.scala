@@ -984,6 +984,24 @@ object CoreQueries {
       SELECT 'cust_only' AS tag, k FROM
         (SELECT c_nationkey AS k FROM customer
          EXCEPT
-         SELECT s_nationkey AS k FROM supplier)""")
+         SELECT s_nationkey AS k FROM supplier)"""),
+
+    // Skew-safe EXACT distinct count: a straight count(DISTINCT) on a hot
+    // group key funnels every distinct value of that group through one
+    // reducer. Bucketing the VALUE space first (hash(value) % 32) makes the
+    // buckets partition each group's values, so per-bucket exact distincts
+    // SUM to the true total — two shuffles, both on (group, bucket), no
+    // single-reducer hotspot at 100 TB. The oracle is the plain
+    // count(DISTINCT): the rewrite must be value-identical, not approximate.
+    Q("q91_bucketed_distinct", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          pmod(xxhash64(col("l_partkey")), lit(32)).as("__b"))
+        .agg(countDistinct(col("l_partkey")).as("d"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("d")).as("n_parts"))
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag"""))
   )
 }
