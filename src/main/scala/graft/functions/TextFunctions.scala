@@ -96,7 +96,10 @@ object TextFunctions {
   /** Count of the single most frequent token — the run-length max over the
     * SORTED token array, computed with one `aggregate` pass: O(n log n) per
     * document and map-side, vs the O(distinct·n) nested-loop a naive
-    * count-per-distinct-token does. Empty text → 0. */
+    * count-per-distinct-token does. Note: `tokens("")` is `[""]` (the
+    * split-of-empty-string artifact, identical in the DuckDB oracle), so an
+    * empty/whitespace-only document reports top-token count 1, not 0 — an
+    * all-empty-token run, consistent on both engines. */
   def topTokenCount(toks: Column): Column = {
     val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
     aggregate(sort_array(toks), zero,

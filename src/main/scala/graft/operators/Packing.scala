@@ -68,7 +68,12 @@ object Packing {
     *
     * One shuffle (repartition on shard), one per-partition sort, one linear
     * scan — the same cost shape as a groupBy, with no driver state and no
-    * per-group materialization (the iterator streams). */
+    * per-group materialization (the iterator streams).
+    *
+    * Token counts must be positive: a zero/negative count has no packing
+    * semantics (the "would this doc overflow?" test degenerates), so such
+    * rows are rejected rather than silently diverging from the recursive
+    * reference definition. */
   def packGreedy(df: DataFrame, id: Column, tokens: Column, shard: Column,
                  budget: Long): DataFrame = {
     require(budget > 0)
@@ -85,6 +90,7 @@ object Packing {
         var acc = 0L
         var pack = 0L
         it.map { case (sh, docId, tok) =>
+          require(tok > 0, s"packGreedy: doc $docId has non-positive token count $tok")
           if (sh != curShard) { curShard = sh; acc = 0L; pack = 0L }
           if (acc > 0 && acc + tok > budget) { pack += 1; acc = 0L }
           acc += tok

@@ -63,6 +63,14 @@ final class SqlScriptRunner(spark: SparkSession,
   private var metaViewCount = 0
   private var hasReflections = false
 
+  /** graft_* temp views created by the CURRENT statement's rewrites. Only
+    * these are exempt from SELECT enforcement (their privilege was checked
+    * against the original dataset at rewrite time); a user statement that
+    * names a graft_* view bound by an EARLIER (possibly more privileged)
+    * statement is denied, and each statement's views are dropped after it
+    * executes, so no rewrite artifact outlives its statement. */
+  private val stmtViews = scala.collection.mutable.Set.empty[String]
+
   def run(script: String): Map[Int, DataFrame] = {
     graft.ai.AiFunctions.register(spark)
     // re-ensure this runner's substitution rule before each batch: another
@@ -209,9 +217,23 @@ final class SqlScriptRunner(spark: SparkSession,
       spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
       None
     } else {
+      stmtViews.clear()
+      // graft_* rewrite views are internal: a direct reference in user SQL
+      // would read a snapshot bound under an earlier statement's (possibly
+      // higher) privilege, bypassing the dataset check — deny it outright.
+      asUser.foreach { u =>
+        if ("(?i)\\bgraft_(?:tt|files|meta)_\\d+\\b".r.findFirstIn(stmt).isDefined)
+          throw new Catalog.AccessDeniedException(
+            s"user $u may not reference internal graft_* rewrite views directly")
+      }
       val rewritten = rewriteMetadataTables(rewriteListFiles(rewriteTimeTravel(stmt)))
       asUser.foreach(u => enforce(u, upper, rewritten))
+      // Dataset construction analyzes eagerly (temp views inline into the
+      // plan), so the statement's rewrite views can be dropped immediately —
+      // the returned DataFrame stays valid for later actions.
       val df = spark.sql(rewritten)
+      stmtViews.foreach(spark.catalog.dropTempView)
+      stmtViews.clear()
       if (upper.startsWith("SELECT") || upper.startsWith("WITH")) Some(df) else None
     }
   }
@@ -225,14 +247,13 @@ final class SqlScriptRunner(spark: SparkSession,
     def target(pattern: String): Option[Seq[String]] =
       pattern.r.findFirstMatchIn(sql).map(m => datasetPath(m.group(1)))
     if (upper.startsWith("SELECT") || upper.startsWith("WITH")) {
-      // graft_tt_/graft_files_ temp views are rewrite artifacts: time travel
+      // Only THIS statement's rewrite artifacts are exempt: time travel
       // checks SELECT on the ORIGINAL dataset name inside rewriteTimeTravel,
-      // and LIST_FILES targets sources (no dataset path to check).
+      // and LIST_FILES targets sources (no dataset path to check). Any other
+      // graft_* reference was already denied pre-rewrite in execute().
       referencedRelations(sql)
         .map(ds => if (ds.length == 1) datasetPath(ds.head) else ds)
-        .filterNot(ds => ds.length == 1 &&
-          (ds.head.startsWith("graft_meta_") || ds.head.startsWith("graft_tt_") ||
-            ds.head.startsWith("graft_files_")))
+        .filterNot(ds => ds.length == 1 && stmtViews.contains(ds.head))
         .foreach(ds => requirePrivilege(user, "SELECT", Nil, ds))
     } else if (upper.startsWith("INSERT"))
       target("(?is)INSERT\\s+INTO\\s+([\\w.]+)")
@@ -380,6 +401,7 @@ final class SqlScriptRunner(spark: SparkSession,
       metaViewCount += 1
       val v = s"graft_files_$metaViewCount"
       listing.createOrReplaceTempView(v)
+      stmtViews += v
       java.util.regex.Matcher.quoteReplacement(v)
     })
   }
@@ -403,10 +425,20 @@ final class SqlScriptRunner(spark: SparkSession,
   private def rewriteTimeTravel(stmt: String): String = {
     val p = ("(?is)\\b([\\w.]+)\\s+AT\\s+(SNAPSHOT|TIMESTAMP|BRANCH)" +
       "\\s+(?:'([^']*)'|(\\w+))").r
-    p.replaceAllIn(stmt, m => {
-      val name = m.group(1)
-      val kind = m.group(2).toUpperCase
-      val arg = Option(m.group(3)).getOrElse(m.group(4))
+    // Match against a literal-masked copy so a string like
+    // 'logged at timestamp ''5''' is never mistaken for a clause; masking is
+    // length-preserving, so match offsets index straight into the original.
+    val ms = p.findAllMatchIn(maskStringLiterals(stmt)).toList
+    if (ms.isEmpty) return stmt
+    val sb = new StringBuilder
+    var last = 0
+    ms.foreach { m =>
+      sb.append(stmt.substring(last, m.start))
+      val name = stmt.substring(m.start(1), m.end(1))
+      val kind = stmt.substring(m.start(2), m.end(2)).toUpperCase
+      val arg =
+        if (m.start(3) >= 0) stmt.substring(m.start(3), m.end(3))
+        else stmt.substring(m.start(4), m.end(4))
       val root = spark.conf.getOption(s"graft.snapshot.$name").getOrElse(
         throw new IllegalArgumentException(
           s"$name AT $kind: no snapshot store bound " +
@@ -416,10 +448,10 @@ final class SqlScriptRunner(spark: SparkSession,
       val df = kind match {
         case "SNAPSHOT" => st.read(versionAsOf = Some(arg.trim.toLong))
         case "TIMESTAMP" =>
-          val ms =
+          val msEpoch =
             if (arg.trim.forall(_.isDigit)) arg.trim.toLong
             else java.sql.Timestamp.valueOf(arg.trim).getTime
-          st.readAsOfTimestamp(ms)
+          st.readAsOfTimestamp(msEpoch)
         case _ =>
           require(arg.trim.equalsIgnoreCase("main"),
             s"$name AT BRANCH ${arg.trim}: store is single-branch (main)")
@@ -428,8 +460,28 @@ final class SqlScriptRunner(spark: SparkSession,
       metaViewCount += 1
       val v = s"graft_tt_$metaViewCount"
       df.createOrReplaceTempView(v)
-      java.util.regex.Matcher.quoteReplacement(v)
-    })
+      stmtViews += v
+      sb.append(v)
+      last = m.end
+    }
+    sb.append(stmt.substring(last))
+    sb.toString
+  }
+
+  /** Length-preserving mask of single-quoted literal CONTENTS (quote chars
+    * stay, so statement structure is intact); `''` escapes toggle twice and
+    * come out masked. Keeps position-based rewrites from firing on words
+    * like AT/TIMESTAMP inside string data. */
+  private def maskStringLiterals(s: String): String = {
+    val sb = new StringBuilder(s)
+    var inS = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') inS = !inS
+      else if (inS) sb.setCharAt(i, '_')
+      i += 1
+    }
+    sb.toString
   }
 
   /** Bind `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))`
@@ -447,6 +499,7 @@ final class SqlScriptRunner(spark: SparkSession,
       metaViewCount += 1
       val v = s"graft_meta_$metaViewCount"
       df.createOrReplaceTempView(v)
+      stmtViews += v
       java.util.regex.Matcher.quoteReplacement(v)
     })
   }

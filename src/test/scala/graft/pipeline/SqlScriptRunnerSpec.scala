@@ -320,4 +320,45 @@ class SqlScriptRunnerSpec extends SparkSpec {
     }
     assert(denied.getMessage.contains("intern"))
   }
+
+  test("graft_* rewrite views cannot be read around the privilege check") {
+    import graft.sources.{Catalog, SnapshotTable}
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_tt_bypass").toString
+    new SnapshotTable(spark, root).commit(Seq((1L, "secret")).toDF("id", "tag"))
+    spark.conf.set("graft.snapshot.hr.salaries", root)
+    Catalog.grant("GRANT SELECT ON TABLE hr.salaries TO USER hr_admin")
+    // a privileged statement binds a graft_tt_N view internally…
+    new SqlScriptRunner(spark, asUser = Some("hr_admin"))
+      .run("SELECT count(*) AS n FROM hr.salaries AT SNAPSHOT '0'")
+    // …and an unprivileged user can neither name such a view directly (any
+    // index — denied pre-rewrite) nor find one still bound (dropped per
+    // statement).
+    val intern = new SqlScriptRunner(spark, asUser = Some("intern"))
+    (1 to 4).foreach { i =>
+      val e = intercept[Catalog.AccessDeniedException] {
+        intern.run(s"SELECT * FROM graft_tt_$i")
+      }
+      assert(e.getMessage.contains("graft_"))
+    }
+    assert(!spark.catalog.tableExists("graft_tt_1"))
+  }
+
+  test("time-travel rewrite ignores AT/TIMESTAMP inside string literals") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_tt_lit").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a")).toDF("id", "tag"))
+    st.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    spark.conf.set("graft.snapshot.ops.log", root)
+    val r = new SqlScriptRunner(spark)
+    // the literal mentions an unbound name + AT TIMESTAMP — must pass through
+    val rows = r.run(
+      "SELECT 'logged at timestamp ''5'' by nowhere.t' AS note, count(*) AS n " +
+        "FROM ops.log AT SNAPSHOT '0'")
+    val row = rows.head._2.collect().head
+    assert(row.getString(0) === "logged at timestamp '5' by nowhere.t")
+    assert(row.getLong(1) === 1L)
+  }
 }

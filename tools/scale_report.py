@@ -18,8 +18,16 @@ def best(path):
     runs = [json.loads(l) for l in open(path) if l.strip()]
     if not runs:
         raise SystemExit(f"no bench lines in {path}")
-    qs = {k: round(min(r["queries"][k] for r in runs), 3)
-          for k in runs[0]["queries"]}
+    # Intersect query keys across runs: a line missing a query (partial run,
+    # interrupted bench) drops that query with a notice instead of a KeyError.
+    keys = set(runs[0]["queries"])
+    for r in runs[1:]:
+        keys &= set(r["queries"])
+    dropped = set(runs[0]["queries"]) - keys
+    if dropped:
+        print(f"note: {path} dropped from min (absent in some run): "
+              f"{sorted(dropped)}", file=sys.stderr)
+    qs = {k: round(min(r["queries"][k] for r in runs), 3) for k in sorted(keys)}
     return qs, runs[0].get("sf")
 
 
@@ -30,7 +38,12 @@ def main():
     common = [q for q in base if q in ten]
     growth = {q: round(ten[q] / base[q], 2) if base[q] > 0 else None
               for q in common}
-    worst = max(common, key=lambda q: growth[q] or 0)
+    # None growths (zero base time) are excluded from the worst-query pick
+    # explicitly — they carry no growth information, not a best-case 0.
+    measurable = [q for q in common if growth[q] is not None]
+    if not measurable:
+        raise SystemExit("no query has a measurable (nonzero-base) growth")
+    worst = max(measurable, key=lambda q: growth[q])
     report = {
         "scale_factor_multiplier": 10,
         "src_dir": "/root/testdata/sf0.1",
