@@ -137,17 +137,35 @@ object Dedup {
     *  - each round is two aggregate+equi-join passes on the node key — no
     *    collect_list of neighborhoods, so a 10M-member component never
     *    materializes a row bigger than one (node, min) pair;
-    *  - `localCheckpoint` truncates the iterative lineage so the plan stays
-    *    O(1) per round instead of O(rounds);
+    *  - per-round lineage is truncated by a checkpoint so the plan stays
+    *    O(1) per round instead of O(rounds). The default is
+    *    `localCheckpoint` — blocks live on executor storage, the right
+    *    trade on local[N] and for short jobs, but NOT fault-tolerant: on a
+    *    real cluster, losing one executor mid-iteration loses blocks and
+    *    kills the job unrecoverably. For cluster runs pass `checkpointDir`
+    *    (a reliable store path — HDFS/S3): rounds then use reliable
+    *    `.checkpoint()`, which survives executor loss at the cost of one
+    *    distributed write per round;
     *  - convergence is detected by an order-independent edge-set checksum
     *    (count + sum of per-edge hashes), one tiny driver scalar per round.
+    *    The checksum SCREENS: the two exceptAll set-compares that confirm
+    *    the fixpoint exactly only run on rounds whose checksum already
+    *    matches the predecessor's (&&-short-circuit), i.e. normally exactly
+    *    once, on the final confirming round.
     *
     * Returns one row per node appearing in `pairs`: (id, component) where
     * component = the minimum id in the node's cluster (so the canonical
     * representative satisfies id == component). Ids must be orderable.
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // lineage truncation per round: reliable when a dir is given, else local
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // canonical undirected form: (hi, lo), no self-loops, deduped
     def canon(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
@@ -185,13 +203,12 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var edges = canon(pairs.select(col(srcCol).as("u"), col(dstCol).as("v")))
-      .localCheckpoint(true)
+    var edges = truncate(canon(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))))
     var prev = checksum(edges)
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
-      val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
+      val next = truncate(canon(smallStar(largeStar(edges))))
       val cur = checksum(next)
       converged = cur == prev &&
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty

@@ -94,4 +94,22 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0L)
   }
+
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
+    import spark.implicits._
+    // cluster-mode path: rounds truncate via reliable .checkpoint() into the
+    // given dir (survives executor loss) — components must be identical
+    val dir = java.nio.file.Files.createTempDirectory("cc_reliable").toString
+    val pairs = (Seq((2L, 1L), (2L, 3L), (7L, 8L)) ++
+      (100L until 120L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    // the reliable dir was actually used for round snapshots
+    assert(new java.io.File(dir).listFiles() != null &&
+      new java.io.File(dir).listFiles().nonEmpty)
+  }
 }
