@@ -31,20 +31,34 @@ object Bench {
     // file-cache state), which polluted round-over-round comparison; min-of-2
     // keeps totals reproducible within ~5%.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.allQueries.map { q =>
+    def timed(name: String, body: () => Unit): (String, Double) = {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { q.run(spark, sfDir).count(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] ${q.name} FAILED: $e"); false }
+          try { body(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // release per-query persisted intermediates
         // A thrown query must not masquerade as a fast success: report -1.
         if (ok) dt else -1.0
       }
-      q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+    val registry = SparkEntry.allQueries.map(q =>
+      timed(q.name, () => { q.run(spark, sfDir).count(); () }))
+    // Write/read split rows for the queries whose deliverable includes a
+    // table WRITE (q57 CTAS, q68 z-order rewrite): maintenance-time write
+    // cost and steady-state read cost are different budgets at 100 TB, so
+    // each gets its own row. Registry rows are unchanged (the driver's
+    // oracle contract); the split rows are bench-only and EXCLUDED from
+    // `total` to keep round-over-round totals comparable.
+    val splits = Seq(
+      timed("q57w_ctas_write", () => queries.DataPipelineQueries.ctasWrite(spark, sfDir)),
+      timed("q57r_ctas_read", () => { queries.DataPipelineQueries.ctasRead(spark, sfDir).count(); () }),
+      timed("q68w_zorder_write", () => queries.CoreQueries.zorderWriteFresh(spark, sfDir)),
+      timed("q68r_zorder_read", () => { queries.CoreQueries.zorderRead(spark, sfDir).count(); () }))
+    val results = registry ++ splits
+    val total = registry.collect { case (_, v) if v >= 0 => v }.sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0) // failures blow up the total, never shrink it
     def jsonLine(qs: Seq[(String, Double)]): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -36,6 +36,48 @@ object CoreQueries {
   private[queries] val joinReflFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, graft.plans.Materializations]()
 
+  /** q68's WRITE side as a standalone measurable: a FRESH z-order rewrite of
+    * orders into a new directory (what OPTIMIZE … ZORDER BY pays at
+    * maintenance time). Exposed so the bench reports write and read rows
+    * separately instead of folding maintenance cost into the read path. */
+  private[graft] def zorderWriteFresh(s: SparkSession, dir: String): Unit = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder_w")
+      .toFile.getAbsolutePath + "/orders_z"
+    graft.ops.ScaleOps.zorderWrite(t(s, dir, "orders"),
+      Seq("o_orderdate", "o_totalprice"), out, targetFiles = 8)
+  }
+
+  /** q68's READ side: file-skipping proof + 2-column range aggregate over
+    * the (fixture-cached) z-ordered copy. */
+  private[graft] def zorderRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ScaleOps
+    val path = zorderFixtures.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir", _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_zorder")
+          .toFile.getAbsolutePath + "/orders_z"
+        ScaleOps.zorderWrite(t(s, dir, "orders"),
+          Seq("o_orderdate", "o_totalprice"), out, targetFiles = 8)
+        out
+      })
+    val z = s.read.parquet(path)
+    def overlaps(c: String, lo: org.apache.spark.sql.Column,
+                 hi: org.apache.spark.sql.Column): Long =
+      ScaleOps.fileRangeStats(z, c)
+        .filter(col("lo") <= hi && col("hi") >= lo).count()
+    val nFiles = ScaleOps.fileRangeStats(z, "o_orderkey").count()
+    require(overlaps("o_totalprice", lit(50000.0), lit(100000.0)) < nFiles,
+      "z-order layout failed to prune files on o_totalprice")
+    require(overlaps("o_orderdate",
+      lit("1994-01-01").cast("timestamp"), lit("1994-03-31").cast("timestamp")) < nFiles,
+      "z-order layout failed to prune files on o_orderdate")
+    z.filter(col("o_orderdate").between(lit("1994-01-01").cast("timestamp"),
+        lit("1994-03-31").cast("timestamp")) &&
+        col("o_totalprice").between(50000.0, 100000.0))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count_distinct(col("o_custkey")).as("n_customers"))
+  }
+
   val list: Seq[Q] = Seq(
 
     // A3/A10 — multi-key groupBy with sum/avg/count over the biggest fact
@@ -790,34 +832,7 @@ object CoreQueries {
     // the require() proves the layout actually skips: the predicate's file
     // ranges must exclude some files on BOTH clustering columns (a linear
     // sort can only ever skip on its leading column).
-    Q("q68_zorder_skip", (s, dir) => {
-      import graft.ops.ScaleOps
-      val path = CoreQueries.zorderFixtures.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$dir", _ => {
-          val out = java.nio.file.Files.createTempDirectory("graft_zorder")
-            .toFile.getAbsolutePath + "/orders_z"
-          ScaleOps.zorderWrite(t(s, dir, "orders"),
-            Seq("o_orderdate", "o_totalprice"), out, targetFiles = 8)
-          out
-        })
-      val z = s.read.parquet(path)
-      def overlaps(c: String, lo: org.apache.spark.sql.Column,
-                   hi: org.apache.spark.sql.Column): Long =
-        ScaleOps.fileRangeStats(z, c)
-          .filter(col("lo") <= hi && col("hi") >= lo).count()
-      val nFiles = ScaleOps.fileRangeStats(z, "o_orderkey").count()
-      require(overlaps("o_totalprice", lit(50000.0), lit(100000.0)) < nFiles,
-        "z-order layout failed to prune files on o_totalprice")
-      require(overlaps("o_orderdate",
-        lit("1994-01-01").cast("timestamp"), lit("1994-03-31").cast("timestamp")) < nFiles,
-        "z-order layout failed to prune files on o_orderdate")
-      z.filter(col("o_orderdate").between(lit("1994-01-01").cast("timestamp"),
-          lit("1994-03-31").cast("timestamp")) &&
-          col("o_totalprice").between(50000.0, 100000.0))
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"),
-          count_distinct(col("o_custkey")).as("n_customers"))
-    }, Some("""
+    Q("q68_zorder_skip", (s, dir) => CoreQueries.zorderRead(s, dir), Some("""
       SELECT count(*) AS n_orders,
              round(sum(o_totalprice), 2) AS revenue,
              count(DISTINCT o_custkey) AS n_customers
