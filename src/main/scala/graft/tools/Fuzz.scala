@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * count(DISTINCT) measures, optional HAVING group-size gates, optional
   * top-k slices (ORDER BY measure with a full group-key tiebreak + LIMIT,
   * so the surviving row set is total-order deterministic),
+  * W1-shaped row_number window dedup (keep-first per partition, primary-key
+  * tiebreak — the registry's most load-bearing pattern, repeated 6× across
+  * the reference pipelines), set-op cases (two predicate branches over the
+  * same aggregate combined with UNION / UNION ALL / INTERSECT / EXCEPT,
+  * stressing distinct-row and NULL-equality semantics),
   * 1- and 2-table relations including a LEFT OUTER join whose right-side
   * measures exercise null-group aggregation — each rendered TWICE —
   * as a DataFrame-API plan and as ANSI SQL that both Spark and DuckDB parse.
@@ -42,7 +47,10 @@ object Fuzz {
   final case class Rel(tables: Seq[String], joinOn: Seq[(String, String)],
                        groupCols: Seq[String], measureCols: Seq[String],
                        filterCols: Seq[ColSpec], dateCols: Seq[String] = Nil,
-                       leftJoin: Boolean = false)
+                       leftJoin: Boolean = false,
+                       /** primary key — the deterministic row_number tiebreak
+                         * for window cases (empty = no window cases here). */
+                       uniqueKey: Seq[String] = Nil)
 
   private val qty = ColSpec("l_quantity", NumDom(1, 50, int = true))
   private val eprice = ColSpec("l_extendedprice", NumDom(900, 100000, int = false))
@@ -68,23 +76,25 @@ object Fuzz {
     Rel(Seq("lineitem"), Nil,
       Seq("l_returnflag", "l_linestatus"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-      Seq(qty, eprice, disc, rflag, lstat), dateCols = Seq("l_shipdate")),
+      Seq(qty, eprice, disc, rflag, lstat), dateCols = Seq("l_shipdate"),
+      uniqueKey = Seq("l_orderkey", "l_linenumber")),
     Rel(Seq("orders"), Nil,
       Seq("o_orderstatus", "o_orderpriority"),
       Seq("o_totalprice"),
-      Seq(ototal, ostat, oprio), dateCols = Seq("o_orderdate")),
+      Seq(ototal, ostat, oprio), dateCols = Seq("o_orderdate"),
+      uniqueKey = Seq("o_orderkey")),
     Rel(Seq("customer"), Nil,
       Seq("c_mktsegment", "c_nationkey"),
       Seq("c_acctbal"),
-      Seq(cbal, cseg, cnat)),
+      Seq(cbal, cseg, cnat), uniqueKey = Seq("c_custkey")),
     Rel(Seq("part"), Nil,
       Seq("p_brand", "p_size"),
       Seq("p_retailprice", "p_size"),
-      Seq(psize, pprice, pbrand)),
+      Seq(psize, pprice, pbrand), uniqueKey = Seq("p_partkey")),
     Rel(Seq("supplier"), Nil,
       Seq("s_nationkey"),
       Seq("s_acctbal"),
-      Seq(sbal, snat)),
+      Seq(sbal, snat), uniqueKey = Seq("s_suppkey")),
     Rel(Seq("lineitem", "orders"), Seq("l_orderkey" -> "o_orderkey"),
       Seq("l_returnflag", "o_orderstatus", "o_orderpriority"),
       Seq("l_quantity", "l_extendedprice", "o_totalprice"),
@@ -132,10 +142,22 @@ object Fuzz {
     def alias: String = s"y_$c"; def sqlExpr: String = s"year($c)"
   }
 
+  /** W1-shaped window case: keep the first row per partition by
+    * `orderCol` (desc/asc) with the relation's uniqueKey as tiebreak — the
+    * keep-latest/keep-earliest dedup the reference repeats across pipelines
+    * (clinicdata.sql:145-161 et al.). Output: partition keys + kept measure
+    * (aliased m0). Deterministic because the tiebreak is a primary key. */
+  final case class WinSpec(partKeys: Seq[String], orderCol: String, desc: Boolean)
+
   final case class FuzzCase(id: String, rel: Rel, preds: Seq[Pred],
                             groups: Seq[GKey], aggs: Seq[Agg],
                             having: Option[Int] = None,
-                            topK: Option[Int] = None)
+                            topK: Option[Int] = None,
+                            window: Option[WinSpec] = None,
+                            /** (set operator, second branch's predicates):
+                              * branch A = `preds`, branch B = `_2`, same
+                              * groups/aggs both sides. */
+                            setOp: Option[(String, Seq[Pred])] = None)
 
   // --- generation -----------------------------------------------------------
 
@@ -166,7 +188,24 @@ object Fuzz {
       // keys compare binary/ASCII identically in Spark and DuckDB).
       val topK = if (groups.nonEmpty && rng.nextInt(4) == 0)
         Some(3 + rng.nextInt(5)) else None
-      FuzzCase(f"f$i%03d", rel, preds, groups, aggs, having, topK)
+      // case kind: ~1/5 W1 window-dedup (keyed rels only), ~1/5 set-op,
+      // else the plain filter+groupBy+agg shape
+      rng.nextInt(5) match {
+        case 0 if rel.uniqueKey.nonEmpty =>
+          val parts = rng.shuffle(rel.groupCols).take(rng.nextInt(3)).toSeq
+          val ord = rel.measureCols(rng.nextInt(rel.measureCols.length))
+          FuzzCase(f"f$i%03d", rel, preds, parts.map(PlainKey.apply),
+            Seq(Agg("window_keep", ord, "m0")),
+            window = Some(WinSpec(parts, ord, rng.nextBoolean())))
+        case 1 =>
+          val predsB = rng.shuffle(rel.filterCols).take(rng.nextInt(3))
+            .map(mkPred(rng, _)).toSeq
+          val op = Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT")(rng.nextInt(4))
+          FuzzCase(f"f$i%03d", rel, preds, groups, aggs,
+            setOp = Some((op, predsB)))
+        case _ =>
+          FuzzCase(f"f$i%03d", rel, preds, groups, aggs, having, topK)
+      }
     }
 
   private def num2(v: Double): Double = math.rint(v * 100) / 100
@@ -209,11 +248,38 @@ object Fuzz {
       d = d.join(graft.Tables(s, dir, tb), col(lk) === col(rk), joinType)
     }
     val filtered = c.preds.foldLeft(d)((acc, p) => acc.filter(predCol(p)))
+
+    c.window.foreach { w =>
+      val order = (if (w.desc) col(w.orderCol).desc else col(w.orderCol).asc) +:
+        c.rel.uniqueKey.map(col(_).asc)
+      val win =
+        if (w.partKeys.isEmpty)
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+        else org.apache.spark.sql.expressions.Window
+          .partitionBy(w.partKeys.map(col): _*).orderBy(order: _*)
+      return filtered.withColumn("__rn", row_number().over(win))
+        .filter(col("__rn") === 1)
+        .select(w.partKeys.map(col) :+ col(w.orderCol).as("m0"): _*)
+    }
+
     val aggCols = c.aggs.map(aggCol)
-    val grouped = if (c.groups.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-    else c.having match {
-      case None =>
-        filtered.groupBy(c.groups.map(keyCol): _*).agg(aggCols.head, aggCols.tail: _*)
+    def grouped(src: DataFrame): DataFrame =
+      if (c.groups.isEmpty) src.agg(aggCols.head, aggCols.tail: _*)
+      else src.groupBy(c.groups.map(keyCol): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    c.setOp.foreach { case (op, predsB) =>
+      val a = grouped(filtered)
+      val b = grouped(predsB.foldLeft(d)((acc, p) => acc.filter(predCol(p))))
+      return op match {
+        case "UNION ALL" => a.union(b)
+        case "UNION" => a.union(b).distinct()
+        case "INTERSECT" => a.intersect(b)
+        case "EXCEPT" => a.except(b)
+      }
+    }
+
+    val aggregated = c.having match {
+      case None => grouped(filtered)
       case Some(n) =>
         filtered.groupBy(c.groups.map(keyCol): _*)
           .agg(aggCols.head, (aggCols.tail :+ count(lit(1)).as("__hc")): _*)
@@ -222,9 +288,9 @@ object Fuzz {
     }
     c.topK match {
       case Some(k) =>
-        grouped.orderBy(col(c.aggs.head.alias).desc +:
+        aggregated.orderBy(col(c.aggs.head.alias).desc +:
           c.groups.map(g => col(g.alias).asc): _*).limit(k)
-      case None => grouped
+      case None => aggregated
     }
   }
 
@@ -283,21 +349,42 @@ object Fuzz {
   }
 
   def sql(c: FuzzCase): String = {
+    def whereOf(ps: Seq[Pred]): String =
+      if (ps.isEmpty) "" else " WHERE " + ps.map(predSql).mkString(" AND ")
+
+    c.window.foreach { w =>
+      val dirKw = if (w.desc) "DESC" else "ASC"
+      val part = if (w.partKeys.isEmpty) ""
+                 else s"PARTITION BY ${w.partKeys.mkString(", ")} "
+      val inner = (w.partKeys :+ s"${w.orderCol} AS m0").mkString(", ") +
+        s", row_number() OVER (${part}ORDER BY ${w.orderCol} $dirKw, " +
+        s"${c.rel.uniqueKey.mkString(", ")}) AS rn"
+      val outer = (w.partKeys :+ "m0").mkString(", ")
+      return s"SELECT $outer FROM (SELECT $inner FROM ${fromSql(c)}" +
+        s"${whereOf(c.preds)}) w WHERE rn = 1"
+    }
+
     val keys = c.groups.map {
       case PlainKey(n) => n
       case k @ YearKey(_) => s"${k.sqlExpr} AS ${k.alias}"
     }
     val select = (keys ++ c.aggs.map(aggSql)).mkString(", ")
-    val where =
-      if (c.preds.isEmpty) "" else " WHERE " + c.preds.map(predSql).mkString(" AND ")
-    val group =
-      if (c.groups.isEmpty) "" else " GROUP BY " + c.groups.map(_.sqlExpr).mkString(", ")
+    def branch(ps: Seq[Pred]): String = {
+      val group =
+        if (c.groups.isEmpty) "" else " GROUP BY " + c.groups.map(_.sqlExpr).mkString(", ")
+      s"SELECT $select FROM ${fromSql(c)}${whereOf(ps)}$group"
+    }
+
+    c.setOp.foreach { case (op, predsB) =>
+      return s"${branch(c.preds)} $op ${branch(predsB)}"
+    }
+
     val having = c.having.map(n => s" HAVING count(*) >= $n").getOrElse("")
     val order = c.topK.map { k =>
       val tiebreak = c.groups.map(_.alias).mkString(", ")
       s" ORDER BY ${c.aggs.head.alias} DESC, $tiebreak LIMIT $k"
     }.getOrElse("")
-    s"SELECT $select FROM ${fromSql(c)}$where$group$having$order"
+    s"${branch(c.preds)}$having$order"
   }
 
   /** Normalized single-measure projection for the cross-engine union (q70):

@@ -34,6 +34,12 @@ class FuzzSpec extends SparkSpec {
     assert(a.exists(_.aggs.exists(_.fn == "count_distinct")))         // DISTINCT aggs
     assert(a.exists(_.rel.leftJoin))                                  // LEFT OUTER join
     assert(a.exists(_.preds.exists(_.isInstanceOf[Fuzz.StrLike])))    // LIKE prefixes
+    assert(a.exists(_.window.nonEmpty))                               // W1 row_number dedup
+    assert(a.exists(c => c.window.exists(_.partKeys.nonEmpty)) &&
+      a.exists(c => c.window.exists(_.partKeys.isEmpty)))             // global + partitioned
+    val ops = a.flatMap(_.setOp.map(_._1)).toSet                      // set operators
+    assert(Set("UNION ALL", "UNION", "INTERSECT", "EXCEPT").subsetOf(ops) ||
+      ops.size >= 3, s"set-op coverage too thin in 50 cases: $ops")
     assert(Fuzz.gen(8L, 50) !== a) // different seed, different batch
     // singleAgg mode really is single-measure (q70's contract)
     assert(Fuzz.gen(70L, 30, singleAgg = true).forall(_.aggs.length == 1))
