@@ -25,8 +25,44 @@ import org.apache.spark.sql.functions._
   *    same reasoning as the text salt, for the ANN/near-dup operators.
   *  - events: ids remap, timestamps keep — K× users with the original
   *    session structure each.
+  *
+  * Mode `skewed` (r6 VERDICT next-round #1): uniform replication REDUCES
+  * relative skew, yet a hot key is the canonical 100 TB failure mode (real
+  * corpora are zipfian — the reference's own 338M-row taxi table is
+  * zone-skewed, dremio.sql:1-8). After scaling, ~`HotFrac` of orders rows
+  * are remapped onto ONE customer key and ~`HotFrac` of events rows onto
+  * ONE user id (selection by `pmod(primary key, 100)` — deterministic, no
+  * RNG), so joins on o_custkey and windows/aggs over user_id face a
+  * partition holding 30% of the table. Row counts and all other columns are
+  * untouched; the hot keys are existing dimension keys (min key, copy 0), so
+  * FK integrity holds and the hot rows JOIN — they don't vanish into an
+  * unmatched-null path.
   */
 object ScaleUp {
+
+  /** Fraction of fact rows concentrated on the hot key in `skewed` mode. */
+  val HotFrac = 0.30
+
+  /** A fact column to concentrate: rows are selected by `pmod(pk, 100)`
+    * (deterministic), and the hot value is `dimTable.dimKey`'s MIN original
+    * key in copy 0 — an existing key, so FK integrity holds. */
+  private case class SkewTarget(fk: String, pk: String,
+                                dimTable: String, dimKey: String)
+
+  private val skewTargets: Map[String, SkewTarget] = Map(
+    "orders" -> SkewTarget("o_custkey", "o_orderkey", "customer", "c_custkey"),
+    "events" -> SkewTarget("user_id", "event_id", "events", "user_id"))
+
+  /** Remap ~HotFrac of `name`'s rows onto one hot key (already-scaled frame;
+    * `hotKey` must be a post-remap key value that exists on the dim side). */
+  def skewTable(df: DataFrame, name: String, hotKey: Long): DataFrame =
+    skewTargets.get(name) match {
+      case None => df
+      case Some(t) =>
+        df.withColumn(t.fk,
+          when(pmod(col(t.pk), lit(100)) < lit((HotFrac * 100).toInt), lit(hotKey))
+            .otherwise(col(t.fk)))
+    }
 
   /** Tables whose Long key columns remap as key*K+copy. */
   private val keyCols: Map[String, Seq[String]] = Map(
@@ -64,10 +100,18 @@ object ScaleUp {
     d.drop("__copy")
   }
 
-  def run(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+  def run(spark: SparkSession, srcDir: String, outDir: String, k: Int,
+          mode: String = "uniform"): Unit = {
+    require(mode == "uniform" || mode == "skewed", s"mode $mode")
     graft.Tables.all.foreach { name =>
       val src = graft.Tables(spark, srcDir, name)
-      val scaled = scaleTable(src, name, k)
+      var scaled = scaleTable(src, name, k)
+      if (mode == "skewed") skewTargets.get(name).foreach { t =>
+        // hot key = the dim's min original key in copy 0 (remap key*k+0)
+        val hot = graft.Tables(spark, srcDir, t.dimTable)
+          .agg(min(col(t.dimKey))).head.getLong(0) * k
+        scaled = skewTable(scaled, name, hot)
+      }
       // more output files than the source so downstream scans parallelize
       // like a real K×-larger table would (one giant file would serialize)
       val parts = if (verbatim.contains(name)) 1 else math.min(32, 4 * k)
@@ -76,7 +120,13 @@ object ScaleUp {
       val (a, b) = (spark.read.parquet(s"$outDir/$name.parquet").count(), src.count())
       val want = if (verbatim.contains(name)) b else b * k
       require(a == want, s"$name: scaled rows $a != expected $want")
-      println(s"[scaleup] $name: $b -> $a rows")
+      if (mode == "skewed" && skewTargets.contains(name)) {
+        val t = skewTargets(name)
+        val top = graft.ops.ScaleOps.keySkewProfile(
+          spark.read.parquet(s"$outDir/$name.parquet"), t.fk, 1).head
+        println(s"[scaleup] $name: $b -> $a rows; hot ${t.fk}=${top.get(0)} " +
+          s"share=${top.getAs[Double]("share")}")
+      } else println(s"[scaleup] $name: $b -> $a rows")
     }
   }
 
@@ -84,12 +134,13 @@ object ScaleUp {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_scale10")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("uniform")
     val spark = SparkSession.builder()
       .appName("graft-scaleup")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    try run(spark, srcDir, outDir, k) finally spark.stop()
+    try run(spark, srcDir, outDir, k, mode) finally spark.stop()
   }
 }

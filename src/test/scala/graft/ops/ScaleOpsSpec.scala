@@ -25,6 +25,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedLeft === plainLeft)
   }
 
+  test("salting rebalances the shuffle partitions of a 30%-hot key") {
+    import spark.implicits._
+    // ScaleUp-skewed shape: ~30% of the fact on ONE key. The claim salting
+    // makes is about SHUFFLE BALANCE — the hot key's rows land on one
+    // reducer in a plain hash join, on `buckets` reducers when the key
+    // becomes (key, salt). Balance is asserted on the exact partition
+    // function Spark's HashPartitioning uses (pmod(hash(keys), P)), which is
+    // deterministic; wall-time is not asserted here (CI noise) — it is
+    // measured on the 10×-skewed corpus by graft.tools.SkewBench and
+    // recorded in SCALE_r{N}.json.
+    val n = 30000
+    val hot = 7
+    val left = (1 to n).map(i =>
+      (if (i % 10 < 3) hot else i % 997 + 100, i)).toDF("k", "lv")
+    val P = 32
+    def maxPartitionShare(keys: org.apache.spark.sql.Column*): Double = {
+      val per = left.groupBy(pmod(hash(keys: _*), lit(P)).as("p"))
+        .agg(count(lit(1)).as("n"))
+      per.agg(max(col("n"))).head.getLong(0).toDouble / n
+    }
+    val naive = maxPartitionShare(col("k"))
+    assert(naive >= 0.30, s"fixture lost its hot key: max share $naive")
+    val buckets = 16
+    // same salt construction as saltedEquiJoin (rand(42) is deterministic
+    // for a fixed input partitioning)
+    val salted = left.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    val balanced = {
+      val per = salted.groupBy(pmod(hash(col("k"), col("__salt")), lit(P)).as("p"))
+        .agg(count(lit(1)).as("n"))
+      per.agg(max(col("n"))).head.getLong(0).toDouble / n
+    }
+    assert(balanced * 4 < naive,
+      s"salting did not rebalance: naive max share $naive, salted $balanced")
+    // and the salted join still returns exactly the plain join's rows
+    val right = ((100 to 1100) :+ hot).map(k => (k, s"d$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv").collect().toSet
+    val sj = ScaleOps.saltedEquiJoin(left, right, "k", buckets)
+      .select("k", "lv", "rv").collect().toSet
+    assert(sj === plain)
+  }
+
   test("bucketed tables join without an exchange on either side") {
     val o = sf("orders").select("o_orderkey", "o_custkey", "o_totalprice")
     val l = sf("lineitem").select("l_orderkey", "l_quantity")

@@ -3,12 +3,18 @@
 corpus (graft.tools.ScaleUp output).
 
 Usage:
-  python3 tools/scale_report.py sf01_runs.jsonl scale10_runs.jsonl out.json
+  python3 tools/scale_report.py sf01_runs.jsonl scale10_runs.jsonl out.json \
+      [skew10_runs.jsonl [skewbench.json]]
 
 Each input file holds one Bench JSON line per warm run (>=2 recommended);
 per-query times are the min across runs (each Bench line is itself a
 min-of-2-reps), excluding the cold-page-cache pass right after writing the
 corpus, which inflates I/O-bound queries up to 14x.
+
+Optional skewed inputs (`ScaleUp … skewed` corpus): skew10_runs.jsonl adds a
+"skewed" section (full registry on the hot-key corpus, growth vs the uniform
+10x), and skewbench.json (graft.tools.SkewBench's JSON line) lands verbatim
+as "skew_weapons".
 """
 import json
 import sys
@@ -62,12 +68,41 @@ def main():
         "per_query_sec_10x": ten,
         "per_query_growth": growth,
     }
+    if len(sys.argv) > 4:
+        skew, _ = best(sys.argv[4])
+        sk_common = [q for q in ten if q in skew]
+        sk_growth = {q: round(skew[q] / ten[q], 2) if ten[q] > 0 else None
+                     for q in sk_common}
+        sk_meas = [q for q in sk_common if sk_growth[q] is not None]
+        sk_worst = max(sk_meas, key=lambda q: sk_growth[q]) if sk_meas else None
+        report["skewed"] = {
+            "generator": "graft.tools.ScaleUp skewed mode (~30% of orders on "
+                         "one o_custkey, ~30% of events on one user_id)",
+            "registry_size": len(sk_common),
+            "total_sec_10x_skewed": round(sum(skew[q] for q in sk_common), 2),
+            "total_vs_uniform_10x": round(
+                sum(skew[q] for q in sk_common) /
+                sum(ten[q] for q in sk_common), 2),
+            "max_query_growth_vs_uniform": sk_growth.get(sk_worst),
+            "max_query": sk_worst,
+            "queries_failed_at_skewed": [q for q in ten if q not in skew],
+            "per_query_sec_skewed": skew,
+            "per_query_growth_vs_uniform": sk_growth,
+        }
+    if len(sys.argv) > 5:
+        with open(sys.argv[5]) as f:
+            report["skew_weapons"] = json.load(f)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
         f.write("\n")
     print(f"wrote {out_path}: total {report['total_sec_sf01']}s -> "
           f"{report['total_sec_10x']}s ({report['total_growth']}x), "
           f"worst {worst} {growth[worst]}x")
+    if "skewed" in report:
+        s = report["skewed"]
+        print(f"skewed: {s['total_sec_10x_skewed']}s "
+              f"({s['total_vs_uniform_10x']}x vs uniform 10x), "
+              f"worst {s['max_query']} {s['max_query_growth_vs_uniform']}x")
 
 
 if __name__ == "__main__":
