@@ -54,6 +54,18 @@ object Dedup {
     }: _*)
   }
 
+  /** (id, band, bucket) LSH keys of an (__id, __sig) projection: each
+    * signature slices into `bands` buckets (hash of the band's row slice).
+    * Per-doc and map-side — the property the incremental path exploits: a
+    * new doc's keys never depend on the rest of the corpus. */
+  private def bandKeys(idx: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    idx.select(col("__id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(lit(b), concat_ws(",", slice(col("__sig"), b * r + 1, r)))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Banded-LSH candidate pairs: signature → `bands` buckets (hash of the
     * band's row slice), explode, equi-join on (band, bucket), dedupe pairs.
     * Output: (left id, right id) with left < right. The join key is
@@ -62,12 +74,7 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, id: Column, sig: Column,
                             k: Int = 32, bands: Int = 4): DataFrame = {
-    val withSig = df.select(id.as("__id"), sig.as("__sig"))
-    val r = k / bands
-    val banded = withSig.select(col("__id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64(lit(b), concat_ws(",", slice(col("__sig"), b * r + 1, r)))
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = bandKeys(df.select(id.as("__id"), sig.as("__sig")), k, bands)
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
       col("a.__id") < col("b.__id"))
@@ -87,19 +94,17 @@ object Dedup {
     * LSH candidates → join back shingle sets → exact verify. At scale the
     * verify join is two broadcast-or-shuffle hash joins on the id key.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 32, bands: Int = 4,
-                   shingleN: Int = 3): DataFrame = {
+  /** Per-doc dedup-index projection: (__id, __sh hashed-shingle set, __sig
+    * MinHash signature). This IS the maintainable state of near-dup dedup —
+    * every column is a pure function of one document, so a growing corpus
+    * indexes only its delta ([[nearDupPairsDelta]]). One pass computes both
+    * the verification shingle set (hashed to longs — set ops on 8-byte keys,
+    * not full strings) and the signature; native kernels when available
+    * (~µs/row), declarative HOF fallback otherwise. */
+  def dedupIndex(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 32, shingleN: Int = 3): DataFrame = {
     import graft.functions.NativeTextExpressions
     val spark = df.sparkSession
-    // One pass computes both the verification shingle set (hashed to longs —
-    // set ops on 8-byte keys, not full strings) and the MinHash signature.
-    // Native kernels when available (~µs/row); declarative HOF fallback
-    // otherwise. Persisted: feeds the bucket join once + the verify join
-    // twice; recomputing k×|shingles| hashes 3× would dominate runtime.
-    // (Cache lifecycle: the cached projection lives until the session drops
-    // it — batch harnesses should call spark.catalog.clearCache() between
-    // corpora, as Verify/Bench do.)
     val nativeSh = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN)
     val shCol = nativeSh
       .getOrElse(array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
@@ -109,17 +114,92 @@ object Dedup {
         .getOrElse(minhashSignature(col(textCol), k, shingleN))
       case None => minhashSignature(col(textCol), k, shingleN)
     }
-    val base = df.select(col(idCol).as("__id"), shCol.as("__sh"), sigCol.as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidatePairs(base, col("__id"), col("__sig"), k, bands)
-    val sa = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val sb = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
+    df.select(col(idCol).as("__id"), shCol.as("__sh"), sigCol.as("__sig"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against an
+    * index's shingle sets; keeps pairs at or above `threshold`. */
+  private def verifyPairs(cands: DataFrame, idx: DataFrame,
+                          threshold: Double): DataFrame = {
+    import graft.functions.NativeTextExpressions
+    val spark = idx.sparkSession
+    val sa = idx.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val sb = idx.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
     val jac = NativeTextExpressions.longSetJaccard(spark)(col("sh_a"), col("sh_b"))
       .getOrElse(jaccard(col("sh_a"), col("sh_b")))
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard", round(jac, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 32, bands: Int = 4,
+                   shingleN: Int = 3): DataFrame = {
+    // Persisted: the index feeds the bucket join once + the verify join
+    // twice; recomputing k×|shingles| hashes 3× would dominate runtime.
+    // (Cache lifecycle: the cached projection lives until the session drops
+    // it — batch harnesses should call spark.catalog.clearCache() between
+    // corpora, as Verify/Bench do.)
+    val base = dedupIndex(df, idCol, textCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatePairs(base, col("__id"), col("__sig"), k, bands)
+    verifyPairs(cands, base, threshold)
+  }
+
+  /** Incremental near-dup maintenance, pair stage: the verified pairs that
+    * involve AT LEAST ONE new document, given the existing corpus's index
+    * and the delta's. Candidate generation is new-vs-all on the (band,
+    * bucket) keys — cost O(|delta| + matched buckets), never a rescan of
+    * old-vs-old (those pairs are already known). Because LSH keys and
+    * Jaccard verification are per-doc/per-pair pure functions, the union of
+    * old pairs and delta pairs is EXACTLY what a full recompute over
+    * old ∪ delta yields — proven by DedupSpec and oracle-checked end-to-end
+    * (q92). Reference anchor: autonomous incremental reflection refresh,
+    * readme.md:381-389 — the same philosophy applied to the dedup index. */
+  def nearDupPairsDelta(oldIndex: DataFrame, deltaIndex: DataFrame,
+                        threshold: Double, k: Int = 32, bands: Int = 4): DataFrame = {
+    val oldKeys = bandKeys(oldIndex, k, bands)
+    val newKeys = bandKeys(deltaIndex, k, bands)
+    // new-vs-old: equi-join delta keys against the standing key index;
+    // normalize ids so id_a < id_b matches the full-recompute convention
+    val newOld = newKeys.alias("a").join(oldKeys.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"))
+      .distinct()
+    // new-vs-new: the standard banded self-join, delta-only
+    val newNew = minhashCandidatePairs(deltaIndex, col("__id"), col("__sig"), k, bands)
+    val cands = newOld.union(newNew).distinct()
+    verifyPairs(cands, oldIndex.unionByName(deltaIndex), threshold)
+  }
+
+  /** Incremental near-dup maintenance, component stage: fold a delta edge
+    * list into an existing (id, component) assignment without re-clustering
+    * the whole corpus. Only components TOUCHED by a new edge re-cluster:
+    * their members' star edges (id → component root; the root is the min
+    * member, so connectivity and min-labels are preserved) union the new
+    * edges feed one [[connectedComponents]] run sized by the affected set,
+    * and untouched assignments pass through unchanged. Result is identical
+    * to a full recompute over (old edges ∪ new edges) — same labels, since
+    * each merged cluster's min is the min over its old roots and new
+    * members. */
+  def mergeComponents(oldComponents: DataFrame, newEdges: DataFrame,
+                      srcCol: String = "id_a", dstCol: String = "id_b",
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = newEdges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+    val touched = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct()
+    val affectedRoots = oldComponents.join(touched, "id")
+      .select(col("component")).distinct()
+    val affected = oldComponents.join(affectedRoots, "component")
+    val untouched = oldComponents.join(affectedRoots, Seq("component"), "left_anti")
+    val subEdges = affected.select(col("id").as("id_a"), col("component").as("id_b"))
+      .union(edges)
+    untouched.select(col("id"), col("component"))
+      .unionByName(connectedComponents(subEdges, "id_a", "id_b",
+        checkpointDir = checkpointDir))
   }
 
   // --- Connected components -------------------------------------------------

@@ -1182,7 +1182,69 @@ object DataPipelineQueries {
       SELECT cluster_id, count(*) AS cluster_size,
              min(CASE WHEN n_tok = mx THEN id END) AS kept_doc,
              max(n_tok) AS kept_tokens
-      FROM scored GROUP BY cluster_id"""))
+      FROM scored GROUP BY cluster_id""")),
+
+    // Incremental dedup-index maintenance (r6 VERDICT next-round #6): the
+    // corpus arrives in two waves — wave 1 is the base documents, wave 2 the
+    // perturbed near-dup copies. The Spark side takes the INCREMENTAL path
+    // end-to-end: index wave 1, cluster it, then index ONLY the delta,
+    // generate delta-vs-all candidate pairs on the banded keys, and fold the
+    // new edges into the standing components with an affected-components-only
+    // merge (Dedup.nearDupPairsDelta + mergeComponents). The oracle is q72's
+    // full-corpus recursive reachability closure over exact Jaccard —
+    // passing PROVES delta-path ≡ full recompute on real data, not just on
+    // the spec fixture. At 100 TB this is the difference between re-running
+    // the whole q72 chain per ingest wave and paying O(delta + affected).
+    Q("q92_incremental_dedup", (s, dir) => {
+      import graft.operators.Dedup
+      val wave1 = t(s, dir, "documents")
+      val wave2 = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(col("text"), lit(" appended marker token")))
+      val idx1 = Dedup.dedupIndex(wave1, "doc_id", "text", k = 128)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idx2 = Dedup.dedupIndex(wave2, "doc_id", "text", k = 128)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oldCC = Dedup.connectedComponents(
+        Dedup.nearDupPairs(wave1, "doc_id", "text",
+          threshold = 0.5, k = 128, bands = 32), "id_a", "id_b")
+      val deltaPairs = Dedup.nearDupPairsDelta(idx1, idx2,
+        threshold = 0.5, k = 128, bands = 32)
+      val merged = Dedup.mergeComponents(oldCC, deltaPairs)
+      val sizes = merged.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      merged.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+    }, Some("""
+      WITH RECURSIVE seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT c.id AS doc_id, c.cluster_id,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+             c.id = c.cluster_id AS is_canonical
+      FROM comp c"""))
   )
 
 }

@@ -95,6 +95,48 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0L)
   }
 
+  test("incremental delta path ≡ full recompute on a two-wave corpus") {
+    import spark.implicits._
+    // wave 1: base docs incl. an existing near-dup pair (1,2) and a loner 3;
+    // wave 2 (delta): 10 is a near-dup of 3 (merges a previously-unpaired
+    // old doc), 11 of 1 (extends an existing cluster), 12+13 are near-dups
+    // of each other only (new-new), 14 matches nothing
+    def doc(id: Long, tail: String) =
+      (id, s"alpha beta gamma delta epsilon zeta eta theta $tail")
+    val wave1 = Seq(doc(1, "one two three"), doc(2, "one two four"),
+      doc(3, "iota kappa lambda"), doc(4, "unrelated totally different words entirely")).toDF("doc_id", "text")
+    val wave2 = Seq(doc(10, "iota kappa mu"), doc(11, "one two five"),
+      doc(12, "nu xi omicron"), doc(13, "nu xi pi"),
+      (14L, "completely dissimilar content nothing shared here at all ok")).toDF("doc_id", "text")
+    val thr = 0.35
+
+    // full recompute over the whole corpus
+    val full = Dedup.connectedComponents(
+      Dedup.nearDupPairs(wave1.unionByName(wave2), "doc_id", "text", thr),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // delta path: index wave1 once, delta-index wave2, merge components
+    val idx1 = Dedup.dedupIndex(wave1, "doc_id", "text")
+    val idx2 = Dedup.dedupIndex(wave2, "doc_id", "text")
+    val oldPairs = Dedup.nearDupPairs(wave1, "doc_id", "text", thr)
+    val oldCC = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+    val deltaPairs = Dedup.nearDupPairsDelta(idx1, idx2, thr)
+    val merged = Dedup.mergeComponents(oldCC, deltaPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(merged === full)
+    // and the delta pair list is exactly the full pair list minus old-old
+    val fullPairs = Dedup.nearDupPairs(wave1.unionByName(wave2), "doc_id", "text", thr)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldSet = oldPairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaSet = deltaPairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldSet.union(deltaSet) === fullPairs)
+    assert(deltaSet.intersect(oldSet).isEmpty)
+  }
+
   test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
     import spark.implicits._
     // cluster-mode path: rounds truncate via reliable .checkpoint() into the
