@@ -41,4 +41,48 @@ object Decontaminate {
       .agg(countDistinct(col("__train_id")).as("n_train_docs"),
         countDistinct(col("__g")).as("n_shared_shingles"))
   }
+
+  /** [[overlapReport]] with a Bloom pre-filter on the TRAIN side — the
+    * 100 TB formulation. The plain report shuffles every train shingle
+    * hash into the equi-join, but decontamination is wildly asymmetric:
+    * eval benchmarks are MBs–GBs while the training corpus is the 100 TB
+    * side, and almost none of its shingles match anything. Building a
+    * Bloom filter over the EVAL shingle hashes (size `numBits/8` bytes —
+    * independent of train volume) and probing it map-side BEFORE the
+    * shuffle cuts the train-side shuffle from |train shingles| rows to
+    * |true overlap| + fpp·|train shingles|.
+    *
+    * Results are IDENTICAL to [[overlapReport]]: a false positive merely
+    * sends one extra row into the exact equi-join, where it fails to
+    * match. q93 registers this path under q80's oracle, so the identity
+    * is driver-hash-checked, not just asserted.
+    *
+    * The driver collects only the serialized filter (bounded by
+    * `expectedEvalShingles` — like IVF's bounded training sample, never
+    * data-proportional). Falls back to the plain report if the native
+    * Bloom expressions cannot be installed in this session.
+    */
+  def overlapReportBloom(spark: org.apache.spark.sql.SparkSession,
+                         train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         expectedEvalShingles: Long = 1L << 20,
+                         bitsPerItem: Int = 8): DataFrame = {
+    import graft.functions.BloomFunctions
+    val tr = grams(train, idCol, textCol, n, "__train_id")
+    val te = grams(eval, idCol, textCol, n, "__eval_id")
+    val numBits = expectedEvalShingles * bitsPerItem
+    val filtered = BloomFunctions.bloomAgg(spark)(col("__g"), expectedEvalShingles, numBits)
+      .flatMap { agg =>
+        val bytes = te.select(agg).head.getAs[Array[Byte]](0)
+        // Empty eval corpus → null filter → nothing can overlap.
+        if (bytes == null) Some(tr.limit(0))
+        else BloomFunctions.mightContain(spark)(lit(bytes), col("__g"))
+          .map(tr.filter)
+      }
+      .getOrElse(tr)
+    te.join(filtered, "__g")
+      .groupBy(col("__eval_id").as("eval_doc"))
+      .agg(countDistinct(col("__train_id")).as("n_train_docs"),
+        countDistinct(col("__g")).as("n_shared_shingles"))
+  }
 }

@@ -1244,7 +1244,43 @@ object DataPipelineQueries {
       SELECT c.id AS doc_id, c.cluster_id,
              count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
              c.id = c.cluster_id AS is_canonical
-      FROM comp c"""))
+      FROM comp c""")),
+
+    // q80's decontamination join with the TRAIN side Bloom-prefiltered —
+    // the 100 TB formulation (eval benchmarks are tiny; the training corpus
+    // is the 100 TB side, and ~all of its shingles match nothing). A Bloom
+    // filter over the EVAL shingle hashes (native BloomFilterAggregate /
+    // BloomFilterMightContain — codegen, bounded bytes) is probed map-side
+    // on train shingles BEFORE the shuffle, so only true overlap + ~2% fpp
+    // rows move. The oracle is q80's, verbatim: a Bloom false positive can
+    // only add a row that the exact equi-join then rejects, so the driver
+    // hash-checks that the pre-filtered plan computes the IDENTICAL report.
+    Q("q93_bloom_decontamination", (s, dir) => {
+      import graft.operators.{Decontaminate, Sampling}
+      val seeded = seededNear(s, dir)
+      val train = seeded.filter(Sampling.splitBucket(col("doc_id")) < 80)
+      val ev = seeded.filter(Sampling.splitBucket(col("doc_id")) >= 80)
+      Decontaminate.overlapReportBloom(s, train, ev, "doc_id", "text", n = 5)
+    }, Some("""
+      WITH seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+               list_distinct(list_transform(range(1, len(toks)-3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded)),
+      tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE b < 80),
+      te AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE b >= 80)
+      SELECT te.doc_id AS eval_doc, count(DISTINCT tr.doc_id) AS n_train_docs,
+             count(DISTINCT te.g) AS n_shared_shingles
+      FROM te JOIN tr ON tr.g = te.g
+      GROUP BY te.doc_id"""))
   )
 
 }

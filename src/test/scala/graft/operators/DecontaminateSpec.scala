@@ -38,4 +38,35 @@ class DecontaminateSpec extends SparkSpec {
     val eval = Seq((10L, "tiny doc")).toDF("id", "text")
     assert(Decontaminate.overlapReport(train, eval, "id", "text", n = 5).count() === 0L)
   }
+
+  test("overlapReportBloom is result-identical to overlapReport on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val plain = Decontaminate.overlapReport(train, eval, "doc_id", "text", n = 3)
+    val bloom = Decontaminate.overlapReportBloom(spark, train, eval, "doc_id", "text", n = 3)
+    assert(plain.count() > 0, "fixture must produce some overlap")
+    assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
+  }
+
+  test("overlapReportBloom plan probes the Bloom filter below the join") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val eval = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val out = Decontaminate.overlapReportBloom(spark, train, eval, "id", "text", n = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a might_contain pre-filter in the physical plan:\n$plan")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((10L, 1L, 2L)))
+  }
+
+  test("overlapReportBloom with an empty eval corpus returns no rows") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val eval = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Decontaminate.overlapReportBloom(spark, train, eval, "id", "text").count() === 0L)
+  }
 }
