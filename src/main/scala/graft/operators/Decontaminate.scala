@@ -69,7 +69,10 @@ object Decontaminate {
                          bitsPerItem: Int = 8): DataFrame = {
     import graft.functions.BloomFunctions
     val tr = grams(train, idCol, textCol, n, "__train_id")
+    // Persisted: the eval side (small by premise) feeds the filter build AND
+    // the join; without it the shingle projection runs twice.
     val te = grams(eval, idCol, textCol, n, "__eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBits = expectedEvalShingles * bitsPerItem
     val filtered = BloomFunctions.bloomAgg(spark)(col("__g"), expectedEvalShingles, numBits)
       .flatMap { agg =>

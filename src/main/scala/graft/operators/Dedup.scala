@@ -143,8 +143,16 @@ object Dedup {
     // corpora, as Verify/Bench do.)
     val base = dedupIndex(df, idCol, textCol, k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidatePairs(base, col("__id"), col("__sig"), k, bands)
-    verifyPairs(cands, base, threshold)
+    nearDupPairsFromIndex(base, threshold, k, bands)
+  }
+
+  /** [[nearDupPairs]] over an already-built [[dedupIndex]] — callers that
+    * maintain the index as standing state (the incremental path, q92) pay
+    * candidate generation + verification only, never a re-shingle. */
+  def nearDupPairsFromIndex(idx: DataFrame, threshold: Double, k: Int = 32,
+                            bands: Int = 4): DataFrame = {
+    val cands = minhashCandidatePairs(idx, col("__id"), col("__sig"), k, bands)
+    verifyPairs(cands, idx, threshold)
   }
 
   /** Incremental near-dup maintenance, pair stage: the verified pairs that
@@ -177,29 +185,42 @@ object Dedup {
 
   /** Incremental near-dup maintenance, component stage: fold a delta edge
     * list into an existing (id, component) assignment without re-clustering
-    * the whole corpus. Only components TOUCHED by a new edge re-cluster:
-    * their members' star edges (id → component root; the root is the min
-    * member, so connectivity and min-labels are preserved) union the new
-    * edges feed one [[connectedComponents]] run sized by the affected set,
-    * and untouched assignments pass through unchanged. Result is identical
-    * to a full recompute over (old edges ∪ new edges) — same labels, since
-    * each merged cluster's min is the min over its old roots and new
-    * members. */
+    * the whole corpus. The standing components are CONTRACTED to their
+    * roots: each delta-edge endpoint maps to its component label (its own
+    * id if previously unseen), so the graph that re-clusters has one node
+    * per touched root/new doc and at most one edge per delta pair —
+    * O(|delta|), never O(|affected members|). (The previous formulation
+    * re-ran components over every MEMBER of every touched cluster; on a
+    * 100 TB corpus one hot cluster would drag millions of already-settled
+    * rows back through the loop.) After the small contracted
+    * [[connectedComponents]] run, old assignments relabel through their
+    * root with one equi-join and untouched roots pass through unchanged.
+    *
+    * Labels are identical to a full recompute over (old edges ∪ new
+    * edges): every old root is the minimum of its members, so the min over
+    * a merged cluster's roots and new members equals the min over its full
+    * membership. */
   def mergeComponents(oldComponents: DataFrame, newEdges: DataFrame,
                       srcCol: String = "id_a", dstCol: String = "id_b",
                       checkpointDir: Option[String] = None): DataFrame = {
     val edges = newEdges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
-    val touched = edges.select(col("id_a").as("id"))
-      .union(edges.select(col("id_b").as("id"))).distinct()
-    val affectedRoots = oldComponents.join(touched, "id")
-      .select(col("component")).distinct()
-    val affected = oldComponents.join(affectedRoots, "component")
-    val untouched = oldComponents.join(affectedRoots, Seq("component"), "left_anti")
-    val subEdges = affected.select(col("id").as("id_a"), col("component").as("id_b"))
-      .union(edges)
-    untouched.select(col("id"), col("component"))
-      .unionByName(connectedComponents(subEdges, "id_a", "id_b",
-        checkpointDir = checkpointDir))
+    val la = oldComponents.select(col("id").as("id_a"), col("component").as("__ra"))
+    val lb = oldComponents.select(col("id").as("id_b"), col("component").as("__rb"))
+    val contracted = edges
+      .join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("__ra"), col("id_a")).as("id_a"),
+        coalesce(col("__rb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")) // intra-component pair: no-op
+    val rootMap = connectedComponents(contracted, "id_a", "id_b",
+        checkpointDir = checkpointDir)
+      .select(col("id").as("__root"), col("component").as("__newc"))
+    val relabeled = oldComponents
+      .join(rootMap.withColumnRenamed("__root", "component"), Seq("component"), "left")
+      .select(col("id"), coalesce(col("__newc"), col("component")).as("component"))
+    val newNodes = rootMap
+      .join(oldComponents.select(col("id")), rootMap("__root") === col("id"), "left_anti")
+      .select(col("__root").as("id"), col("__newc").as("component"))
+    relabeled.unionByName(newNodes)
   }
 
   // --- Connected components -------------------------------------------------
