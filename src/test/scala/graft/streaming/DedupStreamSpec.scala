@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Streamed dedup-index maintenance ≡ one-shot batch recompute, on the real
+  * documents table: wave 1 (base docs) and wave 2 (perturbed near-dup
+  * copies) arrive as separate micro-batches through a file source; the
+  * final standing state must equal the full-corpus batch chain exactly. */
+class DedupStreamSpec extends SparkSpec {
+
+  private val thr = 0.5
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def wave2 = docs.filter(col("doc_id") % 10 === 0)
+    .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    .withColumn("text", concat(col("text"), lit(" appended marker token")))
+
+  private def runWave(inDir: String, stateDir: String, ckDir: String): Unit = {
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+    val q = DedupStream.maintain(stream, stateDir, ckDir,
+        threshold = thr, k = 128, bands = 32)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "stream did not drain in time")
+  }
+
+  test("two streamed waves produce byte-identical state to a batch recompute") {
+    val in = Files.createTempDirectory("dedup_stream_in").toFile.getAbsolutePath
+    val state = Files.createTempDirectory("dedup_stream_state").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("dedup_stream_ck").toFile.getAbsolutePath
+
+    docs.write.mode("append").parquet(in)
+    runWave(in, state, ck)
+    assert(DedupStream.readState(spark, state).isDefined, "wave-1 state missing")
+
+    wave2.write.mode("append").parquet(in)
+    runWave(in, state, ck)
+
+    val (idx, cc) = DedupStream.readState(spark, state).get
+    val full = docs.unionByName(wave2)
+    val fullIdx = Dedup.dedupIndex(full, "doc_id", "text", k = 128)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fullCC = Dedup.connectedComponents(
+      Dedup.nearDupPairsFromIndex(fullIdx, thr, k = 128, bands = 32),
+      "id_a", "id_b")
+
+    assert(idx.count() === full.count(), "index must cover every ingested doc")
+    assert(idx.exceptAll(fullIdx).isEmpty && fullIdx.exceptAll(idx).isEmpty,
+      "streamed index diverged from batch index")
+    assert(cc.exceptAll(fullCC).isEmpty && fullCC.exceptAll(cc).isEmpty,
+      "streamed components diverged from batch components")
+    assert(cc.count() > docs.count() / 20, "fixture must produce real clusters")
+    fullIdx.unpersist()
+  }
+
+  test("replayed micro-batch is idempotent (at-least-once -> exactly-once state)") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("dedup_replay_state").toFile.getAbsolutePath
+    val w1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val w2 = Seq((3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val fn = DedupStream.maintainIndex(state, "doc_id", "text",
+      threshold = 0.3, k = 32, bands = 8)
+    fn(w1, 0L); fn(w2, 1L)
+    val once = DedupStream.readState(spark, state).get._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fn(w2, 1L) // crash-replay of the last batch
+    val twice = DedupStream.readState(spark, state).get._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once === twice)
+    assert(DedupStream.latestCommitted(state, Long.MaxValue) === Some(1L))
+    // and the replayed batch read its PREDECESSOR, not its own output
+    assert(DedupStream.latestCommitted(state, 1L) === Some(0L))
+  }
+}
