@@ -42,6 +42,49 @@ object Decontaminate {
         countDistinct(col("__g")).as("n_shared_shingles"))
   }
 
+  /** Serialized Bloom filter over the eval side's distinct shingle hashes.
+    * `None` = the native Bloom expressions can't be installed in this
+    * session (caller should fall back to [[overlapReport]]); `Some(None)` =
+    * the eval corpus yields no shingles, so nothing can overlap;
+    * `Some(Some(bytes))` = the filter, `numBits/8` bytes, independent of
+    * train volume. One eager pass over the (small by premise) eval side —
+    * nothing is cached, so there is no persist lifecycle to manage. */
+  def evalShingleFilter(spark: org.apache.spark.sql.SparkSession,
+                        eval: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, expectedEvalShingles: Long = 1L << 20,
+                        bitsPerItem: Int = 8): Option[Option[Array[Byte]]] = {
+    import graft.functions.BloomFunctions
+    val numBits = expectedEvalShingles * bitsPerItem
+    BloomFunctions.bloomAgg(spark)(col("__g"), expectedEvalShingles, numBits)
+      .map { agg =>
+        Option(grams(eval, idCol, textCol, n, "__eval_id")
+          .select(agg).head.getAs[Array[Byte]](0))
+      }
+  }
+
+  /** [[overlapReport]] with a prebuilt eval-side filter (from
+    * [[evalShingleFilter]] or [[loadEvalFilter]]) probed map-side on the
+    * train shingles BEFORE the shuffle. */
+  def overlapReportWithFilter(spark: org.apache.spark.sql.SparkSession,
+                              train: DataFrame, eval: DataFrame,
+                              idCol: String, textCol: String, n: Int,
+                              filter: Option[Option[Array[Byte]]]): DataFrame = {
+    import graft.functions.BloomFunctions
+    val tr = grams(train, idCol, textCol, n, "__train_id")
+    val te = grams(eval, idCol, textCol, n, "__eval_id")
+    val filtered = filter match {
+      case None => tr // Bloom unavailable: plain (still-correct) join
+      case Some(None) => tr.limit(0) // empty eval: nothing can overlap
+      case Some(Some(bytes)) =>
+        BloomFunctions.mightContain(spark)(lit(bytes), col("__g"))
+          .map(tr.filter).getOrElse(tr)
+    }
+    te.join(filtered, "__g")
+      .groupBy(col("__eval_id").as("eval_doc"))
+      .agg(countDistinct(col("__train_id")).as("n_train_docs"),
+        countDistinct(col("__g")).as("n_shared_shingles"))
+  }
+
   /** [[overlapReport]] with a Bloom pre-filter on the TRAIN side — the
     * 100 TB formulation. The plain report shuffles every train shingle
     * hash into the equi-join, but decontamination is wildly asymmetric:
@@ -66,26 +109,74 @@ object Decontaminate {
                          train: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, n: Int = 5,
                          expectedEvalShingles: Long = 1L << 20,
-                         bitsPerItem: Int = 8): DataFrame = {
-    import graft.functions.BloomFunctions
-    val tr = grams(train, idCol, textCol, n, "__train_id")
-    // Persisted: the eval side (small by premise) feeds the filter build AND
-    // the join; without it the shingle projection runs twice.
-    val te = grams(eval, idCol, textCol, n, "__eval_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val numBits = expectedEvalShingles * bitsPerItem
-    val filtered = BloomFunctions.bloomAgg(spark)(col("__g"), expectedEvalShingles, numBits)
-      .flatMap { agg =>
-        val bytes = te.select(agg).head.getAs[Array[Byte]](0)
-        // Empty eval corpus → null filter → nothing can overlap.
-        if (bytes == null) Some(tr.limit(0))
-        else BloomFunctions.mightContain(spark)(lit(bytes), col("__g"))
-          .map(tr.filter)
+                         bitsPerItem: Int = 8): DataFrame =
+    overlapReportWithFilter(spark, train, eval, idCol, textCol, n,
+      evalShingleFilter(spark, eval, idCol, textCol, n,
+        expectedEvalShingles, bitsPerItem))
+
+  // --- Standing filter state ------------------------------------------------
+  //
+  // Eval benchmarks change rarely; training waves arrive continuously. The
+  // filter is a pure function of (eval corpus version, shingle n, sizing),
+  // so it is built ONCE per eval version, persisted, and reloaded per train
+  // wave — the same _COMMIT-last crash-safe layout as DedupStream state:
+  // `dir/bloom_<version>/{filter.bin,_COMMIT}`, all through the Hadoop FS
+  // API so the store may live on file://, hdfs:// or s3a:// alike. An empty
+  // eval corpus commits a zero-length filter.bin (real serialized filters
+  // are never empty).
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist a built filter under `dir` for `version`. No-op when the
+    * filter is `None` (Bloom unavailable — nothing worth committing). */
+  def saveEvalFilter(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     version: String,
+                     filter: Option[Option[Array[Byte]]]): Unit =
+    filter.foreach { bytes =>
+      val fs = fsOf(spark, dir)
+      val vDir = s"$dir/bloom_$version"
+      val marker = new org.apache.hadoop.fs.Path(s"$vDir/_COMMIT")
+      fs.delete(marker, false) // retract before rewrite, as DedupStream does
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$vDir/filter.bin"), true)
+      try out.write(bytes.getOrElse(Array.emptyByteArray))
+      finally out.close()
+      require(fs.createNewFile(marker), s"commit $marker")
+    }
+
+  /** Read back a committed filter for `version`: `None` = never committed;
+    * `Some(None)` = committed empty-eval sentinel; `Some(Some(bytes))` =
+    * the filter. */
+  def loadEvalFilter(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     version: String): Option[Option[Array[Byte]]] = {
+    val fs = fsOf(spark, dir)
+    val vDir = s"$dir/bloom_$version"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$vDir/_COMMIT"))) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$vDir/filter.bin")
+      val len = fs.getFileStatus(p).getLen.toInt
+      if (len == 0) Some(None)
+      else {
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(Some(buf))
       }
-      .getOrElse(tr)
-    te.join(filtered, "__g")
-      .groupBy(col("__eval_id").as("eval_doc"))
-      .agg(countDistinct(col("__train_id")).as("n_train_docs"),
-        countDistinct(col("__g")).as("n_shared_shingles"))
+    }
   }
+
+  /** Load the committed filter for `version`, or build it from `eval` and
+    * commit it. Returns `None` only when Bloom is unavailable. */
+  def standingEvalFilter(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, version: String, eval: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5,
+                         expectedEvalShingles: Long = 1L << 20,
+                         bitsPerItem: Int = 8): Option[Option[Array[Byte]]] =
+    loadEvalFilter(spark, dir, version).orElse {
+      val built = evalShingleFilter(spark, eval, idCol, textCol, n,
+        expectedEvalShingles, bitsPerItem)
+      saveEvalFilter(spark, dir, version, built)
+      built
+    }
 }

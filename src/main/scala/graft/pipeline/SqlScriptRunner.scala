@@ -58,7 +58,7 @@ final class SqlScriptRunner(spark: SparkSession,
     * REFLECTION`), refreshed eagerly and substituted into later SELECTs. */
   lazy val reflections: graft.plans.Materializations =
     new graft.plans.Materializations(spark,
-      Some(java.nio.file.Files.createTempDirectory("graft_reflections").toString))
+      Some(graft.TempDirs.newDir("graft_reflections")))
 
   private var metaViewCount = 0
   private var hasReflections = false
@@ -120,7 +120,7 @@ final class SqlScriptRunner(spark: SparkSession,
     if (spark.conf.getOption(key).isEmpty) {
       spark.conf.set(key, classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"$key.warehouse",
-        java.nio.file.Files.createTempDirectory(s"graft_cat_$cat").toString)
+        graft.TempDirs.newDir(s"graft_cat_$cat"))
     }
   }
 
@@ -386,9 +386,9 @@ final class SqlScriptRunner(spark: SparkSession,
         case Array(s) => (s, "")
       }
       val root = spark.conf.getOption(s"graft.source.$source").getOrElse {
-        val dir = java.nio.file.Files.createTempDirectory(s"graft_src_$source")
-        spark.conf.set(s"graft.source.$source", dir.toString)
-        dir.toString
+        val dir = graft.TempDirs.newDir(s"graft_src_$source")
+        spark.conf.set(s"graft.source.$source", dir)
+        dir
       }
       val dir = new java.io.File(root, prefix)
       java.nio.file.Files.createDirectories(dir.toPath)

@@ -41,8 +41,7 @@ object CoreQueries {
     * maintenance time). Exposed so the bench reports write and read rows
     * separately instead of folding maintenance cost into the read path. */
   private[graft] def zorderWriteFresh(s: SparkSession, dir: String): Unit = {
-    val out = java.nio.file.Files.createTempDirectory("graft_zorder_w")
-      .toFile.getAbsolutePath + "/orders_z"
+    val out = graft.TempDirs.newDir("graft_zorder_w") + "/orders_z"
     graft.ops.ScaleOps.zorderWrite(t(s, dir, "orders"),
       Seq("o_orderdate", "o_totalprice"), out, targetFiles = 8)
   }
@@ -53,8 +52,7 @@ object CoreQueries {
     import graft.ops.ScaleOps
     val path = zorderFixtures.computeIfAbsent(
       s"${System.identityHashCode(s)}|$dir", _ => {
-        val out = java.nio.file.Files.createTempDirectory("graft_zorder")
-          .toFile.getAbsolutePath + "/orders_z"
+        val out = graft.TempDirs.newDir("graft_zorder") + "/orders_z"
         ScaleOps.zorderWrite(t(s, dir, "orders"),
           Seq("o_orderdate", "o_totalprice"), out, targetFiles = 8)
         out
@@ -744,7 +742,7 @@ object CoreQueries {
       // rewrite + materialized scan — not the CTAS build.
       val m = CoreQueries.reflectionFixtures.computeIfAbsent(
         s"${System.identityHashCode(s)}|$dir", _ => {
-          val wh = java.nio.file.Files.createTempDirectory("graft_refl").toFile.getAbsolutePath
+          val wh = graft.TempDirs.newDir("graft_refl")
           val mats = new Materializations(s, Some(wh))
           mats.register("li_agg_rf_ls", () =>
             t(s, dir, "lineitem")
@@ -766,7 +764,10 @@ object CoreQueries {
           max(col("l_quantity")).as("max_qty"))
       val physical = q.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.executedPlan.toString
-      require(physical.contains("li_agg_rf_ls"),
+      // match the reflections-warehouse marker, not the materialization
+      // name: plan strings truncate long scan locations, which can cut the
+      // deeper path segment (same rationale as q66's check)
+      require(physical.contains("graft_refl"),
         s"reflection rollup did not substitute:\n$physical")
       q
     }, Some("""
@@ -851,8 +852,7 @@ object CoreQueries {
       import graft.plans.{MaterializationSubstitution, Materializations}
       val m = CoreQueries.joinReflFixtures.computeIfAbsent(
         s"${System.identityHashCode(s)}|$dir", _ => {
-          val wh = java.nio.file.Files.createTempDirectory("graft_reflections_join")
-            .toFile.getAbsolutePath
+          val wh = graft.TempDirs.newDir("graft_reflections_join")
           val mats = new Materializations(s, Some(wh))
           mats.registerAggregate("li_rev_by_order",
             () => t(s, dir, "lineitem"), Seq("l_orderkey"), Seq(

@@ -171,7 +171,7 @@ object Catalog {
     val df = spark.table(table)
     val before = df.inputFiles.length
     val schema = df.schema
-    val staged = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val staged = graft.TempDirs.newDir("graft_compact")
     df.write.mode(SaveMode.Overwrite).parquet(staged)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Dedup
@@ -10,75 +11,175 @@ import graft.operators.Dedup
   * (`Dedup.dedupIndex` is a per-doc pure projection, so a batch never needs
   * the rest of the corpus to index), generates delta-vs-standing candidate
   * pairs on the banded LSH keys, and folds the new edges into the standing
-  * components with the root-contracted merge — per-batch cost O(batch),
-  * never a corpus rescan. Reference behavior class: autonomous incremental
-  * reflection refresh (readme.md:381-389) applied to continuous ingestion.
+  * components with the root-contracted merge. Reference behavior class:
+  * autonomous incremental reflection refresh (readme.md:381-389) applied to
+  * continuous ingestion.
   *
-  * State layout (crash-safe, replay-idempotent):
-  * `stateDir/v_<batchId>/{index,components,_COMMIT}` — a version directory
-  * is written completely before its `_COMMIT` marker, and readers resolve
-  * the newest COMMITTED version below the current batch id. A micro-batch
-  * replayed after a crash recomputes from the same predecessor state and
-  * overwrites its own (possibly partial) version directory, so at-least-once
-  * batch delivery yields exactly-once state.
+  * State layout (crash-safe, replay-idempotent, delta-sized writes):
+  * {{{
+  * stateDir/
+  *   idx_<batchId>/        immutable parquet: that batch's index DELTA only
+  *   v_<batchId>/
+  *     components/         full standing label table (two longs per doc)
+  *     manifest            newline list of idx_* dirs composing the index
+  *     _COMMIT             written LAST; readers resolve newest committed v
+  * }}}
+  * The fat per-doc index (shingle-hash set + MinHash signature) is written
+  * once per document, ever: a version's standing index is the UNION of the
+  * idx_* dirs its manifest names, so per-batch index I/O is O(batch), not
+  * O(corpus). Only the compact label table is rewritten per version.
+  *
+  * Replay safety: a re-delivered batch first RETRACTS its own _COMMIT
+  * marker, so a crash mid-rewrite can never leave a committed-but-partial
+  * version; it then recomputes from the newest committed version strictly
+  * below its own id (never from state it wrote itself). After a successful
+  * commit, versions older than the committed one's predecessor and idx_*
+  * dirs the new manifest no longer references are garbage-collected — the
+  * predecessor version is retained because an at-least-once re-delivery of
+  * the just-committed batch still needs it. Disk is therefore bounded by
+  * O(standing index + 2 label tables), not O(batches x corpus).
+  *
+  * All state paths go through the Hadoop FileSystem API resolved from the
+  * path itself, so stateDir may be file://, hdfs:// or s3a:// alike.
   *
   * Scale notes (100 TB): the standing index/components live in parquet, not
   * executor memory — state size is bounded by the corpus, not the stream;
   * the per-batch joins are the same banded equi-joins as the batch path
   * (PlanAuditSpec's no-cartesian guarantee applies); and the component merge
   * touches O(batch) labels, so a hot ingest day never re-clusters settled
-  * documents. DedupStreamSpec proves two-wave streamed state ≡ one-shot
+  * documents. DedupStreamSpec proves multi-wave streamed state ≡ one-shot
   * batch recompute on the real documents table, byte-for-byte.
   */
 object DedupStream {
 
-  private def commitMarker(dir: String, v: Long) =
-    new java.io.File(s"$dir/v_$v/_COMMIT")
+  /** Optional per-batch decontamination tap: each ingested train batch is
+    * probed against a STANDING eval-side Bloom filter
+    * ([[graft.operators.Decontaminate.standingEvalFilter]] — built once per
+    * `evalVersion`, reloaded from `filterDir` on every later batch) and the
+    * per-batch overlap report lands in `reportDir/b_<batchId>` (overwrite ⇒
+    * replay-idempotent, like the state versions). At 100 TB this is the
+    * decontamination gate running INSIDE ingestion: contaminated documents
+    * are known per wave, without a standalone full-corpus pass. */
+  final case class DecontamTap(eval: DataFrame, filterDir: String,
+                               evalVersion: String, reportDir: String,
+                               n: Int = 5,
+                               expectedEvalShingles: Long = 1L << 20,
+                               bitsPerItem: Int = 8)
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitPath(dir: String, v: Long) = new Path(s"$dir/v_$v/_COMMIT")
+
+  private def listIds(fs: FileSystem, root: Path, prefix: String): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
 
   /** Newest committed version strictly below `before` (replay safety: a
     * re-delivered batch must not read the state it wrote itself). */
-  private[streaming] def latestCommitted(stateDir: String,
+  private[streaming] def latestCommitted(spark: SparkSession, stateDir: String,
                                          before: Long): Option[Long] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v_").toLong).toOption)
-      .filter(v => v < before && commitMarker(stateDir, v).exists())
+    val fs = fsOf(spark, stateDir)
+    listIds(fs, new Path(stateDir), "v_")
+      .filter(v => v < before && fs.exists(commitPath(stateDir, v)))
       .sorted.lastOption
   }
 
-  /** Read the newest committed (index, components) state, if any. */
+  /** The idx_* dir names whose union is version `v`'s standing index. */
+  private def readManifest(spark: SparkSession, stateDir: String,
+                           v: Long): Seq[String] = {
+    val fs = fsOf(spark, stateDir)
+    val in = fs.open(new Path(s"$stateDir/v_$v/manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeManifest(spark: SparkSession, stateDir: String, v: Long,
+                            entries: Seq[String]): Unit = {
+    val fs = fsOf(spark, stateDir)
+    val out = fs.create(new Path(s"$stateDir/v_$v/manifest"), true)
+    try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the newest committed (index, components) state, if any. The index
+    * is the parquet union of the manifest's delta dirs. */
   def readState(spark: SparkSession, stateDir: String,
                 before: Long = Long.MaxValue): Option[(DataFrame, DataFrame)] =
-    latestCommitted(stateDir, before).map { v =>
-      (spark.read.parquet(s"$stateDir/v_$v/index"),
+    latestCommitted(spark, stateDir, before).map { v =>
+      val idxPaths = readManifest(spark, stateDir, v).map(n => s"$stateDir/$n")
+      (spark.read.parquet(idxPaths: _*),
         spark.read.parquet(s"$stateDir/v_$v/components"))
     }
+
+  /** Drop superseded versions and orphaned index deltas. Keeps the committed
+    * version, its predecessor (an at-least-once re-delivery of `committed`
+    * replays against it), and every idx_* dir the kept manifests reference
+    * (a predecessor manifest is a prefix of its successor's, so the
+    * committed manifest covers both). */
+  private def gc(spark: SparkSession, stateDir: String, committed: Long,
+                 referencedIdx: Set[String]): Unit = {
+    val fs = fsOf(spark, stateDir)
+    val root = new Path(stateDir)
+    val keepV = Set(committed) ++ latestCommitted(spark, stateDir, committed)
+    listIds(fs, root, "v_").filterNot(keepV)
+      .foreach(v => fs.delete(new Path(s"$stateDir/v_$v"), true))
+    listIds(fs, root, "idx_").map(v => s"idx_$v").filterNot(referencedIdx)
+      .foreach(n => fs.delete(new Path(s"$stateDir/$n"), true))
+  }
 
   /** The `foreachBatch` function: fold one micro-batch of documents
     * (`idCol`, `textCol` columns) into the standing dedup state. */
   def maintainIndex(stateDir: String, idCol: String, textCol: String,
                     threshold: Double = 0.5, k: Int = 128, bands: Int = 32,
-                    shingleN: Int = 3): (DataFrame, Long) => Unit = {
+                    shingleN: Int = 3,
+                    tap: Option[DecontamTap] = None): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
+      val fs = fsOf(spark, stateDir)
+      tap.foreach { t =>
+        import graft.operators.Decontaminate
+        val filter = Decontaminate.standingEvalFilter(spark, t.filterDir,
+          t.evalVersion, t.eval, idCol, textCol, t.n,
+          t.expectedEvalShingles, t.bitsPerItem)
+        Decontaminate
+          .overlapReportWithFilter(spark, batch, t.eval, idCol, textCol, t.n, filter)
+          .write.mode("overwrite").parquet(s"${t.reportDir}/b_$batchId")
+      }
+      // Retract our own marker FIRST: if this is a crash-replay, the version
+      // must stop looking committed before any of its files are rewritten.
+      fs.delete(commitPath(stateDir, batchId), false)
       val batchIdx = Dedup.dedupIndex(batch, idCol, textCol, k, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val out = s"$stateDir/v_$batchId"
-        val (index, components) = readState(spark, stateDir, batchId) match {
-          case None =>
-            val pairs = Dedup.nearDupPairsFromIndex(batchIdx, threshold, k, bands)
-            (batchIdx, Dedup.connectedComponents(pairs, "id_a", "id_b"))
-          case Some((oldIdx, oldCC)) =>
-            val delta = Dedup.nearDupPairsDelta(oldIdx, batchIdx, threshold, k, bands)
-            (oldIdx.unionByName(batchIdx), Dedup.mergeComponents(oldCC, delta))
-        }
-        // version dir fully written before the commit marker appears
-        index.write.mode("overwrite").parquet(s"$out/index")
-        components.write.mode("overwrite").parquet(s"$out/components")
-        val marker = commitMarker(stateDir, batchId)
-        if (!marker.exists()) require(marker.createNewFile(), s"commit $marker")
+        val idxName = s"idx_$batchId"
+        batchIdx.write.mode("overwrite").parquet(s"$stateDir/$idxName")
+        val (manifest, components) =
+          latestCommitted(spark, stateDir, batchId) match {
+            case None =>
+              val pairs =
+                Dedup.nearDupPairsFromIndex(batchIdx, threshold, k, bands)
+              (Seq(idxName),
+                Dedup.connectedComponents(pairs, "id_a", "id_b"))
+            case Some(pv) =>
+              val prevManifest = readManifest(spark, stateDir, pv)
+              val oldIdx = spark.read
+                .parquet(prevManifest.map(n => s"$stateDir/$n"): _*)
+              val oldCC = spark.read.parquet(s"$stateDir/v_$pv/components")
+              val delta =
+                Dedup.nearDupPairsDelta(oldIdx, batchIdx, threshold, k, bands)
+              (prevManifest :+ idxName, Dedup.mergeComponents(oldCC, delta))
+          }
+        components.write.mode("overwrite").parquet(s"$stateDir/v_$batchId/components")
+        writeManifest(spark, stateDir, batchId, manifest)
+        val marker = commitPath(stateDir, batchId)
+        require(fs.createNewFile(marker), s"commit $marker")
+        gc(spark, stateDir, batchId, manifest.toSet)
       } finally batchIdx.unpersist()
   }
 
@@ -87,9 +188,11 @@ object DedupStream {
     * the same checkpoint is the batch-wave ingest pattern. */
   def maintain(docs: DataFrame, stateDir: String, checkpointDir: String,
                idCol: String = "doc_id", textCol: String = "text",
-               threshold: Double = 0.5, k: Int = 128, bands: Int = 32)
+               threshold: Double = 0.5, k: Int = 128, bands: Int = 32,
+               tap: Option[DecontamTap] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(maintainIndex(stateDir, idCol, textCol, threshold, k, bands))
+      .foreachBatch(maintainIndex(stateDir, idCol, textCol, threshold, k, bands,
+        tap = tap))
 }

@@ -252,11 +252,16 @@ object Fuzz {
     c.window.foreach { w =>
       val order = (if (w.desc) col(w.orderCol).desc else col(w.orderCol).asc) +:
         c.rel.uniqueKey.map(col(_).asc)
-      val win =
-        if (w.partKeys.isEmpty)
-          org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-        else org.apache.spark.sql.expressions.Window
-          .partitionBy(w.partKeys.map(col): _*).orderBy(order: _*)
+      // Global keep-first (no partition keys) must NOT render as a
+      // partition-less Window — that moves the whole relation to one
+      // partition. row_number()=1 over a total order is just the first row
+      // of that order: orderBy().limit(1) = TakeOrderedAndProject, parallel
+      // partial top-1 per partition, no single-partition shuffle.
+      if (w.partKeys.isEmpty)
+        return filtered.orderBy(order: _*).limit(1)
+          .select(col(w.orderCol).as("m0"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(w.partKeys.map(col): _*).orderBy(order: _*)
       return filtered.withColumn("__rn", row_number().over(win))
         .filter(col("__rn") === 1)
         .select(w.partKeys.map(col) :+ col(w.orderCol).as("m0"): _*)
@@ -354,8 +359,13 @@ object Fuzz {
 
     c.window.foreach { w =>
       val dirKw = if (w.desc) "DESC" else "ASC"
-      val part = if (w.partKeys.isEmpty) ""
-                 else s"PARTITION BY ${w.partKeys.mkString(", ")} "
+      // Mirror of the DataFrame render: global keep-first is ORDER BY ...
+      // LIMIT 1 (same rows; scalable plan in the Spark-SQL dual path too).
+      if (w.partKeys.isEmpty)
+        return s"SELECT ${w.orderCol} AS m0 FROM ${fromSql(c)}" +
+          s"${whereOf(c.preds)} ORDER BY ${w.orderCol} $dirKw, " +
+          s"${c.rel.uniqueKey.mkString(", ")} LIMIT 1"
+      val part = s"PARTITION BY ${w.partKeys.mkString(", ")} "
       val inner = (w.partKeys :+ s"${w.orderCol} AS m0").mkString(", ") +
         s", row_number() OVER (${part}ORDER BY ${w.orderCol} $dirKw, " +
         s"${c.rel.uniqueKey.mkString(", ")}) AS rn"

@@ -69,4 +69,41 @@ class DecontaminateSpec extends SparkSpec {
     val eval = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Decontaminate.overlapReportBloom(spark, train, eval, "id", "text").count() === 0L)
   }
+
+  test("standing filter: reloaded filter yields the identical report") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("bloom_store")
+      .toFile.getAbsolutePath
+
+    // first call builds + commits; it must equal the build-per-run path
+    val built = Decontaminate.standingEvalFilter(spark, dir, "v1", eval,
+      "doc_id", "text", n = 3)
+    assume(built.isDefined, "native Bloom expressions unavailable")
+    val fresh = Decontaminate.overlapReportBloom(spark, train, eval,
+      "doc_id", "text", n = 3)
+
+    // the reloaded bytes are the committed ones, NOT a rebuild: feeding a
+    // poisoned eval df proves the eval scan is skipped entirely
+    import spark.implicits._
+    val poisoned = Seq((-1L, "should never be scanned")).toDF("doc_id", "text")
+    val reloaded = Decontaminate.standingEvalFilter(spark, dir, "v1", poisoned,
+      "doc_id", "text", n = 3)
+    assert(reloaded.get.get.sameElements(built.get.get))
+
+    val viaReloaded = Decontaminate.overlapReportWithFilter(spark, train, eval,
+      "doc_id", "text", 3, reloaded)
+    assert(fresh.count() > 0, "fixture must produce overlap")
+    assert(viaReloaded.exceptAll(fresh).isEmpty && fresh.exceptAll(viaReloaded).isEmpty)
+
+    // a NEW eval version rebuilds; the empty-eval sentinel round-trips
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val v2 = Decontaminate.standingEvalFilter(spark, dir, "v2", emptyEval,
+      "doc_id", "text", n = 3)
+    assert(v2 === Some(None))
+    assert(Decontaminate.loadEvalFilter(spark, dir, "v2") === Some(None))
+  }
 }

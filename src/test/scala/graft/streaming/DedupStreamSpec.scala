@@ -77,8 +77,57 @@ class DedupStreamSpec extends SparkSpec {
     val twice = DedupStream.readState(spark, state).get._2.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(once === twice)
-    assert(DedupStream.latestCommitted(state, Long.MaxValue) === Some(1L))
+    assert(DedupStream.latestCommitted(spark, state, Long.MaxValue) === Some(1L))
     // and the replayed batch read its PREDECESSOR, not its own output
-    assert(DedupStream.latestCommitted(state, 1L) === Some(0L))
+    assert(DedupStream.latestCommitted(spark, state, 1L) === Some(0L))
+  }
+
+  test("versions store index DELTAS, superseded state is garbage-collected") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("dedup_gc_state").toFile.getAbsolutePath
+    val waves = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon zeta")),
+      Seq((3L, "alpha beta gamma delta epsilon eta")),
+      Seq((4L, "omega psi chi phi upsilon")))
+    val fn = DedupStream.maintainIndex(state, "doc_id", "text",
+      threshold = 0.3, k = 32, bands = 8)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      fn(w.toDF("doc_id", "text"), i.toLong)
+    }
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    // every batch's index delta is retained (union = standing index) …
+    assert(Set("idx_0", "idx_1", "idx_2").subsetOf(names))
+    // … the committed version and its replay-predecessor survive, older
+    // label tables are GC'd
+    assert(names.contains("v_2") && names.contains("v_1"))
+    assert(!names.contains("v_0"), s"v_0 not collected: $names")
+    // a delta dir holds ONLY its own batch's docs (per-batch index I/O)
+    assert(spark.read.parquet(s"$state/idx_2").count() === 1)
+    // and the read path reassembles the full index through the manifest
+    val (idx, cc) = DedupStream.readState(spark, state).get
+    assert(idx.count() === 4)
+    assert(cc.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
+  test("decontamination tap writes per-batch reports off the standing filter") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dedup_tap").toFile.getAbsolutePath
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val tap = DedupStream.DecontamTap(eval, s"$root/filter", "eval_v1",
+      s"$root/reports", n = 5)
+    val fn = DedupStream.maintainIndex(s"$root/state", "doc_id", "text",
+      threshold = 0.3, k = 32, bands = 8, tap = Some(tap))
+    // batch 0 contaminated (shares the 5-gram run), batch 1 clean
+    fn(Seq((1L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text"), 0L)
+    fn(Seq((2L, "nothing in common with anything above at all")).toDF("doc_id", "text"), 1L)
+    val b0 = spark.read.parquet(s"$root/reports/b_0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b0.toSeq === Seq((100L, 1L, 2L)))
+    assert(spark.read.parquet(s"$root/reports/b_1").count() === 0L)
+    // the standing filter was committed once and is reloadable
+    assert(graft.operators.Decontaminate
+      .loadEvalFilter(spark, s"$root/filter", "eval_v1").exists(_.isDefined))
   }
 }
