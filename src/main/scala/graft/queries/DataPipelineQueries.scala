@@ -55,6 +55,13 @@ object DataPipelineQueries {
   private val bloomFilterFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q94's streamed ingest state: two train waves folded through
+    * [[graft.streaming.DedupStream.maintainIndex]] with the decontamination
+    * tap, once per (session, corpus); the query itself only READS the
+    * committed per-wave reports. */
+  private val streamDecontamFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q57's WRITE side, exposed separately so the bench can report CTAS write
     * and dotted-path read as distinct rows (a production table is written
     * once and read many times — folding the write into the read number
@@ -1315,7 +1322,66 @@ object DataPipelineQueries {
       SELECT te.doc_id AS eval_doc, count(DISTINCT tr.doc_id) AS n_train_docs,
              count(DISTINCT te.g) AS n_shared_shingles
       FROM te JOIN tr ON tr.g = te.g
-      GROUP BY te.doc_id"""))
+      GROUP BY te.doc_id""")),
+
+    // The decontamination gate running INSIDE streaming ingestion (r7
+    // DedupStream.DecontamTap made first-class): the train corpus arrives
+    // in TWO ingest waves through the streaming dedup maintenance path
+    // (DedupStream.maintainIndex — delta index + manifest + root-contracted
+    // component merge per wave), and each wave is probed against the
+    // STANDING eval-side Bloom filter (built once for wave 0, RELOADED from
+    // the committed store for wave 1) with its per-wave overlap report
+    // committed next to the dedup state. The query reads back only the
+    // committed reports. The oracle recomputes each wave's exact 5-gram
+    // overlap in DuckDB — passing proves the in-ingest tap report ≡ a
+    // standalone per-wave decontamination pass. At 100 TB this is how
+    // contamination is caught the day it lands, without a full-corpus
+    // decontamination job per eval refresh; reference behavior class:
+    // autonomous maintenance during ingestion (readme.md:381-389).
+    Q("q94_stream_decontam", (s, dir) => {
+      import graft.operators.Sampling
+      import graft.streaming.DedupStream
+      val root = streamDecontamFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_stream_decontam")
+          val seeded = seededNear(s, dir)
+          val train = seeded.filter(Sampling.splitBucket(col("doc_id")) < 80)
+          val ev = seeded.filter(Sampling.splitBucket(col("doc_id")) >= 80)
+          val tap = DedupStream.DecontamTap(ev, s"$r/filter", "eval_v1",
+            s"$r/reports", n = 5)
+          val fn = DedupStream.maintainIndex(s"$r/state", "doc_id", "text",
+            threshold = 0.5, k = 128, bands = 32, tap = Some(tap))
+          fn(train.filter(col("doc_id") % 2 === 0), 0L)
+          fn(train.filter(col("doc_id") % 2 === 1), 1L)
+          r
+        })
+      Seq(0, 1)
+        .map(w => s.read.parquet(s"$root/reports/b_$w").withColumn("wave", lit(w)))
+        .reduce(_ unionByName _)
+        .select(col("wave"), col("eval_doc"), col("n_train_docs"),
+          col("n_shared_shingles"))
+    }, Some("""
+      WITH seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' appended marker token' AS text
+        FROM documents WHERE doc_id % 10 = 0),
+      sh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b,
+               list_distinct(list_transform(range(1, len(toks)-3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                      toks[i+3] || ' ' || toks[i+4])) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM seeded)),
+      tr AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS wave, unnest(s) AS g
+             FROM sh WHERE b < 80),
+      te AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE b >= 80)
+      SELECT tr.wave, te.doc_id AS eval_doc,
+             count(DISTINCT tr.doc_id) AS n_train_docs,
+             count(DISTINCT te.g) AS n_shared_shingles
+      FROM te JOIN tr ON tr.g = te.g
+      GROUP BY tr.wave, te.doc_id"""))
   )
 
 }

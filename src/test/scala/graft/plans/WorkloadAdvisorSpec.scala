@@ -58,4 +58,67 @@ class WorkloadAdvisorSpec extends SparkSpec {
       assert(!mats.isMaterialized(created.head))
     } finally spark.experimental.extraOptimizations = saved
   }
+
+  test("skewed join is observed, diagnosed, and re-planned salted") {
+    val mats = new Materializations(spark,
+      Some(graft.TempDirs.newDir("advisor_skew")))
+    val advisor = new WorkloadAdvisor(spark, mats)
+
+    // 90% of the fact side hits one key — the straggler-task regime the
+    // advisor exists to catch (the salted plan spreads it over `buckets`
+    // reducers; reference behavior class: autonomous monitoring,
+    // readme.md:381-389, applied to skew instead of reflections).
+    val left = spark.range(0, 10000).select(
+      when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 997 + 1000).as("k"),
+      col("id").as("v"))
+    val right = spark.range(0, 2000).select(
+      col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+    val joined = left.join(right, Seq("k"))
+
+    advisor.observe(joined)
+    val jf = advisor.skewFindings(hotShare = 0.2).filter(_.kind == "join-salt")
+    assert(jf.length === 1)
+    assert(jf.head.key === "k" && jf.head.hotKey === "7")
+    assert(jf.head.hotShare > 0.85 && jf.head.hotShare < 0.95)
+    assert(jf.head.buckets >= 2)
+
+    // ACT: identical rows...
+    val salted = advisor.saltedRewrite(jf.head)
+    assert(salted.columns.toSeq === joined.columns.toSeq)
+    assert(salted.collect().map(_.toString).sorted ===
+      joined.collect().map(_.toString).sorted)
+
+    // ...and the hot key no longer serializes through one reducer. Measured
+    // with AQE + broadcast off so both plans shuffle on their join keys, at a
+    // production-like reducer count (at the suite's 4 shuffle partitions the
+    // 8 salt values of ONE key birthday-collide into the same 4 reducers,
+    // which measures hash luck, not the spread).
+    val savedConf = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      def maxShare(df: org.apache.spark.sql.DataFrame): Double = {
+        val counts = df.groupBy(spark_partition_id()).count()
+          .collect().map(_.getLong(1))
+        counts.max.toDouble / counts.sum
+      }
+      val naive = maxShare(joined)
+      val spread = maxShare(advisor.saltedRewrite(jf.head))
+      assert(naive > 0.5, s"fixture not skewed enough: $naive")
+      assert(spread < naive / 2, s"salting did not spread: $spread vs $naive")
+    } finally savedConf.foreach { case (k, v) => spark.conf.set(k, v) }
+
+    // a rank-style window over the same hot key is diagnosed for the argmax
+    // rewrite (recommendation: the q91 max(struct) pattern)
+    import org.apache.spark.sql.expressions.Window
+    advisor.observe(left
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1))
+    val wf = advisor.skewFindings(hotShare = 0.2).filter(_.kind == "window-argmax")
+    assert(wf.exists(f => f.key == "k" && f.hotKey == "7" && f.hotShare > 0.85))
+  }
 }
