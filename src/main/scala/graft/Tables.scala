@@ -44,15 +44,40 @@ object Tables {
     // `div` keeps full precision (a double division would lose bits past
     // 2^53 — epoch-nanos are ~1.7e18).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The driver regenerates testdata with whatever parquet writer it has;
+    // pyarrow writes timestamps with isAdjustedToUTC=false, which Spark >=3.4
+    // infers as TIMESTAMP_NTZ — a type that forbids epoch casts and breaks
+    // java.sql.Timestamp encoders. The session is pinned UTC, so reading the
+    // same micros as session-zone TimestampType is value-identical; doing it
+    // via schema inference (not a post-scan cast) keeps filter pushdown and
+    // the vectorized reader on the ts columns.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // the shim only applies when the file really stores NANOS (surfaced as
     // long under nanosAsLong) — a rewritten events table (ScaleUp, CTAS)
     // stores regular TIMESTAMP(MICROS) and must pass through untouched
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val shimmed =
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    normalizeNtz(shimmed)
+  }
+
+  /** Last-resort NTZ guard: if a frame still carries TIMESTAMP_NTZ columns
+    * (inference conf ignored, or an upstream already materialized the NTZ
+    * schema), cast them to session-zone TimestampType (UTC session → same
+    * micros). Normally a no-op — the inferTimestampNTZ conf above handles it
+    * at schema-inference time, which is cheaper (pushdown survives). */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    if (!df.schema.exists(_.dataType == TimestampNTZType)) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
   }
 
   /** Which dir each session's temp views currently point at. */

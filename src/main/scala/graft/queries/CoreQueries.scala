@@ -689,8 +689,14 @@ object CoreQueries {
       val sess = t(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_session",
+          // NTZ-safe gap: timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ
+          // alike (an epoch cast is illegal on NTZ). date_trunc first so the
+          // count is second-BOUNDARY crossings — ts carries microseconds, and
+          // the DuckDB oracle's date_diff('second', ...) counts boundaries,
+          // not floor(elapsed).
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+            expr("timestampdiff(SECOND, date_trunc('second', prev_ts), date_trunc('second', ts))") > 1800,
+            1).otherwise(0))
         .withColumn("session_id", sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       sess.groupBy(col("user_id"), col("session_id"))

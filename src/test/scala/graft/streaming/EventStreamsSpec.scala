@@ -162,8 +162,11 @@ class EventStreamsSpec extends SparkSpec {
       // parity; the equivalence property needs the same clock resolution on
       // both sides)
       .withColumn("new_session",
+        // NTZ-safe millisecond gap (epoch extraction is illegal on NTZ):
+        // boundary-count at ms resolution == unix_millis subtraction
         when(col("prev_ts").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1).otherwise(0))
+          expr("timestampdiff(MILLISECOND, date_trunc('millisecond', prev_ts), date_trunc('millisecond', ts))") > 1800000L,
+          1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
