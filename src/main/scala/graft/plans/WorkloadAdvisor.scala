@@ -64,13 +64,13 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   private val shapes = scala.collection.mutable.LinkedHashMap.empty[String, Shape]
   private var tick = 0L
 
-  /** One observed single-equi-key join (the unit the skew advisor can salt):
-    * the child subtrees, the key attribute on each side, and the salt-safe
-    * join type name. */
-  private final class JoinShape(val left: LogicalPlan, val right: LogicalPlan,
+  /** One observed saltable equi-join (the unit the skew advisor can salt):
+    * the whole Join node (children, full condition, type, hints — the salted
+    * re-plan keeps the condition intact, so extra non-equi conjuncts like J4
+    * interval bounds survive) plus the equi-key attribute on each side. */
+  private final class JoinShape(val join: Join,
                                 val leftKey: AttributeReference,
-                                val rightKey: AttributeReference,
-                                val joinType: String) {
+                                val rightKey: AttributeReference) {
     var seen: Long = 0L
   }
 
@@ -105,6 +105,12 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       }
     }
     observeSkewShapes(analyzed)
+    // Joins are fingerprinted on the OPTIMIZED plan: that is the form
+    // [[SkewSaltSubstitution]] sees when it runs (extraOptimizations fire
+    // after the main optimizer batches), so a fingerprint recorded here
+    // matches the same query's join node at serve time. Driver-side plan
+    // walk only — no data touched.
+    observeJoinShapes(classic(df).queryExecution.optimizedPlan)
     df
   }
 
@@ -115,18 +121,18 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     case x => Seq(x)
   }
 
-  /** (leftKey, rightKey) when the WHOLE join condition is one equi-comparison
-    * between a bare column on each side — the only shape `saltedEquiJoin`
-    * preserves exactly (extra conjuncts or expressions would be dropped by
-    * the (key, salt) re-join). */
-  private def singleEquiKey(l: LogicalPlan, r: LogicalPlan, cond: Expression)
+  /** (leftKey, rightKey) for the first equi-conjunct between a bare column
+    * on each side. Extra conjuncts (J4 interval bounds, composite residuals)
+    * are FINE: the salted re-plan keeps the original condition and only adds
+    * the salt equality, so remaining conjuncts re-apply as the join's
+    * post-match filter — salting only needs the equi-key spread. */
+  private def firstEquiKey(l: LogicalPlan, r: LogicalPlan, cond: Expression)
       : Option[(AttributeReference, AttributeReference)] =
-    conjuncts(cond) match {
-      case Seq(EqualTo(a: AttributeReference, b: AttributeReference))
-          if l.outputSet.contains(a) && r.outputSet.contains(b) => Some((a, b))
-      case Seq(EqualTo(a: AttributeReference, b: AttributeReference))
-          if r.outputSet.contains(a) && l.outputSet.contains(b) => Some((b, a))
-      case _ => None
+    conjuncts(cond).collectFirst {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if l.outputSet.contains(a) && r.outputSet.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if r.outputSet.contains(a) && l.outputSet.contains(b) => (b, a)
     }
 
   /** The join types `ScaleOps.saltedEquiJoin` accepts (right side is
@@ -140,13 +146,18 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     case _ => None
   }
 
-  private def observeSkewShapes(analyzed: LogicalPlan): Unit = analyzed.foreach {
-    case j @ Join(l, r, jt, Some(cond), _) =>
-      for (t <- saltableType(jt); (lk, rk) <- singleEquiKey(l, r, cond))
+  private def observeJoinShapes(optimized: LogicalPlan): Unit = optimized.foreach {
+    case j @ Join(l, r, jt, Some(cond), _)
+        if !SkewSaltSubstitution.isSalted(cond) =>
+      for (_ <- saltableType(jt); (lk, rk) <- firstEquiKey(l, r, cond))
         synchronized {
           joinShapes.getOrElseUpdate(j.canonicalized.toString,
-            new JoinShape(l, r, lk, rk, t)).seen += 1
+            new JoinShape(j, lk, rk)).seen += 1
         }
+    case _ =>
+  }
+
+  private def observeSkewShapes(analyzed: LogicalPlan): Unit = analyzed.foreach {
     case w: Window
         if w.windowExpressions.exists(_.exists {
           case _: RowNumber | _: Rank | _: DenseRank => true
@@ -187,7 +198,7 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   def skewFindings(hotShare: Double = 0.2, minCount: Int = 1): Seq[SkewFinding] = {
     val recorded = synchronized {
       joinShapes.toSeq.map { case (fp, s) =>
-        ("join-salt", fp, s.left, s.leftKey, s.seen)
+        ("join-salt", fp, s.join.left, s.leftKey, s.seen)
       } ++ windowShapes.toSeq.map { case (fp, s) =>
         ("window-argmax", fp, s.child, s.partKey, s.seen)
       }
@@ -203,20 +214,45 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     }
   }
 
-  /** ACT on a `join-salt` finding: re-plan the observed join as
-    * [[graft.ops.ScaleOps.saltedEquiJoin]] with the recommended bucket
-    * count — identical rows (using-join shape: the key column appears once),
-    * hot key spread over `buckets` reducers instead of serializing through
-    * one. The right key is renamed to the left key's name so the
-    * (key, salt) using-join resolves. */
+  /** ACT on a `join-salt` finding: re-plan the observed join via
+    * [[SkewSaltSubstitution.saltedJoinPlan]] with the recommended bucket
+    * count — identical rows, the hot key spread over `buckets` reducers
+    * instead of serializing through one. Multi-conjunct conditions keep
+    * their non-equi conjuncts (re-applied post-match). Output is the
+    * using-join shape: the equi-key surfaces once (the duplicate right-side
+    * key column is dropped; on every surviving row it equals the left key). */
   def saltedRewrite(f: SkewFinding): DataFrame = {
     require(f.kind == "join-salt", s"not a salt-actionable finding: ${f.kind}")
     val s = synchronized(joinShapes(f.fingerprint))
-    val left = PlanBridge.ofRows(spark, s.left)
-    val right0 = PlanBridge.ofRows(spark, s.right)
-    val right = if (s.rightKey.name == s.leftKey.name) right0
-                else right0.withColumnRenamed(s.rightKey.name, s.leftKey.name)
-    ScaleOps.saltedEquiJoin(left, right, s.leftKey.name, f.buckets, s.joinType)
+    val salted = SkewSaltSubstitution.saltedJoinPlan(s.join, f.buckets)
+    val pruned = Project(
+      s.join.output.filterNot(_.exprId == s.rightKey.exprId), salted)
+    PlanBridge.ofRows(spark, pruned)
+  }
+
+  /** Confirmed hot-key findings, keyed by join fingerprint — what
+    * [[SkewSaltSubstitution]] consults at optimize time. */
+  private val confirmedSalts =
+    scala.collection.mutable.LinkedHashMap.empty[String, SkewFinding]
+
+  private[plans] def confirmedSaltFor(fingerprint: String): Option[SkewFinding] =
+    synchronized(confirmedSalts.get(fingerprint))
+
+  /** The skew analog of [[autoMaterialize]]: diagnose every recorded join
+    * shape ([[skewFindings]] — the one data-touching step), confirm the
+    * hot-key ones, and install [[SkewSaltSubstitution]] so every FUTURE
+    * occurrence of a confirmed join is served salted without the caller
+    * changing anything. Returns the newly confirmed findings. */
+  def autoSalt(hotShare: Double = 0.2, minCount: Int = 1): Seq[SkewFinding] = {
+    val confirmed = skewFindings(hotShare, minCount).filter(_.kind == "join-salt")
+    val fresh = synchronized {
+      val f = confirmed.filterNot(c => confirmedSalts.contains(c.fingerprint))
+      f.foreach(c => confirmedSalts(c.fingerprint) = c)
+      f
+    }
+    if (synchronized(confirmedSalts.nonEmpty))
+      SkewSaltSubstitution.install(spark, this)
+    fresh
   }
 
   /** Shapes queried at least `minCount` times and not yet materialized —

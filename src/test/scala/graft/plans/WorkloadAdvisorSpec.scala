@@ -121,4 +121,77 @@ class WorkloadAdvisorSpec extends SparkSpec {
     val wf = advisor.skewFindings(hotShare = 0.2).filter(_.kind == "window-argmax")
     assert(wf.exists(f => f.key == "k" && f.hotKey == "7" && f.hotShare > 0.85))
   }
+
+  test("second occurrence of a confirmed hot-key join is served salted automatically") {
+    val saved = spark.experimental.extraOptimizations
+    try {
+      val advisor = new WorkloadAdvisor(spark,
+        new Materializations(spark, Some(graft.TempDirs.newDir("advisor_auto"))))
+      val left = spark.range(0, 10000).select(
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 997 + 1000).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 2000).select(
+        col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+      def naive() = left.join(right, Seq("k"))
+
+      // first occurrence: observed only — nothing served yet
+      advisor.observe(naive())
+      assert(!planOf(naive()).contains("__graft_salt"))
+
+      // diagnose + confirm: the monitor→act loop closes here (reflection
+      // contract, readme.md:381-389 — the autonomous tier acts)
+      val confirmed = advisor.autoSalt(hotShare = 0.2)
+      assert(confirmed.length === 1 && confirmed.head.hotKey === "7")
+
+      // SECOND occurrence: the caller writes the naive join, the optimizer
+      // serves the salted plan
+      val served = naive()
+      assert(planOf(served).contains("__graft_salt"),
+        s"second occurrence not served salted:\n${planOf(served)}")
+
+      // identical rows to the un-served plan
+      val expect = {
+        val s2 = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations = saved
+        try naive().collect().map(_.toString).sorted
+        finally spark.experimental.extraOptimizations = s2
+      }
+      assert(served.collect().map(_.toString).sorted === expect)
+
+      // idempotent re-install keeps exactly one rule for this advisor
+      advisor.autoSalt(hotShare = 0.2)
+      assert(spark.experimental.extraOptimizations.count {
+        case SkewSaltSubstitution(a) => a eq advisor
+        case _ => false
+      } === 1)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("hot-key interval join (multi-conjunct) is diagnosed and salted row-identically") {
+    val advisor = new WorkloadAdvisor(spark,
+      new Materializations(spark, Some(graft.TempDirs.newDir("advisor_ivl"))))
+
+    // J4 shape (clinicdata.sql:294-297 class): equi key PLUS range bounds —
+    // the reference's only superlinear risk. Salting needs only the equi-key
+    // spread; the bounds re-apply as the join's post-match filter.
+    val facts = spark.range(0, 20000).select(
+      when(col("id") % 10 < 9, lit(5L)).otherwise(col("id") % 40 + 1).as("k"),
+      (col("id") % 100).as("v"))
+    val dims = spark.range(0, 50).select(
+      col("id").as("k2"), (col("id") * 2).as("lo"), (col("id") * 2 + 60).as("hi"))
+    def naive() = facts.join(dims,
+      facts("k") === dims("k2") && facts("v") >= dims("lo") && facts("v") <= dims("hi"))
+
+    advisor.observe(naive())
+    val jf = advisor.skewFindings(hotShare = 0.2).filter(_.kind == "join-salt")
+    assert(jf.length === 1, s"interval join not diagnosed: $jf")
+    assert(jf.head.hotKey === "5" && jf.head.hotShare > 0.85)
+
+    val salted = advisor.saltedRewrite(jf.head)
+    // using-join shape: the duplicate right key column is dropped
+    assert(salted.columns.toSeq === Seq("k", "v", "lo", "hi"))
+    assert(salted.collect().map(_.toString).sorted ===
+      naive().select(col("k"), col("v"), col("lo"), col("hi"))
+        .collect().map(_.toString).sorted)
+  }
 }
