@@ -62,6 +62,27 @@ object DataPipelineQueries {
   private val streamDecontamFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q95's streamed ingest state: two document waves folded through
+    * [[graft.streaming.DedupStream.maintainIndex]] with the quality/PII gate
+    * tap; the query only READS the committed per-wave gate reports. */
+  private val streamGateFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Documents with deterministic PII seeded in (every 7th doc an email,
+    * every 11th a phone number) — shared by q84's redaction audit and q95's
+    * in-ingest gate tap so both have nonzero PII counts to prove against. */
+  private def piiSeeded(s: SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" call 415-555-1234 today")))
+          .otherwise(col("text")))
+
   /** q57's WRITE side, exposed separately so the bench can report CTAS write
     * and dotted-path read as distinct rows (a production table is written
     * once and read many times — folding the write into the read number
@@ -120,20 +141,27 @@ object DataPipelineQueries {
   private def markerFilter(words: Seq[String]): String =
     s"len(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
 
-  private val langQualityOracleCte: String = {
+  /** Shared per-doc language/quality feature CTE body. `from` lets a caller
+    * score a seeded/derived relation instead of raw `documents`; `carry`
+    * names extra columns of `from` to surface through (e.g. an ingest-wave
+    * id). `text` is surfaced too, so callers can add further text-derived
+    * gates (PII counts) on top without re-tokenizing. */
+  private def langQualityOracleCte(from: String = "documents",
+                                   carry: Seq[String] = Seq.empty): String = {
     val hits = graft.functions.TextFunctions.defaultMarkers.map {
       case (lang, words) => s"${markerFilter(words)} AS s_$lang"
     }.mkString(",\n             ")
+    val carryCols = (Seq("doc_id", "source") ++ carry).mkString(", ")
     s"""
-      SELECT doc_id, source,
+      SELECT $carryCols, text,
              $hits,
              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS n_cjk,
              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
              CAST(length(text) AS DOUBLE) AS n_char,
              CAST(len(toks) AS DOUBLE) AS n_tok
-      FROM (SELECT doc_id, source, text,
+      FROM (SELECT $carryCols, text,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-            FROM documents)"""
+            FROM $from)"""
   }
 
   /** First-maximal language (ties keep the earlier language, matching the
@@ -409,7 +437,7 @@ object DataPipelineQueries {
         langId(col("text")).as("lang_pred"),
         qualityScore(col("text")).as("quality"))
     }, Some(s"""
-      WITH s AS ($langQualityOracleCte)
+      WITH s AS (${langQualityOracleCte()})
       SELECT doc_id, $langPredOracleExpr AS lang_pred,
              $qualityOracleExpr AS quality
       FROM s""")),
@@ -426,7 +454,7 @@ object DataPipelineQueries {
           countDistinct(col("lang_pred")).as("n_langs"))
         .orderBy(col("source"))
     }, Some(s"""
-      WITH s AS ($langQualityOracleCte),
+      WITH s AS (${langQualityOracleCte()}),
       q AS (SELECT source, $langPredOracleExpr AS lang_pred,
                    $qualityOracleExpr AS q FROM s)
       SELECT source, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
@@ -987,16 +1015,7 @@ object DataPipelineQueries {
     // the REDACTED text proves the output strings are byte-identical to
     // DuckDB's RE2 redaction, not just the counts.
     Q("q84_pii_redaction", (s, dir) => {
-      val seeded = t(s, dir, "documents")
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" contact user"),
-              col("doc_id").cast("string"), lit("@example.com now")))
-            .otherwise(col("text")))
-        .withColumn("text",
-          when(col("doc_id") % 11 === 0,
-            concat(col("text"), lit(" call 415-555-1234 today")))
-            .otherwise(col("text")))
+      val seeded = piiSeeded(s, dir)
       seeded
         .select(col("source"),
           emailCount(col("text")).as("ne"),
@@ -1381,7 +1400,60 @@ object DataPipelineQueries {
              count(DISTINCT tr.doc_id) AS n_train_docs,
              count(DISTINCT te.g) AS n_shared_shingles
       FROM te JOIN tr ON tr.g = te.g
-      GROUP BY tr.wave, te.doc_id"""))
+      GROUP BY tr.wave, te.doc_id""")),
+
+    // The quality/language/PII gates running INSIDE streaming ingestion
+    // (VERDICT r8 #6: q51/q84 were batch-only): the PII-seeded corpus
+    // arrives in TWO waves through the same DedupStream.maintainIndex fold
+    // that maintains the dedup index, with the GateTap writing each wave's
+    // per-source gate report (doc count, avg quality, distinct languages,
+    // email/phone counts — all map-only TextFunctions projections plus one
+    // tiny aggregation) next to the dedup state. The query reads back only
+    // the committed reports; the oracle recomputes each wave's gates from
+    // scratch in DuckDB over the same seeded corpus — passing proves the
+    // in-ingest gate report ≡ a standalone batch q52/q84 pass per wave. At
+    // 100 TB this means a wave's quality profile is known the day it lands,
+    // from the scan the dedup indexer was doing anyway.
+    Q("q95_stream_gates", (s, dir) => {
+      import graft.streaming.DedupStream
+      val root = streamGateFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_stream_gates")
+          val seeded = piiSeeded(s, dir)
+          val fn = DedupStream.maintainIndex(s"$r/state", "doc_id", "text",
+            threshold = 0.5, k = 128, bands = 32,
+            gates = Some(DedupStream.GateTap(s"$r/gates")))
+          fn(seeded.filter(col("doc_id") % 2 === 0), 0L)
+          fn(seeded.filter(col("doc_id") % 2 === 1), 1L)
+          r
+        })
+      Seq(0, 1)
+        .map(w => s.read.parquet(s"$root/gates/b_$w").withColumn("wave", lit(w)))
+        .reduce(_ unionByName _)
+        .select(col("wave"), col("source"), col("n_docs"), col("avg_quality"),
+          col("n_langs"), col("n_emails"), col("n_phones"))
+    }, Some(s"""
+      WITH seeded AS (
+        SELECT doc_id, source, CAST(doc_id % 2 AS INTEGER) AS wave,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' call 415-555-1234 today' ELSE '' END AS text
+        FROM documents),
+      s AS (${langQualityOracleCte("seeded", Seq("wave"))}),
+      q AS (SELECT wave, source,
+                   $langPredOracleExpr AS lang_pred,
+                   $qualityOracleExpr AS q,
+                   len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS ne,
+                   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np
+            FROM s)
+      SELECT wave, source, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+             count(DISTINCT lang_pred) AS n_langs,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(np) AS BIGINT) AS n_phones
+      FROM q GROUP BY wave, source"""))
   )
 
 }

@@ -66,6 +66,17 @@ object DedupStream {
                                expectedEvalShingles: Long = 1L << 20,
                                bitsPerItem: Int = 8)
 
+  /** Optional per-batch quality/language/PII gate tap: each ingested batch
+    * is scored with the [[graft.functions.TextFunctions]] gates (language ID,
+    * quality score, email/phone counts — all map-only codegen'd projections)
+    * and the per-`groupCol` gate report lands in `reportDir/b_<batchId>`
+    * (overwrite ⇒ replay-idempotent, like the state versions and the
+    * decontamination tap). This is the batch q51/q52/q84 surface running
+    * INSIDE ingestion: at 100 TB the quality profile of a wave is known the
+    * day it lands, from the scan the dedup indexer was doing anyway — the
+    * only addition is one tiny aggregation over per-doc gate outcomes. */
+  final case class GateTap(reportDir: String, groupCol: String = "source")
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -138,10 +149,15 @@ object DedupStream {
   def maintainIndex(stateDir: String, idCol: String, textCol: String,
                     threshold: Double = 0.5, k: Int = 128, bands: Int = 32,
                     shingleN: Int = 3,
-                    tap: Option[DecontamTap] = None): (DataFrame, Long) => Unit = {
+                    tap: Option[DecontamTap] = None,
+                    gates: Option[GateTap] = None): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
       val fs = fsOf(spark, stateDir)
+      gates.foreach { g =>
+        gateReport(batch, textCol, g.groupCol)
+          .write.mode("overwrite").parquet(s"${g.reportDir}/b_$batchId")
+      }
       tap.foreach { t =>
         import graft.operators.Decontaminate
         val filter = Decontaminate.standingEvalFilter(spark, t.filterDir,
@@ -183,16 +199,38 @@ object DedupStream {
       } finally batchIdx.unpersist()
   }
 
+  /** The per-batch gate report: one row per `groupCol` value with document
+    * count, average quality, distinct predicted languages, and PII counts —
+    * the q52/q84 aggregation grain, computed from map-only per-doc gate
+    * projections (no join, one tiny shuffle of gate outcomes). Exposed so
+    * batch callers and specs can compute the identical frame. */
+  def gateReport(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    docs.select(col(groupCol),
+        TextFunctions.langId(col(textCol)).as("lang_pred"),
+        TextFunctions.qualityScore(col(textCol)).as("quality"),
+        TextFunctions.emailCount(col(textCol)).as("ne"),
+        TextFunctions.phoneCount(col(textCol)).as("np"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        countDistinct(col("lang_pred")).as("n_langs"),
+        sum(col("ne")).cast("long").as("n_emails"),
+        sum(col("np")).cast("long").as("n_phones"))
+  }
+
   /** Wire a streaming document source into the maintenance sink. The caller
     * owns trigger/checkpoint choice; `Trigger.AvailableNow` + re-running on
     * the same checkpoint is the batch-wave ingest pattern. */
   def maintain(docs: DataFrame, stateDir: String, checkpointDir: String,
                idCol: String = "doc_id", textCol: String = "text",
                threshold: Double = 0.5, k: Int = 128, bands: Int = 32,
-               tap: Option[DecontamTap] = None)
+               tap: Option[DecontamTap] = None,
+               gates: Option[GateTap] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(maintainIndex(stateDir, idCol, textCol, threshold, k, bands,
-        tap = tap))
+        tap = tap, gates = gates))
 }
