@@ -44,7 +44,8 @@ import graft.sources.Catalog
   * statement index.
   */
 final class SqlScriptRunner(spark: SparkSession,
-                            asUser: Option[String] = None) {
+                            asUser: Option[String] = None,
+                            advisor: Option[graft.plans.WorkloadAdvisor] = None) {
 
   /** dotted view name → flattened temp-view name, longest first at rewrite. */
   private val viewRewrites =
@@ -234,7 +235,16 @@ final class SqlScriptRunner(spark: SparkSession,
       val df = spark.sql(rewritten)
       stmtViews.foreach(spark.catalog.dropTempView)
       stmtViews.clear()
-      if (upper.startsWith("SELECT") || upper.startsWith("WITH")) Some(df) else None
+      if (upper.startsWith("SELECT") || upper.startsWith("WITH")) {
+        // Feed the scripted surface into the autonomous workload monitor
+        // (when one is attached): aggregate shapes become reflection
+        // candidates and equi-joins become skew-diagnosis candidates, the
+        // same as API-path queries — the reference's monitor watches every
+        // query, not just a favored entry point (readme.md:381-389). A
+        // driver-side plan walk; no data is touched.
+        advisor.foreach(_.observe(df))
+        Some(df)
+      } else None
     }
   }
 

@@ -38,10 +38,19 @@ class NtzRobustnessSpec extends SparkSpec {
       s"ts values drifted through the NTZ roundtrip: ($oMin,$oMax) vs ($nMin,$nMax)")
   }
 
-  test("every registry query plans green against an NTZ-written corpus") {
+  test("every registry query plans green against an NTZ-written corpus; " +
+      "every events-reading query also EXECUTES green") {
+    // Planning catches the analysis-time NTZ type errors (the round-8 class:
+    // DATATYPE_MISMATCH on an epoch cast); executing the queries that scan
+    // the timestamp-bearing events table catches runtime ones.
     val failures = SparkEntry.allQueries.flatMap { q =>
-      try { q.run(spark, ntzDir).queryExecution.executedPlan; None }
-      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+      try {
+        val df = q.run(spark, ntzDir)
+        val readsEvents =
+          df.queryExecution.executedPlan.toString.contains("events.parquet")
+        if (readsEvents) df.count(): Unit
+        None
+      } catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

@@ -194,4 +194,38 @@ class WorkloadAdvisorSpec extends SparkSpec {
       naive().select(col("k"), col("v"), col("lo"), col("hi"))
         .collect().map(_.toString).sorted)
   }
+
+  test("scripted SQL surface feeds the monitor; a confirmed scripted hot join is served salted") {
+    val saved = spark.experimental.extraOptimizations
+    try {
+      val advisor = new WorkloadAdvisor(spark,
+        new Materializations(spark, Some(graft.TempDirs.newDir("advisor_sql"))))
+      val runner = new graft.pipeline.SqlScriptRunner(spark, advisor = Some(advisor))
+      spark.range(0, 10000).select(
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 997 + 1000).as("k"),
+        col("id").as("v")).createOrReplaceTempView("facts_sql")
+      spark.range(0, 2000).select(
+        col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
+        .createOrReplaceTempView("dims_sql")
+      val script =
+        "SELECT f.k, f.v, d.name FROM facts_sql f JOIN dims_sql d ON f.k = d.k;"
+
+      runner.run(script) // observed through the runner, not the API path
+      val confirmed = advisor.autoSalt(hotShare = 0.2)
+      assert(confirmed.exists(_.hotKey == "7"), s"scripted join not confirmed: $confirmed")
+
+      // identical SQL re-run through the runner is served salted — the
+      // fingerprint survives fresh exprIds via plan canonicalization
+      val served = runner.run(script).values.head
+      assert(planOf(served).contains("__graft_salt"),
+        s"scripted second occurrence not served salted:\n${planOf(served)}")
+      val expect = {
+        val s2 = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations = saved
+        try spark.sql(script.stripSuffix(";")).collect().map(_.toString).sorted
+        finally spark.experimental.extraOptimizations = s2
+      }
+      assert(served.collect().map(_.toString).sorted === expect)
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }

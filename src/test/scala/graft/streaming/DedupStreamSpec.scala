@@ -160,4 +160,40 @@ class DedupStreamSpec extends SparkSpec {
     fn(wave1, 1L)
     assert(rows(spark.read.parquet(s"$root/gates/b_1")) === before)
   }
+
+  test("maintain() drives a real checkpointed stream end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("dedup_maintain").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDS().toDF("doc_id", "text", "source")
+
+    val q = DedupStream.maintain(docs, s"$root/state", s"$root/ckpt",
+        gates = Some(DedupStream.GateTap(s"$root/gates")))
+      .start()
+    try {
+      // wave 0: two near-dup docs + one distinct
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta", "web"),
+        (2L, "alpha beta gamma delta epsilon eta", "web"),
+        (3L, "completely different content here now", "books"))
+      q.processAllAvailable()
+      // wave 1: a near-dup of doc 1 arrives later, via the delta path
+      input.addData((4L, "alpha beta gamma delta epsilon theta", "web"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // committed state: all four docs indexed, 1-2-4 clustered together
+    val (idx, cc) = DedupStream.readState(spark, s"$root/state").get
+    assert(idx.count() === 4)
+    val roots = cc.select("id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots(2L) == roots(1L) && roots(4L) == roots(1L))
+    assert(!roots.get(3L).exists(_ == roots(1L)))
+    // per-wave gate reports committed by the same stream
+    assert(spark.read.parquet(s"$root/gates/b_0")
+      .select("source").as[String].collect().toSet === Set("web", "books"))
+    assert(spark.read.parquet(s"$root/gates/b_1").count() === 1L)
+  }
 }
