@@ -166,6 +166,34 @@ object Decontaminate {
     }
   }
 
+  /** SEMANTIC decontamination: the embedding-space analog of the n-gram
+    * overlap report — catches paraphrased/reworded eval leakage that shares
+    * no 5-gram with the eval set. Per eval vector: how many train vectors
+    * sit above the cosine `threshold`, and the closest one's similarity.
+    *
+    * Scale shape (the reason this is EXACT, not LSH): eval benchmarks are
+    * tiny and the training corpus is the 100 TB side, so the eval vectors
+    * BROADCAST and the compare is one map-only pass over the train scan —
+    * O(|train|·|eval|) with |eval| bounded ⇒ linear in the corpus, no
+    * shuffle of train rows at all (the only exchange is the per-eval-vec
+    * aggregation of hit counts, bounded by |eval|). An LSH prefilter would
+    * only save compute at the cost of recall on the exact class of pair
+    * this report exists to catch (barely-above-threshold paraphrases). */
+  def semanticOverlapReport(train: DataFrame, eval: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.asDouble
+    val spark = train.sparkSession
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
+    val tr = train.select(col(idCol).as("__tid"), asDouble(col(vecCol)).as("__tv"))
+    val ev = eval.select(col(idCol).as("eval_vec"), asDouble(col(vecCol)).as("__ev"))
+    tr.crossJoin(broadcast(ev))
+      .withColumn("__sim", cos(col("__tv"), col("__ev")))
+      .filter(col("__sim") >= threshold)
+      .groupBy(col("eval_vec"))
+      .agg(count(lit(1)).as("n_train_hits"),
+        round(max(col("__sim")), 6).as("max_sim"))
+  }
+
   /** Load the committed filter for `version`, or build it from `eval` and
     * commit it. Returns `None` only when Bloom is unavailable. */
   def standingEvalFilter(spark: org.apache.spark.sql.SparkSession,

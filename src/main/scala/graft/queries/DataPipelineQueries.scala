@@ -1453,7 +1453,104 @@ object DataPipelineQueries {
              count(DISTINCT lang_pred) AS n_langs,
              CAST(sum(ne) AS BIGINT) AS n_emails,
              CAST(sum(np) AS BIGINT) AS n_phones
-      FROM q GROUP BY wave, source"""))
+      FROM q GROUP BY wave, source""")),
+
+    // Corpus-wide n-gram frequency / heavy hitters: top-50 bigrams by
+    // occurrence count with document frequency — the corpus-statistics
+    // operator behind boilerplate detection, stopword induction, and
+    // repeated-template discovery in web-scale curation. Shape at 100 TB:
+    // map-side explode + PARTIAL count aggregation (the shuffle carries
+    // (ngram, count) states, not occurrences), one hash shuffle on the
+    // n-gram, TakeOrdered for the top-k — no window, no driver-side
+    // collection; doc frequency rides the same shuffle as a distinct-count.
+    // Ties at the k-boundary are broken by the n-gram itself so the top-50
+    // SET is deterministic on both engines.
+    Q("q96_top_ngrams", (s, dir) => {
+      import graft.functions.TextFunctions.{shingles, tokens}
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+        .limit(50)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS ngram
+        FROM toks WHERE len(t) >= 2)
+      SELECT ngram, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY ngram
+      ORDER BY n_occurrences DESC, ngram
+      LIMIT 50""")),
+
+    // Per-source frequency capping (domain capping in web-corpus curation:
+    // no source may contribute more than K documents): selection is by
+    // content-hash order — deterministic, seed-free, and stable under
+    // reshuffling — and the report proves WHICH docs were kept (count +
+    // the max kept hash per source), not just how many. The per-source
+    // row_number window is bounded by the cap's purpose (a source's rows
+    // sort within its partition); a pathologically hot source is exactly
+    // what the workload advisor's window-argmax finding flags, and K being
+    // small admits the two-phase partial-top-K rewrite if it ever matters.
+    Q("q97_source_cap", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 10
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= K, 1).otherwise(0)).cast("long").as("n_kept"),
+          max(when(col("rn") <= K, col("h"))).as("max_kept_hash"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH r AS (
+        SELECT source, md5(text) AS h, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents)
+      SELECT source, count(*) AS n_total,
+             CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             max(CASE WHEN rn <= 10 THEN h END) AS max_kept_hash
+      FROM r GROUP BY source ORDER BY source""")),
+
+    // SEMANTIC decontamination — the embedding-space cell of the
+    // decontamination matrix (n-gram exact: q80; Bloom-prefiltered: q93;
+    // in-ingest: q94; SEMANTIC: here). Catches paraphrased eval leakage
+    // that shares no 5-gram with the eval set. The eval split BROADCASTS
+    // (eval benchmarks are tiny; the train corpus is the 100 TB side), so
+    // the exact cosine compare is one map-only pass over the train scan —
+    // linear in the corpus, deliberately NOT LSH: a prefilter would lose
+    // recall exactly on the barely-above-threshold paraphrase pairs this
+    // report exists to catch. The oracle recomputes the full report in
+    // DuckDB with double-precision cosine.
+    Q("q98_semantic_decontam", (s, dir) => {
+      import graft.operators.{Decontaminate, Sampling}
+      val em = t(s, dir, "embeddings")
+      val train = em.filter(Sampling.splitBucket(col("vec_id")) < 80)
+      val ev = em.filter(Sampling.splitBucket(col("vec_id")) >= 80)
+      Decontaminate.semanticOverlapReport(train, ev, "vec_id", "embedding", 0.4)
+    }, Some("""
+      WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        FROM embeddings),
+      tr AS (SELECT vec_id, embedding FROM b WHERE bkt < 80),
+      ev AS (SELECT vec_id, embedding FROM b WHERE bkt >= 80)
+      SELECT ev.vec_id AS eval_vec, count(*) AS n_train_hits,
+             round(max(list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
+                                              CAST(tr.embedding AS DOUBLE[]))), 6) AS max_sim
+      FROM ev JOIN tr
+        ON list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
+                                  CAST(tr.embedding AS DOUBLE[])) >= 0.4
+      GROUP BY ev.vec_id"""))
   )
 
 }

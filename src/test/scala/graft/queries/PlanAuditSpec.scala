@@ -18,7 +18,10 @@ class PlanAuditSpec extends SparkSpec {
     "q46_ann_bruteforce",   // corpus × broadcast queries, id <> id
     // q48 is a blocked equi-join since round 3 — no longer whitelisted
     "q47_ann_lsh",          // embeds the exact baseline for its recall audit
-    "q49b_ann_ivf_recall"   // embeds the exact baseline for its recall audit
+    "q49b_ann_ivf_recall",  // embeds the exact baseline for its recall audit
+    "q98_semantic_decontam" // train × BROADCAST eval: |eval| bounded, the
+                            // compare is map-only over the train scan — the
+                            // deliberate exact-recall decontamination design
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {
