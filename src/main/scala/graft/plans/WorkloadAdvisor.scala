@@ -72,6 +72,7 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
                                 val leftKey: AttributeReference,
                                 val rightKey: AttributeReference) {
     var seen: Long = 0L
+    var lastSeenTick: Long = 0L
   }
 
   /** One observed rank-style window over a partition key (the serialize-one-
@@ -94,11 +95,11 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     * the recorded definition is the first sighting's frame. Returns `df`
     * unchanged so call sites can wrap transparently: `advisor.observe(q)`. */
   def observe(df: DataFrame): DataFrame = {
+    synchronized { tick += 1 }
     val analyzed = classic(df).queryExecution.analyzed
     analyzed.collectFirst { case a: Aggregate => a }.foreach { agg =>
       val key = agg.canonicalized.toString
       synchronized {
-        tick += 1
         val s = shapes.getOrElseUpdate(key, new Shape(df))
         s.seen += 1
         s.lastSeenTick = tick
@@ -151,8 +152,10 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
         if !SkewSaltSubstitution.isSalted(cond) =>
       for (_ <- saltableType(jt); (lk, rk) <- firstEquiKey(l, r, cond))
         synchronized {
-          joinShapes.getOrElseUpdate(j.canonicalized.toString,
-            new JoinShape(j, lk, rk)).seen += 1
+          val s = joinShapes.getOrElseUpdate(j.canonicalized.toString,
+            new JoinShape(j, lk, rk))
+          s.seen += 1
+          s.lastSeenTick = tick
         }
     case _ =>
   }
@@ -236,7 +239,14 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     scala.collection.mutable.LinkedHashMap.empty[String, SkewFinding]
 
   private[plans] def confirmedSaltFor(fingerprint: String): Option[SkewFinding] =
-    synchronized(confirmedSalts.get(fingerprint))
+    synchronized {
+      val f = confirmedSalts.get(fingerprint)
+      // a served occurrence counts as SEEN: the substitution guard hides the
+      // salted plan from observeJoinShapes, so without this touch an
+      // actively-served join would look idle to retireSalts
+      if (f.isDefined) joinShapes.get(fingerprint).foreach(_.lastSeenTick = tick)
+      f
+    }
 
   /** The skew analog of [[autoMaterialize]]: diagnose every recorded join
     * shape ([[skewFindings]] — the one data-touching step), confirm the
@@ -282,6 +292,27 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     }
     if (created.nonEmpty) MaterializationSubstitution.install(spark, mats)
     created.map(_._1)
+  }
+
+  /** Retire confirmed salts whose join shape hasn't been observed in the
+    * last `maxIdleObservations` observe() calls — the skew mirror of
+    * [[retireStale]] (the autonomous tier retires what it no longer needs:
+    * a workload that stopped issuing the hot join should not keep paying
+    * the rule's fingerprint probe, and a later re-occurrence after the data
+    * distribution drifted should re-confirm against a fresh profile rather
+    * than inherit a stale bucket count). Uninstalls the substitution rule
+    * when no confirmed salts remain. Returns retired fingerprints. */
+  def retireSalts(maxIdleObservations: Long): Seq[String] = {
+    val retired = synchronized {
+      val stale = confirmedSalts.keys.filter { fp =>
+        joinShapes.get(fp).forall(s => tick - s.lastSeenTick > maxIdleObservations)
+      }.toSeq
+      stale.foreach(confirmedSalts.remove)
+      stale
+    }
+    if (synchronized(confirmedSalts.isEmpty))
+      SkewSaltSubstitution.uninstall(spark, this)
+    retired
   }
 
   /** Retire auto-created reflections whose shape hasn't been observed in the

@@ -164,6 +164,27 @@ class WorkloadAdvisorSpec extends SparkSpec {
         case SkewSaltSubstitution(a) => a eq advisor
         case _ => false
       } === 1)
+
+      // an ACTIVELY-SERVED join never retires: serving touches the shape
+      // even though the salted plan is hidden from the join monitor
+      (1 to 6).foreach { _ =>
+        advisor.observe(naive())
+        assert(planOf(naive()).contains("__graft_salt"))
+      }
+      assert(advisor.retireSalts(maxIdleObservations = 5).isEmpty)
+
+      // an IDLE salt retires and the rule uninstalls with it (the skew
+      // mirror of reflection retirement, readme.md:381-389)
+      val unrelated = spark.range(0, 100).select(col("id").as("x"))
+      (1 to 10).foreach(_ => advisor.observe(unrelated))
+      val retired = advisor.retireSalts(maxIdleObservations = 5)
+      assert(retired.length === 1)
+      assert(!planOf(naive()).contains("__graft_salt"),
+        "retired salt still being served")
+      assert(!spark.experimental.extraOptimizations.exists {
+        case SkewSaltSubstitution(a) => a eq advisor
+        case _ => false
+      })
     } finally spark.experimental.extraOptimizations = saved
   }
 
