@@ -48,6 +48,28 @@ class PlanAuditSpec extends SparkSpec {
       s"between bounds not pushed:\n$plan26")
   }
 
+  test("round-9 curation operators keep their scale-sane physical shapes") {
+    // q96: heavy-hitter top-k = TakeOrdered over a hash aggregate — never a
+    // global sort of the n-gram inventory, never a window
+    val q96 = SparkEntry.queries("q96_top_ngrams")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q96.contains("TakeOrderedAndProject"), s"q96 lost TakeOrdered:\n$q96")
+    assert(!q96.contains("Window"), s"q96 grew a window:\n$q96")
+    // q97: the cap's window must stay PARTITIONED (a partition-less window
+    // serializes the corpus through one task)
+    val q97 = SparkEntry.queries("q97_source_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q97.contains("Window [") && q97.contains("windowspecdefinition(source"),
+      s"q97 window not partitioned by source:\n$q97")
+    // q98: the eval side must BROADCAST (the design that keeps the exact
+    // cosine pass linear in the train corpus) — the nested-loop join is the
+    // intended shape here, whitelisted above
+    val q98 = SparkEntry.queries("q98_semantic_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q98.contains("BroadcastNestedLoopJoin"), s"q98 eval not broadcast:\n$q98")
+    assert(!q98.contains("CartesianProduct"), s"q98 fell back to cartesian:\n$q98")
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     Seq("q11_customer_spend", "q12_region_revenue", "q13_interval_join").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
