@@ -367,16 +367,15 @@ final class SqlScriptRunner(spark: SparkSession,
     }
   }
 
-  private def installSubstitution(): Unit = {
-    val present = spark.experimental.extraOptimizations.exists {
-      case graft.plans.MaterializationSubstitution(m) => m eq reflections
-      case _ => false
+  private def installSubstitution(): Unit =
+    graft.plans.ExtraOptimizations.mutate(spark) { existing =>
+      val present = existing.exists {
+        case graft.plans.MaterializationSubstitution(m) => m eq reflections
+        case _ => false
+      }
+      if (present) existing
+      else existing :+ graft.plans.MaterializationSubstitution(reflections)
     }
-    if (!present)
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.MaterializationSubstitution(reflections)
-  }
 
   /** `TABLE(LIST_FILES('@source/prefix'))` (ai_generate.sql:19-21,
     * logistics_AI.sql:349) → a temp view of one `file` struct per object —

@@ -79,9 +79,8 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Idempotently install into the session's optimizer. */
-  def install(spark: SparkSession): Unit = synchronized {
-    val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_ eq this))
-      spark.experimental.extraOptimizations = existing :+ this
-  }
+  def install(spark: SparkSession): Unit =
+    ExtraOptimizations.mutate(spark) { existing =>
+      if (existing.exists(_ eq this)) existing else existing :+ this
+    }
 }

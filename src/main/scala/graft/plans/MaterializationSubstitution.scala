@@ -531,12 +531,11 @@ object MaterializationSubstitution {
     * session can host several (e.g. q54's API-path fixture and a
     * SqlScriptRunner's scripted reflections) and installing one must not
     * evict the others. */
-  def install(spark: SparkSession, mats: Materializations): Unit = {
-    val existing = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations =
+  def install(spark: SparkSession, mats: Materializations): Unit =
+    ExtraOptimizations.mutate(spark) { existing =>
       existing.filterNot {
         case MaterializationSubstitution(m) => m eq mats
         case _ => false
       } :+ MaterializationSubstitution(mats)
-  }
+    }
 }

@@ -188,10 +188,17 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
   /** Run `body` with every MaterializationSubstitution stripped from the
     * session's extra optimizer rules, restoring them afterwards. */
   private def withoutSubstitutionRules[A](body: => A): A = {
-    val saved = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations =
-      saved.filterNot(_.isInstanceOf[MaterializationSubstitution])
-    try body finally spark.experimental.extraOptimizations = saved
+    var saved: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Nil
+    ExtraOptimizations.mutate(spark) { existing =>
+      saved = existing
+      existing.filterNot(_.isInstanceOf[MaterializationSubstitution])
+    }
+    // restore by re-adding the stripped rules (not by overwriting with the
+    // snapshot): a rule installed concurrently while `body` ran survives
+    try body finally ExtraOptimizations.mutate(spark) { existing =>
+      existing ++ saved.filterNot(r => existing.exists(_ eq r))
+    }
   }
 
   private def classic(df: DataFrame): org.apache.spark.sql.classic.Dataset[_] =

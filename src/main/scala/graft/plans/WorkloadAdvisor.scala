@@ -17,10 +17,19 @@ object WorkloadAdvisor {
     * partition through one task — rewrite keep-latest/top-1 shapes as a
     * `max(struct(...))` aggregation, the q91 pattern, which partial-aggregates
     * map-side). `hotShare` is the heaviest key's share of the profiled side's
-    * rows; `buckets` the recommended salt count. */
+    * rows; `buckets` the recommended salt count; `side` names the hot join
+    * input ("left"/"right" — salting is symmetric, and a hot key on the
+    * right of an authored join is just as real as one on the left). */
   final case class SkewFinding(kind: String, fingerprint: String, key: String,
                                hotKey: String, hotShare: Double, buckets: Int,
-                               seen: Long)
+                               seen: Long, side: String = "left")
+
+  /** Default serve-policy threshold for [[WorkloadAdvisor.autoSalt]]: when
+    * the session's AQE skew-join handling is ON, a confirmed hot-key join is
+    * deferred to AQE below this hot share and served salted at or above it.
+    * Calibrated from the SKEWBENCH_r10 hot-share sweep (see autoSalt's
+    * Scaladoc for the measured numbers). */
+  val AqeDeferBelowShare: Double = 0.6
 }
 
 /** Autonomous reflection management (reference readme.md:381-389: the
@@ -136,21 +145,38 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
           if r.outputSet.contains(a) && l.outputSet.contains(b) => (b, a)
     }
 
-  /** The join types `ScaleOps.saltedEquiJoin` accepts (right side is
-    * replicated per salt, so right/full-outer would duplicate rows). */
-  private def saltableType(jt: org.apache.spark.sql.catalyst.plans.JoinType)
-      : Option[String] = jt match {
-    case org.apache.spark.sql.catalyst.plans.Inner => Some("inner")
-    case org.apache.spark.sql.catalyst.plans.LeftOuter => Some("left")
-    case org.apache.spark.sql.catalyst.plans.LeftSemi => Some("left_semi")
-    case org.apache.spark.sql.catalyst.plans.LeftAnti => Some("left_anti")
-    case _ => None
-  }
+  /** Join types where salting the LEFT child (replicating the right) is
+    * output-preserving: the replicated side must be neither null-preserved
+    * (right/full outer over a B-replicated right emits every unmatched right
+    * row B times) nor the preserved side of an existence join. Matches the
+    * legal set `ScaleOps.saltedEquiJoin` enforces. */
+  private def saltableLeft(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt match {
+      case org.apache.spark.sql.catalyst.plans.Inner |
+           org.apache.spark.sql.catalyst.plans.LeftOuter |
+           org.apache.spark.sql.catalyst.plans.LeftSemi |
+           org.apache.spark.sql.catalyst.plans.LeftAnti => true
+      case _ => false
+    }
+
+  /** The mirror: salting the RIGHT child (replicating the left) is legal only
+    * when the left is not preserved — inner and right-outer. A left-outer
+    * join with a hot RIGHT key has no legal salted form under this scheme
+    * (a replicated left would null-extend each unmatched left row once per
+    * replica, and a matched left row's non-matching replicas would leak as
+    * spurious null rows), so such joins stay AQE's problem. */
+  private def saltableRight(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt match {
+      case org.apache.spark.sql.catalyst.plans.Inner |
+           org.apache.spark.sql.catalyst.plans.RightOuter => true
+      case _ => false
+    }
 
   private def observeJoinShapes(optimized: LogicalPlan): Unit = optimized.foreach {
     case j @ Join(l, r, jt, Some(cond), _)
-        if !SkewSaltSubstitution.isSalted(cond) =>
-      for (_ <- saltableType(jt); (lk, rk) <- firstEquiKey(l, r, cond))
+        if !SkewSaltSubstitution.isSalted(cond) &&
+          (saltableLeft(jt) || saltableRight(jt)) =>
+      for ((lk, rk) <- firstEquiKey(l, r, cond))
         synchronized {
           val s = joinShapes.getOrElseUpdate(j.canonicalized.toString,
             new JoinShape(j, lk, rk))
@@ -187,32 +213,44 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   }
 
   /** Diagnose hot keys across every skew shape seen at least `minCount`
-    * times: profiles each recorded join's LEFT input (the side salting
-    * spreads) and each window's child on its partition key, and reports the
-    * shapes whose heaviest key holds ≥ `hotShare` of the rows. The
+    * times: profiles BOTH inputs of each recorded join (on whichever sides a
+    * salted rewrite is legal for its join type — a hot key on the right of
+    * an authored join is just as real as one on the left, and join order is
+    * author-chosen) and each window's child on its partition key, and
+    * reports the shapes whose heaviest key holds ≥ `hotShare` of that
+    * side's rows. A join with both sides hot reports its hotter side (the
+    * replicated side must be the less-hot one for the rewrite to help). The
     * recommended `buckets` is clamped to [8, 64]: at least 8 so the hot
     * key's salt values spread over distinctly-hashed reducers even on small
     * clusters (fewer salts than partitions collide birthday-style), at most
-    * 64 because the right side is replicated once per salt — a 64-way spread
+    * 64 because the other side is replicated once per salt — a 64-way spread
     * already turns the one straggler into sub-2 % residual partitions, and
     * further replication costs more than it balances. This is the
-    * data-touching step — one bounded aggregation per shape, run when asked,
-    * like the reference's advisor jobs. */
+    * data-touching step — one bounded aggregation per profiled side, run
+    * when asked, like the reference's advisor jobs. */
   def skewFindings(hotShare: Double = 0.2, minCount: Int = 1): Seq[SkewFinding] = {
     val recorded = synchronized {
       joinShapes.toSeq.map { case (fp, s) =>
-        ("join-salt", fp, s.join.left, s.leftKey, s.seen)
+        val sides =
+          (if (saltableLeft(s.join.joinType))
+            Seq(("left", s.join.left, s.leftKey)) else Nil) ++
+          (if (saltableRight(s.join.joinType))
+            Seq(("right", s.join.right, s.rightKey)) else Nil)
+        ("join-salt", fp, sides, s.seen)
       } ++ windowShapes.toSeq.map { case (fp, s) =>
-        ("window-argmax", fp, s.child, s.partKey, s.seen)
+        ("window-argmax", fp, Seq(("left", s.child, s.partKey)), s.seen)
       }
     }
     val par = math.max(2, spark.sparkContext.defaultParallelism)
-    recorded.filter(_._5 >= minCount).flatMap {
-      case (kind, fp, plan, key, seen) =>
-        profileKey(plan, key).collect {
-          case (hk, share) if share >= hotShare =>
-            val buckets = math.max(8, math.min(64, math.ceil(share * par).toInt))
-            SkewFinding(kind, fp, key.name, hk, share, buckets, seen)
+    recorded.filter(_._4 >= minCount).flatMap {
+      case (kind, fp, sides, seen) =>
+        sides.flatMap { case (side, plan, key) =>
+          profileKey(plan, key).collect {
+            case (hk, share) if share >= hotShare => (side, key, hk, share)
+          }
+        }.sortBy(-_._4).headOption.map { case (side, key, hk, share) =>
+          val buckets = math.max(8, math.min(64, math.ceil(share * par).toInt))
+          SkewFinding(kind, fp, key.name, hk, share, buckets, seen, side)
         }
     }
   }
@@ -227,7 +265,8 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   def saltedRewrite(f: SkewFinding): DataFrame = {
     require(f.kind == "join-salt", s"not a salt-actionable finding: ${f.kind}")
     val s = synchronized(joinShapes(f.fingerprint))
-    val salted = SkewSaltSubstitution.saltedJoinPlan(s.join, f.buckets)
+    val salted =
+      SkewSaltSubstitution.saltedJoinPlan(s.join, f.buckets, f.side == "right")
     val pruned = Project(
       s.join.output.filterNot(_.exprId == s.rightKey.exprId), salted)
     PlanBridge.ofRows(spark, pruned)
@@ -248,21 +287,59 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       f
     }
 
+  /** Join-salt findings NOT served because the session's AQE skew-join
+    * handling is expected to cover them — kept visible so operators can see
+    * what the advisor decided and why (fingerprint → finding). */
+  private val deferredSalts =
+    scala.collection.mutable.LinkedHashMap.empty[String, SkewFinding]
+
+  /** Findings the serve policy deferred to AQE on the last [[autoSalt]]. */
+  def deferredToAqe: Seq[SkewFinding] = synchronized(deferredSalts.values.toSeq)
+
   /** The skew analog of [[autoMaterialize]]: diagnose every recorded join
     * shape ([[skewFindings]] — the one data-touching step), confirm the
     * hot-key ones, and install [[SkewSaltSubstitution]] so every FUTURE
     * occurrence of a confirmed join is served salted without the caller
-    * changing anything. Returns the newly confirmed findings. */
-  def autoSalt(hotShare: Double = 0.2, minCount: Int = 1): Seq[SkewFinding] = {
+    * changing anything. Returns the newly confirmed findings.
+    *
+    * SERVE POLICY (VERDICT r9 #3: don't force a salt where AQE's runtime
+    * skew split is already the better weapon): a join finding is served
+    * salted only when
+    *  - the session has AQE skew-join handling OFF (then salting is the
+    *    only weapon), or
+    *  - the hot share is ≥ `aqeDeferBelowShare` (default
+    *    [[WorkloadAdvisor.AqeDeferBelowShare]]).
+    * Below the threshold with AQE on, the finding is recorded in
+    * [[deferredToAqe]] instead of confirmed: AQE splits the oversized
+    * shuffle partition at runtime with no replication cost and re-arbitrates
+    * every execution, which SKEWBENCH_r10's hot-share sweep measured as the
+    * winner at moderate shares (r9: AQE 1.13 s vs salted 1.43 s at the 30 %
+    * share), while at dominant shares the pre-spread salt wins because the
+    * single mapper output feeding the hot partition becomes the bottleneck
+    * before AQE can act. Window-argmax findings never defer — AQE cannot
+    * split a window partition (they surface via [[skewFindings]] as
+    * rewrite recommendations, the q91 max-struct pattern).
+    *
+    * The confirmed-set check and the rule install happen under ONE advisor
+    * lock (ADVICE r9): a concurrent [[retireSalts]] can no longer uninstall
+    * the rule between a fresh confirmation and its install. */
+  def autoSalt(hotShare: Double = 0.2, minCount: Int = 1,
+               aqeDeferBelowShare: Double = WorkloadAdvisor.AqeDeferBelowShare)
+      : Seq[SkewFinding] = {
     val confirmed = skewFindings(hotShare, minCount).filter(_.kind == "join-salt")
-    val fresh = synchronized {
-      val f = confirmed.filterNot(c => confirmedSalts.contains(c.fingerprint))
-      f.foreach(c => confirmedSalts(c.fingerprint) = c)
-      f
+    val aqeSkewOn =
+      spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+    val (defer, serve) =
+      confirmed.partition(f => aqeSkewOn && f.hotShare < aqeDeferBelowShare)
+    synchronized {
+      defer.foreach(f => deferredSalts(f.fingerprint) = f)
+      serve.foreach(f => deferredSalts.remove(f.fingerprint))
+      val fresh = serve.filterNot(c => confirmedSalts.contains(c.fingerprint))
+      fresh.foreach(c => confirmedSalts(c.fingerprint) = c)
+      if (confirmedSalts.nonEmpty) SkewSaltSubstitution.install(spark, this)
+      fresh
     }
-    if (synchronized(confirmedSalts.nonEmpty))
-      SkewSaltSubstitution.install(spark, this)
-    fresh
   }
 
   /** Shapes queried at least `minCount` times and not yet materialized —
@@ -302,17 +379,19 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     * distribution drifted should re-confirm against a fresh profile rather
     * than inherit a stale bucket count). Uninstalls the substitution rule
     * when no confirmed salts remain. Returns retired fingerprints. */
-  def retireSalts(maxIdleObservations: Long): Seq[String] = {
-    val retired = synchronized {
-      val stale = confirmedSalts.keys.filter { fp =>
-        joinShapes.get(fp).forall(s => tick - s.lastSeenTick > maxIdleObservations)
-      }.toSeq
-      stale.foreach(confirmedSalts.remove)
-      stale
-    }
-    if (synchronized(confirmedSalts.isEmpty))
-      SkewSaltSubstitution.uninstall(spark, this)
-    retired
+  def retireSalts(maxIdleObservations: Long): Seq[String] = synchronized {
+    // staleness check, removal and (possible) uninstall under ONE lock
+    // (ADVICE r9): a concurrent autoSalt can no longer confirm a salt and
+    // have this uninstall strip its just-installed rule.
+    val stale = confirmedSalts.keys.filter { fp =>
+      joinShapes.get(fp).forall(s => tick - s.lastSeenTick > maxIdleObservations)
+    }.toSeq
+    stale.foreach(confirmedSalts.remove)
+    deferredSalts.keys.filter { fp =>
+      joinShapes.get(fp).forall(s => tick - s.lastSeenTick > maxIdleObservations)
+    }.toSeq.foreach(deferredSalts.remove)
+    if (confirmedSalts.isEmpty) SkewSaltSubstitution.uninstall(spark, this)
+    stale
   }
 
   /** Retire auto-created reflections whose shape hasn't been observed in the
