@@ -24,12 +24,16 @@ object WorkloadAdvisor {
                                hotKey: String, hotShare: Double, buckets: Int,
                                seen: Long, side: String = "left")
 
-  /** Default serve-policy threshold for [[WorkloadAdvisor.autoSalt]]: when
-    * the session's AQE skew-join handling is ON, a confirmed hot-key join is
-    * deferred to AQE below this hot share and served salted at or above it.
-    * Calibrated from the SKEWBENCH_r10 hot-share sweep (see autoSalt's
-    * Scaladoc for the measured numbers). */
-  val AqeDeferBelowShare: Double = 0.6
+  /** Serve floor for distribution-reuse shapes when AQE skew handling is on:
+    * below this hot share, even a reuse shape defers. SKEWBENCH_r10 (two
+    * independent 3-rep captures) shows the salt decisively ahead under
+    * reuse at 60 % and 90 % shares (e.g. 4.41 s vs AQE's 9.01 s at 90 %)
+    * but inside the noise band at 30 % (salted 4.02 vs AQE 4.65 in one
+    * capture, 5.37 vs 4.09 in the other) — AQE's generic partition
+    * coalescing already copes with a merely-warm key, so the advisor only
+    * overrides it where the straggler is dominant and the win is
+    * reproducible. */
+  val ReuseServeShare: Double = 0.5
 }
 
 /** Autonomous reflection management (reference readme.md:381-389: the
@@ -82,6 +86,14 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
                                 val rightKey: AttributeReference) {
     var seen: Long = 0L
     var lastSeenTick: Long = 0L
+    /** Some observed occurrence re-uses the join key's hash distribution
+      * ABOVE the join (aggregate/window/repartition keyed on it) — the
+      * shape class where AQE declines to split the skewed partition
+      * (splitting would break the co-partitioning and force an extra
+      * shuffle) and the pre-spread salt is the only effective weapon.
+      * Sticky across sightings: one reusing consumer is enough to make the
+      * naive plan's straggler real. */
+    var distReused: Boolean = false
   }
 
   /** One observed rank-style window over a partition key (the serialize-one-
@@ -172,18 +184,48 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       case _ => false
     }
 
-  private def observeJoinShapes(optimized: LogicalPlan): Unit = optimized.foreach {
-    case j @ Join(l, r, jt, Some(cond), _)
-        if !SkewSaltSubstitution.isSalted(cond) &&
-          (saltableLeft(jt) || saltableRight(jt)) =>
-      for ((lk, rk) <- firstEquiKey(l, r, cond))
-        synchronized {
-          val s = joinShapes.getOrElseUpdate(j.canonicalized.toString,
-            new JoinShape(j, lk, rk))
-          s.seen += 1
-          s.lastSeenTick = tick
-        }
-    case _ =>
+  /** Top-down walk recording every saltable join, carrying the set of
+    * attributes whose hash distribution some ANCESTOR requires (aggregate
+    * grouping keys, window partition keys, explicit repartition keys). A
+    * join whose equi-key is in that set gets `distReused = true` — the
+    * serve-policy signal that AQE's skew split won't fire on this shape
+    * (see [[autoSalt]]). ExprId matching: the optimizer propagates the same
+    * attribute instances from the join output to its consumers, so a
+    * grouping key that IS the join key carries the join child's exprId.
+    * Over-approximation by design (keys accumulate through intermediate
+    * operators without reset): errs toward serving the salt, which is
+    * row-identical either way. */
+  private def observeJoinShapes(optimized: LogicalPlan): Unit = {
+    def hashKeysOf(p: LogicalPlan): Seq[Long] = {
+      val exprs: Seq[Expression] = p match {
+        case a: Aggregate => a.groupingExpressions
+        case w: Window => w.partitionSpec
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          r.partitionExpressions
+        case _ => Nil
+      }
+      exprs.flatMap(_.collect { case ar: AttributeReference => ar.exprId.id })
+    }
+    def walk(p: LogicalPlan, keysAbove: Set[Long]): Unit = {
+      val keys = keysAbove ++ hashKeysOf(p)
+      p match {
+        case j @ Join(l, r, jt, Some(cond), _)
+            if !SkewSaltSubstitution.isSalted(cond) &&
+              (saltableLeft(jt) || saltableRight(jt)) =>
+          for ((lk, rk) <- firstEquiKey(l, r, cond))
+            synchronized {
+              val s = joinShapes.getOrElseUpdate(j.canonicalized.toString,
+                new JoinShape(j, lk, rk))
+              s.seen += 1
+              s.lastSeenTick = tick
+              if (keys.contains(lk.exprId.id) || keys.contains(rk.exprId.id))
+                s.distReused = true
+            }
+        case _ =>
+      }
+      p.children.foreach(walk(_, keys))
+    }
+    walk(optimized, Set.empty)
   }
 
   private def observeSkewShapes(analyzed: LogicalPlan): Unit = analyzed.foreach {
@@ -303,35 +345,47 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     * changing anything. Returns the newly confirmed findings.
     *
     * SERVE POLICY (VERDICT r9 #3: don't force a salt where AQE's runtime
-    * skew split is already the better weapon): a join finding is served
+    * skew split is already the better weapon). A join finding is served
     * salted only when
-    *  - the session has AQE skew-join handling OFF (then salting is the
+    *  - the session has AQE skew-join handling OFF (salting is then the
     *    only weapon), or
-    *  - the hot share is ≥ `aqeDeferBelowShare` (default
-    *    [[WorkloadAdvisor.AqeDeferBelowShare]]).
-    * Below the threshold with AQE on, the finding is recorded in
-    * [[deferredToAqe]] instead of confirmed: AQE splits the oversized
-    * shuffle partition at runtime with no replication cost and re-arbitrates
-    * every execution, which SKEWBENCH_r10's hot-share sweep measured as the
-    * winner at moderate shares (r9: AQE 1.13 s vs salted 1.43 s at the 30 %
-    * share), while at dominant shares the pre-spread salt wins because the
-    * single mapper output feeding the hot partition becomes the bottleneck
-    * before AQE can act. Window-argmax findings never defer — AQE cannot
-    * split a window partition (they surface via [[skewFindings]] as
-    * rewrite recommendations, the q91 max-struct pattern).
+    *  - the observed shape RE-USES the join key's hash distribution above
+    *    the join (aggregate/window/repartition keyed on the equi-key) AND
+    *    the hot share is ≥ [[WorkloadAdvisor.ReuseServeShare]] (below it
+    *    the reuse-shape win is inside measurement noise — see that
+    *    constant's doc):
+    *    there AQE declines to split the skewed partition — splitting breaks
+    *    the co-partitioning its parent needs and would force an extra
+    *    shuffle — so the naive straggler survives AQE, while the salted
+    *    plan's downstream agg still collapses the hot key MAP-SIDE before
+    *    its shuffle.
+    * Otherwise the finding is recorded in [[deferredToAqe]], not confirmed.
+    *
+    * This is shape-based, not hot-share-based, because the SKEWBENCH_r10
+    * sweep (30M-row fact ⋈ 2M-row dim, hot shares 30/60/90 %, 3 reps, min)
+    * measured AQE's runtime split ahead of the advisor's salted plan at
+    * EVERY share when the distribution is free downstream (share 90 %:
+    * AQE 2.10 s vs salted 5.95 s vs naive 11.59 s — the split costs no
+    * replication and re-arbitrates each run), and the salt decisively ahead
+    * when the join key's distribution is reused (share 90 %: salted 5.10 s
+    * vs AQE 9.97 s ≈ naive 9.32 s — AQE refused the split, exactly as
+    * designed). Window-argmax findings never defer — AQE cannot split a
+    * window partition (they surface via [[skewFindings]] as rewrite
+    * recommendations, the q91 max-struct pattern).
     *
     * The confirmed-set check and the rule install happen under ONE advisor
     * lock (ADVICE r9): a concurrent [[retireSalts]] can no longer uninstall
     * the rule between a fresh confirmation and its install. */
-  def autoSalt(hotShare: Double = 0.2, minCount: Int = 1,
-               aqeDeferBelowShare: Double = WorkloadAdvisor.AqeDeferBelowShare)
-      : Seq[SkewFinding] = {
+  def autoSalt(hotShare: Double = 0.2, minCount: Int = 1): Seq[SkewFinding] = {
     val confirmed = skewFindings(hotShare, minCount).filter(_.kind == "join-salt")
     val aqeSkewOn =
       spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
         spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
-    val (defer, serve) =
-      confirmed.partition(f => aqeSkewOn && f.hotShare < aqeDeferBelowShare)
+    val (defer, serve) = confirmed.partition { f =>
+      aqeSkewOn &&
+        !(f.hotShare >= WorkloadAdvisor.ReuseServeShare &&
+          synchronized(joinShapes.get(f.fingerprint).exists(_.distReused)))
+    }
     synchronized {
       defer.foreach(f => deferredSalts(f.fingerprint) = f)
       serve.foreach(f => deferredSalts.remove(f.fingerprint))

@@ -39,7 +39,121 @@ object SkewBench {
     (runs.map(_._1).min, runs.head._2)
   }
 
+  /** Hot-share SWEEP (`runMain graft.tools.SkewBench sweep [reps]`): the
+    * serve-policy arbitration evidence for
+    * [[graft.plans.WorkloadAdvisor.AqeDeferBelowShare]]. On a synthetic
+    * join fixture big enough that the hot partition dominates the runtime
+    * (not the micro-bench noise the sub-2 s ScaleUp rows live in), measure
+    * naive SMJ vs advisor-salted vs AQE-skew-split at hot shares
+    * 30/60/90 % and print one JSON line. The salted variant uses the exact
+    * bucket count the advisor's formula recommends for that share, so the
+    * sweep measures the plan autoSalt would actually serve. */
+  private def sweep(reps: Int): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-skewbench-sweep")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val nFact = 30L * 1000 * 1000
+      val nDim = 2L * 1000 * 1000
+      // dim payload is wide enough that 2M rows exceed any sane broadcast
+      // budget — the regime where salting vs AQE is a real decision
+      val dim = spark.range(0, nDim).select(col("id").as("k"),
+        concat(lit("dim_payload_padding_padding_"), col("id")).as("name"))
+      def fact(hotPct: Int) = spark.range(0, nFact).select(
+        when(pmod(col("id"), lit(100)) < hotPct, lit(7L))
+          .otherwise(pmod(col("id") * 2654435761L, lit(nDim))).as("k"),
+        (col("id") % 1000).as("v"))
+      def agg(j: org.apache.spark.sql.DataFrame): Long =
+        j.groupBy(col("v") % 10).agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .collect().map(_.getLong(1)).sum
+
+      def withConf[T](pairs: (String, String)*)(body: => T): T = {
+        val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      val noBroadcast = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+      // scenario 2: the join output's distribution is REUSED downstream
+      // (groupBy on the join key) — AQE skips the skew split there because
+      // splitting would break the co-partitioning and force an extra
+      // shuffle, while the salted plan's final agg still collapses the hot
+      // key map-side (partial aggregation) before its shuffle
+      def aggByKey(j: org.apache.spark.sql.DataFrame): Long =
+        j.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .agg(count(lit(1))).head.getLong(0)
+
+      val rows = Seq(30, 60, 90).map { hotPct =>
+        val f = fact(hotPct)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        f.count()
+        try {
+          val share = hotPct / 100.0
+          // the advisor's bucket formula (WorkloadAdvisor.skewFindings)
+          val par = math.max(2, spark.sparkContext.defaultParallelism)
+          val buckets = math.max(8, math.min(64, math.ceil(share * par).toInt))
+          val (naiveSec, nRows) = withConf(noBroadcast ++ Seq(
+            "spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+            timeMin(reps)(agg(f.join(dim, "k")))
+          }
+          val (saltSec, sRows) = withConf(noBroadcast ++ Seq(
+            "spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+            timeMin(reps)(agg(
+              graft.ops.ScaleOps.saltedEquiJoin(f, dim, "k", buckets)))
+          }
+          val (aqeSec, aRows) = withConf(noBroadcast ++ Seq(
+            "spark.sql.adaptive.skewJoin.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"): _*) {
+            timeMin(reps)(agg(f.join(dim, "k")))
+          }
+          require(nRows == sRows && nRows == aRows,
+            s"sweep variants disagree at $hotPct%: $nRows/$sRows/$aRows")
+          val (naiveKSec, nkRows) = withConf(noBroadcast ++ Seq(
+            "spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+            timeMin(reps)(aggByKey(f.join(dim, "k")))
+          }
+          val (saltKSec, skRows) = withConf(noBroadcast ++ Seq(
+            "spark.sql.adaptive.skewJoin.enabled" -> "false"): _*) {
+            timeMin(reps)(aggByKey(
+              graft.ops.ScaleOps.saltedEquiJoin(f, dim, "k", buckets)))
+          }
+          val (aqeKSec, akRows) = withConf(noBroadcast ++ Seq(
+            "spark.sql.adaptive.skewJoin.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"): _*) {
+            timeMin(reps)(aggByKey(f.join(dim, "k")))
+          }
+          require(nkRows == skRows && nkRows == akRows,
+            s"agg-by-key variants disagree at $hotPct%: $nkRows/$skRows/$akRows")
+          def fm(d: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+          s""""share_$hotPct":{"naive_smj_sec":${fm(naiveSec)},""" +
+            s""""salted_sec":${fm(saltSec)},"aqe_skew_sec":${fm(aqeSec)},""" +
+            s""""agg_by_key":{"naive_smj_sec":${fm(naiveKSec)},""" +
+            s""""salted_sec":${fm(saltKSec)},"aqe_skew_sec":${fm(aqeKSec)}},""" +
+            s""""buckets":$buckets}"""
+        } finally f.unpersist()
+      }
+      println(s"""{"sweep":"hot_share","fact_rows":$nFact,"dim_rows":$nDim,""" +
+        s""""reps":$reps,${rows.mkString(",")}}""")
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sweep")) {
+      sweep(args.lift(1).map(_.toInt).getOrElse(2))
+      return
+    }
     val dir = args.headOption.getOrElse("/tmp/graft_scale10_skew")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()

@@ -124,6 +124,10 @@ class WorkloadAdvisorSpec extends SparkSpec {
 
   test("second occurrence of a confirmed hot-key join is served salted automatically") {
     val saved = spark.experimental.extraOptimizations
+    // AQE skew handling off: salting is the only weapon, so the serve
+    // policy confirms the plain-join finding (the policy itself is covered
+    // by the dedicated serve-policy test below)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     try {
       val advisor = new WorkloadAdvisor(spark,
         new Materializations(spark, Some(graft.TempDirs.newDir("advisor_auto"))))
@@ -185,7 +189,10 @@ class WorkloadAdvisorSpec extends SparkSpec {
         case SkewSaltSubstitution(a) => a eq advisor
         case _ => false
       })
-    } finally spark.experimental.extraOptimizations = saved
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    }
   }
 
   test("hot-key interval join (multi-conjunct) is diagnosed and salted row-identically") {
@@ -266,18 +273,22 @@ class WorkloadAdvisorSpec extends SparkSpec {
       } finally savedConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
       // SERVE: confirmed right-hot fingerprint → second occurrence salted
-      val confirmed = advisor.autoSalt(hotShare = 0.2)
-      assert(confirmed.exists(_.side == "right"), s"not confirmed: $confirmed")
-      val served = naive()
-      assert(planOf(served).contains("__graft_salt"),
-        s"right-hot second occurrence not served:\n${planOf(served)}")
-      val expect = {
-        val s2 = spark.experimental.extraOptimizations
-        spark.experimental.extraOptimizations = saved
-        try naive().collect().map(_.toString).sorted
-        finally spark.experimental.extraOptimizations = s2
-      }
-      assert(served.collect().map(_.toString).sorted === expect)
+      // (AQE skew handling off for the serve step: policy covered below)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try {
+        val confirmed = advisor.autoSalt(hotShare = 0.2)
+        assert(confirmed.exists(_.side == "right"), s"not confirmed: $confirmed")
+        val served = naive()
+        assert(planOf(served).contains("__graft_salt"),
+          s"right-hot second occurrence not served:\n${planOf(served)}")
+        val expect = {
+          val s2 = spark.experimental.extraOptimizations
+          spark.experimental.extraOptimizations = saved
+          try naive().collect().map(_.toString).sorted
+          finally spark.experimental.extraOptimizations = s2
+        }
+        assert(served.collect().map(_.toString).sorted === expect)
+      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     } finally spark.experimental.extraOptimizations = saved
   }
 
@@ -297,38 +308,59 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(jf.isEmpty, s"illegal right-salt diagnosed anyway: $jf")
   }
 
-  test("serve policy defers moderate hot shares to AQE and serves dominant ones") {
+  test("serve policy defers AQE-splittable shapes and serves distribution-reuse shapes") {
     val saved = spark.experimental.extraOptimizations
     try {
       val advisor = new WorkloadAdvisor(spark,
         new Materializations(spark, Some(graft.TempDirs.newDir("advisor_pol"))))
-      // ~30% hot — the share where SCALE_r09 measured AQE's runtime split
-      // ahead of the pre-spread salt (1.13s vs 1.43s)
       val left = spark.range(0, 10000).select(
-        when(col("id") % 10 < 3, lit(7L)).otherwise(col("id") % 997 + 1000).as("k"),
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 997 + 1000).as("k"),
         col("id").as("v"))
       val right = spark.range(0, 2000).select(
         col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
-      def naive() = left.join(right, Seq("k"))
+      def plain() = left.join(right, Seq("k"))
+      // the same join feeding a groupBy ON THE JOIN KEY — the shape where
+      // AQE declines the skew split (it would break the co-partitioning
+      // the aggregate needs) and the salt is the only effective weapon
+      def reusing() = plain().groupBy("k")
+        .agg(count(lit(1)).as("n"), max(col("name")).as("nm"))
 
-      advisor.observe(naive())
-      // AQE skew handling ON (suite default): below the calibrated
-      // threshold the finding is deferred, visible, and NOT served
+      // plain shape with AQE skew handling ON (suite default): even a
+      // DOMINANT 90% share defers — SKEWBENCH_r10 measured AQE 2.10s vs
+      // salted 5.95s at the 90% share when the distribution is free
       assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
-      val confirmed = advisor.autoSalt(hotShare = 0.2)
-      assert(confirmed.isEmpty, s"moderate share served despite AQE: $confirmed")
-      assert(advisor.deferredToAqe.exists(f => f.hotKey == "7" && f.hotShare < 0.5))
-      assert(!planOf(naive()).contains("__graft_salt"))
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+      advisor.observe(plain())
+      val c1 = advisor.autoSalt(hotShare = 0.2)
+      assert(c1.isEmpty, s"AQE-splittable shape served anyway: $c1")
+      assert(advisor.deferredToAqe.exists(f => f.hotKey == "7" && f.hotShare > 0.85))
+      assert(!planOf(plain()).contains("__graft_salt"))
 
-      // AQE skew handling OFF: salting is the only weapon — same finding
-      // now serves
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      try {
-        val served = advisor.autoSalt(hotShare = 0.2)
-        assert(served.length === 1 && served.head.hotKey === "7")
-        assert(advisor.deferredToAqe.isEmpty)
-        assert(planOf(naive()).contains("__graft_salt"))
-      } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // observing the distribution-reusing consumer flips the policy: the
+      // same join fingerprint is now served salted (SKEWBENCH_r10: salted
+      // 5.10s vs AQE 9.97s ≈ naive 9.32s at the 90% share under reuse)
+      advisor.observe(reusing())
+      val c2 = advisor.autoSalt(hotShare = 0.2)
+      assert(c2.length === 1 && c2.head.hotKey === "7", s"reuse shape not served: $c2")
+      // the PLAIN fingerprint stays deferred (column pruning under the
+      // aggregate makes the reused join a distinct optimized shape, so each
+      // occurrence is arbitrated by its own context — exactly right: the
+      // plain join remains AQE's to split), while the served fingerprint
+      // left the deferred set
+      assert(advisor.deferredToAqe.forall(f => !c2.exists(_.fingerprint == f.fingerprint)))
+      assert(!planOf(plain()).contains("__graft_salt"),
+        "plain AQE-splittable occurrence got salted by the reuse confirmation")
+      val served = reusing()
+      assert(planOf(served).contains("__graft_salt"),
+        s"reuse shape not served salted:\n${planOf(served)}")
+      // row-identical through the downstream aggregate
+      val expect = {
+        val s2 = spark.experimental.extraOptimizations
+        spark.experimental.extraOptimizations = saved
+        try reusing().collect().map(_.toString).sorted
+        finally spark.experimental.extraOptimizations = s2
+      }
+      assert(served.collect().map(_.toString).sorted === expect)
     } finally spark.experimental.extraOptimizations = saved
   }
 
@@ -344,8 +376,12 @@ class WorkloadAdvisorSpec extends SparkSpec {
       spark.range(0, 2000).select(
         col("id").as("k"), concat(lit("dim_"), col("id")).as("name"))
         .createOrReplaceTempView("dims_sql")
+      // GROUP BY on the join key: a distribution-reuse shape, so the serve
+      // policy confirms it even with AQE skew handling on (the scripted
+      // path exercises the same reuse detection as the API path)
       val script =
-        "SELECT f.k, f.v, d.name FROM facts_sql f JOIN dims_sql d ON f.k = d.k;"
+        "SELECT f.k, count(*) AS n, max(d.name) AS nm " +
+          "FROM facts_sql f JOIN dims_sql d ON f.k = d.k GROUP BY f.k;"
 
       runner.run(script) // observed through the runner, not the API path
       val confirmed = advisor.autoSalt(hotShare = 0.2)
