@@ -1493,22 +1493,28 @@ object DataPipelineQueries {
     // no source may contribute more than K documents): selection is by
     // content-hash order — deterministic, seed-free, and stable under
     // reshuffling — and the report proves WHICH docs were kept (count +
-    // the max kept hash per source), not just how many. The per-source
-    // row_number window is bounded by the cap's purpose (a source's rows
-    // sort within its partition); a pathologically hot source is exactly
-    // what the workload advisor's window-argmax finding flags, and K being
-    // small admits the two-phase partial-top-K rewrite if it ever matters.
+    // the max kept hash per source), not just how many. SERVED by the
+    // bounded two-phase topk_min aggregate (VERDICT r9 #4: the previous
+    // per-source row_number window shuffled a source's ENTIRE row set to
+    // one task — a source holding 30% of a 100 TB corpus is the skewed
+    // case ScaleUp models): the map-side partial keeps ≤K (hash, doc_id)
+    // pairs per source per partition, the shuffle carries only those
+    // partials, and the final merge is O(K) per source — a hot source
+    // costs the same shuffle bytes as a cold one. The DuckDB oracle BELOW
+    // still computes the window form, so every run cross-checks the
+    // two-phase plan against the plan it replaced.
     Q("q97_source_cap", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val K = 10
-      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val topk = graft.functions.TopKAggregate.topKMin(s) _
       t(s, dir, "documents")
         .withColumn("h", md5(col("text")))
-        .withColumn("rn", row_number().over(w))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_total"),
-          sum(when(col("rn") <= K, 1).otherwise(0)).cast("long").as("n_kept"),
-          max(when(col("rn") <= K, col("h"))).as("max_kept_hash"))
+          topk(struct(col("h"), col("doc_id")), K).as("__kept"))
+        .select(col("source"), col("n_total"),
+          least(col("n_total"), lit(K.toLong)).cast("long").as("n_kept"),
+          element_at(col("__kept"), size(col("__kept")))
+            .getField("h").as("max_kept_hash"))
         .orderBy(col("source"))
     }, Some("""
       WITH r AS (

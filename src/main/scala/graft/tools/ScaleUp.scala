@@ -53,6 +53,15 @@ object ScaleUp {
     "orders" -> SkewTarget("o_custkey", "o_orderkey", "customer", "c_custkey"),
     "events" -> SkewTarget("user_id", "event_id", "events", "user_id"))
 
+  /** documents (r10): ~HotFrac of docs remapped onto ONE source string —
+    * the hot-domain regime (a single domain holding 30% of a web corpus is
+    * routine zipf) that per-source operators (q95 gates, q97 capping) must
+    * stay flat on. Selection by pmod(doc_id, 100): deterministic, no RNG. */
+  def skewDocumentSource(df: DataFrame, hotSource: String): DataFrame =
+    df.withColumn("source",
+      when(pmod(col("doc_id"), lit(100)) < lit((HotFrac * 100).toInt),
+        lit(hotSource)).otherwise(col("source")))
+
   /** Remap ~HotFrac of `name`'s rows onto one hot key (already-scaled frame;
     * `hotKey` must be a post-remap key value that exists on the dim side). */
   def skewTable(df: DataFrame, name: String, hotKey: Long): DataFrame =
@@ -112,6 +121,10 @@ object ScaleUp {
           .agg(min(col(t.dimKey))).head.getLong(0) * k
         scaled = skewTable(scaled, name, hot)
       }
+      if (mode == "skewed" && name == "documents") {
+        val hotSrc = src.agg(min(col("source"))).head.getString(0)
+        scaled = skewDocumentSource(scaled, hotSrc)
+      }
       // more output files than the source so downstream scans parallelize
       // like a real K×-larger table would (one giant file would serialize)
       val parts = if (verbatim.contains(name)) 1 else math.min(32, 4 * k)
@@ -120,13 +133,18 @@ object ScaleUp {
       val (a, b) = (spark.read.parquet(s"$outDir/$name.parquet").count(), src.count())
       val want = if (verbatim.contains(name)) b else b * k
       require(a == want, s"$name: scaled rows $a != expected $want")
-      if (mode == "skewed" && skewTargets.contains(name)) {
-        val t = skewTargets(name)
-        val top = graft.ops.ScaleOps.keySkewProfile(
-          spark.read.parquet(s"$outDir/$name.parquet"), t.fk, 1).head
-        println(s"[scaleup] $name: $b -> $a rows; hot ${t.fk}=${top.get(0)} " +
-          s"share=${top.getAs[Double]("share")}")
-      } else println(s"[scaleup] $name: $b -> $a rows")
+      val profiledKey =
+        if (mode == "skewed" && skewTargets.contains(name)) Some(skewTargets(name).fk)
+        else if (mode == "skewed" && name == "documents") Some("source")
+        else None
+      profiledKey match {
+        case Some(fk) =>
+          val top = graft.ops.ScaleOps.keySkewProfile(
+            spark.read.parquet(s"$outDir/$name.parquet"), fk, 1).head
+          println(s"[scaleup] $name: $b -> $a rows; hot $fk=${top.get(0)} " +
+            s"share=${top.getAs[Double]("share")}")
+        case None => println(s"[scaleup] $name: $b -> $a rows")
+      }
     }
   }
 

@@ -55,12 +55,15 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(q96.contains("TakeOrderedAndProject"), s"q96 lost TakeOrdered:\n$q96")
     assert(!q96.contains("Window"), s"q96 grew a window:\n$q96")
-    // q97: the cap's window must stay PARTITIONED (a partition-less window
-    // serializes the corpus through one task)
+    // q97: the cap is a two-phase bounded top-K aggregate — NO window at
+    // all (r10: the per-source window serialized a hot source through one
+    // task; partial_topk_min keeps ≤K elements map-side, so the shuffle
+    // carries partials, not the source's row set)
     val q97 = SparkEntry.queries("q97_source_cap")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(q97.contains("Window [") && q97.contains("windowspecdefinition(source"),
-      s"q97 window not partitioned by source:\n$q97")
+    assert(!q97.contains("Window"), s"q97 regressed to a window:\n$q97")
+    assert(q97.contains("ObjectHashAggregate") && q97.contains("partial_topk_min"),
+      s"q97 not a two-phase bounded aggregate:\n$q97")
     // q98: the eval side must BROADCAST (the design that keeps the exact
     // cosine pass linear in the train corpus) — the nested-loop join is the
     // intended shape here, whitelisted above
