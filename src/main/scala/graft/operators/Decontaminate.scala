@@ -178,15 +178,45 @@ object Decontaminate {
     * shuffle of train rows at all (the only exchange is the per-eval-vec
     * aggregation of hit counts, bounded by |eval|). An LSH prefilter would
     * only save compute at the cost of recall on the exact class of pair
-    * this report exists to catch (barely-above-threshold paraphrases). */
+    * this report exists to catch (barely-above-threshold paraphrases).
+    *
+    * GUARD (VERDICT r9 #5): the broadcast is correct only while eval is
+    * small — its defining property, but nothing used to enforce it, and an
+    * oversized "eval" frame would OOM the driver/executors rather than
+    * degrade. Eval's row count is now probed with a bounded
+    * `limit(max+1).count()` (never a full scan of a huge frame); past
+    * `maxBroadcastEvalRows` the compare falls back to a BLOCKED exact
+    * equi-join (the `cosinePairsAboveBlocked` pattern): train rows hash
+    * into `fallbackBuckets` buckets (each train row in exactly one bucket,
+    * so every pair is compared exactly once), eval is replicated once per
+    * bucket, and the pairwise compare becomes a shuffled equi-join on the
+    * bucket id — train is still read once, per-task state spills instead
+    * of OOMing, and the report is identical. */
   def semanticOverlapReport(train: DataFrame, eval: DataFrame, idCol: String,
-                            vecCol: String, threshold: Double): DataFrame = {
+                            vecCol: String, threshold: Double,
+                            maxBroadcastEvalRows: Long = 1000000L,
+                            fallbackBuckets: Int = 64): DataFrame = {
     import graft.functions.VectorFunctions.asDouble
     val spark = train.sparkSession
     val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
     val tr = train.select(col(idCol).as("__tid"), asDouble(col(vecCol)).as("__tv"))
     val ev = eval.select(col(idCol).as("eval_vec"), asDouble(col(vecCol)).as("__ev"))
-    tr.crossJoin(broadcast(ev))
+    val probeLimit = math.min(maxBroadcastEvalRows, Int.MaxValue - 1L).toInt + 1
+    val evalRows = ev.limit(probeLimit).count()
+    val paired =
+      if (evalRows <= maxBroadcastEvalRows) tr.crossJoin(broadcast(ev))
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semanticOverlapReport: eval side exceeds $maxBroadcastEvalRows rows; " +
+            s"using the blocked equi-join fallback ($fallbackBuckets buckets) " +
+            "instead of broadcasting")
+        val trB = tr.withColumn("__b",
+          pmod(hash(col("__tid")), lit(fallbackBuckets)))
+        val evB = ev.withColumn("__b",
+          explode(sequence(lit(0), lit(fallbackBuckets - 1))))
+        trB.join(evB, Seq("__b")).drop("__b")
+      }
+    paired
       .withColumn("__sim", cos(col("__tv"), col("__ev")))
       .filter(col("__sim") >= threshold)
       .groupBy(col("eval_vec"))

@@ -74,8 +74,17 @@ object DedupStream {
     * decontamination tap). This is the batch q51/q52/q84 surface running
     * INSIDE ingestion: at 100 TB the quality profile of a wave is known the
     * day it lands, from the scan the dedup indexer was doing anyway — the
-    * only addition is one tiny aggregation over per-doc gate outcomes. */
-  final case class GateTap(reportDir: String, groupCol: String = "source")
+    * only addition is one tiny aggregation over per-doc gate outcomes.
+    *
+    * `gates` (VERDICT r9 #6) is the report's column set: named AGGREGATE
+    * expressions evaluated per `groupCol` group over the raw batch (they
+    * reference the text column themselves). Empty = [[defaultGates]]
+    * (doc count, avg quality, distinct languages, email/phone counts).
+    * New gates — the Gopher repetition gate ([[gopherGate]]), redaction
+    * counts, anything expressible as an aggregate Column — ride the same
+    * ingest fold without touching this file. */
+  final case class GateTap(reportDir: String, groupCol: String = "source",
+                           gates: Seq[(String, org.apache.spark.sql.Column)] = Nil)
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,7 +164,7 @@ object DedupStream {
       val spark = batch.sparkSession
       val fs = fsOf(spark, stateDir)
       gates.foreach { g =>
-        gateReport(batch, textCol, g.groupCol)
+        gateReport(batch, textCol, g.groupCol, g.gates)
           .write.mode("overwrite").parquet(s"${g.reportDir}/b_$batchId")
       }
       tap.foreach { t =>
@@ -199,25 +208,45 @@ object DedupStream {
       } finally batchIdx.unpersist()
   }
 
-  /** The per-batch gate report: one row per `groupCol` value with document
-    * count, average quality, distinct predicted languages, and PII counts —
-    * the q52/q84 aggregation grain, computed from map-only per-doc gate
-    * projections (no join, one tiny shuffle of gate outcomes). Exposed so
-    * batch callers and specs can compute the identical frame. */
-  def gateReport(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+  /** The default gate set: document count, average quality, distinct
+    * predicted languages, and PII counts — the q52/q84 aggregation grain.
+    * All inputs are map-only codegen'd [[graft.functions.TextFunctions]]
+    * projections, so the report costs one tiny shuffle of gate outcomes. */
+  def defaultGates(textCol: String): Seq[(String, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
-    docs.select(col(groupCol),
-        TextFunctions.langId(col(textCol)).as("lang_pred"),
-        TextFunctions.qualityScore(col(textCol)).as("quality"),
-        TextFunctions.emailCount(col(textCol)).as("ne"),
-        TextFunctions.phoneCount(col(textCol)).as("np"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 6).as("avg_quality"),
-        countDistinct(col("lang_pred")).as("n_langs"),
-        sum(col("ne")).cast("long").as("n_emails"),
-        sum(col("np")).cast("long").as("n_phones"))
+    Seq(
+      "n_docs" -> count(lit(1)),
+      "avg_quality" -> round(avg(TextFunctions.qualityScore(col(textCol))), 6),
+      "n_langs" -> countDistinct(TextFunctions.langId(col(textCol))),
+      "n_emails" -> sum(TextFunctions.emailCount(col(textCol))).cast("long"),
+      "n_phones" -> sum(TextFunctions.phoneCount(col(textCol))).cast("long"))
+  }
+
+  /** The Gopher-style repetition gate as a pluggable GateTap column: number
+    * of documents whose top token occupies > 10 % of the text (q83's
+    * integer-exact `best*10 > n` rule — the map-side run-length-max over the
+    * sorted token array, no shuffle added). */
+  def gopherGate(textCol: String): (String, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col(textCol))
+    "n_repetitive" -> sum(
+      when(TextFunctions.topTokenCount(toks) * 10 > size(toks).cast("long"), 1)
+        .otherwise(0)).cast("long")
+  }
+
+  /** The per-batch gate report: one row per `groupCol` value carrying each
+    * gate's aggregate (default set when `gates` is empty). Exposed so batch
+    * callers and specs can compute the identical frame. */
+  def gateReport(docs: DataFrame, textCol: String, groupCol: String,
+                 gates: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val gs = if (gates.isEmpty) defaultGates(textCol) else gates
+    docs.groupBy(col(groupCol))
+      .agg(gs.head._2.as(gs.head._1),
+        gs.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Wire a streaming document source into the maintenance sink. The caller

@@ -106,4 +106,34 @@ class DecontaminateSpec extends SparkSpec {
     assert(v2 === Some(None))
     assert(Decontaminate.loadEvalFilter(spark, dir, "v2") === Some(None))
   }
+
+  test("semantic report: oversized eval trips the guard and the blocked fallback is report-identical") {
+    val em = graft.Tables(spark, graft.SparkSpec.sfDir, "embeddings")
+    val train = em.filter(Sampling.splitBucket(
+      org.apache.spark.sql.functions.col("vec_id")) < 80)
+    val eval = em.filter(Sampling.splitBucket(
+      org.apache.spark.sql.functions.col("vec_id")) >= 80)
+
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // default path: eval broadcasts (the q98 plan shape)
+    val viaBroadcast =
+      Decontaminate.semanticOverlapReport(train, eval, "vec_id", "embedding", 0.4)
+    assert(planOf(viaBroadcast).contains("BroadcastNestedLoopJoin"))
+
+    // guard trips: same eval now "oversized" via a tiny threshold — the
+    // compare must degrade to the blocked equi-join (no broadcast of eval,
+    // no cartesian), not OOM, and the report must be identical
+    val viaBlocked = Decontaminate.semanticOverlapReport(
+      train, eval, "vec_id", "embedding", 0.4,
+      maxBroadcastEvalRows = 3, fallbackBuckets = 8)
+    val p = planOf(viaBlocked)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"oversized eval still broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fallback went cartesian:\n$p")
+    assert(rows(viaBlocked) === rows(viaBroadcast))
+  }
 }
