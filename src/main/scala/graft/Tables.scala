@@ -68,15 +68,29 @@ object Tables {
   /** Last-resort NTZ guard: if a frame still carries TIMESTAMP_NTZ columns
     * (inference conf ignored, or an upstream already materialized the NTZ
     * schema), cast them to session-zone TimestampType (UTC session → same
-    * micros). Normally a no-op — the inferTimestampNTZ conf above handles it
-    * at schema-inference time, which is cheaper (pushdown survives). */
+    * micros). Recurses into struct/array/map types (ADVICE r9: a nested NTZ
+    * field — possible if a future testdata regen nests timestamps — must
+    * not slip through the guard that exists for exactly that drift). A
+    * whole-column cast to the rewritten type converts every nested
+    * occurrence in one expression. Normally a no-op — the inferTimestampNTZ
+    * conf above handles it at schema-inference time, which is cheaper
+    * (pushdown survives). */
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    if (!df.schema.exists(_.dataType == TimestampNTZType)) df
-    else df.select(df.schema.fields.map { f =>
-      if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
-      else col(f.name)
+    import org.apache.spark.sql.types._
+    def rewrite(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = rewrite(f.dataType))))
+      case a: ArrayType => a.copy(elementType = rewrite(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = rewrite(m.keyType), valueType = rewrite(m.valueType))
+      case other => other
+    }
+    val rewritten = df.schema.fields.map(f => f -> rewrite(f.dataType))
+    if (rewritten.forall { case (f, dt) => f.dataType == dt }) df
+    else df.select(rewritten.map { case (f, dt) =>
+      if (f.dataType == dt) col(f.name) else col(f.name).cast(dt).as(f.name)
     }.toSeq: _*)
   }
 

@@ -241,7 +241,15 @@ final class SqlScriptRunner(spark: SparkSession,
         // candidates and equi-joins become skew-diagnosis candidates, the
         // same as API-path queries — the reference's monitor watches every
         // query, not just a favored entry point (readme.md:381-389). A
-        // driver-side plan walk; no data is touched.
+        // driver-side plan walk; no data is touched. COST (ADVICE r9):
+        // observe() forces full optimization of every scripted SELECT at
+        // script-run time (it walks queryExecution.optimizedPlan), roughly
+        // doubling driver planning work on this path even when the result
+        // is never consumed — accepted by design: scripted statements are
+        // few and driver-side, and observing at run time (not first action)
+        // is what lets a script's LAST statement benefit from shapes its
+        // EARLIER statements established. Run scripts with advisor = None
+        // to opt out.
         advisor.foreach(_.observe(df))
         Some(df)
       } else None

@@ -55,6 +55,35 @@ class NtzRobustnessSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("NTZ nested inside a struct/array is normalized too, value-identical") {
+    // ADVICE r9: the last-resort guard previously rewrote only TOP-LEVEL
+    // NTZ columns; a nested occurrence (possible if a future regen nests
+    // timestamps) passed through untouched. Write a corpus with ts nested
+    // both ways and load it through the same Tables path.
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.newDir("ntz_nested")
+    sf("events").limit(500)
+      .select(col("event_id"),
+        struct(col("ts").cast(TimestampNTZType).as("inner_ts"),
+          col("user_id")).as("meta"),
+        array(col("ts").cast(TimestampNTZType)).as("ts_arr"))
+      .write.mode("overwrite").parquet(s"$dir/nested.parquet")
+    val back = Tables(spark, dir, "nested")
+    assert(back.schema("meta").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("inner_ts").dataType == TimestampType)
+    assert(back.schema("ts_arr").dataType ==
+      org.apache.spark.sql.types.ArrayType(TimestampType, containsNull = true) ||
+      back.schema("ts_arr").dataType ==
+        org.apache.spark.sql.types.ArrayType(TimestampType, containsNull = false),
+      s"array element not normalized: ${back.schema("ts_arr").dataType}")
+    val expect = sf("events").limit(500)
+      .selectExpr("min(ts)", "max(ts)").head.toSeq
+    assert(back.selectExpr("min(meta.inner_ts)", "max(meta.inner_ts)")
+      .head.toSeq === expect)
+    assert(back.selectExpr("min(ts_arr[0])", "max(ts_arr[0])")
+      .head.toSeq === expect)
+  }
+
   test("q36_sessions (the round-8 casualty) executes green on NTZ events") {
     val rows = SparkEntry.queries("q36_sessions")(spark, ntzDir).collect()
     assert(rows.nonEmpty)
