@@ -68,6 +68,39 @@ object DataPipelineQueries {
   private val streamGateFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q99/q100's mutated snapshot store, memoized per (session, sf dir): a
+    * documents table taken through the full row-level-DML life cycle —
+    * UPDATE (every 10th doc's text), merge-on-read DELETE (the 'de' split,
+    * an equality-delete file, no rewrite), MERGE INTO (every 50th doc
+    * replaced + 5 new ids) — so q99 reads the final reconstructed state and
+    * q100 reads the v0→v3 CDC changelog. Holds (root, v0, v3). */
+  private val dmlFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  private[graft] def dmlFixture(s: SparkSession, dir: String): (String, Long, Long) =
+    dmlFixtures.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
+      import graft.sources.SnapshotTable
+      val r = graft.TempDirs.newDir("graft_dml")
+      val st = new SnapshotTable(s, r)
+      val d = t(s, dir, "documents")
+      val v0 = st.commit(d)
+      st.update(col("doc_id") % 10 === 0,
+        Map("text" -> concat(lit("UPDATED: "), col("text"))))
+      st.deleteWhereMor(col("lang") === "de", "doc_id")
+      val mergeSrc = d.filter(col("doc_id") % 50 === 0)
+        .withColumn("text", concat(lit("MERGED:"), col("doc_id").cast("string")))
+        .unionByName(d.filter(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("text", lit("NEWDOC")))
+      val v3 = st.merge(mergeSrc, "doc_id")
+      (r, v0, v3)
+    })
+
+  /** q101's rolled-back store: v0 = even ids, v1 = overwrite to ids %4 = 0,
+    * then rollback to v0's content as a new head version. */
+  private val rollbackFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1556,7 +1589,122 @@ object DataPipelineQueries {
       FROM ev JOIN tr
         ON list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
                                   CAST(tr.embedding AS DOUBLE[])) >= 0.4
-      GROUP BY ev.vec_id"""))
+      GROUP BY ev.vec_id""")),
+
+    // Row-level DML life cycle (S3/S4 + M-family; Iceberg v2 semantics on
+    // the snapshot stand-in): UPDATE…WHERE, then a MERGE-ON-READ DELETE (an
+    // equality-delete FILE — a takedown of the 'de' split writes keys, not
+    // a table rewrite; readers resolve it as a broadcast anti-join over the
+    // base scan), then MERGE INTO (matched rows replaced, unmatched
+    // inserted). The query reads the final reconstructed table; the oracle
+    // replays all three mutations declaratively in DuckDB — so commit
+    // ordering, delete-file resolution, and merge key semantics are all in
+    // the value compare. At 100 TB: the delete costs kilobytes until
+    // compact() folds it, and the merge's anti-join build side is the small
+    // delta's key projection.
+    Q("q99_row_level_dml", (s, dir) => {
+      val (root, _, _) = dmlFixture(s, dir)
+      new graft.sources.SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_len"))
+    }, Some(s"""
+      WITH $dmlV3Cte
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len
+      FROM v3 GROUP BY lang""")),
+
+    // CDC changelog between snapshots (the create_changelog_view /
+    // incremental-read contract): every row of the v0→v3 diff keyed on
+    // doc_id, classed insert / delete / update_preimage / update_postimage.
+    // The consumer this models is incremental downstream maintenance at
+    // 100 TB — re-embed only update_postimage+insert rows, retract deleted
+    // doc_ids from indexes — instead of re-reading the corpus. The oracle
+    // reconstructs both snapshots and diffs them with plain SQL joins, so
+    // the changelog's classification logic itself is value-checked.
+    Q("q100_cdc_changes", (s, dir) => {
+      val (root, v0, v3) = dmlFixture(s, dir)
+      new graft.sources.SnapshotTable(s, root).changes(v0, v3, "doc_id")
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_len"))
+    }, Some(s"""
+      WITH $dmlV3Cte,
+      v0 AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      pre AS (
+        SELECT b.doc_id, b.text,
+               CASE WHEN a.doc_id IS NULL THEN 'delete'
+                    ELSE 'update_preimage' END AS _change_type
+        FROM v0 b LEFT JOIN v3 a ON b.doc_id = a.doc_id
+        WHERE a.doc_id IS NULL
+           OR NOT (b.text = a.text AND b.lang = a.lang
+                   AND b.source = a.source AND b.n_chars = a.n_chars)),
+      post AS (
+        SELECT a.doc_id, a.text,
+               CASE WHEN b.doc_id IS NULL THEN 'insert'
+                    ELSE 'update_postimage' END AS _change_type
+        FROM v3 a LEFT JOIN v0 b ON b.doc_id = a.doc_id
+        WHERE b.doc_id IS NULL
+           OR NOT (b.text = a.text AND b.lang = a.lang
+                   AND b.source = a.source AND b.n_chars = a.n_chars))
+      SELECT _change_type, count(*) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len
+      FROM (SELECT * FROM pre UNION ALL SELECT * FROM post)
+      GROUP BY _change_type""")),
+
+    // ROLLBACK to a previous snapshot (rollback_to_snapshot): the head moves
+    // to v0's content as a NEW version — history is preserved, which the
+    // n_rollbacks column (counted from the commit log) pins into the value
+    // compare alongside the restored content.
+    Q("q101_rollback", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = rollbackFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_rb")
+          val st0 = new SnapshotTable(s, r)
+          val d = t(s, dir, "documents")
+          val v0 = st0.commit(d.filter(col("doc_id") % 2 === 0))
+          st0.commit(d.filter(col("doc_id") % 4 === 0))
+          st0.rollback(v0)
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val rollbacks = st.history()
+        .agg(count(when(col("operation").startsWith("rollback-to"), 1))
+          .as("n_rollbacks"))
+      st.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .crossJoin(rollbacks)
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(1 AS BIGINT) AS n_rollbacks
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang"""))
   )
+
+  /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed
+    * declaratively — v1 = UPDATE every 10th doc, v2 = DELETE the 'de' split,
+    * v3 = MERGE (replace every 50th doc, insert 5 new ids). */
+  private def dmlV3Cte: String = """v1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'UPDATED: ' || text
+                    ELSE text END AS text,
+               lang, source, n_chars
+        FROM documents),
+      v2 AS (SELECT * FROM v1 WHERE lang <> 'de'),
+      mergesrc AS (
+        SELECT doc_id, 'MERGED:' || CAST(doc_id AS VARCHAR) AS text,
+               lang, source, n_chars
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'NEWDOC' AS text,
+               lang, source, n_chars
+        FROM documents WHERE doc_id < 5),
+      v3 AS (
+        SELECT * FROM v2 WHERE doc_id NOT IN (SELECT doc_id FROM mergesrc)
+        UNION ALL SELECT * FROM mergesrc)"""
 
 }

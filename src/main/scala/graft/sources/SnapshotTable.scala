@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Lightweight snapshot/time-travel table (SURVEY.md §2.3 S3/S4, §2.11 X2):
@@ -24,6 +24,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def metaPath = Paths.get(root, "_graft_meta.jsonl")
 
+  /** Op marker for merge-on-read equality-delete commits: the version dir
+    * holds only the deleted KEYS, not a full data copy (see [[deleteWhereMor]]). */
+  private val MorDeleteOp = "mor-delete"
+
   private def readMeta(): Seq[(Long, Long, String, Long)] =
     if (!Files.exists(metaPath)) Nil
     else {
@@ -33,6 +37,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         (m(0).toLong, m(1).toLong, m(2), m(3).toLong)
       }
     }
+
+  private def appendMeta(version: Long, op: String, rows: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(metaPath,
+      s"$version,${System.currentTimeMillis()},$op,$rows\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
 
   def currentVersion: Option[Long] = readMeta().lastOption.map(_._1)
 
@@ -51,18 +62,31 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     data.write.mode("overwrite").parquet(s"$root/v=$next")
     val rows = spark.read.parquet(s"$root/v=$next").count()
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(metaPath,
-      s"$next,${System.currentTimeMillis()},$op,$rows\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendMeta(next, op, rows)
     next
   }
 
-  /** Read latest, or `VERSION AS OF` when a version is given. */
+  /** Read latest, or `VERSION AS OF` when a version is given.
+    *
+    * A version whose op is `mor-delete` is RECONSTRUCTED: the nearest
+    * preceding full-data snapshot, minus every equality-delete file
+    * committed after it (each applied as a broadcast anti-join — the delete
+    * sets are small by the mode's own selection criterion, so the plan is a
+    * map-only scan over the base with no data-side shuffle). */
   def read(versionAsOf: Option[Long] = None): DataFrame = {
-    val v = versionAsOf.orElse(currentVersion)
+    val meta = readMeta()
+    val v = versionAsOf.orElse(meta.lastOption.map(_._1))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    spark.read.parquet(s"$root/v=$v")
+    val upTo = meta.filter(_._1 <= v)
+    require(upTo.exists(_._1 == v), s"no snapshot v=$v at $root")
+    val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
+    require(baseIdx >= 0, s"no full-data base snapshot at or before v=$v at $root")
+    val base = spark.read.parquet(s"$root/v=${upTo(baseIdx)._1}")
+    upTo.drop(baseIdx + 1).foldLeft(base) { case (df, (dv, _, _, _)) =>
+      val del = spark.read.parquet(s"$root/v=$dv")
+      val key = del.columns.head // delete file's single column IS the key name
+      df.join(broadcast(del), Seq(key), "left_anti")
+    }
   }
 
   /** `TIMESTAMP AS OF`: latest snapshot committed at or before tsMillis. */
@@ -80,10 +104,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** X2 — expire old snapshots, keeping the most recent `keep` versions
-    * (mirror of Iceberg's expire_snapshots). */
+    * (mirror of Iceberg's expire_snapshots). If the oldest kept version is a
+    * merge-on-read delete, retention extends back to its full-data base —
+    * expiring the base would orphan the delete files (Iceberg likewise keeps
+    * every file a live snapshot still references). */
   def expireSnapshots(keep: Int): Seq[Long] = {
     val meta = readMeta()
-    val expire = meta.dropRight(keep).map(_._1)
+    val keptFrom = {
+      val cut = math.max(meta.length - keep, 0)
+      val baseIdx = meta.lastIndexWhere(m => m._3 != MorDeleteOp, cut)
+      if (cut < meta.length && meta(cut)._3 == MorDeleteOp && baseIdx >= 0) baseIdx
+      else cut
+    }
+    val keep2 = meta.length - keptFrom
+    val expire = meta.dropRight(keep2).map(_._1)
     expire.foreach { v =>
       val dir = Paths.get(root, s"v=$v")
       if (Files.exists(dir)) {
@@ -91,7 +125,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           .forEach(p => Files.delete(p))
       }
     }
-    val remaining = meta.takeRight(keep)
+    val remaining = meta.takeRight(keep2)
     val content = remaining.map { case (v, t, o, r) => s"$v,$t,$o,$r" }
       .mkString("", "\n", if (remaining.nonEmpty) "\n" else "")
     Files.writeString(metaPath, content,
@@ -100,7 +134,102 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** X2 — compaction (mirror of rewrite_data_files bin-packing): rewrite the
-    * current version's data as `targetFiles` files in a new snapshot. */
+    * current version's data as `targetFiles` files in a new snapshot. Also
+    * folds any outstanding merge-on-read delete files into the new full base
+    * (read() resolves them), exactly as Iceberg compaction does. */
   def compact(targetFiles: Int): Long =
     commit(read().coalesce(targetFiles), op = "compact")
+
+  // ── Row-level DML (Iceberg v2 semantics; reference: readme.md:361-370 the
+  //    snapshot/history surface these ops write to, media_ai.sql:49 the
+  //    truncate form). Two write modes, mirroring Iceberg's table-write modes:
+  //    COPY-ON-WRITE rewrites survivors as a full snapshot — right when a
+  //    mutation touches a large fraction of the table (the rewrite costs a
+  //    compaction anyway); MERGE-ON-READ commits only the matching keys as an
+  //    equality-delete file — right for small deletes over a huge table (a
+  //    takedown of 1k docs from a 100 TB corpus writes kilobytes, not 100 TB),
+  //    with readers paying one broadcast anti-join until compact() folds the
+  //    deletes into a new base.
+
+  /** DELETE FROM … WHERE, copy-on-write: survivors become the new snapshot. */
+  def deleteWhere(pred: Column): Long =
+    commit(read().filter(!pred), op = "cow-delete")
+
+  /** DELETE FROM … WHERE, merge-on-read: commits ONLY the distinct matching
+    * `keyCol` values (an Iceberg-style equality-delete file; the file's
+    * single column name records the key). `rows` in the commit log is the
+    * delete-key count, not a table row count. Keys must identify rows
+    * uniquely for delete semantics to match the copy-on-write form. */
+  def deleteWhereMor(pred: Column, keyCol: String): Long = {
+    val prev = currentVersion
+      .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
+    val next = prev + 1
+    read().filter(pred).select(keyCol).distinct()
+      .write.mode("overwrite").parquet(s"$root/v=$next")
+    val n = spark.read.parquet(s"$root/v=$next").count()
+    appendMeta(next, MorDeleteOp, n)
+    next
+  }
+
+  /** UPDATE … SET col = expr, … WHERE pred (copy-on-write): each assignment
+    * applies only where `pred` holds; all other rows pass through. */
+  def update(pred: Column, set: Map[String, Column]): Long = {
+    val updated = set.foldLeft(read()) { case (df, (c, expr)) =>
+      df.withColumn(c, when(pred, expr).otherwise(col(c)))
+    }
+    commit(updated, op = "update")
+  }
+
+  /** MERGE INTO (upsert) keyed on `keyCol`: WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED THEN INSERT *. Source rows replace matching target
+    * rows wholesale and are appended when unmatched. The anti-join's build
+    * side is the source's key projection — for the typical small-delta
+    * merge, AQE broadcasts it and the target is never shuffled. */
+  def merge(source: DataFrame, keyCol: String): Long = {
+    val merged = read().join(source.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(source, allowMissingColumns = true)
+    commit(merged, op = "merge")
+  }
+
+  /** Roll back to a previous version's content, as a NEW snapshot (mirror of
+    * Iceberg's rollback_to_snapshot: history is preserved, the table head
+    * moves). */
+  def rollback(toVersion: Long): Long =
+    commit(read(Some(toVersion)), op = s"rollback-to-$toVersion")
+
+  /** CDC changelog between two snapshots, keyed on `keyCol` (assumed unique
+    * per snapshot — a primary key): every output row is a row of `fromV` or
+    * `toV` plus a `_change_type` column in {insert, delete, update_preimage,
+    * update_postimage} (the Iceberg create_changelog_view contract). Updates
+    * are detected by comparing a fingerprint over the non-key columns, so a
+    * key present on both sides with identical content emits nothing. */
+  def changes(fromV: Long, toV: Long, keyCol: String): DataFrame = {
+    val before = read(Some(fromV))
+    val after = read(Some(toV))
+    def fp(df: DataFrame): DataFrame = {
+      val others = df.columns.filterNot(_ == keyCol).sorted
+      df.withColumn("__fp", md5(concat_ws("\u0001",
+        others.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    }
+    val b = fp(before)
+    val a = fp(after)
+    val aKeyFp = a.select(col(keyCol), col("__fp"))
+    val bKeyFp = b.select(col(keyCol), col("__fp"))
+    val aKeys = a.select(col(keyCol))
+    val bKeys = b.select(col(keyCol))
+    // rows of `before` that changed or vanished: content (key,fp) absent in
+    // `after`; key still present → update_preimage, key gone → delete.
+    val pre = b.join(aKeyFp, Seq(keyCol, "__fp"), "left_anti")
+    val preTagged = pre.join(aKeys, Seq(keyCol), "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+      .unionByName(pre.join(aKeys, Seq(keyCol), "left_anti")
+        .withColumn("_change_type", lit("delete")))
+    // rows of `after` that are new or rewritten: mirrored construction.
+    val post = a.join(bKeyFp, Seq(keyCol, "__fp"), "left_anti")
+    val postTagged = post.join(bKeys, Seq(keyCol), "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+      .unionByName(post.join(bKeys, Seq(keyCol), "left_anti")
+        .withColumn("_change_type", lit("insert")))
+    preTagged.unionByName(postTagged).drop("__fp")
+  }
 }

@@ -19,9 +19,12 @@ class PlanAuditSpec extends SparkSpec {
     // q48 is a blocked equi-join since round 3 — no longer whitelisted
     "q47_ann_lsh",          // embeds the exact baseline for its recall audit
     "q49b_ann_ivf_recall",  // embeds the exact baseline for its recall audit
-    "q98_semantic_decontam" // train × BROADCAST eval: |eval| bounded, the
+    "q98_semantic_decontam", // train × BROADCAST eval: |eval| bounded, the
                             // compare is map-only over the train scan — the
                             // deliberate exact-recall decontamination design
+    "q101_rollback"         // × a ONE-ROW scalar (the commit log's rollback
+                            // count) — a broadcast of a single row, constant
+                            // cost at any table size
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {
@@ -71,6 +74,30 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(q98.contains("BroadcastNestedLoopJoin"), s"q98 eval not broadcast:\n$q98")
     assert(!q98.contains("CartesianProduct"), s"q98 fell back to cartesian:\n$q98")
+  }
+
+  test("round-10 row-level DML reads keep their scale-sane physical shapes") {
+    // The merge-on-read equality-delete resolves as a BROADCAST anti-join
+    // over the base scan — the delete file is small by the mode's own
+    // selection criterion, so the base data side must never shuffle to
+    // apply it (a takedown delete's read cost at 100 TB is one map-side
+    // probe, not a join shuffle). q99's LATEST version is a full base again
+    // (the MERGE materialized the outstanding deletes — the lifecycle
+    // working as designed), so the shape is pinned on the mid-lifecycle
+    // version that still carries the delete file.
+    val (root, _, _) = DataPipelineQueries.dmlFixture(spark, sfDir)
+    val st = new graft.sources.SnapshotTable(spark, root)
+    val morV = st.history().orderBy("version").collect()
+      .filter(_.getString(2) == "mor-delete").map(_.getLong(0)).last
+    val plan = st.read(Some(morV)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"mor-delete read not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"mor-delete read shuffled the base side:\n$plan")
+    // and the full-lifecycle latest read is back to a bare scan: no join
+    // residue after the merge rewrote a full base.
+    val latest = st.read().queryExecution.executedPlan.toString
+    assert(!latest.contains("Join"), s"post-merge latest read kept a join:\n$latest")
   }
 
   test("dimension joins broadcast instead of shuffling the fact side") {

@@ -43,6 +43,94 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.history().filter(col("operation") === "compact").count() === 1)
   }
 
+  test("row-level DML: cow-delete ≡ mor-delete; update; merge upsert; rollback") {
+    import spark.implicits._
+    def seed = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "v", "score")
+    // COW and MOR deletes of the same predicate must read back identically.
+    val cowRoot = Files.createTempDirectory("dml_cow").toFile.getAbsolutePath
+    val morRoot = Files.createTempDirectory("dml_mor").toFile.getAbsolutePath
+    val cow = new SnapshotTable(spark, cowRoot)
+    val mor = new SnapshotTable(spark, morRoot)
+    cow.commit(seed); mor.commit(seed)
+    cow.deleteWhere(col("score") >= 30)
+    mor.deleteWhereMor(col("score") >= 30, "id")
+    val expectSurvivors = Set((1L, "a", 10), (2L, "b", 20))
+    def rows(t: SnapshotTable) =
+      t.read().as[(Long, String, Int)].collect().toSet
+    assert(rows(cow) === expectSurvivors)
+    assert(rows(mor) === expectSurvivors)
+    // MOR wrote a delete FILE, not a rewritten table: commit log rows = keys.
+    val morMeta = mor.history().orderBy("version").collect()
+    assert(morMeta.last.getString(2) === "mor-delete" && morMeta.last.getLong(3) === 2L)
+    // the MOR read plan applies deletes as a broadcast anti-join (no shuffle
+    // of the base data side).
+    val plan = mor.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+    // stacked MOR deletes resolve cumulatively; compact folds them into a base.
+    mor.deleteWhereMor(col("id") === 2L, "id")
+    assert(rows(mor) === Set((1L, "a", 10)))
+    val cv = mor.compact(targetFiles = 1)
+    assert(mor.read(Some(cv)).count() === 1)
+    // time travel still reconstructs the pre-delete snapshot.
+    assert(mor.read(Some(0L)).count() === 4)
+
+    // UPDATE … SET … WHERE
+    val up = new SnapshotTable(spark, Files.createTempDirectory("dml_up").toFile.getAbsolutePath)
+    up.commit(seed)
+    up.update(col("id") % 2 === 0, Map("v" -> concat(lit("u:"), col("v")), "score" -> (col("score") + 1)))
+    assert(up.read().as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 10), (2L, "u:b", 21), (3L, "c", 30), (4L, "u:d", 41)))
+
+    // MERGE INTO: matched rows replaced, unmatched inserted.
+    val mg = new SnapshotTable(spark, Files.createTempDirectory("dml_mg").toFile.getAbsolutePath)
+    mg.commit(seed)
+    mg.merge(Seq((2L, "B2", 200), (9L, "new", 90)).toDF("id", "v", "score"), "id")
+    assert(mg.read().as[(Long, String, Int)].collect().toSet ===
+      Set((1L, "a", 10), (2L, "B2", 200), (3L, "c", 30), (4L, "d", 40), (9L, "new", 90)))
+
+    // ROLLBACK: head moves to old content as a NEW version; history preserved.
+    val rb = mg.rollback(0L)
+    assert(rb === 2L)
+    assert(mg.read().as[(Long, String, Int)].collect().toSet === seed.as[(Long, String, Int)].collect().toSet)
+    assert(mg.history().count() === 3)
+  }
+
+  test("changes() emits keyed insert/delete/update pre+post images") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dml_cdc").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // v1: delete 3, update 2, insert 4; 1 untouched.
+    t.commit(Seq((1L, "a"), (2L, "b2"), (4L, "d")).toDF("id", "v"))
+    val ch = t.changes(0L, 1L, "id").as[(Long, String, String)].collect().toSet
+    assert(ch === Set(
+      (3L, "c", "delete"),
+      (2L, "b", "update_preimage"),
+      (2L, "b2", "update_postimage"),
+      (4L, "d", "insert")))
+    // unchanged snapshot pair → empty changelog.
+    assert(t.changes(1L, 1L, "id").count() === 0)
+  }
+
+  test("expireSnapshots keeps the base a surviving mor-delete needs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dml_exp").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0 base
+    t.deleteWhereMor(col("id") === 1L, "id")                       // v1 mor
+    t.deleteWhereMor(col("id") === 2L, "id")                       // v2 mor
+    // keep=2 would cut at v1 (a mor-delete) — retention must extend to v0.
+    val expired = t.expireSnapshots(keep = 2)
+    assert(expired.isEmpty)
+    assert(t.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
+    // after compaction the old base can go.
+    t.compact(targetFiles = 1)                                     // v3 base
+    val expired2 = t.expireSnapshots(keep = 1)
+    assert(expired2 === Seq(0L, 1L, 2L))
+    assert(t.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
+  }
+
   test("append with evolved schema widens columns and null-fills history") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap3").toFile.getAbsolutePath
