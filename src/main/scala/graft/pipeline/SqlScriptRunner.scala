@@ -23,6 +23,12 @@ import graft.sources.Catalog
   *    the reference's views are session-lifecycle pipeline steps anyway.
   *  - `DELETE FROM t` (unqualified) → v2 truncate (overwrite with the empty
   *    set), the reference's repeatable-run reset (logistics_AI.sql:60).
+  *  - Row-level DML on snapshot-bound tables (`graft.snapshot.<name>`, the
+  *    time-travel binding): `DELETE FROM t WHERE …` (copy-on-write, or
+  *    merge-on-read when `graft.snapshot.<name>.delete_mode=mor`),
+  *    `UPDATE t SET … [WHERE …]`, whole-row `MERGE INTO … SET * / INSERT *`,
+  *    and `ROLLBACK TABLE t TO SNAPSHOT 'v'` — the Iceberg v2 DML surface
+  *    over [[graft.sources.SnapshotTable]].
   *  - `GRANT …` → recorded as governance metadata (Catalog.grant), not
   *    executed (Spark has no ACL store).
   *  - `AI_GENERATE(… WITH SCHEMA ROW(…))` → schema-typed generic path
@@ -204,6 +210,104 @@ final class SqlScriptRunner(spark: SparkSession,
       asUser.foreach(u =>
         requirePrivilege(u, "ALTER", Seq("WRITE"), datasetPath(table)))
       Catalog.compactTable(spark, table)
+      None
+    } else if (upper.startsWith("DELETE FROM ") && upper.contains(" WHERE ")) {
+      // Row-level DELETE … WHERE over a snapshot-bound table (Iceberg v2
+      // DML; the truncate form below remains the catalog-table reset). The
+      // write mode follows the table's declared property, like Iceberg's
+      // write.delete.mode:
+      //   graft.snapshot.<name>.delete_mode = cow (default) | mor
+      //   graft.snapshot.<name>.key         = equality-delete key (mor only)
+      val m = "(?is)DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\s+(.+)".r
+        .findFirstMatchIn(stmt).get
+      val name = m.group(1)
+      val st = snapshotStore(name, "DELETE")
+      val pred = org.apache.spark.sql.functions.expr(m.group(2).trim.stripSuffix(";"))
+      spark.conf.getOption(s"graft.snapshot.$name.delete_mode").getOrElse("cow") match {
+        case "mor" =>
+          val key = spark.conf.getOption(s"graft.snapshot.$name.key").getOrElse(
+            throw new IllegalArgumentException(s"DELETE (merge-on-read) on " +
+              s"$name: set graft.snapshot.$name.key to the equality-delete key"))
+          st.deleteWhereMor(pred, key)
+        case _ => st.deleteWhere(pred)
+      }
+      None
+    } else if (upper.startsWith("UPDATE ") && upper.contains(" SET ")) {
+      // UPDATE t SET col = expr[, …] [WHERE pred] on a snapshot-bound table
+      // (copy-on-write). Assignment expressions are any Spark SQL scalar
+      // over the table's columns.
+      val m = "(?is)UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
+        .findFirstMatchIn(stmt.trim.stripSuffix(";")).get
+      val st = snapshotStore(m.group(1), "UPDATE")
+      val assigns = topLevelSplit(m.group(2)).map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"UPDATE assignment not of form col = expr: $a")
+        a.substring(0, eq).trim ->
+          org.apache.spark.sql.functions.expr(a.substring(eq + 1).trim)
+      }
+      val pred = Option(m.group(3))
+        .map(w => org.apache.spark.sql.functions.expr(w.trim))
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      st.update(pred, assigns.toMap)
+      None
+    } else if (upper.startsWith("MERGE INTO ")) {
+      // MERGE INTO t USING <src> ON t.k = s.k
+      //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+      // — the whole-row upsert form (the reference pipelines' delta-load
+      // shape). <src> is a (sub-select) or a table/view name; the ON clause
+      // must be a single equality on the SAME column name both sides (the
+      // merge key). Column-wise SET lists are not supported — the engine's
+      // merge is whole-row by design (SnapshotTable.merge).
+      def unsupported = new IllegalArgumentException(
+        "unsupported MERGE form; expected: MERGE INTO t USING src ON " +
+          "t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val trimmed = stmt.trim.stripSuffix(";")
+      val hm = "(?is)^MERGE\\s+INTO\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+".r
+        .findFirstMatchIn(trimmed).getOrElse(throw unsupported)
+      // the USING source: a balanced-paren (sub-select) scan — regex can't
+      // bound arbitrary nesting — or a bare table/view name.
+      val rest = trimmed.substring(hm.end)
+      val (srcText, afterSrc) =
+        if (rest.startsWith("(")) {
+          var depth = 0; var i = 0; var end = -1; var inS = false
+          while (i < rest.length && end < 0) {
+            rest.charAt(i) match {
+              case '\'' => inS = !inS
+              case '(' if !inS => depth += 1
+              case ')' if !inS => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (end <= 0) throw unsupported
+          (rest.substring(0, end + 1), rest.substring(end + 1))
+        } else {
+          val m2 = "(?s)^([\\w.]+)".r.findFirstMatchIn(rest).getOrElse(throw unsupported)
+          (m2.group(1), rest.substring(m2.end))
+        }
+      val tm = ("(?is)^\\s*(?:(?:AS\\s+)?(\\w+)\\s+)?ON\\s+(.+?)\\s+" +
+        "WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
+        "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*$").r
+        .findFirstMatchIn(afterSrc).getOrElse(throw unsupported)
+      val st = snapshotStore(hm.group(1), "INSERT")
+      val onRe = "(?is)\\s*(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s*".r
+      val key = onRe.findFirstMatchIn(tm.group(2)) match {
+        case Some(o) if o.group(2).equalsIgnoreCase(o.group(4)) => o.group(2)
+        case _ => throw new IllegalArgumentException(
+          s"MERGE ON clause must be t.<key> = s.<key>: ${tm.group(2)}")
+      }
+      val source =
+        if (srcText.startsWith("(")) spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
+        else spark.table(srcText)
+      st.merge(source, key)
+      None
+    } else if (upper.startsWith("ROLLBACK TABLE ")) {
+      // Dremio's ROLLBACK TABLE t TO SNAPSHOT 'v': table head moves to the
+      // old content as a NEW snapshot; history is preserved.
+      val m = "(?is)ROLLBACK\\s+TABLE\\s+([\\w.]+)\\s+TO\\s+SNAPSHOT\\s+'([^']+)'".r
+        .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
+          "expected: ROLLBACK TABLE t TO SNAPSHOT 'v'"))
+      snapshotStore(m.group(1), "ALTER").rollback(m.group(2).trim.toLong)
       None
     } else if (upper.startsWith("DELETE FROM ") && !upper.contains(" WHERE ")) {
       // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
@@ -421,6 +525,39 @@ final class SqlScriptRunner(spark: SparkSession,
       stmtViews += v
       java.util.regex.Matcher.quoteReplacement(v)
     })
+  }
+
+  /** Resolve a row-level-DML target to its bound snapshot store (the same
+    * `graft.snapshot.<name>` binding the time-travel clauses use), checking
+    * the write privilege in `asUser` mode. Row-level DML targets
+    * snapshot-bound tables only — catalog parquet tables keep the truncate
+    * form (Spark's FileTable has no v2 row-delete capability). */
+  private def snapshotStore(name: String, priv: String): graft.sources.SnapshotTable = {
+    val root = spark.conf.getOption(s"graft.snapshot.$name").getOrElse(
+      throw new IllegalArgumentException(
+        s"$priv on $name: no snapshot store bound (set spark conf " +
+          s"graft.snapshot.$name); row-level DML targets snapshot-bound tables"))
+    asUser.foreach(u => requirePrivilege(u, priv, Seq("WRITE"), datasetPath(name)))
+    new graft.sources.SnapshotTable(spark, root)
+  }
+
+  /** Split a SET list on top-level commas (quote- and paren-aware), so an
+    * assignment expression may itself contain calls and commas. */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0; var inS = false
+    s.foreach {
+      case c @ '\'' => inS = !inS; sb += c
+      case c @ '(' if !inS => depth += 1; sb += c
+      case c @ ')' if !inS => depth -= 1; sb += c
+      case ',' if !inS && depth == 0 =>
+        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+        sb.clear()
+      case c => sb += c
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.toSeq
   }
 
   /** `t AT SNAPSHOT 'v'` / `t AT TIMESTAMP 'ts'` / `t AT BRANCH b` — Dremio's

@@ -101,6 +101,12 @@ object DataPipelineQueries {
   private val rollbackFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q102's store: the SAME three mutations as [[dmlFixture]], but issued
+    * through the scripted SQL surface (SqlScriptRunner row-level DML)
+    * instead of the SnapshotTable API. */
+  private val scriptDmlFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1682,7 +1688,54 @@ object DataPipelineQueries {
     }, Some("""
       SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(1 AS BIGINT) AS n_rollbacks
-      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang"""))
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""")),
+
+    // The SAME row-level-DML life cycle as q99, issued through the SCRIPTED
+    // SQL surface — Dremio-spelled UPDATE / DELETE WHERE (merge-on-read via
+    // the table's declared write mode) / MERGE INTO, run statement-by-
+    // statement by SqlScriptRunner. Sharing q99's oracle closes the
+    // triangle: scripted surface ≡ programmatic API ≡ declarative DuckDB
+    // replay. A reference user's SQL pipeline and a Spark-native caller get
+    // byte-identical table states.
+    Q("q102_script_dml", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = scriptDmlFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_sdml")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))
+          graft.Tables.registerAll(s, dir)
+          s.conf.set("graft.snapshot.docs_dml", r)
+          s.conf.set("graft.snapshot.docs_dml.delete_mode", "mor")
+          s.conf.set("graft.snapshot.docs_dml.key", "doc_id")
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            UPDATE docs_dml SET text = concat('UPDATED: ', text)
+              WHERE doc_id % 10 = 0;
+            DELETE FROM docs_dml WHERE lang = 'de';
+            MERGE INTO docs_dml t USING (
+              SELECT doc_id, concat('MERGED:', CAST(doc_id AS STRING)) AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 50 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'NEWDOC', lang, source, n_chars
+              FROM documents WHERE doc_id < 5) s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *;
+          """)
+          s.conf.unset("graft.snapshot.docs_dml.delete_mode")
+          r
+        })
+      new SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_len"))
+    }, Some(s"""
+      WITH $dmlV3Cte
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len
+      FROM v3 GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

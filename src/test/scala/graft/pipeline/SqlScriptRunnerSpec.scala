@@ -304,6 +304,74 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(eUnbound.getMessage.contains("no snapshot store bound"))
   }
 
+  test("scripted row-level DML: DELETE WHERE (cow+mor), UPDATE, MERGE, ROLLBACK") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_dml").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "tag", "score"))
+    spark.conf.set("graft.snapshot.ops.events", root)
+    val r = new SqlScriptRunner(spark)
+    def content = st.read().as[(Long, String, Long)].collect().toSet
+
+    // copy-on-write DELETE … WHERE (default mode)
+    r.run("DELETE FROM ops.events WHERE score >= 40")
+    assert(content === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+
+    // UPDATE … SET (two assignments; one contains a top-level-comma call)
+    r.run("UPDATE ops.events SET tag = concat(tag, '!'), score = score + 1 WHERE id >= 3")
+    assert(content === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c!", 31L)))
+
+    // MERGE INTO with a sub-select source: 2 replaced, 9 inserted
+    r.run("""MERGE INTO ops.events t
+             USING (SELECT 2 AS id, 'B' AS tag, 200 AS score
+                    UNION ALL SELECT 9, 'i', 90) s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(content === Set((1L, "a", 10L), (2L, "B", 200L), (3L, "c!", 31L), (9L, "i", 90L)))
+
+    // merge-on-read DELETE: commits an equality-delete file, not a rewrite
+    spark.conf.set("graft.snapshot.ops.events.delete_mode", "mor")
+    spark.conf.set("graft.snapshot.ops.events.key", "id")
+    r.run("DELETE FROM ops.events WHERE tag = 'i'")
+    assert(content === Set((1L, "a", 10L), (2L, "B", 200L), (3L, "c!", 31L)))
+    assert(st.history().orderBy("version").collect().last.getString(2) === "mor-delete")
+    spark.conf.unset("graft.snapshot.ops.events.delete_mode")
+
+    // ROLLBACK TABLE … TO SNAPSHOT: head returns to v0's content, history grows
+    val before = st.history().count()
+    r.run("ROLLBACK TABLE ops.events TO SNAPSHOT '0'")
+    assert(content === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    assert(st.history().count() === before + 1)
+
+    // unsupported column-wise MERGE is refused loudly, not mis-executed
+    val eMerge = intercept[IllegalArgumentException] {
+      r.run("MERGE INTO ops.events t USING x s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET score = 1")
+    }
+    assert(eMerge.getMessage.contains("unsupported MERGE form"))
+  }
+
+  test("scripted DML in asUser mode requires the write privilege") {
+    import graft.sources.{Catalog, SnapshotTable}
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_dml_rbac").toString
+    new SnapshotTable(spark, root).commit(Seq((1L, "a")).toDF("id", "tag"))
+    spark.conf.set("graft.snapshot.hr.records", root)
+    Catalog.grant("GRANT SELECT ON TABLE hr.records TO USER reader")
+    val denied = intercept[Catalog.AccessDeniedException] {
+      new SqlScriptRunner(spark, asUser = Some("reader"))
+        .run("DELETE FROM hr.records WHERE id = 1")
+    }
+    assert(denied.getMessage.contains("reader"))
+    Catalog.grant("GRANT WRITE ON TABLE hr.records TO USER editor")
+    new SqlScriptRunner(spark, asUser = Some("editor"))
+      .run("DELETE FROM hr.records WHERE id = 1")
+    assert(new SnapshotTable(spark, root).read().count() === 0L)
+  }
+
   test("time travel in asUser mode checks SELECT on the original dataset") {
     import graft.sources.{Catalog, SnapshotTable}
     import spark.implicits._
