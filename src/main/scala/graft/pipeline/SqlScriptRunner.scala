@@ -570,14 +570,15 @@ final class SqlScriptRunner(spark: SparkSession,
     *  - `AT SNAPSHOT 'N'`   → version N exactly ([[SnapshotTable.read]])
     *  - `AT TIMESTAMP 'ts'` → latest version committed at or before ts
     *    (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f…]` literal)
-    *  - `AT BRANCH main`    → latest. The store is single-branch like the
-    *    workshop's un-branched catalog, so any other branch name errors
-    *    rather than silently serving `main`'s data.
+    *  - `AT BRANCH b`       → the branch's head ([[SnapshotTable.readBranch]];
+    *    `main` is the implicit trunk); an unknown branch errors rather than
+    *    silently serving `main`'s data.
+    *  - `AT TAG t`          → the tag's pinned version ([[SnapshotTable.readTag]]).
     *
     * In `asUser` mode the SELECT privilege is checked against the ORIGINAL
     * dataset name here (the rewritten temp view is skipped by `enforce`). */
   private def rewriteTimeTravel(stmt: String): String = {
-    val p = ("(?is)\\b([\\w.]+)\\s+AT\\s+(SNAPSHOT|TIMESTAMP|BRANCH)" +
+    val p = ("(?is)\\b([\\w.]+)\\s+AT\\s+(SNAPSHOT|TIMESTAMP|BRANCH|TAG)" +
       "\\s+(?:'([^']*)'|(\\w+))").r
     // Match against a literal-masked copy so a string like
     // 'logged at timestamp ''5''' is never mistaken for a clause; masking is
@@ -606,10 +607,15 @@ final class SqlScriptRunner(spark: SparkSession,
             if (arg.trim.forall(_.isDigit)) arg.trim.toLong
             else java.sql.Timestamp.valueOf(arg.trim).getTime
           st.readAsOfTimestamp(msEpoch)
+        case "TAG" => st.readTag(arg.trim)
         case _ =>
-          require(arg.trim.equalsIgnoreCase("main"),
-            s"$name AT BRANCH ${arg.trim}: store is single-branch (main)")
-          st.read()
+          // `main` is the implicit trunk; any other name must be a real
+          // branch ref — an unknown branch errors rather than silently
+          // serving main's data.
+          if (arg.trim.equalsIgnoreCase("main")) st.read()
+          else if (st.branchHead(arg.trim).isDefined) st.readBranch(arg.trim)
+          else throw new IllegalArgumentException(
+            s"$name AT BRANCH ${arg.trim}: no such branch")
       }
       metaViewCount += 1
       val v = s"graft_tt_$metaViewCount"

@@ -107,6 +107,11 @@ object DataPipelineQueries {
   private val scriptDmlFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q103's write-audit-publish store: candidate data staged and audited on
+    * a branch, then fast-forwarded to main (metadata-only publish). */
+  private val wapFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1679,7 +1684,7 @@ object DataPipelineQueries {
         })
       val st = new SnapshotTable(s, root)
       val rollbacks = st.history()
-        .agg(count(when(col("operation").startsWith("rollback-to"), 1))
+        .agg(count(when(col("operation").contains("rollback-to"), 1))
           .as("n_rollbacks"))
       st.read()
         .groupBy(col("lang"))
@@ -1735,7 +1740,52 @@ object DataPipelineQueries {
       WITH $dmlV3Cte
       SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(sum(length(text)) AS BIGINT) AS sum_len
-      FROM v3 GROUP BY lang"""))
+      FROM v3 GROUP BY lang""")),
+
+    // Write-audit-publish on snapshot branches (Iceberg refs): a curated
+    // re-statement of the corpus (every 3rd doc, text marked) is staged on
+    // a BRANCH, audited there, and fast-forwarded to main — a METADATA-ONLY
+    // publish (the new main head points at the branch head's data dir; no
+    // copy, which is what publish must cost at 100 TB). Main's pre-publish
+    // head is pinned by a TAG whose row count rides the output, so the
+    // compare proves both the published content and that the audited
+    // staging never leaked to main early. The oracle reconstructs the
+    // branch's content and the tag count straight from the source.
+    Q("q103_branch_wap", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = wapFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_wap")
+          val st0 = new SnapshotTable(s, r)
+          val d = t(s, dir, "documents")
+          st0.commit(d)
+          st0.createTag("pre-publish")
+          st0.createBranch("staging")
+          st0.commitToBranch("staging",
+            d.filter(col("doc_id") % 3 === 0)
+              .withColumn("text", concat(lit("WAP: "), col("text"))))
+          // the audit step: the branch must hold exactly the curated subset
+          // before anything reaches main
+          require(st0.readBranch("staging").count() ==
+            d.filter(col("doc_id") % 3 === 0).count(),
+            "WAP audit failed: staged row count mismatch")
+          st0.fastForward("staging")
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val tagged = st.readTag("pre-publish")
+        .agg(count(lit(1)).as("n_pre_publish"))
+      st.read()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_len"))
+        .crossJoin(tagged)
+    }, Some("""
+      SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(length('WAP: ' || text)) AS BIGINT) AS sum_len,
+             (SELECT count(*) FROM documents) AS n_pre_publish
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY source"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -28,6 +28,54 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * holds only the deleted KEYS, not a full data copy (see [[deleteWhereMor]]). */
   private val MorDeleteOp = "mor-delete"
 
+  /** Op prefix for commits made on a side branch: `branch:<name>:<op>`.
+    * Branch commits share the global version sequence and directory layout
+    * but are NOT part of main's lineage — main-head resolution and the
+    * mor-delete base walk skip them (see [[read]]). */
+  private val BranchOpPrefix = "branch:"
+
+  private def refsPath = Paths.get(root, "_graft_refs.jsonl")
+
+  /** Named refs (Iceberg branches/tags): append-only `name,kind,version`
+    * log, last line per name wins. */
+  private def readRefs(): Map[String, (String, Long)] =
+    if (!Files.exists(refsPath)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(refsPath).asScala.filter(_.nonEmpty).map { line =>
+        val m = line.split(",", 3)
+        m(0) -> (m(1), m(2).toLong)
+      }.toMap
+    }
+
+  private def writeRef(name: String, kind: String, v: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(refsPath, s"$name,$kind,$v\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def isBranchOp(op: String): Boolean = op.startsWith(BranchOpPrefix)
+
+  /** Op prefix for METADATA-ONLY commits (`alias:<dirVersion>:<label>`):
+    * the commit is on main's lineage but its data dir is another version's.
+    * This is what makes publish/rollback O(metadata) — at 100 TB neither
+    * may copy the table (Iceberg's fast-forward and rollback are pointer
+    * moves). */
+  private val AliasOpPrefix = "alias:"
+
+  /** The version whose `v=N` dir holds this entry's data (itself, unless
+    * the entry is an alias commit). */
+  private def dataDirVersion(m: (Long, Long, String, Long)): Long =
+    if (m._3.startsWith(AliasOpPrefix)) m._3.split(":", 3)(1).toLong else m._1
+
+  /** Main's head: the latest commit that is on main's lineage (branch
+    * commits share the version sequence but not the lineage). */
+  private def mainHead(meta: Seq[(Long, Long, String, Long)]): Option[Long] =
+    meta.filterNot(m => isBranchOp(m._3)).lastOption.map(_._1)
+
+  private def nextVersion(meta: Seq[(Long, Long, String, Long)]): Long =
+    meta.lastOption.map(_._1 + 1).getOrElse(0L)
+
   private def readMeta(): Seq[(Long, Long, String, Long)] =
     if (!Files.exists(metaPath)) Nil
     else {
@@ -45,7 +93,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  def currentVersion: Option[Long] = readMeta().lastOption.map(_._1)
+  /** Head of MAIN (side-branch commits are not main's lineage). */
+  def currentVersion: Option[Long] = mainHead(readMeta())
 
   /** Commit a new snapshot (append = previous data + df; overwrite = df).
     * Appends support SCHEMA EVOLUTION (the Iceberg behavior this mirrors):
@@ -53,8 +102,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * name with missing columns null-filled, and the committed snapshot
     * carries the widened schema. */
   def commit(df: DataFrame, op: String = "overwrite"): Long = {
-    val prev = currentVersion
-    val next = prev.map(_ + 1).getOrElse(0L)
+    val meta = readMeta()
+    val prev = mainHead(meta)
+    val next = nextVersion(meta)
     val data = (op, prev) match {
       case ("append", Some(v)) =>
         read(Some(v)).unionByName(df, allowMissingColumns = true)
@@ -75,13 +125,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * map-only scan over the base with no data-side shuffle). */
   def read(versionAsOf: Option[Long] = None): DataFrame = {
     val meta = readMeta()
-    val v = versionAsOf.orElse(meta.lastOption.map(_._1))
+    val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    val upTo = meta.filter(_._1 <= v)
+    // branch commits share the version sequence but not main's lineage:
+    // when resolving a main version they are invisible (a branch commit
+    // must never be picked as a mor-delete base, nor folded as a delete
+    // file); when v IS a branch commit, that full-data snapshot is its own
+    // base.
+    val upTo = meta.filter(m => m._1 <= v && (m._1 == v || !isBranchOp(m._3)))
     require(upTo.exists(_._1 == v), s"no snapshot v=$v at $root")
     val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
     require(baseIdx >= 0, s"no full-data base snapshot at or before v=$v at $root")
-    val base = spark.read.parquet(s"$root/v=${upTo(baseIdx)._1}")
+    val base = spark.read.parquet(s"$root/v=${dataDirVersion(upTo(baseIdx))}")
     upTo.drop(baseIdx + 1).foldLeft(base) { case (df, (dv, _, _, _)) =>
       val del = spark.read.parquet(s"$root/v=$dv")
       val key = del.columns.head // delete file's single column IS the key name
@@ -89,9 +144,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** `TIMESTAMP AS OF`: latest snapshot committed at or before tsMillis. */
+  /** `TIMESTAMP AS OF`: latest MAIN snapshot committed at or before
+    * tsMillis (side-branch commits are not main's timeline). */
   def readAsOfTimestamp(tsMillis: Long): DataFrame = {
-    val v = readMeta().filter(_._2 <= tsMillis).lastOption
+    val v = readMeta().filterNot(m => isBranchOp(m._3)).filter(_._2 <= tsMillis)
+      .lastOption
       .getOrElse(throw new IllegalStateException(s"no snapshot at or before $tsMillis"))
     read(Some(v._1))
   }
@@ -116,8 +173,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       if (cut < meta.length && meta(cut)._3 == MorDeleteOp && baseIdx >= 0) baseIdx
       else cut
     }
+    // named refs PIN their versions: a branch head or tag stays readable
+    // however old it is (Iceberg expires nothing a live ref reaches). A ref
+    // at a mor-delete version also pins its base and the delete files
+    // between, or the reconstruction would dangle.
+    val pinned = readRefs().values.map(_._2).toSet.flatMap { (v: Long) =>
+      val upTo = meta.filter(m => m._1 <= v && (m._1 == v || !isBranchOp(m._3)))
+      val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
+      if (baseIdx >= 0) upTo.drop(baseIdx).map(_._1).toSet else Set(v)
+    }
     val keep2 = meta.length - keptFrom
-    val expire = meta.dropRight(keep2).map(_._1)
+    val expire0 = meta.dropRight(keep2).map(_._1).filterNot(pinned)
+    // an alias commit (publish/rollback) surviving expiry still reads its
+    // target's data dir — the target's files must survive with it.
+    val survivors = meta.filterNot(m => expire0.contains(m._1))
+    val aliasTargets = survivors.map(dataDirVersion).toSet
+    val expire = expire0.filterNot(aliasTargets)
     expire.foreach { v =>
       val dir = Paths.get(root, s"v=$v")
       if (Files.exists(dir)) {
@@ -125,7 +196,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           .forEach(p => Files.delete(p))
       }
     }
-    val remaining = meta.takeRight(keep2)
+    val expired = expire.toSet
+    val remaining = meta.filterNot(m => expired(m._1))
     val content = remaining.map { case (v, t, o, r) => s"$v,$t,$o,$r" }
       .mkString("", "\n", if (remaining.nonEmpty) "\n" else "")
     Files.writeString(metaPath, content,
@@ -161,9 +233,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * delete-key count, not a table row count. Keys must identify rows
     * uniquely for delete semantics to match the copy-on-write form. */
   def deleteWhereMor(pred: Column, keyCol: String): Long = {
-    val prev = currentVersion
-      .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    val next = prev + 1
+    val meta = readMeta()
+    require(mainHead(meta).nonEmpty, s"no snapshots at $root")
+    val next = nextVersion(meta)
     read().filter(pred).select(keyCol).distinct()
       .write.mode("overwrite").parquet(s"$root/v=$next")
     val n = spark.read.parquet(s"$root/v=$next").count()
@@ -193,9 +265,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Roll back to a previous version's content, as a NEW snapshot (mirror of
     * Iceberg's rollback_to_snapshot: history is preserved, the table head
-    * moves). */
-  def rollback(toVersion: Long): Long =
-    commit(read(Some(toVersion)), op = s"rollback-to-$toVersion")
+    * moves). METADATA-ONLY when the target is a full-data snapshot — the
+    * new head points at the old version's data dir; only a mor-delete
+    * target (whose content is a reconstruction) must materialize. */
+  def rollback(toVersion: Long): Long = {
+    val meta = readMeta()
+    val entry = meta.find(_._1 == toVersion).getOrElse(
+      throw new IllegalStateException(s"no snapshot v=$toVersion at $root"))
+    if (entry._3 == MorDeleteOp)
+      commit(read(Some(toVersion)), op = s"rollback-to-$toVersion")
+    else {
+      val next = nextVersion(meta)
+      appendMeta(next,
+        s"$AliasOpPrefix${dataDirVersion(entry)}:rollback-to-$toVersion", entry._4)
+      next
+    }
+  }
 
   /** CDC changelog between two snapshots, keyed on `keyCol` (assumed unique
     * per snapshot — a primary key): every output row is a row of `fromV` or
@@ -231,5 +316,96 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .unionByName(post.join(bKeys, Seq(keyCol), "left_anti")
         .withColumn("_change_type", lit("insert")))
     preTagged.unionByName(postTagged).drop("__fp")
+  }
+
+  // ── Branches and tags (Iceberg refs; the write-audit-publish workflow:
+  //    stage candidate data on a branch, validate it there, publish to main
+  //    in one step — main readers never observe unvalidated data). Branch
+  //    commits share the global version sequence and directory layout but
+  //    not main's lineage; tags are immutable named pins.
+
+  /** Create a branch at `at` (default: main's head). Branches may move
+    * (commitToBranch / fastForward); re-creating one re-points it. */
+  def createBranch(name: String, at: Option[Long] = None): Long = {
+    val v = at.orElse(currentVersion)
+      .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
+    require(readMeta().exists(_._1 == v), s"no snapshot v=$v at $root")
+    writeRef(name, "branch", v)
+    v
+  }
+
+  /** Create an immutable tag at `at` (default: main's head). Re-creating an
+    * existing tag errors — tags never move (the Iceberg contract). */
+  def createTag(name: String, at: Option[Long] = None): Long = {
+    require(!readRefs().contains(name), s"ref $name already exists at $root")
+    val v = at.orElse(currentVersion)
+      .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
+    require(readMeta().exists(_._1 == v), s"no snapshot v=$v at $root")
+    writeRef(name, "tag", v)
+    v
+  }
+
+  /** The version a branch currently points at. */
+  def branchHead(name: String): Option[Long] =
+    readRefs().get(name).collect { case ("branch", v) => v }
+
+  /** Commit to a side branch (overwrite or append against the BRANCH's
+    * head); main's lineage and head are untouched. */
+  def commitToBranch(branch: String, df: DataFrame, op: String = "overwrite"): Long = {
+    val head = branchHead(branch).getOrElse(
+      throw new IllegalStateException(s"no branch $branch at $root"))
+    val data =
+      if (op == "append") read(Some(head)).unionByName(df, allowMissingColumns = true)
+      else df
+    val meta = readMeta()
+    val next = nextVersion(meta)
+    data.write.mode("overwrite").parquet(s"$root/v=$next")
+    val rows = spark.read.parquet(s"$root/v=$next").count()
+    appendMeta(next, s"$BranchOpPrefix$branch:$op", rows)
+    writeRef(branch, "branch", next)
+    next
+  }
+
+  /** Read a branch's current content. */
+  def readBranch(name: String): DataFrame = {
+    val head = branchHead(name).getOrElse(
+      throw new IllegalStateException(s"no branch $name at $root"))
+    read(Some(head))
+  }
+
+  /** Read a tag's pinned content. */
+  def readTag(name: String): DataFrame = readRefs().get(name) match {
+    case Some(("tag", v)) => read(Some(v))
+    case _ => throw new IllegalStateException(s"no tag $name at $root")
+  }
+
+  /** All named refs, as a DataFrame (mirror of Iceberg's refs metadata
+    * table). */
+  def refs(): DataFrame = {
+    import spark.implicits._
+    readRefs().toSeq.map { case (n, (k, v)) => (n, k, v) }
+      .sortBy(_._1).toDF("ref_name", "ref_kind", "version")
+  }
+
+  /** PUBLISH a branch to main (Iceberg fast-forward): main's head moves to
+    * the branch's content as a NEW main-lineage commit. The
+    * write-audit-publish step — until this runs, nothing committed on the
+    * branch is visible to a main reader. METADATA-ONLY (the new main commit
+    * points at the branch head's data dir) except when the branch points at
+    * a mor-delete reconstruction, which must materialize. */
+  def fastForward(fromBranch: String): Long = {
+    val head = branchHead(fromBranch).getOrElse(
+      throw new IllegalStateException(s"no branch $fromBranch at $root"))
+    val meta = readMeta()
+    val entry = meta.find(_._1 == head).getOrElse(
+      throw new IllegalStateException(s"no snapshot v=$head at $root"))
+    if (entry._3 == MorDeleteOp)
+      commit(readBranch(fromBranch), op = s"publish-$fromBranch")
+    else {
+      val next = nextVersion(meta)
+      appendMeta(next,
+        s"$AliasOpPrefix${dataDirVersion(entry)}:publish-$fromBranch", entry._4)
+      next
+    }
   }
 }

@@ -289,15 +289,26 @@ class SqlScriptRunnerSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM audit.log.entries AT TIMESTAMP '$lit'")
     assert(atTsLit.head._2.collect().head.getLong(0) === 2L)
 
-    // main = latest; other branches error (single-branch store), and an
-    // unbound table errors rather than silently reading something else
+    // main = trunk head; a real branch serves ITS head; an unknown branch
+    // errors, and an unbound table errors rather than reading something else
     val atBranch = r.run(
       "SELECT count(*) AS n FROM audit.log.entries AT BRANCH main")
     assert(atBranch.head._2.collect().head.getLong(0) === 3L)
+    st.createBranch("dev")
+    st.commitToBranch("dev", Seq((9L, "z")).toDF("id", "tag"))
+    val atDev = r.run(
+      "SELECT count(*) AS n FROM audit.log.entries AT BRANCH dev")
+    assert(atDev.head._2.collect().head.getLong(0) === 1L)
+    // the branch commit is invisible to main readers
+    assert(st.read().count() === 3L)
+    st.createTag("audited")
+    val atTag = r.run(
+      "SELECT count(*) AS n FROM audit.log.entries AT TAG audited")
+    assert(atTag.head._2.collect().head.getLong(0) === 3L)
     val eBranch = intercept[IllegalArgumentException] {
-      r.run("SELECT * FROM audit.log.entries AT BRANCH dev")
+      r.run("SELECT * FROM audit.log.entries AT BRANCH nope")
     }
-    assert(eBranch.getMessage.contains("single-branch"))
+    assert(eBranch.getMessage.contains("no such branch"))
     val eUnbound = intercept[IllegalArgumentException] {
       r.run("SELECT * FROM nowhere.t AT SNAPSHOT '0'")
     }

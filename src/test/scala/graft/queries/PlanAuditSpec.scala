@@ -22,9 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     "q98_semantic_decontam", // train × BROADCAST eval: |eval| bounded, the
                             // compare is map-only over the train scan — the
                             // deliberate exact-recall decontamination design
-    "q101_rollback"         // × a ONE-ROW scalar (the commit log's rollback
+    "q101_rollback",        // × a ONE-ROW scalar (the commit log's rollback
                             // count) — a broadcast of a single row, constant
                             // cost at any table size
+    "q103_branch_wap"       // × a ONE-ROW scalar (the tag's row count) —
+                            // same constant-cost single-row broadcast
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {

@@ -131,6 +131,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
   }
 
+  test("branches + tags: write-audit-publish keeps main clean until publish") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wap").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // main v0
+    t.createTag("release-1")                                     // pin v0
+    // stage candidate data on a branch: two commits (second appends)
+    t.createBranch("wap")
+    t.commitToBranch("wap", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.commitToBranch("wap", Seq((4L, "d")).toDF("id", "v"), op = "append")
+    // audit on the branch; main readers still see v0's content
+    assert(t.readBranch("wap").count() === 4)
+    assert(t.read().count() === 2)
+    assert(t.currentVersion === Some(0L))
+    // TIMESTAMP AS OF skips branch commits: latest main ≤ now is still v0
+    assert(t.readAsOfTimestamp(System.currentTimeMillis()).count() === 2)
+    // publish: metadata-only fast-forward — main's new head reads the
+    // branch's data dir without copying it
+    val pub = t.fastForward("wap")
+    assert(t.read().count() === 4)
+    assert(t.currentVersion === Some(pub))
+    val pubOp = t.history().orderBy("version").collect().last.getString(2)
+    assert(pubOp.startsWith("alias:") && pubOp.contains("publish-wap"))
+    // the published alias did not write its own data files
+    assert(!Files.exists(java.nio.file.Paths.get(root, s"v=$pub")))
+    // tag still pins the pre-publish state; refs lists all three
+    assert(t.readTag("release-1").count() === 2)
+    assert(t.refs().count() === 2)
+    intercept[IllegalArgumentException](t.createTag("release-1")) // immutable
+    // a mor-delete on main AFTER branch commits resolves against the right
+    // base (branch commits are not main lineage, not delete files)
+    t.deleteWhereMor(col("id") === 4L, "id")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // expiry keeps what refs and aliases still reach
+    val expired = t.expireSnapshots(keep = 2)
+    assert(t.readTag("release-1").count() === 2)   // tag survives expiry
+    assert(t.read().count() === 3)                  // alias target survives
+    assert(!expired.contains(0L))
+  }
+
   test("append with evolved schema widens columns and null-fills history") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap3").toFile.getAbsolutePath
