@@ -647,12 +647,14 @@ final class SqlScriptRunner(spark: SparkSession,
   /** Bind `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))`
     * metadata scans (readme.md:357-369) as temp views in place. */
   private def rewriteMetadataTables(stmt: String): String = {
-    val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history)" +
+    val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history|table_files)" +
       "\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)").r
     p.replaceAllIn(stmt, m => {
       val df = m.group(1).toLowerCase match {
         case "table_snapshot" =>
           graft.sources.MetadataFunctions.tableSnapshot(spark, m.group(2))
+        case "table_files" =>
+          graft.sources.MetadataFunctions.tableFiles(spark, m.group(2))
         case _ =>
           graft.sources.MetadataFunctions.tableHistory(spark, m.group(2))
       }

@@ -1785,7 +1785,19 @@ object DataPipelineQueries {
       SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(sum(length('WAP: ' || text)) AS BIGINT) AS sum_len,
              (SELECT count(*) FROM documents) AS n_pre_publish
-      FROM documents WHERE doc_id % 3 = 0 GROUP BY source"""))
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY source""")),
+
+    // The `files` metadata table (file-level metrics behind compaction
+    // decisions, readme.md:370): per-file record counts are read from
+    // parquet FOOTERS on the driver — no data pages opened, the Iceberg
+    // manifests contract. The oracle pins the one property the footers must
+    // satisfy against live data: their record counts sum to the table's
+    // true row count.
+    Q("q104_table_files", (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("q104_files_documents")
+      graft.sources.MetadataFunctions.tableFiles(s, "q104_files_documents")
+        .agg(sum(col("record_count")).as("n_rows"))
+    }, Some("SELECT count(*) AS n_rows FROM documents"))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

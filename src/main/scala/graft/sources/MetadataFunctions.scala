@@ -42,6 +42,30 @@ object MetadataFunctions {
     StructField("parent_id", LongType, nullable = true),
     StructField("is_current_ancestor", BooleanType, nullable = false)))
 
+  private val filesSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_bytes", LongType, nullable = false)))
+
+  /** `TABLE(table_files('name'))` — one row per data file of the CURRENT
+    * snapshot (Iceberg's `files` metadata table; the readme's "file-level
+    * metrics for optimizing compaction"). Record counts come from the
+    * parquet FOOTERS — a driver-side metadata read, no data pages opened,
+    * exactly how Iceberg serves them from manifests. */
+  def tableFiles(spark: SparkSession, table: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rows = inputFiles(spark, table).map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val records = try reader.getRecordCount finally reader.close()
+      Row(f, "PARQUET", records, st.getLen)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), filesSchema)
+  }
+
   /** `TABLE(table_snapshot('name'))` — one row per snapshot. */
   def tableSnapshot(spark: SparkSession, table: String): DataFrame =
     snapshotRoot(spark, table) match {

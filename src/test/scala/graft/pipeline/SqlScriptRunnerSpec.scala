@@ -171,14 +171,22 @@ class SqlScriptRunnerSpec extends SparkSpec {
       FROM TABLE(table_snapshot('meta.demo.customers'));
 
       SELECT snapshot_id, is_current_ancestor
-      FROM TABLE(table_history('meta.demo.customers'))
+      FROM TABLE(table_history('meta.demo.customers'));
+
+      SELECT file_format, record_count, file_size_bytes
+      FROM TABLE(table_files('meta.demo.customers'))
     """)
-    assert(results.size === 2)
-    val Seq(snap, hist) = results.toSeq.sortBy(_._1).map(_._2)
+    assert(results.size === 3)
+    val Seq(snap, hist, files) = results.toSeq.sortBy(_._1).map(_._2)
     val s = snap.collect()
     assert(s.length === 1 && s(0).getLong(0) === 0L && s(0).getLong(2) === 2L)
     val h = hist.collect()
     assert(h.length === 1 && h(0).getBoolean(1))
+    // files: footer-read record counts sum to the table count; sizes real
+    val f = files.collect()
+    assert(f.nonEmpty && f.forall(_.getString(0) == "PARQUET"))
+    assert(f.map(_.getLong(1)).sum === 2L)
+    assert(f.forall(_.getLong(2) > 0L))
     spark.sql("DROP TABLE IF EXISTS meta.demo.customers")
   }
 
