@@ -105,22 +105,29 @@ case class TopKMin(child: Expression, k: Int,
   override def createAggregationBuffer(): mutable.PriorityQueue[Any] =
     new mutable.PriorityQueue[Any]()(ord) // max-heap: head = largest kept
 
+  /** Insert with copy-on-enqueue: `v` may point into the scanner's reused
+    * row, so it is deep-copied ONLY when it actually enters the heap — once
+    * the buffer is full, the overwhelmingly common full-scan case is a
+    * rejected candidate, which must stay allocation-free. */
   private def insert(buf: mutable.PriorityQueue[Any], v: Any): Unit =
+    if (buf.size < k) buf.enqueue(InternalRow.copyValue(v))
+    else if (ord.lt(v, buf.head)) { buf.dequeue(); buf.enqueue(InternalRow.copyValue(v)) }
+
+  /** Merge-side insert: `v` is already detached (deserialized or copied). */
+  private def insertOwned(buf: mutable.PriorityQueue[Any], v: Any): Unit =
     if (buf.size < k) buf.enqueue(v)
     else if (ord.lt(v, buf.head)) { buf.dequeue(); buf.enqueue(v) }
 
   override def update(buf: mutable.PriorityQueue[Any],
                       input: InternalRow): mutable.PriorityQueue[Any] = {
     val v = child.eval(input)
-    // a copy detaches struct values from the scanner's reused row; cheap
-    // because it only happens for values that make the current top-K
-    if (v != null) insert(buf, InternalRow.copyValue(v))
+    if (v != null) insert(buf, v)
     buf
   }
 
   override def merge(buf: mutable.PriorityQueue[Any],
                      other: mutable.PriorityQueue[Any]): mutable.PriorityQueue[Any] = {
-    other.foreach(insert(buf, _))
+    other.foreach(insertOwned(buf, _))
     buf
   }
 

@@ -140,6 +140,12 @@ final class SqlScriptRunner(spark: SparkSession,
               DremioDialect.rewriteQuotedIdentifiers(
                 rewriteViewPaths(raw)))))))
     val upper = stmt.toUpperCase.replaceAll("\\s+", " ").trim
+    // DML dispatch must see only TOP-LEVEL keywords: a WHERE inside a string
+    // literal must not make a truncate look row-level (or vice versa), and
+    // `WHERE(pred)` — no trailing space — is legal SQL. Length-preserving
+    // masking lets clause regexes match on `masked` and slice `stmt`.
+    val masked = maskStringLiterals(stmt)
+    val hasTopLevelWhere = "(?i)\\bWHERE\\b".r.findFirstIn(masked).isDefined
     if (upper.startsWith("CREATE FOLDER")) {
       val path = stmt.trim.split("\\s+").last.stripSuffix(";")
       ensureCatalog(path.split("\\.").head)
@@ -211,18 +217,19 @@ final class SqlScriptRunner(spark: SparkSession,
         requirePrivilege(u, "ALTER", Seq("WRITE"), datasetPath(table)))
       Catalog.compactTable(spark, table)
       None
-    } else if (upper.startsWith("DELETE FROM ") && upper.contains(" WHERE ")) {
+    } else if (upper.startsWith("DELETE FROM ") && hasTopLevelWhere) {
       // Row-level DELETE … WHERE over a snapshot-bound table (Iceberg v2
       // DML; the truncate form below remains the catalog-table reset). The
       // write mode follows the table's declared property, like Iceberg's
       // write.delete.mode:
       //   graft.snapshot.<name>.delete_mode = cow (default) | mor
       //   graft.snapshot.<name>.key         = equality-delete key (mor only)
-      val m = "(?is)DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\s+(.+)".r
-        .findFirstMatchIn(stmt).get
-      val name = m.group(1)
+      val m = "(?is)DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\b\\s*(.+)".r
+        .findFirstMatchIn(masked).get
+      val name = stmt.substring(m.start(1), m.end(1))
       val st = snapshotStore(name, "DELETE")
-      val pred = org.apache.spark.sql.functions.expr(m.group(2).trim.stripSuffix(";"))
+      val pred = org.apache.spark.sql.functions.expr(
+        stmt.substring(m.start(2), m.end(2)).trim.stripSuffix(";"))
       spark.conf.getOption(s"graft.snapshot.$name.delete_mode").getOrElse("cow") match {
         case "mor" =>
           val key = spark.conf.getOption(s"graft.snapshot.$name.key").getOrElse(
@@ -236,17 +243,22 @@ final class SqlScriptRunner(spark: SparkSession,
       // UPDATE t SET col = expr[, …] [WHERE pred] on a snapshot-bound table
       // (copy-on-write). Assignment expressions are any Spark SQL scalar
       // over the table's columns.
-      val m = "(?is)UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
-        .findFirstMatchIn(stmt.trim.stripSuffix(";")).get
-      val st = snapshotStore(m.group(1), "UPDATE")
-      val assigns = topLevelSplit(m.group(2)).map { a =>
+      // match on the masked body so a WHERE inside an assignment's string
+      // literal (SET note = 'kept where found') can't split the SET clause;
+      // masking is length-preserving, so offsets slice the real text
+      val body = stmt.trim.stripSuffix(";")
+      val m = "(?is)UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\b\\s*(.+))?$".r
+        .findFirstMatchIn(maskStringLiterals(body)).get
+      val st = snapshotStore(body.substring(m.start(1), m.end(1)), "UPDATE")
+      val assigns = topLevelSplit(body.substring(m.start(2), m.end(2))).map { a =>
         val eq = a.indexOf('=')
         require(eq > 0, s"UPDATE assignment not of form col = expr: $a")
         a.substring(0, eq).trim ->
           org.apache.spark.sql.functions.expr(a.substring(eq + 1).trim)
       }
       val pred = Option(m.group(3))
-        .map(w => org.apache.spark.sql.functions.expr(w.trim))
+        .map(_ => org.apache.spark.sql.functions.expr(
+          body.substring(m.start(3), m.end(3)).trim))
         .getOrElse(org.apache.spark.sql.functions.lit(true))
       st.update(pred, assigns.toMap)
       None
@@ -309,7 +321,7 @@ final class SqlScriptRunner(spark: SparkSession,
           "expected: ROLLBACK TABLE t TO SNAPSHOT 'v'"))
       snapshotStore(m.group(1), "ALTER").rollback(m.group(2).trim.toLong)
       None
-    } else if (upper.startsWith("DELETE FROM ") && !upper.contains(" WHERE ")) {
+    } else if (upper.startsWith("DELETE FROM ") && !hasTopLevelWhere) {
       // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
       // doesn't advertise the v2 TRUNCATE capability, so truncate = drop +
       // recreate with the saved schema — same observable state for the

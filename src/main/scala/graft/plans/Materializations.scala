@@ -191,7 +191,10 @@ final class Materializations(spark: SparkSession, warehouseDir: Option[String] =
     var saved: Seq[org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Nil
     ExtraOptimizations.mutate(spark) { existing =>
-      saved = existing
+      // save ONLY the rules this block strips — restoring a snapshot of
+      // everything would resurrect unrelated rules (e.g. a salt rule) that
+      // another component deliberately uninstalled while `body` ran
+      saved = existing.filter(_.isInstanceOf[MaterializationSubstitution])
       existing.filterNot(_.isInstanceOf[MaterializationSubstitution])
     }
     // restore by re-adding the stripped rules (not by overwriting with the

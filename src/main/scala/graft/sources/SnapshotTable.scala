@@ -49,6 +49,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
 
   private def writeRef(name: String, kind: String, v: Long): Unit = {
+    // the refs log is line/comma-delimited — a name containing either would
+    // corrupt every later read of the whole log, so reject at write time
+    require(name.nonEmpty && !name.exists(c => c == ',' || c == '\n' || c == '\r'),
+      s"invalid ref name '$name': must be non-empty, no ',' or line breaks")
     Files.createDirectories(Paths.get(root))
     Files.writeString(refsPath, s"$name,$kind,$v\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -169,9 +173,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val keptFrom = {
       val cut = math.max(meta.length - keep, 0)
-      val baseIdx = meta.lastIndexWhere(m => m._3 != MorDeleteOp, cut)
-      if (cut < meta.length && meta(cut)._3 == MorDeleteOp && baseIdx >= 0) baseIdx
-      else cut
+      // the earliest kept MAIN-lineage entry decides whether retention must
+      // extend back: a branch commit is its own full base (read() treats it
+      // so) and must not shadow a mor-delete right after it, and a branch
+      // commit is never a legal mor-delete base (read() skips it).
+      val firstMain = meta.indexWhere(m => !isBranchOp(m._3), cut)
+      if (firstMain < 0 || meta(firstMain)._3 != MorDeleteOp) cut
+      else {
+        val baseIdx = meta.lastIndexWhere(
+          m => m._3 != MorDeleteOp && !isBranchOp(m._3), firstMain)
+        if (baseIdx >= 0) baseIdx else cut
+      }
     }
     // named refs PIN their versions: a branch head or tag stays readable
     // however old it is (Iceberg expires nothing a live ref reaches). A ref
@@ -223,9 +235,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   //    with readers paying one broadcast anti-join until compact() folds the
   //    deletes into a new base.
 
-  /** DELETE FROM … WHERE, copy-on-write: survivors become the new snapshot. */
+  /** DELETE FROM … WHERE, copy-on-write: survivors become the new snapshot.
+    * SQL DELETE removes only rows where the predicate is TRUE — a NULL
+    * predicate keeps the row (matching the merge-on-read form, whose
+    * `filter(pred)` selects TRUE-only delete keys), hence the
+    * null-safe-equality survivor filter rather than plain negation. */
   def deleteWhere(pred: Column): Long =
-    commit(read().filter(!pred), op = "cow-delete")
+    commit(read().filter(!(pred <=> lit(true))), op = "cow-delete")
 
   /** DELETE FROM … WHERE, merge-on-read: commits ONLY the distinct matching
     * `keyCol` values (an Iceberg-style equality-delete file; the file's
@@ -289,8 +305,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * are detected by comparing a fingerprint over the non-key columns, so a
     * key present on both sides with identical content emits nothing. */
   def changes(fromV: Long, toV: Long, keyCol: String): DataFrame = {
-    val before = read(Some(fromV))
-    val after = read(Some(toV))
+    val before0 = read(Some(fromV))
+    val after0 = read(Some(toV))
+    // align both snapshots to the UNION schema before fingerprinting: after
+    // schema evolution an untouched row null-fills identically on both sides
+    // and emits nothing (Iceberg's changelog likewise reports only rows whose
+    // content changed, not every row that predates a new column).
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    val before = align(before0, after0)
+    val after = align(after0, before0)
     def fp(df: DataFrame): DataFrame = {
       val others = df.columns.filterNot(_ == keyCol).sorted
       df.withColumn("__fp", md5(concat_ws("\u0001",
@@ -315,7 +342,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .withColumn("_change_type", lit("update_postimage"))
       .unionByName(post.join(bKeys, Seq(keyCol), "left_anti")
         .withColumn("_change_type", lit("insert")))
-    preTagged.unionByName(postTagged).drop("__fp")
+    // allowMissingColumns: commit() supports schema evolution on append, so
+    // fromV and toV may legally differ in schema — the changelog carries the
+    // union schema with absent-side columns null-filled.
+    preTagged.unionByName(postTagged, allowMissingColumns = true).drop("__fp")
   }
 
   // ── Branches and tags (Iceberg refs; the write-audit-publish workflow:
@@ -327,6 +357,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Create a branch at `at` (default: main's head). Branches may move
     * (commitToBranch / fastForward); re-creating one re-points it. */
   def createBranch(name: String, at: Option[Long] = None): Long = {
+    // re-pointing a BRANCH is allowed; silently converting an existing TAG
+    // into a movable branch would break the tags-never-move contract
+    require(readRefs().get(name).forall(_._1 == "branch"),
+      s"ref $name already exists as a tag at $root")
     val v = at.orElse(currentVersion)
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
     require(readMeta().exists(_._1 == v), s"no snapshot v=$v at $root")

@@ -41,7 +41,7 @@ object SkewBench {
 
   /** Hot-share SWEEP (`runMain graft.tools.SkewBench sweep [reps]`): the
     * serve-policy arbitration evidence for
-    * [[graft.plans.WorkloadAdvisor.AqeDeferBelowShare]]. On a synthetic
+    * [[graft.plans.WorkloadAdvisor.ReuseServeShare]]. On a synthetic
     * join fixture big enough that the hot partition dominates the runtime
     * (not the micro-bench noise the sub-2 s ScaleUp rows live in), measure
     * naive SMJ vs advisor-salted vs AQE-skew-split at hot shares

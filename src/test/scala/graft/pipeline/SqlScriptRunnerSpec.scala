@@ -373,6 +373,32 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(eMerge.getMessage.contains("unsupported MERGE form"))
   }
 
+  test("DML dispatch is literal-safe and formatting-safe") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_dml2").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "note"))
+    spark.conf.set("graft.snapshot.ops.notes", root)
+    val r = new SqlScriptRunner(spark)
+    def ids = st.read().select("id").as[Long].collect().toSet
+
+    // WHERE with no trailing space must still be row-level, NOT a truncate
+    r.run("DELETE FROM ops.notes WHERE(id = 3)")
+    assert(ids === Set(1L, 2L))
+
+    // a ' where ' inside an assignment's string literal must not split SET
+    r.run("UPDATE ops.notes SET note = 'kept where found' WHERE id = 2")
+    assert(st.read().filter($"id" === 2L).select("note").as[String].head()
+      === "kept where found")
+
+    // WHERE only inside a literal is NOT top-level: this UPDATE has no
+    // predicate and applies to every row
+    r.run("UPDATE ops.notes SET note = 'no where here'")
+    assert(st.read().select("note").as[String].collect().toSet
+      === Set("no where here"))
+  }
+
   test("scripted DML in asUser mode requires the write privilege") {
     import graft.sources.{Catalog, SnapshotTable}
     import spark.implicits._

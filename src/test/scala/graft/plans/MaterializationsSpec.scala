@@ -30,6 +30,22 @@ class MaterializationsSpec extends SparkSpec {
     intercept[Exception](m.table("agg_spend"))
   }
 
+  test("refresh does not resurrect an unrelated rule uninstalled mid-refresh") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.catalyst.rules.Rule
+    object Dummy extends Rule[LogicalPlan] { def apply(p: LogicalPlan): LogicalPlan = p }
+    ExtraOptimizations.mutate(spark)(_ :+ Dummy)
+    val m = new Materializations(spark)
+    m.register("r", () => {
+      // simulates e.g. a skew advisor retiring its rule while a refresh runs
+      ExtraOptimizations.mutate(spark)(_.filterNot(_ eq Dummy))
+      sf("region").select(col("r_regionkey"))
+    })
+    m.refresh("r")
+    val still = spark.experimental.extraOptimizations.exists(_ eq Dummy)
+    assert(!still, "refresh restored a rule another component uninstalled")
+  }
+
   test("warehouse-backed reflection survives as parquet CTAS") {
     val wh = Files.createTempDirectory("refl").toFile.getAbsolutePath
     val m = new Materializations(spark, Some(wh))

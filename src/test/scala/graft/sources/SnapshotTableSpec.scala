@@ -172,6 +172,69 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!expired.contains(0L))
   }
 
+  test("cow-delete keeps NULL-predicate rows (SQL DELETE semantics, ≡ mor)") {
+    import spark.implicits._
+    def fixture(): (String, SnapshotTable) = {
+      val root = Files.createTempDirectory("dml_null").toFile.getAbsolutePath
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((1L, Some(10)), (2L, None), (3L, Some(40)))
+        .toDF("id", "score"))
+      (root, t)
+    }
+    // score >= 30 is NULL for id=2 — SQL DELETE removes only TRUE matches
+    val (_, cow) = fixture()
+    cow.deleteWhere(col("score") >= 30)
+    assert(cow.read().select("id").as[Long].collect().toSet === Set(1L, 2L))
+    val (_, mor) = fixture()
+    mor.deleteWhereMor(col("score") >= 30, "id")
+    assert(mor.read().select("id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("expireSnapshots never treats a branch commit as a mor-delete base") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dml_branch_exp").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0 base
+    t.createBranch("staging")
+    t.commitToBranch("staging", Seq((9L, "z")).toDF("id", "v"))    // v1 branch
+    t.deleteWhereMor(col("id") === 1L, "id")                       // v2 mor
+    // keep=2 cuts at v1 (a branch commit): the earliest kept MAIN entry is
+    // the v2 mor-delete, whose real base v0 must be retained — a branch
+    // commit is not a legal base.
+    val expired = t.expireSnapshots(keep = 2)
+    assert(!expired.contains(0L))
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((2L, "b"), (3L, "c")))
+  }
+
+  test("refs are validated: no tag→branch conversion, no corrupting names") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("refs_val").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.createTag("prod")
+    // a tag may never become a movable branch
+    intercept[IllegalArgumentException](t.createBranch("prod"))
+    assert(t.readTag("prod").count() === 1)
+    // a name with the log's delimiter would corrupt every later read
+    intercept[IllegalArgumentException](t.createBranch("release,2026"))
+    intercept[IllegalArgumentException](t.createTag("bad\nname"))
+    t.createBranch("ok-branch") // sane names still fine
+    assert(t.refs().count() === 2)
+  }
+
+  test("changes() spans a schema-evolution boundary (union schema, null-filled)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc_evolve").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "text"))            // v0
+    t.commit(Seq((3L, "c", "en")).toDF("id", "text", "lang"), "append") // v1
+    val ch = t.changes(0L, 1L, "id").collect()
+    assert(ch.map(_.getAs[String]("_change_type")).toSeq === Seq("insert"))
+    val ins = ch.head
+    assert(ins.getAs[Long]("id") === 3L && ins.getAs[String]("lang") === "en")
+  }
+
   test("append with evolved schema widens columns and null-fills history") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap3").toFile.getAbsolutePath
