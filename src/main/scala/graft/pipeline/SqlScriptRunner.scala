@@ -321,6 +321,38 @@ final class SqlScriptRunner(spark: SparkSession,
           "expected: ROLLBACK TABLE t TO SNAPSHOT 'v'"))
       snapshotStore(m.group(1), "ALTER").rollback(m.group(2).trim.toLong)
       None
+    } else if (upper.startsWith("ALTER TABLE ") &&
+        "(?i)\\b(BRANCH|TAG)\\b".r.findFirstIn(upper).isDefined) {
+      // Branch/tag DDL on a snapshot-bound table, in Apache Iceberg's Spark
+      // SQL extension syntax (public: iceberg branching DDL):
+      //   ALTER TABLE t CREATE BRANCH b [AS OF VERSION v]
+      //   ALTER TABLE t CREATE TAG g   [AS OF VERSION v]
+      //   ALTER TABLE t REPLACE BRANCH b AS OF VERSION v
+      //   ALTER TABLE t DROP BRANCH b | DROP TAG g
+      //   ALTER TABLE t FAST FORWARD BRANCH b   -- publish (the
+      //     fast_forward procedure, as a statement; write-audit-publish)
+      val p = ("(?is)ALTER\\s+TABLE\\s+([\\w.]+)\\s+" +
+        "(CREATE|REPLACE|DROP|FAST\\s+FORWARD)\\s+(BRANCH|TAG)\\s+(\\w+)" +
+        "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?").r
+      val m = p.findFirstMatchIn(stmt).getOrElse(
+        throw new IllegalArgumentException(
+          "expected: ALTER TABLE t CREATE|REPLACE|DROP|FAST FORWARD " +
+            "BRANCH|TAG name [AS OF VERSION v]"))
+      val st = snapshotStore(m.group(1), "ALTER")
+      val kind = m.group(3).toUpperCase
+      val name = m.group(4)
+      val at = Option(m.group(5)).map(_.toLong)
+      m.group(2).toUpperCase.replaceAll("\\s+", " ") match {
+        case "CREATE" | "REPLACE" if kind == "BRANCH" => st.createBranch(name, at)
+        case "CREATE"                                 => st.createTag(name, at)
+        case "REPLACE" => throw new IllegalArgumentException(
+          s"REPLACE TAG $name: tags never move; DROP it first")
+        case "DROP"         => st.dropRef(name, Some(kind.toLowerCase))
+        case "FAST FORWARD" =>
+          require(kind == "BRANCH", "FAST FORWARD takes a BRANCH")
+          st.fastForward(name)
+      }
+      None
     } else if (upper.startsWith("DELETE FROM ") && !hasTopLevelWhere) {
       // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
       // doesn't advertise the v2 TRUNCATE capability, so truncate = drop +
@@ -657,11 +689,35 @@ final class SqlScriptRunner(spark: SparkSession,
   }
 
   /** Bind `TABLE(table_snapshot('t'))` / `TABLE(table_history('t'))`
-    * metadata scans (readme.md:357-369) as temp views in place. */
+    * metadata scans (readme.md:357-369) as temp views in place. Also binds
+    * `TABLE(table_changes('t', from, to [, 'key']))` — the CDC changelog
+    * between two snapshots of a snapshot-bound table (the key defaults to
+    * the table's declared `graft.snapshot.<t>.key`). */
   private def rewriteMetadataTables(stmt: String): String = {
+    val pc = ("(?is)TABLE\\s*\\(\\s*table_changes\\s*\\(\\s*'([^']+)'\\s*," +
+      "\\s*(\\d+)\\s*,\\s*(\\d+)\\s*(?:,\\s*'([^']+)'\\s*)?\\)\\s*\\)").r
+    val withChanges = pc.replaceAllIn(stmt, m => {
+      val name = m.group(1)
+      val root = spark.conf.getOption(s"graft.snapshot.$name").getOrElse(
+        throw new IllegalArgumentException(s"table_changes('$name', …): no " +
+          s"snapshot store bound (set spark conf graft.snapshot.$name)"))
+      val key = Option(m.group(4))
+        .orElse(spark.conf.getOption(s"graft.snapshot.$name.key"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table_changes('$name', …): pass a key column or set " +
+            s"graft.snapshot.$name.key"))
+      asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(name)))
+      val df = new graft.sources.SnapshotTable(spark, root)
+        .changes(m.group(2).toLong, m.group(3).toLong, key)
+      metaViewCount += 1
+      val v = s"graft_meta_$metaViewCount"
+      df.createOrReplaceTempView(v)
+      stmtViews += v
+      java.util.regex.Matcher.quoteReplacement(v)
+    })
     val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history|table_files)" +
       "\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)").r
-    p.replaceAllIn(stmt, m => {
+    p.replaceAllIn(withChanges, m => {
       val df = m.group(1).toLowerCase match {
         case "table_snapshot" =>
           graft.sources.MetadataFunctions.tableSnapshot(spark, m.group(2))

@@ -112,6 +112,12 @@ object DataPipelineQueries {
   private val wapFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q105's store: the WAP workflow driven entirely through the SCRIPTED
+    * surface (ALTER TABLE … BRANCH/TAG DDL + FAST FORWARD), consumed
+    * through the scripted CDC function `TABLE(table_changes(…))`. */
+  private val scriptRefsFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1797,7 +1803,59 @@ object DataPipelineQueries {
       t(s, dir, "documents").createOrReplaceTempView("q104_files_documents")
       graft.sources.MetadataFunctions.tableFiles(s, "q104_files_documents")
         .agg(sum(col("record_count")).as("n_rows"))
-    }, Some("SELECT count(*) AS n_rows FROM documents"))
+    }, Some("SELECT count(*) AS n_rows FROM documents")),
+
+    // The WAP workflow driven ENTIRELY through the scripted surface: tag,
+    // branch, and publish are `ALTER TABLE … BRANCH/TAG` DDL statements
+    // (Apache Iceberg's public branching DDL), and the result is consumed
+    // through the scripted CDC function `TABLE(table_changes('t', v0, v1))`
+    // — the key comes from the table's declared conf, like Iceberg's
+    // identifier fields. The curated branch drops every 5th doc and
+    // uppercases every 7th; the changelog between the pre-publish tag's
+    // version and the published head must classify exactly those rows as
+    // deletes and update pre/post images. The oracle recomputes each class
+    // straight from the raw corpus, so the classification itself is
+    // value-checked (down to the sum of affected doc_ids).
+    Q("q105_script_refs", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = scriptRefsFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_srefs")
+          val st = new SnapshotTable(s, r)
+          val d = t(s, dir, "documents")
+          st.commit(d)
+          s.conf.set("graft.snapshot.docs_cdc", r)
+          s.conf.set("graft.snapshot.docs_cdc.key", "doc_id")
+          val run = new graft.pipeline.SqlScriptRunner(s)
+          run.run("""
+            ALTER TABLE docs_cdc CREATE TAG pre_publish;
+            ALTER TABLE docs_cdc CREATE BRANCH curated;
+          """)
+          st.commitToBranch("curated",
+            d.filter(col("doc_id") % 5 =!= 0)
+              .withColumn("text",
+                when(col("doc_id") % 7 === 0, upper(col("text")))
+                  .otherwise(col("text"))))
+          run.run("ALTER TABLE docs_cdc FAST FORWARD BRANCH curated")
+          r
+        })
+      val head = new SnapshotTable(s, root).currentVersion.get
+      new graft.pipeline.SqlScriptRunner(s).run(
+        s"""SELECT _change_type, count(*) AS n, sum(doc_id) AS sum_ids
+            FROM TABLE(table_changes('docs_cdc', 0, $head))
+            GROUP BY _change_type ORDER BY _change_type""").values.head
+    }, Some("""
+      SELECT _change_type, count(*) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM (
+        SELECT 'delete' AS _change_type, doc_id FROM documents
+          WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'update_preimage', doc_id FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0 AND upper(text) <> text
+        UNION ALL
+        SELECT 'update_postimage', doc_id FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0 AND upper(text) <> text)
+      GROUP BY _change_type ORDER BY _change_type"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -37,7 +37,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def refsPath = Paths.get(root, "_graft_refs.jsonl")
 
   /** Named refs (Iceberg branches/tags): append-only `name,kind,version`
-    * log, last line per name wins. */
+    * log, last line per name wins; a `dropped` line is a tombstone — the
+    * name is free for re-creation and its pins are released. */
   private def readRefs(): Map[String, (String, Long)] =
     if (!Files.exists(refsPath)) Map.empty
     else {
@@ -45,7 +46,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       Files.readAllLines(refsPath).asScala.filter(_.nonEmpty).map { line =>
         val m = line.split(",", 3)
         m(0) -> (m(1), m(2).toLong)
-      }.toMap
+      }.toMap.filter(_._2._1 != "dropped")
     }
 
   private def writeRef(name: String, kind: String, v: Long): Unit = {
@@ -419,6 +420,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     import spark.implicits._
     readRefs().toSeq.map { case (n, (k, v)) => (n, k, v) }
       .sortBy(_._1).toDF("ref_name", "ref_kind", "version")
+  }
+
+  /** Drop a branch or tag (mirror of Iceberg's DROP BRANCH / DROP TAG).
+    * Appends a tombstone — the log stays append-only — after which the name
+    * may be re-created and the versions it pinned become expirable. */
+  def dropRef(name: String, expectKind: Option[String] = None): Unit = {
+    val kind = readRefs().get(name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no ref $name at $root"))
+    expectKind.foreach(k => require(k == kind,
+      s"$name is a $kind, not a $k — use DROP ${kind.toUpperCase}"))
+    writeRef(name, "dropped", -1L)
   }
 
   /** PUBLISH a branch to main (Iceberg fast-forward): main's head moves to

@@ -373,6 +373,45 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(eMerge.getMessage.contains("unsupported MERGE form"))
   }
 
+  test("scripted branch/tag DDL: WAP via ALTER TABLE, plus table_changes CDC") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_refs").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "note"))          // v0
+    spark.conf.set("graft.snapshot.ops.audit", root)
+    val r = new SqlScriptRunner(spark)
+
+    r.run("ALTER TABLE ops.audit CREATE TAG baseline AS OF VERSION 0")
+    r.run("ALTER TABLE ops.audit CREATE BRANCH wap")
+    // stage on the branch via the API (branch writes are an API surface),
+    // audit via scripted AT BRANCH, publish via scripted FAST FORWARD
+    st.commitToBranch("wap", Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "note"))
+    val audit = r.run("SELECT count(*) AS n FROM ops.audit AT BRANCH wap").values.head
+    assert(audit.as[Long].head() === 3L)
+    assert(st.read().count() === 2)                  // main untouched pre-publish
+    r.run("ALTER TABLE ops.audit FAST FORWARD BRANCH wap")
+    assert(st.read().count() === 3)
+    // CDC between v0 and main's published head, keyed on id
+    val head = st.currentVersion.get
+    val ch = r.run(s"SELECT _change_type, id FROM " +
+      s"TABLE(table_changes('ops.audit', 0, $head, 'id')) " +
+      s"ORDER BY id, _change_type").values.head
+    assert(ch.as[(String, Long)].collect().toSeq ===
+      Seq(("update_postimage", 2L), ("update_preimage", 2L), ("insert", 3L))
+        .sortBy(t => (t._2, t._1)))
+    // DROP kind-checking and tombstones
+    intercept[IllegalArgumentException](r.run("ALTER TABLE ops.audit DROP TAG wap"))
+    r.run("ALTER TABLE ops.audit DROP BRANCH wap")
+    assert(st.refs().as[(String, String, Long)].collect().map(_._1).toSet
+      === Set("baseline"))
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.audit REPLACE TAG baseline AS OF VERSION 1"))
+    r.run("ALTER TABLE ops.audit DROP TAG baseline")
+    r.run("ALTER TABLE ops.audit CREATE TAG baseline AS OF VERSION 0") // name freed
+    assert(st.readTag("baseline").count() === 2)
+  }
+
   test("DML dispatch is literal-safe and formatting-safe") {
     import graft.sources.SnapshotTable
     import spark.implicits._
