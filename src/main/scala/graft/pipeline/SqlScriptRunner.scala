@@ -321,6 +321,25 @@ final class SqlScriptRunner(spark: SparkSession,
           "expected: ROLLBACK TABLE t TO SNAPSHOT 'v'"))
       snapshotStore(m.group(1), "ALTER").rollback(m.group(2).trim.toLong)
       None
+    } else if (upper.startsWith("VACUUM TABLE ")) {
+      // Dremio's snapshot-pruning maintenance SQL (readme.md:398 "metadata
+      // pruning — cleaning up snapshots and manifests"; public Dremio/Iceberg
+      // VACUUM syntax):
+      //   VACUUM TABLE t EXPIRE SNAPSHOTS RETAIN_LAST n
+      //   VACUUM TABLE t EXPIRE SNAPSHOTS OLDER_THAN 'yyyy-mm-dd hh:mm:ss'
+      // Retention guarantees (live-ref pins, mor bases, alias targets) are
+      // SnapshotTable.expireSnapshots' — VACUUM can never orphan a readable
+      // snapshot's files.
+      val m = ("(?is)VACUUM\\s+TABLE\\s+([\\w.]+)\\s+EXPIRE\\s+SNAPSHOTS\\s+" +
+        "(?:RETAIN_LAST\\s+(\\d+)|OLDER_THAN\\s+'([^']+)')").r
+        .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
+          "expected: VACUUM TABLE t EXPIRE SNAPSHOTS RETAIN_LAST n | " +
+            "OLDER_THAN 'ts'"))
+      val st = snapshotStore(m.group(1), "ALTER")
+      if (m.group(2) != null) st.expireSnapshots(m.group(2).toInt)
+      else st.expireSnapshotsOlderThan(
+        java.sql.Timestamp.valueOf(m.group(3).trim).getTime)
+      None
     } else if (upper.startsWith("ALTER TABLE ") &&
         "(?i)\\b(BRANCH|TAG)\\b".r.findFirstIn(upper).isDefined) {
       // Branch/tag DDL on a snapshot-bound table, in Apache Iceberg's Spark
@@ -715,14 +734,18 @@ final class SqlScriptRunner(spark: SparkSession,
       stmtViews += v
       java.util.regex.Matcher.quoteReplacement(v)
     })
-    val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history|table_files)" +
-      "\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)").r
+    val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history|table_files" +
+      "|table_refs|table_partitions)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)").r
     p.replaceAllIn(withChanges, m => {
       val df = m.group(1).toLowerCase match {
         case "table_snapshot" =>
           graft.sources.MetadataFunctions.tableSnapshot(spark, m.group(2))
         case "table_files" =>
           graft.sources.MetadataFunctions.tableFiles(spark, m.group(2))
+        case "table_refs" =>
+          graft.sources.MetadataFunctions.tableRefs(spark, m.group(2))
+        case "table_partitions" =>
+          graft.sources.MetadataFunctions.tablePartitions(spark, m.group(2))
         case _ =>
           graft.sources.MetadataFunctions.tableHistory(spark, m.group(2))
       }

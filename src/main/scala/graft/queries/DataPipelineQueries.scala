@@ -118,6 +118,10 @@ object DataPipelineQueries {
   private val scriptRefsFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
+  private val partitionedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1855,7 +1859,30 @@ object DataPipelineQueries {
         UNION ALL
         SELECT 'update_postimage', doc_id FROM documents
           WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0 AND upper(text) <> text)
-      GROUP BY _change_type ORDER BY _change_type"""))
+      GROUP BY _change_type ORDER BY _change_type""")),
+
+    // The `partitions` metadata table over a lang-partitioned rewrite of the
+    // corpus: per-partition record counts come from parquet FOOTERS (a
+    // driver-side manifests-style read — no data pages opened, the property
+    // that makes partition-level stats free at 100 TB). The oracle
+    // recomputes each partition's cardinality from the raw corpus, so the
+    // footer counts and the path-derived partition keys are both
+    // value-checked.
+    Q("q106_table_partitions", (s, dir) => {
+      val root = partitionedFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_parts")
+          t(s, dir, "documents").write.partitionBy("lang")
+            .mode("overwrite").parquet(r)
+          r
+        })
+      s.read.parquet(root).createOrReplaceTempView("q106_parts_documents")
+      graft.sources.MetadataFunctions
+        .tablePartitions(s, "q106_parts_documents")
+        .select(col("partition"), col("record_count"))
+    }, Some("""
+      SELECT 'lang=' || lang AS partition, count(*) AS record_count
+      FROM documents GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -66,6 +66,65 @@ object MetadataFunctions {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), filesSchema)
   }
 
+  private val refsSchema = StructType(Seq(
+    StructField("ref_name", StringType, nullable = false),
+    StructField("ref_kind", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  private val partitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("file_count", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  /** `TABLE(table_refs('name'))` — the named refs (branches/tags) of a
+    * snapshot-bound table (Iceberg's `refs` metadata table). A plain table
+    * has no refs → empty. */
+  def tableRefs(spark: SparkSession, table: String): DataFrame =
+    resolveRoot(spark, table) match {
+      case Some(root) => new SnapshotTable(spark, root).refs()
+        .select(col("ref_name"), col("ref_kind"), col("version"))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], refsSchema)
+    }
+
+  /** `TABLE(table_partitions('name'))` — one row per partition of the
+    * CURRENT state (Iceberg's `partitions` metadata table): the partition's
+    * path-encoded key values, its file count, record count (from parquet
+    * FOOTERS — manifests-style, no data pages opened) and byte size. An
+    * unpartitioned table is one row with a NULL partition. Cost is
+    * O(#files) driver-side metadata reads, never a data scan. */
+  def tablePartitions(spark: SparkSession, table: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val perFile = inputFiles(spark, table).map { f =>
+      val p = new Path(f)
+      // partition key = the key=value directory segments above the file
+      val segs = Iterator.iterate(p.getParent)(_.getParent)
+        .takeWhile(_ != null).map(_.getName)
+        .takeWhile(_.contains("=")).toSeq.reverse
+        // a SnapshotTable's `v=N` dir is versioning, not partitioning
+        .filterNot(_.matches("v=\\d+"))
+      val part = if (segs.isEmpty) null else segs.mkString("/")
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      val records = try reader.getRecordCount finally reader.close()
+      (part, records, st.getLen)
+    }
+    val rows = perFile.groupBy(_._1).toSeq.sortBy(t => Option(t._1).getOrElse(""))
+      .map { case (part, fs) =>
+        Row(part, fs.size.toLong, fs.map(_._2).sum, fs.map(_._3).sum)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), partitionsSchema)
+  }
+
+  /** A SnapshotTable root for `table`: the `graft.snapshot.<name>` conf
+    * binding first (snapshot-bound names are usually not Spark tables),
+    * else the versioned layout behind a resolvable table's files. */
+  private def resolveRoot(spark: SparkSession, table: String): Option[String] =
+    spark.conf.getOption(s"graft.snapshot.$table")
+      .orElse(snapshotRoot(spark, table))
+
   /** `TABLE(table_snapshot('name'))` — one row per snapshot. */
   def tableSnapshot(spark: SparkSession, table: String): DataFrame =
     snapshotRoot(spark, table) match {

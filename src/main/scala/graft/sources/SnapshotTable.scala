@@ -218,6 +218,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     expire
   }
 
+  /** X2 — expire snapshots COMMITTED BEFORE `tsMillis` (the `VACUUM TABLE …
+    * EXPIRE SNAPSHOTS OLDER_THAN` form): expressed as a keep-count so every
+    * retention guarantee of [[expireSnapshots]] (mor bases, ref pins, alias
+    * targets) applies identically. The head always survives, however old. */
+  def expireSnapshotsOlderThan(tsMillis: Long): Seq[Long] = {
+    val meta = readMeta()
+    val keep = math.max(meta.count(_._2 >= tsMillis), 1)
+    expireSnapshots(keep)
+  }
+
   /** X2 — compaction (mirror of rewrite_data_files bin-packing): rewrite the
     * current version's data as `targetFiles` files in a new snapshot. Also
     * folds any outstanding merge-on-read delete files into the new full base

@@ -412,6 +412,44 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(st.readTag("baseline").count() === 2)
   }
 
+  test("scripted VACUUM TABLE expiry and table_refs/table_partitions scans") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_vac").toString
+    val st = new SnapshotTable(spark, root)
+    (1 to 4).foreach(i =>
+      st.commit(Seq.tabulate(i)(j => (j.toLong, s"r$j")).toDF("id", "v")))
+    st.createTag("keep0", Some(0L))      // pins v0 through the vacuum
+    spark.conf.set("graft.snapshot.ops.vac", root)
+    val r = new SqlScriptRunner(spark)
+
+    r.run("VACUUM TABLE ops.vac EXPIRE SNAPSHOTS RETAIN_LAST 2")
+    assert(st.history().count() === 3)   // v2, v3 + the tag-pinned v0
+    assert(st.readTag("keep0").count() === 1)
+    assert(st.read().count() === 4)
+
+    val refs = r.run("SELECT ref_name, ref_kind FROM TABLE(table_refs('ops.vac'))")
+      .values.head.as[(String, String)].collect().toSeq
+    assert(refs === Seq(("keep0", "tag")))
+
+    // OLDER_THAN far in the past expires nothing; far in the future keeps
+    // only what retention must (head + pins)
+    r.run("VACUUM TABLE ops.vac EXPIRE SNAPSHOTS OLDER_THAN '2000-01-01 00:00:00'")
+    assert(st.history().count() === 3)
+    r.run("VACUUM TABLE ops.vac EXPIRE SNAPSHOTS OLDER_THAN '2100-01-01 00:00:00'")
+    assert(st.read().count() === 4)      // head survives however old
+    assert(st.readTag("keep0").count() === 1)
+
+    // table_partitions over a partitioned catalog write
+    Seq((1, "en"), (2, "en"), (3, "de")).toDF("id", "lang")
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$root/pt")
+    spark.read.parquet(s"$root/pt").createOrReplaceTempView("vac_parts")
+    val parts = r.run(
+      "SELECT partition, record_count FROM TABLE(table_partitions('vac_parts')) " +
+        "ORDER BY partition").values.head.as[(String, Long)].collect().toSeq
+    assert(parts === Seq(("lang=de", 1L), ("lang=en", 2L)))
+  }
+
   test("DML dispatch is literal-safe and formatting-safe") {
     import graft.sources.SnapshotTable
     import spark.implicits._

@@ -63,4 +63,43 @@ class MetadataFunctionsSpec extends SparkSpec {
     val hist = MetadataFunctions.tableHistory(spark, "meta_plain").collect()
     assert(hist.length === 1 && hist(0).getLong(1) === 0L && hist(0).getBoolean(3))
   }
+
+  test("table_partitions: per-partition file/record metrics from footers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("metaparts").toFile.getAbsolutePath
+    Seq((1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, "fr", "d"), (5, "fr", "e"))
+      .toDF("id", "lang", "v")
+      .write.partitionBy("lang").mode("overwrite").parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("meta_parts")
+    val parts = MetadataFunctions.tablePartitions(spark, "meta_parts")
+      .orderBy("partition").collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("lang=de", "lang=en", "lang=fr"))
+    assert(parts.map(_.getLong(2)).toSeq === Seq(1L, 2L, 2L)) // record counts
+    assert(parts.forall(r => r.getLong(1) >= 1L && r.getLong(3) > 0L))
+    // unpartitioned table: one NULL-partition row with the full metrics
+    Seq((1, "x"), (2, "y")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/u")
+    spark.read.parquet(s"$dir/u").createOrReplaceTempView("meta_unpart")
+    val up = MetadataFunctions.tablePartitions(spark, "meta_unpart").collect()
+    assert(up.length === 1 && up(0).isNullAt(0) && up(0).getLong(2) === 2L)
+  }
+
+  test("table_refs: branches/tags of a snapshot-bound table; empty for plain") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("metarefs").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1, "a")).toDF("id", "v"))
+    t.createTag("pin")
+    t.createBranch("dev")
+    spark.conf.set("graft.snapshot.meta.refd", root)
+    val refs = MetadataFunctions.tableRefs(spark, "meta.refd")
+      .orderBy("ref_name").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("dev", "branch"), ("pin", "tag")))
+    // a plain table has no refs
+    Seq((1, "x")).toDF("id", "v").write.mode("overwrite")
+      .parquet(root + "_plain")
+    spark.read.parquet(root + "_plain").createOrReplaceTempView("meta_norefs")
+    assert(MetadataFunctions.tableRefs(spark, "meta_norefs").count() === 0)
+  }
 }
