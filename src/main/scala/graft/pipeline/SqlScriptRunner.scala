@@ -336,12 +336,16 @@ final class SqlScriptRunner(spark: SparkSession,
           "expected: VACUUM TABLE t EXPIRE SNAPSHOTS RETAIN_LAST n | " +
             "OLDER_THAN 'ts'"))
       val st = snapshotStore(m.group(1), "ALTER")
-      if (m.group(2) != null) st.expireSnapshots(m.group(2).toInt)
-      else st.expireSnapshotsOlderThan(
+      if (m.group(2) != null) {
+        val n = m.group(2).toInt
+        require(n >= 1, s"RETAIN_LAST $n: must retain at least 1 snapshot")
+        st.expireSnapshots(n)
+      } else st.expireSnapshotsOlderThan(
         java.sql.Timestamp.valueOf(m.group(3).trim).getTime)
       None
-    } else if (upper.startsWith("ALTER TABLE ") &&
-        "(?i)\\b(BRANCH|TAG)\\b".r.findFirstIn(upper).isDefined) {
+    } else if (("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+" +
+        "(CREATE|REPLACE|DROP|FAST\\s+FORWARD)\\s+(BRANCH|TAG)\\b").r
+        .findFirstIn(masked.trim).isDefined) {
       // Branch/tag DDL on a snapshot-bound table, in Apache Iceberg's Spark
       // SQL extension syntax (public: iceberg branching DDL):
       //   ALTER TABLE t CREATE BRANCH b [AS OF VERSION v]
@@ -362,8 +366,18 @@ final class SqlScriptRunner(spark: SparkSession,
       val name = m.group(4)
       val at = Option(m.group(5)).map(_.toLong)
       m.group(2).toUpperCase.replaceAll("\\s+", " ") match {
-        case "CREATE" | "REPLACE" if kind == "BRANCH" => st.createBranch(name, at)
-        case "CREATE"                                 => st.createTag(name, at)
+        case "CREATE" if kind == "BRANCH" =>
+          // Iceberg semantics: CREATE errors on an existing branch, REPLACE
+          // errors on a missing one — a typo'd CREATE must never silently
+          // re-point a branch holding staged-but-unpublished commits
+          require(st.branchHead(name).isEmpty,
+            s"branch $name already exists; use REPLACE BRANCH to re-point it")
+          st.createBranch(name, at)
+        case "REPLACE" if kind == "BRANCH" =>
+          require(st.branchHead(name).isDefined,
+            s"no branch $name to replace")
+          st.createBranch(name, at)
+        case "CREATE" => st.createTag(name, at)
         case "REPLACE" => throw new IllegalArgumentException(
           s"REPLACE TAG $name: tags never move; DROP it first")
         case "DROP"         => st.dropRef(name, Some(kind.toLowerCase))
@@ -737,6 +751,10 @@ final class SqlScriptRunner(spark: SparkSession,
     val p = ("(?is)TABLE\\s*\\(\\s*(table_snapshot|table_history|table_files" +
       "|table_refs|table_partitions)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*\\)").r
     p.replaceAllIn(withChanges, m => {
+      // metadata still describes the dataset (partition keys, row counts,
+      // branch names) — reading it requires the same SELECT the data needs
+      asUser.foreach(u =>
+        requirePrivilege(u, "SELECT", Nil, datasetPath(m.group(2))))
       val df = m.group(1).toLowerCase match {
         case "table_snapshot" =>
           graft.sources.MetadataFunctions.tableSnapshot(spark, m.group(2))

@@ -54,17 +54,42 @@ object MetadataFunctions {
     * parquet FOOTERS — a driver-side metadata read, no data pages opened,
     * exactly how Iceberg serves them from manifests. */
   def tableFiles(spark: SparkSession, table: String): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val rows = inputFiles(spark, table).map { f =>
-      val p = new Path(f)
-      val st = p.getFileSystem(hconf).getFileStatus(p)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
-      val records = try reader.getRecordCount finally reader.close()
-      Row(f, "PARQUET", records, st.getLen)
+    val rows = dataFiles(spark, table).map { f =>
+      val (records, bytes) = footerStats(spark, f)
+      Row(f, "PARQUET", records, bytes)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), filesSchema)
   }
+
+  /** Record count (parquet FOOTER — a metadata read, no data pages opened,
+    * the Iceberg manifests contract) and byte size of one data file. */
+  private def footerStats(spark: SparkSession, file: String): (Long, Long) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(file)
+    val st = p.getFileSystem(hconf).getFileStatus(p)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+    val records = try reader.getRecordCount finally reader.close()
+    (records, st.getLen)
+  }
+
+  /** The table's current DATA files. A snapshot-bound name (conf binding or
+    * versioned layout) resolves to the CURRENT base snapshot's data dir —
+    * merge-on-read delete-key files are NOT data files and are excluded,
+    * exactly as Iceberg's files/partitions tables report data files with
+    * deletes accounted separately. Anything else is a resolvable table's
+    * own scan file list. */
+  private def dataFiles(spark: SparkSession, table: String): Seq[String] =
+    resolveRoot(spark, table) match {
+      case Some(root) =>
+        val dir = new Path(new SnapshotTable(spark, root).currentBaseDataDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(dir)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath.toUri.getPath).toSeq.sorted
+      case None => inputFiles(spark, table)
+    }
 
   private val refsSchema = StructType(Seq(
     StructField("ref_name", StringType, nullable = false),
@@ -95,21 +120,22 @@ object MetadataFunctions {
     * unpartitioned table is one row with a NULL partition. Cost is
     * O(#files) driver-side metadata reads, never a data scan. */
   def tablePartitions(spark: SparkSession, table: String): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val perFile = inputFiles(spark, table).map { f =>
+    val perFile = dataFiles(spark, table).map { f =>
       val p = new Path(f)
-      // partition key = the key=value directory segments above the file
+      // partition key = the key=value directory segments above the file; a
+      // `v=N` dir that is a SnapshotTable's versioning level (its parent
+      // holds the commit log) is the root boundary, not a partition — a
+      // genuine partition column named `v` (no commit log beside it) keeps
+      // its segments
       val segs = Iterator.iterate(p.getParent)(_.getParent)
-        .takeWhile(_ != null).map(_.getName)
-        .takeWhile(_.contains("=")).toSeq.reverse
-        // a SnapshotTable's `v=N` dir is versioning, not partitioning
-        .filterNot(_.matches("v=\\d+"))
+        .takeWhile(_ != null)
+        .takeWhile(d => d.getName.contains("=") &&
+          !(d.getName.matches("v=\\d+") && d.getParent != null &&
+            Files.exists(Paths.get(d.getParent.toUri.getPath, "_graft_meta.jsonl"))))
+        .map(_.getName).toSeq.reverse
       val part = if (segs.isEmpty) null else segs.mkString("/")
-      val st = p.getFileSystem(hconf).getFileStatus(p)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
-      val records = try reader.getRecordCount finally reader.close()
-      (part, records, st.getLen)
+      val (records, bytes) = footerStats(spark, f)
+      (part, records, bytes)
     }
     val rows = perFile.groupBy(_._1).toSeq.sortBy(t => Option(t._1).getOrElse(""))
       .map { case (part, fs) =>

@@ -173,7 +173,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def expireSnapshots(keep: Int): Seq[Long] = {
     val meta = readMeta()
     val keptFrom = {
-      val cut = math.max(meta.length - keep, 0)
+      val requested = math.max(meta.length - keep, 0)
+      // MAIN's head always survives: a keep-window of trailing side-branch
+      // commits must not expire the only readable main state
+      val mainIdx = meta.lastIndexWhere(m => !isBranchOp(m._3))
+      val cut = if (mainIdx >= 0) math.min(requested, mainIdx) else requested
       // the earliest kept MAIN-lineage entry decides whether retention must
       // extend back: a branch commit is its own full base (read() treats it
       // so) and must not shadow a mor-delete right after it, and a branch
@@ -218,12 +222,29 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     expire
   }
 
+  /** The directory holding the CURRENT snapshot's base DATA files
+    * (merge-on-read delete files excluded): what file-level metadata scans
+    * should list — Iceberg's files/partitions tables likewise report data
+    * files, with delete files accounted separately. */
+  def currentBaseDataDir: String = {
+    val meta = readMeta()
+    val v = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val upTo = meta.filter(m => m._1 <= v && (m._1 == v || !isBranchOp(m._3)))
+    val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
+    require(baseIdx >= 0, s"no full-data base snapshot at or before v=$v at $root")
+    s"$root/v=${dataDirVersion(upTo(baseIdx))}"
+  }
+
   /** X2 — expire snapshots COMMITTED BEFORE `tsMillis` (the `VACUUM TABLE …
     * EXPIRE SNAPSHOTS OLDER_THAN` form): expressed as a keep-count so every
     * retention guarantee of [[expireSnapshots]] (mor bases, ref pins, alias
     * targets) applies identically. The head always survives, however old. */
   def expireSnapshotsOlderThan(tsMillis: Long): Seq[Long] = {
     val meta = readMeta()
+    // keep-count includes main's head however old (expireSnapshots also
+    // clamps to main's head positionally, so trailing side-branch commits
+    // cannot push the only readable main state out of the window)
     val keep = math.max(meta.count(_._2 >= tsMillis), 1)
     expireSnapshots(keep)
   }

@@ -448,6 +448,36 @@ class SqlScriptRunnerSpec extends SparkSpec {
       "SELECT partition, record_count FROM TABLE(table_partitions('vac_parts')) " +
         "ORDER BY partition").values.head.as[(String, Long)].collect().toSeq
     assert(parts === Seq(("lang=de", 1L), ("lang=en", 2L)))
+
+    // RETAIN_LAST 0 is rejected, never a silent table wipe
+    intercept[IllegalArgumentException](
+      r.run("VACUUM TABLE ops.vac EXPIRE SNAPSHOTS RETAIN_LAST 0"))
+    assert(st.read().count() === 4)
+  }
+
+  test("branch DDL guard is surgical: other ALTER TABLE forms fall through") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("refs_guard").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a")).toDF("id", "v"))
+    spark.conf.set("graft.snapshot.ops.guard", root)
+    val r = new SqlScriptRunner(spark)
+    // a column/property named tag or branch is NOT ref DDL — the statement
+    // must reach spark.sql (which rejects it for a path-less name, not the
+    // ref-DDL parser)
+    val e = intercept[Exception](
+      r.run("ALTER TABLE some_missing_table ADD COLUMNS (tag STRING)"))
+    assert(!e.getMessage.contains("CREATE|REPLACE|DROP|FAST FORWARD"))
+    // CREATE on an existing branch errors (Iceberg semantics); REPLACE on a
+    // missing one too
+    r.run("ALTER TABLE ops.guard CREATE BRANCH audit")
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.guard CREATE BRANCH audit"))
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.guard REPLACE BRANCH missing AS OF VERSION 0"))
+    r.run("ALTER TABLE ops.guard REPLACE BRANCH audit AS OF VERSION 0")
+    assert(st.branchHead("audit") === Some(0L))
   }
 
   test("DML dispatch is literal-safe and formatting-safe") {

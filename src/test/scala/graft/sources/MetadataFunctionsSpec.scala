@@ -84,6 +84,35 @@ class MetadataFunctionsSpec extends SparkSpec {
     assert(up.length === 1 && up(0).isNullAt(0) && up(0).getLong(2) === 2L)
   }
 
+  test("files/partitions on a conf-bound MOR table count base data files only") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("metamor").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(10)(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    t.deleteWhereMor(org.apache.spark.sql.functions.col("id") < 3L, "id")
+    spark.conf.set("graft.snapshot.meta.mor", root)
+    // Iceberg contract: files/partitions report DATA files; the 3-key
+    // equality-delete file is not a data file and must not be counted
+    val files = MetadataFunctions.tableFiles(spark, "meta.mor").collect()
+    assert(files.map(_.getLong(2)).sum === 10L)
+    assert(files.forall(_.getString(0).contains("v=0")))
+    val parts = MetadataFunctions.tablePartitions(spark, "meta.mor").collect()
+    assert(parts.length === 1 && parts(0).isNullAt(0))
+    assert(parts(0).getLong(2) === 10L) // versioning v=0 dir is not a partition
+  }
+
+  test("a genuine partition column named v keeps its segments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("metav").toFile.getAbsolutePath
+    Seq((1, 0), (2, 0), (3, 1)).toDF("id", "v")
+      .write.partitionBy("v").mode("overwrite").parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("meta_vcol")
+    val parts = MetadataFunctions.tablePartitions(spark, "meta_vcol")
+      .orderBy("partition").collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("v=0", "v=1"))
+    assert(parts.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+  }
+
   test("table_refs: branches/tags of a snapshot-bound table; empty for plain") {
     import spark.implicits._
     val root = Files.createTempDirectory("metarefs").toFile.getAbsolutePath

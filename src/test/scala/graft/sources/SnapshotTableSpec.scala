@@ -207,6 +207,22 @@ class SnapshotTableSpec extends SparkSpec {
       Set((2L, "b"), (3L, "c")))
   }
 
+  test("expiry never removes main's head, even behind trailing branch commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("exp_head").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))                       // v0 main
+    t.createBranch("stage")
+    t.commitToBranch("stage", Seq((2L, "b")).toDF("id", "v"))      // v1 branch
+    t.commitToBranch("stage", Seq((3L, "c")).toDF("id", "v"))      // v2 branch
+    // keep-window of 1 trailing entry is a branch commit; v0 is main's only
+    // readable state and must survive both expiry forms
+    t.expireSnapshots(keep = 1)
+    assert(t.read().as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 1000000L)
+    assert(t.read().as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+
   test("refs are validated: no tag→branch conversion, no corrupting names") {
     import spark.implicits._
     val root = Files.createTempDirectory("refs_val").toFile.getAbsolutePath
