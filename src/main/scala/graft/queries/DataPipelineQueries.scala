@@ -122,6 +122,10 @@ object DataPipelineQueries {
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q107's store: scripted DML + VACUUM retention (tag pins survive). */
+  private val vacuumFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1882,7 +1886,45 @@ object DataPipelineQueries {
         .select(col("partition"), col("record_count"))
     }, Some("""
       SELECT 'lang=' || lang AS partition, count(*) AS record_count
-      FROM documents GROUP BY lang"""))
+      FROM documents GROUP BY lang""")),
+
+    // Scripted VACUUM retention semantics, value-checked: three snapshots
+    // (full corpus → cow-delete of every 4th doc → cow-delete of 'de'),
+    // the ORIGINAL corpus pinned by a tag, then VACUUM RETAIN_LAST 1.
+    // Retention must keep the head and the tag-pinned v0 while expiring
+    // the middle version — the oracle recomputes the surviving head and
+    // tag contents straight from the raw corpus, and the version count
+    // pins that expiry actually removed a snapshot (3 → 2). This is the
+    // 100 TB maintenance contract: pruning metadata/files never alters
+    // anything a live ref or the head can still read.
+    Q("q107_vacuum_retention", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = vacuumFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_vac")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))                        // v0
+          s.conf.set("graft.snapshot.docs_vac", r)
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            ALTER TABLE docs_vac CREATE TAG archived;
+            DELETE FROM docs_vac WHERE doc_id % 4 = 0;
+            DELETE FROM docs_vac WHERE lang = 'de';
+            VACUUM TABLE docs_vac EXPIRE SNAPSHOTS RETAIN_LAST 1;
+          """)
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      st.read()
+        .agg(count(lit(1)).as("n_current"),
+          sum(col("doc_id")).as("sum_ids_current"))
+        .crossJoin(st.readTag("archived").agg(count(lit(1)).as("n_tagged")))
+        .crossJoin(st.history().agg(count(lit(1)).as("n_versions")))
+    }, Some("""
+      SELECT count(*) AS n_current,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids_current,
+             (SELECT count(*) FROM documents) AS n_tagged,
+             CAST(2 AS BIGINT) AS n_versions
+      FROM documents WHERE doc_id % 4 <> 0 AND lang <> 'de'"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -25,8 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     "q101_rollback",        // × a ONE-ROW scalar (the commit log's rollback
                             // count) — a broadcast of a single row, constant
                             // cost at any table size
-    "q103_branch_wap"       // × a ONE-ROW scalar (the tag's row count) —
+    "q103_branch_wap",      // × a ONE-ROW scalar (the tag's row count) —
                             // same constant-cost single-row broadcast
+    "q107_vacuum_retention" // × TWO one-row scalars (tagged count, version
+                            // count) — constant-cost single-row broadcasts
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {
