@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 
 import graft.sources.Catalog
 
@@ -109,13 +110,20 @@ final class SqlScriptRunner(spark: SparkSession,
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inS = false; var inD = false
-    noComments.foreach {
-      case c @ '\'' if !inD => inS = !inS; sb += c
-      case c @ '"' if !inS => inD = !inD; sb += c
-      case ';' if !inS && !inD =>
-        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-        sb.clear()
-      case c => sb += c
+    var i = 0
+    while (i < noComments.length) {
+      noComments.charAt(i) match {
+        case c @ '\\' if inS && i + 1 < noComments.length =>
+          // backslash-escaped quote inside a literal must not toggle state
+          sb += c; sb += noComments.charAt(i + 1); i += 1
+        case c @ '\'' if !inD => inS = !inS; sb += c
+        case c @ '"' if !inS => inD = !inD; sb += c
+        case ';' if !inS && !inD =>
+          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+          sb.clear()
+        case c => sb += c
+      }
+      i += 1
     }
     if (sb.toString.trim.nonEmpty) out += sb.toString.trim
     out.toSeq
@@ -224,66 +232,127 @@ final class SqlScriptRunner(spark: SparkSession,
       // write.delete.mode:
       //   graft.snapshot.<name>.delete_mode = cow (default) | mor
       //   graft.snapshot.<name>.key         = equality-delete key (mor only)
-      val m = "(?is)DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\b\\s*(.+)".r
+      // `DELETE FROM t AT BRANCH b WHERE …` (Dremio's branch-targeted DML
+      // spelling) applies the delete to the BRANCH's head — the
+      // write-audit-publish staging write; main is untouched.
+      val m = ("(?is)DELETE\\s+FROM\\s+([\\w.]+)" +
+        "(?:\\s+AT\\s+BRANCH\\s+(\\w+))?\\s+WHERE\\b\\s*(.+)").r
         .findFirstMatchIn(masked).get
       val name = stmt.substring(m.start(1), m.end(1))
       val st = snapshotStore(name, "DELETE")
-      val pred = org.apache.spark.sql.functions.expr(
-        stmt.substring(m.start(2), m.end(2)).trim.stripSuffix(";"))
-      spark.conf.getOption(s"graft.snapshot.$name.delete_mode").getOrElse("cow") match {
-        case "mor" =>
-          val key = spark.conf.getOption(s"graft.snapshot.$name.key").getOrElse(
-            throw new IllegalArgumentException(s"DELETE (merge-on-read) on " +
-              s"$name: set graft.snapshot.$name.key to the equality-delete key"))
-          st.deleteWhereMor(pred, key)
-        case _ => st.deleteWhere(pred)
+      val pred = expr(stmt.substring(m.start(3), m.end(3)).trim.stripSuffix(";"))
+      Option(m.group(2)).map(_ => stmt.substring(m.start(2), m.end(2))) match {
+        case Some(b) =>
+          // branch-side copy-on-write: survivors become the branch's head
+          st.commitToBranch(b,
+            st.readBranch(b).filter(!(pred <=> lit(true))), "overwrite")
+        case None =>
+          spark.conf.getOption(s"graft.snapshot.$name.delete_mode").getOrElse("cow") match {
+            case "mor" =>
+              val key = spark.conf.getOption(s"graft.snapshot.$name.key").getOrElse(
+                throw new IllegalArgumentException(s"DELETE (merge-on-read) on " +
+                  s"$name: set graft.snapshot.$name.key to the equality-delete key"))
+              st.deleteWhereMor(pred, key)
+            case _ => st.deleteWhere(pred)
+          }
       }
       None
     } else if (upper.startsWith("UPDATE ") && upper.contains(" SET ")) {
-      // UPDATE t SET col = expr[, …] [WHERE pred] on a snapshot-bound table
-      // (copy-on-write). Assignment expressions are any Spark SQL scalar
-      // over the table's columns.
+      // UPDATE t [AT BRANCH b] SET col = expr[, …] [WHERE pred] on a
+      // snapshot-bound table (copy-on-write; the AT BRANCH form targets the
+      // branch's head, leaving main untouched). Assignment expressions are
+      // any Spark SQL scalar over the table's columns.
       // match on the masked body so a WHERE inside an assignment's string
       // literal (SET note = 'kept where found') can't split the SET clause;
       // masking is length-preserving, so offsets slice the real text
       val body = stmt.trim.stripSuffix(";")
-      val m = "(?is)UPDATE\\s+([\\w.]+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\b\\s*(.+))?$".r
+      val m = ("(?is)UPDATE\\s+([\\w.]+)(?:\\s+AT\\s+BRANCH\\s+(\\w+))?" +
+        "\\s+SET\\s+(.+?)(?:\\s+WHERE\\b\\s*(.+))?$").r
         .findFirstMatchIn(maskStringLiterals(body)).get
       val st = snapshotStore(body.substring(m.start(1), m.end(1)), "UPDATE")
-      val assigns = topLevelSplit(body.substring(m.start(2), m.end(2))).map { a =>
+      val assigns = topLevelSplit(body.substring(m.start(3), m.end(3))).map { a =>
         val eq = a.indexOf('=')
         require(eq > 0, s"UPDATE assignment not of form col = expr: $a")
-        a.substring(0, eq).trim ->
-          org.apache.spark.sql.functions.expr(a.substring(eq + 1).trim)
+        a.substring(0, eq).trim -> expr(a.substring(eq + 1).trim)
       }
-      val pred = Option(m.group(3))
-        .map(_ => org.apache.spark.sql.functions.expr(
-          body.substring(m.start(3), m.end(3)).trim))
-        .getOrElse(org.apache.spark.sql.functions.lit(true))
-      st.update(pred, assigns.toMap)
+      val pred = Option(m.group(4))
+        .map(_ => expr(body.substring(m.start(4), m.end(4)).trim))
+        .getOrElse(lit(true))
+      Option(m.group(2)).map(_ => body.substring(m.start(2), m.end(2))) match {
+        case Some(b) =>
+          val updated = assigns.foldLeft(st.readBranch(b)) { case (df, (c, e)) =>
+            df.withColumn(c, when(pred, e).otherwise(col(c)))
+          }
+          st.commitToBranch(b, updated, "overwrite")
+        case None => st.update(pred, assigns.toMap)
+      }
+      None
+    } else if (upper.startsWith("INSERT INTO ") && {
+        "(?is)^INSERT\\s+INTO\\s+([\\w.]+)".r.findFirstMatchIn(stmt.trim)
+          .exists(n => spark.conf.getOption(s"graft.snapshot.${n.group(1)}").isDefined)
+      }) {
+      // INSERT INTO t [AT BRANCH b] <query|VALUES …> on a SNAPSHOT-BOUND
+      // table: an O(DELTA) append commit — only the new rows are written
+      // (the Iceberg append cost model; reference spark.py:88-89). The AT
+      // BRANCH form (Dremio's branch-targeted DML) appends to the branch's
+      // head — the write-audit-publish staging write. SELECT sources align
+      // BY NAME (alias your columns; missing ones null-fill — the schema-
+      // evolution union semantic); VALUES align positionally to the table's
+      // schema, like SQL INSERT. Catalog-table INSERTs are untouched (the
+      // default spark.sql path below).
+      val body = stmt.trim.stripSuffix(";")
+      val m = ("(?is)^INSERT\\s+INTO\\s+([\\w.]+)" +
+        "(?:\\s+AT\\s+BRANCH\\s+(\\w+))?\\s+(.+)$").r
+        .findFirstMatchIn(maskStringLiterals(body)).get
+      val name = body.substring(m.start(1), m.end(1))
+      val st = snapshotStore(name, "INSERT")
+      val branch = Option(m.group(2)).map(_ => body.substring(m.start(2), m.end(2)))
+      val q = body.substring(m.start(3), m.end(3)).trim
+      val df0 = spark.sql(
+        if (q.startsWith("(") && q.endsWith(")")) q.stripPrefix("(").stripSuffix(")")
+        else q)
+      val df =
+        if (q.toUpperCase.startsWith("VALUES")) {
+          val cols = branch.map(st.readBranch(_)).getOrElse(st.read()).columns
+          require(df0.columns.length == cols.length,
+            s"INSERT INTO $name VALUES: ${df0.columns.length} values for ${cols.length} columns")
+          df0.toDF(cols.toSeq: _*)
+        } else df0
+      branch match {
+        case Some(b) => st.commitToBranch(b, df, "append")
+        case None    => st.commit(df, "append")
+      }
       None
     } else if (upper.startsWith("MERGE INTO ")) {
-      // MERGE INTO t USING <src> ON t.k = s.k
-      //   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-      // — the whole-row upsert form (the reference pipelines' delta-load
-      // shape). <src> is a (sub-select) or a table/view name; the ON clause
-      // must be a single equality on the SAME column name both sides (the
-      // merge key). Column-wise SET lists are not supported — the engine's
-      // merge is whole-row by design (SnapshotTable.merge).
+      // MERGE INTO t [AS a] USING <src> [AS b] ON t.k = s.k, then any mix of
+      // Iceberg/Spark MERGE clauses, first-match-wins:
+      //   WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c = e, … | DELETE
+      //   WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (c, …) VALUES (e, …)
+      // <src> is a (sub-select) or a table/view name; the ON clause must be
+      // a single equality on the SAME column name both sides (the merge
+      // key), and its qualifiers must be exactly the target and source
+      // aliases (in either order) — a typo'd `ON t.id = t.id` is an error,
+      // never a silent key-merge. The whole-row SET */INSERT * pair keeps
+      // the cheaper anti-join+union plan (SnapshotTable.merge); any other
+      // clause mix runs the general broadcast-outer-join executor
+      // (SnapshotTable.mergeInto — the target side never shuffles).
       def unsupported = new IllegalArgumentException(
         "unsupported MERGE form; expected: MERGE INTO t USING src ON " +
-          "t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+          "t.k = s.k followed by WHEN [NOT] MATCHED [AND cond] THEN " +
+          "UPDATE SET */UPDATE SET c = e, …/DELETE/INSERT */INSERT (…) VALUES (…)")
       val trimmed = stmt.trim.stripSuffix(";")
       val hm = "(?is)^MERGE\\s+INTO\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+".r
         .findFirstMatchIn(trimmed).getOrElse(throw unsupported)
       // the USING source: a balanced-paren (sub-select) scan — regex can't
-      // bound arbitrary nesting — or a bare table/view name.
+      // bound arbitrary nesting — or a bare table/view name. Quote-aware,
+      // with backslash-escaped quotes skipped.
       val rest = trimmed.substring(hm.end)
       val (srcText, afterSrc) =
         if (rest.startsWith("(")) {
           var depth = 0; var i = 0; var end = -1; var inS = false
           while (i < rest.length && end < 0) {
             rest.charAt(i) match {
+              case '\\' if inS && i + 1 < rest.length => i += 1
               case '\'' => inS = !inS
               case '(' if !inS => depth += 1
               case ')' if !inS => depth -= 1; if (depth == 0) end = i
@@ -297,21 +366,106 @@ final class SqlScriptRunner(spark: SparkSession,
           val m2 = "(?s)^([\\w.]+)".r.findFirstMatchIn(rest).getOrElse(throw unsupported)
           (m2.group(1), rest.substring(m2.end))
         }
-      val tm = ("(?is)^\\s*(?:(?:AS\\s+)?(\\w+)\\s+)?ON\\s+(.+?)\\s+" +
-        "WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
-        "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*$").r
+      val am = "(?is)^\\s*(?:(?:AS\\s+)?(\\w+)\\s+)?ON\\s+".r
         .findFirstMatchIn(afterSrc).getOrElse(throw unsupported)
+      val srcAlias = Option(am.group(1))
+      val afterOn = afterSrc.substring(am.end)
+      val maskedAfterOn = maskStringLiterals(afterOn)
+      val clauseStarts = "(?is)\\bWHEN\\s+(?:NOT\\s+)?MATCHED\\b".r
+        .findAllMatchIn(maskedAfterOn).map(_.start).toList
+      if (clauseStarts.isEmpty) throw unsupported
+      val onCond = afterOn.substring(0, clauseStarts.head).trim
       val st = snapshotStore(hm.group(1), "INSERT")
-      val onRe = "(?is)\\s*(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s*".r
-      val key = onRe.findFirstMatchIn(tm.group(2)) match {
-        case Some(o) if o.group(2).equalsIgnoreCase(o.group(4)) => o.group(2)
+      // ON validation: same column name both sides AND the qualifiers are
+      // the declared target/source names (either order)
+      val targetNames = (Option(hm.group(2)).toSeq :+ hm.group(1)).map(_.toLowerCase)
+      val sourceNames = (srcAlias.toSeq ++
+        (if (srcText.startsWith("(")) Nil else Seq(srcText))).map(_.toLowerCase)
+      require(srcAlias.nonEmpty || !srcText.startsWith("("),
+        "MERGE USING (sub-select) needs an alias")
+      require(targetNames.intersect(sourceNames).isEmpty,
+        s"MERGE target and source aliases collide: ${targetNames.intersect(sourceNames).mkString(",")}")
+      val onRe = "(?is)^\\s*([\\w.]+)\\.(\\w+)\\s*=\\s*([\\w.]+)\\.(\\w+)\\s*$".r
+      val key = onRe.findFirstMatchIn(onCond) match {
+        case Some(o) if o.group(2).equalsIgnoreCase(o.group(4)) =>
+          val (q1, q2) = (o.group(1).toLowerCase, o.group(3).toLowerCase)
+          require((targetNames.contains(q1) && sourceNames.contains(q2)) ||
+            (targetNames.contains(q2) && sourceNames.contains(q1)),
+            s"MERGE ON qualifiers must be the target and source aliases " +
+              s"(${targetNames.head}, ${sourceNames.headOption.getOrElse("?")}): $onCond")
+          o.group(2)
         case _ => throw new IllegalArgumentException(
-          s"MERGE ON clause must be t.<key> = s.<key>: ${tm.group(2)}")
+          s"MERGE ON clause must be t.<key> = s.<key>: $onCond")
       }
+      // clause expressions: target columns by plain name, source columns as
+      // __src_<name> (the SnapshotTable.mergeInto convention)
+      def rewriteRefs(e: String): String = {
+        var out = e
+        sourceNames.foreach(a => out = out.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.(\\w+)", "__src_$1"))
+        targetNames.foreach(a => out = out.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.(\\w+)", "$1"))
+        out
+      }
+      val clauseTexts = clauseStarts.zip(clauseStarts.tail :+ afterOn.length)
+        .map { case (a, b) => afterOn.substring(a, b).trim }
+      val cRe = ("(?is)^WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+        "(UPDATE\\s+SET\\s+.+|DELETE\\s*|INSERT\\s+.+)$").r
+      sealed trait Clause
+      case class MatchedC(cond: Option[String], set: Option[String]) extends Clause
+      case class NotMatchedC(cond: Option[String], insert: String) extends Clause
+      val parsed: Seq[Clause] = clauseTexts.map { txt =>
+        val m = cRe.findFirstMatchIn(txt).getOrElse(throw unsupported)
+        val cond = Option(m.group(2)).map(_.trim)
+        val action = m.group(3).trim
+        if (m.group(1) == null) { // WHEN MATCHED
+          if (action.toUpperCase.startsWith("UPDATE"))
+            MatchedC(cond, Some("(?is)^UPDATE\\s+SET\\s+".r.replaceFirstIn(action, "").trim))
+          else if (action.toUpperCase.startsWith("DELETE")) MatchedC(cond, None)
+          else throw unsupported
+        } else {
+          if (!action.toUpperCase.startsWith("INSERT")) throw unsupported
+          NotMatchedC(cond, "(?is)^INSERT\\s+".r.replaceFirstIn(action, "").trim)
+        }
+      }
+      // resolve the source only after the statement parses — a garbled MERGE
+      // must fail as a MERGE-form error, not a missing-table analysis error
       val source =
         if (srcText.startsWith("(")) spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
         else spark.table(srcText)
-      st.merge(source, key)
+      val wholeRow = parsed == Seq(MatchedC(None, Some("*")), NotMatchedC(None, "*")) ||
+        parsed == Seq(NotMatchedC(None, "*"), MatchedC(None, Some("*")))
+      if (wholeRow) st.merge(source, key)
+      else {
+        val matched = parsed.collect { case MatchedC(cond, set) =>
+          val assigns = set.map { s0 =>
+            // SET * in a clause mix = assign every source column by name
+            if (s0 == "*") source.columns.filterNot(_ == key).toSeq
+              .map(c => c -> expr(s"__src_$c")).toMap
+            else topLevelSplit(s0).map { a =>
+              val eq = a.indexOf('=')
+              require(eq > 0, s"MERGE assignment not of form col = expr: $a")
+              rewriteRefs(a.substring(0, eq).trim) -> expr(rewriteRefs(a.substring(eq + 1).trim))
+            }.toMap
+          }
+          (cond.map(c => expr(rewriteRefs(c))), assigns)
+        }
+        val notMatched = parsed.collect { case NotMatchedC(cond, ins) =>
+          val values: Option[Map[String, Column]] =
+            if (ins == "*") None
+            else {
+              val im = ("(?is)^\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*$").r
+                .findFirstMatchIn(ins).getOrElse(throw unsupported)
+              val cols = im.group(1).split(",").map(c => rewriteRefs(c.trim)).toSeq
+              val vals = topLevelSplit(im.group(2))
+              require(cols.length == vals.length,
+                s"INSERT (${cols.length} columns) VALUES (${vals.length} expressions)")
+              Some(cols.zip(vals.map(v => expr(rewriteRefs(v)))).toMap)
+            }
+          (cond.map(c => expr(rewriteRefs(c))), values)
+        }
+        st.mergeInto(source, key, matched, notMatched)
+      }
       None
     } else if (upper.startsWith("ROLLBACK TABLE ")) {
       // Dremio's ROLLBACK TABLE t TO SNAPSHOT 'v': table head moves to the
@@ -342,6 +496,33 @@ final class SqlScriptRunner(spark: SparkSession,
         st.expireSnapshots(n)
       } else st.expireSnapshotsOlderThan(
         java.sql.Timestamp.valueOf(m.group(3).trim).getTime)
+      None
+    } else if ("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+(ADD|DROP|RENAME)\\s+COLUMN\\b".r
+        .findFirstIn(masked.trim).isDefined && {
+        "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)".r.findFirstMatchIn(stmt.trim)
+          .exists(n => spark.conf.getOption(s"graft.snapshot.${n.group(1)}").isDefined)
+      }) {
+      // Schema-evolution DDL on a snapshot-bound table (the Iceberg ALTER
+      // TABLE surface — BASELINE's "reads, writes, schema evolution, and
+      // time-travel" north star): METADATA-ONLY commits, no data rewritten
+      // at any table size; versions before the change keep their original
+      // schema (time travel returns what the table looked like).
+      //   ALTER TABLE t ADD COLUMN c type
+      //   ALTER TABLE t DROP COLUMN c
+      //   ALTER TABLE t RENAME COLUMN a TO b
+      // Unbound tables fall through to Spark's own ALTER TABLE.
+      val body = stmt.trim.stripSuffix(";")
+      val pAdd = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+(.+)$".r
+      val pDrop = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*$".r
+      val pRen = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*$".r
+      body match {
+        case pAdd(t, c, ty) => snapshotStore(t, "ALTER").addColumn(c, ty.trim)
+        case pDrop(t, c)    => snapshotStore(t, "ALTER").dropColumn(c)
+        case pRen(t, a, b)  => snapshotStore(t, "ALTER").renameColumn(a, b)
+        case _ => throw new IllegalArgumentException(
+          "expected: ALTER TABLE t ADD COLUMN c type | DROP COLUMN c | " +
+            "RENAME COLUMN a TO b")
+      }
       None
     } else if (("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+" +
         "(CREATE|REPLACE|DROP|FAST\\s+FORWARD)\\s+(BRANCH|TAG)\\b").r
@@ -387,16 +568,29 @@ final class SqlScriptRunner(spark: SparkSession,
       }
       None
     } else if (upper.startsWith("DELETE FROM ") && !hasTopLevelWhere) {
-      // repeatable-run truncate (logistics_AI.sql:60). Spark's FileTable
-      // doesn't advertise the v2 TRUNCATE capability, so truncate = drop +
-      // recreate with the saved schema — same observable state for the
-      // script's managed tables.
-      val table = stmt.trim.split("\\s+")(2).stripSuffix(";")
-      asUser.foreach(u =>
-        requirePrivilege(u, "DELETE", Seq("WRITE"), datasetPath(table)))
-      val schema = spark.table(table).schema
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
+      // repeatable-run truncate (logistics_AI.sql:60). A SNAPSHOT-BOUND
+      // table truncates as an empty overwrite snapshot (history preserved;
+      // the catalog drop+recreate below would miss — or desync — the
+      // snapshot store); `AT BRANCH b` truncates the branch's head only.
+      // Catalog tables: Spark's FileTable doesn't advertise the v2 TRUNCATE
+      // capability, so truncate = drop + recreate with the saved schema —
+      // same observable state for the script's managed tables.
+      val tm = "(?is)DELETE\\s+FROM\\s+([\\w.]+)(?:\\s+AT\\s+BRANCH\\s+(\\w+))?".r
+        .findFirstMatchIn(masked).get
+      val table = stmt.substring(tm.start(1), tm.end(1))
+      if (spark.conf.getOption(s"graft.snapshot.$table").isDefined) {
+        val st = snapshotStore(table, "DELETE")
+        Option(tm.group(2)).map(_ => stmt.substring(tm.start(2), tm.end(2))) match {
+          case Some(b) => st.commitToBranch(b, st.readBranch(b).limit(0), "overwrite")
+          case None    => st.deleteWhere(lit(true))
+        }
+      } else {
+        asUser.foreach(u =>
+          requirePrivilege(u, "DELETE", Seq("WRITE"), datasetPath(table)))
+        val schema = spark.table(table).schema
+        spark.sql(s"DROP TABLE $table")
+        spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING parquet")
+      }
       None
     } else {
       stmtViews.clear()
@@ -618,20 +812,27 @@ final class SqlScriptRunner(spark: SparkSession,
     new graft.sources.SnapshotTable(spark, root)
   }
 
-  /** Split a SET list on top-level commas (quote- and paren-aware), so an
-    * assignment expression may itself contain calls and commas. */
+  /** Split a SET list on top-level commas (quote- and paren-aware, with
+    * backslash-escaped quotes skipped), so an assignment expression may
+    * itself contain calls, commas, and quoted strings. */
   private def topLevelSplit(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0; var inS = false
-    s.foreach {
-      case c @ '\'' => inS = !inS; sb += c
-      case c @ '(' if !inS => depth += 1; sb += c
-      case c @ ')' if !inS => depth -= 1; sb += c
-      case ',' if !inS && depth == 0 =>
-        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-        sb.clear()
-      case c => sb += c
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c @ '\\' if inS && i + 1 < s.length =>
+          sb += c; sb += s.charAt(i + 1); i += 1
+        case c @ '\'' => inS = !inS; sb += c
+        case c @ '(' if !inS => depth += 1; sb += c
+        case c @ ')' if !inS => depth -= 1; sb += c
+        case ',' if !inS && depth == 0 =>
+          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+          sb.clear()
+        case c => sb += c
+      }
+      i += 1
     }
     if (sb.toString.trim.nonEmpty) out += sb.toString.trim
     out.toSeq
@@ -714,7 +915,12 @@ final class SqlScriptRunner(spark: SparkSession,
     var inS = false
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') inS = !inS
+      val c = s.charAt(i)
+      if (inS && c == '\\' && i + 1 < s.length) {
+        // Spark's default literals support backslash escapes ('it\'s'): the
+        // escaped char must not toggle quote state or survive the mask
+        sb.setCharAt(i, '_'); sb.setCharAt(i + 1, '_'); i += 1
+      } else if (c == '\'') inS = !inS
       else if (inS) sb.setCharAt(i, '_')
       i += 1
     }
@@ -727,21 +933,32 @@ final class SqlScriptRunner(spark: SparkSession,
     * between two snapshots of a snapshot-bound table (the key defaults to
     * the table's declared `graft.snapshot.<t>.key`). */
   private def rewriteMetadataTables(stmt: String): String = {
+    // from/to accept a VERSION NUMBER or a quoted REF NAME ('main', a
+    // branch, a tag) — the "what would publishing this branch change?"
+    // audit spelling: table_changes('t', 'main', 'staging') diffs the
+    // staged branch against main BEFORE publish, pure resolution sugar
+    // over the same changelog machinery.
     val pc = ("(?is)TABLE\\s*\\(\\s*table_changes\\s*\\(\\s*'([^']+)'\\s*," +
-      "\\s*(\\d+)\\s*,\\s*(\\d+)\\s*(?:,\\s*'([^']+)'\\s*)?\\)\\s*\\)").r
+      "\\s*(?:(\\d+)|'([^']+)')\\s*,\\s*(?:(\\d+)|'([^']+)')\\s*" +
+      "(?:,\\s*'([^']+)'\\s*)?\\)\\s*\\)").r
     val withChanges = pc.replaceAllIn(stmt, m => {
       val name = m.group(1)
       val root = spark.conf.getOption(s"graft.snapshot.$name").getOrElse(
         throw new IllegalArgumentException(s"table_changes('$name', …): no " +
           s"snapshot store bound (set spark conf graft.snapshot.$name)"))
-      val key = Option(m.group(4))
+      val key = Option(m.group(6))
         .orElse(spark.conf.getOption(s"graft.snapshot.$name.key"))
         .getOrElse(throw new IllegalArgumentException(
           s"table_changes('$name', …): pass a key column or set " +
             s"graft.snapshot.$name.key"))
       asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(name)))
-      val df = new graft.sources.SnapshotTable(spark, root)
-        .changes(m.group(2).toLong, m.group(3).toLong, key)
+      val st = new graft.sources.SnapshotTable(spark, root)
+      def refArg(num: Int, ref: Int): Long =
+        if (m.group(num) != null) m.group(num).toLong
+        else st.refVersion(m.group(ref).trim).getOrElse(
+          throw new IllegalArgumentException(
+            s"table_changes('$name', …): no ref '${m.group(ref).trim}'"))
+      val df = st.changes(refArg(2, 3), refArg(4, 5), key)
       metaViewCount += 1
       val v = s"graft_meta_$metaViewCount"
       df.createOrReplaceTempView(v)

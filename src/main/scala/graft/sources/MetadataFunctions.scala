@@ -51,19 +51,27 @@ object MetadataFunctions {
   /** `TABLE(table_files('name'))` — one row per data file of the CURRENT
     * snapshot (Iceberg's `files` metadata table; the readme's "file-level
     * metrics for optimizing compaction"). Record counts come from the
-    * parquet FOOTERS — a driver-side metadata read, no data pages opened,
-    * exactly how Iceberg serves them from manifests. */
+    * MANIFEST the commit wrote (stats captured once, at write time — the
+    * Iceberg manifests contract: a metadata query never re-opens data
+    * files); parquet footers are read only for foreign dirs no engine
+    * commit described. */
   def tableFiles(spark: SparkSession, table: String): DataFrame = {
-    val rows = dataFiles(spark, table).map { f =>
-      val (records, bytes) = footerStats(spark, f)
+    val rows = fileStats(spark, table).map { case (f, records, bytes) =>
       Row(f, "PARQUET", records, bytes)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), filesSchema)
   }
 
-  /** Record count (parquet FOOTER — a metadata read, no data pages opened,
-    * the Iceberg manifests contract) and byte size of one data file. */
+  /** Count of parquet-footer opens taken by metadata scans since JVM start —
+    * the fallback path for files no commit manifest describes. Specs pin
+    * this to ZERO growth over engine-written snapshot stores. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Record count (parquet FOOTER — a metadata read, no data pages opened)
+    * and byte size of one data file: the FALLBACK for files outside any
+    * engine-written manifest. */
   private def footerStats(spark: SparkSession, file: String): (Long, Long) = {
+    footerReads.incrementAndGet()
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(file)
     val st = p.getFileSystem(hconf).getFileStatus(p)
@@ -73,23 +81,41 @@ object MetadataFunctions {
     (records, st.getLen)
   }
 
-  /** The table's current DATA files. A snapshot-bound name (conf binding or
-    * versioned layout) resolves to the CURRENT base snapshot's data dir —
+  /** The table's current DATA files with (records, bytes). A snapshot-bound
+    * name (conf binding or versioned layout) resolves to the CURRENT
+    * snapshot's data dirs — the chain's base plus live append deltas;
     * merge-on-read delete-key files are NOT data files and are excluded,
     * exactly as Iceberg's files/partitions tables report data files with
-    * deletes accounted separately. Anything else is a resolvable table's
-    * own scan file list. */
-  private def dataFiles(spark: SparkSession, table: String): Seq[String] =
+    * deletes accounted separately. Stats come from each dir's commit-time
+    * manifest when present (no file opens), else from footers. Anything
+    * else is a resolvable table's own scan file list, footer-read. */
+  private def fileStats(spark: SparkSession, table: String): Seq[(String, Long, Long)] =
     resolveRoot(spark, table) match {
       case Some(root) =>
-        val dir = new Path(new SnapshotTable(spark, root).currentBaseDataDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(dir)
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(_.getPath.toUri.getPath).toSeq.sorted
-      case None => inputFiles(spark, table)
+        val st = new SnapshotTable(spark, root)
+        st.currentDataDirs.flatMap { dirStr =>
+          st.readManifest(st.dirVersionOf(dirStr)) match {
+            case Some((_, files)) =>
+              files.map { case (name, r, b) =>
+                (new Path(dirStr, name).toUri.getPath, r, b) }
+            case None => listDataFiles(spark, dirStr).map { f =>
+              val (r, b) = footerStats(spark, f); (f, r, b)
+            }
+          }
+        }.sortBy(_._1)
+      case None => inputFiles(spark, table).map { f =>
+        val (r, b) = footerStats(spark, f); (f, r, b)
+      }
     }
+
+  private def listDataFiles(spark: SparkSession, dirStr: String): Seq[String] = {
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toUri.getPath).toSeq.sorted
+  }
 
   private val refsSchema = StructType(Seq(
     StructField("ref_name", StringType, nullable = false),
@@ -115,12 +141,12 @@ object MetadataFunctions {
 
   /** `TABLE(table_partitions('name'))` — one row per partition of the
     * CURRENT state (Iceberg's `partitions` metadata table): the partition's
-    * path-encoded key values, its file count, record count (from parquet
-    * FOOTERS — manifests-style, no data pages opened) and byte size. An
+    * path-encoded key values, its file count, record count (manifest-cached
+    * at commit time; footers only for foreign dirs) and byte size. An
     * unpartitioned table is one row with a NULL partition. Cost is
-    * O(#files) driver-side metadata reads, never a data scan. */
+    * O(#files) driver-side MANIFEST lookups, never a data scan. */
   def tablePartitions(spark: SparkSession, table: String): DataFrame = {
-    val perFile = dataFiles(spark, table).map { f =>
+    val perFile = fileStats(spark, table).map { case (f, records, bytes) =>
       val p = new Path(f)
       // partition key = the key=value directory segments above the file; a
       // `v=N` dir that is a SnapshotTable's versioning level (its parent
@@ -134,7 +160,6 @@ object MetadataFunctions {
             Files.exists(Paths.get(d.getParent.toUri.getPath, "_graft_meta.jsonl"))))
         .map(_.getName).toSeq.reverse
       val part = if (segs.isEmpty) null else segs.mkString("/")
-      val (records, bytes) = footerStats(spark, f)
       (part, records, bytes)
     }
     val rows = perFile.groupBy(_._1).toSeq.sortBy(t => Option(t._1).getOrElse(""))

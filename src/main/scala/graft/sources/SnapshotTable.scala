@@ -2,25 +2,59 @@ package graft.sources
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Lightweight snapshot/time-travel table (SURVEY.md §2.3 S3/S4, §2.11 X2):
   * the reference exposes Iceberg snapshot metadata (`table_snapshot`,
-  * `table_history`) and time travel (`AT SNAPSHOT`/`VERSION AS OF`). The
-  * Iceberg runtime isn't shipped in this environment, so this implements the
-  * same contract over versioned parquet directories:
+  * `table_history`), time travel (`AT SNAPSHOT`/`VERSION AS OF`), row-level
+  * DML, branches/tags, and schema evolution. The Iceberg runtime isn't
+  * shipped in this environment, so this implements the same contract over
+  * versioned parquet directories:
   *
-  *   root/v=N/part-*.parquet     one immutable directory per committed version
-  *   root/_graft_meta.jsonl      append-only commit log (version, ts, op, rows)
+  *   root/v=N/part-*.parquet        one immutable directory per commit that
+  *                                  wrote data (full snapshots, APPEND DELTAS,
+  *                                  merge-on-read delete-key files)
+  *   root/_graft_meta.jsonl         append-only commit log (version, ts, op, rows)
+  *   root/_graft_manifest/v=N.tsv   per-version manifest: the version's schema
+  *                                  plus per-file (records, bytes) read from
+  *                                  parquet footers ONCE at commit time — the
+  *                                  Iceberg-manifests contract (metadata scans
+  *                                  never re-open data files; commit-time stats
+  *                                  cost O(new files), not O(table))
+  *
+  * Commit kinds (the `op` column of the log):
+  *  - full-data ops (`overwrite`, `compact`, `update`, `cow-delete`, `merge`,
+  *    or any caller-supplied label): the `v=N` dir holds the whole table —
+  *    copy-on-write commits, for mutations that touch a large table fraction;
+  *  - `append`: the dir holds ONLY the delta (O(delta), the Iceberg
+  *    `writeTo(...).append()` cost model — reference spark.py:88-89); readers
+  *    resolve a union of the base and every live delta, `compact()` folds;
+  *  - `mor-delete`: the dir holds only the deleted KEYS (equality-delete
+  *    file); readers fold it as a broadcast anti-join;
+  *  - `alias:<dirVersion>:<label>`: METADATA-ONLY commit whose data dir is
+  *    another version's (publish/rollback to a single-dir target);
+  *  - `asof:<version>:<label>`: METADATA-ONLY commit whose content is another
+  *    version's RESOLVED content (publish/rollback to a delta-chain or
+  *    mor-delete target — still a pointer move, never a copy);
+  *  - `evolve:<payload>`: METADATA-ONLY schema evolution (ADD/DROP/RENAME
+  *    COLUMN — Iceberg evolves schemas without rewriting data; readers apply
+  *    the change during resolution);
+  *  - `branch:<name>:overwrite` / `branch:<name>:append:<parent>`: commits on
+  *    a side branch — same version sequence and layout, NOT main's lineage.
   *
   * Readers pin a version (time travel) or read latest; `history()` surfaces
   * the commit log as a DataFrame; `expireSnapshots` mirrors Iceberg's
-  * expire_snapshots maintenance procedure. Commits are last-writer-wins on
-  * the driver — single-writer semantics, like the workshop's single pipeline
-  * process; a real multi-writer deployment would use Iceberg's atomic swap.
+  * expire_snapshots maintenance procedure with reachability-based retention.
+  * Commits are last-writer-wins on the driver — single-writer semantics, like
+  * the workshop's single pipeline process; a real multi-writer deployment
+  * would use Iceberg's atomic swap.
   */
 final class SnapshotTable(spark: SparkSession, root: String) {
+
+  private type Meta = (Long, Long, String, Long)
 
   private def metaPath = Paths.get(root, "_graft_meta.jsonl")
 
@@ -28,13 +62,44 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * holds only the deleted KEYS, not a full data copy (see [[deleteWhereMor]]). */
   private val MorDeleteOp = "mor-delete"
 
-  /** Op prefix for commits made on a side branch: `branch:<name>:<op>`.
-    * Branch commits share the global version sequence and directory layout
-    * but are NOT part of main's lineage — main-head resolution and the
-    * mor-delete base walk skip them (see [[read]]). */
+  /** Op marker for O(delta) append commits: the version dir holds only the
+    * appended rows; readers union it onto the chain (see [[commit]]). */
+  private val DeltaAppendOp = "append"
+
+  /** Op prefix for commits made on a side branch: `branch:<name>:overwrite`
+    * or `branch:<name>:append:<parentVersion>`. Branch commits share the
+    * global version sequence and directory layout but are NOT part of main's
+    * lineage — main-head resolution and base walks skip them. */
   private val BranchOpPrefix = "branch:"
 
+  /** Op prefix for METADATA-ONLY commits (`alias:<dirVersion>:<label>`):
+    * the commit is on main's lineage but its data dir is another version's.
+    * This is what makes publish/rollback O(metadata) — at 100 TB neither
+    * may copy the table (Iceberg's fast-forward and rollback are pointer
+    * moves). */
+  private val AliasOpPrefix = "alias:"
+
+  /** Op prefix for METADATA-ONLY commits whose content is another version's
+    * RESOLVED content (`asof:<version>:<label>`): the pointer-move form of
+    * publish/rollback when the target is a delta chain or a mor-delete
+    * reconstruction — no single dir holds it, so the log records the
+    * version to resolve instead of a dir. */
+  private val AsOfOpPrefix = "asof:"
+
+  /** Op prefix for METADATA-ONLY schema evolution commits
+    * (`evolve:<base64 payload>`; payload = unit-separated
+    * `add<US>name<US>typeDdl` | `drop<US>name` | `rename<US>old<US>new`).
+    * Iceberg evolves schemas without touching data files; readers apply the
+    * change during chain resolution, so old snapshots keep their original
+    * schema and new reads see the evolved one. */
+  private val EvolveOpPrefix = "evolve:"
+
   private def refsPath = Paths.get(root, "_graft_refs.jsonl")
+
+  private val ManifestDir = "_graft_manifest"
+  private def manifestPath(v: Long) = Paths.get(root, ManifestDir, s"v=$v.tsv")
+
+  // ── commit log / refs log ──────────────────────────────────────────────
 
   /** Named refs (Iceberg branches/tags): append-only `name,kind,version`
     * log, last line per name wins; a `dropped` line is a tombstone — the
@@ -50,10 +115,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
 
   private def writeRef(name: String, kind: String, v: Long): Unit = {
-    // the refs log is line/comma-delimited — a name containing either would
+    // the refs log is line/comma-delimited and branch names ride inside
+    // colon-delimited op markers — a name containing any of those would
     // corrupt every later read of the whole log, so reject at write time
-    require(name.nonEmpty && !name.exists(c => c == ',' || c == '\n' || c == '\r'),
-      s"invalid ref name '$name': must be non-empty, no ',' or line breaks")
+    require(name.nonEmpty && !name.exists(c => c == ',' || c == ':' || c == '\n' || c == '\r'),
+      s"invalid ref name '$name': must be non-empty, no ',' ':' or line breaks")
     Files.createDirectories(Paths.get(root))
     Files.writeString(refsPath, s"$name,$kind,$v\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -61,27 +127,46 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def isBranchOp(op: String): Boolean = op.startsWith(BranchOpPrefix)
 
-  /** Op prefix for METADATA-ONLY commits (`alias:<dirVersion>:<label>`):
-    * the commit is on main's lineage but its data dir is another version's.
-    * This is what makes publish/rollback O(metadata) — at 100 TB neither
-    * may copy the table (Iceberg's fast-forward and rollback are pointer
-    * moves). */
-  private val AliasOpPrefix = "alias:"
+  /** Branch op → (name, subOp, parentVersion for delta appends). */
+  private def branchOpParts(op: String): (String, String, Option[Long]) = {
+    val p = op.split(":")
+    (p(1), p(2), if (p.length > 3) Some(p(3).toLong) else None)
+  }
 
   /** The version whose `v=N` dir holds this entry's data (itself, unless
-    * the entry is an alias commit). */
-  private def dataDirVersion(m: (Long, Long, String, Long)): Long =
+    * the entry is an alias commit). Only meaningful for entries that have a
+    * single data dir (full-data and alias ops). */
+  private def dataDirVersion(m: Meta): Long =
     if (m._3.startsWith(AliasOpPrefix)) m._3.split(":", 3)(1).toLong else m._1
+
+  private def asOfTarget(op: String): Long = op.split(":", 3)(1).toLong
+
+  private def encodeEvolve(parts: Seq[String]): String =
+    EvolveOpPrefix + java.util.Base64.getEncoder.encodeToString(
+      parts.mkString("\u001f").getBytes("UTF-8"))
+
+  private def decodeEvolve(op: String): Seq[String] =
+    new String(java.util.Base64.getDecoder.decode(op.stripPrefix(EvolveOpPrefix)),
+      "UTF-8").split('\u001f').toSeq
+
+  /** A main-lineage entry that is a RESTART POINT for chain resolution: its
+    * content does not depend on earlier entries' dirs (full-data dir, alias
+    * to a dir, or an asof pointer that resolution follows). Appends,
+    * mor-deletes, and evolve commits are NOT restart points — they fold onto
+    * the chain before them. */
+  private def isRestart(op: String): Boolean =
+    op != MorDeleteOp && op != DeltaAppendOp &&
+      !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
 
   /** Main's head: the latest commit that is on main's lineage (branch
     * commits share the version sequence but not the lineage). */
-  private def mainHead(meta: Seq[(Long, Long, String, Long)]): Option[Long] =
+  private def mainHead(meta: Seq[Meta]): Option[Long] =
     meta.filterNot(m => isBranchOp(m._3)).lastOption.map(_._1)
 
-  private def nextVersion(meta: Seq[(Long, Long, String, Long)]): Long =
+  private def nextVersion(meta: Seq[Meta]): Long =
     meta.lastOption.map(_._1 + 1).getOrElse(0L)
 
-  private def readMeta(): Seq[(Long, Long, String, Long)] =
+  private def readMeta(): Seq[Meta] =
     if (!Files.exists(metaPath)) Nil
     else {
       import scala.jdk.CollectionConverters._
@@ -98,55 +183,171 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  // ── data-dir write path (manifest-producing) ───────────────────────────
+
+  /** Write `df` as version `v`'s data dir and its manifest sidecar, reading
+    * per-file record counts from parquet FOOTERS (driver-side, O(files just
+    * written) — the commit-time stats pass Iceberg does when it writes
+    * manifests). Returns the row count, so commits never re-scan the data
+    * they just wrote. */
+  private def writeVersionDir(df: DataFrame, v: Long): Long = {
+    val dir = s"$root/v=$v"
+    df.write.mode("overwrite").parquet(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hconf)
+    val files = fs.listStatus(p).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    val stats = files.toSeq.map { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
+      val records = try reader.getRecordCount finally reader.close()
+      (st.getPath.getName, records, st.getLen)
+    }
+    Files.createDirectories(Paths.get(root, ManifestDir))
+    val header = "#schema\t" + java.util.Base64.getEncoder.encodeToString(
+      df.schema.json.getBytes("UTF-8"))
+    val body = stats.map { case (n, r, b) => s"$n\t$r\t$b" }
+    Files.writeString(manifestPath(v), (header +: body).mkString("", "\n", "\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    stats.map(_._2).sum
+  }
+
+  /** The manifest written with version `v`'s data dir, if present:
+    * (schema, per-file (name, records, bytes)). */
+  private[sources] def readManifest(v: Long): Option[(StructType, Seq[(String, Long, Long)])] =
+    if (!Files.exists(manifestPath(v))) None
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty)
+      val schema = lines.headOption.filter(_.startsWith("#schema\t")).map { h =>
+        DataType.fromJson(new String(java.util.Base64.getDecoder.decode(
+          h.split("\t", 2)(1)), "UTF-8")).asInstanceOf[StructType]
+      }
+      schema.map { sch =>
+        (sch, lines.drop(1).map { l =>
+          val p = l.split("\t", 3); (p(0), p(1).toLong, p(2).toLong)
+        }.toSeq)
+      }
+    }
+
+  /** Version `v`'s own data dir as a DataFrame. An EMPTY commit (zero data
+    * files — e.g. a truncate) reads back as an empty frame with the schema
+    * the manifest recorded, where a bare parquet read would fail. */
+  private def readVersionDir(v: Long): DataFrame =
+    readManifest(v) match {
+      case Some((schema, files)) if files.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case _ => spark.read.parquet(s"$root/v=$v")
+    }
+
+  // ── resolution ─────────────────────────────────────────────────────────
+
   /** Head of MAIN (side-branch commits are not main's lineage). */
   def currentVersion: Option[Long] = mainHead(readMeta())
 
-  /** Commit a new snapshot (append = previous data + df; overwrite = df).
-    * Appends support SCHEMA EVOLUTION (the Iceberg behavior this mirrors):
-    * new columns may appear and old columns may be absent — the union is by
-    * name with missing columns null-filled, and the committed snapshot
-    * carries the widened schema. */
+  /** Commit a new snapshot. `op = "append"` is O(DELTA): only `df` is
+    * written (a new delta dir + manifest); readers union live deltas onto
+    * the base and `compact()` folds them — the Iceberg append cost model
+    * (reference spark.py:88-89). Any other op is copy-on-write: `df` IS the
+    * new full snapshot. Appends support SCHEMA EVOLUTION (the Iceberg
+    * behavior this mirrors): new columns may appear and old columns may be
+    * absent — resolution unions by name with missing columns null-filled,
+    * and the resolved snapshot carries the widened schema. Row counts come
+    * from the commit-time manifest (parquet footers), never a re-scan. */
   def commit(df: DataFrame, op: String = "overwrite"): Long = {
     val meta = readMeta()
     val prev = mainHead(meta)
     val next = nextVersion(meta)
-    val data = (op, prev) match {
-      case ("append", Some(v)) =>
-        read(Some(v)).unionByName(df, allowMissingColumns = true)
-      case _ => df
-    }
-    data.write.mode("overwrite").parquet(s"$root/v=$next")
-    val rows = spark.read.parquet(s"$root/v=$next").count()
+    val written = writeVersionDir(df, next)
+    val rows =
+      if (op == DeltaAppendOp)
+        prev.map(tableRowsAsOf(meta, _)).getOrElse(0L) + written
+      else written
     appendMeta(next, op, rows)
     next
   }
 
+  /** Table row count as of main version `v`, from the commit log alone:
+    * every op records its resulting total except mor-delete (which records
+    * its delete-key count; keys are unique per row by the mode's contract,
+    * so the total is the previous total minus the keys). */
+  private def tableRowsAsOf(meta: Seq[Meta], v: Long): Long = {
+    val entry = meta.find(_._1 == v).getOrElse(
+      throw new IllegalStateException(s"no snapshot v=$v at $root"))
+    if (entry._3 == MorDeleteOp) {
+      val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
+        .getOrElse(throw new IllegalStateException(
+          s"mor-delete v=$v has no preceding main snapshot at $root"))
+      tableRowsAsOf(meta, prev._1) - entry._4
+    } else entry._4
+  }
+
   /** Read latest, or `VERSION AS OF` when a version is given.
     *
-    * A version whose op is `mor-delete` is RECONSTRUCTED: the nearest
-    * preceding full-data snapshot, minus every equality-delete file
-    * committed after it (each applied as a broadcast anti-join — the delete
-    * sets are small by the mode's own selection criterion, so the plan is a
-    * map-only scan over the base with no data-side shuffle). */
+    * Resolution walks back to the nearest RESTART POINT (full-data dir,
+    * alias, or asof pointer), then folds every later main-lineage entry in
+    * commit order: append deltas union on (by name, null-filling — schema
+    * evolution), mor-delete key files apply as broadcast anti-joins (the
+    * delete sets are small by the mode's own selection criterion, so the
+    * plan is a map-only scan over the base with no data-side shuffle), and
+    * evolve entries apply their schema change. */
   def read(versionAsOf: Option[Long] = None): DataFrame = {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    // branch commits share the version sequence but not main's lineage:
-    // when resolving a main version they are invisible (a branch commit
-    // must never be picked as a mor-delete base, nor folded as a delete
-    // file); when v IS a branch commit, that full-data snapshot is its own
-    // base.
-    val upTo = meta.filter(m => m._1 <= v && (m._1 == v || !isBranchOp(m._3)))
-    require(upTo.exists(_._1 == v), s"no snapshot v=$v at $root")
-    val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
-    require(baseIdx >= 0, s"no full-data base snapshot at or before v=$v at $root")
-    val base = spark.read.parquet(s"$root/v=${dataDirVersion(upTo(baseIdx))}")
-    upTo.drop(baseIdx + 1).foldLeft(base) { case (df, (dv, _, _, _)) =>
-      val del = spark.read.parquet(s"$root/v=$dv")
-      val key = del.columns.head // delete file's single column IS the key name
-      df.join(broadcast(del), Seq(key), "left_anti")
+    resolveVersion(meta, v)
+  }
+
+  private def resolveVersion(meta: Seq[Meta], v: Long): DataFrame = {
+    val entry = meta.find(_._1 == v).getOrElse(
+      throw new IllegalStateException(s"no snapshot v=$v at $root"))
+    if (isBranchOp(entry._3)) {
+      val (_, subOp, parent) = branchOpParts(entry._3)
+      if (subOp == DeltaAppendOp)
+        resolveVersion(meta, parent.get)
+          .unionByName(readVersionDir(v), allowMissingColumns = true)
+      else readVersionDir(v)
+    } else {
+      // branch commits share the version sequence but not main's lineage:
+      // when resolving a main version they are invisible (a branch commit
+      // must never be picked as a base, nor folded as a delta/delete file)
+      val upTo = meta.filter(m => m._1 <= v && !isBranchOp(m._3))
+      val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3))
+      val (start, tail) =
+        if (baseIdx < 0) (None, upTo) else (Some(upTo(baseIdx)), upTo.drop(baseIdx + 1))
+      val base: Option[DataFrame] = start.map { m =>
+        if (m._3.startsWith(AsOfOpPrefix)) resolveVersion(meta, asOfTarget(m._3))
+        else readVersionDir(dataDirVersion(m))
+      }
+      tail.foldLeft(base)((acc, m) => Some(applyChainOp(acc, m)))
+        .getOrElse(throw new IllegalStateException(
+          s"no data at or before v=$v at $root"))
     }
+  }
+
+  private def applyChainOp(acc: Option[DataFrame], m: Meta): DataFrame = m._3 match {
+    case DeltaAppendOp =>
+      val delta = readVersionDir(m._1)
+      acc.map(_.unionByName(delta, allowMissingColumns = true)).getOrElse(delta)
+    case MorDeleteOp =>
+      val del = readVersionDir(m._1)
+      val key = del.columns.head // delete file's single column IS the key name
+      val df = acc.getOrElse(throw new IllegalStateException(
+        s"mor-delete v=${m._1} has no base snapshot at $root"))
+      df.join(broadcast(del), Seq(key), "left_anti")
+    case op if op.startsWith(EvolveOpPrefix) =>
+      val df = acc.getOrElse(throw new IllegalStateException(
+        s"schema evolution v=${m._1} has no base snapshot at $root"))
+      decodeEvolve(op) match {
+        case Seq("add", name, ddl) => df.withColumn(name, lit(null).cast(DataType.fromDDL(ddl)))
+        case Seq("drop", name)     => df.drop(name)
+        case Seq("rename", a, b)   => df.withColumnRenamed(a, b)
+        case other => throw new IllegalStateException(s"bad evolve op: $other")
+      }
+    case other =>
+      throw new IllegalStateException(s"unexpected chain op $other at v=${m._1}")
   }
 
   /** `TIMESTAMP AS OF`: latest MAIN snapshot committed at or before
@@ -158,60 +359,55 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     read(Some(v._1))
   }
 
-  /** S3/S4 — snapshot/history metadata as a DataFrame. */
+  /** S3/S4 — snapshot/history metadata as a DataFrame. `row_count` is each
+    * op's own record: resulting table rows for data ops, delete-key count
+    * for mor-deletes. */
   def history(): DataFrame = {
     import spark.implicits._
     readMeta().toDF("version", "committed_at_ms", "operation", "row_count")
       .withColumn("committed_at", timestamp_millis(col("committed_at_ms")))
   }
 
-  /** X2 — expire old snapshots, keeping the most recent `keep` versions
-    * (mirror of Iceberg's expire_snapshots). If the oldest kept version is a
-    * merge-on-read delete, retention extends back to its full-data base —
-    * expiring the base would orphan the delete files (Iceberg likewise keeps
-    * every file a live snapshot still references). */
-  def expireSnapshots(keep: Int): Seq[Long] = {
+  // ── retention / maintenance ────────────────────────────────────────────
+
+  /** Every version whose log entry and/or data dir version `v`'s RESOLVED
+    * content reads: the retention unit (Iceberg expires nothing a live
+    * snapshot still references). Transitive. */
+  private def reachable(meta: Seq[Meta], v: Long): Set[Long] =
+    meta.find(_._1 == v) match {
+      case None => Set(v)
+      case Some(entry) =>
+        val op = entry._3
+        if (isBranchOp(op)) {
+          val (_, subOp, parent) = branchOpParts(op)
+          if (subOp == DeltaAppendOp) Set(v) ++ reachable(meta, parent.get)
+          else Set(v)
+        } else if (op.startsWith(AliasOpPrefix)) Set(v, dataDirVersion(entry))
+        else if (op.startsWith(AsOfOpPrefix)) Set(v) ++ reachable(meta, asOfTarget(op))
+        else if (op == MorDeleteOp || op == DeltaAppendOp || op.startsWith(EvolveOpPrefix)) {
+          val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
+          Set(v) ++ prev.map(p => reachable(meta, p._1)).getOrElse(Set.empty)
+        } else Set(v)
+    }
+
+  /** Expire every version not reachable from `keepSeed`, main's head, or a
+    * live ref — the shared retention core of both VACUUM forms. Reachability
+    * extends each kept version to everything its resolution reads (delta
+    * chains back to their base, mor-delete bases, alias/asof targets), so
+    * expiry can never orphan a readable snapshot's files. Returns the
+    * expired versions (dirs + manifests deleted, log entries dropped). */
+  private def expireExcept(keepSeed: Set[Long]): Seq[Long] = {
     val meta = readMeta()
-    val keptFrom = {
-      val requested = math.max(meta.length - keep, 0)
-      // MAIN's head always survives: a keep-window of trailing side-branch
-      // commits must not expire the only readable main state
-      val mainIdx = meta.lastIndexWhere(m => !isBranchOp(m._3))
-      val cut = if (mainIdx >= 0) math.min(requested, mainIdx) else requested
-      // the earliest kept MAIN-lineage entry decides whether retention must
-      // extend back: a branch commit is its own full base (read() treats it
-      // so) and must not shadow a mor-delete right after it, and a branch
-      // commit is never a legal mor-delete base (read() skips it).
-      val firstMain = meta.indexWhere(m => !isBranchOp(m._3), cut)
-      if (firstMain < 0 || meta(firstMain)._3 != MorDeleteOp) cut
-      else {
-        val baseIdx = meta.lastIndexWhere(
-          m => m._3 != MorDeleteOp && !isBranchOp(m._3), firstMain)
-        if (baseIdx >= 0) baseIdx else cut
-      }
-    }
-    // named refs PIN their versions: a branch head or tag stays readable
-    // however old it is (Iceberg expires nothing a live ref reaches). A ref
-    // at a mor-delete version also pins its base and the delete files
-    // between, or the reconstruction would dangle.
-    val pinned = readRefs().values.map(_._2).toSet.flatMap { (v: Long) =>
-      val upTo = meta.filter(m => m._1 <= v && (m._1 == v || !isBranchOp(m._3)))
-      val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
-      if (baseIdx >= 0) upTo.drop(baseIdx).map(_._1).toSet else Set(v)
-    }
-    val keep2 = meta.length - keptFrom
-    val expire0 = meta.dropRight(keep2).map(_._1).filterNot(pinned)
-    // an alias commit (publish/rollback) surviving expiry still reads its
-    // target's data dir — the target's files must survive with it.
-    val survivors = meta.filterNot(m => expire0.contains(m._1))
-    val aliasTargets = survivors.map(dataDirVersion).toSet
-    val expire = expire0.filterNot(aliasTargets)
+    val seed = keepSeed ++ mainHead(meta) ++ readRefs().values.map(_._2)
+    val keep = seed.flatMap(v => reachable(meta, v))
+    val expire = meta.map(_._1).filterNot(keep).sorted
     expire.foreach { v =>
       val dir = Paths.get(root, s"v=$v")
       if (Files.exists(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
       }
+      Files.deleteIfExists(manifestPath(v))
     }
     val expired = expire.toSet
     val remaining = meta.filterNot(m => expired(m._1))
@@ -222,37 +418,67 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     expire
   }
 
-  /** The directory holding the CURRENT snapshot's base DATA files
-    * (merge-on-read delete files excluded): what file-level metadata scans
-    * should list — Iceberg's files/partitions tables likewise report data
-    * files, with delete files accounted separately. */
-  def currentBaseDataDir: String = {
+  /** X2 — expire old snapshots, keeping the most recent `keep` versions
+    * (mirror of Iceberg's expire_snapshots). Retention extends to every
+    * version a kept snapshot, main's head, or a live ref still reaches. */
+  def expireSnapshots(keep: Int): Seq[Long] =
+    expireExcept(readMeta().takeRight(keep).map(_._1).toSet)
+
+  /** X2 — expire snapshots COMMITTED BEFORE `tsMillis` (the `VACUUM TABLE …
+    * EXPIRE SNAPSHOTS OLDER_THAN` form). The expire set is selected by
+    * TIMESTAMP directly — a wall-clock step backward between commits can
+    * only over-retain, never expire a snapshot committed at or after the
+    * cutoff — and every retention guarantee of [[expireSnapshots]] (delta
+    * chains, mor bases, ref pins, alias/asof targets, main's head) applies
+    * identically. */
+  def expireSnapshotsOlderThan(tsMillis: Long): Seq[Long] =
+    expireExcept(readMeta().filter(_._2 >= tsMillis).map(_._1).toSet)
+
+  /** Directories holding the CURRENT snapshot's DATA files (base + live
+    * append deltas; merge-on-read delete-key files excluded): what
+    * file-level metadata scans should list — Iceberg's files/partitions
+    * tables likewise report data files, with delete files accounted
+    * separately. */
+  def currentDataDirs: Seq[String] = {
     val meta = readMeta()
     val v = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
-    val upTo = meta.filter(m => m._1 <= v && (m._1 == v || !isBranchOp(m._3)))
-    val baseIdx = upTo.lastIndexWhere(m => m._3 != MorDeleteOp)
-    require(baseIdx >= 0, s"no full-data base snapshot at or before v=$v at $root")
-    s"$root/v=${dataDirVersion(upTo(baseIdx))}"
+    dataDirsOf(meta, v)
   }
 
-  /** X2 — expire snapshots COMMITTED BEFORE `tsMillis` (the `VACUUM TABLE …
-    * EXPIRE SNAPSHOTS OLDER_THAN` form): expressed as a keep-count so every
-    * retention guarantee of [[expireSnapshots]] (mor bases, ref pins, alias
-    * targets) applies identically. The head always survives, however old. */
-  def expireSnapshotsOlderThan(tsMillis: Long): Seq[Long] = {
-    val meta = readMeta()
-    // keep-count includes main's head however old (expireSnapshots also
-    // clamps to main's head positionally, so trailing side-branch commits
-    // cannot push the only readable main state out of the window)
-    val keep = math.max(meta.count(_._2 >= tsMillis), 1)
-    expireSnapshots(keep)
+  private def dataDirsOf(meta: Seq[Meta], v: Long): Seq[String] = {
+    val entry = meta.find(_._1 == v).getOrElse(
+      throw new IllegalStateException(s"no snapshot v=$v at $root"))
+    if (isBranchOp(entry._3)) {
+      val (_, subOp, parent) = branchOpParts(entry._3)
+      if (subOp == DeltaAppendOp) dataDirsOf(meta, parent.get) :+ s"$root/v=$v"
+      else Seq(s"$root/v=$v")
+    } else {
+      val upTo = meta.filter(m => m._1 <= v && !isBranchOp(m._3))
+      val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3))
+      val (start, tail) =
+        if (baseIdx < 0) (None, upTo) else (Some(upTo(baseIdx)), upTo.drop(baseIdx + 1))
+      val baseDirs = start.toSeq.flatMap { m =>
+        if (m._3.startsWith(AsOfOpPrefix)) dataDirsOf(meta, asOfTarget(m._3))
+        else Seq(s"$root/v=${dataDirVersion(m)}")
+      }
+      baseDirs ++ tail.collect { case m if m._3 == DeltaAppendOp => s"$root/v=${m._1}" }
+    }
   }
+
+  /** The FIRST current data dir (the chain's base) — kept for callers that
+    * predate delta appends; metadata scans should use [[currentDataDirs]]. */
+  def currentBaseDataDir: String = currentDataDirs.head
+
+  /** The data-dir version number encoded in a current data dir path (for
+    * manifest lookup by consumers that walk [[currentDataDirs]]). */
+  private[sources] def dirVersionOf(dir: String): Long =
+    dir.substring(dir.lastIndexOf("v=") + 2).toLong
 
   /** X2 — compaction (mirror of rewrite_data_files bin-packing): rewrite the
-    * current version's data as `targetFiles` files in a new snapshot. Also
-    * folds any outstanding merge-on-read delete files into the new full base
-    * (read() resolves them), exactly as Iceberg compaction does. */
+    * current version's data as `targetFiles` files in a new FULL snapshot.
+    * Folds outstanding append deltas into one base and any merge-on-read
+    * delete files into it too, exactly as Iceberg compaction does. */
   def compact(targetFiles: Int): Long =
     commit(read().coalesce(targetFiles), op = "compact")
 
@@ -284,9 +510,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     require(mainHead(meta).nonEmpty, s"no snapshots at $root")
     val next = nextVersion(meta)
-    read().filter(pred).select(keyCol).distinct()
-      .write.mode("overwrite").parquet(s"$root/v=$next")
-    val n = spark.read.parquet(s"$root/v=$next").count()
+    val n = writeVersionDir(read().filter(pred).select(keyCol).distinct(), next)
     appendMeta(next, MorDeleteOp, n)
     next
   }
@@ -300,34 +524,165 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     commit(updated, op = "update")
   }
 
+  /** Iceberg MERGE requires each target row to match at most one source row;
+    * a duplicated source key would silently double-insert (or make the
+    * matched update non-deterministic), so it is rejected up front. */
+  private def requireUniqueKeys(source: DataFrame, keyCol: String): Unit = {
+    val r = source.agg(count(lit(1)).cast("long").as("n"),
+      count_distinct(col(keyCol)).cast("long").as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"MERGE source has non-unique $keyCol values (${r.getLong(0)} rows, " +
+        s"${r.getLong(1)} distinct non-null keys): Iceberg MERGE fails on " +
+        "multiple matches for a target row — dedup the source first")
+  }
+
   /** MERGE INTO (upsert) keyed on `keyCol`: WHEN MATCHED THEN UPDATE SET * /
     * WHEN NOT MATCHED THEN INSERT *. Source rows replace matching target
     * rows wholesale and are appended when unmatched. The anti-join's build
     * side is the source's key projection — for the typical small-delta
     * merge, AQE broadcasts it and the target is never shuffled. */
   def merge(source: DataFrame, keyCol: String): Long = {
+    requireUniqueKeys(source, keyCol)
     val merged = read().join(source.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(source, allowMissingColumns = true)
     commit(merged, op = "merge")
   }
 
+  /** General MERGE INTO with column-level clauses, keyed on `keyCol`
+    * (Iceberg/Spark MERGE semantics — first matching clause wins, rows no
+    * clause claims pass through / are not inserted):
+    *
+    *  - `matched`: `(condition, Some(assignments))` = WHEN MATCHED [AND cond]
+    *    THEN UPDATE SET col = expr, …; `(condition, None)` = … THEN DELETE.
+    *  - `notMatched`: `(condition, Some(values))` = WHEN NOT MATCHED [AND
+    *    cond] THEN INSERT (col, …) VALUES (expr, …); `(condition, None)` =
+    *    … THEN INSERT * (source columns matched to target columns by name).
+    *
+    * Clause conditions and expressions see the TARGET row's columns by their
+    * plain names and the SOURCE row's columns as `__src_<name>`.
+    *
+    * Plan shape at 100 TB: the target joins the (small) source with a
+    * left-outer equi-join AQE broadcasts, matched source keys are found with
+    * a map-only broadcast-semi pass over the target's key column, and the
+    * insert set is the source minus those keys (broadcast anti) — the
+    * table-sized side is scanned twice but never shuffled. */
+  def mergeInto(source: DataFrame, keyCol: String,
+                matched: Seq[(Option[Column], Option[Map[String, Column]])],
+                notMatched: Seq[(Option[Column], Option[Map[String, Column]])]): Long = {
+    requireUniqueKeys(source, keyCol)
+    val target = read()
+    val src = source.select(source.columns.toSeq.map(c => col(c).as(s"__src_$c")): _*)
+    val joined = target.join(src, col(keyCol) === col(s"__src_$keyCol"), "left_outer")
+    val isMatched = col(s"__src_$keyCol").isNotNull
+    // first-match-wins clause index; -1 = no clause applies → row unchanged
+    val clauseIdx = matched.zipWithIndex.foldLeft(when(!isMatched, lit(-1))) {
+      case (acc, ((cond, _), i)) =>
+        acc.when(cond.getOrElse(lit(true)) <=> lit(true), lit(i))
+    }.otherwise(lit(-1))
+    val withIdx = joined.withColumn("__mclause", clauseIdx)
+    val deleteIdx = matched.zipWithIndex.collect { case ((_, None), i) => i }
+    val kept =
+      if (deleteIdx.isEmpty) withIdx
+      else withIdx.filter(!col("__mclause").isin(deleteIdx: _*))
+    val outCols = target.columns.toSeq.map { c =>
+      val upd = matched.zipWithIndex.collect {
+        case ((_, Some(set)), i) if set.contains(c) => (i, set(c))
+      }
+      upd.foldLeft(col(c): Column) { case (acc, (i, e)) =>
+        when(col("__mclause") === i, e).otherwise(acc)
+      }.as(c)
+    }
+    val updatedTarget = kept.select(outCols: _*)
+    // insert set: source rows with no target match — never shuffles the target
+    val srcKeys = source.select(col(keyCol)).distinct()
+    val matchedKeys = target.select(col(keyCol))
+      .join(broadcast(srcKeys), Seq(keyCol), "left_semi").distinct()
+    val unmatchedSrc = src.join(broadcast(matchedKeys),
+      col(s"__src_$keyCol") === col(keyCol), "left_anti")
+    val insIdx = notMatched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, ((cond, _), i)) =>
+        acc.when(cond.getOrElse(lit(true)) <=> lit(true), lit(i))
+    }.otherwise(lit(-1))
+    val insWithIdx = unmatchedSrc.withColumn("__iclause", insIdx)
+      .filter(col("__iclause") >= 0)
+    val tSchema = target.schema
+    val insertRows = notMatched.zipWithIndex.map { case ((_, values), i) =>
+      val sel = tSchema.fields.toSeq.map { f =>
+        val e = values match {
+          case Some(m) => m.getOrElse(f.name, lit(null))
+          case None =>
+            if (source.columns.contains(f.name)) col(s"__src_${f.name}") else lit(null)
+        }
+        e.cast(f.dataType).as(f.name)
+      }
+      insWithIdx.filter(col("__iclause") === i).select(sel: _*)
+    }.reduceOption(_ unionByName _)
+    val merged = insertRows.map(updatedTarget.unionByName(_)).getOrElse(updatedTarget)
+    commit(merged, op = "merge")
+  }
+
+  // ── schema evolution (Iceberg ALTER TABLE … ADD/DROP/RENAME COLUMN) ────
+  //    METADATA-ONLY: no data file is touched at any size — readers apply
+  //    the change during resolution, old versions keep their original schema.
+
+  /** ALTER TABLE … ADD COLUMN name type — existing rows read back NULL. */
+  def addColumn(name: String, typeDdl: String): Long = {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    require(!resolveVersion(meta, head).columns.contains(name),
+      s"column $name already exists")
+    DataType.fromDDL(typeDdl) // validate the type spelling at DDL time
+    val next = nextVersion(meta)
+    appendMeta(next, encodeEvolve(Seq("add", name, typeDdl)), tableRowsAsOf(meta, head))
+    next
+  }
+
+  /** ALTER TABLE … DROP COLUMN name — hidden from head reads; versions
+    * before the drop still carry it (time travel keeps old schemas). */
+  def dropColumn(name: String): Long = {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val cols = resolveVersion(meta, head).columns
+    require(cols.contains(name), s"no column $name to drop")
+    require(cols.length > 1, s"cannot drop the only column $name")
+    val next = nextVersion(meta)
+    appendMeta(next, encodeEvolve(Seq("drop", name)), tableRowsAsOf(meta, head))
+    next
+  }
+
+  /** ALTER TABLE … RENAME COLUMN old TO new. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val cols = resolveVersion(meta, head).columns
+    require(cols.contains(oldName), s"no column $oldName to rename")
+    require(!cols.contains(newName), s"column $newName already exists")
+    val next = nextVersion(meta)
+    appendMeta(next, encodeEvolve(Seq("rename", oldName, newName)),
+      tableRowsAsOf(meta, head))
+    next
+  }
+
   /** Roll back to a previous version's content, as a NEW snapshot (mirror of
     * Iceberg's rollback_to_snapshot: history is preserved, the table head
-    * moves). METADATA-ONLY when the target is a full-data snapshot — the
-    * new head points at the old version's data dir; only a mor-delete
-    * target (whose content is a reconstruction) must materialize. */
+    * moves). ALWAYS METADATA-ONLY: a single-dir target becomes an alias
+    * commit; a delta-chain or mor-delete target becomes an asof pointer —
+    * neither copies data. */
   def rollback(toVersion: Long): Long = {
     val meta = readMeta()
     val entry = meta.find(_._1 == toVersion).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$toVersion at $root"))
-    if (entry._3 == MorDeleteOp)
-      commit(read(Some(toVersion)), op = s"rollback-to-$toVersion")
-    else {
-      val next = nextVersion(meta)
+    val next = nextVersion(meta)
+    if (!isBranchOp(entry._3) && isRestart(entry._3) && !entry._3.startsWith(AsOfOpPrefix))
       appendMeta(next,
         s"$AliasOpPrefix${dataDirVersion(entry)}:rollback-to-$toVersion", entry._4)
-      next
-    }
+    else
+      appendMeta(next, s"$AsOfOpPrefix$toVersion:rollback-to-$toVersion",
+        tableRowsAsOf(meta, toVersion))
+    next
   }
 
   /** CDC changelog between two snapshots, keyed on `keyCol` (assumed unique
@@ -415,19 +770,31 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def branchHead(name: String): Option[Long] =
     readRefs().get(name).collect { case ("branch", v) => v }
 
-  /** Commit to a side branch (overwrite or append against the BRANCH's
-    * head); main's lineage and head are untouched. */
+  /** The version a named ref (branch or tag) points at; `main` resolves to
+    * main's head — the resolution `table_changes('t', 'main', 'stage')`
+    * style calls use. */
+  def refVersion(name: String): Option[Long] =
+    if (name.equalsIgnoreCase("main")) currentVersion
+    else readRefs().get(name).map(_._2)
+
+  /** Commit to a side branch against the BRANCH's head; main's lineage and
+    * head are untouched. `op = "append"` is O(DELTA), like main appends: the
+    * dir holds only `df`, and the branch entry records its parent so readers
+    * resolve the chain. `op = "overwrite"` writes the branch's new full
+    * content (the branch-side copy-on-write form). */
   def commitToBranch(branch: String, df: DataFrame, op: String = "overwrite"): Long = {
+    require(op == "overwrite" || op == DeltaAppendOp,
+      s"commitToBranch op must be overwrite|append, got $op")
     val head = branchHead(branch).getOrElse(
       throw new IllegalStateException(s"no branch $branch at $root"))
-    val data =
-      if (op == "append") read(Some(head)).unionByName(df, allowMissingColumns = true)
-      else df
     val meta = readMeta()
     val next = nextVersion(meta)
-    data.write.mode("overwrite").parquet(s"$root/v=$next")
-    val rows = spark.read.parquet(s"$root/v=$next").count()
-    appendMeta(next, s"$BranchOpPrefix$branch:$op", rows)
+    val written = writeVersionDir(df, next)
+    if (op == DeltaAppendOp)
+      appendMeta(next, s"$BranchOpPrefix$branch:$DeltaAppendOp:$head",
+        tableRowsAsOf(meta, head) + written)
+    else
+      appendMeta(next, s"$BranchOpPrefix$branch:$op", written)
     writeRef(branch, "branch", next)
     next
   }
@@ -467,22 +834,23 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** PUBLISH a branch to main (Iceberg fast-forward): main's head moves to
     * the branch's content as a NEW main-lineage commit. The
     * write-audit-publish step — until this runs, nothing committed on the
-    * branch is visible to a main reader. METADATA-ONLY (the new main commit
-    * points at the branch head's data dir) except when the branch points at
-    * a mor-delete reconstruction, which must materialize. */
+    * branch is visible to a main reader. ALWAYS METADATA-ONLY: a full-data
+    * branch head publishes as an alias to its dir; a delta-chain branch head
+    * publishes as an asof pointer resolution follows — neither copies. */
   def fastForward(fromBranch: String): Long = {
     val head = branchHead(fromBranch).getOrElse(
       throw new IllegalStateException(s"no branch $fromBranch at $root"))
     val meta = readMeta()
     val entry = meta.find(_._1 == head).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$head at $root"))
-    if (entry._3 == MorDeleteOp)
-      commit(readBranch(fromBranch), op = s"publish-$fromBranch")
-    else {
-      val next = nextVersion(meta)
+    val next = nextVersion(meta)
+    val isSingleDir = isBranchOp(entry._3) &&
+      branchOpParts(entry._3)._2 != DeltaAppendOp
+    if (isSingleDir)
       appendMeta(next,
         s"$AliasOpPrefix${dataDirVersion(entry)}:publish-$fromBranch", entry._4)
-      next
-    }
+    else
+      appendMeta(next, s"$AsOfOpPrefix$head:publish-$fromBranch", entry._4)
+    next
   }
 }

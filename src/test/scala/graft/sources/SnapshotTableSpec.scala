@@ -153,8 +153,12 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 4)
     assert(t.currentVersion === Some(pub))
     val pubOp = t.history().orderBy("version").collect().last.getString(2)
-    assert(pubOp.startsWith("alias:") && pubOp.contains("publish-wap"))
-    // the published alias did not write its own data files
+    // the branch head is a DELTA chain (its second commit appended), so the
+    // publish is an `asof:` pointer; a full-data branch head publishes as an
+    // `alias:` — both are metadata-only
+    assert((pubOp.startsWith("alias:") || pubOp.startsWith("asof:")) &&
+      pubOp.contains("publish-wap"))
+    // the published pointer did not write its own data files
     assert(!Files.exists(java.nio.file.Paths.get(root, s"v=$pub")))
     // tag still pins the pre-publish state; refs lists all three
     assert(t.readTag("release-1").count() === 2)
