@@ -126,6 +126,22 @@ object DataPipelineQueries {
   private val vacuumFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q108's store: the scripted schema-evolution lifecycle (ADD COLUMN →
+    * O(delta) INSERT with the new column → RENAME → DROP), all metadata-only
+    * commits over the snapshot store. */
+  private val evolutionFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q109's store: column-level MERGE INTO (conditional UPDATE SET col=expr,
+    * DELETE, explicit-column INSERT) through the scripted surface. */
+  private val mergeClauseFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q110's store: a staged branch diffed against main PRE-publish via
+    * ref-named table_changes — the WAP audit question. */
+  private val refDiffFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Documents with deterministic PII seeded in (every 7th doc an email,
     * every 11th a phone number) — shared by q84's redaction audit and q95's
     * in-ingest gate tap so both have nonzero PII counts to prove against. */
@@ -1815,36 +1831,36 @@ object DataPipelineQueries {
 
     // The WAP workflow driven ENTIRELY through the scripted surface: tag,
     // branch, and publish are `ALTER TABLE … BRANCH/TAG` DDL statements
-    // (Apache Iceberg's public branching DDL), and the result is consumed
-    // through the scripted CDC function `TABLE(table_changes('t', v0, v1))`
-    // — the key comes from the table's declared conf, like Iceberg's
-    // identifier fields. The curated branch drops every 5th doc and
-    // uppercases every 7th; the changelog between the pre-publish tag's
-    // version and the published head must classify exactly those rows as
-    // deletes and update pre/post images. The oracle recomputes each class
-    // straight from the raw corpus, so the classification itself is
-    // value-checked (down to the sum of affected doc_ids).
+    // (Apache Iceberg's public branching DDL), the STAGING WRITES are
+    // branch-targeted DML (`DELETE/UPDATE … AT BRANCH`, Dremio's spelling —
+    // no API write anywhere), and the result is consumed through the
+    // scripted CDC function `TABLE(table_changes('t', v0, v1))` — the key
+    // comes from the table's declared conf, like Iceberg's identifier
+    // fields. The curated branch drops every 5th doc and uppercases every
+    // 7th; the changelog between the pre-publish tag's version and the
+    // published head must classify exactly those rows as deletes and update
+    // pre/post images. The oracle recomputes each class straight from the
+    // raw corpus, so the classification itself is value-checked (down to
+    // the sum of affected doc_ids).
     Q("q105_script_refs", (s, dir) => {
       import graft.sources.SnapshotTable
       val root = scriptRefsFixtures.computeIfAbsent(
         s"${System.identityHashCode(s)}|$dir", _ => {
           val r = graft.TempDirs.newDir("graft_srefs")
           val st = new SnapshotTable(s, r)
-          val d = t(s, dir, "documents")
-          st.commit(d)
+          st.commit(t(s, dir, "documents"))
           s.conf.set("graft.snapshot.docs_cdc", r)
           s.conf.set("graft.snapshot.docs_cdc.key", "doc_id")
-          val run = new graft.pipeline.SqlScriptRunner(s)
-          run.run("""
+          // the staging writes are branch-targeted DML statements (Dremio's
+          // AT BRANCH spelling) — zero API writes anywhere in the workflow
+          new graft.pipeline.SqlScriptRunner(s).run("""
             ALTER TABLE docs_cdc CREATE TAG pre_publish;
             ALTER TABLE docs_cdc CREATE BRANCH curated;
+            DELETE FROM docs_cdc AT BRANCH curated WHERE doc_id % 5 = 0;
+            UPDATE docs_cdc AT BRANCH curated SET text = upper(text)
+              WHERE doc_id % 7 = 0;
+            ALTER TABLE docs_cdc FAST FORWARD BRANCH curated;
           """)
-          st.commitToBranch("curated",
-            d.filter(col("doc_id") % 5 =!= 0)
-              .withColumn("text",
-                when(col("doc_id") % 7 === 0, upper(col("text")))
-                  .otherwise(col("text"))))
-          run.run("ALTER TABLE docs_cdc FAST FORWARD BRANCH curated")
           r
         })
       val head = new SnapshotTable(s, root).currentVersion.get
@@ -1924,7 +1940,157 @@ object DataPipelineQueries {
              CAST(sum(doc_id) AS BIGINT) AS sum_ids_current,
              (SELECT count(*) FROM documents) AS n_tagged,
              CAST(2 AS BIGINT) AS n_versions
-      FROM documents WHERE doc_id % 4 <> 0 AND lang <> 'de'"""))
+      FROM documents WHERE doc_id % 4 <> 0 AND lang <> 'de'""")),
+
+    // Scripted SCHEMA EVOLUTION end-to-end (BASELINE's north star names
+    // "reads, writes, schema evolution, and time-travel"; this closes the
+    // fourth): ADD COLUMN → an O(delta) INSERT carrying the new column →
+    // RENAME COLUMN → DROP COLUMN, every step a METADATA-ONLY commit (no
+    // data file rewritten at any table size — the Iceberg contract). The
+    // value compare pins the head's content (old rows null-fill the added
+    // column, renamed column serves the old data, dropped column is gone)
+    // AND both schemas as literal column lists: the head's evolved schema
+    // and version 0's ORIGINAL schema via time travel.
+    Q("q108_schema_evolution", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = evolutionFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_evo")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))                        // v0
+          graft.Tables.registerAll(s, dir)
+          s.conf.set("graft.snapshot.docs_evo", r)
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            ALTER TABLE docs_evo ADD COLUMN quality DOUBLE;
+            INSERT INTO docs_evo
+              SELECT doc_id + 2000000 AS doc_id, text, lang, source, n_chars,
+                     0.75 AS quality
+              FROM documents WHERE doc_id % 9 = 0;
+            ALTER TABLE docs_evo RENAME COLUMN n_chars TO n_characters;
+            ALTER TABLE docs_evo DROP COLUMN source;
+          """)
+          r
+        })
+      val st = new graft.sources.SnapshotTable(s, root)
+      val head = st.read()
+      val v0 = st.read(Some(0L))
+      head.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("quality")).as("n_new"),
+        sum(col("n_characters")).as("sum_nchars"),
+        round(sum(col("quality")), 2).as("sum_quality"))
+        .withColumn("head_cols", lit(head.columns.mkString(",")))
+        .withColumn("v0_cols", lit(v0.columns.mkString(",")))
+        .crossJoin(v0.agg(count(lit(1)).as("n_v0")))
+    }, Some("""
+      SELECT (SELECT count(*) FROM documents)
+               + (SELECT count(*) FROM documents WHERE doc_id % 9 = 0) AS n_rows,
+             (SELECT count(*) FROM documents WHERE doc_id % 9 = 0) AS n_new,
+             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+               + (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                  WHERE doc_id % 9 = 0) AS sum_nchars,
+             round(0.75 * (SELECT count(*) FROM documents WHERE doc_id % 9 = 0),
+                   2) AS sum_quality,
+             'doc_id,text,lang,n_characters,quality' AS head_cols,
+             'doc_id,text,lang,source,n_chars' AS v0_cols,
+             (SELECT count(*) FROM documents) AS n_v0""")),
+
+    // Column-level MERGE INTO through the scripted surface (the full
+    // Iceberg/Spark clause grammar, first-match-wins): matched en-language
+    // rows get a conditional column-level UPDATE (expression over BOTH
+    // sides: t.text, s.n_chars), other matched rows are DELETEd, and
+    // unmatched source rows INSERT with an explicit column list. The plan
+    // never shuffles the table side (broadcast outer join + broadcast
+    // key-set anti join — PlanAuditSpec pins it); the oracle replays all
+    // three clause semantics declaratively in DuckDB.
+    Q("q109_merge_clauses", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = mergeClauseFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_mrg")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))
+          graft.Tables.registerAll(s, dir)
+          s.conf.set("graft.snapshot.docs_merge", r)
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            MERGE INTO docs_merge t USING (
+              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT doc_id + 4000000, lang, n_chars FROM documents
+              WHERE doc_id < 3) s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED AND s.lang = 'en' THEN UPDATE SET
+              text = concat('EN-TOUCHED: ', t.text), n_chars = s.n_chars + 1
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, source, n_chars)
+              VALUES (s.doc_id, 'BRANDNEW', s.lang, 'merged', s.n_chars);
+          """)
+          r
+        })
+      new graft.sources.SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_nchars"),
+          sum(length(col("text"))).as("sum_len"))
+    }, Some("""
+      WITH merged AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 0 AND lang = 'en'
+                    THEN 'EN-TOUCHED: ' || text ELSE text END AS text,
+               lang,
+               CASE WHEN doc_id % 20 = 0 AND lang = 'en'
+                    THEN n_chars + 1 ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE NOT (doc_id % 20 = 0 AND lang <> 'en')
+        UNION ALL
+        SELECT doc_id + 4000000, 'BRANDNEW', lang, n_chars
+        FROM documents WHERE doc_id < 3)
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len
+      FROM merged GROUP BY lang""")),
+
+    // "What would publishing this branch change?" — the WAP audit question,
+    // answered by REF-NAMED CDC: table_changes('t', 'main', 'stage') diffs
+    // the staged branch against main's head BEFORE publish (ref names
+    // resolve wherever versions go — branches to their heads, tags to their
+    // pins, 'main' to the trunk). The staging itself is branch-targeted DML
+    // (a cow DELETE and an O(delta) INSERT on the branch); main is
+    // untouched, which the diff's classes prove: exactly the fr-language
+    // docs as deletes and the remapped every-100th docs as inserts.
+    Q("q110_ref_diff", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = refDiffFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_rdiff")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))
+          graft.Tables.registerAll(s, dir)
+          s.conf.set("graft.snapshot.docs_diff", r)
+          s.conf.set("graft.snapshot.docs_diff.key", "doc_id")
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            ALTER TABLE docs_diff CREATE BRANCH stage;
+            DELETE FROM docs_diff AT BRANCH stage WHERE lang = 'fr';
+            INSERT INTO docs_diff AT BRANCH stage
+              SELECT doc_id + 3000000 AS doc_id, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 100 = 0;
+          """)
+          r
+        })
+      new graft.pipeline.SqlScriptRunner(s).run("""
+        SELECT _change_type, count(*) AS n, sum(doc_id) AS sum_ids
+        FROM TABLE(table_changes('docs_diff', 'main', 'stage'))
+        GROUP BY _change_type ORDER BY _change_type""").values.head
+    }, Some("""
+      SELECT _change_type, count(*) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM (
+        SELECT 'delete' AS _change_type, doc_id FROM documents
+          WHERE lang = 'fr'
+        UNION ALL
+        SELECT 'insert', doc_id + 3000000 FROM documents
+          WHERE doc_id % 100 = 0)
+      GROUP BY _change_type ORDER BY _change_type"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

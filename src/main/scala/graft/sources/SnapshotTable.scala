@@ -570,6 +570,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
                 matched: Seq[(Option[Column], Option[Map[String, Column]])],
                 notMatched: Seq[(Option[Column], Option[Map[String, Column]])]): Long = {
     requireUniqueKeys(source, keyCol)
+    commit(mergedFrame(source, keyCol, matched, notMatched), op = "merge")
+  }
+
+  /** The merged result [[mergeInto]] commits, exposed so plan audits can pin
+    * the no-target-shuffle shape without writing a snapshot. */
+  private[graft] def mergedFrame(source: DataFrame, keyCol: String,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      notMatched: Seq[(Option[Column], Option[Map[String, Column]])]): DataFrame = {
     val target = read()
     val src = source.select(source.columns.toSeq.map(c => col(c).as(s"__src_$c")): _*)
     val joined = target.join(src, col(keyCol) === col(s"__src_$keyCol"), "left_outer")
@@ -617,8 +625,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       }
       insWithIdx.filter(col("__iclause") === i).select(sel: _*)
     }.reduceOption(_ unionByName _)
-    val merged = insertRows.map(updatedTarget.unionByName(_)).getOrElse(updatedTarget)
-    commit(merged, op = "merge")
+    insertRows.map(updatedTarget.unionByName(_)).getOrElse(updatedTarget)
   }
 
   // ── schema evolution (Iceberg ALTER TABLE … ADD/DROP/RENAME COLUMN) ────
@@ -692,7 +699,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * are detected by comparing a fingerprint over the non-key columns, so a
     * key present on both sides with identical content emits nothing. */
   def changes(fromV: Long, toV: Long, keyCol: String): DataFrame = {
-    val before0 = read(Some(fromV))
+    val meta = readMeta()
+    // Iceberg identifies columns by FIELD ID, so a rename is the SAME column
+    // and a drop removes it from the current schema: re-express the old
+    // snapshot through every evolve commit between the two versions before
+    // diffing, or an untouched row would fingerprint as changed just because
+    // a column moved names. (Evolve commits live on main's lineage; a branch
+    // `toV` has none of its own.)
+    val evolves = meta.filter(m => m._1 > fromV && m._1 <= toV &&
+      !isBranchOp(m._3) && m._3.startsWith(EvolveOpPrefix))
+    val before0 = evolves.foldLeft(read(Some(fromV))) { (df, m) =>
+      decodeEvolve(m._3) match {
+        case Seq("add", name, ddl) =>
+          df.withColumn(name, lit(null).cast(DataType.fromDDL(ddl)))
+        case Seq("drop", name)   => df.drop(name)
+        case Seq("rename", a, b) => df.withColumnRenamed(a, b)
+        case _ => df
+      }
+    }
     val after0 = read(Some(toV))
     // align both snapshots to the UNION schema before fingerprinting: after
     // schema evolution an untouched row null-fills identically on both sides

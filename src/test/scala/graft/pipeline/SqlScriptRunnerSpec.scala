@@ -595,6 +595,106 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_tt_1"))
   }
 
+  test("scripted schema evolution: ADD/INSERT/RENAME/DROP lifecycle + guards") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_evo").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "txt", "n"))
+    spark.conf.set("graft.snapshot.ops.docs", root)
+    val r = new SqlScriptRunner(spark)
+    r.run("""
+      ALTER TABLE ops.docs ADD COLUMN score DOUBLE;
+      INSERT INTO ops.docs VALUES (3, 'c', 30, 0.9);
+      ALTER TABLE ops.docs RENAME COLUMN n TO n2;
+      ALTER TABLE ops.docs DROP COLUMN txt;
+    """)
+    val head = st.read()
+    assert(head.columns.toSeq === Seq("id", "n2", "score"))
+    assert(head.orderBy("id").as[(Long, Int, Option[Double])].collect().toSeq ===
+      Seq((1L, 10, None), (2L, 20, None), (3L, 30, Some(0.9))))
+    // version 0 still serves the ORIGINAL schema through scripted time travel
+    val v0 = r.run("SELECT * FROM ops.docs AT SNAPSHOT '0'").head._2
+    assert(v0.columns.toSeq === Seq("id", "txt", "n"))
+    // bad DDL fails fast
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.docs DROP COLUMN nothere"))
+    // RBAC: schema DDL needs ALTER/WRITE
+    graft.sources.Catalog.grant("GRANT SELECT ON TABLE ops.docs TO USER viewer")
+    intercept[graft.sources.Catalog.AccessDeniedException](
+      new SqlScriptRunner(spark, asUser = Some("viewer"))
+        .run("ALTER TABLE ops.docs ADD COLUMN sneaky INT"))
+  }
+
+  test("branch-targeted DML stages on the branch; main never moves") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_brdml").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"))
+    spark.conf.set("graft.snapshot.ops.staged", root)
+    val r = new SqlScriptRunner(spark)
+    r.run("""
+      ALTER TABLE ops.staged CREATE BRANCH wip;
+      DELETE FROM ops.staged AT BRANCH wip WHERE id = 2;
+      UPDATE ops.staged AT BRANCH wip SET tag = concat(tag, '+') WHERE id = 3;
+      INSERT INTO ops.staged AT BRANCH wip VALUES (9, 'z');
+    """)
+    // main is untouched through all three staged writes
+    assert(st.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(st.readBranch("wip").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c+"), (9L, "z")))
+    // the branch INSERT was an O(delta) commit: its dir holds one row
+    val head = st.branchHead("wip").get
+    assert(spark.read.parquet(s"$root/v=$head").count() === 1)
+    // publish, then the staged state is main's
+    r.run("ALTER TABLE ops.staged FAST FORWARD BRANCH wip")
+    assert(st.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c+"), (9L, "z")))
+    // branch truncate empties only the branch
+    r.run("""
+      ALTER TABLE ops.staged REPLACE BRANCH wip;
+      DELETE FROM ops.staged AT BRANCH wip;
+    """)
+    assert(st.readBranch("wip").count() === 0)
+    assert(st.read().count() === 3)
+  }
+
+  test("snapshot-bound unqualified DELETE truncates the store, not the catalog") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_trunc").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a")).toDF("id", "tag"))
+    // conf-bound ONLY (no catalog table of this name exists) — the old
+    // drop+recreate path would have thrown a catalog error here
+    spark.conf.set("graft.snapshot.ops.scratch", root)
+    new SqlScriptRunner(spark).run("DELETE FROM ops.scratch")
+    assert(st.read().count() === 0)
+    assert(st.read().columns.toSeq === Seq("id", "tag")) // schema survives
+    assert(st.read(Some(0L)).count() === 1)              // history preserved
+  }
+
+  test("backslash-escaped quotes in literals don't desync DML clause slicing") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_bs").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "note"))
+    spark.conf.set("graft.snapshot.ops.notes", root)
+    val r = new SqlScriptRunner(spark)
+    // the literal contains an ESCAPED quote, a comma, and the word WHERE —
+    // any of which would mis-split the SET clause if the mask desynced
+    r.run("UPDATE ops.notes SET note = 'it\\'s big, where possible' WHERE id = 1")
+    assert(st.read().orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "it's big, where possible"), (2L, "b")))
+    // and in the statement splitter: an escaped quote before a semicolon
+    val rows = r.run("SELECT 'don\\'t; split' AS s; SELECT 2 AS t;")
+    assert(rows.size === 2)
+    assert(rows(0).collect().head.getString(0) === "don't; split")
+  }
+
   test("time-travel rewrite ignores AT/TIMESTAMP inside string literals") {
     import graft.sources.SnapshotTable
     import spark.implicits._

@@ -27,8 +27,10 @@ class PlanAuditSpec extends SparkSpec {
                             // cost at any table size
     "q103_branch_wap",      // × a ONE-ROW scalar (the tag's row count) —
                             // same constant-cost single-row broadcast
-    "q107_vacuum_retention" // × TWO one-row scalars (tagged count, version
+    "q107_vacuum_retention", // × TWO one-row scalars (tagged count, version
                             // count) — constant-cost single-row broadcasts
+    "q108_schema_evolution" // × a ONE-ROW scalar (the v0 time-travel count)
+                            // — same constant-cost single-row broadcast
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {

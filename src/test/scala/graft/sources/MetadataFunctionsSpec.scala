@@ -131,4 +131,32 @@ class MetadataFunctionsSpec extends SparkSpec {
     spark.read.parquet(root + "_plain").createOrReplaceTempView("meta_norefs")
     assert(MetadataFunctions.tableRefs(spark, "meta_norefs").count() === 0)
   }
+
+  test("files/partitions over an engine-written store open ZERO parquet footers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("meta_manifest").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(20)(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    t.commit(Seq((100L, "d")).toDF("id", "v"), op = "append")
+    spark.conf.set("graft.snapshot.meta.cached", root)
+    val before = MetadataFunctions.footerReads.get()
+    val files = MetadataFunctions.tableFiles(spark, "meta.cached").collect()
+    val parts = MetadataFunctions.tablePartitions(spark, "meta.cached").collect()
+    // stats come from the commit-time manifests — not one footer re-opened
+    assert(MetadataFunctions.footerReads.get() === before,
+      "metadata scan re-opened parquet footers despite commit manifests")
+    // the listing spans the base AND the append delta, and the manifest
+    // counts agree with the live data
+    assert(files.exists(_.getString(0).contains("v=0")) &&
+      files.exists(_.getString(0).contains("v=1")))
+    assert(files.map(_.getLong(2)).sum === 21L)
+    assert(parts.map(_.getLong(2)).sum === 21L)
+    // a FOREIGN dir (no manifest) still works via the footer fallback
+    Seq((1, "x")).toDF("id", "v").write.mode("overwrite")
+      .parquet(root + "_foreign")
+    spark.read.parquet(root + "_foreign").createOrReplaceTempView("meta_foreign")
+    val ff = MetadataFunctions.tableFiles(spark, "meta_foreign").collect()
+    assert(ff.map(_.getLong(2)).sum === 1L)
+    assert(MetadataFunctions.footerReads.get() > before)
+  }
 }

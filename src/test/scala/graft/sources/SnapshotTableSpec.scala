@@ -255,6 +255,172 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ins.getAs[Long]("id") === 3L && ins.getAs[String]("lang") === "en")
   }
 
+  private def dataDirs(root: String): Seq[String] =
+    new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName).sorted
+
+  private def filesOf(root: String, v: Long): Seq[String] =
+    new java.io.File(root, s"v=$v").listFiles().toSeq
+      .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted
+
+  test("append commits are O(delta): only the delta's files are written, no re-scan") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_delta").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(100)(i => (i.toLong, s"row$i")).toDF("id", "v"))
+    val baseFiles = filesOf(root, 0L)
+    t.commit(Seq((1000L, "new")).toDF("id", "v"), op = "append")
+    // the base dir is byte-for-byte untouched; the new dir holds ONLY the delta
+    assert(filesOf(root, 0L) === baseFiles)
+    assert(dataDirs(root) === Seq("v=0", "v=1"))
+    assert(spark.read.parquet(s"$root/v=1").count() === 1)
+    // the resolved head unions base + delta; time travel still serves v0 alone
+    assert(t.read().count() === 101)
+    assert(t.read(Some(0L)).count() === 100)
+    // the commit log records the TOTAL from the write-time footer manifest —
+    // commit() never ran a count() over the resolved table
+    val h = t.history().orderBy("version").collect()
+    assert(h.last.getString(2) === "append" && h.last.getLong(3) === 101L)
+    // a second delta stacks; compact() folds the chain into one base
+    t.commit(Seq((1001L, "new2")).toDF("id", "v"), op = "append")
+    assert(t.read().count() === 102)
+    val cv = t.compact(targetFiles = 1)
+    assert(t.read(Some(cv)).count() === 102)
+  }
+
+  test("schema evolution DDL is metadata-only; old versions keep their schemas") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_evo").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a", 10)).toDF("id", "txt", "n"))               // v0
+    val dirsBefore = dataDirs(root)
+    t.addColumn("score", "double")                                    // v1
+    t.renameColumn("n", "n2")                                         // v2
+    t.dropColumn("txt")                                               // v3
+    // three evolution commits, ZERO new data dirs — nothing was rewritten
+    assert(dataDirs(root) === dirsBefore)
+    assert(t.read().columns.toSeq === Seq("id", "n2", "score"))
+    assert(t.read(Some(0L)).columns.toSeq === Seq("id", "txt", "n"))
+    // an O(delta) append after evolution carries the evolved schema; old
+    // rows null-fill the added column
+    t.commit(Seq((2L, 20, 0.5)).toDF("id", "n2", "score"), op = "append")
+    val rows = t.read().orderBy("id").collect()
+    assert(rows(0).getLong(0) === 1L && rows(0).getInt(1) === 10 && rows(0).isNullAt(2))
+    assert(rows(1).getInt(1) === 20 && rows(1).getDouble(2) === 0.5)
+    // CDC across the evolution reports only the genuinely new row
+    val ch = t.changes(0L, 4L, "id").collect()
+    assert(ch.map(_.getAs[String]("_change_type")).toSeq === Seq("insert"))
+    // DDL validation fails fast
+    intercept[IllegalArgumentException](t.addColumn("score", "double"))
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "score"))
+  }
+
+  test("rollback/publish over a delta chain is a metadata-only asof pointer") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_asof").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(50)(i => (i.toLong, s"r$i")).toDF("id", "v")) // v0
+    t.commit(Seq((900L, "d1")).toDF("id", "v"), op = "append")          // v1
+    t.commit(Seq((1L, "tiny")).toDF("id", "v"))                         // v2 overwrite
+    val dirsBefore = dataDirs(root)
+    val rb = t.rollback(1L) // target is a delta CHAIN — no single dir to alias
+    assert(dataDirs(root) === dirsBefore)                  // nothing copied
+    assert(t.read().count() === 51)                        // v1's content restored
+    val op = t.history().orderBy("version").collect().last.getString(2)
+    assert(op.startsWith("asof:") && op.contains("rollback-to-1"))
+    assert(rb === 3L)
+    // a later mor-delete folds onto the asof-resolved base
+    t.deleteWhereMor(col("id") === 900L, "id")
+    assert(t.read().count() === 50)
+  }
+
+  test("expiry keeps every dir a delta chain reaches; compaction releases them") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_dexp").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))                       // v0 base
+    t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append")        // v1 delta
+    t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")        // v2 delta
+    // keep=1 cuts at v2, but v2's chain reaches v1 and v0 — nothing expires
+    assert(t.expireSnapshots(keep = 1).isEmpty)
+    assert(t.read().count() === 3)
+    // after compaction the chain is folded and the old dirs can go
+    t.compact(targetFiles = 1)                                     // v3 base
+    assert(t.expireSnapshots(keep = 1) === Seq(0L, 1L, 2L))
+    assert(t.read().count() === 3)
+  }
+
+  test("truncate-to-empty snapshots read back with schema (manifest-backed)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_empty").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.deleteWhere(lit(true)) // scripted unqualified DELETE routes here
+    assert(t.read().count() === 0)
+    assert(t.read().columns.toSeq === Seq("id", "v"))
+    // and the table is usable again: an append over the empty head works
+    t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append")
+    assert(t.read().as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+  }
+
+  test("OLDER_THAN expiry selects by timestamp, surviving a wall-clock step back") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths, StandardOpenOption}
+    val root = Files.createTempDirectory("snap_clock").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))                       // v0
+    t.commit(Seq((2L, "b")).toDF("id", "v"))                       // v1
+    t.commit(Seq((3L, "c")).toDF("id", "v"))                       // v2 head
+    // simulate a clock step back between commits: v1 is NEWER than v2
+    val meta = Paths.get(root, "_graft_meta.jsonl")
+    val doctored = JFiles.readAllLines(meta).toArray.toSeq.map(_.toString)
+      .zip(Seq(1000L, 5000L, 2000L))
+      .map { case (line, ts) =>
+        val p = line.split(",", 4); s"${p(0)},$ts,${p(2)},${p(3)}" }
+      .mkString("", "\n", "\n")
+    JFiles.writeString(meta, doctored,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // cutoff 3000: v1 (ts 5000) was committed AFTER the cutoff and must
+    // survive even though it sits positionally before the head — a
+    // positional keep-count mapping would have expired it
+    val expired = t.expireSnapshotsOlderThan(3000L)
+    assert(expired === Seq(0L))
+    assert(t.read(Some(1L)).count() === 1)   // v1 still readable
+    assert(t.read().count() === 1)           // head intact
+  }
+
+  test("column-level mergeInto: first-match-wins clauses, no target shuffle") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_mrg").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "tag", "score"))
+    val src = Seq((1L, 5L), (2L, 7L), (9L, 1L)).toDF("id", "bump")
+    val matched = Seq(
+      (Some(col("score") < 15), Some(Map("score" -> (col("score") + col("__src_bump"))))),
+      (None, None)) // second clause: DELETE
+    val notMatched = Seq((None: Option[org.apache.spark.sql.Column],
+      Some(Map("id" -> col("__src_id"), "tag" -> lit("new"),
+        "score" -> (col("__src_bump") * 10)))))
+    val merged = t.mergedFrame(src, "id", matched, notMatched)
+    assert(merged.as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "a", 15L), (3L, "c", 30L), (9L, "new", 10L)))
+    // plan shape: the target side joins via broadcast — no sort-merge
+    // shuffle of the table side anywhere in the executed plan
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"target side shuffled:\n$plan")
+    // committing it lands as a merge snapshot
+    t.mergeInto(src, "id", matched, notMatched)
+    assert(t.read().count() === 3)
+    // duplicate source keys are rejected before anything commits
+    intercept[IllegalArgumentException](
+      t.mergeInto(Seq((5L, 1L), (5L, 2L)).toDF("id", "bump"), "id",
+        matched, notMatched))
+  }
+
   test("append with evolved schema widens columns and null-fills history") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap3").toFile.getAbsolutePath
