@@ -118,6 +118,10 @@ object DataPipelineQueries {
   private val scriptRefsFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q104's snapshot-committed corpus (files metadata from the manifest). */
+  private val filesMetaFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1818,13 +1822,22 @@ object DataPipelineQueries {
       FROM documents WHERE doc_id % 3 = 0 GROUP BY source""")),
 
     // The `files` metadata table (file-level metrics behind compaction
-    // decisions, readme.md:370): per-file record counts are read from
-    // parquet FOOTERS on the driver — no data pages opened, the Iceberg
-    // manifests contract. The oracle pins the one property the footers must
-    // satisfy against live data: their record counts sum to the table's
-    // true row count.
+    // decisions, readme.md:370): over an ENGINE-WRITTEN store the per-file
+    // record counts are served from the MANIFEST the commit wrote (stats
+    // captured once at write time — the Iceberg manifests contract; the
+    // metadata query opens ZERO parquet footers, which is what keeps it
+    // O(manifest read) at a million files). The oracle pins the one
+    // property the manifest must satisfy against live data: its record
+    // counts sum to the table's true row count. The footer-reading
+    // fallback for FOREIGN dirs is exercised by q106 and spec-pinned.
     Q("q104_table_files", (s, dir) => {
-      t(s, dir, "documents").createOrReplaceTempView("q104_files_documents")
+      val root = filesMetaFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_files")
+          new graft.sources.SnapshotTable(s, r).commit(t(s, dir, "documents"))
+          r
+        })
+      s.conf.set("graft.snapshot.q104_files_documents", root)
       graft.sources.MetadataFunctions.tableFiles(s, "q104_files_documents")
         .agg(sum(col("record_count")).as("n_rows"))
     }, Some("SELECT count(*) AS n_rows FROM documents")),
@@ -1882,11 +1895,12 @@ object DataPipelineQueries {
       GROUP BY _change_type ORDER BY _change_type""")),
 
     // The `partitions` metadata table over a lang-partitioned rewrite of the
-    // corpus: per-partition record counts come from parquet FOOTERS (a
-    // driver-side manifests-style read — no data pages opened, the property
-    // that makes partition-level stats free at 100 TB). The oracle
-    // recomputes each partition's cardinality from the raw corpus, so the
-    // footer counts and the path-derived partition keys are both
+    // corpus — deliberately a FOREIGN dir (no engine commit wrote it), so
+    // this row exercises the parquet-FOOTER fallback: a driver-side
+    // metadata read, no data pages opened, O(#files) per call (engine-
+    // written stores skip it entirely via commit manifests — q104). The
+    // oracle recomputes each partition's cardinality from the raw corpus,
+    // so the footer counts and the path-derived partition keys are both
     // value-checked.
     Q("q106_table_partitions", (s, dir) => {
       val root = partitionedFixtures.computeIfAbsent(

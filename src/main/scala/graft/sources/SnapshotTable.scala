@@ -321,10 +321,52 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         if (m._3.startsWith(AsOfOpPrefix)) resolveVersion(meta, asOfTarget(m._3))
         else readVersionDir(dataDirVersion(m))
       }
-      tail.foldLeft(base)((acc, m) => Some(applyChainOp(acc, m)))
-        .getOrElse(throw new IllegalStateException(
-          s"no data at or before v=$v at $root"))
+      batchDeltaRuns(tail).foldLeft(base) {
+        case (acc, Right(run)) =>
+          // one multi-dir parquet relation for the whole same-schema run: a
+          // long ingest chain plans as ONE scan node, not an N-way union —
+          // Iceberg likewise plans one scan over all live data files
+          val df = spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+          Some(acc.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
+        case (acc, Left(m)) => Some(applyChainOp(acc, m))
+      }.orElse {
+        // chain of NOTHING but zero-row deltas (batchDeltaRuns drops them):
+        // an empty frame with the latest delta's manifest schema
+        tail.reverseIterator.collectFirst {
+          case m if m._3 == DeltaAppendOp && readManifest(m._1).isDefined =>
+            readVersionDir(m._1)
+        }
+      }.getOrElse(throw new IllegalStateException(
+        s"no data at or before v=$v at $root"))
     }
+  }
+
+  /** Group CONSECUTIVE append-delta entries whose manifests carry the SAME
+    * schema into runs (Right); everything else stays a single step (Left).
+    * Empty deltas (a zero-row append) are dropped outright — they contribute
+    * no rows and an all-empty multi-dir read could not infer a schema. */
+  private def batchDeltaRuns(tail: Seq[Meta]): Seq[Either[Meta, Seq[Meta]]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Either[Meta, Seq[Meta]]]
+    val run = scala.collection.mutable.ArrayBuffer.empty[(Meta, String)]
+    def flush(): Unit = if (run.nonEmpty) {
+      out += (if (run.length == 1) Left(run.head._1) else Right(run.map(_._1).toSeq))
+      run.clear()
+    }
+    tail.foreach { m =>
+      val manifest = if (m._3 == DeltaAppendOp) readManifest(m._1) else None
+      manifest match {
+        case Some((schema, files)) =>
+          if (files.isEmpty) () // zero-row delta: a no-op in the union
+          else {
+            val json = schema.json
+            if (run.nonEmpty && run.head._2 != json) flush()
+            run += ((m, json))
+          }
+        case None => flush(); out += Left(m)
+      }
+    }
+    flush()
+    out.toSeq
   }
 
   private def applyChainOp(acc: Option[DataFrame], m: Meta): DataFrame = m._3 match {

@@ -290,6 +290,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(Some(cv)).count() === 102)
   }
 
+  test("a same-schema delta chain plans as ONE scan node, not an N-way union") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_batch").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    (1 to 4).foreach(i =>
+      t.commit(Seq((100L + i, s"d$i")).toDF("id", "v"), op = "append"))
+    val head = t.read()
+    assert(head.count() === 6)
+    // base scan + ONE batched multi-dir scan for the 4-delta run
+    val scans = "Scan parquet".r.findAllIn(head.queryExecution.executedPlan.toString).length
+    assert(scans === 2,
+      s"expected 2 scan nodes (base + batched deltas), got $scans")
+    // a schema-evolved delta breaks the run but still resolves correctly
+    t.commit(Seq((200L, "e", 0.5)).toDF("id", "v", "q"), op = "append")
+    assert(t.read().count() === 7)
+    assert(t.read().columns.toSeq === Seq("id", "v", "q"))
+  }
+
   test("schema evolution DDL is metadata-only; old versions keep their schemas") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap_evo").toFile.getAbsolutePath
