@@ -278,13 +278,26 @@ final class SqlScriptRunner(spark: SparkSession,
       val pred = Option(m.group(4))
         .map(_ => expr(body.substring(m.start(4), m.end(4)).trim))
         .getOrElse(lit(true))
+      val updName = body.substring(m.start(1), m.end(1))
       Option(m.group(2)).map(_ => body.substring(m.start(2), m.end(2))) match {
         case Some(b) =>
           val updated = assigns.foldLeft(st.readBranch(b)) { case (df, (c, e)) =>
             df.withColumn(c, when(pred, e).otherwise(col(c)))
           }
           st.commitToBranch(b, updated, "overwrite")
-        case None => st.update(pred, assigns.toMap)
+        case None =>
+          // like DELETE, the write mode follows the table's declared
+          // property (Iceberg's write.update.mode): merge-on-read commits
+          // only the updated copies + their equality-delete keys — O(changed)
+          spark.conf.getOption(s"graft.snapshot.$updName.update_mode")
+            .getOrElse("cow") match {
+            case "mor" =>
+              val key = spark.conf.getOption(s"graft.snapshot.$updName.key").getOrElse(
+                throw new IllegalArgumentException(s"UPDATE (merge-on-read) on " +
+                  s"$updName: set graft.snapshot.$updName.key to the equality-delete key"))
+              st.updateMor(pred, assigns.toMap, key)
+            case _ => st.update(pred, assigns.toMap)
+          }
       }
       None
     } else if (upper.startsWith("INSERT INTO ") && {

@@ -122,6 +122,10 @@ object DataPipelineQueries {
   private val filesMetaFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q111's store: merge-on-read UPDATE (the O(changed) redaction shape). */
+  private val morUpdateFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2104,7 +2108,52 @@ object DataPipelineQueries {
         UNION ALL
         SELECT 'insert', doc_id + 3000000 FROM documents
           WHERE doc_id % 100 = 0)
-      GROUP BY _change_type ORDER BY _change_type"""))
+      GROUP BY _change_type ORDER BY _change_type""")),
+
+    // Merge-on-read UPDATE (Iceberg's write.update.mode=merge-on-read),
+    // scripted: a PII-style redaction of every 13th doc commits ONE version
+    // holding only the REDACTED COPIES plus their keys as an equality-delete
+    // file — O(changed rows), never a table rewrite (the takedown/redaction
+    // economics at 100 TB: kilobytes, not the corpus). Readers resolve it as
+    // base ▷ broadcast anti-join ▷ union — no table-side shuffle
+    // (SnapshotTableSpec pins both the file footprint and the plan). The
+    // oracle replays the redaction declaratively; the commit-log operation
+    // row count rides the compare, pinning that the committed version
+    // recorded the UNCHANGED table total (an update never changes
+    // cardinality).
+    Q("q111_mor_update", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = morUpdateFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_morup")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))
+          s.conf.set("graft.snapshot.docs_redact", r)
+          s.conf.set("graft.snapshot.docs_redact.update_mode", "mor")
+          s.conf.set("graft.snapshot.docs_redact.key", "doc_id")
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            UPDATE docs_redact
+              SET text = concat('REDACTED:', CAST(doc_id AS STRING))
+              WHERE doc_id % 13 = 0;
+          """)
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val logged = st.history().orderBy(col("version").desc).limit(1)
+        .select(col("row_count").as("n_logged"))
+      st.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text"))).as("sum_len"))
+        .crossJoin(logged)
+    }, Some("""
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(length(CASE WHEN doc_id % 13 = 0
+               THEN 'REDACTED:' || CAST(doc_id AS VARCHAR)
+               ELSE text END)) AS BIGINT) AS sum_len,
+             (SELECT count(*) FROM documents) AS n_logged
+      FROM documents GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -66,6 +66,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * appended rows; readers union it onto the chain (see [[commit]]). */
   private val DeltaAppendOp = "append"
 
+  /** Op marker for merge-on-read UPDATE commits: the version dir holds the
+    * REPLACEMENT rows (the updated copies) and a hidden `_graft_deletes/`
+    * subdir holds their keys as an equality-delete file — one commit, two
+    * Iceberg v2 file kinds. Readers anti-join the keys then union the
+    * replacements, so updating 1k docs in a 100 TB corpus writes kilobytes
+    * (see [[updateMor]]). */
+  private val MorUpdateOp = "mor-update"
+
+  private def morUpdateDeletesDir(v: Long) = s"$root/v=$v/_graft_deletes"
+
   /** Op prefix for commits made on a side branch: `branch:<name>:overwrite`
     * or `branch:<name>:append:<parentVersion>`. Branch commits share the
     * global version sequence and directory layout but are NOT part of main's
@@ -155,7 +165,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * mor-deletes, and evolve commits are NOT restart points — they fold onto
     * the chain before them. */
   private def isRestart(op: String): Boolean =
-    op != MorDeleteOp && op != DeltaAppendOp &&
+    op != MorDeleteOp && op != DeltaAppendOp && op != MorUpdateOp &&
       !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
 
   /** Main's head: the latest commit that is on main's lineage (branch
@@ -379,6 +389,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-delete v=${m._1} has no base snapshot at $root"))
       df.join(broadcast(del), Seq(key), "left_anti")
+    case MorUpdateOp =>
+      val df = acc.getOrElse(throw new IllegalStateException(
+        s"mor-update v=${m._1} has no base snapshot at $root"))
+      val repl = readVersionDir(m._1)
+      val delDir = new java.io.File(morUpdateDeletesDir(m._1))
+      val hasKeys = delDir.isDirectory && delDir.listFiles().exists(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      if (!hasKeys) df // predicate matched nothing: a no-op commit
+      else {
+        val keys = spark.read.parquet(delDir.getAbsolutePath)
+        df.join(broadcast(keys), Seq(keys.columns.head), "left_anti")
+          .unionByName(repl, allowMissingColumns = true)
+      }
     case op if op.startsWith(EvolveOpPrefix) =>
       val df = acc.getOrElse(throw new IllegalStateException(
         s"schema evolution v=${m._1} has no base snapshot at $root"))
@@ -426,7 +449,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           else Set(v)
         } else if (op.startsWith(AliasOpPrefix)) Set(v, dataDirVersion(entry))
         else if (op.startsWith(AsOfOpPrefix)) Set(v) ++ reachable(meta, asOfTarget(op))
-        else if (op == MorDeleteOp || op == DeltaAppendOp || op.startsWith(EvolveOpPrefix)) {
+        else if (op == MorDeleteOp || op == DeltaAppendOp || op == MorUpdateOp ||
+            op.startsWith(EvolveOpPrefix)) {
           val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
           Set(v) ++ prev.map(p => reachable(meta, p._1)).getOrElse(Set.empty)
         } else Set(v)
@@ -504,7 +528,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         if (m._3.startsWith(AsOfOpPrefix)) dataDirsOf(meta, asOfTarget(m._3))
         else Seq(s"$root/v=${dataDirVersion(m)}")
       }
-      baseDirs ++ tail.collect { case m if m._3 == DeltaAppendOp => s"$root/v=${m._1}" }
+      baseDirs ++ tail.collect {
+        case m if m._3 == DeltaAppendOp || m._3 == MorUpdateOp => s"$root/v=${m._1}"
+      }
     }
   }
 
@@ -564,6 +590,31 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       df.withColumn(c, when(pred, expr).otherwise(col(c)))
     }
     commit(updated, op = "update")
+  }
+
+  /** UPDATE … SET …, merge-on-read (Iceberg's write.update.mode =
+    * merge-on-read): ONE commit whose data files are the UPDATED copies of
+    * the matching rows and whose hidden `_graft_deletes/` file holds their
+    * keys — O(changed rows), never O(table). The redaction/takedown shape:
+    * re-writing 1k docs of a 100 TB corpus costs kilobytes, with readers
+    * paying one broadcast anti-join + union until compact() folds it.
+    * `keyCol` must identify rows uniquely (the equality-delete contract). */
+  def updateMor(pred: Column, set: Map[String, Column], keyCol: String): Long = {
+    val meta = readMeta()
+    require(mainHead(meta).nonEmpty, s"no snapshots at $root")
+    val next = nextVersion(meta)
+    val updated = set.foldLeft(read().filter(pred <=> lit(true))) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    writeVersionDir(updated, next)
+    // the delete keys come from the just-written REPLACEMENT files — a
+    // delta-sized read, not a second predicate pass over the table
+    val written = readVersionDir(next)
+    if (!written.isEmpty)
+      written.select(keyCol).distinct()
+        .write.mode("overwrite").parquet(morUpdateDeletesDir(next))
+    appendMeta(next, MorUpdateOp, tableRowsAsOf(meta, mainHead(meta).get))
+    next
   }
 
   /** Iceberg MERGE requires each target row to match at most one source row;

@@ -29,8 +29,10 @@ class PlanAuditSpec extends SparkSpec {
                             // same constant-cost single-row broadcast
     "q107_vacuum_retention", // × TWO one-row scalars (tagged count, version
                             // count) — constant-cost single-row broadcasts
-    "q108_schema_evolution" // × a ONE-ROW scalar (the v0 time-travel count)
+    "q108_schema_evolution", // × a ONE-ROW scalar (the v0 time-travel count)
                             // — same constant-cost single-row broadcast
+    "q111_mor_update"       // × a ONE-ROW scalar (the commit log's recorded
+                            // row count) — constant-cost single-row broadcast
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {

@@ -411,6 +411,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 1)           // head intact
   }
 
+  test("mor-update writes only the changed rows + keys; reads resolve ≡ cow") {
+    import spark.implicits._
+    def seed = Seq.tabulate(100)(i => (i.toLong, s"text$i", i % 7)).toDF("id", "txt", "k")
+    val morRoot = Files.createTempDirectory("up_mor").toFile.getAbsolutePath
+    val cowRoot = Files.createTempDirectory("up_cow").toFile.getAbsolutePath
+    val mor = new SnapshotTable(spark, morRoot)
+    val cow = new SnapshotTable(spark, cowRoot)
+    mor.commit(seed); cow.commit(seed)
+    val setExpr = Map("txt" -> concat(lit("RED:"), col("id").cast("string")))
+    mor.updateMor(col("id") % 10 === 0, setExpr, "id")
+    cow.update(col("id") % 10 === 0, setExpr)
+    // identical read-back
+    def rows(t: SnapshotTable) = t.read().as[(Long, String, Int)].collect().toSet
+    assert(rows(mor) === rows(cow))
+    assert(rows(mor).count(_._2.startsWith("RED:")) === 10)
+    // O(changed): the mor commit's version dir holds 10 replacement rows
+    // (plus their keys in the hidden _graft_deletes file), not a 100-row copy
+    assert(spark.read.parquet(s"$morRoot/v=1").count() === 10)
+    assert(spark.read.parquet(s"$morRoot/v=1/_graft_deletes")
+      .as[Long].collect().toSet === (0L until 100L by 10).toSet)
+    // the commit log records the UNCHANGED table total for the update
+    assert(mor.history().orderBy("version").collect().last.getLong(3) === 100L)
+    // plan: base scan ▷ broadcast anti ▷ union — no table-side shuffle
+    val plan = mor.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti") &&
+      !plan.contains("SortMergeJoin"), s"mor-update read shuffled:\n$plan")
+    // stacked mutations fold correctly; a no-match update is a no-op commit
+    mor.deleteWhereMor(col("k") === 3, "id")
+    cow.deleteWhere(col("k") === 3)
+    assert(rows(mor) === rows(cow))
+    mor.updateMor(col("id") === 99999L, setExpr, "id")
+    assert(rows(mor) === rows(cow))
+    // compaction folds replacements + deletes into one base
+    mor.compact(targetFiles = 1)
+    assert(rows(mor) === rows(cow))
+    // time travel still reconstructs the pre-update snapshot
+    assert(mor.read(Some(0L)).as[(Long, String, Int)].collect().toSet ===
+      seed.as[(Long, String, Int)].collect().toSet)
+  }
+
   test("column-level mergeInto: first-match-wins clauses, no target shuffle") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap_mrg").toFile.getAbsolutePath
