@@ -126,6 +126,11 @@ object DataPipelineQueries {
   private val morUpdateFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q112's store: streaming ingest → one O(delta) append commit per
+    * micro-batch, exactly-once (SnapshotStream). */
+  private val streamAppendFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2153,7 +2158,50 @@ object DataPipelineQueries {
                THEN 'REDACTED:' || CAST(doc_id AS VARCHAR)
                ELSE text END)) AS BIGINT) AS sum_len,
              (SELECT count(*) FROM documents) AS n_logged
-      FROM documents GROUP BY lang"""))
+      FROM documents GROUP BY lang""")),
+
+    // Streaming ingest INTO the versioned store: the corpus arrives as three
+    // file waves through Structured Streaming, and each micro-batch lands as
+    // ONE O(delta) append commit with a batchId→version ledger making the
+    // sink exactly-once under crash-replay (SnapshotStreamSpec pins the
+    // replay case). This is the continuous-ingest write path the snapshot
+    // store's delta economics exist for: per-wave cost is the wave, the read
+    // side unions live deltas as one scan per same-schema run, compact()
+    // folds. The oracle recomputes the final table from the raw corpus and
+    // pins the commit count — three appends, no rewrites.
+    Q("q112_stream_append", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = streamAppendFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val src = graft.TempDirs.newDir("graft_sstream_src")
+          val r = graft.TempDirs.newDir("graft_sstream_tbl")
+          val ckpt = graft.TempDirs.newDir("graft_sstream_ck")
+          val d = t(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars"))
+          (0 until 3).foreach(i =>
+            d.filter(col("doc_id") % 3 === i).coalesce(1)
+              .write.mode("overwrite").parquet(s"$src/wave$i"))
+          val st = new SnapshotTable(s, r)
+          val stream = s.readStream
+            .schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$src/*")
+          graft.streaming.SnapshotStream
+            .appendStream(st, r, stream, ckpt).awaitTermination()
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val appends = st.history()
+        .agg(count(when(col("operation") === "append", 1)).as("n_appends"))
+      st.read()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .crossJoin(appends)
+    }, Some("""
+      SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(3 AS BIGINT) AS n_appends
+      FROM documents GROUP BY source"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -31,8 +31,10 @@ class PlanAuditSpec extends SparkSpec {
                             // count) — constant-cost single-row broadcasts
     "q108_schema_evolution", // × a ONE-ROW scalar (the v0 time-travel count)
                             // — same constant-cost single-row broadcast
-    "q111_mor_update"       // × a ONE-ROW scalar (the commit log's recorded
+    "q111_mor_update",      // × a ONE-ROW scalar (the commit log's recorded
                             // row count) — constant-cost single-row broadcast
+    "q112_stream_append"    // × a ONE-ROW scalar (the append-commit count)
+                            // — constant-cost single-row broadcast
   )
 
   test("no query plan contains an unintended cartesian or nested-loop join") {
