@@ -321,16 +321,47 @@ final class SqlScriptRunner(spark: SparkSession,
       val st = snapshotStore(name, "INSERT")
       val branch = Option(m.group(2)).map(_ => body.substring(m.start(2), m.end(2)))
       val q = body.substring(m.start(3), m.end(3)).trim
-      val df0 = spark.sql(
-        if (q.startsWith("(") && q.endsWith(")")) q.stripPrefix("(").stripSuffix(")")
-        else q)
-      val df =
-        if (q.toUpperCase.startsWith("VALUES")) {
+      // optional explicit column list: INSERT INTO t (a, b) <query|VALUES …>
+      // — the query's output maps positionally onto the listed columns
+      val colsPrefix = "(?s)^\\(([\\w\\s,]+)\\)\\s*(.+)$".r
+      val (explicitCols, qBody) = q match {
+        case colsPrefix(cols, rest0)
+            if "(?is)^(SELECT|VALUES|WITH|\\()".r.findFirstIn(rest0.trim).isDefined =>
+          (Some(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq), rest0.trim)
+        case _ => (None, q)
+      }
+      // strip a wrapping paren only when it encloses the WHOLE body — the
+      // close matching `(SELECT …` must be the final char, or forms like
+      // `(SELECT …) UNION ALL (SELECT …)` would be mangled
+      def fullyWrapped(t: String): Boolean = {
+        if (!t.startsWith("(") || !t.endsWith(")")) return false
+        var depth = 0; var i = 0; var ok = true; var inS = false
+        while (i < t.length) {
+          t.charAt(i) match {
+            case '\\' if inS && i + 1 < t.length => i += 1
+            case '\'' => inS = !inS
+            case '(' if !inS => depth += 1
+            case ')' if !inS => depth -= 1; if (depth == 0 && i != t.length - 1) ok = false
+            case _ =>
+          }
+          i += 1
+        }
+        ok && depth == 0
+      }
+      val qText = if (fullyWrapped(qBody)) qBody.substring(1, qBody.length - 1) else qBody
+      val df0 = spark.sql(qText)
+      val df = explicitCols match {
+        case Some(cols) =>
+          require(df0.columns.length == cols.length,
+            s"INSERT INTO $name (${cols.length} columns): query produced ${df0.columns.length}")
+          df0.toDF(cols: _*)
+        case None if qText.toUpperCase.startsWith("VALUES") =>
           val cols = branch.map(st.readBranch(_)).getOrElse(st.read()).columns
           require(df0.columns.length == cols.length,
             s"INSERT INTO $name VALUES: ${df0.columns.length} values for ${cols.length} columns")
           df0.toDF(cols.toSeq: _*)
-        } else df0
+        case None => df0
+      }
       branch match {
         case Some(b) => st.commitToBranch(b, df, "append")
         case None    => st.commit(df, "append")
@@ -411,9 +442,11 @@ final class SqlScriptRunner(spark: SparkSession,
           s"MERGE ON clause must be t.<key> = s.<key>: $onCond")
       }
       // clause expressions: target columns by plain name, source columns as
-      // __src_<name> (the SnapshotTable.mergeInto convention)
-      def rewriteRefs(e: String): String = {
-        var out = e
+      // __src_<name> (the SnapshotTable.mergeInto convention). Rewrites run
+      // OUTSIDE string literals only — a literal like 't.co/xyz' must never
+      // lose its alias-shaped prefix.
+      def rewriteRefs(e: String): String = mapOutsideLiterals(e) { seg =>
+        var out = seg
         sourceNames.foreach(a => out = out.replaceAll(
           "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.(\\w+)", "__src_$1"))
         targetNames.foreach(a => out = out.replaceAll(
@@ -428,9 +461,11 @@ final class SqlScriptRunner(spark: SparkSession,
       case class MatchedC(cond: Option[String], set: Option[String]) extends Clause
       case class NotMatchedC(cond: Option[String], insert: String) extends Clause
       val parsed: Seq[Clause] = clauseTexts.map { txt =>
-        val m = cRe.findFirstMatchIn(txt).getOrElse(throw unsupported)
-        val cond = Option(m.group(2)).map(_.trim)
-        val action = m.group(3).trim
+        // split cond/action on the MASKED text so a literal containing
+        // ' THEN ' can't cut the condition; offsets slice the raw text
+        val m = cRe.findFirstMatchIn(maskStringLiterals(txt)).getOrElse(throw unsupported)
+        val cond = Option(m.group(2)).map(_ => txt.substring(m.start(2), m.end(2)).trim)
+        val action = txt.substring(m.start(3), m.end(3)).trim
         if (m.group(1) == null) { // WHEN MATCHED
           if (action.toUpperCase.startsWith("UPDATE"))
             MatchedC(cond, Some("(?is)^UPDATE\\s+SET\\s+".r.replaceFirstIn(action, "").trim))
@@ -917,6 +952,30 @@ final class SqlScriptRunner(spark: SparkSession,
     }
     sb.append(stmt.substring(last))
     sb.toString
+  }
+
+  /** Apply `f` to every NON-LITERAL segment of `s`, leaving single-quoted
+    * literal contents (and their backslash escapes) byte-identical — the
+    * safe way to run textual rewrites over SQL fragments. */
+  private def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inS = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) {
+        out += c
+        if (c == '\\' && i + 1 < s.length) { out += s.charAt(i + 1); i += 1 }
+        else if (c == '\'') inS = false
+      } else if (c == '\'') {
+        out.append(f(seg.toString)); seg.clear()
+        out += c; inS = true
+      } else seg += c
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
   }
 
   /** Length-preserving mask of single-quoted literal CONTENTS (quote chars

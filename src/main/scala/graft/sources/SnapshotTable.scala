@@ -63,8 +63,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private val MorDeleteOp = "mor-delete"
 
   /** Op marker for O(delta) append commits: the version dir holds only the
-    * appended rows; readers union it onto the chain (see [[commit]]). */
+    * appended rows; readers union it onto the chain (see [[commit]]). A
+    * streaming append carries its micro-batch id as `append@<batchId>` —
+    * the SAME commit-log line is the exactly-once dedup record, so there is
+    * no second ledger write for a crash to fall between (see
+    * [[graft.streaming.SnapshotStream]]). */
   private val DeltaAppendOp = "append"
+
+  /** Is this op an O(delta) append (plain or batch-stamped)? */
+  private[sources] def isDeltaAppend(op: String): Boolean =
+    op == DeltaAppendOp || op.startsWith(DeltaAppendOp + "@")
 
   /** Op marker for merge-on-read UPDATE commits: the version dir holds the
     * REPLACEMENT rows (the updated copies) and a hidden `_graft_deletes/`
@@ -165,7 +173,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * mor-deletes, and evolve commits are NOT restart points — they fold onto
     * the chain before them. */
   private def isRestart(op: String): Boolean =
-    op != MorDeleteOp && op != DeltaAppendOp && op != MorUpdateOp &&
+    op != MorDeleteOp && !isDeltaAppend(op) && op != MorUpdateOp &&
       !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
 
   /** Main's head: the latest commit that is on main's lineage (branch
@@ -272,7 +280,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val next = nextVersion(meta)
     val written = writeVersionDir(df, next)
     val rows =
-      if (op == DeltaAppendOp)
+      if (isDeltaAppend(op))
         prev.map(tableRowsAsOf(meta, _)).getOrElse(0L) + written
       else written
     appendMeta(next, op, rows)
@@ -324,7 +332,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       // when resolving a main version they are invisible (a branch commit
       // must never be picked as a base, nor folded as a delta/delete file)
       val upTo = meta.filter(m => m._1 <= v && !isBranchOp(m._3))
-      val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3))
+      // a manifest-less append dir predates the O(delta) layout (the old
+      // commit() wrote base+delta as a full copy): it is its own base, never
+      // a delta to union — resolving it as a delta would duplicate rows
+      val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3) ||
+        (isDeltaAppend(m._3) && readManifest(m._1).isEmpty))
       val (start, tail) =
         if (baseIdx < 0) (None, upTo) else (Some(upTo(baseIdx)), upTo.drop(baseIdx + 1))
       val base: Option[DataFrame] = start.map { m =>
@@ -343,7 +355,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         // chain of NOTHING but zero-row deltas (batchDeltaRuns drops them):
         // an empty frame with the latest delta's manifest schema
         tail.reverseIterator.collectFirst {
-          case m if m._3 == DeltaAppendOp && readManifest(m._1).isDefined =>
+          case m if isDeltaAppend(m._3) && readManifest(m._1).isDefined =>
             readVersionDir(m._1)
         }
       }.getOrElse(throw new IllegalStateException(
@@ -363,7 +375,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       run.clear()
     }
     tail.foreach { m =>
-      val manifest = if (m._3 == DeltaAppendOp) readManifest(m._1) else None
+      val manifest = if (isDeltaAppend(m._3)) readManifest(m._1) else None
       manifest match {
         case Some((schema, files)) =>
           if (files.isEmpty) () // zero-row delta: a no-op in the union
@@ -380,7 +392,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   private def applyChainOp(acc: Option[DataFrame], m: Meta): DataFrame = m._3 match {
-    case DeltaAppendOp =>
+    case op if isDeltaAppend(op) =>
       val delta = readVersionDir(m._1)
       acc.map(_.unionByName(delta, allowMissingColumns = true)).getOrElse(delta)
     case MorDeleteOp =>
@@ -403,17 +415,36 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           .unionByName(repl, allowMissingColumns = true)
       }
     case op if op.startsWith(EvolveOpPrefix) =>
-      val df = acc.getOrElse(throw new IllegalStateException(
-        s"schema evolution v=${m._1} has no base snapshot at $root"))
-      decodeEvolve(op) match {
-        case Seq("add", name, ddl) => df.withColumn(name, lit(null).cast(DataType.fromDDL(ddl)))
-        case Seq("drop", name)     => df.drop(name)
-        case Seq("rename", a, b)   => df.withColumnRenamed(a, b)
-        case other => throw new IllegalStateException(s"bad evolve op: $other")
-      }
+      applyEvolve(acc.getOrElse(throw new IllegalStateException(
+        s"schema evolution v=${m._1} has no base snapshot at $root")), op)
     case other =>
       throw new IllegalStateException(s"unexpected chain op $other at v=${m._1}")
   }
+
+  /** One schema-evolution commit applied to a frame (shared by chain
+    * resolution and the CDC before-image alignment). */
+  private def applyEvolve(df: DataFrame, op: String): DataFrame =
+    decodeEvolve(op) match {
+      case Seq("add", name, ddl) =>
+        // idempotent for the CDC-alignment path: a frame that already carries
+        // the column must not have it nulled out
+        if (df.columns.contains(name)) df
+        else df.withColumn(name, lit(null).cast(DataType.fromDDL(ddl)))
+      case Seq("drop", name)     => df.drop(name)
+      case Seq("rename", a, b)   => df.withColumnRenamed(a, b)
+      case other => throw new IllegalStateException(s"bad evolve op: $other")
+    }
+
+  /** The main-lineage version a snapshot's resolution chain is rooted in:
+    * branch commits root at the main version their parent walk reaches. */
+  private def mainLineageAnchor(meta: Seq[Meta], v: Long): Long =
+    meta.find(_._1 == v) match {
+      case Some(entry) if isBranchOp(entry._3) =>
+        val (_, subOp, parent) = branchOpParts(entry._3)
+        if (subOp == DeltaAppendOp) mainLineageAnchor(meta, parent.get)
+        else -1L // a full branch dir is its own root: it saw NO main evolves
+      case _ => v
+    }
 
   /** `TIMESTAMP AS OF`: latest MAIN snapshot committed at or before
     * tsMillis (side-branch commits are not main's timeline). */
@@ -449,7 +480,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           else Set(v)
         } else if (op.startsWith(AliasOpPrefix)) Set(v, dataDirVersion(entry))
         else if (op.startsWith(AsOfOpPrefix)) Set(v) ++ reachable(meta, asOfTarget(op))
-        else if (op == MorDeleteOp || op == DeltaAppendOp || op == MorUpdateOp ||
+        else if (op == MorDeleteOp || isDeltaAppend(op) || op == MorUpdateOp ||
             op.startsWith(EvolveOpPrefix)) {
           val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
           Set(v) ++ prev.map(p => reachable(meta, p._1)).getOrElse(Set.empty)
@@ -521,7 +552,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       else Seq(s"$root/v=$v")
     } else {
       val upTo = meta.filter(m => m._1 <= v && !isBranchOp(m._3))
-      val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3))
+      val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3) ||
+        (isDeltaAppend(m._3) && readManifest(m._1).isEmpty)) // legacy full copy
       val (start, tail) =
         if (baseIdx < 0) (None, upTo) else (Some(upTo(baseIdx)), upTo.drop(baseIdx + 1))
       val baseDirs = start.toSeq.flatMap { m =>
@@ -529,7 +561,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         else Seq(s"$root/v=${dataDirVersion(m)}")
       }
       baseDirs ++ tail.collect {
-        case m if m._3 == DeltaAppendOp || m._3 == MorUpdateOp => s"$root/v=${m._1}"
+        case m if isDeltaAppend(m._3) || m._3 == MorUpdateOp => s"$root/v=${m._1}"
       }
     }
   }
@@ -602,6 +634,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def updateMor(pred: Column, set: Map[String, Column], keyCol: String): Long = {
     val meta = readMeta()
     require(mainHead(meta).nonEmpty, s"no snapshots at $root")
+    // the delete keys are captured from the REPLACEMENT rows, which is only
+    // sound when the key itself is not reassigned (updating an identifier
+    // column would delete the NEW key and leave the old row live) — Iceberg
+    // likewise refuses to update identifier fields in merge-on-read mode
+    require(!set.contains(keyCol),
+      s"merge-on-read UPDATE cannot reassign the key column $keyCol; use the " +
+        "copy-on-write mode (or DELETE + INSERT) to change identifiers")
     val next = nextVersion(meta)
     val updated = set.foldLeft(read().filter(pred <=> lit(true))) {
       case (df, (c, e)) => df.withColumn(c, e)
@@ -621,11 +660,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * a duplicated source key would silently double-insert (or make the
     * matched update non-deterministic), so it is rejected up front. */
   private def requireUniqueKeys(source: DataFrame, keyCol: String): Unit = {
-    val r = source.agg(count(lit(1)).cast("long").as("n"),
+    // NULL keys never match a target row (they simply insert), so compare
+    // the NON-NULL key count to the distinct count — only a genuinely
+    // duplicated key is a multiple-match hazard
+    val r = source.agg(count(col(keyCol)).cast("long").as("n"),
       count_distinct(col(keyCol)).cast("long").as("d")).head()
     require(r.getLong(0) == r.getLong(1),
-      s"MERGE source has non-unique $keyCol values (${r.getLong(0)} rows, " +
-        s"${r.getLong(1)} distinct non-null keys): Iceberg MERGE fails on " +
+      s"MERGE source has non-unique $keyCol values (${r.getLong(0)} non-null " +
+        s"keys, ${r.getLong(1)} distinct): Iceberg MERGE fails on " +
         "multiple matches for a target row — dedup the source first")
   }
 
@@ -799,17 +841,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // diffing, or an untouched row would fingerprint as changed just because
     // a column moved names. (Evolve commits live on main's lineage; a branch
     // `toV` has none of its own.)
-    val evolves = meta.filter(m => m._1 > fromV && m._1 <= toV &&
+    val fromAnchor = mainLineageAnchor(meta, fromV)
+    val toAnchor = mainLineageAnchor(meta, toV)
+    val evolves = meta.filter(m => m._1 > fromAnchor && m._1 <= toAnchor &&
       !isBranchOp(m._3) && m._3.startsWith(EvolveOpPrefix))
-    val before0 = evolves.foldLeft(read(Some(fromV))) { (df, m) =>
-      decodeEvolve(m._3) match {
-        case Seq("add", name, ddl) =>
-          df.withColumn(name, lit(null).cast(DataType.fromDDL(ddl)))
-        case Seq("drop", name)   => df.drop(name)
-        case Seq("rename", a, b) => df.withColumnRenamed(a, b)
-        case _ => df
-      }
-    }
+    val before0 = evolves.foldLeft(read(Some(fromV)))((df, m) => applyEvolve(df, m._3))
     val after0 = read(Some(toV))
     // align both snapshots to the UNION schema before fingerprinting: after
     // schema evolution an untouched row null-fills identically on both sides

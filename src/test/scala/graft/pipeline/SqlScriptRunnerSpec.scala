@@ -695,6 +695,52 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(rows(0).collect().head.getString(0) === "don't; split")
   }
 
+  test("MERGE clause rewriting and slicing are literal-safe (review findings)") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("merge_lit").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "old", "keep"), (2L, "x", "keep"))
+      .toDF("id", "url", "note"))
+    spark.conf.set("graft.snapshot.ops.links", root)
+    val r = new SqlScriptRunner(spark)
+    // the literal 't.co/xyz' contains the TARGET ALIAS as a prefix and the
+    // condition literal embeds ' THEN ' — neither may corrupt the rewrite
+    r.run("""MERGE INTO ops.links t USING (SELECT 1 AS id) s
+             ON t.id = s.id
+             WHEN MATCHED AND t.note = 'keep THEN drop' THEN DELETE
+             WHEN MATCHED THEN UPDATE SET url = 't.co/xyz'""")
+    assert(st.read().orderBy("id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "t.co/xyz", "keep"), (2L, "x", "keep")))
+    // a NULL-key source row is legal: it matches nothing and simply inserts
+    r.run("""MERGE INTO ops.links t USING (
+               SELECT CAST(NULL AS BIGINT) AS id, 'null.co' AS url, 'n' AS note
+               UNION ALL SELECT 9, 'nine.co', 'n') s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(st.read().count() === 4)
+    assert(st.read().filter(
+      org.apache.spark.sql.functions.col("url") === "null.co").count() === 1)
+  }
+
+  test("snapshot INSERT: explicit column lists and compound SELECT bodies") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("ins_forms").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 10)).toDF("id", "v", "n"))
+    spark.conf.set("graft.snapshot.ops.forms", root)
+    val r = new SqlScriptRunner(spark)
+    // explicit column list maps VALUES positionally onto the listed columns
+    r.run("INSERT INTO ops.forms (id, v, n) VALUES (2, 'b', 20)")
+    // compound parenthesized SELECT body must NOT be paren-stripped
+    r.run("INSERT INTO ops.forms (SELECT 3 AS id, 'c' AS v, 30 AS n) " +
+      "UNION ALL (SELECT 4, 'd', 40)")
+    assert(st.read().orderBy("id").as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)))
+  }
+
   test("time-travel rewrite ignores AT/TIMESTAMP inside string literals") {
     import graft.sources.SnapshotTable
     import spark.implicits._

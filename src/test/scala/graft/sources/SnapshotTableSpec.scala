@@ -411,6 +411,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 1)           // head intact
   }
 
+  test("mor-update refuses to reassign the key column (review finding)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("up_key").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // reassigning the identifier would capture the NEW key as the delete key
+    // and leave the old row live — must fail loudly, never corrupt
+    intercept[IllegalArgumentException](
+      t.updateMor(col("id") === 1L, Map("id" -> lit(100L)), "id"))
+    assert(t.read().count() === 2) // nothing committed
+  }
+
+  test("legacy full-copy append dirs (no manifest) resolve as their own base") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths, StandardOpenOption}
+    val root = Files.createTempDirectory("snap_legacy").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))            // v0
+    // hand-write what the PRE-r11 code produced for an append: a FULL copy
+    // (base + delta) in v=1 with an `append` log line and NO manifest
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(s"$root/v=1")
+    JFiles.writeString(Paths.get(root, "_graft_meta.jsonl"),
+      s"1,${System.currentTimeMillis()},append,3\n",
+      StandardOpenOption.APPEND)
+    // resolving v1 as a delta would union base rows twice (5 rows) — the
+    // manifest-less dir must be recognized as a legacy full copy
+    assert(t.read().count() === 3)
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // and a NEW delta append on top of the legacy store still works
+    t.commit(Seq((4L, "d")).toDF("id", "v"), op = "append")
+    assert(t.read().count() === 4)
+  }
+
   test("mor-update writes only the changed rows + keys; reads resolve ≡ cow") {
     import spark.implicits._
     def seed = Seq.tabulate(100)(i => (i.toLong, s"text$i", i % 7)).toDF("id", "txt", "k")
