@@ -249,10 +249,13 @@ final class SqlScriptRunner(spark: SparkSession,
         case None =>
           spark.conf.getOption(s"graft.snapshot.$name.delete_mode").getOrElse("cow") match {
             case "mor" =>
+              // the declared key may be a comma-separated COMPOSITE key
+              // (Iceberg equality deletes span identifier fields)
               val key = spark.conf.getOption(s"graft.snapshot.$name.key").getOrElse(
                 throw new IllegalArgumentException(s"DELETE (merge-on-read) on " +
                   s"$name: set graft.snapshot.$name.key to the equality-delete key"))
-              st.deleteWhereMor(pred, key)
+              st.deleteWhereMor(pred,
+                key.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             case _ => st.deleteWhere(pred)
           }
       }

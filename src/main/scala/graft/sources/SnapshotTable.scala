@@ -397,10 +397,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       acc.map(_.unionByName(delta, allowMissingColumns = true)).getOrElse(delta)
     case MorDeleteOp =>
       val del = readVersionDir(m._1)
-      val key = del.columns.head // delete file's single column IS the key name
+      // the delete file's COLUMNS are the equality-delete key (one or many —
+      // Iceberg equality deletes are multi-column)
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-delete v=${m._1} has no base snapshot at $root"))
-      df.join(broadcast(del), Seq(key), "left_anti")
+      df.join(broadcast(del), del.columns.toSeq, "left_anti")
     case MorUpdateOp =>
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-update v=${m._1} has no base snapshot at $root"))
@@ -603,14 +604,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   /** DELETE FROM … WHERE, merge-on-read: commits ONLY the distinct matching
     * `keyCol` values (an Iceberg-style equality-delete file; the file's
-    * single column name records the key). `rows` in the commit log is the
+    * column names record the key). `rows` in the commit log is the
     * delete-key count, not a table row count. Keys must identify rows
     * uniquely for delete semantics to match the copy-on-write form. */
-  def deleteWhereMor(pred: Column, keyCol: String): Long = {
+  def deleteWhereMor(pred: Column, keyCol: String): Long =
+    deleteWhereMor(pred, Seq(keyCol))
+
+  /** Multi-column equality-delete form (Iceberg equality deletes may span
+    * several identifier fields): the delete file carries every key column
+    * and readers anti-join on all of them. */
+  def deleteWhereMor(pred: Column, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteWhereMor needs at least one key column")
     val meta = readMeta()
     require(mainHead(meta).nonEmpty, s"no snapshots at $root")
     val next = nextVersion(meta)
-    val n = writeVersionDir(read().filter(pred).select(keyCol).distinct(), next)
+    val n = writeVersionDir(
+      read().filter(pred).select(keyCols.map(col): _*).distinct(), next)
     appendMeta(next, MorDeleteOp, n)
     next
   }

@@ -411,6 +411,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().count() === 1)           // head intact
   }
 
+  test("composite-key equality deletes anti-join on every key column") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mor_comp").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "en", "a"), (1L, "de", "b"), (2L, "en", "c"))
+      .toDF("id", "lang", "v"))
+    // (id, lang) is the identifier: deleting (1, de) must keep (1, en)
+    t.deleteWhereMor(col("id") === 1L && col("lang") === "de", Seq("id", "lang"))
+    assert(t.read().as[(Long, String, String)].collect().toSet ===
+      Set((1L, "en", "a"), (2L, "en", "c")))
+    // the delete file carries BOTH key columns
+    assert(spark.read.parquet(s"$root/v=1").columns.toSeq === Seq("id", "lang"))
+  }
+
   test("mor-update refuses to reassign the key column (review finding)") {
     import spark.implicits._
     val root = Files.createTempDirectory("up_key").toFile.getAbsolutePath
