@@ -298,7 +298,8 @@ final class SqlScriptRunner(spark: SparkSession,
               val key = spark.conf.getOption(s"graft.snapshot.$updName.key").getOrElse(
                 throw new IllegalArgumentException(s"UPDATE (merge-on-read) on " +
                   s"$updName: set graft.snapshot.$updName.key to the equality-delete key"))
-              st.updateMor(pred, assigns.toMap, key)
+              st.updateMor(pred, assigns.toMap,
+                key.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             case _ => st.update(pred, assigns.toMap)
           }
       }
@@ -317,8 +318,10 @@ final class SqlScriptRunner(spark: SparkSession,
       // schema, like SQL INSERT. Catalog-table INSERTs are untouched (the
       // default spark.sql path below).
       val body = stmt.trim.stripSuffix(";")
+      // `\\s*` before the body: `INSERT INTO t(a,b) VALUES …` (no space
+      // before the column list) is the common SQL spelling
       val m = ("(?is)^INSERT\\s+INTO\\s+([\\w.]+)" +
-        "(?:\\s+AT\\s+BRANCH\\s+(\\w+))?\\s+(.+)$").r
+        "(?:\\s+AT\\s+BRANCH\\s+(\\w+))?\\s*(\\(.*|\\S.*)$").r
         .findFirstMatchIn(maskStringLiterals(body)).get
       val name = body.substring(m.start(1), m.end(1))
       val st = snapshotStore(name, "INSERT")
@@ -357,6 +360,14 @@ final class SqlScriptRunner(spark: SparkSession,
         case Some(cols) =>
           require(df0.columns.length == cols.length,
             s"INSERT INTO $name (${cols.length} columns): query produced ${df0.columns.length}")
+          // every listed column must exist in the table: a typo'd name would
+          // otherwise silently schema-evolve the table (by-name union adds it)
+          val tableCols = branch.map(st.readBranch(_)).getOrElse(st.read())
+            .columns.map(_.toLowerCase).toSet
+          val unknown = cols.filterNot(c => tableCols.contains(c.toLowerCase))
+          require(unknown.isEmpty,
+            s"INSERT INTO $name: unknown column(s) ${unknown.mkString(", ")} — " +
+              "use ALTER TABLE ADD COLUMN for schema evolution")
           df0.toDF(cols: _*)
         case None if qText.toUpperCase.startsWith("VALUES") =>
           val cols = branch.map(st.readBranch(_)).getOrElse(st.read()).columns
@@ -1026,6 +1037,9 @@ final class SqlScriptRunner(spark: SparkSession,
         .getOrElse(throw new IllegalArgumentException(
           s"table_changes('$name', …): pass a key column or set " +
             s"graft.snapshot.$name.key"))
+      require(!key.contains(","),
+        s"table_changes('$name', …): the changelog keys on ONE column; " +
+          s"'$key' is a composite delete key — pass an explicit single key")
       asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(name)))
       val st = new graft.sources.SnapshotTable(spark, root)
       def refArg(num: Int, ref: Int): Long =

@@ -2188,12 +2188,12 @@ object DataPipelineQueries {
             .option("maxFilesPerTrigger", 1)
             .parquet(s"$src/*")
           graft.streaming.SnapshotStream
-            .appendStream(st, stream, ckpt).awaitTermination()
+            .appendStream(st, r, stream, ckpt).awaitTermination()
           r
         })
       val st = new SnapshotTable(s, root)
       val appends = st.history()
-        .agg(count(when(col("operation").startsWith("append@"), 1)).as("n_appends"))
+        .agg(count(when(col("operation").startsWith("append"), 1)).as("n_appends"))
       st.read()
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))

@@ -74,6 +74,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private[sources] def isDeltaAppend(op: String): Boolean =
     op == DeltaAppendOp || op.startsWith(DeltaAppendOp + "@")
 
+  /** The batch-stamped append op for streaming micro-batch `batchId` — the
+    * format is owned here; [[graft.streaming.SnapshotStream]] must not
+    * spell it by hand. */
+  private[graft] def streamAppendOp(batchId: Long): String =
+    s"$DeltaAppendOp@$batchId"
+
+  /** The micro-batch id a batch-stamped append op carries, if any (a
+    * malformed suffix is not a streamed batch, not an error). */
+  private[graft] def streamBatchId(op: String): Option[Long] =
+    if (!op.startsWith(DeltaAppendOp + "@")) None
+    else op.stripPrefix(DeltaAppendOp + "@").toLongOption
+
   /** Op marker for merge-on-read UPDATE commits: the version dir holds the
     * REPLACEMENT rows (the updated copies) and a hidden `_graft_deletes/`
     * subdir holds their keys as an equality-delete file — one commit, two
@@ -232,9 +244,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     stats.map(_._2).sum
   }
 
+  /** Per-instance manifest cache: a version's manifest is immutable once
+    * written (expiry deletes it, but then the version is unreadable anyway),
+    * and resolution probes it from both the base-selection scan and the
+    * delta-batching pass — a 500-delta chain must not re-open 1000 files. */
+  private val manifestCache =
+    scala.collection.mutable.HashMap.empty[Long, Option[(StructType, Seq[(String, Long, Long)])]]
+
   /** The manifest written with version `v`'s data dir, if present:
     * (schema, per-file (name, records, bytes)). */
   private[sources] def readManifest(v: Long): Option[(StructType, Seq[(String, Long, Long)])] =
+    manifestCache.getOrElseUpdate(v, readManifestUncached(v))
+
+  private def readManifestUncached(v: Long): Option[(StructType, Seq[(String, Long, Long)])] =
     if (!Files.exists(manifestPath(v))) None
     else {
       import scala.jdk.CollectionConverters._
@@ -443,7 +465,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case Some(entry) if isBranchOp(entry._3) =>
         val (_, subOp, parent) = branchOpParts(entry._3)
         if (subOp == DeltaAppendOp) mainLineageAnchor(meta, parent.get)
-        else -1L // a full branch dir is its own root: it saw NO main evolves
+        else -1L // a full branch dir has no main root; the schema-reflection
+                 // guard in changes() decides which evolves apply
       case _ => v
     }
 
@@ -640,16 +663,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * re-writing 1k docs of a 100 TB corpus costs kilobytes, with readers
     * paying one broadcast anti-join + union until compact() folds it.
     * `keyCol` must identify rows uniquely (the equality-delete contract). */
-  def updateMor(pred: Column, set: Map[String, Column], keyCol: String): Long = {
+  def updateMor(pred: Column, set: Map[String, Column], keyCol: String): Long =
+    updateMor(pred, set, Seq(keyCol))
+
+  /** Composite-key form of the merge-on-read UPDATE (identifier fields may
+    * span several columns, like multi-column equality deletes). */
+  def updateMor(pred: Column, set: Map[String, Column], keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "updateMor needs at least one key column")
     val meta = readMeta()
     require(mainHead(meta).nonEmpty, s"no snapshots at $root")
     // the delete keys are captured from the REPLACEMENT rows, which is only
-    // sound when the key itself is not reassigned (updating an identifier
-    // column would delete the NEW key and leave the old row live) — Iceberg
-    // likewise refuses to update identifier fields in merge-on-read mode
-    require(!set.contains(keyCol),
-      s"merge-on-read UPDATE cannot reassign the key column $keyCol; use the " +
-        "copy-on-write mode (or DELETE + INSERT) to change identifiers")
+    // sound when no key column is reassigned (updating an identifier would
+    // delete the NEW key and leave the old row live) — Iceberg likewise
+    // refuses to update identifier fields in merge-on-read mode. Spark
+    // resolves columns case-insensitively, so the guard must too.
+    val clash = set.keys.find(c => keyCols.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"merge-on-read UPDATE cannot reassign the key column ${clash.getOrElse("")}; " +
+        "use the copy-on-write mode (or DELETE + INSERT) to change identifiers")
     val next = nextVersion(meta)
     val updated = set.foldLeft(read().filter(pred <=> lit(true))) {
       case (df, (c, e)) => df.withColumn(c, e)
@@ -659,7 +690,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // delta-sized read, not a second predicate pass over the table
     val written = readVersionDir(next)
     if (!written.isEmpty)
-      written.select(keyCol).distinct()
+      written.select(keyCols.map(col): _*).distinct()
         .write.mode("overwrite").parquet(morUpdateDeletesDir(next))
     appendMeta(next, MorUpdateOp, tableRowsAsOf(meta, mainHead(meta).get))
     next
@@ -850,12 +881,28 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // diffing, or an untouched row would fingerprint as changed just because
     // a column moved names. (Evolve commits live on main's lineage; a branch
     // `toV` has none of its own.)
+    val after0 = read(Some(toV))
+    val afterCols = after0.columns.map(_.toLowerCase).toSet
+    // candidate evolves: everything between the two endpoints' MAIN anchors
+    // (a branch endpoint roots where its parent walk reaches). Each one is
+    // applied to the before-image only when the AFTER schema actually
+    // reflects it — branch dirs written from arbitrary frames may predate or
+    // postdate any given evolve, and the after schema is the ground truth
+    // the changelog must align to.
     val fromAnchor = mainLineageAnchor(meta, fromV)
-    val toAnchor = mainLineageAnchor(meta, toV)
+    val toAnchor = math.max(mainLineageAnchor(meta, toV), toV)
     val evolves = meta.filter(m => m._1 > fromAnchor && m._1 <= toAnchor &&
       !isBranchOp(m._3) && m._3.startsWith(EvolveOpPrefix))
-    val before0 = evolves.foldLeft(read(Some(fromV)))((df, m) => applyEvolve(df, m._3))
-    val after0 = read(Some(toV))
+    val before0 = evolves.foldLeft(read(Some(fromV))) { (df, m) =>
+      val reflected = decodeEvolve(m._3) match {
+        case Seq("add", name, _)  => afterCols.contains(name.toLowerCase)
+        case Seq("drop", name)    => !afterCols.contains(name.toLowerCase)
+        case Seq("rename", a, b)  =>
+          afterCols.contains(b.toLowerCase) && !afterCols.contains(a.toLowerCase)
+        case _ => false
+      }
+      if (reflected) applyEvolve(df, m._3) else df
+    }
     // align both snapshots to the UNION schema before fingerprinting: after
     // schema evolution an untouched row null-fills identically on both sides
     // and emits nothing (Iceberg's changelog likewise reports only rows whose

@@ -28,34 +28,52 @@ import graft.sources.SnapshotTable
 object SnapshotStream {
 
   /** Committed `batchId → version`, read straight from the commit log (one
-    * source of truth — a `append@<id>` op per streamed batch). */
-  def committedBatches(st: SnapshotTable): Map[Long, Long] =
-    st.history().collect().flatMap { r =>
-      val op = r.getAs[String]("operation")
-      if (op.startsWith("append@"))
-        Some(op.stripPrefix("append@").toLong -> r.getAs[Long]("version"))
-      else None
+    * source of truth — a batch-stamped append op per streamed batch). A
+    * store written by the pre-r11 sink may also carry a legacy
+    * `_graft_stream_batches.jsonl` ledger (plain `append` ops + sidecar);
+    * its entries are honored so an upgrade mid-stream cannot double-commit
+    * a replayed batch. */
+  def committedBatches(st: SnapshotTable, root: String): Map[Long, Long] = {
+    val stamped = st.history().collect().flatMap { r =>
+      st.streamBatchId(r.getAs[String]("operation"))
+        .map(_ -> r.getAs[Long]("version"))
     }.toMap
+    val legacy = java.nio.file.Paths.get(root, "_graft_stream_batches.jsonl")
+    val fromLedger =
+      if (!java.nio.file.Files.exists(legacy)) Map.empty[Long, Long]
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(legacy).asScala.filter(_.nonEmpty)
+          .flatMap { l =>
+            val p = l.split(",", 2)
+            for (id <- p(0).toLongOption; v <- p.lift(1).flatMap(_.toLongOption))
+              yield id -> v
+          }.toMap
+      }
+    fromLedger ++ stamped
+  }
 
   /** Commit one micro-batch as an append UNLESS `batchId` already committed
     * (the crash-replay case) — returns the batch's version either way. */
-  def commitStreamBatch(st: SnapshotTable, df: DataFrame, batchId: Long): Long =
-    committedBatches(st).get(batchId) match {
+  def commitStreamBatch(st: SnapshotTable, root: String,
+                        df: DataFrame, batchId: Long): Long =
+    committedBatches(st, root).get(batchId) match {
       case Some(v) => v // replayed batch: its data is already a snapshot
-      case None    => st.commit(df, op = s"append@$batchId")
+      case None    => st.commit(df, op = st.streamAppendOp(batchId))
     }
 
   /** Run `stream` into the store, one append commit per micro-batch,
     * exactly-once under restart. AvailableNow by default: drain what exists
     * and stop (the test/batch-backfill trigger); pass a processing-time
     * trigger for continuous tailing. */
-  def appendStream(st: SnapshotTable, stream: DataFrame, checkpoint: String,
+  def appendStream(st: SnapshotTable, root: String, stream: DataFrame,
+                   checkpoint: String,
                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitStreamBatch(st, batch, batchId); ()
+        commitStreamBatch(st, root, batch, batchId); ()
       }
       .start()
 }

@@ -25,12 +25,12 @@ class SnapshotStreamSpec extends SparkSpec {
       .schema("id LONG, wave STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$src/*")
-    SnapshotStream.appendStream(st, stream, ckpt).awaitTermination()
+    SnapshotStream.appendStream(st, root, stream, ckpt).awaitTermination()
     assert(st.read().count() === 31)
     // each batch is its own append commit, batch-stamped in the commit log
     val ops = st.history().orderBy("version").collect().map(_.getString(2))
     assert(ops.count(_.startsWith("append@")) === 3)
-    assert(SnapshotStream.committedBatches(st).size === 3)
+    assert(SnapshotStream.committedBatches(st, root).size === 3)
     // every delta dir holds ONLY its batch's rows (O(delta), never a rewrite)
     (1L to 3L).foreach(v =>
       assert(spark.read.parquet(s"$root/v=$v").count() === 10))
@@ -42,14 +42,14 @@ class SnapshotStreamSpec extends SparkSpec {
     val st = new SnapshotTable(spark, root)
     st.commit(Seq((1L, "a")).toDF("id", "v"))
     val batch = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
-    val v1 = SnapshotStream.commitStreamBatch(st, batch, batchId = 7L)
+    val v1 = SnapshotStream.commitStreamBatch(st, root, batch, batchId = 7L)
     // the restart replays batch 7 verbatim: no new snapshot, same version back
-    val v2 = SnapshotStream.commitStreamBatch(st, batch, batchId = 7L)
+    val v2 = SnapshotStream.commitStreamBatch(st, root, batch, batchId = 7L)
     assert(v1 === v2)
     assert(st.read().count() === 3)
     assert(st.history().count() === 2)
     // the NEXT batch proceeds normally
-    SnapshotStream.commitStreamBatch(st,
+    SnapshotStream.commitStreamBatch(st, root,
       Seq((4L, "d")).toDF("id", "v"), batchId = 8L)
     assert(st.read().count() === 4)
     assert(st.read().filter(col("id") === 4L).count() === 1)
