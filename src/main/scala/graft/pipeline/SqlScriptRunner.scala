@@ -113,8 +113,9 @@ final class SqlScriptRunner(spark: SparkSession,
     var i = 0
     while (i < noComments.length) {
       noComments.charAt(i) match {
-        case c @ '\\' if inS && i + 1 < noComments.length =>
-          // backslash-escaped quote inside a literal must not toggle state
+        case c @ '\\' if (inS || inD) && i + 1 < noComments.length =>
+          // backslash-escaped quote inside a literal (single- OR double-
+          // quoted) must not toggle state
           sb += c; sb += noComments.charAt(i + 1); i += 1
         case c @ '\'' if !inD => inS = !inS; sb += c
         case c @ '"' if !inS => inD = !inD; sb += c
@@ -356,24 +357,33 @@ final class SqlScriptRunner(spark: SparkSession,
       }
       val qText = if (fullyWrapped(qBody)) qBody.substring(1, qBody.length - 1) else qBody
       val df0 = spark.sql(qText)
+      // the table's current schema (branch head when AT BRANCH): inserted
+      // values are CAST to the target column types, like SQL INSERT — an
+      // integer literal landing as INT in a BIGINT table would otherwise
+      // split the delta run and widen the resolved schema via unionByName
+      lazy val tSchema = branch.map(st.readBranch(_)).getOrElse(st.read()).schema
+      def castTo(df: DataFrame): DataFrame = {
+        val types = tSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+        df.select(df.columns.toSeq.map(c =>
+          types.get(c.toLowerCase).map(col(c).cast(_)).getOrElse(col(c)).as(c)): _*)
+      }
       val df = explicitCols match {
         case Some(cols) =>
           require(df0.columns.length == cols.length,
             s"INSERT INTO $name (${cols.length} columns): query produced ${df0.columns.length}")
           // every listed column must exist in the table: a typo'd name would
           // otherwise silently schema-evolve the table (by-name union adds it)
-          val tableCols = branch.map(st.readBranch(_)).getOrElse(st.read())
-            .columns.map(_.toLowerCase).toSet
+          val tableCols = tSchema.fields.map(_.name.toLowerCase).toSet
           val unknown = cols.filterNot(c => tableCols.contains(c.toLowerCase))
           require(unknown.isEmpty,
             s"INSERT INTO $name: unknown column(s) ${unknown.mkString(", ")} — " +
               "use ALTER TABLE ADD COLUMN for schema evolution")
-          df0.toDF(cols: _*)
+          castTo(df0.toDF(cols: _*))
         case None if qText.toUpperCase.startsWith("VALUES") =>
-          val cols = branch.map(st.readBranch(_)).getOrElse(st.read()).columns
+          val cols = tSchema.fields.map(_.name)
           require(df0.columns.length == cols.length,
             s"INSERT INTO $name VALUES: ${df0.columns.length} values for ${cols.length} columns")
-          df0.toDF(cols.toSeq: _*)
+          castTo(df0.toDF(cols.toSeq: _*))
         case None => df0
       }
       branch match {

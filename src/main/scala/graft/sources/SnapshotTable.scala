@@ -434,7 +434,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       if (!hasKeys) df // predicate matched nothing: a no-op commit
       else {
         val keys = spark.read.parquet(delDir.getAbsolutePath)
-        df.join(broadcast(keys), Seq(keys.columns.head), "left_anti")
+        // anti-join on EVERY key column (the delete file carries the whole
+        // composite key, like the mor-delete path) — joining on a prefix
+        // would drop base rows that share only the first key component
+        df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
           .unionByName(repl, allowMissingColumns = true)
       }
     case op if op.startsWith(EvolveOpPrefix) =>
@@ -1059,7 +1062,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       appendMeta(next,
         s"$AliasOpPrefix${dataDirVersion(entry)}:publish-$fromBranch", entry._4)
     else
-      appendMeta(next, s"$AsOfOpPrefix$head:publish-$fromBranch", entry._4)
+      // the head may be a delta chain or a mor commit whose own log entry
+      // records a delta/key count, not the table total — resolve the real
+      // total like rollback() does, or later appends inherit a wrong base
+      appendMeta(next, s"$AsOfOpPrefix$head:publish-$fromBranch",
+        tableRowsAsOf(meta, head))
     next
   }
 }

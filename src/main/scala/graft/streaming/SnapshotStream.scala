@@ -27,13 +27,43 @@ import graft.sources.SnapshotTable
   */
 object SnapshotStream {
 
+  /** Per-store cache of the committed-batch map: the commit log is loaded
+    * ONCE per (process, store) — a long-lived stream must not pay an
+    * O(total commits) history read per micro-batch — and kept current
+    * in-process by [[commitStreamBatch]] as it lands new batches. The sink
+    * is single-writer per store (the SnapshotTable contract), so no other
+    * process appends stamped batches behind the cache's back; a process
+    * restart simply reloads once. */
+  private val batchCache =
+    scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashMap[Long, Long]]
+
+  /** Commit-log loads performed (observable so a spec can pin "one history
+    * read across a multi-batch run"). */
+  @volatile private[graft] var historyLoads: Long = 0L
+
+  private def cachedBatches(st: SnapshotTable, root: String) =
+    batchCache.synchronized {
+      batchCache.getOrElseUpdate(root, {
+        historyLoads += 1
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        m ++= loadCommittedBatches(st, root)
+        m
+      })
+    }
+
+  /** Committed `batchId → version` (cached; see [[batchCache]]). */
+  def committedBatches(st: SnapshotTable, root: String): Map[Long, Long] = {
+    val cache = cachedBatches(st, root)
+    cache.synchronized(cache.toMap)
+  }
+
   /** Committed `batchId → version`, read straight from the commit log (one
     * source of truth — a batch-stamped append op per streamed batch). A
     * store written by the pre-r11 sink may also carry a legacy
     * `_graft_stream_batches.jsonl` ledger (plain `append` ops + sidecar);
     * its entries are honored so an upgrade mid-stream cannot double-commit
     * a replayed batch. */
-  def committedBatches(st: SnapshotTable, root: String): Map[Long, Long] = {
+  private def loadCommittedBatches(st: SnapshotTable, root: String): Map[Long, Long] = {
     val stamped = st.history().collect().flatMap { r =>
       st.streamBatchId(r.getAs[String]("operation"))
         .map(_ -> r.getAs[Long]("version"))
@@ -56,11 +86,18 @@ object SnapshotStream {
   /** Commit one micro-batch as an append UNLESS `batchId` already committed
     * (the crash-replay case) — returns the batch's version either way. */
   def commitStreamBatch(st: SnapshotTable, root: String,
-                        df: DataFrame, batchId: Long): Long =
-    committedBatches(st, root).get(batchId) match {
-      case Some(v) => v // replayed batch: its data is already a snapshot
-      case None    => st.commit(df, op = st.streamAppendOp(batchId))
+                        df: DataFrame, batchId: Long): Long = {
+    val cache = cachedBatches(st, root)
+    cache.synchronized {
+      cache.get(batchId) match {
+        case Some(v) => v // replayed batch: its data is already a snapshot
+        case None =>
+          val v = st.commit(df, op = st.streamAppendOp(batchId))
+          cache(batchId) = v
+          v
+      }
     }
+  }
 
   /** Run `stream` into the store, one append commit per micro-batch,
     * exactly-once under restart. AvailableNow by default: drain what exists

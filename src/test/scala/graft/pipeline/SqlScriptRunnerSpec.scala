@@ -537,6 +537,27 @@ class SqlScriptRunnerSpec extends SparkSpec {
       === Set("no where here"))
   }
 
+  test("snapshot-bound INSERT VALUES casts to the table's column types") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_ins_cast").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 10.5)).toDF("id", "amt")) // id BIGINT, amt DOUBLE
+    spark.conf.set("graft.snapshot.fin.cast.ledger", root)
+    val r = new SqlScriptRunner(spark)
+    // integer literals parse as INT / DECIMAL — they must land as the
+    // table's BIGINT/DOUBLE, or the delta run splits and the resolved
+    // schema widens via unionByName (review finding)
+    r.run("INSERT INTO fin.cast.ledger VALUES (2, 20)")
+    r.run("INSERT INTO fin.cast.ledger (amt, id) (SELECT 30.25, 3)")
+    val out = st.read()
+    assert(out.schema.map(f => (f.name, f.dataType.sql)).toSet ===
+      Set(("id", "BIGINT"), ("amt", "DOUBLE")))
+    assert(out.as[(Long, Double)].collect().toSet ===
+      Set((1L, 10.5), (2L, 20.0), (3L, 30.25)))
+    assert(st.history().count() === 3)
+  }
+
   test("scripted DML in asUser mode requires the write privilege") {
     import graft.sources.{Catalog, SnapshotTable}
     import spark.implicits._
@@ -693,6 +714,11 @@ class SqlScriptRunnerSpec extends SparkSpec {
     val rows = r.run("SELECT 'don\\'t; split' AS s; SELECT 2 AS t;")
     assert(rows.size === 2)
     assert(rows(0).collect().head.getString(0) === "don't; split")
+    // escaped quote inside a DOUBLE-quoted segment must not desync either:
+    // if the \" toggled state, the ; inside the quotes would split the
+    // statement in half (review finding)
+    val split = r.statements("SELECT \"x\\\"; y\" FROM t; SELECT 2 AS n;")
+    assert(split.size === 2 && split(1) === "SELECT 2 AS n", split.toString)
   }
 
   test("MERGE clause rewriting and slicing are literal-safe (review findings)") {

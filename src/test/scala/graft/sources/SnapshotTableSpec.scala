@@ -131,6 +131,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
   }
 
+  test("fastForward to a branch at a mor-delete version records the TABLE total") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ff_mor").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(10)(i => (i.toLong, s"v$i")).toDF("id", "v")) // v0: 10 rows
+    t.deleteWhereMor(col("id") < 3L, "id")                              // v1: 3 KEYS
+    t.createBranch("hold", at = Some(1L))
+    val pub = t.fastForward("hold")
+    // the publish entry must record the resolved table total (7), not the
+    // mor-delete entry's delete-KEY count (3) — review finding
+    val pubRow = t.history().filter(col("version") === pub).collect().head
+    assert(pubRow.getLong(3) === 7L)
+    // and a later delta append inherits the right cumulative count
+    t.commit(Seq((100L, "x")).toDF("id", "v"), op = "append")
+    assert(t.history().orderBy("version").collect().last.getLong(3) === 8L)
+    assert(t.read().count() === 8)
+  }
+
   test("branches + tags: write-audit-publish keeps main clean until publish") {
     import spark.implicits._
     val root = Files.createTempDirectory("wap").toFile.getAbsolutePath
@@ -423,6 +441,24 @@ class SnapshotTableSpec extends SparkSpec {
       Set((1L, "en", "a"), (2L, "en", "c")))
     // the delete file carries BOTH key columns
     assert(spark.read.parquet(s"$root/v=1").columns.toSeq === Seq("id", "lang"))
+  }
+
+  test("composite-key mor-update keeps base rows sharing only the FIRST key part") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("up_comp").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "en", "a"), (1L, "de", "b"), (2L, "en", "c"))
+      .toDF("id", "lang", "v"))
+    // (id, lang) identifies rows; updating (1, de) must NOT drop (1, en) —
+    // an anti-join on id alone would silently lose it (review finding)
+    t.updateMor(col("id") === 1L && col("lang") === "de",
+      Map("v" -> lit("B2")), Seq("id", "lang"))
+    assert(t.read().as[(Long, String, String)].collect().toSet ===
+      Set((1L, "en", "a"), (1L, "de", "B2"), (2L, "en", "c")))
+    // and compact() persists the SAME content into the new full base
+    t.compact(targetFiles = 1)
+    assert(t.read().as[(Long, String, String)].collect().toSet ===
+      Set((1L, "en", "a"), (1L, "de", "B2"), (2L, "en", "c")))
   }
 
   test("mor-update refuses to reassign the key column (review finding)") {

@@ -36,6 +36,27 @@ class SnapshotStreamSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/v=$v").count() === 10))
   }
 
+  test("a multi-batch run reads the commit history ONCE (cached dedup map)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sstream_cache").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((0L, "seed")).toDF("id", "v"))
+    val before = SnapshotStream.historyLoads
+    (1L to 5L).foreach { b =>
+      SnapshotStream.commitStreamBatch(st, root,
+        Seq((b, s"w$b")).toDF("id", "v"), batchId = b)
+    }
+    // 5 batches, ONE commit-log load — a long-lived stream must not pay
+    // O(total commits) driver work per micro-batch
+    assert(SnapshotStream.historyLoads - before === 1L)
+    assert(st.read().count() === 6)
+    // replay of an already-committed batch still dedups from the cache
+    val v = SnapshotStream.commitStreamBatch(st, root,
+      Seq((3L, "w3")).toDF("id", "v"), batchId = 3L)
+    assert(st.history().count() === 6)
+    assert(v === SnapshotStream.committedBatches(st, root)(3L))
+  }
+
   test("a replayed micro-batch (crash between commit and ack) is skipped") {
     import spark.implicits._
     val root = Files.createTempDirectory("sstream_replay").toFile.getAbsolutePath
