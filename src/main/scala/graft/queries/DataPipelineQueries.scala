@@ -126,6 +126,11 @@ object DataPipelineQueries {
   private val morUpdateFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q113's store: the corpus committed as four doc_id-range-clustered
+    * delta files, so manifest column stats can prove file skipping. */
+  private val fileSkipFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q112's store: streaming ingest → one O(delta) append commit per
     * micro-batch, exactly-once (SnapshotStream). */
   private val streamAppendFixtures =
@@ -2201,7 +2206,59 @@ object DataPipelineQueries {
     }, Some("""
       SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(3 AS BIGINT) AS n_appends
-      FROM documents GROUP BY source"""))
+      FROM documents GROUP BY source""")),
+
+    // Manifest-stats data skipping — Iceberg's core scan optimization
+    // (reference readme.md:393-401, 409): commit-time footers record
+    // per-file column (min, max) into the manifest, and a selective read
+    // plans over ONLY the files whose ranges can match. The fixture lands
+    // the corpus as four doc_id-range-clustered delta files (the natural
+    // shape of batch ingest); the query reads one-eighth of the id space and
+    // the plan require()s that exactly 1 of the 4 live files is scanned —
+    // at 100 TB this is the difference between reading ~25 TB and reading
+    // one file's worth for the same answer. The scanned/live counts ride
+    // the oracle compare as pinned columns.
+    Q("q113_file_skipping", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = fileSkipFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_skip")
+          val st = new SnapshotTable(s, r)
+          val d = t(s, dir, "documents")
+          val n = d.count()
+          (0L until 4L).foreach { k =>
+            val lo = k * n / 4
+            val hi = if (k == 3) n else (k + 1) * n / 4
+            st.commit(
+              d.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1),
+              if (k == 0) "overwrite" else "append")
+          }
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val n = t(s, dir, "documents").count()
+      val pred = col("doc_id") >= n / 4 && col("doc_id") < n / 4 + n / 8
+      val hit = st.readWhere(pred)
+      val (kept, total) = st.lastPruneStats
+      require(kept < total,
+        s"manifest column stats failed to skip files: scanned $kept of $total")
+      hit.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_nchars"))
+        .withColumn("files_scanned", lit(kept))
+        .withColumn("files_live", lit(total))
+    }, Some("""
+      WITH lim AS (SELECT count(*) // 4 AS lo,
+                          count(*) // 4 + count(*) // 8 AS hi
+                   FROM documents)
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+             CAST(1 AS BIGINT) AS files_scanned,
+             CAST(4 AS BIGINT) AS files_live
+      FROM documents, lim
+      WHERE doc_id >= lim.lo AND doc_id < lim.hi
+      GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

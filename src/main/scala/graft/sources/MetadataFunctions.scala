@@ -96,8 +96,8 @@ object MetadataFunctions {
         st.currentDataDirs.flatMap { dirStr =>
           st.readManifest(st.dirVersionOf(dirStr)) match {
             case Some((_, files)) =>
-              files.map { case (name, r, b) =>
-                (new Path(dirStr, name).toUri.getPath, r, b) }
+              files.map(f =>
+                (new Path(dirStr, f.name).toUri.getPath, f.records, f.bytes))
             case None => listDataFiles(spark, dirStr).map { f =>
               val (r, b) = footerStats(spark, f); (f, r, b)
             }

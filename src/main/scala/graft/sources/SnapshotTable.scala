@@ -4,8 +4,284 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType,
+  DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
+  StructType, TimestampType}
+
+object SnapshotTable {
+
+  /** One data file of a commit manifest: path relative to the version dir,
+    * footer record count, byte size, and per-column (min, max) value ranges
+    * in canonical string form — the Iceberg manifest-entry stats that make
+    * scan planning skip files whose ranges exclude a pushed predicate. */
+  final case class ManifestFile(name: String, records: Long, bytes: Long,
+      stats: Map[String, (String, String)])
+
+  /** Raised when an optimistic commit loses its conflict check: the table
+    * head moved between the operation's snapshot read and its commit attempt
+    * (Iceberg's commit-conflict contract — re-read and retry the operation). */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  // ── column-stats capture (commit-time, from the footers the manifest pass
+  //    already opens) ────────────────────────────────────────────────────────
+
+  /** Per-column (min, max) over every row group of one parquet footer, in
+    * canonical string form; a column is omitted when any row group lacks
+    * usable stats, its physical type is unsupported (INT96 timestamps,
+    * decimals, nested), or it is entirely null — omission only disables
+    * pruning for that column, never correctness. */
+  private[sources] def footerColumnStats(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
+      : Map[String, (String, String)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    // (domain min, domain max) accumulated per column; None = column disabled
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Any, Any)]]
+    footer.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.foreach { cc =>
+        val pathArr = cc.getPath.toArray
+        if (pathArr.length == 1) {
+          val name = pathArr(0)
+          val pt = cc.getPrimitiveType
+          val logical = pt.getLogicalTypeAnnotation
+          val st = cc.getStatistics
+          val allNull = st != null && st.isNumNullsSet &&
+            st.getNumNulls == cc.getValueCount
+          def domainValue(v: Any): Option[Any] = pt.getPrimitiveTypeName match {
+            case INT32 => Some(v.asInstanceOf[Number].longValue)
+            case INT64 =>
+              val raw = v.asInstanceOf[Number].longValue
+              logical match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(raw * 1000L)
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+                    case LogicalTypeAnnotation.TimeUnit.NANOS  => Some(raw / 1000L)
+                    case _ => None
+                  }
+                case _ => Some(raw)
+              }
+            case FLOAT   => Some(v.asInstanceOf[Float])
+            case DOUBLE  => Some(v.asInstanceOf[Double])
+            case BOOLEAN => Some(v.asInstanceOf[Boolean])
+            case BINARY
+                if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            case _ => None
+          }
+          val chunk: Option[Option[(Any, Any)]] =
+            if (allNull) None // contributes no values; doesn't disable the column
+            else if (st == null || st.isEmpty || !st.hasNonNullValue) Some(None)
+            else {
+              val mn = domainValue(st.genericGetMin)
+              val mx = domainValue(st.genericGetMax)
+              Some(for (a <- mn; b <- mx) yield (a, b))
+            }
+          chunk.foreach { c =>
+            val merged = (acc.getOrElse(name, Some(null)), c) match {
+              case (Some(null), v) => v
+              case (Some((a1, b1)), Some((a2, b2))) =>
+                Some((if (domainCompare(a1, a2) <= 0) a1 else a2,
+                  if (domainCompare(b1, b2) >= 0) b1 else b2))
+              case _ => None
+            }
+            acc(name) = merged
+          }
+        }
+      }
+    }
+    acc.collect { case (n, Some(v)) if v != null =>
+      n -> (canonical(v._1), canonical(v._2))
+    }.toMap
+  }
+
+  private def canonical(v: Any): String = v.toString
+
+  /** Ordering inside one stats domain (both sides same runtime type). */
+  private def domainCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Float, y: Float)     => java.lang.Float.compare(x, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: String, y: String)   => utf8Compare(x, y)
+    case _ => throw new IllegalStateException(s"stats domain mismatch: $a vs $b")
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order parquet min/max for BINARY
+    * strings are computed in (Java String compareTo differs for
+    * supplementary characters, so it must not be used here). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  // ── predicate → file-range evaluation (the Iceberg
+  //    InclusiveMetricsEvaluator shape: "might this file contain a matching
+  //    row?" — ANY uncertainty keeps the file; pruning is only ever an
+  //    optimization over the residual filter) ──────────────────────────────
+
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+    Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+    LessThanOrEqual, Literal}
+
+  /** Top-level AND conjuncts of `pred`, RESOLVED against `df`'s plan: the
+    * filter is run through analysis + optimization so implicit casts fold
+    * into plain literals and attributes resolve — the same expression shape
+    * a pushed-down scan filter has. */
+  private[sources] def conjunctsOf(df: DataFrame, pred: Column): Seq[Expression] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    df.filter(pred).queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => split(f.condition)
+    }.getOrElse(Nil)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.nameParts.head)
+    case a: Attribute => Some(a.name)
+    case _ => None
+  }
+
+  /** A literal's value in the DOMAIN of column type `ct` (the domain
+    * [[footerColumnStats]] recorded) — None when the literal's type doesn't
+    * convert exactly, which simply disables pruning on that conjunct. */
+  private def literalInDomain(v: Any, ct: DataType): Option[Any] = ct match {
+    case ByteType | ShortType | IntegerType | LongType => v match {
+      case b: Byte => Some(b.toLong); case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong); case l: Long => Some(l)
+      case _ => None
+    }
+    case DateType => v match { // Catalyst internal: days since epoch
+      case i: Int => Some(i.toLong); case _ => None
+    }
+    case TimestampType => v match { // Catalyst internal: micros
+      case l: Long => Some(l); case _ => None
+    }
+    case FloatType => v match {
+      case f: Float => Some(f); case i: Int => Some(i.toFloat)
+      case l: Long => Some(l.toFloat); case _ => None
+    }
+    case DoubleType => v match {
+      case d: Double => Some(d); case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble); case _ => None
+    }
+    case StringType => Some(v.toString) // internal UTF8String → String
+    case BooleanType => v match { case b: Boolean => Some(b); case _ => None }
+    case _ => None
+  }
+
+  /** A stored canonical stat parsed back into column type `ct`'s domain. */
+  private def statInDomain(s: String, ct: DataType): Option[Any] = ct match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType => s.toLongOption
+    case FloatType  => Some(s.toFloat)
+    case DoubleType => Some(s.toDouble)
+    case StringType => Some(s)
+    case BooleanType => s.toBooleanOption
+    case _ => None
+  }
+
+  /** Might a file with `stats` contain a row matching every conjunct?
+    * Evaluates each supported `col op literal` conjunct against the file's
+    * (min, max); an unsupported shape, unknown column, or missing stat keeps
+    * the file. */
+  private[sources] def mayContain(schema: StructType,
+      stats: Map[String, (String, String)], conjuncts: Seq[Expression]): Boolean = {
+    val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val statsLc = stats.map { case (k, v) => k.toLowerCase -> v }
+    def range(name: String): Option[(Any, Any, DataType)] =
+      for {
+        ct <- types.get(name.toLowerCase)
+        (mnS, mxS) <- statsLc.get(name.toLowerCase)
+        mn <- statInDomain(mnS, ct)
+        mx <- statInDomain(mxS, ct)
+      } yield (mn, mx, ct)
+    def cmp = domainCompare _
+    def eval(c: Expression): Boolean = c match {
+      case EqualTo(a, Literal(v, _)) => evalOp(a, v, "=")
+      case EqualTo(Literal(v, _), a) => evalOp(a, v, "=")
+      case GreaterThan(a, Literal(v, _)) => evalOp(a, v, ">")
+      case GreaterThan(Literal(v, _), a) => evalOp(a, v, "<")
+      case GreaterThanOrEqual(a, Literal(v, _)) => evalOp(a, v, ">=")
+      case GreaterThanOrEqual(Literal(v, _), a) => evalOp(a, v, "<=")
+      case LessThan(a, Literal(v, _)) => evalOp(a, v, "<")
+      case LessThan(Literal(v, _), a) => evalOp(a, v, ">")
+      case LessThanOrEqual(a, Literal(v, _)) => evalOp(a, v, "<=")
+      case LessThanOrEqual(Literal(v, _), a) => evalOp(a, v, ">=")
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).flatMap(range) match {
+          case Some((mn, mx, ct)) =>
+            vs.exists { case Literal(v, _) =>
+              if (v == null) false
+              else literalInDomain(v, ct).forall(d =>
+                cmp(mn, d) <= 0 && cmp(d, mx) <= 0)
+            }
+          case None => true
+        }
+      case InSet(a, hset) => // the optimizer's large-IN form
+        attrName(a).flatMap(range) match {
+          case Some((mn, mx, ct)) =>
+            hset.exists(v =>
+              if (v == null) false
+              else literalInDomain(v, ct).forall(d =>
+                cmp(mn, d) <= 0 && cmp(d, mx) <= 0))
+          case None => true
+        }
+      case _ => true
+    }
+    def evalOp(a: Expression, v: Any, op: String): Boolean =
+      if (v == null) true
+      else attrName(a).flatMap(range) match {
+        case Some((mn, mx, ct)) => literalInDomain(v, ct) match {
+          case Some(d) => op match {
+            case "="  => cmp(mn, d) <= 0 && cmp(d, mx) <= 0
+            case ">"  => cmp(mx, d) > 0
+            case ">=" => cmp(mx, d) >= 0
+            case "<"  => cmp(mn, d) < 0
+            case "<=" => cmp(mn, d) <= 0
+          }
+          case None => true
+        }
+        case None => true
+      }
+    conjuncts.forall(eval)
+  }
+
+  /** Stats blob ↔ manifest-field encoding: `col US b64(min) US b64(max)`
+    * records joined with RS, whole blob base64'd — values may contain any
+    * character; the TSV line must stay clean. */
+  private[sources] def encodeStats(stats: Map[String, (String, String)]): String = {
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    java.util.Base64.getEncoder.encodeToString(
+      stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"$c\u001f${b64(mn)}\u001f${b64(mx)}"
+      }.mkString("\u001e").getBytes("UTF-8"))
+  }
+
+  private[sources] def decodeStats(blob: String): Map[String, (String, String)] =
+    if (blob.isEmpty) Map.empty
+    else {
+      def un(s: String) = new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+      un(blob).split('\u001e').filter(_.nonEmpty).map { rec =>
+        val p = rec.split('\u001f')
+        p(0) -> (un(p(1)), un(p(2)))
+      }.toMap
+    }
+}
 
 /** Lightweight snapshot/time-travel table (SURVEY.md §2.3 S3/S4, §2.11 X2):
   * the reference exposes Iceberg snapshot metadata (`table_snapshot`,
@@ -216,47 +492,65 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   // ── data-dir write path (manifest-producing) ───────────────────────────
 
   /** Write `df` as version `v`'s data dir and its manifest sidecar, reading
-    * per-file record counts from parquet FOOTERS (driver-side, O(files just
-    * written) — the commit-time stats pass Iceberg does when it writes
-    * manifests). Returns the row count, so commits never re-scan the data
-    * they just wrote. */
-  private def writeVersionDir(df: DataFrame, v: Long): Long = {
+    * per-file record counts AND per-column (min, max) ranges from parquet
+    * FOOTERS (driver-side, O(files just written) — the commit-time stats
+    * pass Iceberg does when it writes manifests; the ranges are what
+    * [[readWhere]] prunes files with). Returns the row count, so commits
+    * never re-scan the data they just wrote. `partitionBy` lays the dir out
+    * as `<col>=…/part-*.parquet` hive partitions (manifest names stay
+    * relative, so stats and metadata scans see through the partition dirs). */
+  private def writeVersionDir(df: DataFrame, v: Long,
+      partitionBy: Seq[String] = Nil): Long = {
     val dir = s"$root/v=$v"
-    df.write.mode("overwrite").parquet(dir)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(dir)
-    val fs = p.getFileSystem(hconf)
-    val files = fs.listStatus(p).filter(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    val stats = files.toSeq.map { st =>
+    val base = new Path(dir)
+    val fs = base.getFileSystem(hconf)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Path, Long)]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = base.toUri.relativize(st.getPath.toUri).getPath
+        if (rel.split('/').forall(s => !s.startsWith("_") && !s.startsWith(".")))
+          found += ((rel, st.getPath, st.getLen))
+      }
+    }
+    val stats = found.sortBy(_._1).toSeq.map { case (rel, path, len) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf))
-      val records = try reader.getRecordCount finally reader.close()
-      (st.getPath.getName, records, st.getLen)
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, hconf))
+      try {
+        SnapshotTable.ManifestFile(rel, reader.getRecordCount, len,
+          SnapshotTable.footerColumnStats(reader.getFooter))
+      } finally reader.close()
     }
     Files.createDirectories(Paths.get(root, ManifestDir))
     val header = "#schema\t" + java.util.Base64.getEncoder.encodeToString(
       df.schema.json.getBytes("UTF-8"))
-    val body = stats.map { case (n, r, b) => s"$n\t$r\t$b" }
+    val body = stats.map(f =>
+      s"${f.name}\t${f.records}\t${f.bytes}\t${SnapshotTable.encodeStats(f.stats)}")
     Files.writeString(manifestPath(v), (header +: body).mkString("", "\n", "\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    stats.map(_._2).sum
+    stats.map(_.records).sum
   }
 
   /** Per-instance manifest cache: a version's manifest is immutable once
     * written (expiry deletes it, but then the version is unreadable anyway),
     * and resolution probes it from both the base-selection scan and the
-    * delta-batching pass — a 500-delta chain must not re-open 1000 files. */
+    * delta-batching pass — a 500-delta chain must not re-open 1000 files.
+    * Synchronized: concurrent committers share the instance. */
   private val manifestCache =
-    scala.collection.mutable.HashMap.empty[Long, Option[(StructType, Seq[(String, Long, Long)])]]
+    scala.collection.mutable.HashMap.empty[Long, Option[(StructType, Seq[SnapshotTable.ManifestFile])]]
 
   /** The manifest written with version `v`'s data dir, if present:
-    * (schema, per-file (name, records, bytes)). */
-  private[sources] def readManifest(v: Long): Option[(StructType, Seq[(String, Long, Long)])] =
-    manifestCache.getOrElseUpdate(v, readManifestUncached(v))
+    * (schema, per-file name/records/bytes/column-ranges). */
+  private[sources] def readManifest(v: Long): Option[(StructType, Seq[SnapshotTable.ManifestFile])] =
+    manifestCache.synchronized {
+      manifestCache.getOrElseUpdate(v, readManifestUncached(v))
+    }
 
-  private def readManifestUncached(v: Long): Option[(StructType, Seq[(String, Long, Long)])] =
+  private def readManifestUncached(v: Long): Option[(StructType, Seq[SnapshotTable.ManifestFile])] =
     if (!Files.exists(manifestPath(v))) None
     else {
       import scala.jdk.CollectionConverters._
@@ -267,7 +561,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       }
       schema.map { sch =>
         (sch, lines.drop(1).map { l =>
-          val p = l.split("\t", 3); (p(0), p(1).toLong, p(2).toLong)
+          // pre-r12 manifests have 3 fields (no stats) — still readable,
+          // they just never prune
+          val p = l.split("\t", 4)
+          SnapshotTable.ManifestFile(p(0), p(1).toLong, p(2).toLong,
+            if (p.length > 3) SnapshotTable.decodeStats(p(3)) else Map.empty)
         }.toSeq)
       }
     }
@@ -337,18 +635,78 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    resolveVersion(meta, v)
+    resolveVersion(meta, v, None)
   }
 
-  private def resolveVersion(meta: Seq[Meta], v: Long): DataFrame = {
+  /** Pruned read: like [[read]] with `.filter(pred)`, but MANIFEST COLUMN
+    * STATS skip whole data files whose (min, max) ranges exclude the
+    * predicate BEFORE the scan plans — Iceberg's core scan optimization. At
+    * 100 TB a selective predicate over a sorted/clustered store reads the
+    * few files that can match instead of listing-and-scanning every live
+    * file. Pruning is inclusive (any uncertainty keeps the file) and the
+    * residual filter always applies, so results are identical to
+    * `read().filter(pred)`; [[lastPruneStats]] reports (kept, total) data
+    * files for plan audits. */
+  def readWhere(pred: Column, versionAsOf: Option[Long] = None): DataFrame = {
+    val meta = readMeta()
+    val v = versionAsOf.orElse(mainHead(meta))
+      .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
+    val conj = SnapshotTable.conjunctsOf(resolveVersion(meta, v, None), pred)
+    pruneKept = 0L; pruneTotal = 0L
+    resolveVersion(meta, v, Some(conj)).filter(pred)
+  }
+
+  /** (data files scanned, data files live) of the most recent [[readWhere]]
+    * on this instance — the file-skipping measure specs and plan audits
+    * require() on. */
+  def lastPruneStats: (Long, Long) = (pruneKept, pruneTotal)
+
+  private var pruneKept = 0L
+  private var pruneTotal = 0L
+
+  /** Version `v`'s own data dir, file-pruned by `conj` when its manifest
+    * carries column stats. Reads through hive-partition subdirs (basePath)
+    * so partition columns survive a partial file list. */
+  private def readVersionDirPruned(v: Long, prune: Option[Seq[Expression]]): DataFrame =
+    prune match {
+      case Some(cs) => readManifest(v) match {
+        case Some((schema, files)) if files.nonEmpty =>
+          val kept = files.filter(f => SnapshotTable.mayContain(schema, f.stats, cs))
+          pruneKept += kept.size; pruneTotal += files.size
+          if (kept.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          else if (kept.size == files.size) readVersionDir(v)
+          else if (kept.exists(_.name.contains('/')))
+            spark.read.option("basePath", s"$root/v=$v")
+              .parquet(kept.map(f => s"$root/v=$v/${f.name}"): _*)
+          else spark.read.parquet(kept.map(f => s"$root/v=$v/${f.name}"): _*)
+        case Some((schema, _)) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        case None => readVersionDir(v)
+      }
+      case None => readVersionDir(v)
+    }
+
+  /** Does applying this evolve op make earlier files' column stats
+    * untrustworthy for pruning by post-evolution names? A rename (or a drop,
+    * which frees the name for a later add) can alias an OLD column's stats
+    * to a NEW column; widening changes the value domain. Adds are safe. */
+  private def evolveBlocksPruning(op: String): Boolean =
+    op.startsWith(EvolveOpPrefix) && (decodeEvolve(op).headOption match {
+      case Some("rename") | Some("drop") | Some("widen") => true
+      case _ => false
+    })
+
+  private def resolveVersion(meta: Seq[Meta], v: Long,
+      prune: Option[Seq[Expression]]): DataFrame = {
     val entry = meta.find(_._1 == v).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$v at $root"))
     if (isBranchOp(entry._3)) {
       val (_, subOp, parent) = branchOpParts(entry._3)
       if (subOp == DeltaAppendOp)
-        resolveVersion(meta, parent.get)
-          .unionByName(readVersionDir(v), allowMissingColumns = true)
-      else readVersionDir(v)
+        resolveVersion(meta, parent.get, prune)
+          .unionByName(readVersionDirPruned(v, prune), allowMissingColumns = true)
+      else readVersionDirPruned(v, prune)
     } else {
       // branch commits share the version sequence but not main's lineage:
       // when resolving a main version they are invisible (a branch commit
@@ -361,18 +719,45 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         (isDeltaAppend(m._3) && readManifest(m._1).isEmpty))
       val (start, tail) =
         if (baseIdx < 0) (None, upTo) else (Some(upTo(baseIdx)), upTo.drop(baseIdx + 1))
+      // a rename/drop/widen evolve inside this window makes pre-evolve file
+      // stats unreliable under post-evolve names — disable pruning for the
+      // whole window (conservative; correctness beats a skipped file)
+      val p = if (tail.exists(m => evolveBlocksPruning(m._3))) None else prune
       val base: Option[DataFrame] = start.map { m =>
-        if (m._3.startsWith(AsOfOpPrefix)) resolveVersion(meta, asOfTarget(m._3))
-        else readVersionDir(dataDirVersion(m))
+        if (m._3.startsWith(AsOfOpPrefix)) resolveVersion(meta, asOfTarget(m._3), p)
+        else readVersionDirPruned(dataDirVersion(m), p)
       }
       batchDeltaRuns(tail).foldLeft(base) {
         case (acc, Right(run)) =>
           // one multi-dir parquet relation for the whole same-schema run: a
           // long ingest chain plans as ONE scan node, not an N-way union —
           // Iceberg likewise plans one scan over all live data files
-          val df = spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+          val df = p match {
+            case Some(cs) =>
+              val perDir = run.map { m =>
+                // run members always carry a manifest (batchDeltaRuns contract)
+                val (schema, files) = readManifest(m._1).get
+                val kept = files.filter(f => SnapshotTable.mayContain(schema, f.stats, cs))
+                pruneKept += kept.size; pruneTotal += files.size
+                (m._1, schema, kept, files.size)
+              }
+              val nested = perDir.exists(_._3.exists(_.name.contains('/')))
+              if (perDir.forall(d => d._3.size == d._4))
+                spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+              else if (perDir.forall(_._3.isEmpty))
+                spark.createDataFrame(spark.sparkContext.emptyRDD[Row], perDir.head._2)
+              else if (!nested)
+                spark.read.parquet(perDir.flatMap { case (ver, _, kept, _) =>
+                  kept.map(f => s"$root/v=$ver/${f.name}") }: _*)
+              else perDir.filter(_._3.nonEmpty).map { case (ver, _, kept, total) =>
+                if (kept.size == total) readVersionDir(ver)
+                else spark.read.option("basePath", s"$root/v=$ver")
+                  .parquet(kept.map(f => s"$root/v=$ver/${f.name}"): _*)
+              }.reduce(_.unionByName(_, allowMissingColumns = true))
+            case None => spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+          }
           Some(acc.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
-        case (acc, Left(m)) => Some(applyChainOp(acc, m))
+        case (acc, Left(m)) => Some(applyChainOp(acc, m, p))
       }.orElse {
         // chain of NOTHING but zero-row deltas (batchDeltaRuns drops them):
         // an empty frame with the latest delta's manifest schema
@@ -413,11 +798,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     out.toSeq
   }
 
-  private def applyChainOp(acc: Option[DataFrame], m: Meta): DataFrame = m._3 match {
+  private def applyChainOp(acc: Option[DataFrame], m: Meta,
+      prune: Option[Seq[Expression]]): DataFrame = m._3 match {
     case op if isDeltaAppend(op) =>
-      val delta = readVersionDir(m._1)
+      val delta = readVersionDirPruned(m._1, prune)
       acc.map(_.unionByName(delta, allowMissingColumns = true)).getOrElse(delta)
     case MorDeleteOp =>
+      // delete-KEY files are never pruned: they remove base rows regardless
+      // of the read predicate (only data-contributing dirs may be skipped)
       val del = readVersionDir(m._1)
       // the delete file's COLUMNS are the equality-delete key (one or many —
       // Iceberg equality deletes are multi-column)
@@ -427,7 +815,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     case MorUpdateOp =>
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-update v=${m._1} has no base snapshot at $root"))
-      val repl = readVersionDir(m._1)
+      val repl = readVersionDirPruned(m._1, prune)
       val delDir = new java.io.File(morUpdateDeletesDir(m._1))
       val hasKeys = delDir.isDirectory && delDir.listFiles().exists(f =>
         f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -815,7 +1203,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
-    require(!resolveVersion(meta, head).columns.contains(name),
+    require(!resolveVersion(meta, head, None).columns.contains(name),
       s"column $name already exists")
     DataType.fromDDL(typeDdl) // validate the type spelling at DDL time
     val next = nextVersion(meta)
@@ -829,7 +1217,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
-    val cols = resolveVersion(meta, head).columns
+    val cols = resolveVersion(meta, head, None).columns
     require(cols.contains(name), s"no column $name to drop")
     require(cols.length > 1, s"cannot drop the only column $name")
     val next = nextVersion(meta)
@@ -842,7 +1230,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
-    val cols = resolveVersion(meta, head).columns
+    val cols = resolveVersion(meta, head, None).columns
     require(cols.contains(oldName), s"no column $oldName to rename")
     require(!cols.contains(newName), s"column $newName already exists")
     val next = nextVersion(meta)

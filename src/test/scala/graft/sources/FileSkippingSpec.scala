@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Manifest column-stats data skipping (Iceberg's core scan optimization —
+  * reference readme.md:393-401, 409): commit-time footers record per-file
+  * (min, max) per column; [[SnapshotTable.readWhere]] drops files whose
+  * ranges exclude the predicate before the scan plans. */
+class FileSkippingSpec extends SparkSpec {
+
+  test("readWhere skips files whose column ranges exclude the predicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_basic").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    // four single-file commits with DISJOINT id ranges (an ingest pattern:
+    // each batch clustered on the key)
+    t.commit(Seq.tabulate(100)(i => (i.toLong, s"w$i")).toDF("id", "w").coalesce(1))
+    (1 to 3).foreach { k =>
+      t.commit(Seq.tabulate(100)(i => ((k * 100 + i).toLong, s"w$i"))
+        .toDF("id", "w").coalesce(1), op = "append")
+    }
+    val hit = t.readWhere(col("id") >= 150L && col("id") < 180L)
+    assert(hit.count() === 30)
+    val (kept, total) = t.lastPruneStats
+    assert(total === 4L, s"expected 4 live files, saw $total")
+    assert(kept === 1L, s"one file covers [100,200); kept=$kept")
+    // results identical to the unpruned read
+    assert(hit.as[(Long, String)].collect().toSet ===
+      t.read().filter(col("id") >= 150L && col("id") < 180L)
+        .as[(Long, String)].collect().toSet)
+    // equality + IN prune too
+    t.readWhere(col("id") === 250L)
+    assert(t.lastPruneStats === ((1L, 4L)))
+    t.readWhere(col("id").isin(50L, 350L))
+    assert(t.lastPruneStats === ((2L, 4L)))
+    // a predicate excluded by EVERY file is an empty scan, correct schema
+    val none = t.readWhere(col("id") > 10000L)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "w"))
+    assert(t.lastPruneStats._1 === 0L)
+  }
+
+  test("string and conjunction predicates prune; uncertainty keeps the file") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_str").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq(("alpha", 1L), ("beta", 2L)).toDF("name", "n").coalesce(1))
+    t.commit(Seq(("mike", 3L), ("nancy", 4L)).toDF("name", "n").coalesce(1), "append")
+    t.commit(Seq(("xray", 5L), ("zulu", 6L)).toDF("name", "n").coalesce(1), "append")
+    assert(t.readWhere(col("name") === "mike").count() === 1)
+    assert(t.lastPruneStats === ((1L, 3L)))
+    // conjunction: every conjunct must keep a file for it to scan
+    assert(t.readWhere(col("name") >= "x" && col("n") > 5L).count() === 1)
+    assert(t.lastPruneStats === ((1L, 3L)))
+    // an unsupported conjunct shape disables pruning for itself only —
+    // results stay correct, files stay conservatively kept
+    val f = t.readWhere(length(col("name")) === 4 && col("n") <= 2L)
+    assert(f.collect().map(_.getString(0)).toSet === Set("beta"))
+    assert(t.lastPruneStats === ((1L, 3L))) // n <= 2 still pruned
+  }
+
+  test("pruning sees through batched same-schema delta runs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_runs").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(10)(i => (i.toLong, "base")).toDF("id", "src").coalesce(1))
+    // a long same-schema ingest run — resolution batches these into one
+    // relation; pruning must still drop the non-matching members
+    (1 to 6).foreach { k =>
+      t.commit(Seq.tabulate(10)(i => ((k * 1000 + i).toLong, s"d$k"))
+        .toDF("id", "src").coalesce(1), op = "append")
+    }
+    val got = t.readWhere(col("id").between(3000L, 3009L))
+    assert(got.count() === 10)
+    assert(got.select("src").distinct().as[String].collect().toSeq === Seq("d3"))
+    val (kept, total) = t.lastPruneStats
+    assert(total === 7L && kept === 1L, s"kept=$kept total=$total")
+  }
+
+  test("mor chains: delete keys are never pruned; updates fold correctly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_mor").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(50)(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    t.deleteWhereMor(col("id") === 7L, "id")
+    t.updateMor(col("id") === 9L, Map("v" -> lit("UPD")), "id")
+    // predicate range covers both the deleted and the updated row: the
+    // delete must still apply (key files exempt from pruning) and the
+    // replacement row must appear
+    val got = t.readWhere(col("id") < 20L).as[(Long, String)].collect().toMap
+    assert(!got.contains(7L))
+    assert(got(9L) === "UPD")
+    assert(got.size === 19)
+    assert(got === t.read().filter(col("id") < 20L)
+      .as[(Long, String)].collect().toMap)
+  }
+
+  test("rename evolve disables pruning in its window (stats could alias)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_ren").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(10)(i => (i.toLong, s"a$i")).toDF("id", "tag").coalesce(1))
+    t.commit(Seq.tabulate(10)(i => ((100 + i).toLong, s"b$i"))
+      .toDF("id", "tag").coalesce(1), op = "append")
+    t.renameColumn("tag", "label")
+    val got = t.readWhere(col("id") >= 100L)
+    assert(got.count() === 10 && got.columns.contains("label"))
+    // window contains a rename → conservative full scan (0 skipped)
+    val (kept, total) = t.lastPruneStats
+    assert(kept === total, s"rename window must not prune: $kept/$total")
+    // time travel BEFORE the rename prunes again
+    t.readWhere(col("id") >= 100L, versionAsOf = Some(1L))
+    assert(t.lastPruneStats === ((1L, 2L)))
+  }
+
+  test("pre-r12 manifests (no stats field) read fine and simply never prune") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = Files.createTempDirectory("skip_legacy").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (200L, "b")).toDF("id", "v").coalesce(1))
+    // rewrite the manifest to the 3-field pre-r12 format
+    val mf = Paths.get(root, "_graft_manifest", "v=0.tsv")
+    val stripped = JFiles.readAllLines(mf).toArray.map(_.toString).map { l =>
+      if (l.startsWith("#")) l else l.split("\t", 4).take(3).mkString("\t")
+    }.mkString("", "\n", "\n")
+    JFiles.writeString(mf, stripped)
+    val t2 = new SnapshotTable(spark, root) // fresh manifest cache
+    assert(t2.readWhere(col("id") > 100L).count() === 1)
+    assert(t2.lastPruneStats === ((1L, 1L))) // no stats → kept, not dropped
+  }
+}
