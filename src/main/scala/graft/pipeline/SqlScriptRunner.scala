@@ -569,7 +569,7 @@ final class SqlScriptRunner(spark: SparkSession,
       } else st.expireSnapshotsOlderThan(
         java.sql.Timestamp.valueOf(m.group(3).trim).getTime)
       None
-    } else if ("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+(ADD|DROP|RENAME)\\s+COLUMN\\b".r
+    } else if ("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+((ADD|DROP|RENAME)\\s+COLUMN|ALTER\\s+COLUMN)\\b".r
         .findFirstIn(masked.trim).isDefined && {
         "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)".r.findFirstMatchIn(stmt.trim)
           .exists(n => spark.conf.getOption(s"graft.snapshot.${n.group(1)}").isDefined)
@@ -582,18 +582,22 @@ final class SqlScriptRunner(spark: SparkSession,
       //   ALTER TABLE t ADD COLUMN c type
       //   ALTER TABLE t DROP COLUMN c
       //   ALTER TABLE t RENAME COLUMN a TO b
+      //   ALTER TABLE t ALTER COLUMN c TYPE type   -- widening only
       // Unbound tables fall through to Spark's own ALTER TABLE.
       val body = stmt.trim.stripSuffix(";")
       val pAdd = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+(.+)$".r
       val pDrop = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*$".r
       val pRen = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*$".r
+      val pWiden = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+)$".r
       body match {
         case pAdd(t, c, ty) => snapshotStore(t, "ALTER").addColumn(c, ty.trim)
         case pDrop(t, c)    => snapshotStore(t, "ALTER").dropColumn(c)
         case pRen(t, a, b)  => snapshotStore(t, "ALTER").renameColumn(a, b)
+        case pWiden(t, c, ty) =>
+          snapshotStore(t, "ALTER").alterColumnType(c, ty.trim)
         case _ => throw new IllegalArgumentException(
           "expected: ALTER TABLE t ADD COLUMN c type | DROP COLUMN c | " +
-            "RENAME COLUMN a TO b")
+            "RENAME COLUMN a TO b | ALTER COLUMN c TYPE type")
       }
       None
     } else if (("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+" +

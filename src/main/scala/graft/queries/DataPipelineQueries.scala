@@ -131,6 +131,11 @@ object DataPipelineQueries {
   private val fileSkipFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q114's store: the scripted type-widening lifecycle (INT column →
+    * `ALTER COLUMN … TYPE BIGINT` → appended values beyond Int range). */
+  private val widenFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q112's store: streaming ingest → one O(delta) append commit per
     * micro-batch, exactly-once (SnapshotStream). */
   private val streamAppendFixtures =
@@ -2258,7 +2263,52 @@ object DataPipelineQueries {
              CAST(4 AS BIGINT) AS files_live
       FROM documents, lim
       WHERE doc_id >= lim.lo AND doc_id < lim.hi
-      GROUP BY lang"""))
+      GROUP BY lang""")),
+
+    // Schema evolution: TYPE WIDENING through the scripted surface
+    // (Iceberg's legal promotions — int→long here). The corpus lands with an
+    // INT n_chars; `ALTER TABLE … ALTER COLUMN n_chars TYPE BIGINT` is a
+    // METADATA-ONLY commit (no data rewritten at any size — the spec pins
+    // zero file changes); a scripted INSERT then appends a row whose
+    // n_chars exceeds Int range, which only the widened schema can hold.
+    // The query value-checks the widened column ACROSS the evolution
+    // boundary (pre-widen rows + the post-widen appends sum in one BIGINT
+    // aggregate) and UNDER TIME TRAVEL (v0 keeps INT; its sum rides the
+    // compare), with both schemas pinned as literal columns.
+    Q("q114_type_widening", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = widenFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_widen")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents")
+            .withColumn("n_chars", col("n_chars").cast("int")))     // v0: INT
+          graft.Tables.registerAll(s, dir)
+          s.conf.set("graft.snapshot.docs_widen", r)
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            ALTER TABLE docs_widen ALTER COLUMN n_chars TYPE BIGINT;
+            INSERT INTO docs_widen VALUES
+              (9000001, 'giant doc', 'en', 'synthetic', 5000000000),
+              (9000002, 'tiny doc', 'de', 'synthetic', 3);
+          """)
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val head = st.read()
+      val v0 = st.read(Some(0L))
+      head.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_nchars"))
+        .withColumn("head_type", lit(head.schema("n_chars").dataType.simpleString))
+        .withColumn("v0_type", lit(v0.schema("n_chars").dataType.simpleString))
+        .crossJoin(v0.agg(sum(col("n_chars")).cast("bigint").as("sum_v0")))
+    }, Some("""
+      SELECT (SELECT count(*) FROM documents) + 2 AS n_rows,
+             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+               + 5000000003 AS sum_nchars,
+             'bigint' AS head_type,
+             'int' AS v0_type,
+             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS sum_v0"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -24,6 +24,10 @@ object SnapshotTable {
     * (Iceberg's commit-conflict contract — re-read and retry the operation). */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** In-process per-root commit locks (see SnapshotTable#withRootLock). */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   // ── column-stats capture (commit-time, from the footers the manifest pass
   //    already opens) ────────────────────────────────────────────────────────
 
@@ -479,7 +483,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       Files.readAllLines(metaPath).asScala.toSeq.filter(_.nonEmpty).map { line =>
         val m = line.split(",", 4)
         (m(0).toLong, m(1).toLong, m(2), m(3).toLong)
-      }
+      }.sortBy(_._1) // concurrent writers may interleave log lines
     }
 
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
@@ -488,6 +492,64 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       s"$version,${System.currentTimeMillis()},$op,$rows\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
+
+  // ── optimistic concurrency (Iceberg's atomic-swap commit: SURVEY §3.1
+  //    step 5, reference spark.py:88-89 → REST-catalog CAS). A version is
+  //    CLAIMED by atomically creating `_graft_commits/v=N` (create-exclusive
+  //    — POSIX atomic); losing the race re-reads and retries with the next
+  //    number, so two concurrent writers always land DISTINCT versions and
+  //    neither overwrites the other's files or log entry. Operations that
+  //    derived their data from a snapshot read (cow DELETE/UPDATE/MERGE,
+  //    compaction, mor key selection) additionally validate that main's head
+  //    is still the snapshot they read — a moved head means the computed
+  //    result is stale, and the commit raises [[SnapshotTable.CommitConflictException]]
+  //    for the caller to re-read and retry, exactly Iceberg's
+  //    conflict-detection contract. Plain appends never conflict (they
+  //    commute), also matching Iceberg. ──────────────────────────────────
+
+  private def commitMarkersDir = Paths.get(root, "_graft_commits")
+
+  private def maxClaimed(): Long =
+    if (!Files.exists(commitMarkersDir)) -1L
+    else {
+      val s = Files.list(commitMarkersDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .flatMap(p => p.getFileName.toString.stripPrefix("v=").toLongOption)
+          .foldLeft(-1L)(math.max)
+      } finally s.close()
+    }
+
+  /** Atomically claim the next free version number. Never returns a version
+    * another writer holds; a lost race simply moves to the next number. */
+  private def claimVersion(meta: Seq[Meta]): Long = {
+    Files.createDirectories(commitMarkersDir)
+    var next = math.max(nextVersion(meta), maxClaimed() + 1)
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createFile(commitMarkersDir.resolve(s"v=$next"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    next
+  }
+
+  /** Per-root in-process lock: commits from concurrent threads of one JVM
+    * serialize their claim→write→log section (cross-process writers are
+    * ordered by the marker CAS alone). */
+  private def withRootLock[T](body: => T): T =
+    SnapshotTable.rootLocks
+      .computeIfAbsent(Paths.get(root).toAbsolutePath.toString, _ => new Object)
+      .synchronized(body)
+
+  private def headConflict(expected: Option[Long], now: Option[Long]): Nothing =
+    throw new SnapshotTable.CommitConflictException(
+      s"commit conflict at $root: expected main head $expected but found " +
+        s"$now — the table changed since this operation read it; re-read and retry")
 
   // ── data-dir write path (manifest-producing) ───────────────────────────
 
@@ -594,18 +656,32 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * absent — resolution unions by name with missing columns null-filled,
     * and the resolved snapshot carries the widened schema. Row counts come
     * from the commit-time manifest (parquet footers), never a re-scan. */
-  def commit(df: DataFrame, op: String = "overwrite"): Long = {
-    val meta = readMeta()
-    val prev = mainHead(meta)
-    val next = nextVersion(meta)
-    val written = writeVersionDir(df, next)
-    val rows =
-      if (isDeltaAppend(op))
-        prev.map(tableRowsAsOf(meta, _)).getOrElse(0L) + written
-      else written
-    appendMeta(next, op, rows)
-    next
-  }
+  def commit(df: DataFrame, op: String = "overwrite"): Long =
+    commit(df, op, expectedHead = None)
+
+  /** [[commit]] with optimistic conflict detection: when `expectedHead` is
+    * given, the commit claims its version atomically and then verifies
+    * main's head is still exactly that value — raising
+    * [[SnapshotTable.CommitConflictException]] (and releasing the claim) if
+    * another writer moved it. Pass the head the operation's data was READ
+    * from; ops whose result doesn't depend on prior state pass None. */
+  def commit(df: DataFrame, op: String, expectedHead: Option[Option[Long]]): Long =
+    withRootLock {
+      val meta = readMeta()
+      expectedHead.foreach { exp =>
+        val now = mainHead(meta)
+        if (now != exp) headConflict(exp, now)
+      }
+      val next = claimVersion(meta)
+      val prev = mainHead(meta)
+      val written = writeVersionDir(df, next)
+      val rows =
+        if (isDeltaAppend(op))
+          prev.map(tableRowsAsOf(meta, _)).getOrElse(0L) + written
+        else written
+      appendMeta(next, op, rows)
+      next
+    }
 
   /** Table row count as of main version `v`, from the commit log alone:
     * every op records its resulting total except mor-delete (which records
@@ -846,6 +922,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         else df.withColumn(name, lit(null).cast(DataType.fromDDL(ddl)))
       case Seq("drop", name)     => df.drop(name)
       case Seq("rename", a, b)   => df.withColumnRenamed(a, b)
+      case Seq("widen", name, ddl) =>
+        // type widening is metadata-only: readers cast during resolution
+        // (idempotent — casting an already-widened column is a no-op)
+        df.withColumn(name, col(name).cast(DataType.fromDDL(ddl)))
       case other => throw new IllegalStateException(s"bad evolve op: $other")
     }
 
@@ -994,8 +1074,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * current version's data as `targetFiles` files in a new FULL snapshot.
     * Folds outstanding append deltas into one base and any merge-on-read
     * delete files into it too, exactly as Iceberg compaction does. */
-  def compact(targetFiles: Int): Long =
-    commit(read().coalesce(targetFiles), op = "compact")
+  def compact(targetFiles: Int): Long = {
+    val head = currentVersion
+    commit(read().coalesce(targetFiles), op = "compact", Some(head))
+  }
 
   // ── Row-level DML (Iceberg v2 semantics; reference: readme.md:361-370 the
   //    snapshot/history surface these ops write to, media_ai.sql:49 the
@@ -1013,8 +1095,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * predicate keeps the row (matching the merge-on-read form, whose
     * `filter(pred)` selects TRUE-only delete keys), hence the
     * null-safe-equality survivor filter rather than plain negation. */
-  def deleteWhere(pred: Column): Long =
-    commit(read().filter(!(pred <=> lit(true))), op = "cow-delete")
+  def deleteWhere(pred: Column): Long = {
+    val head = currentVersion
+    commit(read().filter(!(pred <=> lit(true))), op = "cow-delete", Some(head))
+  }
 
   /** DELETE FROM … WHERE, merge-on-read: commits ONLY the distinct matching
     * `keyCol` values (an Iceberg-style equality-delete file; the file's
@@ -1027,13 +1111,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Multi-column equality-delete form (Iceberg equality deletes may span
     * several identifier fields): the delete file carries every key column
     * and readers anti-join on all of them. */
-  def deleteWhereMor(pred: Column, keyCols: Seq[String]): Long = {
+  def deleteWhereMor(pred: Column, keyCols: Seq[String]): Long = withRootLock {
     require(keyCols.nonEmpty, "deleteWhereMor needs at least one key column")
     val meta = readMeta()
-    require(mainHead(meta).nonEmpty, s"no snapshots at $root")
-    val next = nextVersion(meta)
+    val head = mainHead(meta)
+    require(head.nonEmpty, s"no snapshots at $root")
+    val next = claimVersion(meta)
     val n = writeVersionDir(
       read().filter(pred).select(keyCols.map(col): _*).distinct(), next)
+    val now = mainHead(readMeta())
+    if (now != head) headConflict(head, now) // keys were selected from `head`
     appendMeta(next, MorDeleteOp, n)
     next
   }
@@ -1041,10 +1128,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** UPDATE … SET col = expr, … WHERE pred (copy-on-write): each assignment
     * applies only where `pred` holds; all other rows pass through. */
   def update(pred: Column, set: Map[String, Column]): Long = {
+    val head = currentVersion
     val updated = set.foldLeft(read()) { case (df, (c, expr)) =>
       df.withColumn(c, when(pred, expr).otherwise(col(c)))
     }
-    commit(updated, op = "update")
+    commit(updated, op = "update", Some(head))
   }
 
   /** UPDATE … SET …, merge-on-read (Iceberg's write.update.mode =
@@ -1059,7 +1147,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Composite-key form of the merge-on-read UPDATE (identifier fields may
     * span several columns, like multi-column equality deletes). */
-  def updateMor(pred: Column, set: Map[String, Column], keyCols: Seq[String]): Long = {
+  def updateMor(pred: Column, set: Map[String, Column], keyCols: Seq[String]): Long = withRootLock {
     require(keyCols.nonEmpty, "updateMor needs at least one key column")
     val meta = readMeta()
     require(mainHead(meta).nonEmpty, s"no snapshots at $root")
@@ -1072,7 +1160,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     require(clash.isEmpty,
       s"merge-on-read UPDATE cannot reassign the key column ${clash.getOrElse("")}; " +
         "use the copy-on-write mode (or DELETE + INSERT) to change identifiers")
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     val updated = set.foldLeft(read().filter(pred <=> lit(true))) {
       case (df, (c, e)) => df.withColumn(c, e)
     }
@@ -1083,6 +1171,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     if (!written.isEmpty)
       written.select(keyCols.map(col): _*).distinct()
         .write.mode("overwrite").parquet(morUpdateDeletesDir(next))
+    val now = mainHead(readMeta())
+    if (now != mainHead(meta)) headConflict(mainHead(meta), now)
     appendMeta(next, MorUpdateOp, tableRowsAsOf(meta, mainHead(meta).get))
     next
   }
@@ -1108,10 +1198,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * side is the source's key projection — for the typical small-delta
     * merge, AQE broadcasts it and the target is never shuffled. */
   def merge(source: DataFrame, keyCol: String): Long = {
+    val head = currentVersion
     requireUniqueKeys(source, keyCol)
     val merged = read().join(source.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(source, allowMissingColumns = true)
-    commit(merged, op = "merge")
+    commit(merged, op = "merge", Some(head))
   }
 
   /** General MERGE INTO with column-level clauses, keyed on `keyCol`
@@ -1135,8 +1226,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def mergeInto(source: DataFrame, keyCol: String,
                 matched: Seq[(Option[Column], Option[Map[String, Column]])],
                 notMatched: Seq[(Option[Column], Option[Map[String, Column]])]): Long = {
+    val head = currentVersion
     requireUniqueKeys(source, keyCol)
-    commit(mergedFrame(source, keyCol, matched, notMatched), op = "merge")
+    commit(mergedFrame(source, keyCol, matched, notMatched), op = "merge", Some(head))
   }
 
   /** The merged result [[mergeInto]] commits, exposed so plan audits can pin
@@ -1199,42 +1291,76 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   //    the change during resolution, old versions keep their original schema.
 
   /** ALTER TABLE … ADD COLUMN name type — existing rows read back NULL. */
-  def addColumn(name: String, typeDdl: String): Long = {
+  def addColumn(name: String, typeDdl: String): Long = withRootLock {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     require(!resolveVersion(meta, head, None).columns.contains(name),
       s"column $name already exists")
     DataType.fromDDL(typeDdl) // validate the type spelling at DDL time
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     appendMeta(next, encodeEvolve(Seq("add", name, typeDdl)), tableRowsAsOf(meta, head))
     next
   }
 
   /** ALTER TABLE … DROP COLUMN name — hidden from head reads; versions
     * before the drop still carry it (time travel keeps old schemas). */
-  def dropColumn(name: String): Long = {
+  def dropColumn(name: String): Long = withRootLock {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val cols = resolveVersion(meta, head, None).columns
     require(cols.contains(name), s"no column $name to drop")
     require(cols.length > 1, s"cannot drop the only column $name")
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     appendMeta(next, encodeEvolve(Seq("drop", name)), tableRowsAsOf(meta, head))
     next
   }
 
   /** ALTER TABLE … RENAME COLUMN old TO new. */
-  def renameColumn(oldName: String, newName: String): Long = {
+  def renameColumn(oldName: String, newName: String): Long = withRootLock {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val cols = resolveVersion(meta, head, None).columns
     require(cols.contains(oldName), s"no column $oldName to rename")
     require(!cols.contains(newName), s"column $newName already exists")
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     appendMeta(next, encodeEvolve(Seq("rename", oldName, newName)),
+      tableRowsAsOf(meta, head))
+    next
+  }
+
+  /** ALTER TABLE … ALTER COLUMN name TYPE type — TYPE WIDENING, Iceberg's
+    * legal promotions only: int→long (and byte/short upward), float→double,
+    * decimal precision increase at the same scale. METADATA-ONLY like every
+    * evolve commit: readers cast during resolution, no data file is touched
+    * at any table size, and time travel before the change returns the
+    * narrow type. Narrowing (or any other conversion) errors at DDL time —
+    * it could corrupt values, which Iceberg likewise refuses. */
+  def alterColumnType(name: String, typeDdl: String): Long = withRootLock {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val schema = resolveVersion(meta, head, None).schema
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"no column $name to alter"))
+    val to = DataType.fromDDL(typeDdl)
+    val legal = (field.dataType, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (a: org.apache.spark.sql.types.DecimalType,
+            b: org.apache.spark.sql.types.DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+    require(legal, s"ALTER COLUMN $name TYPE $typeDdl: " +
+      s"${field.dataType.simpleString} → ${to.simpleString} is not a legal " +
+      "widening (int→long, float→double, decimal precision increase only)")
+    val next = claimVersion(meta)
+    appendMeta(next, encodeEvolve(Seq("widen", field.name, typeDdl)),
       tableRowsAsOf(meta, head))
     next
   }
@@ -1244,11 +1370,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * moves). ALWAYS METADATA-ONLY: a single-dir target becomes an alias
     * commit; a delta-chain or mor-delete target becomes an asof pointer —
     * neither copies data. */
-  def rollback(toVersion: Long): Long = {
+  def rollback(toVersion: Long): Long = withRootLock {
     val meta = readMeta()
     val entry = meta.find(_._1 == toVersion).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$toVersion at $root"))
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     if (!isBranchOp(entry._3) && isRestart(entry._3) && !entry._3.startsWith(AsOfOpPrefix))
       appendMeta(next,
         s"$AliasOpPrefix${dataDirVersion(entry)}:rollback-to-$toVersion", entry._4)
@@ -1290,6 +1416,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         case Seq("drop", name)    => !afterCols.contains(name.toLowerCase)
         case Seq("rename", a, b)  =>
           afterCols.contains(b.toLowerCase) && !afterCols.contains(a.toLowerCase)
+        case Seq("widen", name, ddl) =>
+          after0.schema.fields.exists(f => f.name.equalsIgnoreCase(name) &&
+            f.dataType == DataType.fromDDL(ddl))
         case _ => false
       }
       if (reflected) applyEvolve(df, m._3) else df
@@ -1382,13 +1511,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * dir holds only `df`, and the branch entry records its parent so readers
     * resolve the chain. `op = "overwrite"` writes the branch's new full
     * content (the branch-side copy-on-write form). */
-  def commitToBranch(branch: String, df: DataFrame, op: String = "overwrite"): Long = {
+  def commitToBranch(branch: String, df: DataFrame, op: String = "overwrite"): Long = withRootLock {
     require(op == "overwrite" || op == DeltaAppendOp,
       s"commitToBranch op must be overwrite|append, got $op")
     val head = branchHead(branch).getOrElse(
       throw new IllegalStateException(s"no branch $branch at $root"))
     val meta = readMeta()
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     val written = writeVersionDir(df, next)
     if (op == DeltaAppendOp)
       appendMeta(next, s"$BranchOpPrefix$branch:$DeltaAppendOp:$head",
@@ -1437,13 +1566,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * branch is visible to a main reader. ALWAYS METADATA-ONLY: a full-data
     * branch head publishes as an alias to its dir; a delta-chain branch head
     * publishes as an asof pointer resolution follows — neither copies. */
-  def fastForward(fromBranch: String): Long = {
+  def fastForward(fromBranch: String): Long = withRootLock {
     val head = branchHead(fromBranch).getOrElse(
       throw new IllegalStateException(s"no branch $fromBranch at $root"))
     val meta = readMeta()
     val entry = meta.find(_._1 == head).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$head at $root"))
-    val next = nextVersion(meta)
+    val next = claimVersion(meta)
     val isSingleDir = isBranchOp(entry._3) &&
       branchOpParts(entry._3)._2 != DeltaAppendOp
     if (isSingleDir)

@@ -131,6 +131,36 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read().as[(Long, String)].collect().toSet === Set((3L, "c")))
   }
 
+  test("type widening: metadata-only, legal promotions only, time travel keeps narrow") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = Files.createTempDirectory("widen").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1, "a"), (2, "b")).toDF("id", "v")) // v0: id INT
+    val filesBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "v=0")).count()
+    t.alterColumnType("id", "bigint")                 // v1: metadata-only
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "v=0")).count() === filesBefore)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v=1")))
+    assert(t.read().schema("id").dataType === LongType)
+    // values unchanged; a delta may now carry values beyond Int range
+    t.commit(Seq((5000000000L, "c")).toDF("id", "v"), op = "append")
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (5000000000L, "c")))
+    // time travel BEFORE the widen keeps the original narrow schema
+    assert(t.read(Some(0L)).schema("id").dataType === IntegerType)
+    // illegal narrowing / unrelated conversions error at DDL time
+    intercept[IllegalArgumentException](t.alterColumnType("id", "int"))
+    intercept[IllegalArgumentException](t.alterColumnType("v", "bigint"))
+    intercept[IllegalArgumentException](t.alterColumnType("nope", "bigint"))
+    // CDC across the widening boundary: untouched rows emit NOTHING (the
+    // widen must not make every row look rewritten)
+    val diff = t.changes(0L, 2L, "id")
+    assert(diff.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(diff.filter(col("_change_type") === "insert").count() === 1)
+  }
+
   test("fastForward to a branch at a mor-delete version records the TABLE total") {
     import spark.implicits._
     val root = Files.createTempDirectory("ff_mor").toFile.getAbsolutePath
