@@ -507,7 +507,12 @@ final class SqlScriptRunner(spark: SparkSession,
         else spark.table(srcText)
       val wholeRow = parsed == Seq(MatchedC(None, Some("*")), NotMatchedC(None, "*")) ||
         parsed == Seq(NotMatchedC(None, "*"), MatchedC(None, Some("*")))
-      if (wholeRow) st.merge(source, key)
+      // merge-on-read mode (Iceberg write.merge.mode=merge-on-read): ONE
+      // O(source) commit of updated copies + equality-delete keys + inserts
+      // instead of a copy-on-write table rewrite
+      val morMode = spark.conf
+        .getOption(s"graft.snapshot.${hm.group(1)}.merge_mode").contains("mor")
+      if (wholeRow && !morMode) st.merge(source, key)
       else {
         val matched = parsed.collect { case MatchedC(cond, set) =>
           val assigns = set.map { s0 =>
@@ -536,7 +541,8 @@ final class SqlScriptRunner(spark: SparkSession,
             }
           (cond.map(c => expr(rewriteRefs(c))), values)
         }
-        st.mergeInto(source, key, matched, notMatched)
+        if (morMode) st.mergeIntoMor(source, key, matched, notMatched)
+        else st.mergeInto(source, key, matched, notMatched)
       }
       None
     } else if (upper.startsWith("ROLLBACK TABLE ")) {

@@ -136,6 +136,11 @@ object DataPipelineQueries {
   private val widenFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q115's store: q109's MERGE replayed in merge-on-read mode (one
+    * O(source) commit: updated copies + equality-delete keys + inserts). */
+  private val morMergeFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q112's store: streaming ingest → one O(delta) append commit per
     * micro-batch, exactly-once (SnapshotStream). */
   private val streamAppendFixtures =
@@ -2308,7 +2313,70 @@ object DataPipelineQueries {
                + 5000000003 AS sum_nchars,
              'bigint' AS head_type,
              'int' AS v0_type,
-             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS sum_v0"""))
+             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS sum_v0""")),
+
+    // MERGE-ON-READ MERGE INTO (Iceberg write.merge.mode=merge-on-read):
+    // q109's exact clause mix — conditional column-level UPDATE, DELETE,
+    // explicit-column INSERT — but the table's declared merge mode makes it
+    // ONE O(source) commit: updated copies + equality-delete keys + the
+    // inserts, never a table rewrite (a small-delta upsert into a 100 TB
+    // table writes kilobytes; SnapshotTableSpec pins the file footprint and
+    // the shuffle-free read-back plan). The oracle is q109's replay
+    // verbatim — mor and cow MUST be observationally identical — plus the
+    // commit-log op pinned to 'mor-merge' to prove the cheap path ran.
+    Q("q115_mor_merge", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = morMergeFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_mmrg")
+          val st = new SnapshotTable(s, r)
+          st.commit(t(s, dir, "documents"))
+          graft.Tables.registerAll(s, dir)
+          s.conf.set("graft.snapshot.docs_mmerge", r)
+          s.conf.set("graft.snapshot.docs_mmerge.merge_mode", "mor")
+          new graft.pipeline.SqlScriptRunner(s).run("""
+            MERGE INTO docs_mmerge t USING (
+              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT doc_id + 4000000, lang, n_chars FROM documents
+              WHERE doc_id < 3) s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED AND s.lang = 'en' THEN UPDATE SET
+              text = concat('EN-TOUCHED: ', t.text), n_chars = s.n_chars + 1
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, source, n_chars)
+              VALUES (s.doc_id, 'BRANDNEW', s.lang, 'merged', s.n_chars);
+          """)
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val lastOp = st.history().orderBy(col("version").desc).limit(1)
+        .select(col("operation").as("last_op"))
+      st.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_nchars"),
+          sum(length(col("text"))).as("sum_len"))
+        .crossJoin(lastOp)
+    }, Some("""
+      WITH merged AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 20 = 0 AND lang = 'en'
+                    THEN 'EN-TOUCHED: ' || text ELSE text END AS text,
+               lang,
+               CASE WHEN doc_id % 20 = 0 AND lang = 'en'
+                    THEN n_chars + 1 ELSE n_chars END AS n_chars
+        FROM documents
+        WHERE NOT (doc_id % 20 = 0 AND lang <> 'en')
+        UNION ALL
+        SELECT doc_id + 4000000, 'BRANDNEW', lang, n_chars
+        FROM documents WHERE doc_id < 3)
+      SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             'mor-merge' AS last_op
+      FROM merged GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

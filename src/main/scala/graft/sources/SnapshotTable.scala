@@ -374,7 +374,23 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * (see [[updateMor]]). */
   private val MorUpdateOp = "mor-update"
 
+  /** Op marker for merge-on-read MERGE commits (Iceberg's
+    * write.merge.mode=merge-on-read): the version dir holds the updated
+    * copies of clause-claimed matched rows PLUS the not-matched inserts, and
+    * `_graft_deletes/` holds every clause-claimed matched key — one commit,
+    * O(source), never O(table) (see [[mergeIntoMor]]). Readers fold it like
+    * a mor-update except the dir unions even when no key matched (an
+    * insert-only merge still appends). */
+  private val MorMergeOp = "mor-merge"
+
   private def morUpdateDeletesDir(v: Long) = s"$root/v=$v/_graft_deletes"
+
+  /** Does version `v` carry a non-empty equality-delete key file? */
+  private def morKeysExist(v: Long): Boolean = {
+    val delDir = new java.io.File(morUpdateDeletesDir(v))
+    delDir.isDirectory && delDir.listFiles().exists(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
 
   /** Op prefix for commits made on a side branch: `branch:<name>:overwrite`
     * or `branch:<name>:append:<parentVersion>`. Branch commits share the
@@ -466,7 +482,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * the chain before them. */
   private def isRestart(op: String): Boolean =
     op != MorDeleteOp && !isDeltaAppend(op) && op != MorUpdateOp &&
-      !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
+      op != MorMergeOp && !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
 
   /** Main's head: the latest commit that is on main's lineage (branch
     * commits share the version sequence but not the lineage). */
@@ -892,18 +908,27 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-update v=${m._1} has no base snapshot at $root"))
       val repl = readVersionDirPruned(m._1, prune)
-      val delDir = new java.io.File(morUpdateDeletesDir(m._1))
-      val hasKeys = delDir.isDirectory && delDir.listFiles().exists(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      if (!hasKeys) df // predicate matched nothing: a no-op commit
+      if (!morKeysExist(m._1)) df // predicate matched nothing: a no-op commit
       else {
-        val keys = spark.read.parquet(delDir.getAbsolutePath)
+        val keys = spark.read.parquet(morUpdateDeletesDir(m._1))
         // anti-join on EVERY key column (the delete file carries the whole
         // composite key, like the mor-delete path) — joining on a prefix
         // would drop base rows that share only the first key component
         df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
           .unionByName(repl, allowMissingColumns = true)
       }
+    case MorMergeOp =>
+      val df = acc.getOrElse(throw new IllegalStateException(
+        s"mor-merge v=${m._1} has no base snapshot at $root"))
+      val repl = readVersionDirPruned(m._1, prune)
+      val afterDel =
+        if (!morKeysExist(m._1)) df // insert-only merge: nothing matched
+        else {
+          val keys = spark.read.parquet(morUpdateDeletesDir(m._1))
+          df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+        }
+      // unlike mor-update, the dir unions even with no keys (inserts)
+      afterDel.unionByName(repl, allowMissingColumns = true)
     case op if op.startsWith(EvolveOpPrefix) =>
       applyEvolve(acc.getOrElse(throw new IllegalStateException(
         s"schema evolution v=${m._1} has no base snapshot at $root")), op)
@@ -976,7 +1001,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         } else if (op.startsWith(AliasOpPrefix)) Set(v, dataDirVersion(entry))
         else if (op.startsWith(AsOfOpPrefix)) Set(v) ++ reachable(meta, asOfTarget(op))
         else if (op == MorDeleteOp || isDeltaAppend(op) || op == MorUpdateOp ||
-            op.startsWith(EvolveOpPrefix)) {
+            op == MorMergeOp || op.startsWith(EvolveOpPrefix)) {
           val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
           Set(v) ++ prev.map(p => reachable(meta, p._1)).getOrElse(Set.empty)
         } else Set(v)
@@ -1056,7 +1081,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         else Seq(s"$root/v=${dataDirVersion(m)}")
       }
       baseDirs ++ tail.collect {
-        case m if isDeltaAppend(m._3) || m._3 == MorUpdateOp => s"$root/v=${m._1}"
+        case m if isDeltaAppend(m._3) || m._3 == MorUpdateOp ||
+          m._3 == MorMergeOp => s"$root/v=${m._1}"
       }
     }
   }
@@ -1284,6 +1310,91 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       insWithIdx.filter(col("__iclause") === i).select(sel: _*)
     }.reduceOption(_ unionByName _)
     insertRows.map(updatedTarget.unionByName(_)).getOrElse(updatedTarget)
+  }
+
+  /** MERGE INTO, MERGE-ON-READ (Iceberg's write.merge.mode=merge-on-read):
+    * the same clause semantics as [[mergeInto]], but ONE commit holding only
+    *  - the UPDATED COPIES of clause-claimed matched rows plus the
+    *    not-matched INSERT rows as data files, and
+    *  - every clause-claimed matched key (updates AND deletes) as an
+    *    equality-delete file in `_graft_deletes/`
+    * — O(source), never O(table): a small-delta upsert into a 100 TB table
+    * writes kilobytes where [[mergeInto]]'s copy-on-write form rewrites the
+    * table. Readers fold it as base ▷ broadcast anti-join ▷ union until
+    * compact(). Matched rows no clause claims stay in the base untouched.
+    *
+    * Plan shape: the matched subset comes from one broadcast-semi pass over
+    * the target and the insert set from one broadcast-anti pass — the
+    * table-sized side is scanned, never shuffled, and nothing table-sized
+    * is written. */
+  def mergeIntoMor(source: DataFrame, keyCol: String,
+      matched: Seq[(Option[Column], Option[Map[String, Column]])],
+      notMatched: Seq[(Option[Column], Option[Map[String, Column]])]): Long = withRootLock {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    requireUniqueKeys(source, keyCol)
+    val target = resolveVersion(meta, head, None)
+    val tSchema = target.schema
+    val src = source.select(source.columns.toSeq.map(c => col(c).as(s"__src_$c")): _*)
+    // matched target rows only — delta-sized via a broadcast semi-join
+    val srcKeys = source.select(col(keyCol)).distinct()
+    val matchedTarget = target.join(broadcast(srcKeys), Seq(keyCol), "left_semi")
+    val joined = matchedTarget.join(broadcast(src),
+      col(keyCol) === col(s"__src_$keyCol"), "inner")
+    // first-match-wins clause index; -1 = unclaimed → stays in the base
+    val clauseIdx = matched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, ((cond, _), i)) =>
+        acc.when(cond.getOrElse(lit(true)) <=> lit(true), lit(i))
+    }.otherwise(lit(-1))
+    val claimed = joined.withColumn("__mclause", clauseIdx)
+      .filter(col("__mclause") >= 0)
+    val deleteIdx = matched.zipWithIndex.collect { case ((_, None), i) => i }
+    val updates =
+      if (deleteIdx.isEmpty) claimed
+      else claimed.filter(!col("__mclause").isin(deleteIdx: _*))
+    val outCols = tSchema.fields.toSeq.map { f =>
+      val upd = matched.zipWithIndex.collect {
+        case ((_, Some(set)), i) if set.contains(f.name) => (i, set(f.name))
+      }
+      upd.foldLeft(col(f.name): Column) { case (acc, (i, e)) =>
+        when(col("__mclause") === i, e).otherwise(acc)
+      }.cast(f.dataType).as(f.name) // replacements must union onto the base
+    }
+    val replacements = updates.select(outCols: _*)
+    // insert set: source rows matching no target key (broadcast anti)
+    val matchedKeys = matchedTarget.select(col(keyCol)).distinct()
+    val unmatchedSrc = src.join(broadcast(matchedKeys),
+      col(s"__src_$keyCol") === col(keyCol), "left_anti")
+    val insIdx = notMatched.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+      case (acc, ((cond, _), i)) =>
+        acc.when(cond.getOrElse(lit(true)) <=> lit(true), lit(i))
+    }.otherwise(lit(-1))
+    val insWithIdx = unmatchedSrc.withColumn("__iclause", insIdx)
+      .filter(col("__iclause") >= 0)
+    val insertRows = notMatched.zipWithIndex.map { case ((_, values), i) =>
+      val sel = tSchema.fields.toSeq.map { f =>
+        val e = values match {
+          case Some(m) => m.getOrElse(f.name, lit(null))
+          case None =>
+            if (source.columns.contains(f.name)) col(s"__src_${f.name}") else lit(null)
+        }
+        e.cast(f.dataType).as(f.name)
+      }
+      insWithIdx.filter(col("__iclause") === i).select(sel: _*)
+    }.reduceOption(_ unionByName _)
+    val data = insertRows.map(replacements.unionByName(_)).getOrElse(replacements)
+    // ONE commit: data files (updated copies + inserts) + claimed keys
+    val next = claimVersion(meta)
+    val written = writeVersionDir(data, next)
+    val keys = claimed.select(col(keyCol)).distinct()
+    val keysN = keys.count()
+    if (keysN > 0)
+      keys.write.mode("overwrite").parquet(morUpdateDeletesDir(next))
+    val now = mainHead(readMeta())
+    if (now != Some(head)) headConflict(Some(head), now)
+    appendMeta(next, MorMergeOp, tableRowsAsOf(meta, head) - keysN + written)
+    next
   }
 
   // ── schema evolution (Iceberg ALTER TABLE … ADD/DROP/RENAME COLUMN) ────

@@ -537,6 +537,31 @@ class SqlScriptRunnerSpec extends SparkSpec {
       === Set("no where here"))
   }
 
+  test("scripted MERGE honors merge_mode=mor, including the whole-row form") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_mor_merge").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    spark.conf.set("graft.snapshot.ops.morm", root)
+    spark.conf.set("graft.snapshot.ops.morm.merge_mode", "mor")
+    val r = new SqlScriptRunner(spark)
+    // whole-row SET * / INSERT * — normally the cheap anti-join+union cow
+    // path; in mor mode it must become ONE mor-merge commit instead
+    r.run("""MERGE INTO ops.morm t USING (
+               SELECT 2 AS id, 'B2' AS v UNION ALL SELECT 9, 'n') s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(st.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "n")))
+    val last = st.history().orderBy($"version".desc).limit(1).collect().head
+    assert(last.getString(2) === "mor-merge")
+    assert(last.getLong(3) === 4L) // resulting total in the log
+    // the commit's data dir is delta-sized: 1 updated copy + 1 insert
+    assert(spark.read.parquet(s"$root/v=1").count() === 2)
+  }
+
   test("snapshot-bound INSERT VALUES casts to the table's column types") {
     import graft.sources.SnapshotTable
     import spark.implicits._

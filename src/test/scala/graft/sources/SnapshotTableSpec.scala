@@ -566,6 +566,65 @@ class SnapshotTableSpec extends SparkSpec {
       seed.as[(Long, String, Int)].collect().toSet)
   }
 
+  test("mor-merge: one delta-sized commit, read-back ≡ cow mergeInto") {
+    import spark.implicits._
+    def seed = Seq.tabulate(100)(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"text$i")).toDF("id", "lang", "txt")
+    val morRoot = Files.createTempDirectory("mm_mor").toFile.getAbsolutePath
+    val cowRoot = Files.createTempDirectory("mm_cow").toFile.getAbsolutePath
+    val mor = new SnapshotTable(spark, morRoot)
+    val cow = new SnapshotTable(spark, cowRoot)
+    mor.commit(seed); cow.commit(seed)
+    // source: 10 matched keys (5 even→en→update, 5 odd→de→delete) + 3 inserts
+    def src = Seq.tabulate(10)(i => ((i * 5).toLong, s"S$i"))
+      .toDF("id", "stxt")
+      .unionByName(Seq((900L, "N1"), (901L, "N2"), (902L, "N3")).toDF("id", "stxt"))
+    val matched = Seq(
+      (Some(col("lang") === "en"),
+        Some(Map("txt" -> concat(lit("UP:"), col("__src_stxt"))))),
+      (None, None)) // WHEN MATCHED THEN DELETE
+    val notMatched = Seq((None: Option[org.apache.spark.sql.Column],
+      Some(Map("id" -> col("__src_id"), "lang" -> lit("xx"),
+        "txt" -> col("__src_stxt")))))
+    mor.mergeIntoMor(src, "id", matched, notMatched)
+    cow.mergeInto(src, "id", matched, notMatched)
+    def rows(t: SnapshotTable) = t.read().as[(Long, String, String)].collect().toSet
+    assert(rows(mor) === rows(cow))
+    assert(rows(mor).count(_._3.startsWith("UP:")) === 5)
+    assert(rows(mor).count(_._2 == "xx") === 3)
+    assert(rows(mor).size === 98) // 100 - 5 deleted + 3 inserted
+    // O(source) file footprint: the mor version dir holds 5 updated copies
+    // + 3 inserts; the cow dir holds the whole 98-row table
+    assert(spark.read.parquet(s"$morRoot/v=1").count() === 8)
+    assert(spark.read.parquet(s"$morRoot/v=1/_graft_deletes")
+      .as[Long].collect().toSet === (0L until 50L by 5).toSet) // 10 claimed keys
+    assert(spark.read.parquet(s"$cowRoot/v=1").count() === 98)
+    // the commit log records the RESULTING total
+    assert(mor.history().orderBy("version").collect().last.getLong(3) === 98L)
+    // read plan: base scan ▷ broadcast anti ▷ union — no table-side shuffle
+    val plan = mor.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"mor-merge read shuffled:\n$plan")
+    // unclaimed matched rows stayed in the base untouched; time travel holds
+    assert(mor.read(Some(0L)).count() === 100)
+    // compaction folds the merge into a new full base, content preserved
+    mor.compact(targetFiles = 1)
+    assert(rows(mor) === rows(cow))
+  }
+
+  test("insert-only mor-merge (nothing matched) still appends its rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mm_ins").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.mergeIntoMor(Seq((50L, "n")).toDF("id", "v"), "id",
+      matched = Seq((None, Some(Map("v" -> col("__src_v"))))),
+      notMatched = Seq((None, None))) // INSERT *
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (50L, "n")))
+    assert(t.history().orderBy("version").collect().last.getLong(3) === 2L)
+  }
+
   test("column-level mergeInto: first-match-wins clauses, no target shuffle") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap_mrg").toFile.getAbsolutePath
