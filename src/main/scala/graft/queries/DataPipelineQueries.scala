@@ -141,6 +141,11 @@ object DataPipelineQueries {
   private val morMergeFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q116's store: the events stream committed under a hidden days(ts)
+    * partition spec, two ingest waves (20 + 10 day files). */
+  private val partStoreFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q112's store: streaming ingest → one O(delta) append commit per
     * micro-batch, exactly-once (SnapshotStream). */
   private val streamAppendFixtures =
@@ -2376,7 +2381,54 @@ object DataPipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
              CAST(sum(length(text)) AS BIGINT) AS sum_len,
              'mor-merge' AS last_op
-      FROM merged GROUP BY lang"""))
+      FROM merged GROUP BY lang""")),
+
+    // PARTITIONED snapshot store with Iceberg HIDDEN day partitioning (the
+    // reference partitions every workshop table — clinicdata.sql:51,
+    // finance_example.sql:25): the events stream commits under a
+    // `days(ts)` spec in two ingest waves, version dirs lay out as
+    // `v=N/graft__day=…` hive partitions (one file per day), the spec is
+    // INHERITED by the append wave, and a 3-day timestamp predicate —
+    // on ts itself, the hidden day column is never user-visible — plans
+    // over exactly 3 of the 30 live day files via the manifest's day-range
+    // stats. At 100 TB this is the reference's time-series layout: a
+    // dashboard's day query reads one partition, not the stream. The
+    // scanned/live counts ride the oracle compare.
+    Q("q116_partitioned_store", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = partStoreFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_pstore")
+          val st = new SnapshotTable(s, r)
+          val ev = t(s, dir, "events")
+            .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+          st.commitPartitioned(ev.filter(col("ts") < cut).coalesce(1),
+            Seq("days(ts)"))                                  // wave 1: 20 days
+          st.commit(ev.filter(col("ts") >= cut).coalesce(1), "append") // 10 days
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+      val hit = st.readWhere(col("ts") >= lo && col("ts") < hi)
+      val (kept, total) = st.lastPruneStats
+      require(kept < total && kept <= 3,
+        s"day partitions failed to prune: scanned $kept of $total files")
+      hit.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("files_scanned", lit(kept))
+        .withColumn("files_live", lit(total))
+    }, Some("""
+      SELECT event_type, count(*) AS n_events,
+             round(sum(value), 2) AS sum_value,
+             CAST(3 AS BIGINT) AS files_scanned,
+             CAST(30 AS BIGINT) AS files_live
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY event_type"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -422,6 +422,103 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def refsPath = Paths.get(root, "_graft_refs.jsonl")
 
+  // ── hidden partitioning (Iceberg partition specs; reference
+  //    clinicdata.sql:51, finance_example.sql:25, insurance_example.sql:23 —
+  //    every workshop table is partitioned). A store-level spec of identity
+  //    columns and/or `days(ts)` transforms lays every version dir out as
+  //    `v=N/<col>=…/part-*.parquet`; the day transform derives a HIDDEN
+  //    `__graft_day` date column (readers never see it — Iceberg's hidden
+  //    partitioning contract), manifests record partition values as per-file
+  //    stats so [[readWhere]] prunes partition files, and Spark's own
+  //    partition discovery gives PartitionFilters pruning on plain reads. ──
+
+  private def partitionSpecPath = Paths.get(root, "_graft_partition")
+
+  /** The hidden day-transform column name (never user-visible). NOTE: must
+    * not start with `_` — hive/Spark listing treats `_`-prefixed paths as
+    * hidden, and the partition dirs carry this name. */
+  private[sources] val DayCol = "graft__day"
+
+  /** The store's declared partition spec, e.g. Seq("region", "days(ts)"). */
+  def partitionSpec: Seq[String] =
+    if (!Files.exists(partitionSpecPath)) Nil
+    else Files.readString(partitionSpecPath).split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+
+  private def daysOf(entry: String): Option[String] =
+    "(?i)^days?\\((\\w+)\\)$".r.findFirstMatchIn(entry.trim).map(_.group(1))
+
+  /** (physical partition columns, day-derived source col if any) for the
+    * recorded spec; derives `__graft_day` onto `df` when the spec asks. */
+  private def applyPartitionSpec(df: DataFrame): (DataFrame, Seq[String]) = {
+    val spec = partitionSpec
+    if (spec.isEmpty) (df, Nil)
+    else {
+      val cols = spec.map(e => daysOf(e).map(_ => DayCol).getOrElse(e.trim))
+      val derived = spec.flatMap(daysOf).headOption match {
+        case Some(src) if df.columns.contains(src) =>
+          df.withColumn(DayCol, to_date(col(src)))
+        case _ => df
+      }
+      (derived, cols.filter(derived.columns.contains))
+    }
+  }
+
+  /** Data-dir write with the store's partition spec applied (every data
+    * commit of a partitioned store lays out hive dirs; key files don't). */
+  private def writeDataDir(df: DataFrame, v: Long): Long = {
+    val (derived, pcols) = applyPartitionSpec(df)
+    writeVersionDir(derived, v, pcols)
+  }
+
+  /** Per-file stats carried by the file's PARTITION PATH: each `k=v` dir
+    * segment pins column k to the single value v (min = max), in the same
+    * canonical domain [[SnapshotTable.footerColumnStats]] uses; the hidden
+    * day column additionally pins its SOURCE timestamp to the day's micros
+    * range, so a timestamp predicate prunes day-partitioned files even when
+    * the footer carries no usable timestamp stats. Unparseable values just
+    * contribute nothing (pruning stays conservative). */
+  private def partitionPathStats(rel: String,
+      schema: StructType): Map[String, (String, String)] = {
+    val daySrc = partitionSpec.flatMap(daysOf).headOption
+    rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) Nil
+      else {
+        val k = seg.substring(0, i)
+        val raw = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+        if (raw == "__HIVE_DEFAULT_PARTITION__") Nil // null partition value
+        else if (k == DayCol) {
+          val day = scala.util.Try(java.time.LocalDate.parse(raw)).toOption
+          val dayRange = day.map { d =>
+            DayCol -> (d.toEpochDay.toString, d.toEpochDay.toString)
+          }
+          val srcRange = for {
+            d <- day; src <- daySrc
+            f <- schema.fields.find(_.name.equalsIgnoreCase(src))
+            if f.dataType == TimestampType
+          } yield f.name -> (
+            (d.toEpochDay * 86400000000L).toString,
+            ((d.toEpochDay + 1) * 86400000000L - 1).toString)
+          dayRange.toSeq ++ srcRange.toSeq
+        } else schema.fields.find(_.name.equalsIgnoreCase(k)).flatMap { f =>
+          val canon = scala.util.Try(f.dataType match {
+            case StringType => Some(raw)
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(raw.toLong.toString)
+            case DateType =>
+              Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+            case FloatType => Some(raw.toFloat.toString)
+            case DoubleType => Some(raw.toDouble.toString)
+            case BooleanType => Some(raw.toBoolean.toString)
+            case _ => None
+          }).toOption.flatten
+          canon.map(c => f.name -> (c, c))
+        }.toSeq
+      }
+    }.toMap
+  }
+
   private val ManifestDir = "_graft_manifest"
   private def manifestPath(v: Long) = Paths.get(root, ManifestDir, s"v=$v.tsv")
 
@@ -586,11 +683,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val base = new Path(dir)
     val fs = base.getFileSystem(hconf)
     val found = scala.collection.mutable.ArrayBuffer.empty[(String, Path, Long)]
+    val basePrefix = base.toUri.getPath.stripSuffix("/") + "/"
     val it = fs.listFiles(base, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
-        val rel = base.toUri.relativize(st.getPath.toUri).getPath
+        // manual prefix-strip: URI.relativize treats a no-trailing-slash base
+        // as a file and mangles nested (partition-dir) children
+        val rel = st.getPath.toUri.getPath.stripPrefix(basePrefix)
         if (rel.split('/').forall(s => !s.startsWith("_") && !s.startsWith(".")))
           found += ((rel, st.getPath, st.getLen))
       }
@@ -599,8 +699,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, hconf))
       try {
+        // footer stats win; partition-path values fill in the columns hive
+        // layout removed from the files (identity partition cols), plus a
+        // day-range for the hidden transform's source timestamp when its
+        // own footer stats are unavailable
+        val footerSt = SnapshotTable.footerColumnStats(reader.getFooter)
         SnapshotTable.ManifestFile(rel, reader.getRecordCount, len,
-          SnapshotTable.footerColumnStats(reader.getFooter))
+          partitionPathStats(rel, df.schema) ++ footerSt)
       } finally reader.close()
     }
     Files.createDirectories(Paths.get(root, ManifestDir))
@@ -690,7 +795,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       }
       val next = claimVersion(meta)
       val prev = mainHead(meta)
-      val written = writeVersionDir(df, next)
+      val written = writeDataDir(df, next)
       val rows =
         if (isDeltaAppend(op))
           prev.map(tableRowsAsOf(meta, _)).getOrElse(0L) + written
@@ -698,6 +803,32 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       appendMeta(next, op, rows)
       next
     }
+
+  /** Declare the store's partition spec (identity columns and/or one
+    * `days(ts)` transform — the D4/D5 forms the catalog tables support) and
+    * commit `df` under it. The spec persists: every later commit (appends,
+    * mor replacement files, streaming micro-batches, compaction) lays its
+    * data out in the same hive partition dirs, so partition pruning holds
+    * across the whole chain. Readers never see the hidden day column
+    * (Iceberg's hidden-partitioning contract — predicates stay on the
+    * timestamp itself). */
+  def commitPartitioned(df: DataFrame, spec: Seq[String],
+      op: String = "overwrite"): Long = {
+    require(spec.nonEmpty, "commitPartitioned needs at least one spec entry")
+    spec.foreach { e =>
+      val colName = daysOf(e).getOrElse(e.trim)
+      require(df.columns.exists(_.equalsIgnoreCase(colName)),
+        s"partition spec entry '$e' names no column of the frame")
+      require(daysOf(e).isEmpty ||
+          df.schema.fields.exists(f => f.name.equalsIgnoreCase(colName) &&
+            (f.dataType == TimestampType || f.dataType == DateType)),
+        s"days(${colName}) needs a timestamp/date column")
+    }
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(partitionSpecPath, spec.mkString(","),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    commit(df, op)
+  }
 
   /** Table row count as of main version `v`, from the commit log alone:
     * every op records its resulting total except mor-delete (which records
@@ -727,7 +858,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    resolveVersion(meta, v, None)
+    resolveVersion(meta, v, None).drop(DayCol)
   }
 
   /** Pruned read: like [[read]] with `.filter(pred)`, but MANIFEST COLUMN
@@ -745,7 +876,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
     val conj = SnapshotTable.conjunctsOf(resolveVersion(meta, v, None), pred)
     pruneKept = 0L; pruneTotal = 0L
-    resolveVersion(meta, v, Some(conj)).filter(pred)
+    resolveVersion(meta, v, Some(conj)).filter(pred).drop(DayCol)
   }
 
   /** (data files scanned, data files live) of the most recent [[readWhere]]
@@ -1190,7 +1321,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val updated = set.foldLeft(read().filter(pred <=> lit(true))) {
       case (df, (c, e)) => df.withColumn(c, e)
     }
-    writeVersionDir(updated, next)
+    writeDataDir(updated, next)
     // the delete keys come from the just-written REPLACEMENT files — a
     // delta-sized read, not a second predicate pass over the table
     val written = readVersionDir(next)
@@ -1386,7 +1517,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val data = insertRows.map(replacements.unionByName(_)).getOrElse(replacements)
     // ONE commit: data files (updated copies + inserts) + claimed keys
     val next = claimVersion(meta)
-    val written = writeVersionDir(data, next)
+    val written = writeDataDir(data, next)
     val keys = claimed.select(col(keyCol)).distinct()
     val keysN = keys.count()
     if (keysN > 0)
@@ -1629,7 +1760,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"no branch $branch at $root"))
     val meta = readMeta()
     val next = claimVersion(meta)
-    val written = writeVersionDir(df, next)
+    val written = writeDataDir(df, next)
     if (op == DeltaAppendOp)
       appendMeta(next, s"$BranchOpPrefix$branch:$DeltaAppendOp:$head",
         tableRowsAsOf(meta, head) + written)

@@ -33,7 +33,11 @@ class PlanAuditSpec extends SparkSpec {
                             // — same constant-cost single-row broadcast
     "q111_mor_update",      // × a ONE-ROW scalar (the commit log's recorded
                             // row count) — constant-cost single-row broadcast
-    "q112_stream_append"    // × a ONE-ROW scalar (the append-commit count)
+    "q112_stream_append",   // × a ONE-ROW scalar (the append-commit count)
+                            // — constant-cost single-row broadcast
+    "q114_type_widening",   // × a ONE-ROW scalar (the v0 time-travel sum)
+                            // — constant-cost single-row broadcast
+    "q115_mor_merge"        // × a ONE-ROW scalar (the head commit's op name)
                             // — constant-cost single-row broadcast
   )
 

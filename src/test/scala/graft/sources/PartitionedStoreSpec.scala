@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Partitioned snapshot stores (Iceberg partition specs — the reference
+  * partitions every workshop table: clinicdata.sql:51, finance_example.sql:25):
+  * identity and hidden `days(ts)` layouts inside each version dir, partition
+  * pruning on reads, and manifest-served partition metadata. */
+class PartitionedStoreSpec extends SparkSpec {
+
+  test("identity partitioning: hive layout, spec inherited by appends, pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_id").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    def batch(tag: String, n: Int) = Seq.tabulate(n)(i =>
+      (i.toLong, Seq("eu", "us", "ap")(i % 3), s"$tag$i")).toDF("id", "region", "v")
+    t.commitPartitioned(batch("a", 30).coalesce(1), Seq("region"))
+    // layout: v=0/region=eu/part-*.parquet
+    assert(Files.isDirectory(Paths.get(root, "v=0", "region=eu")))
+    assert(t.partitionSpec === Seq("region"))
+    // a plain append INHERITS the spec — the whole chain stays partitioned
+    t.commit(batch("b", 12).coalesce(1), op = "append")
+    assert(Files.isDirectory(Paths.get(root, "v=1", "region=us")))
+    assert(t.read().count() === 42)
+    // partition pruning on a plain read: Spark's own PartitionFilters
+    val plan = t.read().filter(col("region") === "eu")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"),
+      s"no partition filter in plan:\n$plan")
+    // file skipping sees partition values as per-file stats
+    val got = t.readWhere(col("region") === "ap")
+    assert(got.count() === 14)
+    val (kept, total) = t.lastPruneStats
+    assert(total === 6L && kept === 2L, s"kept=$kept total=$total")
+    // content identical to the unpruned path
+    assert(got.as[(Long, String, String)].collect().toSet ===
+      t.read().filter(col("region") === "ap")
+        .as[(Long, String, String)].collect().toSet)
+  }
+
+  test("hidden days(ts) partitioning: readers never see the day column; " +
+      "timestamp predicates prune day files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_day").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2025-03-$day%02d $h%02d:30:00")
+    val rows = for (d <- 1 to 4; h <- Seq(1, 13)) yield (d * 100L + h, ts(d, h))
+    t.commitPartitioned(rows.toDF("id", "event_ts").coalesce(1),
+      Seq("days(event_ts)"))
+    // hive layout on the HIDDEN derived column; user schema untouched
+    assert(Files.isDirectory(Paths.get(root, "v=0", "graft__day=2025-03-02")))
+    assert(t.read().columns.toSeq === Seq("id", "event_ts"))
+    assert(t.read().count() === 8)
+    // a timestamp predicate prunes to the matching day partitions via the
+    // manifest's day-range stats (hidden partitioning: the user predicate
+    // stays on event_ts — nobody queries graft__day)
+    val got = t.readWhere(col("event_ts") >= lit("2025-03-03 00:00:00").cast("timestamp") &&
+      col("event_ts") < lit("2025-03-04 00:00:00").cast("timestamp"))
+    assert(got.as[(Long, java.sql.Timestamp)].collect().map(_._1).toSet ===
+      Set(301L, 313L))
+    val (kept, total) = t.lastPruneStats
+    assert(total === 4L && kept === 1L, s"kept=$kept total=$total")
+    // appends + mutations keep the layout; compaction preserves it too
+    t.commit(Seq((501L, ts(1, 5))).toDF("id", "event_ts"), op = "append")
+    assert(Files.isDirectory(Paths.get(root, "v=1", "graft__day=2025-03-01")))
+    t.updateMor(col("id") === 301L,
+      Map("event_ts" -> (col("event_ts") + expr("INTERVAL 1 HOUR"))), "id")
+    assert(t.read().count() === 9)
+    assert(t.read().filter(col("id") === 301L)
+      .select(hour(col("event_ts"))).as[Int].head() === 2)
+    t.compact(targetFiles = 1)
+    assert(Files.isDirectory(Paths.get(root,
+      s"v=${t.currentVersion.get}", "graft__day=2025-03-04")))
+    assert(t.read().count() === 9)
+    assert(t.read().columns.toSeq.sorted === Seq("event_ts", "id"))
+  }
+
+  test("table_partitions serves partition-grain rows from manifests, zero footer reads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_meta").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commitPartitioned(Seq.tabulate(20)(i =>
+      (i.toLong, if (i % 2 == 0) "eu" else "us")).toDF("id", "region")
+      .coalesce(1), Seq("region"))
+    t.commit(Seq((100L, "eu")).toDF("id", "region"), op = "append")
+    spark.conf.set("graft.snapshot.parts.demo", root)
+    val before = MetadataFunctions.footerReads.get()
+    val parts = MetadataFunctions.tablePartitions(spark, "parts.demo")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(MetadataFunctions.footerReads.get() === before,
+      "partition metadata must come from manifests, not footer opens")
+    assert(parts === List(("region=eu", 2L, 11L), ("region=us", 1L, 10L)))
+  }
+}
