@@ -208,11 +208,15 @@ object MetadataFunctions {
   private def snapshotRoot(spark: SparkSession, table: String): Option[String] = {
     val files = inputFiles(spark, table)
     files.headOption.flatMap { f =>
-      val parent = new Path(f).getParent
-      if (parent != null && parent.getName.startsWith("v=")) {
-        val root = parent.getParent.toUri.getPath
-        if (Files.exists(Paths.get(root, "_graft_meta.jsonl"))) Some(root) else None
-      } else None
+      // walk up through partition dirs (`region=eu`, `graft__day=…`) to the
+      // versioning level — partitioned stores nest hive dirs inside `v=N`
+      Iterator.iterate(new Path(f).getParent)(_.getParent)
+        .takeWhile(_ != null)
+        .collectFirst {
+          case p if p.getName.matches("v=\\d+") && p.getParent != null &&
+              Files.exists(Paths.get(p.getParent.toUri.getPath, "_graft_meta.jsonl")) =>
+            p.getParent.toUri.getPath
+        }
     }
   }
 

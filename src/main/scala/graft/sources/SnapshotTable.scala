@@ -328,9 +328,11 @@ object SnapshotTable {
   * Readers pin a version (time travel) or read latest; `history()` surfaces
   * the commit log as a DataFrame; `expireSnapshots` mirrors Iceberg's
   * expire_snapshots maintenance procedure with reachability-based retention.
-  * Commits are last-writer-wins on the driver — single-writer semantics, like
-  * the workshop's single pipeline process; a real multi-writer deployment
-  * would use Iceberg's atomic swap.
+  * Commits use OPTIMISTIC CONCURRENCY (Iceberg's atomic-swap contract):
+  * versions are claimed via create-exclusive markers so concurrent writers
+  * always land distinct versions, and read-dependent mutations raise
+  * [[SnapshotTable.CommitConflictException]] when the head moved under them
+  * (re-read and retry). Plain appends commute and never conflict.
   */
 final class SnapshotTable(spark: SparkSession, root: String) {
 
@@ -493,13 +495,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           val dayRange = day.map { d =>
             DayCol -> (d.toEpochDay.toString, d.toEpochDay.toString)
           }
+          // day boundaries in the SESSION time zone (to_date derived the
+          // partition value there; timestamp literals are epoch micros)
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          def dayStartMicros(d: java.time.LocalDate): Long =
+            d.atStartOfDay(zone).toInstant.toEpochMilli * 1000L
           val srcRange = for {
             d <- day; src <- daySrc
             f <- schema.fields.find(_.name.equalsIgnoreCase(src))
             if f.dataType == TimestampType
           } yield f.name -> (
-            (d.toEpochDay * 86400000000L).toString,
-            ((d.toEpochDay + 1) * 86400000000L - 1).toString)
+            dayStartMicros(d).toString,
+            (dayStartMicros(d.plusDays(1)) - 1).toString)
           dayRange.toSeq ++ srcRange.toSeq
         } else schema.fields.find(_.name.equalsIgnoreCase(k)).flatMap { f =>
           val canon = scala.util.Try(f.dataType match {

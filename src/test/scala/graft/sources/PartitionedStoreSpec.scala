@@ -95,5 +95,9 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(MetadataFunctions.footerReads.get() === before,
       "partition metadata must come from manifests, not footer opens")
     assert(parts === List(("region=eu", 2L, 11L), ("region=us", 1L, 10L)))
+    // snapshot metadata resolves the versioned root THROUGH partition dirs
+    t.read().createOrReplaceTempView("pstore_meta_view")
+    assert(MetadataFunctions.tableSnapshot(spark, "pstore_meta_view")
+      .count() === 2)
   }
 }
