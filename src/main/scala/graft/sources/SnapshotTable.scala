@@ -466,11 +466,71 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** Data-dir write with the store's partition spec applied (every data
-    * commit of a partitioned store lays out hive dirs; key files don't). */
+  // ── write sort order (Iceberg `ALTER TABLE … WRITE ORDERED BY`) ────────
+
+  private def sortOrderPath = Paths.get(root, "_graft_sortorder")
+
+  /** The store's declared write sort order: data commits are RANGE-
+    * repartitioned on these columns and sorted within each output file, so
+    * per-file manifest (min, max) ranges become tight and DISJOINT — the
+    * clustering that makes [[readWhere]]'s file skipping effective. At
+    * 100 TB this is the difference between a selective predicate reading a
+    * handful of files and reading the table; `compact()` after setting an
+    * order is Iceberg's rewrite_data_files sort strategy (sorted rewrite).
+    * Like Iceberg's sort order, this shapes FUTURE writes only — existing
+    * files keep their layout and their recorded stats. */
+  def sortOrder: Seq[String] = {
+    if (!Files.exists(sortOrderPath)) Nil
+    else Files.readString(sortOrderPath).split('|').head.split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Range-partition count pinned with the sort order (0 = Spark's
+    * spark.sql.shuffle.partitions decides, the scale default). */
+  def sortOrderFiles: Int =
+    if (!Files.exists(sortOrderPath)) 0
+    else Files.readString(sortOrderPath).split('|') match {
+      case Array(_, n) => scala.util.Try(n.trim.toInt).getOrElse(0)
+      case _           => 0
+    }
+
+  /** Declare the write sort order. `files > 0` pins the range-partition
+    * count (deterministic file layout — small tables, spec pins); 0 lets
+    * `spark.sql.shuffle.partitions` decide, which is what a 100 TB table
+    * wants (one range per shuffle partition, AQE coalescing applies). */
+  def setSortOrder(cols: Seq[String], files: Int = 0): Unit = {
+    require(cols.nonEmpty, "WRITE ORDERED BY needs at least one column")
+    Files.writeString(sortOrderPath,
+      cols.mkString(",") + (if (files > 0) s"|$files" else ""),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** `ALTER TABLE … WRITE UNORDERED` — future writes keep the incoming
+    * frame's layout again. */
+  def clearSortOrder(): Unit = Files.deleteIfExists(sortOrderPath)
+
+  /** The declared sort order applied to a commit frame: range-repartition
+    * (disjoint per-file ranges) then sort within each file. Skipped
+    * conservatively when any sort column is absent from the frame (schema
+    * evolution windows). */
+  private def applySortOrder(df: DataFrame): DataFrame = {
+    val so = sortOrder
+    if (so.isEmpty || !so.forall(df.columns.contains)) df
+    else {
+      val cs = so.map(col)
+      val ranged =
+        if (sortOrderFiles > 0) df.repartitionByRange(sortOrderFiles, cs: _*)
+        else df.repartitionByRange(cs: _*)
+      ranged.sortWithinPartitions(cs: _*)
+    }
+  }
+
+  /** Data-dir write with the store's partition spec and write sort order
+    * applied (every data commit of a partitioned store lays out hive dirs;
+    * key files don't). */
   private def writeDataDir(df: DataFrame, v: Long): Long = {
     val (derived, pcols) = applyPartitionSpec(df)
-    writeVersionDir(derived, v, pcols)
+    writeVersionDir(applySortOrder(derived), v, pcols)
   }
 
   /** Per-file stats carried by the file's PARTITION PATH: each `k=v` dir
@@ -1613,6 +1673,54 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     appendMeta(next, encodeEvolve(Seq("widen", field.name, typeDdl)),
       tableRowsAsOf(meta, head))
     next
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg `ALTER TABLE … ADD/DROP PARTITION
+    * FIELD`): re-declare the store's partition spec WITHOUT rewriting any
+    * data — Iceberg's signature capability. The change is a metadata-only
+    * evolve commit; files written before it keep their old layout and their
+    * manifest stats (recorded from the layout in force when they were
+    * written), files written after it use the new spec, and reads/pruning
+    * merge the mixed layouts per file. Time travel before the change sees
+    * the table exactly as it was. An empty `newSpec` drops partitioning. */
+  def evolvePartition(newSpec: Seq[String]): Long = withRootLock {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val schema = resolveVersion(meta, head, None).schema
+    newSpec.foreach { e =>
+      val src = daysOf(e).getOrElse(e.trim)
+      val f = schema.fields.find(_.name.equalsIgnoreCase(src))
+      require(f.isDefined, s"partition field '$e': no column $src")
+      if (daysOf(e).isDefined)
+        require(f.get.dataType == TimestampType || f.get.dataType == DateType,
+          s"days($src) needs a timestamp/date column, got ${f.get.dataType.simpleString}")
+    }
+    require(newSpec.flatMap(daysOf).size <= 1,
+      "at most one days() transform per spec")
+    require(newSpec.map(_.trim.toLowerCase).distinct.size == newSpec.size,
+      s"duplicate partition fields in ${newSpec.mkString(", ")}")
+    val next = claimVersion(meta)
+    appendMeta(next, encodeEvolve(Seq("partition", newSpec.mkString(","))),
+      tableRowsAsOf(meta, head))
+    if (newSpec.isEmpty) Files.deleteIfExists(partitionSpecPath)
+    else Files.writeString(partitionSpecPath, newSpec.mkString(","),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    next
+  }
+
+  /** `ALTER TABLE … ADD PARTITION FIELD f | days(ts)`. */
+  def addPartitionField(entry: String): Long = {
+    require(!partitionSpec.exists(_.equalsIgnoreCase(entry.trim)),
+      s"partition field $entry already in spec")
+    evolvePartition(partitionSpec :+ entry.trim)
+  }
+
+  /** `ALTER TABLE … DROP PARTITION FIELD f | days(ts)`. */
+  def dropPartitionField(entry: String): Long = {
+    require(partitionSpec.exists(_.equalsIgnoreCase(entry.trim)),
+      s"partition field $entry not in spec ${partitionSpec.mkString(", ")}")
+    evolvePartition(partitionSpec.filterNot(_.equalsIgnoreCase(entry.trim)))
   }
 
   /** Roll back to a previous version's content, as a NEW snapshot (mirror of
