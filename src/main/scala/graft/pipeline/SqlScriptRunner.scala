@@ -364,6 +364,40 @@ final class SqlScriptRunner(spark: SparkSession,
       lazy val tSchema = branch.map(st.readBranch(_)).getOrElse(st.read()).schema
       def castTo(df: DataFrame): DataFrame = {
         val types = tSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+        // ANSI store-assignment: a value the target column's type cannot
+        // hold must ERROR, not silently wrap/truncate (Column.cast is
+        // non-ANSI). try_cast marks lossy values null, so a null produced
+        // from a non-null input is the failure signal; widening casts can
+        // never lose and skip the (one-job) validation pass.
+        import org.apache.spark.sql.types._
+        def lossless(from: DataType, to: DataType): Boolean = (from, to) match {
+          case (a, b) if a == b => true
+          case (NullType, _) => true
+          case (_, StringType) => true
+          case (ByteType, ShortType | IntegerType | LongType |
+            FloatType | DoubleType) => true
+          case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+          case (IntegerType, LongType | DoubleType) => true
+          case (LongType, _) => false
+          case (FloatType, DoubleType) => true
+          case (DateType, TimestampType) => true
+          case _ => false
+        }
+        val checked = df.schema.fields.toSeq.flatMap { f =>
+          types.get(f.name.toLowerCase).toSeq.collect {
+            case dt if !lossless(f.dataType, dt) => (f.name, dt)
+          }
+        }
+        if (checked.nonEmpty) {
+          val bad = checked.map { case (c, dt) =>
+            col(c).isNotNull && expr(s"try_cast(`$c` AS ${dt.sql})").isNull
+          }.reduce(_ || _)
+          require(df.filter(bad).isEmpty, s"INSERT INTO $name: a value does " +
+            s"not fit its target column type (${checked.map { case (c, dt) =>
+              s"$c ${dt.simpleString}" }.mkString(", ")}) — ANSI INSERT " +
+            "rejects lossy store-assignment; widen the column first " +
+            "(ALTER COLUMN … TYPE) or fix the value")
+        }
         df.select(df.columns.toSeq.map(c =>
           types.get(c.toLowerCase).map(col(c).cast(_)).getOrElse(col(c)).as(c)): _*)
       }

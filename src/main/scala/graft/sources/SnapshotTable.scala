@@ -732,6 +732,47 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       s"commit conflict at $root: expected main head $expected but found " +
         s"$now — the table changed since this operation read it; re-read and retry")
 
+  /** Test seam: invoked immediately before a read-dependent commit's FINAL
+    * head validation (after its data is written, before the log append) —
+    * lets specs inject a cross-process writer into the exact window the
+    * re-check protects. Production: no-op. */
+  private[sources] var beforeFinalHeadCheck: () => Unit = () => ()
+
+  /** Undo an optimistic claim that lost its conflict check: delete everything
+    * written under the claimed version (data dir with any `_graft_deletes`
+    * key file inside it, manifest sidecar, cached manifest) and then the
+    * claim marker itself, so a lost race leaves NO orphaned files. Releasing
+    * the marker is safe: by the time a conflict is raised the winning writer
+    * has already logged its entry, so `claimVersion`'s
+    * `max(nextVersion, maxClaimed + 1)` floor has moved past every live
+    * version and a re-claim of this number can only happen after this
+    * cleanup completed (marker deletion is last). */
+  private def releaseClaim(v: Long): Unit = {
+    val dir = Paths.get(root, s"v=$v")
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.deleteIfExists(manifestPath(v))
+    manifestCache.synchronized { manifestCache.remove(v) }
+    Files.deleteIfExists(commitMarkersDir.resolve(s"v=$v"))
+  }
+
+  /** Final conflict validation of a read-dependent commit: re-reads the log
+    * AFTER the data write (covering cross-process writers that landed during
+    * the write window — in-JVM writers are serialized by [[withRootLock]])
+    * and releases the claim before raising, so a conflict leaves no orphans.
+    * NOTE: even with this re-check, the validation and the log append are
+    * two steps, not a cross-process CAS — two PROCESSES whose checks
+    * interleave before their appends could both land (the marker CAS still
+    * keeps their versions distinct). Within one JVM the root lock makes
+    * check+append atomic; cross-process callers get Iceberg's optimistic
+    * window, which a real deployment closes with a catalog-side CAS. */
+  private def validateHeadOrRelease(expected: Option[Long], next: Long): Unit = {
+    beforeFinalHeadCheck()
+    val now = mainHead(readMeta())
+    if (now != expected) { releaseClaim(next); headConflict(expected, now) }
+  }
+
   // ── data-dir write path (manifest-producing) ───────────────────────────
 
   /** Write `df` as version `v`'s data dir and its manifest sidecar, reading
@@ -864,6 +905,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val next = claimVersion(meta)
       val prev = mainHead(meta)
       val written = writeDataDir(df, next)
+      // re-verify AFTER the (long) data write: a cross-process writer that
+      // committed during the write window must conflict here, not land a
+      // stale result as head (see validateHeadOrRelease's contract note)
+      expectedHead.foreach(exp => validateHeadOrRelease(exp, next))
       val rows =
         if (isDeltaAppend(op))
           prev.map(tableRowsAsOf(meta, _)).getOrElse(0L) + written
@@ -985,6 +1030,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def evolveBlocksPruning(op: String): Boolean =
     op.startsWith(EvolveOpPrefix) && (decodeEvolve(op).headOption match {
       case Some("rename") | Some("drop") | Some("widen") => true
+      // adds are safe; a partition-spec change never renames a column and
+      // every file's stats were recorded from the layout it was actually
+      // written under, so pruning across the spec boundary stays sound
       case _ => false
     })
 
@@ -1150,6 +1198,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         // type widening is metadata-only: readers cast during resolution
         // (idempotent — casting an already-widened column is a no-op)
         df.withColumn(name, col(name).cast(DataType.fromDDL(ddl)))
+      case Seq("partition", _*) =>
+        // partition-spec evolution is LAYOUT-only: the frame a reader sees
+        // is unchanged (files written before keep their dirs, files after
+        // use the new spec) — the op rides the log purely so history and
+        // time travel record when the spec moved
+        df
       case other => throw new IllegalStateException(s"bad evolve op: $other")
     }
 
@@ -1344,8 +1398,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val next = claimVersion(meta)
     val n = writeVersionDir(
       read().filter(pred).select(keyCols.map(col): _*).distinct(), next)
-    val now = mainHead(readMeta())
-    if (now != head) headConflict(head, now) // keys were selected from `head`
+    validateHeadOrRelease(head, next) // keys were selected from `head`
     appendMeta(next, MorDeleteOp, n)
     next
   }
@@ -1396,8 +1449,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     if (!written.isEmpty)
       written.select(keyCols.map(col): _*).distinct()
         .write.mode("overwrite").parquet(morUpdateDeletesDir(next))
-    val now = mainHead(readMeta())
-    if (now != mainHead(meta)) headConflict(mainHead(meta), now)
+    validateHeadOrRelease(mainHead(meta), next)
     appendMeta(next, MorUpdateOp, tableRowsAsOf(meta, mainHead(meta).get))
     next
   }
@@ -1590,9 +1642,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val keysN = keys.count()
     if (keysN > 0)
       keys.write.mode("overwrite").parquet(morUpdateDeletesDir(next))
-    val now = mainHead(readMeta())
-    if (now != Some(head)) headConflict(Some(head), now)
-    appendMeta(next, MorMergeOp, tableRowsAsOf(meta, head) - keysN + written)
+    // rows the read-path anti-join will actually remove: every TARGET row
+    // whose key is claimed. With duplicate-keyed base rows (appends can
+    // create them; nothing enforces target-key uniqueness) this exceeds the
+    // distinct-key count, and the logged total must record what readers see
+    // — later appends derive their cumulative counts from it.
+    val removedN =
+      if (keysN == 0) 0L
+      else matchedTarget.join(broadcast(keys), Seq(keyCol), "left_semi").count()
+    validateHeadOrRelease(Some(head), next)
+    appendMeta(next, MorMergeOp, tableRowsAsOf(meta, head) - removedN + written)
     next
   }
 
@@ -1777,6 +1836,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         case Seq("widen", name, ddl) =>
           after0.schema.fields.exists(f => f.name.equalsIgnoreCase(name) &&
             f.dataType == DataType.fromDDL(ddl))
+        // partition-spec evolution changes file LAYOUT only — it has no
+        // frame effect, so the before-image never needs it applied
+        case Seq("partition", _*) => false
         case _ => false
       }
       if (reflected) applyEvolve(df, m._3) else df

@@ -792,6 +792,36 @@ class SqlScriptRunnerSpec extends SparkSpec {
       Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)))
   }
 
+  test("snapshot INSERT rejects lossy store-assignment (ANSI semantics)") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("ins_ansi").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 10)).toDF("id", "v", "n")) // n: INT
+    spark.conf.set("graft.snapshot.ops.ansi", root)
+    val r = new SqlScriptRunner(spark)
+    // a BIGINT literal beyond Int range into the INT column: the pre-fix
+    // behavior wrapped it silently (Column.cast is non-ANSI); SQL
+    // store-assignment errors instead
+    val e = intercept[IllegalArgumentException](
+      r.run("INSERT INTO ops.ansi VALUES (2, 'big', 3000000000)"))
+    assert(e.getMessage.contains("does not fit"))
+    assert(st.read().count() === 1, "the lossy insert must not land")
+    // an un-castable string into a numeric column errors too
+    val e2 = intercept[IllegalArgumentException](
+      r.run("INSERT INTO ops.ansi (id, v, n) VALUES (2, 'b', 'not-a-number')"))
+    assert(e2.getMessage.contains("does not fit"))
+    // in-range values (and legal widenings) still insert fine
+    r.run("INSERT INTO ops.ansi VALUES (2, 'b', 20)")
+    assert(st.read().orderBy("id").as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "a", 10), (2L, "b", 20)))
+    // after widening the column the same big value is accepted
+    r.run("ALTER TABLE ops.ansi ALTER COLUMN n TYPE BIGINT")
+    r.run("INSERT INTO ops.ansi VALUES (3, 'big', 3000000000)")
+    assert(st.read().filter(org.apache.spark.sql.functions.col("id") === 3L)
+      .select("n").as[Long].head() === 3000000000L)
+  }
+
   test("time-travel rewrite ignores AT/TIMESTAMP inside string literals") {
     import graft.sources.SnapshotTable
     import spark.implicits._

@@ -61,6 +61,40 @@ class CommitConcurrencySpec extends SparkSpec {
     assert(a.read().count() === 7)
   }
 
+  test("a writer landing during the write window conflicts AND the lost " +
+      "claim is fully released (no orphaned marker/dir/manifest)") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("occ_window").toFile.getAbsolutePath
+    val a = new SnapshotTable(spark, root)
+    a.commit(Seq.tabulate(10)(i => (i.toLong, s"v$i")).toDF("id", "v")) // v0
+    // a cross-process writer commits DURING a's write window — between a's
+    // data write and its final head validation. The test seam injects it on
+    // the same thread (withRootLock is reentrant there), exactly where a
+    // foreign process would slip past the in-JVM lock.
+    a.beforeFinalHeadCheck = () => {
+      a.beforeFinalHeadCheck = () => () // fire once
+      new SnapshotTable(spark, root)
+        .commit(Seq((100L, "x")).toDF("id", "v"), op = "append")
+    }
+    intercept[SnapshotTable.CommitConflictException](
+      a.deleteWhereMor(col("id") < 3L, "id"))
+    // a claimed v1; the foreign writer claimed v2. The lost claim must be
+    // fully released: marker, data dir and manifest all gone (nothing for
+    // maintenance to ever orphan-collect), and the claim number is free.
+    assert(!JFiles.exists(Paths.get(root, "v=1")), "conflicted data dir leaked")
+    assert(!JFiles.exists(Paths.get(root, "_graft_commits", "v=1")),
+      "conflicted claim marker leaked")
+    assert(!JFiles.exists(Paths.get(root, "_graft_manifest", "v=1.tsv")),
+      "conflicted manifest leaked")
+    val fresh = new SnapshotTable(spark, root)
+    assert(fresh.read().count() === 11)
+    // the standard Iceberg retry: re-read, re-derive, commit clean
+    fresh.deleteWhereMor(col("id") < 3L, "id")
+    assert(fresh.read().count() === 8)
+    assert(fresh.history().orderBy("version").collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 2L, 3L))
+  }
+
   test("concurrent threaded appends all land with distinct versions") {
     import spark.implicits._
     val root = JFiles.createTempDirectory("occ_threads").toFile.getAbsolutePath

@@ -80,6 +80,45 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(t.read().columns.toSeq.sorted === Seq("event_ts", "id"))
   }
 
+  test("partition-spec evolution: reads keep working, later writes use the new spec") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_evolve").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    def batch(tag: String, off: Int, n: Int) = Seq.tabulate(n)(i =>
+      ((off + i).toLong, Seq("eu", "us", "ap")(i % 3), s"$tag$i"))
+      .toDF("id", "region", "v")
+    t.commit(batch("a", 0, 12).coalesce(1))                 // v0: unpartitioned
+    t.addPartitionField("region")                           // v1: metadata-only
+    assert(t.partitionSpec === Seq("region"))
+    // the r12 regression: the partition evolve op persisted in the commit
+    // log made every later resolution throw 'bad evolve op' — the table
+    // must stay readable immediately after the spec change
+    assert(t.read().count() === 12)
+    t.commit(batch("b", 100, 6).coalesce(1), op = "append") // v2: new layout
+    assert(Files.isDirectory(Paths.get(root, "v=2", "region=eu")))
+    assert(t.read().count() === 18)
+    // a FRESH instance replays the full log (no cached state to hide a bad op)
+    assert(new SnapshotTable(spark, root).read().count() === 18)
+    // time travel BEFORE the evolve sees the original table
+    assert(t.read(Some(0L)).count() === 12)
+    // mixed-layout pruning stays sound: files carry stats from the layout
+    // they were written under
+    val got = t.readWhere(col("region") === "eu")
+    assert(got.count() === t.read().filter(col("region") === "eu").count())
+    t.dropPartitionField("region")                          // v3: back to flat
+    assert(t.partitionSpec === Nil)
+    t.commit(batch("c", 200, 3).coalesce(1), op = "append") // v4: unpartitioned
+    assert(!Files.isDirectory(Paths.get(root, "v=4", "region=eu")))
+    assert(t.read().count() === 21)
+    // the changelog across the spec boundary reports DATA changes only (the
+    // two layout-only evolve commits contribute nothing to the diff)
+    val ch = t.changes(0L, 4L, "id")
+    assert(ch.filter(col("_change_type") === "insert").count() === 9)
+    assert(ch.count() === 9)
+    // history surfaces the two evolve commits
+    assert(t.history().count() === 5)
+  }
+
   test("table_partitions serves partition-grain rows from manifests, zero footer reads") {
     import spark.implicits._
     val root = Files.createTempDirectory("pstore_meta").toFile.getAbsolutePath

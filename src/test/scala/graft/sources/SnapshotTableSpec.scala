@@ -625,6 +625,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.history().orderBy("version").collect().last.getLong(3) === 2L)
   }
 
+  test("mor-merge over duplicate-keyed base rows logs what readers see") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mm_dup").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))               // v0
+    t.commit(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), op = "append") // v1:
+    assert(t.read().count() === 4) // id=2 now has TWO base copies
+    // source updates id=2 (BOTH copies are claimed, each emits an updated
+    // replacement; the equality-delete key removes both) and inserts id=9
+    t.mergeIntoMor(Seq((2L, "B"), (9L, "i")).toDF("id", "v"), "id",
+      matched = Seq((None, Some(Map("v" -> col("__src_v"))))),
+      notMatched = Seq((None, None)))
+    // 4 base rows - 2 removed (one key, two rows) + 3 written (2 updated
+    // copies + 1 insert) = 5; the LOGGED total must match the read-back
+    // (the r12 bug subtracted distinct keys, logging 6)
+    assert(t.read().count() === 5)
+    assert(t.history().orderBy("version").collect().last.getLong(3) === 5L)
+    // later appends derive their cumulative counts from that entry
+    t.commit(Seq((10L, "z")).toDF("id", "v"), op = "append")
+    assert(t.read().count() === 6)
+    assert(t.history().orderBy("version").collect().last.getLong(3) === 6L)
+  }
+
   test("column-level mergeInto: first-match-wins clauses, no target shuffle") {
     import spark.implicits._
     val root = Files.createTempDirectory("snap_mrg").toFile.getAbsolutePath
