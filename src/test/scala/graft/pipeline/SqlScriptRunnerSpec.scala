@@ -792,6 +792,41 @@ class SqlScriptRunnerSpec extends SparkSpec {
       Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)))
   }
 
+  test("plain SELECT over a snapshot-bound table auto-binds AND prunes") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("plain_sel").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq.tabulate(100)(i => (i.toLong, s"w$i")).toDF("id", "w").coalesce(1))
+    (1 to 3).foreach { k =>
+      st.commit(Seq.tabulate(100)(i => ((k * 100 + i).toLong, s"w$i"))
+        .toDF("id", "w").coalesce(1), op = "append")
+    }
+    spark.conf.set("graft.snapshot.plainsel.t", root)
+    val r = new SqlScriptRunner(spark)
+    // NO AT clause, NO pre-bound view, NO readWhere: the runner binds the
+    // dotted name itself and the statement's own WHERE prunes the files
+    SnapshotTable.resetScanStats(root)
+    val res = r.run(
+      "SELECT count(*) AS n FROM plainsel.t WHERE id >= 150 AND id < 180")
+      .values.head
+    assert(res.collect()(0).getLong(0) === 30L)
+    assert(SnapshotTable.scanStats(root) === ((1L, 4L)),
+      "the scripted WHERE must reach the manifest listing")
+    // joins against ordinary relations work; a literal containing the name
+    // is untouched
+    val res2 = r.run("SELECT 'plainsel.t is great' AS msg, max(id) AS m " +
+      "FROM plainsel.t").values.head.collect()(0)
+    assert(res2.getString(0) === "plainsel.t is great" && res2.getLong(1) === 399L)
+    // an INSERT body reading the bound table resolves the same way
+    val root2 = Files.createTempDirectory("plain_tgt").toString
+    val st2 = new SnapshotTable(spark, root2)
+    st2.commit(Seq((-1L, "seed")).toDF("id", "w"))
+    spark.conf.set("graft.snapshot.copy.tgt", root2)
+    r.run("INSERT INTO copy.tgt SELECT id, w FROM plainsel.t WHERE id < 3")
+    assert(st2.read().count() === 4)
+  }
+
   test("snapshot INSERT rejects lossy store-assignment (ANSI semantics)") {
     import graft.sources.SnapshotTable
     import spark.implicits._

@@ -116,6 +116,81 @@ class FileSkippingSpec extends SparkSpec {
     assert(t.lastPruneStats === ((1L, 2L)))
   }
 
+  test("PLAIN reads prune at physical planning — no special API needed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_lazy").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(100)(i => (i.toLong, s"w$i")).toDF("id", "w").coalesce(1))
+    (1 to 3).foreach { k =>
+      t.commit(Seq.tabulate(100)(i => ((k * 100 + i).toLong, s"w$i"))
+        .toDF("id", "w").coalesce(1), op = "append")
+    }
+    // an ordinary read().filter() — the shape every SQL temp view, join and
+    // time-travel read has — skips files when the filter reaches the scan
+    SnapshotTable.resetScanStats(root)
+    val hit = t.read().filter(col("id") >= 150L && col("id") < 180L)
+    assert(hit.count() === 30)
+    assert(SnapshotTable.scanStats(root) === ((1L, 4L)))
+    // OR of ranges (a dashboard comparing two periods) prunes as the UNION
+    // of its disjuncts' kept sets, not a full scan
+    SnapshotTable.resetScanStats(root)
+    assert(t.read().filter(col("id").between(50L, 60L) ||
+      col("id").between(250L, 260L)).count() === 22)
+    assert(SnapshotTable.scanStats(root) === ((2L, 4L)))
+    // a predicate no file can satisfy plans over ZERO files, schema intact
+    SnapshotTable.resetScanStats(root)
+    val none = t.read().filter(col("id") > 10000L)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "w"))
+    assert(SnapshotTable.scanStats(root)._1 === 0L)
+    // results ≡ an unfiltered read, always
+    assert(t.read().filter(col("id") >= 150L && col("id") < 180L)
+      .as[(Long, String)].collect().toSet === hit.as[(Long, String)].collect().toSet)
+  }
+
+  test("identity-partitioned stores: plain reads get exact partition pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_lazy_part").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    def batch(tag: String, n: Int) = Seq.tabulate(n)(i =>
+      (i.toLong, Seq("eu", "us", "ap")(i % 3), s"$tag$i")).toDF("id", "region", "v")
+    t.commitPartitioned(batch("a", 30).coalesce(1), Seq("region"))
+    t.commit(batch("b", 12).coalesce(1), op = "append")
+    SnapshotTable.resetScanStats(root)
+    val got = t.read().filter(col("region") === "ap")
+    assert(got.count() === 14)
+    // 2 of 6 region files planned; the scan shows real PartitionFilters
+    assert(SnapshotTable.scanStats(root) === ((2L, 6L)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"),
+      s"no partition filter in plan:\n$plan")
+    // partition columns append last (hive layout), same as a plain
+    // partitioned parquet read — compare by name
+    assert(got.select("id", "region", "v").as[(Long, String, String)]
+      .collect().toSet ===
+      batch("a", 30).unionByName(batch("b", 12))
+        .filter(col("region") === "ap").as[(Long, String, String)].collect().toSet)
+  }
+
+  test("hidden days(ts) partitioning prunes a plain timestamp predicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_lazy_day").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2025-03-$day%02d $h%02d:30:00")
+    val rows = for (d <- 1 to 4; h <- Seq(1, 13)) yield (d * 100L + h, ts(d, h))
+    t.commitPartitioned(rows.toDF("id", "event_ts").coalesce(1),
+      Seq("days(event_ts)"))
+    SnapshotTable.resetScanStats(root)
+    val got = t.read().filter(
+      col("event_ts") >= lit("2025-03-03 00:00:00").cast("timestamp") &&
+      col("event_ts") < lit("2025-03-04 00:00:00").cast("timestamp"))
+    assert(got.select("id").as[Long].collect().toSet === Set(301L, 313L))
+    // the ts predicate pruned to the one matching day file via the
+    // manifest's day-range stats — the user never mentions graft__day
+    assert(SnapshotTable.scanStats(root) === ((1L, 4L)))
+    assert(got.columns.toSeq === Seq("id", "event_ts"))
+  }
+
   test("pre-r12 manifests (no stats field) read fine and simply never prune") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths}

@@ -119,6 +119,67 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(t.history().count() === 5)
   }
 
+  test("bucket(N, key) transform: point lookups prune to one bucket file") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_bucket").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    val df = Seq.tabulate(400)(i => (i.toLong, s"v$i")).toDF("id", "v")
+    t.commitPartitioned(df.coalesce(1), Seq("bucket(8, id)"))
+    // hive layout on the HIDDEN bucket column; user schema untouched
+    val dirs = Paths.get(root, "v=0").toFile.list()
+      .count(_.startsWith("graft__bucket="))
+    assert(dirs === 8, s"expected 8 bucket dirs, saw $dirs")
+    assert(t.read().columns.toSeq === Seq("id", "v"))
+    assert(t.read().count() === 400)
+    // a key-equality readWhere derives the bucket conjunct: footer min/max
+    // of a hashed key spans everything, so ONLY the transform can prune
+    val got = t.readWhere(col("id") === 123L)
+    assert(got.as[(Long, String)].collect().toSeq === Seq((123L, "v123")))
+    assert(t.lastPruneStats === ((1L, 8L)))
+    // IN prunes to at most one file per probed key
+    assert(t.readWhere(col("id").isin(5L, 300L)).count() === 2)
+    assert(t.lastPruneStats._1 <= 2L)
+    // the PLAIN read path prunes the same way (ManifestFileIndex)
+    SnapshotTable.resetScanStats(root)
+    assert(t.read().filter(col("id") === 42L).count() === 1)
+    assert(SnapshotTable.scanStats(root) === ((1L, 8L)))
+    // appends inherit the bucket layout and the lookup stays pruned
+    t.commit(Seq((1000L, "x")).toDF("id", "v"), op = "append")
+    SnapshotTable.resetScanStats(root)
+    assert(t.read().filter(col("id") === 1000L).count() === 1)
+    val (k2, total2) = SnapshotTable.scanStats(root)
+    assert(total2 === 9L && k2 <= 2L, s"kept=$k2 total=$total2")
+    // results ≡ unpruned, wrong-bucket probes return empty not wrong
+    assert(t.read().filter(col("id") === 9999L).count() === 0)
+  }
+
+  test("truncate(W, col) transform clusters; ranges prune via tight footers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_trunc").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commitPartitioned(Seq.tabulate(300)(i => (i.toLong, s"n$i"))
+      .toDF("id", "v").coalesce(1), Seq("truncate(100, id)"))
+    val dirs = Paths.get(root, "v=0").toFile.list()
+      .count(_.startsWith("graft__trunc="))
+    assert(dirs === 3, s"expected 3 truncation dirs, saw $dirs")
+    assert(t.read().columns.toSeq === Seq("id", "v"))
+    assert(t.read().count() === 300)
+    // truncation is ORDER-PRESERVING: each file's footer id-range is tight,
+    // so a range predicate prunes with no transform-aware logic at all
+    SnapshotTable.resetScanStats(root)
+    assert(t.read().filter(col("id").between(120L, 130L)).count() === 11)
+    assert(SnapshotTable.scanStats(root) === ((1L, 3L)))
+    // string truncation: W-char prefixes cluster lexicographic ranges
+    val r2 = Files.createTempDirectory("pstore_truncs").toFile.getAbsolutePath
+    val t2 = new SnapshotTable(spark, r2)
+    t2.commitPartitioned(Seq("alpha", "amber", "beta", "bravo", "gamma")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      .coalesce(1), Seq("truncate(1, w)"))
+    SnapshotTable.resetScanStats(r2)
+    assert(t2.read().filter(col("w") >= "b" && col("w") < "c").count() === 2)
+    assert(SnapshotTable.scanStats(r2) === ((1L, 3L)))
+  }
+
   test("table_partitions serves partition-grain rows from manifests, zero footer reads") {
     import spark.implicits._
     val root = Files.createTempDirectory("pstore_meta").toFile.getAbsolutePath
