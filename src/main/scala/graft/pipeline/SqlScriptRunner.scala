@@ -377,7 +377,12 @@ final class SqlScriptRunner(spark: SparkSession,
           case (ByteType, ShortType | IntegerType | LongType |
             FloatType | DoubleType) => true
           case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
-          case (IntegerType, LongType | DoubleType) => true
+          // int→float and long→float/double can lose PRECISION but never
+          // fail to store (ANSI store-assignment allows them, and try_cast
+          // never yields null for them — the probe job could never fire),
+          // so they skip the validation pass like true widenings
+          case (IntegerType, LongType | FloatType | DoubleType) => true
+          case (LongType, FloatType | DoubleType) => true
           case (LongType, _) => false
           case (FloatType, DoubleType) => true
           case (DateType, TimestampType) => true
@@ -540,8 +545,13 @@ final class SqlScriptRunner(spark: SparkSession,
         if (srcText.startsWith("("))
           sqlWithSnapshotReads(srcText.stripPrefix("(").stripSuffix(")"))
         else spark.conf.getOption(s"graft.snapshot.$srcText") match {
-          // a snapshot-bound table can be a MERGE source by plain name too
+          // a snapshot-bound table can be a MERGE source by plain name too;
+          // reading it is a SELECT like any other — a user holding only
+          // WRITE on the merge TARGET must not read arbitrary bound datasets
+          // by naming them as the source (mirrors rewriteSnapshotTables)
           case Some(r) if scala.util.Try(spark.table(srcText)).isFailure =>
+            asUser.foreach(u =>
+              requirePrivilege(u, "SELECT", Nil, datasetPath(srcText)))
             new graft.sources.SnapshotTable(spark, r).read()
           case _ => spark.table(srcText)
         }
@@ -1052,13 +1062,24 @@ final class SqlScriptRunner(spark: SparkSession,
       else {
         asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(dotted)))
         val st = new graft.sources.SnapshotTable(spark, bound.get)
-        metaViewCount += 1
-        val v = s"graft_snap_$metaViewCount"
-        st.read().createOrReplaceTempView(v)
-        stmtViews += v
-        mapOutsideLiterals(sql)(_.replaceAll(
-          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(dotted) + "(?![\\w.])",
-          java.util.regex.Matcher.quoteReplacement(v)))
+        if (!dotted.contains(".")) {
+          // single-part names bind as a temp view UNDER THE NAME ITSELF (it
+          // resolves to nothing, or we wouldn't be here): no textual rewrite
+          // at all, so qualified column refs (`SELECT t.col FROM t`) keep
+          // resolving — a rename-style rewrite would fix the FROM but leave
+          // the qualifier dangling
+          st.read().createOrReplaceTempView(dotted)
+          stmtViews += dotted
+          sql
+        } else {
+          metaViewCount += 1
+          val v = s"graft_snap_$metaViewCount"
+          st.read().createOrReplaceTempView(v)
+          stmtViews += v
+          mapOutsideLiterals(sql)(_.replaceAll(
+            "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(dotted) + "(?![\\w.])",
+            java.util.regex.Matcher.quoteReplacement(v)))
+        }
       }
     }
   }

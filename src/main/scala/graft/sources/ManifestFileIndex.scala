@@ -48,6 +48,11 @@ private[sources] final class ManifestFileIndex(
     entries: Seq[ManifestFileEntry],
     augment: Seq[Expression] => Seq[Expression] = identity) extends FileIndex {
 
+  /** Identity for scan accounting: one slot per index INSTANCE, so a
+    * re-listing of the same relation (second action, AQE re-plan) overwrites
+    * its own counts instead of doubling them. */
+  private val indexId = ManifestFileIndex.ids.incrementAndGet()
+
   override def rootPaths: Seq[Path] = Seq(new Path(storeRoot))
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -76,7 +81,7 @@ private[sources] final class ManifestFileIndex(
         pred.initialize(0)
         afterStats.filter(e => pred.eval(e.partitionValues))
       }
-    SnapshotTable.recordScan(storeRoot, kept.size.toLong, entries.size.toLong)
+    SnapshotTable.recordScan(storeRoot, indexId, kept.size.toLong, entries.size.toLong)
     kept.groupBy(_.partitionKey).toSeq.sortBy(_._1).map { case (_, fs) =>
       PartitionDirectory(fs.head.partitionValues,
         fs.map(e => new FileStatus(e.bytes, false, 1, DefaultBlockSize, 0L, e.path))
@@ -91,4 +96,8 @@ private[sources] final class ManifestFileIndex(
   override def sizeInBytes: Long = entries.map(_.bytes).sum
 
   private val DefaultBlockSize = 128L * 1024 * 1024
+}
+
+private[sources] object ManifestFileIndex {
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -308,11 +308,19 @@ object SnapshotTable {
   //    [[ManifestFileIndex.listFiles]] at physical-planning time, when
   //    Spark hands the pushed-down filters to the index) ──────────────────
 
-  private val scanStatsMap =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val scanStatsMap = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]]()
 
-  private def canonicalRoot(root: String): String =
-    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+  /** A root string in canonical form for the scan-stats map: scheme'd roots
+    * (`s3a://…`, `hdfs://…`) normalize through Hadoop's Path; bare local
+    * paths through java.nio (absolute + normalized), so relative and
+    * absolute spellings of one local root share a slot. */
+  private def canonicalRoot(root: String): String = {
+    val uri = new Path(root).toUri
+    if (uri.getScheme == null)
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+    else new Path(root).toString
+  }
 
   /** Reset the (files scanned, files live) accounting for a store root. */
   def resetScanStats(root: String): Unit =
@@ -323,14 +331,29 @@ object SnapshotTable {
     * proves file skipping fired on a PLAIN read path (SQL over a bound temp
     * view, the API `read()`, time travel): unlike
     * [[SnapshotTable#lastPruneStats]] it needs no special read API, because
-    * the pruning itself doesn't either. Counts accumulate across every
-    * relation a query plans over the root (a delta chain is base + runs). */
+    * the pruning itself doesn't either. Counts sum across every relation a
+    * query plans over the root (a delta chain is base + runs), but each
+    * relation contributes its LATEST listing only — Spark may re-plan one
+    * scan several times (a second action, AQE re-planning), and a repeated
+    * listing must not double the observable. */
   def scanStats(root: String): (Long, Long) =
-    Option(scanStatsMap.get(canonicalRoot(root))).getOrElse((0L, 0L))
+    Option(scanStatsMap.get(canonicalRoot(root))) match {
+      case None => (0L, 0L)
+      case Some(m) =>
+        import scala.jdk.CollectionConverters._
+        m.values.asScala.foldLeft((0L, 0L)) { case ((k, t), (k2, t2)) =>
+          (k + k2, t + t2)
+        }
+    }
 
-  private[sources] def recordScan(root: String, kept: Long, total: Long): Unit =
-    scanStatsMap.merge(canonicalRoot(root), (kept, total),
-      (a, b) => (a._1 + b._1, a._2 + b._2))
+  /** Record one [[ManifestFileIndex.listFiles]] pass. `indexId` slots the
+    * counts per index INSTANCE (one per relation), so re-listing the same
+    * relation overwrites rather than accumulates. */
+  private[sources] def recordScan(root: String, indexId: Long,
+      kept: Long, total: Long): Unit =
+    scanStatsMap.computeIfAbsent(canonicalRoot(root),
+      _ => new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]())
+      .put(indexId, (kept, total))
 }
 
 /** Lightweight snapshot/time-travel table (SURVEY.md §2.3 S3/S4, §2.11 X2):
@@ -487,6 +510,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * hidden, and the partition dirs carry this name. */
   private[sources] val DayCol = "graft__day"
 
+  /** Hidden columns of the coarser time transforms (Iceberg's full standard
+    * set: `months(ts)`/`years(ts)` for archive tables whose day grain would
+    * make too many partitions, `hours(ts)` for high-rate streams). Derived
+    * as `yyyy-MM` / `yyyy` / `yyyy-MM-dd-HH` strings; like the day column,
+    * manifests pin each file's SOURCE timestamp to the period's range, so
+    * predicates stay on the timestamp itself (hidden partitioning). */
+  private[sources] val MonthCol = "graft__month"
+  private[sources] val YearCol = "graft__year"
+  private[sources] val HourCol = "graft__hour"
+
+  /** Every hidden column a partition transform can derive (the read-path
+    * drop list — users never see them). */
+  private[sources] def hiddenPartitionCols: Seq[String] =
+    Seq(DayCol, MonthCol, YearCol, HourCol, BucketCol, TruncCol)
+
   /** Hidden column of the `bucket(N, col)` transform (Iceberg's
     * high-cardinality layout: murmur3 hash mod N). */
   private[sources] val BucketCol = "graft__bucket"
@@ -502,25 +540,37 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * commas only (transform arguments contain commas). */
   def partitionSpec: Seq[String] =
     if (!Files.exists(partitionSpecPath)) Nil
-    else {
-      val s = Files.readString(partitionSpecPath)
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val sb = new StringBuilder
-      var depth = 0
-      s.foreach {
-        case '(' => depth += 1; sb += '('
-        case ')' => depth -= 1; sb += ')'
-        case ',' if depth == 0 =>
-          if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-          sb.clear()
-        case c => sb += c
-      }
-      if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-      out.toSeq
+    else splitSpecEntries(Files.readString(partitionSpecPath))
+
+  /** Split a comma-joined spec string on TOP-LEVEL commas only (transform
+    * arguments contain commas: `bucket(8, doc_id)`). */
+  private def splitSpecEntries(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 =>
+        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+        sb.clear()
+      case c => sb += c
     }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.toSeq
+  }
 
   private def daysOf(entry: String): Option[String] =
     "(?i)^days?\\((\\w+)\\)$".r.findFirstMatchIn(entry.trim).map(_.group(1))
+
+  private def monthsOf(entry: String): Option[String] =
+    "(?i)^months?\\((\\w+)\\)$".r.findFirstMatchIn(entry.trim).map(_.group(1))
+
+  private def yearsOf(entry: String): Option[String] =
+    "(?i)^years?\\((\\w+)\\)$".r.findFirstMatchIn(entry.trim).map(_.group(1))
+
+  private def hoursOf(entry: String): Option[String] =
+    "(?i)^hours?\\((\\w+)\\)$".r.findFirstMatchIn(entry.trim).map(_.group(1))
 
   private[sources] def bucketOf(entry: String): Option[(Int, String)] =
     "(?i)^bucket\\((\\d+)\\s*,\\s*(\\w+)\\)$".r.findFirstMatchIn(entry.trim)
@@ -551,23 +601,31 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     if (spec.isEmpty) (df, Nil)
     else {
       def field(c: String) = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+      def ok(src: String) = field(src).isDefined
       var out = df
+      def derive(hidden: String, src: String, e: Column): Some[String] = {
+        out = out.withColumn(hidden, e); Some(hidden)
+      }
       val cols = spec.flatMap { e =>
-        (daysOf(e), bucketOf(e), truncOf(e)) match {
-          case (Some(src), _, _) if field(src).isDefined =>
-            out = out.withColumn(DayCol, to_date(col(src))); Some(DayCol)
-          case (_, Some((n, src)), _) if field(src).isDefined =>
-            out = out.withColumn(BucketCol, pmod(hash(col(src)), lit(n)))
-            Some(BucketCol)
-          case (_, _, Some((w, src))) if field(src).isDefined =>
-            val t = field(src).get.dataType match {
+        val isTransform = daysOf(e).orElse(monthsOf(e)).orElse(yearsOf(e))
+          .orElse(hoursOf(e)).orElse(bucketOf(e).map(_._2))
+          .orElse(truncOf(e).map(_._2)).isDefined
+        daysOf(e).filter(ok).flatMap(src =>
+            derive(DayCol, src, to_date(col(src))))
+          .orElse(monthsOf(e).filter(ok).flatMap(src =>
+            derive(MonthCol, src, date_format(col(src), "yyyy-MM"))))
+          .orElse(yearsOf(e).filter(ok).flatMap(src =>
+            derive(YearCol, src, date_format(col(src), "yyyy"))))
+          .orElse(hoursOf(e).filter(ok).flatMap(src =>
+            derive(HourCol, src, date_format(col(src), "yyyy-MM-dd-HH"))))
+          .orElse(bucketOf(e).filter(p => ok(p._2)).flatMap { case (n, src) =>
+            derive(BucketCol, src, pmod(hash(col(src)), lit(n))) })
+          .orElse(truncOf(e).filter(p => ok(p._2)).flatMap { case (w, src) =>
+            derive(TruncCol, src, field(src).get.dataType match {
               case StringType => substring(col(src), 1, w)
               case dt => (floor(col(src).cast("double") / w) * w).cast(dt)
-            }
-            out = out.withColumn(TruncCol, t); Some(TruncCol)
-          case (None, None, None) if field(e.trim).isDefined => Some(e.trim)
-          case _ => None
-        }
+            }) })
+          .orElse(if (!isTransform && field(e.trim).isDefined) Some(e.trim) else None)
       }
       (out, cols)
     }
@@ -597,7 +655,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
               !srcType.contains(dt)) None
           else bucketValueOf(v, dt, n).map(bv =>
             EqualTo(bucketAttr, Literal(bv, IntegerType)))
-        conj ++ conj.flatMap {
+        val derived = conj.flatMap {
           case EqualTo(a, Literal(v, dt)) => derive(a, v, dt)
           case EqualTo(Literal(v, dt), a) => derive(a, v, dt)
           case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
@@ -612,8 +670,34 @@ final class SnapshotTable(spark: SparkSession, root: String) {
               org.apache.spark.sql.catalyst.expressions.Or(_, _)))
           case _ => None
         }
+        if (derived.isEmpty || !bucketDerivationSound(n, src)) conj
+        else conj ++ derived
     }
   }
+
+  /** Is deriving `graft__bucket` conjuncts from the CURRENT spec's
+    * `bucket(n, src)` sound for every file this store can resolve? Files
+    * written under a DIFFERENT bucket entry (partition-spec evolution that
+    * changed N or the source column) carry bucket partition-path pins
+    * computed with the old hash-mod — a current-spec conjunct would wrongly
+    * prune them. Iceberg tracks a spec id per data file for exactly this
+    * reason; here each manifest records the spec its files were written
+    * under ([[manifestSpec]]), and derivation is allowed only when every
+    * live version's bucket-pinned files match the current entry. Legacy
+    * manifests (no recorded spec) are trusted only when their files carry
+    * no bucket dirs at all — a file without a bucket pin can never be
+    * wrongly pruned by a bucket conjunct. */
+  private def bucketDerivationSound(n: Int, src: String): Boolean =
+    readMeta().forall { m =>
+      readManifest(m._1) match {
+        case None => true // no manifest → no stats → never pruned
+        case Some((_, files)) =>
+          !files.exists(_.name.contains(BucketCol + "=")) ||
+            manifestSpec(m._1).exists(_.flatMap(bucketOf).exists {
+              case (bn, bs) => bn == n && bs.equalsIgnoreCase(src)
+            })
+      }
+    }
 
   // ── write sort order (Iceberg `ALTER TABLE … WRITE ORDERED BY`) ────────
 
@@ -679,7 +763,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * key files don't). */
   private def writeDataDir(df: DataFrame, v: Long): Long = {
     val (derived, pcols) = applyPartitionSpec(df)
-    writeVersionDir(applySortOrder(derived), v, pcols)
+    writeVersionDir(applySortOrder(derived), v, pcols, partitionSpec)
   }
 
   /** Per-file stats carried by the file's PARTITION PATH: each `k=v` dir
@@ -691,7 +775,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * contribute nothing (pruning stays conservative). */
   private def partitionPathStats(rel: String,
       schema: StructType): Map[String, (String, String)] = {
-    val daySrc = partitionSpec.flatMap(daysOf).headOption
+    // hidden time-transform column → its source column, per the CURRENT
+    // spec (this runs at COMMIT time, so "current" is the spec the file was
+    // just written under — the recorded stats stay correct across later
+    // spec evolution)
+    val spec = partitionSpec
+    val timeSrc: Map[String, String] =
+      (spec.flatMap(daysOf).headOption.map(DayCol -> _) ++
+        spec.flatMap(monthsOf).headOption.map(MonthCol -> _) ++
+        spec.flatMap(yearsOf).headOption.map(YearCol -> _) ++
+        spec.flatMap(hoursOf).headOption.map(HourCol -> _)).toMap
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def micros(t: java.time.LocalDateTime): Long =
+      t.atZone(zone).toInstant.toEpochMilli * 1000L
     rel.split('/').dropRight(1).flatMap { seg =>
       val i = seg.indexOf('=')
       if (i <= 0) Nil
@@ -699,25 +795,45 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         val k = seg.substring(0, i)
         val raw = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
         if (raw == "__HIVE_DEFAULT_PARTITION__") Nil // null partition value
-        else if (k == DayCol) {
-          val day = scala.util.Try(java.time.LocalDate.parse(raw)).toOption
-          val dayRange = day.map { d =>
-            DayCol -> (d.toEpochDay.toString, d.toEpochDay.toString)
-          }
-          // day boundaries in the SESSION time zone (to_date derived the
-          // partition value there; timestamp literals are epoch micros)
-          val zone = java.time.ZoneId.of(
-            spark.sessionState.conf.sessionLocalTimeZone)
-          def dayStartMicros(d: java.time.LocalDate): Long =
-            d.atStartOfDay(zone).toInstant.toEpochMilli * 1000L
+        else if (timeSrc.contains(k)) {
+          // the dir value's [start, end) period, as LocalDateTimes in the
+          // SESSION time zone (the derivation ran there)
+          val period = scala.util.Try(k match {
+            case DayCol =>
+              val d = java.time.LocalDate.parse(raw)
+              (d.atStartOfDay, d.plusDays(1).atStartOfDay)
+            case MonthCol =>
+              val m = java.time.YearMonth.parse(raw)
+              (m.atDay(1).atStartOfDay, m.plusMonths(1).atDay(1).atStartOfDay)
+            case YearCol =>
+              val y = java.time.Year.parse(raw)
+              (y.atDay(1).atStartOfDay, y.plusYears(1).atDay(1).atStartOfDay)
+            case HourCol =>
+              val s = java.time.LocalDate.parse(raw.substring(0, 10))
+                .atTime(raw.substring(11).toInt, 0)
+              (s, s.plusHours(1))
+          }).toOption
+          // hidden-col self-pin (day keeps its epochDay domain for manifest
+          // back-compat; the string transforms pin their own dir value)
+          val selfPin =
+            if (k == DayCol) period.map { case (s, _) =>
+              DayCol -> (s.toLocalDate.toEpochDay.toString,
+                s.toLocalDate.toEpochDay.toString)
+            } else Some(k -> (raw, raw))
           val srcRange = for {
-            d <- day; src <- daySrc
+            (s, e) <- period
+            src <- timeSrc.get(k)
             f <- schema.fields.find(_.name.equalsIgnoreCase(src))
-            if f.dataType == TimestampType
-          } yield f.name -> (
-            dayStartMicros(d).toString,
-            (dayStartMicros(d.plusDays(1)) - 1).toString)
-          dayRange.toSeq ++ srcRange.toSeq
+            pin <- f.dataType match {
+              case TimestampType =>
+                Some((micros(s).toString, (micros(e) - 1).toString))
+              case DateType =>
+                Some((s.toLocalDate.toEpochDay.toString,
+                  e.toLocalDate.minusDays(1).toEpochDay.toString))
+              case _ => None
+            }
+          } yield f.name -> pin
+          selfPin.toSeq ++ srcRange.toSeq
         } else schema.fields.find(_.name.equalsIgnoreCase(k)).flatMap { f =>
           val canon = scala.util.Try(f.dataType match {
             case StringType => Some(raw)
@@ -725,6 +841,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
               Some(raw.toLong.toString)
             case DateType =>
               Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+            case TimestampType => // identity-partitioned timestamps prune too
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+                org.apache.spark.unsafe.types.UTF8String.fromString(raw), zone)
+                .map(_.toString)
             case FloatType => Some(raw.toFloat.toString)
             case DoubleType => Some(raw.toDouble.toString)
             case BooleanType => Some(raw.toBoolean.toString)
@@ -821,6 +941,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     Files.writeString(metaPath,
       s"$version,${System.currentTimeMillis()},$op,$rows\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // self-GC: once the version is LOGGED the marker has done its job —
+    // `claimVersion` re-validates against the log after every create, so a
+    // racer that re-creates this number can never keep it. Without this a
+    // long-lived table accrues one empty file per version forever and every
+    // commit pays an O(total-versions) marker listing (on an object store,
+    // the classic metadata bottleneck).
+    deleteMarker(version)
   }
 
   // ── optimistic concurrency (Iceberg's atomic-swap commit: SURVEY §3.1
@@ -837,32 +964,63 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   //    conflict-detection contract. Plain appends never conflict (they
   //    commute), also matching Iceberg. ──────────────────────────────────
 
-  private def commitMarkersDir = Paths.get(root, "_graft_commits")
+  // Marker IO goes through Hadoop's FileSystem so the CAS discipline holds
+  // on `hdfs:`/`s3a:` roots, not just the local FS (the DedupStream
+  // discipline). Local roots keep java.nio's O_EXCL create — RawLocalFS's
+  // create(overwrite=false) is check-then-act, strictly weaker; HDFS's is
+  // atomic server-side; S3A is best-effort (a real deployment closes that
+  // window with a catalog-side CAS, as validateHeadOrRelease documents).
+  private lazy val rootFs: org.apache.hadoop.fs.FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def maxClaimed(): Long =
-    if (!Files.exists(commitMarkersDir)) -1L
-    else {
-      val s = Files.list(commitMarkersDir)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .flatMap(p => p.getFileName.toString.stripPrefix("v=").toLongOption)
-          .foldLeft(-1L)(math.max)
-      } finally s.close()
+  private lazy val rootIsLocal: Boolean = {
+    val scheme = new Path(root).toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  private def commitMarkersDir = new Path(root, "_graft_commits")
+  private def markerPath(v: Long) = new Path(commitMarkersDir, s"v=$v")
+
+  /** Create-exclusive on the marker: true = this writer owns version `v`. */
+  private def tryClaimMarker(v: Long): Boolean =
+    if (rootIsLocal) {
+      try { Files.createFile(Paths.get(root, "_graft_commits", s"v=$v")); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { rootFs.create(markerPath(v), false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if rootFs.exists(markerPath(v)) => false
+      }
     }
 
+  private def deleteMarker(v: Long): Unit =
+    rootFs.delete(markerPath(v), false)
+
+  /** Highest marker currently on disk. Markers self-GC once logged
+    * ([[appendMeta]]), so this lists O(in-flight claims), not O(versions). */
+  private def maxClaimed(): Long =
+    if (!rootFs.exists(commitMarkersDir)) -1L
+    else rootFs.listStatus(commitMarkersDir).iterator
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption)
+      .foldLeft(-1L)(math.max)
+
   /** Atomically claim the next free version number. Never returns a version
-    * another writer holds; a lost race simply moves to the next number. */
+    * another writer holds; a lost race simply moves to the next number.
+    * After winning a create, the claim is RE-VALIDATED against the log:
+    * markers self-GC once their version is logged, so a racer whose meta
+    * read predated that append could re-create a spent number — the
+    * re-validation releases it and moves past the log instead. */
   private def claimVersion(meta: Seq[Meta]): Long = {
-    Files.createDirectories(commitMarkersDir)
+    rootFs.mkdirs(commitMarkersDir)
     var next = math.max(nextVersion(meta), maxClaimed() + 1)
     var claimed = false
     while (!claimed) {
-      try {
-        Files.createFile(commitMarkersDir.resolve(s"v=$next"))
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      if (!tryClaimMarker(next)) next += 1
+      else {
+        val logged = nextVersion(readMeta())
+        if (next < logged) { deleteMarker(next); next = math.max(logged, maxClaimed() + 1) }
+        else claimed = true
       }
     }
     next
@@ -897,13 +1055,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * version and a re-claim of this number can only happen after this
     * cleanup completed (marker deletion is last). */
   private def releaseClaim(v: Long): Unit = {
-    val dir = Paths.get(root, s"v=$v")
-    if (Files.exists(dir))
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+    rootFs.delete(new Path(root, s"v=$v"), true)
     Files.deleteIfExists(manifestPath(v))
     manifestCache.synchronized { manifestCache.remove(v) }
-    Files.deleteIfExists(commitMarkersDir.resolve(s"v=$v"))
+    manifestSpecCache.synchronized { manifestSpecCache.remove(v) }
+    deleteMarker(v)
   }
 
   /** Final conflict validation of a read-dependent commit: re-reads the log
@@ -933,7 +1089,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * as `<col>=…/part-*.parquet` hive partitions (manifest names stay
     * relative, so stats and metadata scans see through the partition dirs). */
   private def writeVersionDir(df: DataFrame, v: Long,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, spec: Seq[String] = Nil): Long = {
     val dir = s"$root/v=$v"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
@@ -969,9 +1125,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     Files.createDirectories(Paths.get(root, ManifestDir))
     val header = "#schema\t" + java.util.Base64.getEncoder.encodeToString(
       df.schema.json.getBytes("UTF-8"))
+    // the spec in force when these files were WRITTEN rides the manifest
+    // (Iceberg's spec-id-per-file): transform-derived pruning conjuncts are
+    // only sound against files whose recorded spec matches the derivation
+    val specLine =
+      if (spec.isEmpty) Nil
+      else Seq("#spec\t" + java.util.Base64.getEncoder.encodeToString(
+        spec.mkString(",").getBytes("UTF-8")))
     val body = stats.map(f =>
       s"${f.name}\t${f.records}\t${f.bytes}\t${SnapshotTable.encodeStats(f.stats)}")
-    Files.writeString(manifestPath(v), (header +: body).mkString("", "\n", "\n"),
+    Files.writeString(manifestPath(v),
+      ((header +: specLine) ++ body).mkString("", "\n", "\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     stats.map(_.records).sum
   }
@@ -983,6 +1147,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * Synchronized: concurrent committers share the instance. */
   private val manifestCache =
     scala.collection.mutable.HashMap.empty[Long, Option[(StructType, Seq[SnapshotTable.ManifestFile])]]
+
+  /** Partition spec recorded in each version's manifest (`#spec` header):
+    * Some(spec) when recorded, None for legacy manifests — filled as a side
+    * effect of [[readManifest]]. */
+  private val manifestSpecCache =
+    scala.collection.mutable.HashMap.empty[Long, Option[Seq[String]]]
+
+  /** The partition spec version `v`'s files were WRITTEN under, when its
+    * manifest recorded one (r14+ manifests of partitioned stores). */
+  private[sources] def manifestSpec(v: Long): Option[Seq[String]] = {
+    readManifest(v) // populates both caches
+    manifestSpecCache.synchronized(manifestSpecCache.get(v)).flatten
+  }
 
   /** The manifest written with version `v`'s data dir, if present:
     * (schema, per-file name/records/bytes/column-ranges). */
@@ -1000,8 +1177,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         DataType.fromJson(new String(java.util.Base64.getDecoder.decode(
           h.split("\t", 2)(1)), "UTF-8")).asInstanceOf[StructType]
       }
+      val spec = lines.find(_.startsWith("#spec\t")).map { l =>
+        splitSpecEntries(new String(
+          java.util.Base64.getDecoder.decode(l.split("\t", 2)(1)), "UTF-8"))
+      }
+      manifestSpecCache.synchronized { manifestSpecCache.put(v, spec) }
       schema.map { sch =>
-        (sch, lines.drop(1).map { l =>
+        (sch, lines.drop(1).filterNot(_.startsWith("#")).map { l =>
           // pre-r12 manifests have 3 fields (no stats) — still readable,
           // they just never prune
           val p = l.split("\t", 4)
@@ -1040,6 +1222,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     case FloatType   => raw.toFloatOption
     case DateType =>
       scala.util.Try(java.time.LocalDate.parse(raw).toEpochDay.toInt).toOption
+    case TimestampType =>
+      // hive layout writes timestamp partition values in the session zone
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+        java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
     case _ => None
   }
 
@@ -1198,7 +1385,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    resolveVersion(meta, v, None).drop(DayCol, BucketCol, TruncCol)
+    resolveVersion(meta, v, None).drop(hiddenPartitionCols: _*)
   }
 
   /** Pruned read: like [[read]] with `.filter(pred)`, but MANIFEST COLUMN
@@ -1218,7 +1405,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val conj0 = SnapshotTable.conjunctsOf(resolved, pred)
     val conj = transformConjuncts(resolved.schema, conj0)
     pruneKept = 0L; pruneTotal = 0L
-    resolveVersion(meta, v, Some(conj)).filter(pred).drop(DayCol, BucketCol, TruncCol)
+    resolveVersion(meta, v, Some(conj)).filter(pred).drop(hiddenPartitionCols: _*)
   }
 
   /** (data files scanned, data files live) of the most recent [[readWhere]]
@@ -1261,7 +1448,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case Some("rename") | Some("drop") | Some("widen") => true
       // adds are safe; a partition-spec change never renames a column and
       // every file's stats were recorded from the layout it was actually
-      // written under, so pruning across the spec boundary stays sound
+      // written under, so STATS pruning across the spec boundary stays
+      // sound. Spec-DERIVED conjuncts (hidden-bucket equality) are the one
+      // exception — they are gated per-file by the manifest-recorded spec
+      // in bucketDerivationSound, not here
       case _ => false
     })
 
@@ -1502,11 +1692,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val keep = seed.flatMap(v => reachable(meta, v))
     val expire = meta.map(_._1).filterNot(keep).sorted
     expire.foreach { v =>
-      val dir = Paths.get(root, s"v=$v")
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      rootFs.delete(new Path(root, s"v=$v"), true)
       Files.deleteIfExists(manifestPath(v))
     }
     val expired = expire.toSet
@@ -1515,6 +1701,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .mkString("", "\n", if (remaining.nonEmpty) "\n" else "")
     Files.writeString(metaPath, content,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // marker sweep for pre-self-GC stores and crashed writers: any marker
+    // BELOW the log's next version is spent (its writer either logged — and
+    // the re-validation in claimVersion keeps a re-created number from being
+    // kept — or died after other writers moved the log past it). Markers at
+    // or above the log head may be in-flight claims and are never touched.
+    if (rootFs.exists(commitMarkersDir)) {
+      val floor = nextVersion(remaining)
+      rootFs.listStatus(commitMarkersDir).foreach { s =>
+        s.getPath.getName.stripPrefix("v=").toLongOption
+          .filter(_ < floor).foreach(deleteMarker)
+      }
+    }
     expire
   }
 
@@ -1977,13 +2175,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * needs N > 0; `truncate(W, c)` needs W > 0 and an integral or string
     * source (the width-truncation domains). */
   private def validateSpecEntry(schema: StructType, e: String): Unit = {
-    val src = daysOf(e).orElse(bucketOf(e).map(_._2)).orElse(truncOf(e).map(_._2))
+    val src = daysOf(e).orElse(monthsOf(e)).orElse(yearsOf(e)).orElse(hoursOf(e))
+      .orElse(bucketOf(e).map(_._2)).orElse(truncOf(e).map(_._2))
       .getOrElse(e.trim)
     val f = schema.fields.find(_.name.equalsIgnoreCase(src))
     require(f.isDefined, s"partition spec entry '$e' names no column $src")
-    if (daysOf(e).isDefined)
+    if (daysOf(e).isDefined || monthsOf(e).isDefined || yearsOf(e).isDefined)
       require(f.get.dataType == TimestampType || f.get.dataType == DateType,
-        s"days($src) needs a timestamp/date column, got ${f.get.dataType.simpleString}")
+        s"${e.trim} needs a timestamp/date column, got ${f.get.dataType.simpleString}")
+    if (hoursOf(e).isDefined)
+      require(f.get.dataType == TimestampType,
+        s"hours($src) needs a timestamp column, got ${f.get.dataType.simpleString}")
     bucketOf(e).foreach { case (n, _) =>
       require(n > 0, s"bucket($n, $src): bucket count must be positive") }
     truncOf(e).foreach { case (w, _) =>
@@ -2003,6 +2205,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     newSpec.foreach(e => validateSpecEntry(schema, e))
     require(newSpec.flatMap(daysOf).size <= 1,
       "at most one days() transform per spec")
+    require(newSpec.flatMap(monthsOf).size <= 1,
+      "at most one months() transform per spec")
+    require(newSpec.flatMap(yearsOf).size <= 1,
+      "at most one years() transform per spec")
+    require(newSpec.flatMap(hoursOf).size <= 1,
+      "at most one hours() transform per spec")
     require(newSpec.flatMap(e => bucketOf(e).toSeq).size <= 1,
       "at most one bucket() transform per spec")
     require(newSpec.flatMap(e => truncOf(e).toSeq).size <= 1,

@@ -827,6 +827,55 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(st2.read().count() === 4)
   }
 
+  test("qualified column refs resolve on a bound single-part table name") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("qual_ref").toString
+    new SnapshotTable(spark, root)
+      .commit(Seq((1L, "x"), (2L, "y")).toDF("id", "w").coalesce(1))
+    spark.conf.set("graft.snapshot.qualref", root)
+    val r = new SqlScriptRunner(spark)
+    // the rename-style rewrite fixed the FROM but left `qualref.id`
+    // dangling; the name-preserving binding resolves both
+    val got = r.run(
+      "SELECT qualref.id, qualref.w FROM qualref WHERE qualref.id = 2")
+      .values.head.collect()
+    assert(got.map(x => (x.getLong(0), x.getString(1))).toSeq === Seq((2L, "y")))
+    // self-joins by the plain name work too
+    val n = r.run("SELECT count(*) AS n FROM qualref a JOIN qualref b ON a.id = b.id")
+      .values.head.collect()(0).getLong(0)
+    assert(n === 2L)
+  }
+
+  test("MERGE source by plain name checks SELECT in asUser mode") {
+    import graft.sources.{Catalog, SnapshotTable}
+    import spark.implicits._
+    val tgtRoot = Files.createTempDirectory("merge_rbac_t").toString
+    val srcRoot = Files.createTempDirectory("merge_rbac_s").toString
+    new SnapshotTable(spark, tgtRoot).commit(Seq((1L, "a")).toDF("id", "v"))
+    new SnapshotTable(spark, srcRoot).commit(Seq((1L, "classified")).toDF("id", "v"))
+    spark.conf.set("graft.snapshot.ops.tgt", tgtRoot)
+    spark.conf.set("graft.snapshot.sec.src", srcRoot)
+    Catalog.grant("GRANT WRITE ON TABLE ops.tgt TO USER writer")
+    // WRITE on the target does NOT confer read on an arbitrary bound
+    // dataset named as the MERGE source — that would bypass the dataset
+    // SELECT check every other read path enforces
+    val denied = intercept[Catalog.AccessDeniedException] {
+      new SqlScriptRunner(spark, asUser = Some("writer")).run(
+        """MERGE INTO ops.tgt t USING sec.src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(denied.getMessage.contains("writer"))
+    Catalog.grant("GRANT SELECT ON TABLE sec.src TO USER writer")
+    new SqlScriptRunner(spark, asUser = Some("writer")).run(
+      """MERGE INTO ops.tgt t USING sec.src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(new SnapshotTable(spark, tgtRoot).read()
+      .select("v").as[String].head() === "classified")
+  }
+
   test("snapshot INSERT rejects lossy store-assignment (ANSI semantics)") {
     import graft.sources.SnapshotTable
     import spark.implicits._

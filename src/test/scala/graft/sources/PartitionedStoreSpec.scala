@@ -180,6 +180,156 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(SnapshotTable.scanStats(r2) === ((1L, 3L)))
   }
 
+  test("bucket derivation stays SOUND across partition-spec evolution " +
+      "(files keep their write-time spec, like Iceberg's spec id per file)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_bevolve").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    val old = Seq.tabulate(200)(i => (i.toLong, s"old$i")).toDF("id", "v")
+    t.commitPartitioned(old.coalesce(1), Seq("bucket(4, id)"))
+    // derivation fires while every file matches the current bucket entry
+    assert(t.readWhere(col("id") === 77L).count() === 1)
+    assert(t.lastPruneStats === ((1L, 4L)))
+    // evolve the bucket width: files already on disk keep their mod-4 pins
+    t.evolvePartition(Seq("bucket(8, id)"))
+    t.commit(Seq((1000L, "new")).toDF("id", "v"), op = "append")
+    // a point lookup for a row written under the OLD spec must still find
+    // it: deriving `graft__bucket = hash mod 8` against mod-4 pins would
+    // wrongly prune the file holding id=77 (hash(77)%8=hash(77)%4 only by
+    // luck) — derivation is suppressed instead, and the row survives on
+    // BOTH read paths
+    assert(t.readWhere(col("id") === 77L)
+      .as[(Long, String)].collect().toSeq === Seq((77L, "old77")))
+    assert(t.read().filter(col("id") === 77L).count() === 1)
+    // every old id is intact (exhaustive, not just one lucky hash)
+    assert(t.read().filter(col("id") < 200L).count() === 200)
+    val ids = (0L until 200L).filter(k =>
+      t.readWhere(col("id") === k).isEmpty)
+    assert(ids.isEmpty, s"rows silently pruned away for ids: $ids")
+    // a store whose files ALL match the current entry still derives (the
+    // fix must not cost the sound case its pruning)
+    val r2 = Files.createTempDirectory("pstore_bsound").toFile.getAbsolutePath
+    val t2 = new SnapshotTable(spark, r2)
+    t2.commitPartitioned(old.coalesce(1), Seq("bucket(4, id)"))
+    t2.commit(Seq((1000L, "x")).toDF("id", "v"), op = "append")
+    assert(t2.readWhere(col("id") === 77L).count() === 1)
+    val (k2, n2) = t2.lastPruneStats // 4 base bucket files + 1 append file
+    assert(n2 === 5L && k2 <= 2L, s"kept=$k2 total=$n2")
+  }
+
+  test("months()/years()/hours() transforms: coarser hidden time layouts prune") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // months: archive-table grain
+    val r1 = Files.createTempDirectory("pstore_month").toFile.getAbsolutePath
+    val t1 = new SnapshotTable(spark, r1)
+    val rows = for (m <- 1 to 3; d <- Seq(5, 20)) yield
+      (m * 100L + d, ts(f"2025-$m%02d-$d%02d 10:00:00"))
+    t1.commitPartitioned(rows.toDF("id", "event_ts").coalesce(1),
+      Seq("months(event_ts)"))
+    assert(Files.isDirectory(Paths.get(r1, "v=0", "graft__month=2025-02")))
+    assert(t1.read().columns.toSeq === Seq("id", "event_ts"))
+    val got = t1.readWhere(
+      col("event_ts") >= lit("2025-02-01 00:00:00").cast("timestamp") &&
+      col("event_ts") < lit("2025-03-01 00:00:00").cast("timestamp"))
+    assert(got.select("id").as[Long].collect().toSet === Set(205L, 220L))
+    assert(t1.lastPruneStats === ((1L, 3L)))
+    // the PLAIN read path prunes too (ManifestFileIndex)
+    SnapshotTable.resetScanStats(r1)
+    assert(t1.read().filter(
+      col("event_ts") >= lit("2025-02-01 00:00:00").cast("timestamp") &&
+      col("event_ts") < lit("2025-03-01 00:00:00").cast("timestamp"))
+      .count() === 2)
+    assert(SnapshotTable.scanStats(r1) === ((1L, 3L)))
+    // years
+    val r2 = Files.createTempDirectory("pstore_year").toFile.getAbsolutePath
+    val t2 = new SnapshotTable(spark, r2)
+    t2.commitPartitioned(Seq((1L, ts("2023-06-01 00:00:00")),
+      (2L, ts("2024-06-01 00:00:00")), (3L, ts("2025-06-01 00:00:00")))
+      .toDF("id", "event_ts").coalesce(1), Seq("years(event_ts)"))
+    assert(Files.isDirectory(Paths.get(r2, "v=0", "graft__year=2024")))
+    assert(t2.readWhere(year(col("event_ts")) === 2024).count() === 1)
+    // year() wraps the column, so stats can't see through it — but a RANGE
+    // predicate on the timestamp itself prunes
+    assert(t2.readWhere(
+      col("event_ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+      col("event_ts") < lit("2025-01-01 00:00:00").cast("timestamp"))
+      .count() === 1)
+    assert(t2.lastPruneStats === ((1L, 3L)))
+    // hours: high-rate stream grain
+    val r3 = Files.createTempDirectory("pstore_hour").toFile.getAbsolutePath
+    val t3 = new SnapshotTable(spark, r3)
+    val hr = for (h <- Seq(9, 10, 11); m <- Seq(5, 40)) yield
+      (h * 100L + m, ts(f"2025-03-01 $h%02d:$m%02d:00"))
+    t3.commitPartitioned(hr.toDF("id", "event_ts").coalesce(1),
+      Seq("hours(event_ts)"))
+    assert(Files.isDirectory(Paths.get(r3, "v=0", "graft__hour=2025-03-01-10")))
+    val g3 = t3.readWhere(
+      col("event_ts") >= lit("2025-03-01 10:00:00").cast("timestamp") &&
+      col("event_ts") < lit("2025-03-01 11:00:00").cast("timestamp"))
+    assert(g3.select("id").as[Long].collect().toSet === Set(1005L, 1040L))
+    assert(t3.lastPruneStats === ((1L, 3L)))
+    // hours() rejects date columns (Iceberg's rule)
+    val bad = intercept[IllegalArgumentException] {
+      new SnapshotTable(spark,
+        Files.createTempDirectory("pstore_hbad").toFile.getAbsolutePath)
+        .commitPartitioned(Seq((1L, java.sql.Date.valueOf("2025-03-01")))
+          .toDF("id", "d"), Seq("hours(d)"))
+    }
+    assert(bad.getMessage.contains("hours"))
+  }
+
+  test("identity TIMESTAMP partitioning prunes (no silent unpruned fallback)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val root = Files.createTempDirectory("pstore_idts").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    val slots = Seq(ts("2025-03-01 10:00:00"), ts("2025-03-01 11:00:00"),
+      ts("2025-03-01 12:00:00"))
+    val df = Seq.tabulate(30)(i => (i.toLong, slots(i % 3))).toDF("id", "slot")
+    t.commitPartitioned(df.coalesce(1), Seq("slot"))
+    assert(t.read().count() === 30)
+    // equality on the identity-partitioned timestamp prunes to one file on
+    // BOTH paths — previously the value parser skipped TimestampType and the
+    // store silently fell back to the unpruned reader
+    val got = t.readWhere(col("slot") === lit("2025-03-01 11:00:00").cast("timestamp"))
+    assert(got.count() === 10)
+    assert(t.lastPruneStats === ((1L, 3L)))
+    SnapshotTable.resetScanStats(root)
+    assert(t.read()
+      .filter(col("slot") === lit("2025-03-01 11:00:00").cast("timestamp"))
+      .count() === 10)
+    assert(SnapshotTable.scanStats(root) === ((1L, 3L)))
+  }
+
+  test("commit markers self-GC once logged; expiry sweeps legacy markers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_markers").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append")
+    t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")
+    def markers() = Option(Paths.get(root, "_graft_commits").toFile.list())
+      .map(_.toSeq.sorted).getOrElse(Nil)
+    // a marker's job ends when its version is logged: the dir stays
+    // O(in-flight), never O(versions) — each commit's listing stays cheap
+    // on an object store
+    assert(markers() === Nil, s"markers not GC'd: ${markers()}")
+    // legacy stores (pre-self-GC) carry one marker per version: expiry
+    // sweeps every marker below the log head, keeps possible in-flight ones
+    Files.createFile(Paths.get(root, "_graft_commits", "v=0"))
+    Files.createFile(Paths.get(root, "_graft_commits", "v=1"))
+    Files.createFile(Paths.get(root, "_graft_commits", "v=9"))
+    t.expireSnapshots(keep = 10)
+    assert(markers() === Seq("v=9"), s"sweep wrong: ${markers()}")
+    Files.delete(Paths.get(root, "_graft_commits", "v=9"))
+    // the table still reads and commits normally after the sweep
+    assert(t.read().count() === 3)
+    t.commit(Seq((4L, "d")).toDF("id", "v"), op = "append")
+    assert(t.read().count() === 4)
+    assert(markers() === Nil)
+  }
+
   test("table_partitions serves partition-grain rows from manifests, zero footer reads") {
     import spark.implicits._
     val root = Files.createTempDirectory("pstore_meta").toFile.getAbsolutePath
