@@ -231,7 +231,7 @@ final class SqlScriptRunner(spark: SparkSession,
       // DML; the truncate form below remains the catalog-table reset). The
       // write mode follows the table's declared property, like Iceberg's
       // write.delete.mode:
-      //   graft.snapshot.<name>.delete_mode = cow (default) | mor
+      //   graft.snapshot.<name>.delete_mode = cow (default) | mor | pos
       //   graft.snapshot.<name>.key         = equality-delete key (mor only)
       // `DELETE FROM t AT BRANCH b WHERE …` (Dremio's branch-targeted DML
       // spelling) applies the delete to the BRANCH's head — the
@@ -257,6 +257,11 @@ final class SqlScriptRunner(spark: SparkSession,
                   s"$name: set graft.snapshot.$name.key to the equality-delete key"))
               st.deleteWhereMor(pred,
                 key.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            case "pos" =>
+              // Iceberg v2 position deletes: no key needed — the delete
+              // form for tables without a unique key (duplicate rows keep
+              // their unmatched copies)
+              st.deleteWherePos(pred)
             case _ => st.deleteWhere(pred)
           }
       }

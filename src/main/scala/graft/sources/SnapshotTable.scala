@@ -413,6 +413,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * holds only the deleted KEYS, not a full data copy (see [[deleteWhereMor]]). */
   private val MorDeleteOp = "mor-delete"
 
+  /** Op marker for merge-on-read POSITION-delete commits (Iceberg v2's
+    * second delete-file kind): the version dir holds `(graft__file,
+    * graft__pos)` rows naming exact row positions in exact data files.
+    * Unlike equality deletes this needs NO key column at all — it is the
+    * delete form that works on tables with duplicate rows, where an
+    * equality delete would remove every copy (see [[deleteWherePos]]). */
+  private val PosDeleteOp = "pos-delete"
+
+  /** Hidden columns carrying each row's physical provenance during a
+    * pos-delete-aware resolution: the parquet file's qualified path and the
+    * row's index within it (Spark's `_metadata` contract — stable for a
+    * given immutable file). Never user-visible. */
+  private[sources] val FileCol = "graft__file"
+  private[sources] val PosCol = "graft__pos"
+
   /** Op marker for O(delta) append commits: the version dir holds only the
     * appended rows; readers union it onto the chain (see [[commit]]). A
     * streaming append carries its micro-batch id as `append@<batchId>` —
@@ -524,6 +539,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * drop list — users never see them). */
   private[sources] def hiddenPartitionCols: Seq[String] =
     Seq(DayCol, MonthCol, YearCol, HourCol, BucketCol, TruncCol)
+
+  /** Hidden partition columns plus the pos-delete provenance pair — the
+    * full set a resolved read strips before handing rows to the user. */
+  private[sources] def hiddenReadCols: Seq[String] =
+    hiddenPartitionCols ++ Seq(FileCol, PosCol)
 
   /** Hidden column of the `bucket(N, col)` transform (Iceberg's
     * high-cardinality layout: murmur3 hash mod N). */
@@ -915,8 +935,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * mor-deletes, and evolve commits are NOT restart points — they fold onto
     * the chain before them. */
   private def isRestart(op: String): Boolean =
-    op != MorDeleteOp && !isDeltaAppend(op) && op != MorUpdateOp &&
-      op != MorMergeOp && !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
+    op != MorDeleteOp && op != PosDeleteOp && !isDeltaAppend(op) &&
+      op != MorUpdateOp && op != MorMergeOp &&
+      !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
 
   /** Main's head: the latest commit that is on main's lineage (branch
     * commits share the version sequence but not the lineage). */
@@ -1364,10 +1385,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def tableRowsAsOf(meta: Seq[Meta], v: Long): Long = {
     val entry = meta.find(_._1 == v).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$v at $root"))
-    if (entry._3 == MorDeleteOp) {
+    if (entry._3 == MorDeleteOp || entry._3 == PosDeleteOp) {
+      // both delete-file kinds log their delete count; each delete row
+      // removes exactly one table row ((file, pos) is unique per row; mor
+      // keys are unique by the mode's contract)
       val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
         .getOrElse(throw new IllegalStateException(
-          s"mor-delete v=$v has no preceding main snapshot at $root"))
+          s"delete-file commit v=$v has no preceding main snapshot at $root"))
       tableRowsAsOf(meta, prev._1) - entry._4
     } else entry._4
   }
@@ -1385,7 +1409,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val v = versionAsOf.orElse(mainHead(meta))
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
-    resolveVersion(meta, v, None).drop(hiddenPartitionCols: _*)
+    resolveVersion(meta, v, None).drop(hiddenReadCols: _*)
   }
 
   /** Pruned read: like [[read]] with `.filter(pred)`, but MANIFEST COLUMN
@@ -1405,7 +1429,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val conj0 = SnapshotTable.conjunctsOf(resolved, pred)
     val conj = transformConjuncts(resolved.schema, conj0)
     pruneKept = 0L; pruneTotal = 0L
-    resolveVersion(meta, v, Some(conj)).filter(pred).drop(hiddenPartitionCols: _*)
+    resolveVersion(meta, v, Some(conj)).filter(pred).drop(hiddenReadCols: _*)
   }
 
   /** (data files scanned, data files live) of the most recent [[readWhere]]
@@ -1455,8 +1479,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case _ => false
     })
 
+  /** Provenance annotation for pos-delete-aware resolution: each row of a
+    * file-backed frame gains its parquet file path and in-file row index
+    * from Spark's `_metadata` column. Frames with no file source (empty
+    * commits) null-fill — a null never equi-joins, so such rows are simply
+    * immune to position deletes, which is exactly right (they came from no
+    * file a delete file could name). */
+  private def withPosCols(df: DataFrame): DataFrame =
+    if (df.columns.contains(FileCol)) df
+    else scala.util.Try(df.select(col("*"),
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))).getOrElse(
+      df.withColumn(FileCol, lit(null).cast(StringType))
+        .withColumn(PosCol, lit(null).cast(LongType)))
+
   private def resolveVersion(meta: Seq[Meta], v: Long,
-      prune: Option[Seq[Expression]]): DataFrame = {
+      prune: Option[Seq[Expression]], withPos: Boolean = false): DataFrame = {
     val entry = meta.find(_._1 == v).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$v at $root"))
     if (isBranchOp(entry._3)) {
@@ -1481,9 +1519,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       // stats unreliable under post-evolve names — disable pruning for the
       // whole window (conservative; correctness beats a skipped file)
       val p = if (tail.exists(m => evolveBlocksPruning(m._3))) None else prune
+      // pos-deletes in the window need every DATA frame annotated with its
+      // rows' (file, pos) provenance from the base onward, so the delete
+      // files can anti-join
+      val posNeeded = withPos || tail.exists(_._3 == PosDeleteOp)
+      def posWrap(df: DataFrame): DataFrame =
+        if (posNeeded) withPosCols(df) else df
       val base: Option[DataFrame] = start.map { m =>
-        if (m._3.startsWith(AsOfOpPrefix)) resolveVersion(meta, asOfTarget(m._3), p)
-        else readVersionDirPruned(dataDirVersion(m), p)
+        if (m._3.startsWith(AsOfOpPrefix))
+          resolveVersion(meta, asOfTarget(m._3), p, posNeeded)
+        else posWrap(readVersionDirPruned(dataDirVersion(m), p))
       }
       batchDeltaRuns(tail).foldLeft(base) {
         case (acc, Right(run)) =>
@@ -1515,14 +1560,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
             case None => manifestRelation(run.map(_._1)).getOrElse(
               spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*))
           }
-          Some(acc.map(_.unionByName(df, allowMissingColumns = true)).getOrElse(df))
-        case (acc, Left(m)) => Some(applyChainOp(acc, m, p))
+          Some(acc.map(_.unionByName(posWrap(df), allowMissingColumns = true))
+            .getOrElse(posWrap(df)))
+        case (acc, Left(m)) => Some(applyChainOp(acc, m, p, posNeeded))
       }.orElse {
         // chain of NOTHING but zero-row deltas (batchDeltaRuns drops them):
         // an empty frame with the latest delta's manifest schema
         tail.reverseIterator.collectFirst {
           case m if isDeltaAppend(m._3) && readManifest(m._1).isDefined =>
-            readVersionDir(m._1)
+            posWrap(readVersionDir(m._1))
         }
       }.getOrElse(throw new IllegalStateException(
         s"no data at or before v=$v at $root"))
@@ -1558,9 +1604,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   private def applyChainOp(acc: Option[DataFrame], m: Meta,
-      prune: Option[Seq[Expression]]): DataFrame = m._3 match {
+      prune: Option[Seq[Expression]], posNeeded: Boolean = false): DataFrame = {
+    def posWrap(df: DataFrame): DataFrame =
+      if (posNeeded) withPosCols(df) else df
+    m._3 match {
     case op if isDeltaAppend(op) =>
-      val delta = readVersionDirPruned(m._1, prune)
+      val delta = posWrap(readVersionDirPruned(m._1, prune))
       acc.map(_.unionByName(delta, allowMissingColumns = true)).getOrElse(delta)
     case MorDeleteOp =>
       // delete-KEY files are never pruned: they remove base rows regardless
@@ -1571,10 +1620,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-delete v=${m._1} has no base snapshot at $root"))
       df.join(broadcast(del), del.columns.toSeq, "left_anti")
+    case PosDeleteOp =>
+      // the delete file's columns ARE the provenance pair (graft__file,
+      // graft__pos); the base carries them because posNeeded covered this
+      // window — one broadcast anti-join, exactly the equality-delete plan
+      val del = readVersionDir(m._1)
+      val df = acc.getOrElse(throw new IllegalStateException(
+        s"pos-delete v=${m._1} has no base snapshot at $root"))
+      df.join(broadcast(del), del.columns.toSeq, "left_anti")
     case MorUpdateOp =>
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-update v=${m._1} has no base snapshot at $root"))
-      val repl = readVersionDirPruned(m._1, prune)
+      val repl = posWrap(readVersionDirPruned(m._1, prune))
       if (!morKeysExist(m._1)) df // predicate matched nothing: a no-op commit
       else {
         val keys = spark.read.parquet(morUpdateDeletesDir(m._1))
@@ -1587,7 +1644,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     case MorMergeOp =>
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-merge v=${m._1} has no base snapshot at $root"))
-      val repl = readVersionDirPruned(m._1, prune)
+      val repl = posWrap(readVersionDirPruned(m._1, prune))
       val afterDel =
         if (!morKeysExist(m._1)) df // insert-only merge: nothing matched
         else {
@@ -1601,6 +1658,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         s"schema evolution v=${m._1} has no base snapshot at $root")), op)
     case other =>
       throw new IllegalStateException(s"unexpected chain op $other at v=${m._1}")
+  }
   }
 
   /** One schema-evolution commit applied to a frame (shared by chain
@@ -1673,8 +1731,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           else Set(v)
         } else if (op.startsWith(AliasOpPrefix)) Set(v, dataDirVersion(entry))
         else if (op.startsWith(AsOfOpPrefix)) Set(v) ++ reachable(meta, asOfTarget(op))
-        else if (op == MorDeleteOp || isDeltaAppend(op) || op == MorUpdateOp ||
-            op == MorMergeOp || op.startsWith(EvolveOpPrefix)) {
+        else if (op == MorDeleteOp || op == PosDeleteOp || isDeltaAppend(op) ||
+            op == MorUpdateOp || op == MorMergeOp ||
+            op.startsWith(EvolveOpPrefix)) {
           val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
           Set(v) ++ prev.map(p => reachable(meta, p._1)).getOrElse(Set.empty)
         } else Set(v)
@@ -1828,6 +1887,30 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       read().filter(pred).select(keyCols.map(col): _*).distinct(), next)
     validateHeadOrRelease(head, next) // keys were selected from `head`
     appendMeta(next, MorDeleteOp, n)
+    next
+  }
+
+  /** DELETE FROM … WHERE, merge-on-read with POSITION deletes (Iceberg v2's
+    * second delete-file kind): commits ONLY the `(file, row position)` pairs
+    * of the matching rows — no key column needed, so this is the delete
+    * form for tables WITHOUT a unique key, including removing some copies
+    * of duplicated rows (an equality delete would remove every copy).
+    * O(matching rows) like the equality form; readers fold it as one
+    * broadcast anti-join on the provenance pair until compact(). `rows` in
+    * the commit log is the deleted-position count. */
+  def deleteWherePos(pred: Column): Long = withRootLock {
+    val meta = readMeta()
+    val head = mainHead(meta)
+    require(head.nonEmpty, s"no snapshots at $root")
+    val next = claimVersion(meta)
+    val positions = resolveVersion(meta, head.get, None, withPos = true)
+      .filter(pred <=> lit(true))
+      .select(col(FileCol), col(PosCol))
+      .filter(col(FileCol).isNotNull) // rows with no file provenance can't
+                                      // be named by a position-delete file
+    val n = writeVersionDir(positions, next)
+    validateHeadOrRelease(head, next) // positions were selected from `head`
+    appendMeta(next, PosDeleteOp, n)
     next
   }
 

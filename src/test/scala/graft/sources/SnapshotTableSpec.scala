@@ -692,4 +692,50 @@ class SnapshotTableSpec extends SparkSpec {
     // time travel still returns the ORIGINAL schema for the old version
     assert(t.read(Some(0L)).columns.toSet === Set("id", "v"))
   }
+
+  test("position deletes: keyless merge-on-read DML over tables with duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_posdel").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    // NO unique key anywhere — including fully duplicated rows
+    val base = (Seq.tabulate(20)(i => (i.toLong % 5, s"grp${i % 5}", i * 1.0)) ++
+      Seq((99L, "dup", 1.0), (99L, "dup", 1.0))).toDF("k", "tag", "x")
+    t.commit(base.coalesce(2))                          // v0: 22 rows
+    t.commit(Seq((50L, "late", 5.0)).toDF("k", "tag", "x"), op = "append") // v1
+    assert(t.read().count() === 23)
+    // delete by PREDICATE with no key column: the commit holds only
+    // (file, pos) pairs — O(matching rows), never O(table)
+    val v2 = t.deleteWherePos(col("tag") === "dup")
+    assert(t.read().count() === 21)
+    assert(t.read().filter(col("tag") === "dup").count() === 0)
+    // provenance columns never leak to the reader
+    assert(t.read().columns.toSeq.sorted === Seq("k", "tag", "x"))
+    // the delete file is position-sized, not table-sized
+    assert(t.history().filter(col("version") === v2)
+      .select("row_count").as[Long].head() === 2L)
+    // time travel before the delete still sees the duplicates
+    assert(t.read(Some(1L)).filter(col("tag") === "dup").count() === 2)
+    // a LATER append of identical values survives: the delete names old
+    // positions, never content — the semantics equality deletes can't give
+    t.commit(Seq((99L, "dup", 1.0)).toDF("k", "tag", "x"), op = "append")
+    assert(t.read().filter(col("tag") === "dup").count() === 1)
+    // deletes spanning base AND delta files in one commit
+    t.deleteWherePos(col("k") === 0L || col("tag") === "late")
+    assert(t.read().filter(col("k") === 0L).count() === 0)
+    assert(t.read().filter(col("tag") === "late").count() === 0)
+    assert(t.read().count() === 17)
+    // mixing delete-file kinds in one chain folds in commit order
+    t.deleteWhereMor(col("k") === 1L, "k")
+    assert(t.read().count() === 13)
+    // pruned reads stay identical to plain reads across pos-deletes
+    assert(t.readWhere(col("k") >= 3L).count() ===
+      t.read().filter(col("k") >= 3L).count())
+    // compaction folds every outstanding delete file into a fresh base
+    t.compact(targetFiles = 1)
+    assert(t.read().count() === 13)
+    assert(t.read().columns.toSeq.sorted === Seq("k", "tag", "x"))
+    // row-count bookkeeping stayed exact through mixed delete kinds
+    assert(t.history().orderBy(col("version").desc)
+      .select("row_count").as[Long].head() === 13L)
+  }
 }
