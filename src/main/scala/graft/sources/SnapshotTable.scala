@@ -1553,9 +1553,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
                 spark.read.parquet(perDir.flatMap { case (ver, _, kept, _) =>
                   kept.map(f => s"$root/v=$ver/${f.name}") }: _*)
               else perDir.filter(_._3.nonEmpty).map { case (ver, _, kept, total) =>
-                if (kept.size == total) readVersionDir(ver)
+                // posWrap BEFORE the union: `_metadata` only resolves on a
+                // file-source relation — wrapping the reduced Union would
+                // silently null-fill and make these rows immune to
+                // position deletes
+                posWrap(if (kept.size == total) readVersionDir(ver)
                 else spark.read.option("basePath", s"$root/v=$ver")
-                  .parquet(kept.map(f => s"$root/v=$ver/${f.name}"): _*)
+                  .parquet(kept.map(f => s"$root/v=$ver/${f.name}"): _*))
               }.reduce(_.unionByName(_, allowMissingColumns = true))
             case None => manifestRelation(run.map(_._1)).getOrElse(
               spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*))

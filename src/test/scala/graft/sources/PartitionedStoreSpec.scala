@@ -302,6 +302,34 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(SnapshotTable.scanStats(root) === ((1L, 3L)))
   }
 
+  test("position deletes hold through PRUNED reads over partitioned delta runs " +
+      "(per-scan provenance, not post-union)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("pstore_posprune").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    def batch(off: Int) = Seq.tabulate(12)(i =>
+      ((off + i).toLong, if (i % 2 == 0) "eu" else "us", s"v${off + i}"))
+      .toDF("id", "region", "v")
+    t.commitPartitioned(batch(0).coalesce(1), Seq("region"))   // v0 base
+    t.commit(batch(100).coalesce(1), op = "append")            // v1 delta
+    t.commit(batch(200).coalesce(1), op = "append")            // v2 delta (same-schema run)
+    // positional delete hitting rows in the BASE and BOTH deltas
+    t.deleteWherePos(col("id") % 3 === 0L)                     // v3
+    val expected = t.read().filter(col("region") === "eu")
+      .as[(Long, String, String)].collect().toSet
+    assert(expected.forall(_._1 % 3 != 0), "plain read must honor the delete")
+    // the PRUNED path partially keeps files inside each partitioned delta
+    // dir (region=eu kept, region=us pruned) — the multi-dir union shape
+    // where provenance must be attached PER SCAN, or deleted rows reappear
+    val got = t.readWhere(col("region") === "eu")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === expected, s"pruned read diverged: ${got.diff(expected)} extra, " +
+      s"${expected.diff(got)} missing")
+    assert(got.forall(_._1 % 3 != 0), "a pruned read resurrected deleted rows")
+    val (kept, total) = t.lastPruneStats
+    assert(kept < total, s"partition pruning should have fired: $kept/$total")
+  }
+
   test("commit markers self-GC once logged; expiry sweeps legacy markers") {
     import spark.implicits._
     val root = Files.createTempDirectory("pstore_markers").toFile.getAbsolutePath
