@@ -1032,6 +1032,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * markers self-GC once their version is logged, so a racer whose meta
     * read predated that append could re-create a spent number — the
     * re-validation releases it and moves past the log instead. */
+  /** Test seam: invoked right after a marker create SUCCEEDS, before the
+    * claim's log re-validation — lets specs inject a cross-process writer
+    * landing (log append + marker self-GC) into the exact window the
+    * re-validation protects. Production: no-op. */
+  private[sources] var afterMarkerClaim: Long => Unit = _ => ()
+
   private def claimVersion(meta: Seq[Meta]): Long = {
     rootFs.mkdirs(commitMarkersDir)
     var next = math.max(nextVersion(meta), maxClaimed() + 1)
@@ -1039,6 +1045,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     while (!claimed) {
       if (!tryClaimMarker(next)) next += 1
       else {
+        afterMarkerClaim(next)
         val logged = nextVersion(readMeta())
         if (next < logged) { deleteMarker(next); next = math.max(logged, maxClaimed() + 1) }
         else claimed = true

@@ -116,4 +116,43 @@ class CommitConcurrencySpec extends SparkSpec {
     // the commit log's cumulative row counts are consistent at the head
     assert(t.history().orderBy("version").collect().last.getLong(3) === 7L)
   }
+
+  test("a claim on a SPENT version number (marker self-GC'd after logging) " +
+      "re-validates against the log and moves past it") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("occ_respent").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((0L, "seed")).toDF("id", "v"))                 // v0
+    t.commit(Seq((1L, "a")).toDF("id", "v"), op = "append")     // v1
+    // simulate the race the marker self-GC opens: our writer read the log
+    // (head v1), a FOREIGN process then logs v2 and GC's its own marker —
+    // so our create-exclusive on marker v=2 SUCCEEDS even though v2 is
+    // spent. The post-create re-validation must release it and move on.
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    t.afterMarkerClaim = { claimed =>
+      if (fired.getAndIncrement() == 0) {
+        assert(claimed === 2L, s"expected first claim on spent v2, got $claimed")
+        // the foreign commit: a metadata-only pointer line (resolvable) with
+        // its marker already self-GC'd — appended directly, as another
+        // process would
+        JFiles.writeString(Paths.get(root, "_graft_meta.jsonl"),
+          s"2,${System.currentTimeMillis()},asof:0:foreign,1\n",
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+    val mine = t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append")
+    t.afterMarkerClaim = _ => ()
+    assert(fired.get() >= 2, "the claim loop must have retried after the release")
+    assert(mine === 3L, s"spent v2 must not be kept; landed $mine")
+    // the spent number's marker was released, ours self-GC'd after logging
+    assert(Option(Paths.get(root, "_graft_commits").toFile.list())
+      .map(_.toSeq).getOrElse(Nil) === Nil)
+    // nothing was lost: the foreign pointer (a rollback to v0's 1-row
+    // content) resolves as the base under our append — 2 rows at head
+    val fresh = new SnapshotTable(spark, root)
+    assert(fresh.read().as[(Long, String)].collect().toSet ===
+      Set((0L, "seed"), (2L, "b")))
+    assert(fresh.currentVersion === Some(3L))
+    assert(fresh.read(Some(2L)).count() === 1) // the foreign asof:0 pointer
+  }
 }
