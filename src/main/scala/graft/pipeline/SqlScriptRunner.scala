@@ -224,7 +224,17 @@ final class SqlScriptRunner(spark: SparkSession,
       val table = stmt.trim.split("\\s+")(2).stripSuffix(";")
       asUser.foreach(u =>
         requirePrivilege(u, "ALTER", Seq("WRITE"), datasetPath(table)))
-      Catalog.compactTable(spark, table)
+      spark.conf.getOption(s"graft.snapshot.$table") match {
+        case Some(root) =>
+          // snapshot-bound: bin-pack into a fresh base via the versioned
+          // store's own compaction (folds outstanding delete files too);
+          // the target file count comes from manifest bytes alone
+          val st = new graft.sources.SnapshotTable(spark, root)
+          val bytes = st.layoutStats()._1.flatMap(_._2).sum
+          val tgt = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20))
+          st.compact(tgt.min(Int.MaxValue).toInt)
+        case None => Catalog.compactTable(spark, table)
+      }
       None
     } else if (upper.startsWith("DELETE FROM ") && hasTopLevelWhere) {
       // Row-level DELETE … WHERE over a snapshot-bound table (Iceberg v2

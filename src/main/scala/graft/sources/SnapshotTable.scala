@@ -1842,6 +1842,29 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * predate delta appends; metadata scans should use [[currentDataDirs]]. */
   def currentBaseDataDir: String = currentDataDirs.head
 
+  /** Metadata-only live-layout measure for the maintenance advisor
+    * ([[TableMaintenance]]): per current data dir, (version, per-file byte
+    * sizes) straight from the commit manifests — ZERO data-file opens, the
+    * only acceptable cost for a layout decision at 100 TB — plus the count
+    * of outstanding delete-fold commits (mor/pos delete files and
+    * mor-update/merge key files) every reader currently pays an anti-join
+    * for. Legacy dirs without a manifest report an empty size list. */
+  def layoutStats(): (Seq[(Long, Seq[Long])], Long) = {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val perDir = dataDirsOf(meta, head).map(dirVersionOf).map { v =>
+      (v, readManifest(v).map(_._2.map(_.bytes)).getOrElse(Nil))
+    }
+    val upTo = meta.filter(m => m._1 <= head && !isBranchOp(m._3))
+    val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3) ||
+      (isDeltaAppend(m._3) && readManifest(m._1).isEmpty))
+    val tail = if (baseIdx < 0) upTo else upTo.drop(baseIdx + 1)
+    val folds = tail.count(m => m._3 == MorDeleteOp || m._3 == PosDeleteOp ||
+      m._3 == MorUpdateOp || m._3 == MorMergeOp)
+    (perDir, folds.toLong)
+  }
+
   /** The data-dir version number encoded in a current data dir path (for
     * manifest lookup by consumers that walk [[currentDataDirs]]). */
   private[sources] def dirVersionOf(dir: String): Long =
