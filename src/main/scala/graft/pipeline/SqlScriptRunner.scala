@@ -624,21 +624,37 @@ final class SqlScriptRunner(spark: SparkSession,
       // VACUUM syntax):
       //   VACUUM TABLE t EXPIRE SNAPSHOTS RETAIN_LAST n
       //   VACUUM TABLE t EXPIRE SNAPSHOTS OLDER_THAN 'yyyy-mm-dd hh:mm:ss'
+      //   VACUUM TABLE t REMOVE ORPHAN FILES [OLDER_THAN 'ts']
       // Retention guarantees (live-ref pins, mor bases, alias targets) are
       // SnapshotTable.expireSnapshots' — VACUUM can never orphan a readable
-      // snapshot's files.
-      val m = ("(?is)VACUUM\\s+TABLE\\s+([\\w.]+)\\s+EXPIRE\\s+SNAPSHOTS\\s+" +
-        "(?:RETAIN_LAST\\s+(\\d+)|OLDER_THAN\\s+'([^']+)')").r
-        .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
-          "expected: VACUUM TABLE t EXPIRE SNAPSHOTS RETAIN_LAST n | " +
-            "OLDER_THAN 'ts'"))
-      val st = snapshotStore(m.group(1), "ALTER")
-      if (m.group(2) != null) {
-        val n = m.group(2).toInt
-        require(n >= 1, s"RETAIN_LAST $n: must retain at least 1 snapshot")
-        st.expireSnapshots(n)
-      } else st.expireSnapshotsOlderThan(
-        java.sql.Timestamp.valueOf(m.group(3).trim).getTime)
+      // snapshot's files; REMOVE ORPHAN FILES is the crashed-writer
+      // cleanup (Iceberg's remove_orphan_files), age-guarded and never
+      // touching logged or marker-protected versions.
+      val om = ("(?is)VACUUM\\s+TABLE\\s+([\\w.]+)\\s+REMOVE\\s+ORPHAN\\s+FILES" +
+        "(?:\\s+OLDER_THAN\\s+'([^']+)')?").r.findFirstMatchIn(stmt)
+      om match {
+        case Some(o) =>
+          val st = snapshotStore(o.group(1), "ALTER")
+          Option(o.group(2)) match {
+            case Some(ts) => st.removeOrphans(math.max(0L,
+              System.currentTimeMillis() -
+                java.sql.Timestamp.valueOf(ts.trim).getTime))
+            case None => st.removeOrphans()
+          }
+        case None =>
+          val m = ("(?is)VACUUM\\s+TABLE\\s+([\\w.]+)\\s+EXPIRE\\s+SNAPSHOTS\\s+" +
+            "(?:RETAIN_LAST\\s+(\\d+)|OLDER_THAN\\s+'([^']+)')").r
+            .findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
+              "expected: VACUUM TABLE t EXPIRE SNAPSHOTS RETAIN_LAST n | " +
+                "OLDER_THAN 'ts' | REMOVE ORPHAN FILES [OLDER_THAN 'ts']"))
+          val st = snapshotStore(m.group(1), "ALTER")
+          if (m.group(2) != null) {
+            val n = m.group(2).toInt
+            require(n >= 1, s"RETAIN_LAST $n: must retain at least 1 snapshot")
+            st.expireSnapshots(n)
+          } else st.expireSnapshotsOlderThan(
+            java.sql.Timestamp.valueOf(m.group(3).trim).getTime)
+      }
       None
     } else if ("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+((ADD|DROP|RENAME)\\s+COLUMN|ALTER\\s+COLUMN)\\b".r
         .findFirstIn(masked.trim).isDefined && {

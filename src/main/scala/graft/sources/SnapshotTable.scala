@@ -1802,6 +1802,38 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def expireSnapshotsOlderThan(tsMillis: Long): Seq[Long] =
     expireExcept(readMeta().filter(_._2 >= tsMillis).map(_._1).toSet)
 
+  /** Iceberg's remove_orphan_files: delete `v=N` dirs that NO commit
+    * references and NO claim marker protects, and that are older than the
+    * age threshold (the slow-writer guard Iceberg's procedure also takes,
+    * default 3 days). Orphans arise when a writer crashes between its data
+    * write and its log append and its claim marker is later swept by
+    * expiry — from then on nothing ever deletes the dir, and at 100 TB
+    * crashed-ingest leftovers are real money. Never touches logged
+    * versions (including expired-then-aliased targets — their log entries
+    * are retained by expiry's reachability), marker-protected in-flight
+    * claims, or dirs younger than the threshold. Returns removed versions. */
+  def removeOrphans(olderThanMillis: Long = 3L * 24 * 3600 * 1000): Seq[Long] = withRootLock {
+    val meta = readMeta()
+    val logged = meta.map(_._1).toSet
+    val aliased = meta.map(dataDirVersion).toSet // defensive: alias targets
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    if (!rootFs.exists(new Path(root))) Nil
+    else rootFs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("v=").toLongOption.filter { v =>
+          !logged(v) && !aliased(v) && !rootFs.exists(markerPath(v)) &&
+            s.getModificationTime < cutoff
+        }.map { v =>
+          rootFs.delete(s.getPath, true)
+          Files.deleteIfExists(manifestPath(v))
+          manifestCache.synchronized { manifestCache.remove(v) }
+          manifestSpecCache.synchronized { manifestSpecCache.remove(v) }
+          v
+        }
+      }.sorted
+  }
+
   /** Directories holding the CURRENT snapshot's DATA files (base + live
     * append deltas; merge-on-read delete-key files excluded): what
     * file-level metadata scans should list — Iceberg's files/partitions

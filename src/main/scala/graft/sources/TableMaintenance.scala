@@ -89,4 +89,12 @@ object TableMaintenance {
       maxDeleteFolds).map { f =>
       new SnapshotTable(spark, root).compact(f.targetFiles)
     }
+
+  /** Iceberg's remove_orphan_files, for crashed-writer leftovers (see
+    * [[SnapshotTable.removeOrphans]]): unreferenced, unclaimed `v=N` dirs
+    * older than the threshold are deleted. Part of the same automated
+    * maintenance loop as [[maintain]]. */
+  def removeOrphans(spark: SparkSession, root: String,
+      olderThanMillis: Long = 3L * 24 * 3600 * 1000): Seq[Long] =
+    new SnapshotTable(spark, root).removeOrphans(olderThanMillis)
 }

@@ -68,4 +68,44 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(t2.layoutStats()._1.map(_._2.size).sum === 1)
     assert(t2.read().count() === 100)
   }
+
+  test("removeOrphans deletes only aged, unreferenced, unclaimed dirs " +
+      "(Iceberg remove_orphan_files semantics)") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths}
+    val root = JF.createTempDirectory("maint_orphan").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v0
+    t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")      // v1
+    def fakeDir(v: Long): Unit =
+      Seq((99L, "junk")).toDF("id", "v").write.parquet(s"$root/v=$v")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 60 * 1000)
+    fakeDir(9)   // crashed writer, marker already swept, OLD
+    JF.setLastModifiedTime(Paths.get(root, "v=9"), old)
+    fakeDir(10)  // in-flight: claim marker still present, OLD
+    JF.setLastModifiedTime(Paths.get(root, "v=10"), old)
+    JF.createDirectories(Paths.get(root, "_graft_commits"))
+    JF.createFile(Paths.get(root, "_graft_commits", "v=10"))
+    fakeDir(11)  // crashed writer but YOUNG — the slow-writer age guard
+    // default 3-day threshold: nothing qualifies
+    assert(t.removeOrphans() === Nil)
+    // 1-minute threshold: only the aged, unprotected orphan goes
+    assert(t.removeOrphans(olderThanMillis = 60L * 1000) === Seq(9L))
+    assert(!JF.exists(Paths.get(root, "v=9")))
+    assert(JF.exists(Paths.get(root, "v=10")), "marker-protected dir kept")
+    assert(JF.exists(Paths.get(root, "v=11")), "young dir kept")
+    assert(JF.exists(Paths.get(root, "v=0")) && JF.exists(Paths.get(root, "v=1")),
+      "logged dirs are never orphans")
+    assert(t.read().count() === 3, "content untouched")
+    // the scripted form: OLDER_THAN pins the cutoff timestamp directly
+    JF.delete(Paths.get(root, "_graft_commits", "v=10"))
+    spark.conf.set("graft.snapshot.maint.orph", root)
+    val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - 60L * 1000)
+    new graft.pipeline.SqlScriptRunner(spark).run(
+      s"VACUUM TABLE maint.orph REMOVE ORPHAN FILES OLDER_THAN '$cutoff'")
+    assert(!JF.exists(Paths.get(root, "v=10")), "unclaimed aged orphan removed")
+    assert(JF.exists(Paths.get(root, "v=11")), "young orphan still kept")
+    assert(t.read().count() === 3)
+  }
 }
