@@ -348,12 +348,18 @@ object SnapshotTable {
 
   /** Record one [[ManifestFileIndex.listFiles]] pass. `indexId` slots the
     * counts per index INSTANCE (one per relation), so re-listing the same
-    * relation overwrites rather than accumulates. */
+    * relation overwrites rather than accumulates. The per-root slot map is
+    * BOUNDED: a long-lived service plans a new relation per query, and an
+    * unbounded map would leak one entry per query forever — past the cap
+    * the window simply restarts (the stats are an observability aid; specs
+    * reset explicitly around the scan they measure). */
   private[sources] def recordScan(root: String, indexId: Long,
-      kept: Long, total: Long): Unit =
-    scanStatsMap.computeIfAbsent(canonicalRoot(root),
+      kept: Long, total: Long): Unit = {
+    val slots = scanStatsMap.computeIfAbsent(canonicalRoot(root),
       _ => new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]())
-      .put(indexId, (kept, total))
+    if (slots.size >= 4096) slots.clear()
+    slots.put(indexId, (kept, total))
+  }
 }
 
 /** Lightweight snapshot/time-travel table (SURVEY.md §2.3 S3/S4, §2.11 X2):
@@ -1230,8 +1236,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     readManifest(v) match {
       case Some((schema, files)) if files.isEmpty =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      case Some(_) =>
-        manifestRelation(Seq(v)).getOrElse(spark.read.parquet(s"$root/v=$v"))
+      case Some((schema, _)) =>
+        manifestRelation(Seq(v)).getOrElse(
+          inSchemaOrder(schema, spark.read.parquet(s"$root/v=$v")))
       case _ => spark.read.parquet(s"$root/v=$v")
     }
 
@@ -1318,8 +1325,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       index, partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark)
+    // restore the DECLARED column order: a hive layout physically moves
+    // partition columns to the end, but readers must see the schema as
+    // committed (Iceberg preserves column order under any partition spec)
     Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(rel))
+      .baseRelationToDataFrame(rel)
+      .select(schema.fields.map(f => col(f.name)).toSeq: _*))
   }
 
   // ── resolution ─────────────────────────────────────────────────────────
@@ -1450,6 +1461,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Version `v`'s own data dir, file-pruned by `conj` when its manifest
     * carries column stats. Reads through hive-partition subdirs (basePath)
     * so partition columns survive a partial file list. */
+  /** A frame's columns reordered to the manifest-declared schema order (a
+    * hive-partitioned read appends partition columns at the end; readers
+    * must see the committed order). Only reorders — never adds, drops, or
+    * retypes; a frame missing declared columns passes through untouched. */
+  private def inSchemaOrder(schema: StructType, df: DataFrame): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    val wanted = schema.fields.map(_.name)
+    if (wanted.forall(c => have(c.toLowerCase)) && have.size == wanted.length &&
+        df.columns.toSeq != wanted.toSeq)
+      df.select(wanted.map(col).toSeq: _*)
+    else df
+  }
+
   private def readVersionDirPruned(v: Long, prune: Option[Seq[Expression]]): DataFrame =
     prune match {
       case Some(cs) => readManifest(v) match {
@@ -1460,8 +1484,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           else if (kept.size == files.size) readVersionDir(v)
           else if (kept.exists(_.name.contains('/')))
-            spark.read.option("basePath", s"$root/v=$v")
-              .parquet(kept.map(f => s"$root/v=$v/${f.name}"): _*)
+            inSchemaOrder(schema, spark.read.option("basePath", s"$root/v=$v")
+              .parquet(kept.map(f => s"$root/v=$v/${f.name}"): _*))
           else spark.read.parquet(kept.map(f => s"$root/v=$v/${f.name}"): _*)
         case Some((schema, _)) =>
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -1553,23 +1577,27 @@ final class SnapshotTable(spark: SparkSession, root: String) {
               }
               val nested = perDir.exists(_._3.exists(_.name.contains('/')))
               if (perDir.forall(d => d._3.size == d._4))
-                spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+                inSchemaOrder(perDir.head._2,
+                  spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*))
               else if (perDir.forall(_._3.isEmpty))
                 spark.createDataFrame(spark.sparkContext.emptyRDD[Row], perDir.head._2)
               else if (!nested)
                 spark.read.parquet(perDir.flatMap { case (ver, _, kept, _) =>
                   kept.map(f => s"$root/v=$ver/${f.name}") }: _*)
-              else perDir.filter(_._3.nonEmpty).map { case (ver, _, kept, total) =>
+              else perDir.filter(_._3.nonEmpty).map { case (ver, sch, kept, total) =>
                 // posWrap BEFORE the union: `_metadata` only resolves on a
                 // file-source relation — wrapping the reduced Union would
                 // silently null-fill and make these rows immune to
                 // position deletes
                 posWrap(if (kept.size == total) readVersionDir(ver)
-                else spark.read.option("basePath", s"$root/v=$ver")
-                  .parquet(kept.map(f => s"$root/v=$ver/${f.name}"): _*))
+                else inSchemaOrder(sch, spark.read.option("basePath", s"$root/v=$ver")
+                  .parquet(kept.map(f => s"$root/v=$ver/${f.name}"): _*)))
               }.reduce(_.unionByName(_, allowMissingColumns = true))
-            case None => manifestRelation(run.map(_._1)).getOrElse(
-              spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*))
+            case None => manifestRelation(run.map(_._1)).getOrElse {
+              val raw = spark.read.parquet(run.map(m => s"$root/v=${m._1}"): _*)
+              readManifest(run.head._1).map(m => inSchemaOrder(m._1, raw))
+                .getOrElse(raw)
+            }
           }
           Some(acc.map(_.unionByName(posWrap(df), allowMissingColumns = true))
             .getOrElse(posWrap(df)))

@@ -23,9 +23,13 @@ class SnapshotFuzzSpec extends SparkSpec {
   test("random op sequences: resolved reads and time travel match the model") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
-    for (trial <- 1 to 2) {
+    // trial 3 runs the same algebra over an identity-PARTITIONED store:
+    // every commit lays out hive dirs, resolution reads through them, and
+    // the hidden-column machinery must never leak or lose rows
+    for (trial <- 1 to 3) {
       val root = Files.createTempDirectory(s"snap_fuzz$trial").toFile.getAbsolutePath
       val t = new SnapshotTable(spark, root)
+      val partitioned = trial == 3
       val trace = scala.collection.mutable.ArrayBuffer.empty[String]
       var model = Vector.empty[Row3]
       // model state as of each surviving version (time-travel oracle)
@@ -45,7 +49,9 @@ class SnapshotFuzzSpec extends SparkSpec {
 
       val seed = rows(8)
       model = seed
-      record(t.commit(df(seed).coalesce(1), op = "overwrite"))
+      record(
+        if (partitioned) t.commitPartitioned(df(seed).coalesce(1), Seq("tag"))
+        else t.commit(df(seed).coalesce(1), op = "overwrite"))
       check("seed-overwrite")
 
       for (step <- 1 to 22) {
