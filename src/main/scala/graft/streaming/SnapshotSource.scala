@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.SnapshotTable
+
+/** Incremental streaming READ of the versioned snapshot store — the other
+  * half of [[SnapshotStream]]'s exactly-once streaming WRITE, completing the
+  * reference's continuous-pipeline loop (readme.md:393-401 table lifecycle;
+  * spark.py:88-89 append cost model): a downstream job tails a table other
+  * jobs append to, seeing each append commit exactly once, in commit order.
+  *
+  * Semantics mirror Iceberg's Spark structured-streaming read:
+  *  - OFFSETS ARE TABLE VERSIONS. A micro-batch `(start, end]` is the union
+  *    of the delta-append commits in that version range — each version dir
+  *    is immutable, so checkpoint replay rebuilds byte-identical batches.
+  *  - Only APPEND commits stream. `compact` (same rows, rewritten files),
+  *    `evolve:` (metadata-only) and `branch:` (other lineage) commits are
+  *    silently skipped; any commit that CHANGES rows (overwrite, truncate,
+  *    row-level DML, rollback, WAP publish) fails the stream loudly unless
+  *    `skip-mutations=true` opts into skipping it — Iceberg's
+  *    `streaming-skip-overwrite-snapshots` / `streaming-skip-delete-
+  *    snapshots` contract.
+  *  - `start-version` (default -1) bounds history: only appends with
+  *    version > start-version stream. Backfill of a seed overwrite is the
+  *    caller's batch read (time travel), as in Iceberg.
+  *
+  * At 100 TB: planning a micro-batch touches only the commit log (one small
+  * driver-side file) and the delta manifests in range — never the table's
+  * data or its full file listing. Batches stay DECLARATIVE (the store's
+  * manifest-backed relation with `isStreaming` flipped, exactly
+  * FileStreamSource's recipe), so filters and projections in the streaming
+  * query still push into the parquet scan of each delta.
+  */
+final class SnapshotSource(
+    spark: SparkSession, root: String,
+    userSchema: Option[StructType],
+    options: Map[String, String]) extends Source {
+
+  private val st = new SnapshotTable(spark, root)
+
+  /** Only appends with version > this stream (default -1: all of them). */
+  private val startVersion =
+    options.getOrElse("start-version", "-1").trim.toLong
+
+  /** `true`: skip row-changing commits instead of failing the stream. */
+  private val skipMutations =
+    options.getOrElse("skip-mutations", "false").trim.toBoolean
+
+  override val schema: StructType =
+    userSchema.getOrElse(SnapshotSource.storeSchema(spark, root))
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset      => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other              => other.json.trim.toLong
+  }
+
+  /** Latest version in the commit log (branch commits advance the version
+    * counter too; `getBatch` classifies them as noop). */
+  override def getOffset: Option[Offset] =
+    st.commitOps().lastOption.map(_._1).filter(_ > startVersion)
+      .map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(versionOf).getOrElse(startVersion)
+    val hi = versionOf(end)
+    val entries = st.commitOps().filter { case (v, _) => v > lo && v <= hi }
+    if (!skipMutations)
+      entries.find { case (_, op) => st.streamOpKind(op) == "mutation" }
+        .foreach { case (v, op) =>
+          throw new IllegalStateException(
+            s"snapshot stream over $root hit a non-append commit v=$v " +
+              s"op='$op': an append stream cannot represent row changes — " +
+              "resume past it with .option(\"start-version\", ...) or opt " +
+              "into skipping with .option(\"skip-mutations\", \"true\")")
+        }
+    val frames = entries.collect {
+      case (v, op) if st.streamOpKind(op) == "append" =>
+        conform(st.appendDelta(v))
+    }
+    if (frames.isEmpty) PlanBridge.emptyStreaming(spark, schema)
+    else PlanBridge.asStreaming(frames.reduce(_ unionByName _))
+  }
+
+  /** A delta aligned to the STREAM's fixed schema: appends may evolve the
+    * store's schema mid-stream (columns added, widened, or absent — the
+    * M4 contract), but a streaming query's schema is pinned at start, so
+    * missing columns null-fill, widened ones cast back, new ones wait for
+    * a stream restart. Also drops hidden partition columns (graft__day …)
+    * a partitioned delta dir carries physically. */
+  private def conform(df: DataFrame): DataFrame = {
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    df.select(schema.fields.toSeq.map { f =>
+      have.get(f.name.toLowerCase) match {
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object SnapshotSource {
+
+  /** The store's CURRENT resolved schema (evolution applied) — what a
+    * stream started now will carry for its whole run. */
+  def storeSchema(spark: SparkSession, root: String): StructType = {
+    val st = new SnapshotTable(spark, root)
+    st.currentVersion match {
+      case Some(_) => st.read().schema
+      case None => throw new IllegalArgumentException(
+        s"empty snapshot store at $root: pass .schema(...) to stream a " +
+          "store that has no commits yet")
+    }
+  }
+}
+
+/** `spark.readStream.format("graft-snapshot").load(root)` — the v1
+  * [[StreamSourceProvider]] door to [[SnapshotSource]] (registered in
+  * META-INF/services for the short name). */
+final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot stream needs the store root: .load(<root>) or " +
+        ".option(\"path\", <root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      SnapshotSource.storeSchema(sqlContext.sparkSession, rootOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new SnapshotSource(sqlContext.sparkSession, rootOf(parameters), schema,
+      parameters)
+}

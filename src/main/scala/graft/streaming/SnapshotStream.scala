@@ -113,4 +113,18 @@ object SnapshotStream {
         commitStreamBatch(st, root, batch, batchId); ()
       }
       .start()
+
+  /** The read side of the loop: tail the store's append commits as a
+    * streaming DataFrame, exactly once per commit (see [[SnapshotSource]]
+    * for the offset/skip semantics). `startVersion` bounds history;
+    * `skipMutations` opts into skipping row-changing commits instead of
+    * failing. */
+  def readAppends(spark: org.apache.spark.sql.SparkSession, root: String,
+                  startVersion: Long = -1L,
+                  skipMutations: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("start-version", startVersion.toString)
+      .option("skip-mutations", skipMutations.toString)
+      .load(root)
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * library (Delta Lake, Iceberg's Spark runtime) opens the same way: a helper
   * object inside the `org.apache.spark.sql` package hierarchy.
   *
-  * Nothing else may import this from outside `graft.plans`.
+  * Nothing else may import this from outside `graft.plans` and
+  * `graft.streaming`.
   */
 object PlanBridge {
 
@@ -21,4 +22,40 @@ object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The same frame with `isStreaming = true` on every leaf relation — what
+    * a v1 streaming [[org.apache.spark.sql.execution.streaming.Source]]
+    * must hand back from `getBatch` (MicroBatchExecution asserts it). This
+    * is `FileStreamSource`'s own recipe (it builds `LogicalRelation(...,
+    * isStreaming = true)` for each file batch); flipping the flag on an
+    * already-planned frame keeps the batch DECLARATIVE, so filter pushdown
+    * and column pruning from the streaming query still reach the scan. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+      case lr: LocalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+      // LogicalRDD's copy takes a second (session, stats, constraints) list
+      // with no public accessors; the only LogicalRDD the callers build is
+      // `createDataFrame(emptyRDD, schema)` (an empty commit's frame), so a
+      // provably-empty one rewrites to an empty streaming LocalRelation and
+      // anything else is a misuse to fail loudly, not silently pass through
+      // (MicroBatchExecution would then assert with a worse message).
+      case lr: LogicalRDD if !lr.isStreaming =>
+        require(lr.rdd.partitions.isEmpty,
+          "asStreaming cannot retag a non-empty LogicalRDD leaf — build the " +
+            "batch from relations (read paths) or local rows instead")
+        LocalRelation(lr.output, Seq.empty, isStreaming = true)
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
+  /** An EMPTY streaming frame with `schema` — what a streaming `getBatch`
+    * returns for a range that contains no payload commits. */
+  def emptyStreaming(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      Seq.empty, isStreaming = true))
 }

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+
+/** The streaming READ of the snapshot store ([[SnapshotSource]]): appends
+  * stream exactly once in commit order, restarts resume from the
+  * checkpoint, compaction is invisible, mutations fail loudly unless
+  * skipped — Iceberg's Spark streaming-read contract. */
+class SnapshotSourceSpec extends SparkSpec {
+
+  private def drain(root: String, ckpt: String, table: String,
+      startVersion: Long = -1L, skipMutations: Boolean = false): Unit = {
+    val q = SnapshotStream.readAppends(spark, root, startVersion, skipMutations)
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("appends stream exactly once; a restart resumes at the checkpoint") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_tbl").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_ck").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    // a restartable (file) sink: each run APPENDS only its new batches, so
+    // total counts across runs prove exactly-once (a replay double-counts)
+    def run(): Unit =
+      SnapshotStream.readAppends(spark, root).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    (0 until 3).foreach { w =>
+      st.commit(Seq.tabulate(10)(j => (w * 10L + j, s"w$w")).toDF("id", "wave"),
+        op = "append")
+    }
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq === Seq("id", "wave"))
+    assert(got.select("id").as[Long].collect().sorted === (0L until 30L).toArray)
+
+    // two more appends; the same checkpoint streams ONLY them
+    (3 until 5).foreach { w =>
+      st.commit(Seq.tabulate(10)(j => (w * 10L + j, s"w$w")).toDF("id", "wave"),
+        op = "append")
+    }
+    run()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted
+      === (0L until 50L).toArray)
+
+    // nothing new → a no-op run, not a replay
+    run()
+    assert(spark.read.parquet(out).count() === 50)
+  }
+
+  test("compaction and start-version are invisible to the stream") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_cmp").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq.tabulate(5)(j => (j.toLong, "a")).toDF("id", "wave"), op = "append")
+    st.commit(Seq.tabulate(5)(j => (5L + j, "b")).toDF("id", "wave"), op = "append")
+    st.compact(targetFiles = 1) // rewrites rows 0-9 without changing them
+    st.commit(Seq.tabulate(5)(j => (10L + j, "c")).toDF("id", "wave"), op = "append")
+
+    drain(root, Files.createTempDirectory("snapsrc_cmp_ck").toFile.getAbsolutePath,
+      "snapsrc_t2")
+    val got = spark.table("snapsrc_t2")
+    // the compacted copy does NOT re-stream: each row exactly once
+    assert(got.count() === 15)
+    assert(got.count() === st.read().count())
+
+    // start-version bounds history: only appends AFTER the compact stream
+    drain(root, Files.createTempDirectory("snapsrc_sv_ck").toFile.getAbsolutePath,
+      "snapsrc_t2b", startVersion = 2L)
+    assert(spark.table("snapsrc_t2b").select("id").as[Long].collect().sorted
+      === (10L until 15L).toArray)
+  }
+
+  test("a mutation commit fails the stream loudly — unless skip-mutations") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_mut").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq.tabulate(5)(j => (j.toLong, "a")).toDF("id", "wave"), op = "append")
+    st.commit(Seq.tabulate(3)(j => (100L + j, "x")).toDF("id", "wave")) // overwrite
+    st.commit(Seq.tabulate(5)(j => (10L + j, "c")).toDF("id", "wave"), op = "append")
+
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, Files.createTempDirectory("snapsrc_mut_ck").toFile.getAbsolutePath,
+        "snapsrc_t3")
+    }
+    assert(err.getMessage.contains("non-append commit") ||
+      Option(err.getCause).exists(_.getMessage.contains("non-append commit")))
+
+    drain(root, Files.createTempDirectory("snapsrc_mut_ck2").toFile.getAbsolutePath,
+      "snapsrc_t3b", skipMutations = true)
+    // both appends stream; the overwrite's rows do NOT (they are not appends)
+    assert(spark.table("snapsrc_t3b").select("id").as[Long].collect().sorted
+      === ((0L until 5L) ++ (10L until 15L)).toArray)
+  }
+
+  test("a partitioned store streams without leaking hidden columns") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commitPartitioned(
+      Seq.tabulate(6)(j => (j.toLong, s"k${j % 2}")).toDF("id", "tag"),
+      Seq("tag"), op = "append")
+    st.commit(Seq.tabulate(6)(j => (10L + j, s"k${j % 3}")).toDF("id", "tag"),
+      op = "append")
+    drain(root, Files.createTempDirectory("snapsrc_part_ck").toFile.getAbsolutePath,
+      "snapsrc_t4")
+    val got = spark.table("snapsrc_t4")
+    assert(got.columns.toSeq === Seq("id", "tag"))
+    assert(got.count() === 12)
+    assert(got.groupBy("tag").count().where(col("tag") === "k0")
+      .head.getLong(1) === 5L) // 3 from wave 1 (j%2) + 2 from wave 2 (j%3)
+  }
+}
