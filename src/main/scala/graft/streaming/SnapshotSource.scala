@@ -41,7 +41,8 @@ import graft.sources.SnapshotTable
 final class SnapshotSource(
     spark: SparkSession, root: String,
     userSchema: Option[StructType],
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val st = new SnapshotTable(spark, root)
 
@@ -53,20 +54,68 @@ final class SnapshotSource(
   private val skipMutations =
     options.getOrElse("skip-mutations", "false").trim.toBoolean
 
+  /** Rate limit: at most this many VERSIONS advance per micro-batch (the
+    * Iceberg `streaming-max-files-per-micro-batch` role — a backfill of a
+    * long-lived table must arrive as many bounded batches, not one giant
+    * union). Counted in versions because a version dir is one append's
+    * files — the natural admission unit here. */
+  private val maxVersionsPerBatch =
+    options.get("max-versions-per-batch").map(_.trim.toInt)
+
   override val schema: StructType =
     userSchema.getOrElse(SnapshotSource.storeSchema(spark, root))
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset      => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other              => other.json.trim.toLong
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset       => l.offset
+      case s: SerializedOffset => LongOffset(s).offset
+      case other               => other.json.trim.toLong
+    }
+
+  /** Trigger.AvailableNow's drain target: the head at trigger start. The
+    * source implements [[SupportsTriggerAvailableNow]] itself (instead of
+    * taking Spark's wrapper) because the wrapper snapshots ONE offset call
+    * as the target — which under `max-versions-per-batch` is just the
+    * first capped batch, so a paced backfill would stop after one batch.
+    * Here each batch stays capped while the run keeps triggering until
+    * this mark is reached. */
+  @volatile private var availableNowMark: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowMark = st.commitOps().lastOption.map(_._1)
+
+  /** Next offset from `base`: head of the commit log (branch commits
+    * advance the version counter too; `getBatch` classifies them as noop),
+    * clipped to the AvailableNow mark, capped to `max-versions-per-batch`
+    * above the committed position. */
+  private def nextOffset(base: Long): Option[Long] = {
+    val head = st.commitOps().lastOption.map(_._1)
+      .map(h => availableNowMark.fold(h)(math.min(h, _)))
+    val capped = (head, maxVersionsPerBatch) match {
+      case (Some(h), Some(n)) => Some(math.min(h, base + n))
+      case _                  => head
+    }
+    capped.filter(_ > base)
   }
 
-  /** Latest version in the commit log (branch commits advance the version
-    * counter too; `getBatch` classifies them as noop). */
+  /** The admission-control seam ([[SupportsTriggerAvailableNow]] extends
+    * it): the execution hands the COMMITTED position in, so rate-limited
+    * progress is correct across restarts with no source-side state. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val base = Option(start).map(versionOf).getOrElse(startVersion)
+    nextOffset(math.max(base, startVersion)).map(LongOffset(_)).orNull
+  }
+
+  /** The plain v1 seam (kept for completeness; the execution prefers
+    * [[latestOffset]] on admission-controlled sources). Unrated: it has no
+    * view of the committed position. */
   override def getOffset: Option[Offset] =
-    st.commitOps().lastOption.map(_._1).filter(_ > startVersion)
-      .map(LongOffset(_))
+    st.commitOps().lastOption.map(_._1)
+      .map(h => availableNowMark.fold(h)(math.min(h, _)))
+      .filter(_ > startVersion).map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf).getOrElse(startVersion)

@@ -121,10 +121,13 @@ object SnapshotStream {
     * failing. */
   def readAppends(spark: org.apache.spark.sql.SparkSession, root: String,
                   startVersion: Long = -1L,
-                  skipMutations: Boolean = false): DataFrame =
-    spark.readStream
+                  skipMutations: Boolean = false,
+                  maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[SnapshotSourceProvider].getName)
       .option("start-version", startVersion.toString)
       .option("skip-mutations", skipMutations.toString)
-      .load(root)
+    maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
+    r.load(root)
+  }
 }

@@ -107,6 +107,29 @@ class SnapshotSourceSpec extends SparkSpec {
       === ((0L until 5L) ++ (10L until 15L)).toArray)
   }
 
+  test("max-versions-per-batch paces a backfill into bounded micro-batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_rate").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_rate_ck").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_rate_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    (0 until 6).foreach { w =>
+      st.commit(Seq.tabulate(4)(j => (w * 4L + j, s"w$w")).toDF("id", "wave"),
+        op = "append")
+    }
+    SnapshotStream.readAppends(spark, root, maxVersionsPerBatch = Some(2))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // every row exactly once...
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted
+      === (0L until 24L).toArray)
+    // ...across ≥3 bounded batches (6 versions / 2 per batch), not one union
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(!_.getName.startsWith("."))
+    assert(batches >= 3, s"expected a paced backfill, got $batches batch(es)")
+  }
+
   test("a partitioned store streams without leaking hidden columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
