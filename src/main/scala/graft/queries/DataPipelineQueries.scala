@@ -176,6 +176,11 @@ object DataPipelineQueries {
   private val streamReadFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q123's sink dir: the store's full DML history consumed as a CHANGE
+    * stream (mode=cdc — the Delta CDF / Iceberg changelog shape). */
+  private val streamCdcFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2756,7 +2761,69 @@ object DataPipelineQueries {
              CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(sum(n_chars) AS BIGINT) AS sum_nchars
       FROM streamed
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // Streaming CDC (mode=cdc — the Delta CDF / Iceberg changelog shape
+    // over the snapshot store): a downstream job consumes EVERY commit's
+    // keyed change rows — seed overwrite → inserts, append → inserts
+    // (O(delta) shortcut, never a two-snapshot diff), cow UPDATE →
+    // pre/post image pairs, mor DELETE → deletes — each stamped with its
+    // _commit_version, exactly once through a checkpoint. The oracle
+    // replays the same four commits declaratively in DuckDB and compares
+    // per-(version, change-type) row counts and id sums, so the changelog's
+    // CONTENT is pinned, not just its cardinality. At 100 TB this is the
+    // downstream-index/compliance-feed shape: consumers see net row changes
+    // per commit without ever re-scanning the table.
+    Q("q123_stream_cdc", (s, dir) => {
+      import graft.sources.SnapshotTable
+      import graft.streaming.SnapshotStream
+      val out = streamCdcFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_scdc")
+          val st = new SnapshotTable(s, s"$r/tbl")
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          st.commit(docs)                                     // v0 seed
+          st.commit(docs.filter(col("doc_id") < 20)           // v1 append
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+            op = "append")
+          st.update(col("doc_id") % 10 === 0,                 // v2 cow update
+            Map("n_chars" -> (col("n_chars") + lit(1))))
+          st.deleteWhereMor(col("lang") === "de", "doc_id")   // v3 mor delete
+          SnapshotStream.readChanges(s, s"$r/tbl", "doc_id").writeStream
+            .format("parquet").option("path", s"$r/out")
+            .option("checkpointLocation", s"$r/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+          s"$r/out"
+        })
+      s.read.parquet(out)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    }, Some("""
+      WITH s1 AS (
+        SELECT doc_id, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, lang
+        FROM documents WHERE doc_id < 20),
+      ch AS (
+        SELECT 0 AS commit_version, 'insert' AS change_type, doc_id
+        FROM documents
+        UNION ALL
+        SELECT 1, 'insert', doc_id + 1000000
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT 2, 'update_preimage', doc_id FROM s1 WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 2, 'update_postimage', doc_id FROM s1 WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT 3, 'delete', doc_id FROM s1 WHERE lang = 'de')
+      SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+             count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM ch
+      GROUP BY 1, 2"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

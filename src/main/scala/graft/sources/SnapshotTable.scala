@@ -1367,6 +1367,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * same way it breaks time travel — loudly). */
   private[graft] def appendDelta(v: Long): DataFrame = readVersionDir(v)
 
+  /** Is this op on MAIN's lineage (a valid time-travel anchor)? Branch
+    * commits share the version counter but not the lineage. */
+  private[graft] def isMainLineageOp(op: String): Boolean = !isBranchOp(op)
+
   /** Commit a new snapshot. `op = "append"` is O(DELTA): only `df` is
     * written (a new delta dir + manifest); readers union live deltas onto
     * the base and `compact()` folds them — the Iceberg append cost model

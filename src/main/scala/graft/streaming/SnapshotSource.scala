@@ -50,6 +50,21 @@ final class SnapshotSource(
   private val startVersion =
     options.getOrElse("start-version", "-1").trim.toLong
 
+  /** `"append-only"` (default): appends stream as rows, mutations fail or
+    * skip. `"cdc"`: EVERY main-lineage commit streams as change rows
+    * (`_change_type` ∈ {insert, delete, update_preimage, update_postimage}
+    * + `_commit_version`) — the Delta CDF / Iceberg changelog shape, built
+    * on the store's own keyed [[SnapshotTable.changes]] diff. Requires
+    * `key-column`. */
+  private val mode = options.getOrElse("mode", "append-only").trim
+  require(mode == "append-only" || mode == "cdc",
+    s"unknown snapshot-stream mode '$mode' (append-only | cdc)")
+
+  private val keyColumn = options.get("key-column").map(_.trim)
+  require(mode != "cdc" || keyColumn.nonEmpty,
+    "mode=cdc needs .option(\"key-column\", <unique key>) — the keyed-CDC " +
+      "contract the batch changes() API also carries")
+
   /** `true`: skip row-changing commits instead of failing the stream. */
   private val skipMutations =
     options.getOrElse("skip-mutations", "false").trim.toBoolean
@@ -62,8 +77,12 @@ final class SnapshotSource(
   private val maxVersionsPerBatch =
     options.get("max-versions-per-batch").map(_.trim.toInt)
 
+  /** The DATA schema (no CDC tag columns) every batch conforms to. */
+  private val baseSchema: StructType =
+    SnapshotSource.dataSchema(spark, root, userSchema)
+
   override val schema: StructType =
-    userSchema.getOrElse(SnapshotSource.storeSchema(spark, root))
+    SnapshotSource.streamSchema(baseSchema, mode)
 
   private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o match {
@@ -121,37 +140,79 @@ final class SnapshotSource(
     val lo = start.map(versionOf).getOrElse(startVersion)
     val hi = versionOf(end)
     val entries = st.commitOps().filter { case (v, _) => v > lo && v <= hi }
+    val frames =
+      if (mode == "cdc") cdcFrames(entries) else appendFrames(entries)
+    if (frames.isEmpty) PlanBridge.emptyStreaming(spark, schema)
+    // cdc diffs contain anti/semi joins — they must enter the streaming
+    // plan as an opaque leaf (batch-planned), not leaf-flipped relations
+    // the incremental planner would treat as stream-stream joins
+    else if (mode == "cdc")
+      PlanBridge.asStreamingOpaque(frames.reduce(_ unionByName _))
+    else PlanBridge.asStreaming(frames.reduce(_ unionByName _))
+  }
+
+  private def appendFrames(entries: Seq[(Long, String)]): Seq[DataFrame] = {
     if (!skipMutations)
       entries.find { case (_, op) => st.streamOpKind(op) == "mutation" }
         .foreach { case (v, op) =>
           throw new IllegalStateException(
             s"snapshot stream over $root hit a non-append commit v=$v " +
               s"op='$op': an append stream cannot represent row changes — " +
-              "resume past it with .option(\"start-version\", ...) or opt " +
-              "into skipping with .option(\"skip-mutations\", \"true\")")
+              "resume past it with .option(\"start-version\", ...), opt " +
+              "into skipping with .option(\"skip-mutations\", \"true\"), " +
+              "or stream changes with .option(\"mode\", \"cdc\")")
         }
-    val frames = entries.collect {
+    entries.collect {
       case (v, op) if st.streamOpKind(op) == "append" =>
         conform(st.appendDelta(v))
     }
-    if (frames.isEmpty) PlanBridge.emptyStreaming(spark, schema)
-    else PlanBridge.asStreaming(frames.reduce(_ unionByName _))
   }
 
-  /** A delta aligned to the STREAM's fixed schema: appends may evolve the
-    * store's schema mid-stream (columns added, widened, or absent — the
-    * M4 contract), but a streaming query's schema is pinned at start, so
-    * missing columns null-fill, widened ones cast back, new ones wait for
-    * a stream restart. Also drops hidden partition columns (graft__day …)
-    * a partitioned delta dir carries physically. */
-  private def conform(df: DataFrame): DataFrame = {
+  /** One change frame per payload commit in range — the Delta CDF shape.
+    * Appends shortcut to their own delta dir tagged `insert` (O(delta);
+    * diffing two 100 TB snapshots per append would be absurd — sound
+    * because keyed CDC's contract is unique keys, so an appended row is
+    * always a fresh key). Everything else diffs against the PREVIOUS
+    * main-lineage snapshot via the store's keyed [[SnapshotTable.changes]]
+    * (rollbacks, publishes and row-level DML all emit their net row
+    * changes); the first main commit has no predecessor and streams whole
+    * as `insert`. `compact`/`evolve:` emit nothing (rows unchanged —
+    * Iceberg's changelog likewise) and branch commits are off-lineage. */
+  private def cdcFrames(entries: Seq[(Long, String)]): Seq[DataFrame] = {
+    val key = keyColumn.get
+    val mainVersions =
+      st.commitOps().filter(e => st.isMainLineageOp(e._2)).map(_._1)
+    entries.collect {
+      case (v, op) if st.isMainLineageOp(op) && st.streamOpKind(op) != "noop" =>
+        val tagged =
+          if (st.streamOpKind(op) == "append")
+            conform(st.appendDelta(v))
+              .withColumn("_change_type", lit("insert"))
+          else mainVersions.filter(_ < v).lastOption match {
+            case Some(prev) =>
+              conform(st.changes(prev, v, key), keep = Seq("_change_type"))
+            case None =>
+              conform(st.read(Some(v)))
+                .withColumn("_change_type", lit("insert"))
+          }
+        tagged.withColumn("_commit_version", lit(v))
+    }
+  }
+
+  /** A delta aligned to the STREAM's fixed data schema: appends may evolve
+    * the store's schema mid-stream (columns added, widened, or absent —
+    * the M4 contract), but a streaming query's schema is pinned at start,
+    * so missing columns null-fill, widened ones cast back, new ones wait
+    * for a stream restart. Also drops hidden partition columns
+    * (graft__day …) a partitioned delta dir carries physically. */
+  private def conform(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
-    df.select(schema.fields.toSeq.map { f =>
+    df.select(baseSchema.fields.toSeq.map { f =>
       have.get(f.name.toLowerCase) match {
         case Some(c) => col(c).cast(f.dataType).as(f.name)
         case None    => lit(null).cast(f.dataType).as(f.name)
       }
-    }: _*)
+    } ++ keep.map(col): _*)
   }
 
   override def stop(): Unit = ()
@@ -170,6 +231,24 @@ object SnapshotSource {
           "store that has no commits yet")
     }
   }
+
+  /** The DATA schema (user-given minus any CDC tag columns, else the
+    * store's). */
+  private[streaming] def dataSchema(spark: SparkSession, root: String,
+      userSchema: Option[StructType]): StructType =
+    userSchema.map(s => StructType(s.fields.filterNot(f =>
+        f.name == "_change_type" || f.name == "_commit_version")))
+      .getOrElse(storeSchema(spark, root))
+
+  /** The stream's full schema for `mode` — cdc appends the tag columns. */
+  private[streaming] def streamSchema(base: StructType, mode: String): StructType =
+    if (mode == "cdc")
+      StructType(base.fields
+        :+ org.apache.spark.sql.types.StructField("_change_type",
+             org.apache.spark.sql.types.StringType)
+        :+ org.apache.spark.sql.types.StructField("_commit_version",
+             org.apache.spark.sql.types.LongType))
+    else base
 }
 
 /** `spark.readStream.format("graft-snapshot").load(root)` — the v1
@@ -186,8 +265,9 @@ final class SnapshotSourceProvider extends StreamSourceProvider with DataSourceR
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      SnapshotSource.storeSchema(sqlContext.sparkSession, rootOf(parameters))))
+    (shortName(), SnapshotSource.streamSchema(
+      SnapshotSource.dataSchema(sqlContext.sparkSession, rootOf(parameters), schema),
+      parameters.getOrElse("mode", "append-only").trim))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,

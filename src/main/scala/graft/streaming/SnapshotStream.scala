@@ -130,4 +130,20 @@ object SnapshotStream {
     maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
     r.load(root)
   }
+
+  /** Tail the store as a CHANGE stream (mode=cdc): every main-lineage
+    * commit arrives as keyed change rows — `_change_type` ∈ {insert,
+    * delete, update_preimage, update_postimage} + `_commit_version` — the
+    * Delta CDF / Iceberg changelog shape (see [[SnapshotSource]]). */
+  def readChanges(spark: org.apache.spark.sql.SparkSession, root: String,
+                  keyCol: String, startVersion: Long = -1L,
+                  maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("mode", "cdc")
+      .option("key-column", keyCol)
+      .option("start-version", startVersion.toString)
+    maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
+    r.load(root)
+  }
 }

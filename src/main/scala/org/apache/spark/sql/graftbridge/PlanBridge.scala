@@ -52,6 +52,23 @@ object PlanBridge {
     ofRows(df.sparkSession, plan)
   }
 
+  /** The frame as an OPAQUE streaming leaf: the batch plan compiles as-is
+    * (joins stay batch joins) and its row RDD is wrapped `isStreaming =
+    * true` — the MemoryStream/Kafka recipe. Use this when the batch
+    * CONTAINS joins/aggregates: [[asStreaming]]'s leaf-flip would hand
+    * those to the incremental planner, which treats them as stateful
+    * stream-stream operators (and e.g. rejects LeftAnti). The plan is
+    * recompiled from its (immutable) inputs on every call, so checkpoint
+    * replay stays deterministic; the cost is that downstream streaming
+    * operators can no longer push into it — fine for an already-computed
+    * diff. */
+  def asStreamingOpaque(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** An EMPTY streaming frame with `schema` — what a streaming `getBatch`
     * returns for a range that contains no payload commits. */
   def emptyStreaming(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =

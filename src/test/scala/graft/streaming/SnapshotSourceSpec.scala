@@ -130,6 +130,53 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(batches >= 3, s"expected a paced backfill, got $batches batch(es)")
   }
 
+  test("mode=cdc streams every commit's keyed changes — equal to batch changes()") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_cdc").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_cdc_ck").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_cdc_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    def drainCdc(): Unit =
+      SnapshotStream.readChanges(spark, root, "id").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    st.commit(Seq.tabulate(5)(j => (j.toLong, s"v$j", 10L)).toDF("id", "tag", "n")) // v0 seed
+    st.commit(Seq.tabulate(3)(j => (10L + j, "new", 20L)).toDF("id", "tag", "n"),
+      op = "append")                                                // v1 append
+    st.update(col("id") % 2 === 0 && col("id") < 5,
+      Map("n" -> (col("n") + lit(1))))                              // v2 cow update
+    st.compact(targetFiles = 1)                                     // v3: silent
+    st.deleteWhereMor(col("tag") === "new", "id")                   // v4 mor delete
+    drainCdc()
+
+    val got = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version").as[(Long, String, Long)]
+      .collect().sorted
+    // the batch oracle, window by window (v1's appendDelta shortcut must
+    // agree with changes(0,1) — fresh keys only)
+    val expected = (
+      (0L until 5L).map(i => (i, "insert", 0L)) ++
+      st.changes(0, 1, "id").select(col("id"), col("_change_type"))
+        .as[(Long, String)].collect().map { case (i, c) => (i, c, 1L) } ++
+      st.changes(1, 2, "id").select(col("id"), col("_change_type"))
+        .as[(Long, String)].collect().map { case (i, c) => (i, c, 2L) } ++
+      st.changes(3, 4, "id").select(col("id"), col("_change_type"))
+        .as[(Long, String)].collect().map { case (i, c) => (i, c, 4L) }
+    ).sorted
+    assert(got === expected)
+    assert(!got.exists(_._3 == 3L)) // the compact emitted nothing
+
+    // restart: one more update → ONLY its pre/post pair arrives
+    st.update(col("id") === 1L, Map("n" -> lit(99L)))               // v5
+    drainCdc()
+    val inc = spark.read.parquet(out).where(col("_commit_version") === 5)
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(inc === Array((1L, "update_postimage"), (1L, "update_preimage")))
+    assert(spark.read.parquet(out).count() === got.length + 2)
+  }
+
   test("a partitioned store streams without leaking hidden columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
