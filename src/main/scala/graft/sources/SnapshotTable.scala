@@ -2475,7 +2475,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * update_postimage} (the Iceberg create_changelog_view contract). Updates
     * are detected by comparing a fingerprint over the non-key columns, so a
     * key present on both sides with identical content emits nothing. */
-  def changes(fromV: Long, toV: Long, keyCol: String): DataFrame = {
+  def changes(fromV: Long, toV: Long, keyCol: String): DataFrame =
+    changes(fromV, toV, Seq(keyCol))
+
+  /** [[changes]] with a COMPOSITE key: the row identity is the tuple of
+    * `keyCols` (Iceberg's multi-column identifier-field-ids), so tables
+    * whose natural key spans columns — (tenant, doc), (exchange, symbol,
+    * day) — get the same changelog contract with no surrogate column. */
+  def changes(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changes() needs at least one key column")
     val meta = readMeta()
     // Iceberg identifies columns by FIELD ID, so a rename is the SAME column
     // and a drop removes it from the current schema: re-express the old
@@ -2523,28 +2531,29 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val before = align(before0, after0)
     val after = align(after0, before0)
     def fp(df: DataFrame): DataFrame = {
-      val others = df.columns.filterNot(_ == keyCol).sorted
+      val others = df.columns.filterNot(keyCols.contains).sorted
       df.withColumn("__fp", md5(concat_ws("\u0001",
         others.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
     }
     val b = fp(before)
     val a = fp(after)
-    val aKeyFp = a.select(col(keyCol), col("__fp"))
-    val bKeyFp = b.select(col(keyCol), col("__fp"))
-    val aKeys = a.select(col(keyCol))
-    val bKeys = b.select(col(keyCol))
+    val keyFpCols = keyCols :+ "__fp"
+    val aKeyFp = a.select(keyFpCols.map(col): _*)
+    val bKeyFp = b.select(keyFpCols.map(col): _*)
+    val aKeys = a.select(keyCols.map(col): _*)
+    val bKeys = b.select(keyCols.map(col): _*)
     // rows of `before` that changed or vanished: content (key,fp) absent in
     // `after`; key still present → update_preimage, key gone → delete.
-    val pre = b.join(aKeyFp, Seq(keyCol, "__fp"), "left_anti")
-    val preTagged = pre.join(aKeys, Seq(keyCol), "left_semi")
+    val pre = b.join(aKeyFp, keyFpCols, "left_anti")
+    val preTagged = pre.join(aKeys, keyCols, "left_semi")
       .withColumn("_change_type", lit("update_preimage"))
-      .unionByName(pre.join(aKeys, Seq(keyCol), "left_anti")
+      .unionByName(pre.join(aKeys, keyCols, "left_anti")
         .withColumn("_change_type", lit("delete")))
     // rows of `after` that are new or rewritten: mirrored construction.
-    val post = a.join(bKeyFp, Seq(keyCol, "__fp"), "left_anti")
-    val postTagged = post.join(bKeys, Seq(keyCol), "left_semi")
+    val post = a.join(bKeyFp, keyFpCols, "left_anti")
+    val postTagged = post.join(bKeys, keyCols, "left_semi")
       .withColumn("_change_type", lit("update_postimage"))
-      .unionByName(post.join(bKeys, Seq(keyCol), "left_anti")
+      .unionByName(post.join(bKeys, keyCols, "left_anti")
         .withColumn("_change_type", lit("insert")))
     // allowMissingColumns: commit() supports schema evolution on append, so
     // fromV and toV may legally differ in schema — the changelog carries the

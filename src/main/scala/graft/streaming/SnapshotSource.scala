@@ -60,10 +60,13 @@ final class SnapshotSource(
   require(mode == "append-only" || mode == "cdc",
     s"unknown snapshot-stream mode '$mode' (append-only | cdc)")
 
-  private val keyColumn = options.get("key-column").map(_.trim)
-  require(mode != "cdc" || keyColumn.nonEmpty,
-    "mode=cdc needs .option(\"key-column\", <unique key>) — the keyed-CDC " +
-      "contract the batch changes() API also carries")
+  /** CDC row identity — comma-separated for a composite key. */
+  private val keyColumns: Seq[String] =
+    options.get("key-column").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  require(mode != "cdc" || keyColumns.nonEmpty,
+    "mode=cdc needs .option(\"key-column\", <unique key[,key2,...]>) — the " +
+      "keyed-CDC contract the batch changes() API also carries")
 
   /** `true`: skip row-changing commits instead of failing the stream. */
   private val skipMutations =
@@ -179,7 +182,6 @@ final class SnapshotSource(
     * as `insert`. `compact`/`evolve:` emit nothing (rows unchanged —
     * Iceberg's changelog likewise) and branch commits are off-lineage. */
   private def cdcFrames(entries: Seq[(Long, String)]): Seq[DataFrame] = {
-    val key = keyColumn.get
     val mainVersions =
       st.commitOps().filter(e => st.isMainLineageOp(e._2)).map(_._1)
     entries.collect {
@@ -190,7 +192,7 @@ final class SnapshotSource(
               .withColumn("_change_type", lit("insert"))
           else mainVersions.filter(_ < v).lastOption match {
             case Some(prev) =>
-              conform(st.changes(prev, v, key), keep = Seq("_change_type"))
+              conform(st.changes(prev, v, keyColumns), keep = Seq("_change_type"))
             case None =>
               conform(st.read(Some(v)))
                 .withColumn("_change_type", lit("insert"))

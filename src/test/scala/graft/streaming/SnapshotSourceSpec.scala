@@ -177,6 +177,62 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === got.length + 2)
   }
 
+  test("composite-key CDC: row identity spans columns") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_ck2").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_ck2_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    // (tenant, id) is the identity; same id exists under both tenants
+    st.commit(Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 1L, 10L), ("b", 2L, 10L))
+      .toDF("tenant", "id", "n"))
+    st.update(col("tenant") === "a" && col("id") === 1L,
+      Map("n" -> lit(11L)))                                       // v1
+    st.deleteWhereMor(col("tenant") === "b" && col("id") === 2L,
+      Seq("tenant", "id"))                                        // v2
+    SnapshotStream.readChanges(spark, root, "tenant,id").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapsrc_ck2_ck").toFile.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("tenant", "id", "_change_type", "_commit_version")
+      .as[(String, Long, String, Long)].collect().sorted
+    // only (a,1) updates — (b,1) shares the id, (a,2) the tenant — and only
+    // (b,2) deletes; a single-column key would smear both
+    assert(got === Array(
+      ("a", 1L, "insert", 0L), ("a", 1L, "update_postimage", 1L),
+      ("a", 1L, "update_preimage", 1L), ("a", 2L, "insert", 0L),
+      ("b", 1L, "insert", 0L), ("b", 2L, "delete", 2L),
+      ("b", 2L, "insert", 0L)))
+    // the streamed windows equal the batch composite-key changes()
+    val batch = st.changes(1, 2, Seq("tenant", "id"))
+      .select("tenant", "id", "_change_type").as[(String, Long, String)]
+      .collect().sorted
+    assert(batch === Array(("b", 2L, "delete")))
+  }
+
+  test("schema evolution mid-stream: extras drop, missing columns null-fill") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_evo").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_evo_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((0L, "a")).toDF("id", "wave"), op = "append")
+    // M4's append-time schema evolution: one delta adds a column the pinned
+    // stream schema doesn't know, one omits a column it requires
+    st.commit(Seq((1L, "b", 9L)).toDF("id", "wave", "extra"), op = "append")
+    st.commit(Seq(Tuple1(2L)).toDF("id"), op = "append")
+    spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+      .schema("id LONG, wave STRING").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapsrc_evo_ck").toFile.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq === Seq("id", "wave"))
+    val rows = got.as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows === Array((0L, Some("a")), (1L, Some("b")), (2L, None)))
+  }
+
   test("a partitioned store streams without leaking hidden columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
