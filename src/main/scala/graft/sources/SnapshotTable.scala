@@ -2475,22 +2475,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * update_postimage} (the Iceberg create_changelog_view contract). Updates
     * are detected by comparing a fingerprint over the non-key columns, so a
     * key present on both sides with identical content emits nothing. */
-  def changes(fromV: Long, toV: Long, keyCol: String): DataFrame =
-    changes(fromV, toV, Seq(keyCol))
-
-  /** [[changes]] with a COMPOSITE key: the row identity is the tuple of
-    * `keyCols` (Iceberg's multi-column identifier-field-ids), so tables
-    * whose natural key spans columns — (tenant, doc), (exchange, symbol,
-    * day) — get the same changelog contract with no surrogate column. */
-  def changes(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "changes() needs at least one key column")
+  /** Both snapshots aligned for diffing: the before-image re-expressed
+    * through every evolve commit the after schema actually reflects
+    * (Iceberg identifies columns by FIELD ID, so a rename is the SAME
+    * column and a drop removes it — without this, an untouched row would
+    * diff as changed just because a column moved names), then both sides
+    * null-filled to the union schema (an untouched row then compares
+    * identically and emits nothing — Iceberg's changelog likewise). */
+  private def alignedSnapshots(fromV: Long, toV: Long): (DataFrame, DataFrame) = {
     val meta = readMeta()
-    // Iceberg identifies columns by FIELD ID, so a rename is the SAME column
-    // and a drop removes it from the current schema: re-express the old
-    // snapshot through every evolve commit between the two versions before
-    // diffing, or an untouched row would fingerprint as changed just because
-    // a column moved names. (Evolve commits live on main's lineage; a branch
-    // `toV` has none of its own.)
     val after0 = read(Some(toV))
     val afterCols = after0.columns.map(_.toLowerCase).toSet
     // candidate evolves: everything between the two endpoints' MAIN anchors
@@ -2519,17 +2512,45 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       }
       if (reflected) applyEvolve(df, m._3) else df
     }
-    // align both snapshots to the UNION schema before fingerprinting: after
-    // schema evolution an untouched row null-fills identically on both sides
-    // and emits nothing (Iceberg's changelog likewise reports only rows whose
-    // content changed, not every row that predates a new column).
     def align(df: DataFrame, other: DataFrame): DataFrame =
       other.schema.fields.foldLeft(df) { (d, f) =>
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType))
       }
-    val before = align(before0, after0)
-    val after = align(after0, before0)
+    (align(before0, after0), align(after0, before0))
+  }
+
+  /** KEYLESS changelog: the MULTISET diff between two snapshots — `insert`
+    * and `delete` rows only, one per copy, with duplicate multiplicity
+    * honored exactly. This is the changelog form for tables WITHOUT a
+    * unique key (the same domain position deletes serve, [[deleteWherePos]]):
+    * update pairing needs a row identity, so content that changed appears
+    * as its old copies deleted and new copies inserted. One shuffle: both
+    * sides union with ±1 weights, group by the full row, and the signed
+    * count's sign and magnitude say which side gained how many copies. */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    val (before, after) = alignedSnapshots(fromV, toV)
+    val dataCols = after.columns.toSeq
+    val u = before.withColumn("__w", lit(-1L))
+      .unionByName(after.withColumn("__w", lit(1L)))
+    val delta = u.groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__w")).as("__d")).filter(col("__d") =!= 0)
+    delta.withColumn("_change_type",
+        when(col("__d") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__copy", explode(sequence(lit(1L), abs(col("__d")))))
+      .drop("__d", "__copy")
+  }
+
+  def changes(fromV: Long, toV: Long, keyCol: String): DataFrame =
+    changes(fromV, toV, Seq(keyCol))
+
+  /** [[changes]] with a COMPOSITE key: the row identity is the tuple of
+    * `keyCols` (Iceberg's multi-column identifier-field-ids), so tables
+    * whose natural key spans columns — (tenant, doc), (exchange, symbol,
+    * day) — get the same changelog contract with no surrogate column. */
+  def changes(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changes() needs at least one key column")
+    val (before, after) = alignedSnapshots(fromV, toV)
     def fp(df: DataFrame): DataFrame = {
       val others = df.columns.filterNot(keyCols.contains).sorted
       df.withColumn("__fp", md5(concat_ws("\u0001",

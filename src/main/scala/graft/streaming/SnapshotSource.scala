@@ -60,13 +60,13 @@ final class SnapshotSource(
   require(mode == "append-only" || mode == "cdc",
     s"unknown snapshot-stream mode '$mode' (append-only | cdc)")
 
-  /** CDC row identity — comma-separated for a composite key. */
+  /** CDC row identity — comma-separated for a composite key. ABSENT means
+    * the KEYLESS changelog: multiset insert/delete diffs (duplicate copies
+    * honored, no update pairing) — the form for tables without a unique
+    * key, matching [[SnapshotTable.deleteWherePos]]'s domain. */
   private val keyColumns: Seq[String] =
     options.get("key-column").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-  require(mode != "cdc" || keyColumns.nonEmpty,
-    "mode=cdc needs .option(\"key-column\", <unique key[,key2,...]>) — the " +
-      "keyed-CDC contract the batch changes() API also carries")
 
   /** `true`: skip row-changing commits instead of failing the stream. */
   private val skipMutations =
@@ -192,7 +192,10 @@ final class SnapshotSource(
               .withColumn("_change_type", lit("insert"))
           else mainVersions.filter(_ < v).lastOption match {
             case Some(prev) =>
-              conform(st.changes(prev, v, keyColumns), keep = Seq("_change_type"))
+              conform(
+                if (keyColumns.nonEmpty) st.changes(prev, v, keyColumns)
+                else st.changes(prev, v),
+                keep = Seq("_change_type"))
             case None =>
               conform(st.read(Some(v)))
                 .withColumn("_change_type", lit("insert"))

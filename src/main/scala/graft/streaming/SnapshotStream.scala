@@ -146,4 +146,18 @@ object SnapshotStream {
     maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
     r.load(root)
   }
+
+  /** [[readChanges]] for tables WITHOUT a unique key: multiset
+    * insert/delete diffs with duplicate copies honored (no update pairing
+    * — that needs a row identity). Matches the position-delete domain. */
+  def readChangesKeyless(spark: org.apache.spark.sql.SparkSession, root: String,
+                         startVersion: Long = -1L,
+                         maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("mode", "cdc")
+      .option("start-version", startVersion.toString)
+    maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
+    r.load(root)
+  }
 }

@@ -211,6 +211,34 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(batch === Array(("b", 2L, "delete")))
   }
 
+  test("keyless CDC: multiset diffs honor duplicate copies") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_nk").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_nk_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    // a table with NO key — duplicate rows are legal (pos-delete domain)
+    st.commit((Seq.fill(3)(("x", 1L)) ++ Seq.fill(2)(("y", 2L)))
+      .toDF("tag", "n").coalesce(1))                              // v0
+    st.commit(Seq.fill(2)(("x", 1L)).toDF("tag", "n"), op = "append") // v1
+    st.deleteWherePos(col("tag") === "x")                         // v2
+    SnapshotStream.readChangesKeyless(spark, root).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapsrc_nk_ck").toFile.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(out)
+      .groupBy("tag", "_change_type", "_commit_version").count()
+      .as[(String, String, Long, Long)].collect().sorted
+    assert(got === Array(
+      ("x", "delete", 2L, 5L),  // all five duplicate copies, one row each
+      ("x", "insert", 0L, 3L), ("x", "insert", 1L, 2L),
+      ("y", "insert", 0L, 2L)))
+    // the batch keyless diff agrees window by window
+    assert(st.changes(0, 1).collect().map(_.toSeq).toSeq ===
+      Seq.fill(2)(Seq("x", 1L, "insert")))
+    assert(st.changes(1, 2).count() === 5)
+  }
+
   test("schema evolution mid-stream: extras drop, missing columns null-fill") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_evo").toFile.getAbsolutePath
