@@ -2535,10 +2535,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .unionByName(after.withColumn("__w", lit(1L)))
     val delta = u.groupBy(dataCols.map(col): _*)
       .agg(sum(col("__w")).as("__d")).filter(col("__d") =!= 0)
+    // copies regenerate via a TWO-LEVEL explode: a naive sequence(1, n)
+    // builds one n-element array per distinct row, and a low-cardinality
+    // table can put millions of copies behind one value — chunking bounds
+    // every materialized array at 10k elements no matter the multiplicity
+    val chunk = 10000L
+    val n = abs(col("__d"))
     delta.withColumn("_change_type",
         when(col("__d") > 0, lit("insert")).otherwise(lit("delete")))
-      .withColumn("__copy", explode(sequence(lit(1L), abs(col("__d")))))
-      .drop("__d", "__copy")
+      .withColumn("__chunk",
+        explode(sequence(lit(0L), floor((n - 1L) / chunk).cast("long"))))
+      .withColumn("__copy",
+        explode(sequence(lit(1L), least(lit(chunk), n - col("__chunk") * chunk))))
+      .drop("__d", "__chunk", "__copy")
   }
 
   def changes(fromV: Long, toV: Long, keyCol: String): DataFrame =

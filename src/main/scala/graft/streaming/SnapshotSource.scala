@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
@@ -54,8 +54,8 @@ final class SnapshotSource(
     * skip. `"cdc"`: EVERY main-lineage commit streams as change rows
     * (`_change_type` ∈ {insert, delete, update_preimage, update_postimage}
     * + `_commit_version`) — the Delta CDF / Iceberg changelog shape, built
-    * on the store's own keyed [[SnapshotTable.changes]] diff. Requires
-    * `key-column`. */
+    * on the store's own [[SnapshotTable.changes]] diff: keyed (update
+    * pairing) when `key-column` is given, keyless multiset otherwise. */
   private val mode = options.getOrElse("mode", "append-only").trim
   require(mode == "append-only" || mode == "cdc",
     s"unknown snapshot-stream mode '$mode' (append-only | cdc)")

@@ -237,6 +237,19 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(st.changes(0, 1).collect().map(_.toSeq).toSeq ===
       Seq.fill(2)(Seq("x", 1L, "insert")))
     assert(st.changes(1, 2).count() === 5)
+
+    // copy regeneration crosses the 10k chunk bound exactly (25k copies of
+    // ONE distinct row — the low-cardinality shape that must not build a
+    // 25k-element array per row)
+    val big = new SnapshotTable(spark,
+      Files.createTempDirectory("snapsrc_nk_big").toFile.getAbsolutePath)
+    big.commit(Seq(("seed", 0L)).toDF("tag", "n"))
+    big.commit(spark.range(25000).select(lit("z").as("tag"), lit(9L).as("n")),
+      op = "append")
+    val d = big.changes(0, 1)
+    assert(d.count() === 25000)
+    assert(d.distinct().collect().map(_.toSeq).toSeq ===
+      Seq(Seq("z", 9L, "insert")))
   }
 
   test("schema evolution mid-stream: extras drop, missing columns null-fill") {
