@@ -1178,7 +1178,8 @@ final class SqlScriptRunner(spark: SparkSession,
     * metadata scans (readme.md:357-369) as temp views in place. Also binds
     * `TABLE(table_changes('t', from, to [, 'key']))` — the CDC changelog
     * between two snapshots of a snapshot-bound table (the key defaults to
-    * the table's declared `graft.snapshot.<t>.key`). */
+    * the table's declared `graft.snapshot.<t>.key`; 'k1,k2' keys on the
+    * composite tuple; NO key anywhere → the keyless multiset changelog). */
   private def rewriteMetadataTables(stmt: String): String = {
     // from/to accept a VERSION NUMBER or a quoted REF NAME ('main', a
     // branch, a tag) — the "what would publishing this branch change?"
@@ -1193,14 +1194,13 @@ final class SqlScriptRunner(spark: SparkSession,
       val root = spark.conf.getOption(s"graft.snapshot.$name").getOrElse(
         throw new IllegalArgumentException(s"table_changes('$name', …): no " +
           s"snapshot store bound (set spark conf graft.snapshot.$name)"))
-      val key = Option(m.group(6))
+      // the key may be COMPOSITE ('tenant,id') — changes() keys on the
+      // tuple — or ABSENT entirely: with no key argument and no bound
+      // default, the diff is the KEYLESS multiset changelog (insert/delete
+      // with duplicate copies honored, no update pairing — the form for
+      // tables without a unique key)
+      val keyOpt = Option(m.group(6))
         .orElse(spark.conf.getOption(s"graft.snapshot.$name.key"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"table_changes('$name', …): pass a key column or set " +
-            s"graft.snapshot.$name.key"))
-      require(!key.contains(","),
-        s"table_changes('$name', …): the changelog keys on ONE column; " +
-          s"'$key' is a composite delete key — pass an explicit single key")
       asUser.foreach(u => requirePrivilege(u, "SELECT", Nil, datasetPath(name)))
       val st = new graft.sources.SnapshotTable(spark, root)
       def refArg(num: Int, ref: Int): Long =
@@ -1208,7 +1208,11 @@ final class SqlScriptRunner(spark: SparkSession,
         else st.refVersion(m.group(ref).trim).getOrElse(
           throw new IllegalArgumentException(
             s"table_changes('$name', …): no ref '${m.group(ref).trim}'"))
-      val df = st.changes(refArg(2, 3), refArg(4, 5), key)
+      val df = keyOpt match {
+        case Some(k) => st.changes(refArg(2, 3), refArg(4, 5),
+          k.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        case None => st.changes(refArg(2, 3), refArg(4, 5))
+      }
       metaViewCount += 1
       val v = s"graft_meta_$metaViewCount"
       df.createOrReplaceTempView(v)

@@ -443,6 +443,31 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(st.readTag("baseline").count() === 2)
   }
 
+  test("scripted table_changes: composite keys and the keyless multiset form") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val root = Files.createTempDirectory("script_cdc2").toString
+    val st = new SnapshotTable(spark, root)
+    // (tenant, id) identity; same id under both tenants
+    st.commit(Seq(("a", 1L, 10L), ("b", 1L, 10L)).toDF("tenant", "id", "n")) // v0
+    st.update(col("tenant") === "a" && col("id") === 1L, Map("n" -> lit(11L))) // v1
+    spark.conf.set("graft.snapshot.ops.multi", root)
+    val r = new SqlScriptRunner(spark)
+    // composite key: only (a,1) pairs — a single-column key would smear (b,1)
+    val ch = r.run("SELECT tenant, _change_type FROM " +
+      "TABLE(table_changes('ops.multi', 0, 1, 'tenant,id')) ORDER BY 1, 2")
+      .values.head
+    assert(ch.as[(String, String)].collect().toSeq ===
+      Seq(("a", "update_postimage"), ("a", "update_preimage")))
+    // keyless: no key argument, no bound default → multiset insert/delete
+    val nk = r.run("SELECT _change_type, count(*) AS n FROM " +
+      "TABLE(table_changes('ops.multi', 0, 1)) GROUP BY 1 ORDER BY 1")
+      .values.head
+    assert(nk.as[(String, Long)].collect().toSeq ===
+      Seq(("delete", 1L), ("insert", 1L))) // old (a,1,10) out, new (a,1,11) in
+  }
+
   test("scripted VACUUM TABLE expiry and table_refs/table_partitions scans") {
     import graft.sources.SnapshotTable
     import spark.implicits._
