@@ -47,12 +47,42 @@ class SnapshotFuzzSpec extends SparkSpec {
             s"got     ${got.take(30)}\nexpected ${model.sorted.take(30)}")
       }
 
+      // keyless-changelog oracle: the expected multiset diff between two
+      // model states — what changes(prevV, curV) must emit exactly
+      def msDiff(before: Vector[Row3], after: Vector[Row3]): Vector[(Row3, String)] = {
+        val cb = before.groupBy(identity).map { case (k, v) => k -> v.size }
+        val ca = after.groupBy(identity).map { case (k, v) => k -> v.size }
+        (cb.keySet ++ ca.keySet).toVector.flatMap { k =>
+          val d = ca.getOrElse(k, 0) - cb.getOrElse(k, 0)
+          if (d > 0) Vector.fill(d)((k, "insert"))
+          else Vector.fill(-d)((k, "delete"))
+        }
+      }
+      val expiredAll = scala.collection.mutable.Set.empty[Long]
+      var cdcBase: Option[(Long, Vector[Row3])] = None
+      def checkCdc(): Unit = {
+        val curV = t.currentVersion.get
+        cdcBase.filter { case (pv, _) => pv != curV && !expiredAll(pv) }
+          .foreach { case (pv, pm) =>
+            val got = t.changes(pv, curV).collect().map(r =>
+              ((r.getAs[Long]("id"), r.getAs[String]("tag"),
+                r.getAs[Double]("x")), r.getAs[String]("_change_type")))
+              .toVector.sorted
+            assert(got == msDiff(pm, model).sorted,
+              s"trial $trial: keyless changes($pv, $curV) diverged after " +
+                s"${trace.mkString(" -> ")}\ngot      ${got.take(30)}\n" +
+                s"expected ${msDiff(pm, model).sorted.take(30)}")
+          }
+        cdcBase = Some((curV, model))
+      }
+
       val seed = rows(8)
       model = seed
       record(
         if (partitioned) t.commitPartitioned(df(seed).coalesce(1), Seq("tag"))
         else t.commit(df(seed).coalesce(1), op = "overwrite"))
       check("seed-overwrite")
+      checkCdc()
 
       for (step <- 1 to 22) {
         rnd.nextInt(10) match {
@@ -113,8 +143,14 @@ class SnapshotFuzzSpec extends SparkSpec {
           case 9 =>
             val expired = t.expireSnapshots(keep = 3).toSet
             expired.foreach(history.remove)
+            expiredAll ++= expired
             check(s"expire(${expired.size})")
         }
+        // the keyless changelog between the previous head and the new one
+        // must equal the model's multiset diff — CDC property-tested over
+        // the WHOLE op algebra (appends, overwrites, all three delete
+        // kinds, updates, rollback, compaction, maintenance)
+        checkCdc()
         // time-travel spot check against a surviving recorded version
         val vs = history.keys.toVector.sorted
         if (vs.nonEmpty) {
