@@ -1209,8 +1209,16 @@ final class SqlScriptRunner(spark: SparkSession,
           throw new IllegalArgumentException(
             s"table_changes('$name', …): no ref '${m.group(ref).trim}'"))
       val df = keyOpt match {
-        case Some(k) => st.changes(refArg(2, 3), refArg(4, 5),
-          k.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        case Some(k) =>
+          val keys = k.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          // a key was GIVEN but degenerate (',' / whitespace) — that is a
+          // misconfiguration to surface with context, not a silent fall
+          // back to the keyless form the caller didn't ask for
+          require(keys.nonEmpty,
+            s"table_changes('$name', …): key '$k' names no columns — pass " +
+              "real column names, or omit the key (and unset " +
+              s"graft.snapshot.$name.key) for the keyless changelog")
+          st.changes(refArg(2, 3), refArg(4, 5), keys)
         case None => st.changes(refArg(2, 3), refArg(4, 5))
       }
       metaViewCount += 1

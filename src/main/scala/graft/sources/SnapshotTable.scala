@@ -2469,12 +2469,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     next
   }
 
-  /** CDC changelog between two snapshots, keyed on `keyCol` (assumed unique
-    * per snapshot — a primary key): every output row is a row of `fromV` or
-    * `toV` plus a `_change_type` column in {insert, delete, update_preimage,
-    * update_postimage} (the Iceberg create_changelog_view contract). Updates
-    * are detected by comparing a fingerprint over the non-key columns, so a
-    * key present on both sides with identical content emits nothing. */
   /** Both snapshots aligned for diffing: the before-image re-expressed
     * through every evolve commit the after schema actually reflects
     * (Iceberg identifies columns by FIELD ID, so a rename is the SAME
@@ -2550,13 +2544,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .drop("__d", "__chunk", "__copy")
   }
 
+  /** CDC changelog between two snapshots, keyed on `keyCol` (assumed unique
+    * per snapshot — a primary key): every output row is a row of `fromV` or
+    * `toV` plus a `_change_type` column in {insert, delete, update_preimage,
+    * update_postimage} (the Iceberg create_changelog_view contract). Updates
+    * are detected by comparing a fingerprint over the non-key columns, so a
+    * key present on both sides with identical content emits nothing. */
   def changes(fromV: Long, toV: Long, keyCol: String): DataFrame =
     changes(fromV, toV, Seq(keyCol))
 
   /** [[changes]] with a COMPOSITE key: the row identity is the tuple of
-    * `keyCols` (Iceberg's multi-column identifier-field-ids), so tables
-    * whose natural key spans columns — (tenant, doc), (exchange, symbol,
-    * day) — get the same changelog contract with no surrogate column. */
+    * `keyCols` (Iceberg's multi-column identifier-field-ids, assumed unique
+    * per snapshot), so tables whose natural key spans columns — (tenant,
+    * doc), (exchange, symbol, day) — get the same changelog contract with
+    * no surrogate column. */
   def changes(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changes() needs at least one key column")
     val (before, after) = alignedSnapshots(fromV, toV)

@@ -79,6 +79,9 @@ final class SnapshotSource(
     * files — the natural admission unit here. */
   private val maxVersionsPerBatch =
     options.get("max-versions-per-batch").map(_.trim.toInt)
+  require(maxVersionsPerBatch.forall(_ > 0),
+    s"max-versions-per-batch must be positive, got " +
+      s"${maxVersionsPerBatch.get} — 0 would stall the stream silently")
 
   /** The DATA schema (no CDC tag columns) every batch conforms to. */
   private val baseSchema: StructType =
@@ -104,7 +107,11 @@ final class SnapshotSource(
   @volatile private var availableNowMark: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowMark = st.commitOps().lastOption.map(_._1)
+    // a store EMPTY at trigger start pins the mark at start-version (not
+    // "no clip"): AvailableNow promises a fixed endpoint, so commits that
+    // arrive mid-run must wait for the next run, never extend this one
+    availableNowMark =
+      Some(st.commitOps().lastOption.map(_._1).getOrElse(startVersion))
 
   /** Next offset from `base`: head of the commit log (branch commits
     * advance the version counter too; `getBatch` classifies them as noop),
@@ -140,11 +147,17 @@ final class SnapshotSource(
       .filter(_ > startVersion).map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(versionOf).getOrElse(startVersion)
+    // the floor honors start-version even when `start` is a CHECKPOINTED
+    // offset: a stream wedged on a mutation commit whose offset is already
+    // in the WAL must be recoverable by restarting with a later
+    // start-version (the remedy the mutation error advertises) — without
+    // the floor the replayed batch would contain the mutation forever
+    val lo = math.max(start.map(versionOf).getOrElse(startVersion), startVersion)
     val hi = versionOf(end)
-    val entries = st.commitOps().filter { case (v, _) => v > lo && v <= hi }
+    val ops = st.commitOps()
+    val entries = ops.filter { case (v, _) => v > lo && v <= hi }
     val frames =
-      if (mode == "cdc") cdcFrames(entries) else appendFrames(entries)
+      if (mode == "cdc") cdcFrames(entries, ops) else appendFrames(entries)
     if (frames.isEmpty) PlanBridge.emptyStreaming(spark, schema)
     // cdc diffs contain anti/semi joins — they must enter the streaming
     // plan as an opaque leaf (batch-planned), not leaf-flipped relations
@@ -181,9 +194,10 @@ final class SnapshotSource(
     * changes); the first main commit has no predecessor and streams whole
     * as `insert`. `compact`/`evolve:` emit nothing (rows unchanged —
     * Iceberg's changelog likewise) and branch commits are off-lineage. */
-  private def cdcFrames(entries: Seq[(Long, String)]): Seq[DataFrame] = {
+  private def cdcFrames(entries: Seq[(Long, String)],
+      allOps: Seq[(Long, String)]): Seq[DataFrame] = {
     val mainVersions =
-      st.commitOps().filter(e => st.isMainLineageOp(e._2)).map(_._1)
+      allOps.filter(e => st.isMainLineageOp(e._2)).map(_._1)
     entries.collect {
       case (v, op) if st.isMainLineageOp(op) && st.streamOpKind(op) != "noop" =>
         val tagged =

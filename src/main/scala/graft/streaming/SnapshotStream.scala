@@ -122,41 +122,38 @@ object SnapshotStream {
   def readAppends(spark: org.apache.spark.sql.SparkSession, root: String,
                   startVersion: Long = -1L,
                   skipMutations: Boolean = false,
-                  maxVersionsPerBatch: Option[Int] = None): DataFrame = {
-    val r = spark.readStream
-      .format(classOf[SnapshotSourceProvider].getName)
-      .option("start-version", startVersion.toString)
-      .option("skip-mutations", skipMutations.toString)
-    maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
-    r.load(root)
-  }
+                  maxVersionsPerBatch: Option[Int] = None): DataFrame =
+    reader(spark, root, startVersion, maxVersionsPerBatch,
+      "skip-mutations" -> skipMutations.toString)
 
   /** Tail the store as a CHANGE stream (mode=cdc): every main-lineage
     * commit arrives as keyed change rows — `_change_type` ∈ {insert,
     * delete, update_preimage, update_postimage} + `_commit_version` — the
-    * Delta CDF / Iceberg changelog shape (see [[SnapshotSource]]). */
+    * Delta CDF / Iceberg changelog shape (see [[SnapshotSource]]).
+    * `keyCol` may be composite: `"tenant,id"`. */
   def readChanges(spark: org.apache.spark.sql.SparkSession, root: String,
                   keyCol: String, startVersion: Long = -1L,
-                  maxVersionsPerBatch: Option[Int] = None): DataFrame = {
-    val r = spark.readStream
-      .format(classOf[SnapshotSourceProvider].getName)
-      .option("mode", "cdc")
-      .option("key-column", keyCol)
-      .option("start-version", startVersion.toString)
-    maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
-    r.load(root)
-  }
+                  maxVersionsPerBatch: Option[Int] = None): DataFrame =
+    reader(spark, root, startVersion, maxVersionsPerBatch,
+      "mode" -> "cdc", "key-column" -> keyCol)
 
   /** [[readChanges]] for tables WITHOUT a unique key: multiset
     * insert/delete diffs with duplicate copies honored (no update pairing
     * — that needs a row identity). Matches the position-delete domain. */
   def readChangesKeyless(spark: org.apache.spark.sql.SparkSession, root: String,
                          startVersion: Long = -1L,
-                         maxVersionsPerBatch: Option[Int] = None): DataFrame = {
+                         maxVersionsPerBatch: Option[Int] = None): DataFrame =
+    reader(spark, root, startVersion, maxVersionsPerBatch, "mode" -> "cdc")
+
+  /** The one builder behind the three read entry points — a new source
+    * option gets threaded here exactly once. */
+  private def reader(spark: org.apache.spark.sql.SparkSession, root: String,
+      startVersion: Long, maxVersionsPerBatch: Option[Int],
+      extra: (String, String)*): DataFrame = {
     val r = spark.readStream
       .format(classOf[SnapshotSourceProvider].getName)
-      .option("mode", "cdc")
       .option("start-version", startVersion.toString)
+    extra.foreach { case (k, v) => r.option(k, v) }
     maxVersionsPerBatch.foreach(n => r.option("max-versions-per-batch", n.toString))
     r.load(root)
   }

@@ -107,6 +107,29 @@ class SnapshotSourceSpec extends SparkSpec {
       === ((0L until 5L) ++ (10L until 15L)).toArray)
   }
 
+  test("a wedged stream recovers on the SAME checkpoint via start-version") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_rec").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_rec_ck").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_rec_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((0L, "a")).toDF("id", "wave"), op = "append")     // v0
+    st.commit(Seq((100L, "x")).toDF("id", "wave"))                  // v1 overwrite
+    st.commit(Seq((2L, "c")).toDF("id", "wave"), op = "append")     // v2
+    def run(startVersion: Long): Unit =
+      SnapshotStream.readAppends(spark, root, startVersion).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // first run wedges on the mutation — its offset is already in the WAL
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](run(-1L))
+    // the error's advertised remedy must WORK on the same checkpoint: the
+    // start-version floor applies to the replayed WAL batch too
+    run(startVersion = 1L)
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq
+      === Seq(2L))
+  }
+
   test("max-versions-per-batch paces a backfill into bounded micro-batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_rate").toFile.getAbsolutePath
