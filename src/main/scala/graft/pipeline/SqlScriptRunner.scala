@@ -635,11 +635,18 @@ final class SqlScriptRunner(spark: SparkSession,
       om match {
         case Some(o) =>
           val st = snapshotStore(o.group(1), "ALTER")
+          // Iceberg's remove_orphan_files min-age check: a cutoff inside the
+          // slow-writer window is refused unless the session explicitly
+          // disables the check (the same escape hatch Iceberg's Spark
+          // procedure offers via a conf)
+          val minAgeCheck = spark.conf
+            .get("graft.snapshot.orphan.minAgeCheck", "true").toBoolean
           Option(o.group(2)) match {
             case Some(ts) => st.removeOrphans(math.max(0L,
               System.currentTimeMillis() -
-                java.sql.Timestamp.valueOf(ts.trim).getTime))
-            case None => st.removeOrphans()
+                java.sql.Timestamp.valueOf(ts.trim).getTime),
+              force = !minAgeCheck)
+            case None => st.removeOrphans(force = !minAgeCheck)
           }
         case None =>
           val m = ("(?is)VACUUM\\s+TABLE\\s+([\\w.]+)\\s+EXPIRE\\s+SNAPSHOTS\\s+" +

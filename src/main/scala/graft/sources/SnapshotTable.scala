@@ -28,6 +28,17 @@ object SnapshotTable {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Floor for [[SnapshotTable#removeOrphans]]'s age threshold (24 h —
+    * Iceberg's remove_orphan_files refuses shorter intervals for the same
+    * slow-writer reason). Overridable per call with `force = true`. */
+  val MinOrphanAgeMillis: Long = 24L * 3600 * 1000
+
+  /** Grace period the expiry marker sweep gives below-log-head markers: a
+    * marker younger than this may belong to a SLOW writer still mid-commit
+    * (data written, log append pending) whose dir the marker protects from
+    * [[SnapshotTable#removeOrphans]]; only stale markers are swept. */
+  val MarkerSweepGraceMillis: Long = 3600L * 1000
+
   // ── column-stats capture (commit-time, from the footers the manifest pass
   //    already opens) ────────────────────────────────────────────────────────
 
@@ -667,7 +678,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * type (the hash is type-sensitive); derived conjuncts are ADDED, never
     * replace the originals. */
   private def transformConjuncts(schema: StructType,
-      conj: Seq[Expression]): Seq[Expression] = {
+      conj: Seq[Expression], windowVersions: Seq[Long]): Seq[Expression] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
       EqualTo, In, InSet, Literal}
     import org.apache.spark.sql.types.IntegerType
@@ -696,7 +707,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
               org.apache.spark.sql.catalyst.expressions.Or(_, _)))
           case _ => None
         }
-        if (derived.isEmpty || !bucketDerivationSound(n, src)) conj
+        if (derived.isEmpty || !bucketDerivationSound(n, src, windowVersions)) conj
         else conj ++ derived
     }
   }
@@ -712,14 +723,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * live version's bucket-pinned files match the current entry. Legacy
     * manifests (no recorded spec) are trusted only when their files carry
     * no bucket dirs at all — a file without a bucket pin can never be
-    * wrongly pruned by a bucket conjunct. */
-  private def bucketDerivationSound(n: Int, src: String): Boolean =
-    readMeta().forall { m =>
-      readManifest(m._1) match {
+    * wrongly pruned by a bucket conjunct.
+    *
+    * Checked over the RESOLVED WINDOW's data-dir versions only (the dirs
+    * this read can actually prune), not the whole commit log: a long-lived
+    * table's dead history must not cost O(total versions) manifest reads
+    * per pruned query — planning stays O(chain). */
+  private def bucketDerivationSound(n: Int, src: String,
+      windowVersions: Seq[Long]): Boolean =
+    windowVersions.forall { v =>
+      readManifest(v) match {
         case None => true // no manifest → no stats → never pruned
         case Some((_, files)) =>
           !files.exists(_.name.contains(BucketCol + "=")) ||
-            manifestSpec(m._1).exists(_.flatMap(bucketOf).exists {
+            manifestSpec(v).exists(_.flatMap(bucketOf).exists {
               case (bn, bs) => bn == n && bs.equalsIgnoreCase(src)
             })
       }
@@ -1062,10 +1079,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Per-root in-process lock: commits from concurrent threads of one JVM
     * serialize their claim→write→log section (cross-process writers are
-    * ordered by the marker CAS alone). */
+    * ordered by the marker CAS alone). Keyed by the SAME canonical form the
+    * scan-stats map uses — java.nio canonicalization garbles scheme'd roots
+    * (`s3a://b/x` → `<cwd>/s3a:/b/x`), so two spellings of one remote root
+    * would take different locks. */
   private def withRootLock[T](body: => T): T =
     SnapshotTable.rootLocks
-      .computeIfAbsent(Paths.get(root).toAbsolutePath.toString, _ => new Object)
+      .computeIfAbsent(SnapshotTable.canonicalRoot(root), _ => new Object)
       .synchronized(body)
 
   private def headConflict(expected: Option[Long], now: Option[Long]): Nothing =
@@ -1320,7 +1340,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     if (entryOpts.exists(_.isEmpty)) return None
     val index = new ManifestFileIndex(spark, root, schema, partitionSchema,
-      entryOpts.flatten, conj => transformConjuncts(schema, conj))
+      entryOpts.flatten, conj => transformConjuncts(schema, conj, versions))
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
@@ -1478,7 +1498,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .getOrElse(throw new IllegalStateException(s"no snapshots at $root"))
     val resolved = resolveVersion(meta, v, None)
     val conj0 = SnapshotTable.conjunctsOf(resolved, pred)
-    val conj = transformConjuncts(resolved.schema, conj0)
+    // derivation soundness is checked against the dirs THIS read resolves
+    // (O(chain)), never the full commit log (O(history))
+    val conj = transformConjuncts(resolved.schema, conj0,
+      dataDirsOf(meta, v).map(dirVersionOf))
     pruneKept = 0L; pruneTotal = 0L
     resolveVersion(meta, v, Some(conj)).filter(pred).drop(hiddenReadCols: _*)
   }
@@ -1836,12 +1859,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // BELOW the log's next version is spent (its writer either logged — and
     // the re-validation in claimVersion keeps a re-created number from being
     // kept — or died after other writers moved the log past it). Markers at
-    // or above the log head may be in-flight claims and are never touched.
+    // or above the log head may be in-flight claims and are never touched;
+    // below-head markers additionally get a GRACE PERIOD — a SLOW writer
+    // whose claimed number the log moved past is still protected by its
+    // marker against removeOrphans, so sweeping a young marker would strip
+    // that protection mid-write and let a later orphan pass delete a dir
+    // whose commit is about to be logged.
     if (rootFs.exists(commitMarkersDir)) {
       val floor = nextVersion(remaining)
+      val graceCutoff =
+        System.currentTimeMillis() - SnapshotTable.MarkerSweepGraceMillis
       rootFs.listStatus(commitMarkersDir).foreach { s =>
         s.getPath.getName.stripPrefix("v=").toLongOption
-          .filter(_ < floor).foreach(deleteMarker)
+          .filter(v => v < floor && s.getModificationTime < graceCutoff)
+          .foreach(deleteMarker)
       }
     }
     expire
@@ -1872,8 +1903,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * crashed-ingest leftovers are real money. Never touches logged
     * versions (including expired-then-aliased targets — their log entries
     * are retained by expiry's reachability), marker-protected in-flight
-    * claims, or dirs younger than the threshold. Returns removed versions. */
-  def removeOrphans(olderThanMillis: Long = 3L * 24 * 3600 * 1000): Seq[Long] = withRootLock {
+    * claims, or dirs younger than the threshold.
+    *
+    * The threshold has a FLOOR of [[SnapshotTable.MinOrphanAgeMillis]]
+    * (24 h — Iceberg's remove_orphan_files refuses short intervals the
+    * same way): a marker-swept but still-in-flight slow writer's dir must
+    * never qualify, or its eventual log append would point at a deleted
+    * dir. Callers that genuinely need a shorter window (tests, forensic
+    * cleanup of a known-dead writer) must pass `force = true`, taking on
+    * the slow-writer risk explicitly. Returns removed versions. */
+  def removeOrphans(olderThanMillis: Long = 3L * 24 * 3600 * 1000,
+      force: Boolean = false): Seq[Long] = withRootLock {
+    require(force || olderThanMillis >= SnapshotTable.MinOrphanAgeMillis,
+      s"removeOrphans(olderThanMillis = $olderThanMillis): intervals under " +
+        s"${SnapshotTable.MinOrphanAgeMillis / 3600000} h risk deleting a " +
+        "slow in-flight writer's data dir (its claim marker may already be " +
+        "swept); pass force = true to accept that explicitly")
     val meta = readMeta()
     val logged = meta.map(_._1).toSet
     val aliased = meta.map(dataDirVersion).toSet // defensive: alias targets

@@ -95,6 +95,7 @@ object TableMaintenance {
     * older than the threshold are deleted. Part of the same automated
     * maintenance loop as [[maintain]]. */
   def removeOrphans(spark: SparkSession, root: String,
-      olderThanMillis: Long = 3L * 24 * 3600 * 1000): Seq[Long] =
-    new SnapshotTable(spark, root).removeOrphans(olderThanMillis)
+      olderThanMillis: Long = 3L * 24 * 3600 * 1000,
+      force: Boolean = false): Seq[Long] =
+    new SnapshotTable(spark, root).removeOrphans(olderThanMillis, force)
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -223,13 +223,32 @@ final class SnapshotSource(
     * the M4 contract), but a streaming query's schema is pinned at start,
     * so missing columns null-fill, widened ones cast back, new ones wait
     * for a stream restart. Also drops hidden partition columns
-    * (graft__day …) a partitioned delta dir carries physically. */
+    * (graft__day …) a partitioned delta dir carries physically.
+    *
+    * A column whose incoming type differs from the pinned one (widened
+    * mid-stream) casts back through `try_cast` with a NULL-on-non-null
+    * guard: an out-of-range value (a long past the pinned int range) must
+    * neither silently wrap (non-ANSI cast) nor die with a bare cast error
+    * (ANSI) — it fails the batch with the actual remedy: restart the
+    * stream to adopt the evolved schema. */
   private def conform(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    val inType = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     df.select(baseSchema.fields.toSeq.map { f =>
       have.get(f.name.toLowerCase) match {
-        case Some(c) => col(c).cast(f.dataType).as(f.name)
-        case None    => lit(null).cast(f.dataType).as(f.name)
+        case Some(c) if inType(f.name.toLowerCase) == f.dataType =>
+          col(c).as(f.name)
+        case Some(c) =>
+          val back = col(c).try_cast(f.dataType)
+          when(col(c).isNotNull && back.isNull,
+            raise_error(concat(
+              lit(s"snapshot stream over $root: value "), col(c).cast("string"),
+              lit(s" of column $c does not fit the stream's pinned type " +
+                s"${f.dataType.simpleString} (the store widened the column " +
+                "mid-stream) — restart the stream to adopt the evolved schema")))
+              .cast(f.dataType))
+            .otherwise(back).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
       }
     } ++ keep.map(col): _*)
   }

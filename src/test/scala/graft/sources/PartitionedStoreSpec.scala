@@ -344,12 +344,21 @@ class PartitionedStoreSpec extends SparkSpec {
     // on an object store
     assert(markers() === Nil, s"markers not GC'd: ${markers()}")
     // legacy stores (pre-self-GC) carry one marker per version: expiry
-    // sweeps every marker below the log head, keeps possible in-flight ones
+    // sweeps AGED markers below the log head, keeps possible in-flight ones
+    // (at/above head) AND young below-head markers — a slow writer the log
+    // moved past still needs its marker's removeOrphans protection until
+    // the sweep grace period passes
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - SnapshotTable.MarkerSweepGraceMillis - 60000)
     Files.createFile(Paths.get(root, "_graft_commits", "v=0"))
     Files.createFile(Paths.get(root, "_graft_commits", "v=1"))
+    Files.createFile(Paths.get(root, "_graft_commits", "v=2"))
     Files.createFile(Paths.get(root, "_graft_commits", "v=9"))
+    Files.setLastModifiedTime(Paths.get(root, "_graft_commits", "v=0"), aged)
+    Files.setLastModifiedTime(Paths.get(root, "_graft_commits", "v=1"), aged)
     t.expireSnapshots(keep = 10)
-    assert(markers() === Seq("v=9"), s"sweep wrong: ${markers()}")
+    assert(markers() === Seq("v=2", "v=9"), s"sweep wrong: ${markers()}")
+    Files.delete(Paths.get(root, "_graft_commits", "v=2"))
     Files.delete(Paths.get(root, "_graft_commits", "v=9"))
     // the table still reads and commits normally after the sweep
     assert(t.read().count() === 3)

@@ -90,20 +90,33 @@ class TableMaintenanceSpec extends SparkSpec {
     fakeDir(11)  // crashed writer but YOUNG — the slow-writer age guard
     // default 3-day threshold: nothing qualifies
     assert(t.removeOrphans() === Nil)
-    // 1-minute threshold: only the aged, unprotected orphan goes
-    assert(t.removeOrphans(olderThanMillis = 60L * 1000) === Seq(9L))
+    // the slow-writer floor: a 1-minute interval is refused outright
+    // (Iceberg's remove_orphan_files min-age check) unless forced
+    intercept[IllegalArgumentException] {
+      t.removeOrphans(olderThanMillis = 60L * 1000)
+    }
+    // forced 1-minute threshold: only the aged, unprotected orphan goes
+    assert(t.removeOrphans(olderThanMillis = 60L * 1000, force = true) === Seq(9L))
     assert(!JF.exists(Paths.get(root, "v=9")))
     assert(JF.exists(Paths.get(root, "v=10")), "marker-protected dir kept")
     assert(JF.exists(Paths.get(root, "v=11")), "young dir kept")
     assert(JF.exists(Paths.get(root, "v=0")) && JF.exists(Paths.get(root, "v=1")),
       "logged dirs are never orphans")
     assert(t.read().count() === 3, "content untouched")
-    // the scripted form: OLDER_THAN pins the cutoff timestamp directly
+    // the scripted form: OLDER_THAN pins the cutoff timestamp directly; a
+    // cutoff inside the slow-writer window is refused until the session
+    // disables the min-age check (Iceberg's escape-hatch conf shape)
     JF.delete(Paths.get(root, "_graft_commits", "v=10"))
     spark.conf.set("graft.snapshot.maint.orph", root)
     val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - 60L * 1000)
-    new graft.pipeline.SqlScriptRunner(spark).run(
+    intercept[IllegalArgumentException] {
+      new graft.pipeline.SqlScriptRunner(spark).run(
+        s"VACUUM TABLE maint.orph REMOVE ORPHAN FILES OLDER_THAN '$cutoff'")
+    }
+    spark.conf.set("graft.snapshot.orphan.minAgeCheck", "false")
+    try new graft.pipeline.SqlScriptRunner(spark).run(
       s"VACUUM TABLE maint.orph REMOVE ORPHAN FILES OLDER_THAN '$cutoff'")
+    finally spark.conf.set("graft.snapshot.orphan.minAgeCheck", "true")
     assert(!JF.exists(Paths.get(root, "v=10")), "unclaimed aged orphan removed")
     assert(JF.exists(Paths.get(root, "v=11")), "young orphan still kept")
     assert(t.read().count() === 3)

@@ -297,6 +297,36 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(rows === Array((0L, Some("a")), (1L, Some("b")), (2L, None)))
   }
 
+  test("mid-stream type widening: in-range values cast back; an " +
+      "out-of-range value fails with the restart-the-stream remedy") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_widen").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_widen_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_widen_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((0L, 7)).toDF("id", "n"), op = "append")   // v0: n is INT
+    st.alterColumnType("n", "long")                           // v1: widen
+    st.commit(Seq((1L, 9L)).toDF("id", "n"), op = "append")  // v2: fits int
+    def run(): Unit =
+      spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .schema("id LONG, n INT").load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // in-range widened values conform silently (cast back to the pinned int)
+    run()
+    assert(spark.read.parquet(out).as[(Long, Int)].collect().sorted
+      === Array((0L, 7), (1L, 9)))
+    // an out-of-range value must fail the batch with the ACTUAL remedy, not
+    // silently wrap or die with a bare cast error
+    st.commit(Seq((2L, Int.MaxValue + 10L)).toDF("id", "n"), op = "append")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains(
+      "restart the stream to adopt the evolved schema")), messages(err).mkString("\n"))
+  }
+
   test("a partitioned store streams without leaking hidden columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
