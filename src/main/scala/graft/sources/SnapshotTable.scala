@@ -424,7 +424,71 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private type Meta = (Long, Long, String, Long)
 
-  private def metaPath = Paths.get(root, "_graft_meta.jsonl")
+  private val MetaFile = "_graft_meta.jsonl"
+
+  // ── metadata IO seam ─────────────────────────────────────────────────────
+  //    Every commit-log / refs / manifest / spec-file read and write goes
+  //    through these helpers: `file:` (and bare) roots keep java.nio — its
+  //    O_EXCL create and cheap appends are exactly right locally — while
+  //    scheme'd roots (`hdfs:`, `s3a:`, test schemes) route through Hadoop's
+  //    FileSystem, the same discipline the commit-marker CAS already follows.
+  //    Without this the store could not operate at all on the object-store
+  //    roots its 100 TB deployment story assumes (reference spark.py:52-59,
+  //    readme.md:393-401: tables live on object storage).
+
+  private def hPath(rel: String) = new Path(root, rel)
+  private def nPath(rel: String) = Paths.get(root, rel)
+
+  private def metaExists(rel: String): Boolean =
+    if (rootIsLocal) Files.exists(nPath(rel)) else rootFs.exists(hPath(rel))
+
+  private def metaReadString(rel: String): String =
+    if (rootIsLocal) Files.readString(nPath(rel))
+    else {
+      val in = rootFs.open(hPath(rel))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+
+  /** Non-empty lines of a metadata file (the log readers' shape). */
+  private def metaReadLines(rel: String): Seq[String] =
+    metaReadString(rel).split('\n').toSeq.filter(_.nonEmpty)
+
+  private def metaWriteString(rel: String, content: String): Unit =
+    if (rootIsLocal) {
+      Files.createDirectories(nPath(rel).getParent)
+      Files.writeString(nPath(rel), content,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    } else {
+      val out = rootFs.create(hPath(rel), true) // creates parent dirs
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** Create-or-append. HDFS (and local) append natively; filesystems
+    * without append (object stores) fall back to read-modify-write — safe
+    * for IN-JVM writers (the root lock serializes every log mutation) and
+    * carrying the same cross-process optimistic window the commit protocol
+    * already documents for S3-class stores (see [[validateHeadOrRelease]]:
+    * a real deployment closes it with a catalog-side CAS). */
+  private def metaAppendString(rel: String, content: String): Unit =
+    if (rootIsLocal) {
+      Files.createDirectories(nPath(rel).getParent)
+      Files.writeString(nPath(rel), content,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    } else if (!rootFs.exists(hPath(rel))) {
+      val out = rootFs.create(hPath(rel), false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    } else
+      try {
+        val out = rootFs.append(hPath(rel))
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case _: UnsupportedOperationException =>
+          metaWriteString(rel, metaReadString(rel) + content)
+      }
+
+  private def metaDelete(rel: String): Unit =
+    if (rootIsLocal) Files.deleteIfExists(nPath(rel))
+    else rootFs.delete(hPath(rel), false)
 
   /** Op marker for merge-on-read equality-delete commits: the version dir
     * holds only the deleted KEYS, not a full data copy (see [[deleteWhereMor]]). */
@@ -489,11 +553,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def morUpdateDeletesDir(v: Long) = s"$root/v=$v/_graft_deletes"
 
   /** Does version `v` carry a non-empty equality-delete key file? */
-  private def morKeysExist(v: Long): Boolean = {
-    val delDir = new java.io.File(morUpdateDeletesDir(v))
-    delDir.isDirectory && delDir.listFiles().exists(f =>
-      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-  }
+  private def morKeysExist(v: Long): Boolean =
+    if (rootIsLocal) {
+      val delDir = new java.io.File(
+        new Path(morUpdateDeletesDir(v)).toUri.getPath)
+      delDir.isDirectory && delDir.listFiles().exists(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    } else {
+      val delDir = new Path(morUpdateDeletesDir(v))
+      rootFs.exists(delDir) && rootFs.listStatus(delDir).exists(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    }
 
   /** Op prefix for commits made on a side branch: `branch:<name>:overwrite`
     * or `branch:<name>:append:<parentVersion>`. Branch commits share the
@@ -523,7 +594,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * schema and new reads see the evolved one. */
   private val EvolveOpPrefix = "evolve:"
 
-  private def refsPath = Paths.get(root, "_graft_refs.jsonl")
+  private val RefsFile = "_graft_refs.jsonl"
 
   // ── hidden partitioning (Iceberg partition specs; reference
   //    clinicdata.sql:51, finance_example.sql:25, insurance_example.sql:23 —
@@ -535,7 +606,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   //    stats so [[readWhere]] prunes partition files, and Spark's own
   //    partition discovery gives PartitionFilters pruning on plain reads. ──
 
-  private def partitionSpecPath = Paths.get(root, "_graft_partition")
+  private val PartitionSpecFile = "_graft_partition"
 
   /** The hidden day-transform column name (never user-visible). NOTE: must
     * not start with `_` — hive/Spark listing treats `_`-prefixed paths as
@@ -576,8 +647,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * Seq("region", "days(ts)", "bucket(8, doc_id)") — split on TOP-LEVEL
     * commas only (transform arguments contain commas). */
   def partitionSpec: Seq[String] =
-    if (!Files.exists(partitionSpecPath)) Nil
-    else splitSpecEntries(Files.readString(partitionSpecPath))
+    if (!metaExists(PartitionSpecFile)) Nil
+    else splitSpecEntries(metaReadString(PartitionSpecFile))
 
   /** Split a comma-joined spec string on TOP-LEVEL commas only (transform
     * arguments contain commas: `bucket(8, doc_id)`). */
@@ -744,7 +815,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   // ── write sort order (Iceberg `ALTER TABLE … WRITE ORDERED BY`) ────────
 
-  private def sortOrderPath = Paths.get(root, "_graft_sortorder")
+  private val SortOrderFile = "_graft_sortorder"
 
   /** The store's declared write sort order: data commits are RANGE-
     * repartitioned on these columns and sorted within each output file, so
@@ -756,16 +827,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * Like Iceberg's sort order, this shapes FUTURE writes only — existing
     * files keep their layout and their recorded stats. */
   def sortOrder: Seq[String] = {
-    if (!Files.exists(sortOrderPath)) Nil
-    else Files.readString(sortOrderPath).split('|').head.split(",")
-      .map(_.trim).filter(_.nonEmpty).toSeq
+    if (!metaExists(SortOrderFile)) Nil
+    else splitSpecEntries(metaReadString(SortOrderFile).split('|').head)
   }
 
   /** Range-partition count pinned with the sort order (0 = Spark's
     * spark.sql.shuffle.partitions decides, the scale default). */
   def sortOrderFiles: Int =
-    if (!Files.exists(sortOrderPath)) 0
-    else Files.readString(sortOrderPath).split('|') match {
+    if (!metaExists(SortOrderFile)) 0
+    else metaReadString(SortOrderFile).split('|') match {
       case Array(_, n) => scala.util.Try(n.trim.toInt).getOrElse(0)
       case _           => 0
     }
@@ -776,14 +846,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * wants (one range per shuffle partition, AQE coalescing applies). */
   def setSortOrder(cols: Seq[String], files: Int = 0): Unit = {
     require(cols.nonEmpty, "WRITE ORDERED BY needs at least one column")
-    Files.writeString(sortOrderPath,
-      cols.mkString(",") + (if (files > 0) s"|$files" else ""),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    metaWriteString(SortOrderFile,
+      cols.mkString(",") + (if (files > 0) s"|$files" else ""))
   }
 
   /** `ALTER TABLE … WRITE UNORDERED` — future writes keep the incoming
     * frame's layout again. */
-  def clearSortOrder(): Unit = Files.deleteIfExists(sortOrderPath)
+  def clearSortOrder(): Unit = metaDelete(SortOrderFile)
 
   /** The declared sort order applied to a commit frame: range-repartition
     * (disjoint per-file ranges) then sort within each file. Skipped
@@ -900,7 +969,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   private val ManifestDir = "_graft_manifest"
-  private def manifestPath(v: Long) = Paths.get(root, ManifestDir, s"v=$v.tsv")
+  private def manifestRel(v: Long) = s"$ManifestDir/v=$v.tsv"
 
   // ── commit log / refs log ──────────────────────────────────────────────
 
@@ -908,14 +977,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * log, last line per name wins; a `dropped` line is a tombstone — the
     * name is free for re-creation and its pins are released. */
   private def readRefs(): Map[String, (String, Long)] =
-    if (!Files.exists(refsPath)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(refsPath).asScala.filter(_.nonEmpty).map { line =>
+    if (!metaExists(RefsFile)) Map.empty
+    else
+      metaReadLines(RefsFile).map { line =>
         val m = line.split(",", 3)
         m(0) -> (m(1), m(2).toLong)
       }.toMap.filter(_._2._1 != "dropped")
-    }
 
   private def writeRef(name: String, kind: String, v: Long): Unit = {
     // the refs log is line/comma-delimited and branch names ride inside
@@ -923,9 +990,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // corrupt every later read of the whole log, so reject at write time
     require(name.nonEmpty && !name.exists(c => c == ',' || c == ':' || c == '\n' || c == '\r'),
       s"invalid ref name '$name': must be non-empty, no ',' ':' or line breaks")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(refsPath, s"$name,$kind,$v\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    metaAppendString(RefsFile, s"$name,$kind,$v\n")
   }
 
   private def isBranchOp(op: String): Boolean = op.startsWith(BranchOpPrefix)
@@ -971,20 +1036,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     meta.lastOption.map(_._1 + 1).getOrElse(0L)
 
   private def readMeta(): Seq[Meta] =
-    if (!Files.exists(metaPath)) Nil
+    if (!metaExists(MetaFile)) Nil
     else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(metaPath).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      metaReadLines(MetaFile).map { line =>
         val m = line.split(",", 4)
         (m(0).toLong, m(1).toLong, m(2), m(3).toLong)
       }.sortBy(_._1) // concurrent writers may interleave log lines
     }
 
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(metaPath,
-      s"$version,${System.currentTimeMillis()},$op,$rows\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    metaAppendString(MetaFile,
+      s"$version,${System.currentTimeMillis()},$op,$rows\n")
     // self-GC: once the version is LOGGED the marker has done its job —
     // `claimVersion` re-validates against the log after every create, so a
     // racer that re-creates this number can never keep it. Without this a
@@ -1110,7 +1172,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * cleanup completed (marker deletion is last). */
   private def releaseClaim(v: Long): Unit = {
     rootFs.delete(new Path(root, s"v=$v"), true)
-    Files.deleteIfExists(manifestPath(v))
+    metaDelete(manifestRel(v))
     manifestCache.synchronized { manifestCache.remove(v) }
     manifestSpecCache.synchronized { manifestSpecCache.remove(v) }
     deleteMarker(v)
@@ -1176,7 +1238,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           partitionPathStats(rel, df.schema) ++ footerSt)
       } finally reader.close()
     }
-    Files.createDirectories(Paths.get(root, ManifestDir))
     val header = "#schema\t" + java.util.Base64.getEncoder.encodeToString(
       df.schema.json.getBytes("UTF-8"))
     // the spec in force when these files were WRITTEN rides the manifest
@@ -1188,9 +1249,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         spec.mkString(",").getBytes("UTF-8")))
     val body = stats.map(f =>
       s"${f.name}\t${f.records}\t${f.bytes}\t${SnapshotTable.encodeStats(f.stats)}")
-    Files.writeString(manifestPath(v),
-      ((header +: specLine) ++ body).mkString("", "\n", "\n"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    metaWriteString(manifestRel(v),
+      ((header +: specLine) ++ body).mkString("", "\n", "\n"))
     stats.map(_.records).sum
   }
 
@@ -1223,10 +1283,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
 
   private def readManifestUncached(v: Long): Option[(StructType, Seq[SnapshotTable.ManifestFile])] =
-    if (!Files.exists(manifestPath(v))) None
+    if (!metaExists(manifestRel(v))) None
     else {
-      import scala.jdk.CollectionConverters._
-      val lines = Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty)
+      val lines = metaReadLines(manifestRel(v))
       val schema = lines.headOption.filter(_.startsWith("#schema\t")).map { h =>
         DataType.fromJson(new String(java.util.Base64.getDecoder.decode(
           h.split("\t", 2)(1)), "UTF-8")).asInstanceOf[StructType]
@@ -1443,9 +1502,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       op: String = "overwrite"): Long = {
     require(spec.nonEmpty, "commitPartitioned needs at least one spec entry")
     spec.foreach(e => validateSpecEntry(df.schema, e))
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(partitionSpecPath, spec.mkString(","),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    metaWriteString(PartitionSpecFile, spec.mkString(","))
     commit(df, op)
   }
 
@@ -1847,14 +1904,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val expire = meta.map(_._1).filterNot(keep).sorted
     expire.foreach { v =>
       rootFs.delete(new Path(root, s"v=$v"), true)
-      Files.deleteIfExists(manifestPath(v))
+      metaDelete(manifestRel(v))
     }
     val expired = expire.toSet
     val remaining = meta.filterNot(m => expired(m._1))
     val content = remaining.map { case (v, t, o, r) => s"$v,$t,$o,$r" }
       .mkString("", "\n", if (remaining.nonEmpty) "\n" else "")
-    Files.writeString(metaPath, content,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    metaWriteString(MetaFile, content)
     // marker sweep for pre-self-GC stores and crashed writers: any marker
     // BELOW the log's next version is spent (its writer either logged — and
     // the re-validation in claimVersion keeps a re-created number from being
@@ -1932,7 +1988,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
             s.getModificationTime < cutoff
         }.map { v =>
           rootFs.delete(s.getPath, true)
-          Files.deleteIfExists(manifestPath(v))
+          metaDelete(manifestRel(v))
           manifestCache.synchronized { manifestCache.remove(v) }
           manifestSpecCache.synchronized { manifestSpecCache.remove(v) }
           v
@@ -2475,9 +2531,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val next = claimVersion(meta)
     appendMeta(next, encodeEvolve(Seq("partition", newSpec.mkString(","))),
       tableRowsAsOf(meta, head))
-    if (newSpec.isEmpty) Files.deleteIfExists(partitionSpecPath)
-    else Files.writeString(partitionSpecPath, newSpec.mkString(","),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    if (newSpec.isEmpty) metaDelete(PartitionSpecFile)
+    else metaWriteString(PartitionSpecFile, newSpec.mkString(","))
     next
   }
 
