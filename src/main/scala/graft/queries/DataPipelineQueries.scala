@@ -181,6 +181,12 @@ object DataPipelineQueries {
   private val streamCdcFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q124's store: a range-clustered base mutated by merge-on-read DML,
+    * whose CDC derives from the commits' own files (O(delta), pruned
+    * pre-image scan — never a two-snapshot diff). */
+  private val cdcDeltaFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2822,6 +2828,62 @@ object DataPipelineQueries {
         SELECT 3, 'delete', doc_id FROM s1 WHERE lang = 'de')
       SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
              count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM ch
+      GROUP BY 1, 2""")),
+
+    // O(delta) CDC from the commit's OWN files (Iceberg's changelog-scan
+    // rationale: one small mutation on a 100 TB table must not make its CDC
+    // batch diff two full snapshots). The base is range-clustered on doc_id
+    // (WRITE ORDERED BY → 8 disjoint-range files); a mor UPDATE claims a few
+    // low ids, a mor DELETE a few mid ids — each commit's change rows derive
+    // from its delete/replacement files, with the pre-image read PRUNED by
+    // the inlined claimed keys. The require() pins that each CDC derivation
+    // scanned ≤ 2 of the live files (the clustered base's other ranges were
+    // skipped), so the O(delta) claim rides the oracle compare.
+    Q("q124_cdc_odelta", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = cdcDeltaFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_cdcdelta")
+          val st = new SnapshotTable(s, r)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          st.setSortOrder(Seq("doc_id"), files = 8)
+          st.commit(docs)                                        // v0: 8 range files
+          st.updateMor(col("doc_id") < 5L,                       // v1 mor update
+            Map("n_chars" -> (col("n_chars") + lit(100L))), "doc_id")
+          st.deleteWhereMor(                                     // v2 mor delete
+            col("doc_id") >= 10L && col("doc_id") <= 14L, "doc_id")
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      def derived(v: Long): org.apache.spark.sql.DataFrame = {
+        val ch = st.changesFromCommit(v, Seq("doc_id")).getOrElse(
+          throw new IllegalStateException(s"v=$v must take the O(delta) path"))
+        val (kept, total) = st.lastPruneStats
+        require(total >= 8L && kept <= 2L,
+          s"CDC pre-image scan must prune the clustered base: $kept/$total")
+        ch.withColumn("commit_version", lit(v))
+      }
+      derived(1L).unionByName(derived(2L))
+        .groupBy(col("commit_version"), col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+    }, Some("""
+      WITH ch AS (
+        SELECT 1 AS commit_version, 'update_preimage' AS change_type,
+               doc_id, n_chars
+        FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT 1, 'update_postimage', doc_id, n_chars + 100
+        FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT 2, 'delete', doc_id, n_chars
+        FROM documents WHERE doc_id BETWEEN 10 AND 14)
+      SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+             count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
       FROM ch
       GROUP BY 1, 2"""))
   )

@@ -2624,6 +2624,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * count's sign and magnitude say which side gained how many copies. */
   def changes(fromV: Long, toV: Long): DataFrame = {
     val (before, after) = alignedSnapshots(fromV, toV)
+    diffMultiset(before, after)
+  }
+
+  /** The keyless multiset-diff core, shared by the full-snapshot changelog
+    * ([[changes]]) and the commit-derived O(delta) path
+    * ([[changesFromCommit]] — there `before`/`after` are just the AFFECTED
+    * row subsets, and the identical algebra yields the identical rows). */
+  private def diffMultiset(before: DataFrame, after: DataFrame): DataFrame = {
     val dataCols = after.columns.toSeq
     val u = before.withColumn("__w", lit(-1L))
       .unionByName(after.withColumn("__w", lit(1L)))
@@ -2661,6 +2669,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def changes(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changes() needs at least one key column")
     val (before, after) = alignedSnapshots(fromV, toV)
+    diffKeyed(before, after, keyCols)
+  }
+
+  /** The keyed diff core, shared by the full-snapshot changelog and the
+    * commit-derived O(delta) path (see [[diffMultiset]]'s note). */
+  private def diffKeyed(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     def fp(df: DataFrame): DataFrame = {
       val others = df.columns.filterNot(keyCols.contains).sorted
       df.withColumn("__fp", md5(concat_ws("\u0001",
@@ -2691,6 +2706,99 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // union schema with absent-side columns null-filled.
     preTagged.unionByName(postTagged, allowMissingColumns = true).drop("__fp")
   }
+
+  /** Claimed-key sets at or below this size inline as IN conjuncts so the
+    * pre-image read PRUNES via manifest stats (bucket layouts prune to the
+    * claimed buckets); larger sets fall back to the unpruned one-pass scan. */
+  private val MaxInlineCdcKeys = 1000L
+
+  /** CDC rows produced BY commit `v` (against the preceding main snapshot),
+    * derived from the commit's OWN files when the op is merge-on-read —
+    * equality delete, position delete, mor UPDATE, mor MERGE:
+    *
+    *  - pre-images are the previous snapshot's rows semi-joined to the
+    *    commit's claimed keys (or `(file, pos)` pairs), with the scan PRUNED
+    *    by inlined key conjuncts when the claimed set is small — on a
+    *    bucketed/clustered store that touches the matching files only, and
+    *    [[lastPruneStats]] records (kept, total) for audits;
+    *  - post-images come straight from the commit's replacement dir
+    *    (O(delta) by the mor cost model);
+    *  - the same [[diffKeyed]]/[[diffMultiset]] algebra then runs over the
+    *    two AFFECTED subsets, so the output is row-identical to
+    *    [[changes]](prev, v[, keyCols]) — which diffs two FULL snapshots
+    *    (union + full-row shuffle, or two whole-table joins): one mor UPDATE
+    *    on a 100 TB table must not make its CDC batch scan the table twice.
+    *    Iceberg's changelog scan derives changes from the commit's files for
+    *    exactly this reason.
+    *
+    * None when the op has no delta representation (cow commits, rollbacks,
+    * publishes, appends — appends shortcut in the stream already): callers
+    * fall back to the full-snapshot diff. */
+  private[graft] def changesFromCommit(v: Long, keyCols: Seq[String]): Option[DataFrame] = {
+    val meta = readMeta()
+    val entry = meta.find(_._1 == v).getOrElse(return None)
+    val op = entry._3
+    if (op != MorDeleteOp && op != PosDeleteOp &&
+        op != MorUpdateOp && op != MorMergeOp) return None
+    val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
+      .getOrElse(return None)._1
+    val keyFrame = op match {
+      case MorDeleteOp | PosDeleteOp => readVersionDir(v)
+      case _ =>
+        if (morKeysExist(v)) spark.read.parquet(morUpdateDeletesDir(v))
+        else readVersionDir(v).limit(0) // no claimed keys (e.g. insert-only merge)
+    }
+    val joinCols = keyFrame.columns.toSeq
+    val resolvedPrev =
+      resolveVersion(meta, prev, None, withPos = op == PosDeleteOp)
+    // inline the claimed keys as IN conjuncts when the set is small: the
+    // commit log records the delete count for delete files; mor update/merge
+    // key files are delta-sized, so counting one is O(delta)
+    val claimed =
+      if (op == PosDeleteOp) 0L // (file, pos) pairs derive no column ranges
+      else if (op == MorDeleteOp) entry._4
+      else keyFrame.count()
+    val keyRows =
+      if (claimed > 0 && claimed <= MaxInlineCdcKeys) keyFrame.collect()
+      else Array.empty[Row]
+    val perColValues = joinCols.indices.map(i =>
+      keyRows.map(_.get(i)).filter(_ != null).distinct.toSeq)
+    val base =
+      if (keyRows.nonEmpty && perColValues.forall(_.nonEmpty)) {
+        // a semi-join never matches NULL keys, so pruning by the non-null
+        // values alone can never skip a file a matching row lives in
+        val pred = joinCols.zip(perColValues)
+          .map { case (c, vs) => col(c).isin(vs: _*) }.reduce(_ && _)
+        val conj0 = SnapshotTable.conjunctsOf(resolvedPrev, pred)
+        val conj = transformConjuncts(resolvedPrev.schema, conj0,
+          dataDirsOf(meta, prev).map(dirVersionOf))
+        pruneKept = 0L; pruneTotal = 0L
+        resolveVersion(meta, prev, Some(conj))
+      } else resolvedPrev
+    val preSub = base.join(broadcast(keyFrame), joinCols, "left_semi")
+      .drop(hiddenReadCols: _*)
+    val postSub = (op match {
+      case MorDeleteOp | PosDeleteOp => resolvedPrev.limit(0) // deletes only
+      case _                         => readVersionDir(v)
+    }).drop(hiddenReadCols: _*)
+    Some(
+      if (keyCols.nonEmpty) diffKeyed(preSub, postSub, keyCols)
+      else diffMultiset(preSub, postSub))
+  }
+
+  /** The changelog of ONE commit: [[changesFromCommit]]'s O(delta) path when
+    * the commit supports it, else the full [[changes]] diff against the
+    * preceding main snapshot — the per-commit unit the streaming CDC mode
+    * emits, exposed for batch callers and audits. Empty `keyCols` = the
+    * keyless multiset changelog. */
+  def changesForCommit(v: Long, keyCols: Seq[String] = Nil): DataFrame =
+    changesFromCommit(v, keyCols).getOrElse {
+      val meta = readMeta()
+      val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
+        .getOrElse(throw new IllegalStateException(
+          s"commit v=$v has no preceding main snapshot at $root"))._1
+      if (keyCols.nonEmpty) changes(prev, v, keyCols) else changes(prev, v)
+    }
 
   // ── Branches and tags (Iceberg refs; the write-audit-publish workflow:
   //    stage candidate data on a branch, validate it there, publish to main

@@ -206,9 +206,14 @@ final class SnapshotSource(
               .withColumn("_change_type", lit("insert"))
           else mainVersions.filter(_ < v).lastOption match {
             case Some(prev) =>
+              // merge-on-read commits derive their change rows from the
+              // commit's OWN delete/replacement files (O(delta), pruned
+              // pre-image read) instead of diffing two full snapshots —
+              // cow commits keep the full-diff fallback
               conform(
-                if (keyColumns.nonEmpty) st.changes(prev, v, keyColumns)
-                else st.changes(prev, v),
+                st.changesFromCommit(v, keyColumns).getOrElse(
+                  if (keyColumns.nonEmpty) st.changes(prev, v, keyColumns)
+                  else st.changes(prev, v)),
                 keep = Seq("_change_type"))
             case None =>
               conform(st.read(Some(v)))
