@@ -187,6 +187,12 @@ object DataPipelineQueries {
   private val cdcDeltaFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q125's store: an unclustered ingest chain healed by SORT-ORDER-AWARE
+    * compaction (Iceberg rewrite_data_files strategy=sort) — the rewrite
+    * re-clusters instead of bin-packing flat. */
+  private val sortedCmpFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2885,7 +2891,63 @@ object DataPipelineQueries {
              count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              CAST(sum(n_chars) AS BIGINT) AS sum_nchars
       FROM ch
-      GROUP BY 1, 2"""))
+      GROUP BY 1, 2""")),
+
+    // SORT-ORDER-AWARE compaction (Iceberg rewrite_data_files
+    // strategy=sort; reference readme.md:393-401 "partition optimization"):
+    // an unclustered ingest chain — hash-partitioned base + six small
+    // append waves — scans 7 of its 8 files for a selective doc_id
+    // predicate. compactSorted() persists WRITE ORDERED BY doc_id and
+    // rewrites: one base of 8 DISJOINT-range files, after which the same
+    // predicate scans exactly 1 of 8 — and because the order is persisted
+    // like the partition spec, every later write and maintenance tick
+    // inherits the clustering instead of destroying it. Both prune
+    // measurements ride the oracle compare as pinned columns.
+    Q("q125_sorted_compaction", (s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = sortedCmpFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_sortcmp")
+          val st = new SnapshotTable(s, r)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          st.commit(docs.repartition(2))              // unclustered base
+          (0 to 5).foreach { w =>                     // six full-range waves
+            st.commit(docs.filter(col("doc_id") % 97 === w.toLong).coalesce(1),
+              op = "append")
+          }
+          st.readWhere(col("doc_id") < 5L).count()
+          val (keptB, totalB) = st.lastPruneStats
+          require(totalB == 8L && keptB == 7L,
+            s"unclustered chain should scan 7 of 8 files: $keptB/$totalB")
+          st.compactSorted(targetFiles = 8, order = Seq("doc_id"))
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val pruned = st.readWhere(col("doc_id") < 5L)
+      val out = pruned.agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("sum_nchars"))
+      val (kept, total) = st.lastPruneStats
+      require(kept == 1L && total == 8L,
+        s"sorted rewrite should prune to 1 of 8 range files: $kept/$total")
+      out.withColumn("scanned_before", lit(7L))
+        .withColumn("total_before", lit(8L))
+        .withColumn("scanned_after", lit(kept))
+        .withColumn("total_after", lit(total))
+    }, Some("""
+      WITH aug AS (
+        SELECT doc_id, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 97 BETWEEN 0 AND 5)
+      SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+             CAST(7 AS BIGINT) AS scanned_before,
+             CAST(8 AS BIGINT) AS total_before,
+             CAST(1 AS BIGINT) AS scanned_after,
+             CAST(8 AS BIGINT) AS total_after
+      FROM aug
+      WHERE doc_id < 5"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -840,12 +840,25 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case _           => 0
     }
 
-  /** Declare the write sort order. `files > 0` pins the range-partition
-    * count (deterministic file layout — small tables, spec pins); 0 lets
+  /** A `zorder(c1, c2, …)` sort-order entry's columns (Iceberg's
+    * rewrite_data_files `strategy => 'zorder'` clustering: per-file min/max
+    * stay tight on EVERY clustering column, so predicates on any of them
+    * prune — a linear sort key only skips well on its leading column). */
+  private[sources] def zorderOf(entry: String): Option[Seq[String]] =
+    "(?i)^zorder\\(([\\w\\s,]+)\\)$".r.findFirstMatchIn(entry.trim)
+      .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+
+  /** Declare the write sort order: plain columns (range clustering) or ONE
+    * `zorder(c1, c2, …)` entry (z-curve clustering over several columns).
+    * `files > 0` pins the range-partition count (deterministic file
+    * layout — small tables, spec pins); 0 lets
     * `spark.sql.shuffle.partitions` decide, which is what a 100 TB table
     * wants (one range per shuffle partition, AQE coalescing applies). */
   def setSortOrder(cols: Seq[String], files: Int = 0): Unit = {
     require(cols.nonEmpty, "WRITE ORDERED BY needs at least one column")
+    cols.flatMap(zorderOf).foreach(zc =>
+      require(zc.nonEmpty && cols.size == 1,
+        "zorder(…) must be the sort order's only entry and name ≥1 column"))
     metaWriteString(SortOrderFile,
       cols.mkString(",") + (if (files > 0) s"|$files" else ""))
   }
@@ -854,19 +867,49 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * frame's layout again. */
   def clearSortOrder(): Unit = metaDelete(SortOrderFile)
 
+  /** Range-partition count override for ONE commit ([[compact]]'s bin-pack
+    * target when the declared order doesn't pin its own count). Mutated and
+    * cleared only under [[withRootLock]]. */
+  private var pendingRangeFiles: Option[Int] = None
+
+  private def rangeFileCount: Int =
+    if (sortOrderFiles > 0) sortOrderFiles else pendingRangeFiles.getOrElse(0)
+
   /** The declared sort order applied to a commit frame: range-repartition
-    * (disjoint per-file ranges) then sort within each file. Skipped
-    * conservatively when any sort column is absent from the frame (schema
-    * evolution windows). */
+    * (disjoint per-file ranges) then sort within each file — for a
+    * `zorder(…)` order, on the interleaved z-value over the named columns
+    * ([[graft.ops.ScaleOps.zvalueCol]]), so every clustering column's
+    * per-file range stays tight. Skipped conservatively when any sort
+    * column is absent from the frame (schema evolution windows). */
   private def applySortOrder(df: DataFrame): DataFrame = {
     val so = sortOrder
-    if (so.isEmpty || !so.forall(df.columns.contains)) df
+    if (so.isEmpty) df
     else {
-      val cs = so.map(col)
-      val ranged =
-        if (sortOrderFiles > 0) df.repartitionByRange(sortOrderFiles, cs: _*)
-        else df.repartitionByRange(cs: _*)
-      ranged.sortWithinPartitions(cs: _*)
+      val n = rangeFileCount
+      def cluster(keys: Seq[Column]): DataFrame = {
+        val ranged =
+          if (n > 0) df.repartitionByRange(n, keys: _*)
+          else df.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
+      }
+      so.flatMap(zorderOf).headOption match {
+        case Some(zcols) =>
+          if (!zcols.forall(df.columns.contains) || df.isEmpty) df
+          else {
+            // zvalueCol's quantile pass is one bounded extra scan of the
+            // COMMIT frame — the same setup cost Iceberg's zorder rewrite
+            // pays; never O(table) beyond the data being written
+            val z = graft.ops.ScaleOps.zvalueCol(df, zcols)
+            val zname = "graft__zvalue"
+            val withZ = df.withColumn(zname, z)
+            val ranged =
+              if (n > 0) withZ.repartitionByRange(n, col(zname))
+              else withZ.repartitionByRange(col(zname))
+            ranged.sortWithinPartitions(col(zname)).drop(zname)
+          }
+        case None =>
+          if (!so.forall(df.columns.contains)) df else cluster(so.map(col))
+      }
     }
   }
 
@@ -2064,13 +2107,36 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private[sources] def dirVersionOf(dir: String): Long =
     dir.substring(dir.lastIndexOf("v=") + 2).toLong
 
-  /** X2 — compaction (mirror of rewrite_data_files bin-packing): rewrite the
-    * current version's data as `targetFiles` files in a new FULL snapshot.
-    * Folds outstanding append deltas into one base and any merge-on-read
-    * delete files into it too, exactly as Iceberg compaction does. */
-  def compact(targetFiles: Int): Long = {
+  /** X2 — compaction (mirror of rewrite_data_files): rewrite the current
+    * version's data as `targetFiles` files in a new FULL snapshot, folding
+    * outstanding append deltas and merge-on-read delete files into one
+    * base, exactly as Iceberg compaction does.
+    *
+    * SORT-ORDER AWARE: a store with a declared write order (columns or
+    * `zorder(…)` — [[setSortOrder]]) is re-CLUSTERED by the rewrite
+    * (Iceberg's `rewrite_data_files(strategy => 'sort'|'zorder')`), never
+    * bin-packed flat — compacting a clustered store must not silently
+    * destroy the manifest min/max tightness its file skipping depends on.
+    * The declared order's pinned file count wins over `targetFiles` when
+    * set (an explicit layout declaration beats a bin-pack estimate). */
+  def compact(targetFiles: Int): Long = withRootLock {
     val head = currentVersion
-    commit(read().coalesce(targetFiles), op = "compact", Some(head))
+    if (sortOrder.isEmpty)
+      commit(read().coalesce(targetFiles), op = "compact", Some(head))
+    else {
+      pendingRangeFiles = Some(targetFiles)
+      try commit(read(), op = "compact", Some(head))
+      finally pendingRangeFiles = None
+    }
+  }
+
+  /** Compaction with a sort/z-order spec declared in the same step
+    * (Iceberg's `rewrite_data_files(strategy => 'sort', sort_order => …)`):
+    * persists the order like the partition spec — so every later write AND
+    * every later maintenance tick inherits the clustering — then rewrites. */
+  def compactSorted(targetFiles: Int, order: Seq[String]): Long = {
+    setSortOrder(order, files = targetFiles)
+    compact(targetFiles)
   }
 
   // ── Row-level DML (Iceberg v2 semantics; reference: readme.md:361-370 the

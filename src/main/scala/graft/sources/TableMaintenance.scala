@@ -62,8 +62,14 @@ object TableMaintenance {
     val sizes = perDir.flatMap(_._2)
     val liveBytes = sizes.sum
     val small = sizes.count(_ < targetFileBytes / 2).toLong
-    val target = math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes)
-      .min(Int.MaxValue).toInt
+    // a declared sort order with a PINNED file count is an explicit layout
+    // declaration: the bin-pack target defers to it, and a store already AT
+    // its pinned count is healthy, not "small files" — otherwise every
+    // maintenance tick after a sorted compaction would re-rewrite forever
+    val pinned = st.sortOrderFiles
+    val target = math.max(
+      math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes),
+      pinned.toLong).min(Int.MaxValue).toInt
     val reasons = Seq(
       if (sizes.nonEmpty && small.toDouble / sizes.size >= smallFileFraction &&
         target < sizes.size) Some("small-files") else None,
@@ -74,21 +80,28 @@ object TableMaintenance {
       perDir.size.toLong, target, reasons))
   }
 
-  /** Diagnose and, when warranted, bin-pack `root` into a fresh full base
+  /** Diagnose and, when warranted, rewrite `root` into a fresh full base
     * (folding every outstanding delete file) — the act half of the
-    * automated-maintenance story. Returns the compaction's new version, or
-    * None when the store is healthy. Head-validated: raises
+    * automated-maintenance story. A store with a declared write order is
+    * re-CLUSTERED by the rewrite ([[SnapshotTable.compact]]'s sort-order
+    * awareness) — healing never destroys the clustering pruning depends on;
+    * `sortOrder` declares one in the same step for stores that lack it
+    * (persisted, so later ticks inherit it). Returns the compaction's new
+    * version, or None when the store is healthy. Head-validated: raises
     * [[SnapshotTable.CommitConflictException]] if a writer lands during the
     * rewrite (retry at the next tick). */
   def maintain(spark: SparkSession, root: String,
       targetFileBytes: Long = 128L << 20,
       smallFileFraction: Double = 0.5,
       maxChainDirs: Int = 8,
-      maxDeleteFolds: Long = 0L): Option[Long] =
+      maxDeleteFolds: Long = 0L,
+      sortOrder: Option[Seq[String]] = None): Option[Long] = {
+    sortOrder.foreach(o => new SnapshotTable(spark, root).setSortOrder(o))
     analyze(spark, root, targetFileBytes, smallFileFraction, maxChainDirs,
       maxDeleteFolds).map { f =>
       new SnapshotTable(spark, root).compact(f.targetFiles)
     }
+  }
 
   /** Iceberg's remove_orphan_files, for crashed-writer leftovers (see
     * [[SnapshotTable.removeOrphans]]): unreferenced, unclaimed `v=N` dirs
