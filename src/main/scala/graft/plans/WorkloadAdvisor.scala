@@ -127,6 +127,7 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       }
     }
     observeSkewShapes(analyzed)
+    observeStoreReads(analyzed)
     // Joins are fingerprinted on the OPTIMIZED plan: that is the form
     // [[SkewSaltSubstitution]] sees when it runs (extraOptimizations fire
     // after the main optimizer batches), so a fingerprint recorded here
@@ -394,6 +395,65 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       if (confirmedSalts.nonEmpty) SkewSaltSubstitution.install(spark, this)
       fresh
     }
+  }
+
+  // --- store-layout monitoring (the reference's "fully automated" table
+  //     optimization, readme.md:393-401 — TableMaintenance as the actuator:
+  //     observe which snapshot stores the workload reads, diagnose their
+  //     layout from commit manifests alone, heal on the loop's tick) -------
+
+  private final class StoreShape { var seen = 0L; var lastSeenTick = 0L }
+
+  private val storeShapes =
+    scala.collection.mutable.LinkedHashMap.empty[String, StoreShape]
+
+  /** Record every snapshot store a query's plan reads (driver-side plan
+    * walk — [[graft.sources.StoreReads]]; no data touched). */
+  private def observeStoreReads(analyzed: LogicalPlan): Unit =
+    graft.sources.StoreReads.rootsOf(analyzed).foreach { root =>
+      synchronized {
+        val s = storeShapes.getOrElseUpdate(root, new StoreShape)
+        s.seen += 1
+        s.lastSeenTick = tick
+      }
+    }
+
+  /** Layout diagnoses for every store the workload has read at least
+    * `minCount` times ([[graft.sources.TableMaintenance.analyze]] —
+    * manifests only, no data file opened): the monitoring view. */
+  def storeFindings(minCount: Int = 3): Seq[graft.sources.TableMaintenance.Finding] =
+    synchronized(storeShapes.toSeq)
+      .collect { case (root, s) if s.seen >= minCount => root }
+      .flatMap(root => graft.sources.TableMaintenance.analyze(spark, root))
+
+  /** One maintenance pass over the compacted stores and the orphans swept. */
+  final case class MaintenanceTick(
+      compacted: Seq[(String, Long)], orphansRemoved: Seq[(String, Seq[Long])])
+
+  /** The store analog of [[autoMaterialize]]/[[autoSalt]] — ACT on the
+    * observed workload's store findings with NO caller involvement:
+    * rewrite each pathological store ([[graft.sources.TableMaintenance.maintain]]
+    * — sort-order aware, so healing keeps the store's clustering) and sweep
+    * aged crashed-writer orphans on every observed store. A commit conflict
+    * (a writer landed mid-rewrite) skips that store until the next tick —
+    * maintenance must never contend with ingest. Stateless and idempotent:
+    * healthy stores produce no action. */
+  def maintenanceTick(minCount: Int = 3,
+      orphansOlderThanMillis: Long = 3L * 24 * 3600 * 1000): MaintenanceTick = {
+    val roots = synchronized(storeShapes.toSeq)
+      .collect { case (root, s) if s.seen >= minCount => root }
+    val compacted = roots.flatMap { root =>
+      try graft.sources.TableMaintenance.maintain(spark, root).map(root -> _)
+      catch {
+        case _: graft.sources.SnapshotTable.CommitConflictException => None
+      }
+    }
+    val orphans = roots.flatMap { root =>
+      val removed = graft.sources.TableMaintenance
+        .removeOrphans(spark, root, orphansOlderThanMillis)
+      if (removed.nonEmpty) Some(root -> removed) else None
+    }
+    MaintenanceTick(compacted, orphans)
   }
 
   /** Shapes queried at least `minCount` times and not yet materialized —

@@ -53,6 +53,10 @@ private[sources] final class ManifestFileIndex(
     * its own counts instead of doubling them. */
   private val indexId = ManifestFileIndex.ids.incrementAndGet()
 
+  /** The snapshot-store root this relation reads — what lets plan walkers
+    * ([[StoreReads]]) attribute a query to its store. */
+  private[sources] def root: String = storeRoot
+
   override def rootPaths: Seq[Path] = Seq(new Path(storeRoot))
 
   override def listFiles(partitionFilters: Seq[Expression],

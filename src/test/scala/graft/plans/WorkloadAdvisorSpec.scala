@@ -401,4 +401,48 @@ class WorkloadAdvisorSpec extends SparkSpec {
       assert(served.collect().map(_.toString).sorted === expect)
     } finally spark.experimental.extraOptimizations = saved
   }
+
+  test("pathological store observed N times → layout finding → healed on the " +
+      "maintenance tick with no caller involvement") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val advisor = new WorkloadAdvisor(spark,
+      new Materializations(spark, Some(graft.TempDirs.newDir("advisor_maint"))))
+    val root = java.nio.file.Files.createTempDirectory("advisor_store")
+      .toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.setSortOrder(Seq("id"), files = 2)
+    t.commit(Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    (1 to 10).foreach { w =>
+      t.commit(Seq.tabulate(5)(i => ((w * 1000 + i).toLong, s"w$w"))
+        .toDF("id", "v").coalesce(1), op = "append")
+    }
+    val expected = t.read().count()
+
+    // the workload: the same store read three times — the advisor learns
+    // the store from the PLAN (ManifestFileIndex root), not from a caller
+    // registering anything
+    (1 to 3).foreach(_ => advisor.observe(t.read()).count())
+    val findings = advisor.storeFindings(minCount = 3)
+    assert(findings.exists(f => f.root == root && f.chainDirs === 11L),
+      s"store pathology not diagnosed: $findings")
+
+    // the act half: one tick heals it (sort-order aware — clustering kept)
+    val tick = advisor.maintenanceTick(minCount = 3)
+    assert(tick.compacted.map(_._1) === Seq(root))
+    val t2 = new SnapshotTable(spark, root)
+    assert(t2.read().count() === expected)
+    assert(t2.layoutStats()._1.size === 1, "chain not folded")
+    t2.readWhere(col("id") < 50L).count()
+    val (kept, total) = t2.lastPruneStats
+    assert(total === 2L && kept === 1L,
+      s"tick destroyed the declared clustering: $kept/$total")
+
+    // idempotent: a healthy store yields no finding and the next tick is a
+    // no-op (head does not move)
+    assert(advisor.storeFindings(minCount = 3).isEmpty)
+    val head = t2.currentVersion
+    assert(advisor.maintenanceTick(minCount = 3).compacted.isEmpty)
+    assert(t2.currentVersion === head)
+  }
 }
