@@ -1489,6 +1489,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * same way it breaks time travel — loudly). */
   private[graft] def appendDelta(v: Long): DataFrame = readVersionDir(v)
 
+  /** Columns an evolve commit introduces under a NEW name (ADD's column,
+    * RENAME's target) — what a running stream's pinned schema cannot carry
+    * until restart; the streaming source's schema-drift detector. Empty for
+    * every other op (widen keeps its name: the conform try_cast guard owns
+    * that case). */
+  private[graft] def evolveNewColumns(op: String): Seq[String] =
+    if (!op.startsWith(EvolveOpPrefix)) Nil
+    else decodeEvolve(op) match {
+      case Seq("add", name, _)  => Seq(name)
+      case Seq("rename", _, to) => Seq(to)
+      case _                    => Nil
+    }
+
   /** Is this op on MAIN's lineage (a valid time-travel anchor)? Branch
     * commits share the version counter but not the lineage. */
   private[graft] def isMainLineageOp(op: String): Boolean = !isBranchOp(op)

@@ -146,6 +146,9 @@ final class SnapshotSource(
       .map(h => availableNowMark.fold(h)(math.min(h, _)))
       .filter(_ > startVersion).map(LongOffset(_))
 
+  /** Lower-cased pinned data-schema names (drift detection). */
+  private val baseNames = baseSchema.fields.map(_.name.toLowerCase).toSet
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // the floor honors start-version even when `start` is a CHECKPOINTED
     // offset: a stream wedged on a mutation commit whose offset is already
@@ -156,6 +159,20 @@ final class SnapshotSource(
     val hi = versionOf(end)
     val ops = st.commitOps()
     val entries = ops.filter { case (v, _) => v > lo && v <= hi }
+    // schema drift observability: an evolve commit in range that introduces
+    // a column the pinned stream schema can't carry is NOT an error (the v1
+    // contract: new columns wait for a stream restart) — but it must never
+    // pass silently, or an operator only learns their feed is missing a
+    // column when a downstream consumer does
+    entries.foreach { case (v, op) =>
+      st.evolveNewColumns(op).filterNot(c => baseNames(c.toLowerCase))
+        .foreach { c =>
+          SnapshotSource.recordDrift(root, v,
+            s"store $root evolved mid-stream at commit v=$v: column '$c' is " +
+              "not in this stream's pinned schema and will not stream — " +
+              "restart the stream to adopt the evolved schema")
+        }
+    }
     val frames =
       if (mode == "cdc") cdcFrames(entries, ops) else appendFrames(entries)
     if (frames.isEmpty) PlanBridge.emptyStreaming(spark, schema)
@@ -180,7 +197,18 @@ final class SnapshotSource(
         }
     entries.collect {
       case (v, op) if st.streamOpKind(op) == "append" =>
-        conform(st.appendDelta(v))
+        val delta = st.appendDelta(v)
+        // a delta carrying columns the pinned schema omits (append-time
+        // schema evolution) conforms by DROPPING them — surface that
+        delta.columns
+          .filterNot(c => baseNames(c.toLowerCase) || c.startsWith("graft__"))
+          .foreach { c =>
+            SnapshotSource.recordDrift(root, v,
+              s"append v=$v at $root carries column '$c' absent from this " +
+                "stream's pinned schema; its data is dropped from the " +
+                "stream — restart the stream to adopt the evolved schema")
+          }
+        conform(delta)
     }
   }
 
@@ -262,6 +290,31 @@ final class SnapshotSource(
 }
 
 object SnapshotSource {
+
+  /** Schema-drift events recorded by running streams, keyed by store root:
+    * deduplicated `(commit version, message)` pairs (checkpoint replays of
+    * a range re-observe the same drift; the signal must not double). Each
+    * event is also logged at WARN when first recorded. */
+  private val drift = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.mutable.LinkedHashSet[(Long, String)]]()
+
+  /** The observable schema-drift signal for a store's streams: every
+    * mid-stream evolution whose data this stream cannot carry (new/renamed
+    * columns waiting for a restart, extra delta columns dropped by
+    * conform), with the restart remedy in the message. Monitoring hooks
+    * poll this the way they poll StreamingQuery progress. */
+  def schemaDriftEvents(root: String): Seq[(Long, String)] =
+    Option(drift.get(root)).map(s => s.synchronized(s.toSeq)).getOrElse(Nil)
+
+  def clearSchemaDriftEvents(root: String): Unit = drift.remove(root)
+
+  private[streaming] def recordDrift(root: String, v: Long, msg: String): Unit = {
+    val s = drift.computeIfAbsent(root,
+      _ => scala.collection.mutable.LinkedHashSet.empty[(Long, String)])
+    val fresh = s.synchronized(s.add((v, msg)))
+    if (fresh)
+      org.slf4j.LoggerFactory.getLogger(classOf[SnapshotSource]).warn(msg)
+  }
 
   /** The store's CURRENT resolved schema (evolution applied) — what a
     * stream started now will carry for its whole run. */

@@ -327,6 +327,42 @@ class SnapshotSourceSpec extends SparkSpec {
       "restart the stream to adopt the evolved schema")), messages(err).mkString("\n"))
   }
 
+  test("mid-stream schema evolution surfaces an OBSERVABLE drift signal: " +
+      "the new column waits for a restart, but never silently") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_drift").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_drift_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_drift_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    SnapshotSource.clearSchemaDriftEvents(root)
+    st.commit(Seq((0L, "a")).toDF("id", "wave"), op = "append")        // v0
+    st.addColumn("extra", "INT")                                       // v1 evolve
+    st.commit(Seq((1L, "b", 9)).toDF("id", "wave", "extra"),
+      op = "append")                                                   // v2
+    def run(ck: String): Unit =
+      spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .schema("id LONG, wave STRING").load(root) // pinned pre-evolution
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run(ckpt)
+    // the documented v1 contract holds: rows conform, `extra` waits
+    assert(spark.read.parquet(out).columns.toSeq === Seq("id", "wave"))
+    assert(spark.read.parquet(out).count() === 2)
+    // ... and BOTH drift causes are observable, each with the remedy
+    val events = SnapshotSource.schemaDriftEvents(root)
+    assert(events.exists(e => e._1 === 1L && e._2.contains("column 'extra'")),
+      s"evolve commit not surfaced: $events")
+    assert(events.exists(e => e._1 === 2L && e._2.contains("dropped")),
+      s"dropped delta column not surfaced: $events")
+    assert(events.forall(_._2.contains(
+      "restart the stream to adopt the evolved schema")))
+    // a replay of the same range (fresh checkpoint) dedupes, never doubles
+    val n = events.size
+    run(Files.createTempDirectory("snapsrc_drift_ck2").toFile.getAbsolutePath)
+    assert(SnapshotSource.schemaDriftEvents(root).size === n)
+  }
+
   test("a partitioned store streams without leaking hidden columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
