@@ -402,8 +402,12 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   //     observe which snapshot stores the workload reads, diagnose their
   //     layout from commit manifests alone, heal on the loop's tick) -------
 
-  private final class StoreShape { var seen = 0L; var lastSeenTick = 0L }
+  private final class StoreShape { var seen = 0L }
 
+  /** Observed store roots → read counts. Bounded by the set of stores the
+    * session's workload actually reads; a root whose store vanishes
+    * (dropped table) is EVICTED on the next analyze touch, so one dead
+    * root can never wedge the loop or be probed forever. */
   private val storeShapes =
     scala.collection.mutable.LinkedHashMap.empty[String, StoreShape]
 
@@ -412,10 +416,20 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   private def observeStoreReads(analyzed: LogicalPlan): Unit =
     graft.sources.StoreReads.rootsOf(analyzed).foreach { root =>
       synchronized {
-        val s = storeShapes.getOrElseUpdate(root, new StoreShape)
-        s.seen += 1
-        s.lastSeenTick = tick
+        storeShapes.getOrElseUpdate(root, new StoreShape).seen += 1
       }
+    }
+
+  /** `analyze` that treats a vanished store (dropped since observation) as
+    * no-finding AND forgets the root — the loop must keep serving the
+    * remaining stores, not crash on a stale observation forever. */
+  private def analyzeOrEvict(root: String)
+      : Option[graft.sources.TableMaintenance.Finding] =
+    try graft.sources.TableMaintenance.analyze(spark, root)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        synchronized { storeShapes.remove(root) }
+        None
     }
 
   /** Layout diagnoses for every store the workload has read at least
@@ -424,7 +438,7 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   def storeFindings(minCount: Int = 3): Seq[graft.sources.TableMaintenance.Finding] =
     synchronized(storeShapes.toSeq)
       .collect { case (root, s) if s.seen >= minCount => root }
-      .flatMap(root => graft.sources.TableMaintenance.analyze(spark, root))
+      .flatMap(analyzeOrEvict)
 
   /** One maintenance pass over the compacted stores and the orphans swept. */
   final case class MaintenanceTick(
@@ -443,12 +457,17 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     val roots = synchronized(storeShapes.toSeq)
       .collect { case (root, s) if s.seen >= minCount => root }
     val compacted = roots.flatMap { root =>
-      try graft.sources.TableMaintenance.maintain(spark, root).map(root -> _)
+      try
+        analyzeOrEvict(root).map(f =>
+          root -> new graft.sources.SnapshotTable(spark, root).compact(f.targetFiles))
       catch {
         case _: graft.sources.SnapshotTable.CommitConflictException => None
       }
     }
-    val orphans = roots.flatMap { root =>
+    // the orphan sweep only visits roots that still exist (a vanished store
+    // was evicted by the analyze pass above)
+    val live = synchronized(storeShapes.keys.toSet)
+    val orphans = roots.filter(live).flatMap { root =>
       val removed = graft.sources.TableMaintenance
         .removeOrphans(spark, root, orphansOlderThanMillis)
       if (removed.nonEmpty) Some(root -> removed) else None

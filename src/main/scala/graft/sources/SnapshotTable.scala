@@ -437,7 +437,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   //    readme.md:393-401: tables live on object storage).
 
   private def hPath(rel: String) = new Path(root, rel)
-  private def nPath(rel: String) = Paths.get(root, rel)
+
+  /** The root as a java.nio-usable local path: a `file:`-SCHEME'd root is
+    * still local (`rootIsLocal`), but `Paths.get("file:///x")` would
+    * resolve the whole URI as a RELATIVE name and write under a literal
+    * `./file:` dir — strip to the URI path first. */
+  private lazy val localRootPath: String = {
+    val u = new Path(root).toUri
+    if (u.getScheme == null) root else u.getPath
+  }
+
+  private def nPath(rel: String) = Paths.get(localRootPath, rel)
 
   private def metaExists(rel: String): Boolean =
     if (rootIsLocal) Files.exists(nPath(rel)) else rootFs.exists(hPath(rel))
@@ -1133,7 +1143,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Create-exclusive on the marker: true = this writer owns version `v`. */
   private def tryClaimMarker(v: Long): Boolean =
     if (rootIsLocal) {
-      try { Files.createFile(Paths.get(root, "_graft_commits", s"v=$v")); true }
+      try {
+        Files.createDirectories(Paths.get(localRootPath, "_graft_commits"))
+        Files.createFile(Paths.get(localRootPath, "_graft_commits", s"v=$v")); true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
       try { rootFs.create(markerPath(v), false).close(); true }
@@ -2134,11 +2147,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * set (an explicit layout declaration beats a bin-pack estimate). */
   def compact(targetFiles: Int): Long = withRootLock {
     val head = currentVersion
-    if (sortOrder.isEmpty)
-      commit(read().coalesce(targetFiles), op = "compact", Some(head))
+    val df = read()
+    // an order whose columns schema evolution dropped/renamed cannot apply
+    // (applySortOrder skips it): such a rewrite must still bin-pack, or
+    // compaction loses all file-count control and maintain() re-rewrites
+    // a never-converging layout every tick
+    val orderCols = sortOrder match {
+      case Seq(z) if zorderOf(z).isDefined => zorderOf(z).get
+      case cols                            => cols
+    }
+    if (orderCols.isEmpty || !orderCols.forall(df.columns.contains))
+      commit(df.coalesce(targetFiles), op = "compact", Some(head))
     else {
       pendingRangeFiles = Some(targetFiles)
-      try commit(read(), op = "compact", Some(head))
+      try commit(df, op = "compact", Some(head))
       finally pendingRangeFiles = None
     }
   }
@@ -2830,16 +2852,23 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val joinCols = keyFrame.columns.toSeq
     val resolvedPrev =
       resolveVersion(meta, prev, None, withPos = op == PosDeleteOp)
+    // (kept, total) must describe THIS derivation: the unpruned fallbacks
+    // report (0, 0) — "no pruning ran" — never a previous operation's stats
+    pruneKept = 0L; pruneTotal = 0L
     // inline the claimed keys as IN conjuncts when the set is small: the
     // commit log records the delete count for delete files; mor update/merge
-    // key files are delta-sized, so counting one is O(delta)
-    val claimed =
-      if (op == PosDeleteOp) 0L // (file, pos) pairs derive no column ranges
-      else if (op == MorDeleteOp) entry._4
-      else keyFrame.count()
-    val keyRows =
-      if (claimed > 0 && claimed <= MaxInlineCdcKeys) keyFrame.collect()
-      else Array.empty[Row]
+    // key files are delta-sized, and take(bound + 1) answers the size check
+    // and the collect in ONE bounded driver job
+    val keyRows: Array[Row] = op match {
+      case PosDeleteOp => Array.empty // (file, pos) pairs derive no ranges
+      case MorDeleteOp =>
+        if (entry._4 > 0 && entry._4 <= MaxInlineCdcKeys) keyFrame.collect()
+        else Array.empty
+      case _ =>
+        val taken = keyFrame.take(MaxInlineCdcKeys.toInt + 1)
+        if (taken.nonEmpty && taken.length <= MaxInlineCdcKeys) taken
+        else Array.empty
+    }
     val perColValues = joinCols.indices.map(i =>
       keyRows.map(_.get(i)).filter(_ != null).distinct.toSeq)
     val base =
@@ -2851,7 +2880,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         val conj0 = SnapshotTable.conjunctsOf(resolvedPrev, pred)
         val conj = transformConjuncts(resolvedPrev.schema, conj0,
           dataDirsOf(meta, prev).map(dirVersionOf))
-        pruneKept = 0L; pruneTotal = 0L
         resolveVersion(meta, prev, Some(conj))
       } else resolvedPrev
     val preSub = base.join(broadcast(keyFrame), joinCols, "left_semi")

@@ -196,20 +196,26 @@ final class SnapshotSource(
               "or stream changes with .option(\"mode\", \"cdc\")")
         }
     entries.collect {
-      case (v, op) if st.streamOpKind(op) == "append" =>
-        val delta = st.appendDelta(v)
-        // a delta carrying columns the pinned schema omits (append-time
-        // schema evolution) conforms by DROPPING them — surface that
-        delta.columns
-          .filterNot(c => baseNames(c.toLowerCase) || c.startsWith("graft__"))
-          .foreach { c =>
-            SnapshotSource.recordDrift(root, v,
-              s"append v=$v at $root carries column '$c' absent from this " +
-                "stream's pinned schema; its data is dropped from the " +
-                "stream — restart the stream to adopt the evolved schema")
-          }
-        conform(delta)
+      case (v, op) if st.streamOpKind(op) == "append" => conformAppend(v)
     }
+  }
+
+  /** One append delta conformed to the pinned schema, surfacing any
+    * dropped-extra-column drift (shared by BOTH stream modes — a cdc
+    * stream's appends drop evolved columns exactly like append-only's). */
+  private def conformAppend(v: Long): DataFrame = {
+    val delta = st.appendDelta(v)
+    // a delta carrying columns the pinned schema omits (append-time schema
+    // evolution) conforms by DROPPING them — surface that
+    delta.columns
+      .filterNot(c => baseNames(c.toLowerCase) || c.startsWith("graft__"))
+      .foreach { c =>
+        SnapshotSource.recordDrift(root, v,
+          s"append v=$v at $root carries column '$c' absent from this " +
+            "stream's pinned schema; its data is dropped from the " +
+            "stream — restart the stream to adopt the evolved schema")
+      }
+    conform(delta)
   }
 
   /** One change frame per payload commit in range — the Delta CDF shape.
@@ -230,8 +236,7 @@ final class SnapshotSource(
       case (v, op) if st.isMainLineageOp(op) && st.streamOpKind(op) != "noop" =>
         val tagged =
           if (st.streamOpKind(op) == "append")
-            conform(st.appendDelta(v))
-              .withColumn("_change_type", lit("insert"))
+            conformAppend(v).withColumn("_change_type", lit("insert"))
           else mainVersions.filter(_ < v).lastOption match {
             case Some(prev) =>
               // merge-on-read commits derive their change rows from the
@@ -272,8 +277,14 @@ final class SnapshotSource(
         case Some(c) if inType(f.name.toLowerCase) == f.dataType =>
           col(c).as(f.name)
         case Some(c) =>
+          // lossless iff the cast ROUND-TRIPS: try_cast(null) catches
+          // overflow/unparseable, the round-trip equality catches
+          // lossy-but-valid casts (1.7 → int 1) — every legal widening
+          // round-trips exactly for values that genuinely fit
           val back = col(c).try_cast(f.dataType)
-          when(col(c).isNotNull && back.isNull,
+          val inDt = inType(f.name.toLowerCase)
+          val lossy = back.isNull || back.try_cast(inDt) =!= col(c)
+          when(col(c).isNotNull && lossy,
             raise_error(concat(
               lit(s"snapshot stream over $root: value "), col(c).cast("string"),
               lit(s" of column $c does not fit the stream's pinned type " +

@@ -444,5 +444,11 @@ class WorkloadAdvisorSpec extends SparkSpec {
     val head = t2.currentVersion
     assert(advisor.maintenanceTick(minCount = 3).compacted.isEmpty)
     assert(t2.currentVersion === head)
+
+    // a DROPPED store must not wedge the loop: the dead root is evicted and
+    // later ticks keep running (and keep serving other stores)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    assert(advisor.storeFindings(minCount = 3).isEmpty)
+    assert(advisor.maintenanceTick(minCount = 3).compacted.isEmpty)
   }
 }

@@ -105,6 +105,22 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     assertNoNioEscape()
   }
 
+  test("a file:-SCHEME'd root is local but must NOT resolve as a relative " +
+      "path — metadata lands under the real root, never under ./file:") {
+    import spark.implicits._
+    val local = JFiles.createTempDirectory("remfs_file").toFile.getAbsolutePath
+    val root = s"file://$local"
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")
+    t.deleteWhereMor(col("id") === 2L, "id")
+    assert(t.read().select("id").as[Long].collect().sorted === Array(1L, 3L))
+    assert(JFiles.exists(JPaths.get(local, "_graft_meta.jsonl")),
+      "commit log not at the real root")
+    assert(!JFiles.exists(JPaths.get("file:")),
+      "a java.nio path resolved the file: scheme as a relative name")
+  }
+
   test("concurrent appends on a scheme'd root land distinct versions via the " +
       "Hadoop-FS marker CAS") {
     import spark.implicits._

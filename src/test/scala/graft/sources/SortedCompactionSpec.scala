@@ -74,6 +74,21 @@ class SortedCompactionSpec extends SparkSpec {
       s"$keptY/$totalY")
   }
 
+  test("an order whose column schema evolution removed falls back to " +
+      "bin-packing — compaction keeps file-count control") {
+    val root = Files.createTempDirectory("sorted_gone").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.setSortOrder(Seq("id"), files = 4)
+    t.commit(docs(200))
+    t.renameColumn("id", "doc_key") // the declared order now names nothing
+    val expected = t.read().count()
+    t.compact(targetFiles = 2)
+    assert(t.read().count() === expected)
+    val (perDir, _) = t.layoutStats()
+    assert(perDir.size === 1 && perDir.head._2.size <= 2,
+      s"fallback bin-pack lost file-count control: ${perDir.map(_._2.size)}")
+  }
+
   test("maintain inherits the declared order: the autonomous tick heals the " +
       "chain WITHOUT destroying clustering") {
     val root = Files.createTempDirectory("maint_sorted").toFile.getAbsolutePath

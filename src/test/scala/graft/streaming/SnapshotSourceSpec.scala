@@ -327,6 +327,37 @@ class SnapshotSourceSpec extends SparkSpec {
       "restart the stream to adopt the evolved schema")), messages(err).mkString("\n"))
   }
 
+  test("a lossy-but-castable value (fractional loss, not overflow) also " +
+      "fails with the restart remedy — the guard round-trips, not just " +
+      "null-checks") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_frac").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((0L, 2.0)).toDF("id", "n"), op = "append")  // round-trips
+    // fresh sink dir per run: a reused parquet sink's _spark_metadata marks
+    // batch 0 committed and a fresh-checkpoint re-run would SKIP execution
+    def run(): String = {
+      val out = Files.createTempDirectory("snapsrc_frac_out").toFile.getAbsolutePath
+      spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .schema("id LONG, n INT").load(root) // pinned NARROWER than the store
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("snapsrc_frac_ck").toFile.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      out
+    }
+    val out1 = run()
+    assert(spark.read.parquet(out1).as[(Long, Int)].collect() === Array((0L, 2)))
+    // 1.7 try_casts to int 1 WITHOUT error — only the round-trip check
+    // catches the silent truncation
+    st.commit(Seq((1L, 1.7)).toDF("id", "n"), op = "append")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains(
+      "restart the stream to adopt the evolved schema")), messages(err).mkString("\n"))
+  }
+
   test("mid-stream schema evolution surfaces an OBSERVABLE drift signal: " +
       "the new column waits for a restart, but never silently") {
     import spark.implicits._
