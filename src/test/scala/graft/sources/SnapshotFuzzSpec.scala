@@ -25,9 +25,16 @@ class SnapshotFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260814L)
     // trial 3 runs the same algebra over an identity-PARTITIONED store:
     // every commit lays out hive dirs, resolution reads through them, and
-    // the hidden-column machinery must never leak or lose rows
-    for (trial <- 1 to 3) {
-      val root = Files.createTempDirectory(s"snap_fuzz$trial").toFile.getAbsolutePath
+    // the hidden-column machinery must never leak or lose rows.
+    // trial 4 runs it over a NON-file: FileSystem scheme ([[GraftTestFs]]):
+    // the whole op algebra property-tests the Hadoop-FS metadata seam.
+    for (trial <- 1 to 4) {
+      val local = Files.createTempDirectory(s"snap_fuzz$trial").toFile.getAbsolutePath
+      val root = if (trial == 4) {
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+        s"graftfs://$local"
+      } else local
       val t = new SnapshotTable(spark, root)
       val partitioned = trial == 3
       val trace = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -64,14 +71,30 @@ class SnapshotFuzzSpec extends SparkSpec {
         val curV = t.currentVersion.get
         cdcBase.filter { case (pv, _) => pv != curV && !expiredAll(pv) }
           .foreach { case (pv, pm) =>
-            val got = t.changes(pv, curV).collect().map(r =>
-              ((r.getAs[Long]("id"), r.getAs[String]("tag"),
-                r.getAs[Double]("x")), r.getAs[String]("_change_type")))
-              .toVector.sorted
+            def asPairs(df: org.apache.spark.sql.DataFrame) =
+              df.collect().map(r =>
+                ((r.getAs[Long]("id"), r.getAs[String]("tag"),
+                  r.getAs[Double]("x")), r.getAs[String]("_change_type")))
+                .toVector.sorted
+            val got = asPairs(t.changes(pv, curV))
             assert(got == msDiff(pm, model).sorted,
               s"trial $trial: keyless changes($pv, $curV) diverged after " +
                 s"${trace.mkString(" -> ")}\ngot      ${got.take(30)}\n" +
                 s"expected ${msDiff(pm, model).sorted.take(30)}")
+            // the COMMIT-DERIVED changelog (O(delta) fast path for mor
+            // commits, full-diff fallback otherwise) must emit the same
+            // rows — property-tested against the model over the whole op
+            // algebra, exactly like changes() above. Only applicable when
+            // pv is curV's immediate log predecessor (each fuzz step
+            // commits at most one version, so that is the usual case).
+            val prevMain = t.commitOps().map(_._1).filter(_ < curV).lastOption
+            if (prevMain.contains(pv)) {
+              val fast = asPairs(t.changesForCommit(curV))
+              assert(fast == msDiff(pm, model).sorted,
+                s"trial $trial: changesForCommit($curV) diverged after " +
+                  s"${trace.mkString(" -> ")}\ngot      ${fast.take(30)}\n" +
+                  s"expected ${msDiff(pm, model).sorted.take(30)}")
+            }
           }
         cdcBase = Some((curV, model))
       }
