@@ -121,6 +121,43 @@ class SnapshotRemoteFsSpec extends SparkSpec {
       "a java.nio path resolved the file: scheme as a relative name")
   }
 
+  test("the streaming loop closes on a scheme'd root: exactly-once WRITE " +
+      "into the store and exactly-once CDC READ out of it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = remoteRoot("remfs_stream")
+    val ck = JFiles.createTempDirectory("remfs_stream_ck").toFile.getAbsolutePath
+    val out = JFiles.createTempDirectory("remfs_stream_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    implicit val sql = spark.sqlContext
+
+    // streaming WRITE: two micro-batched waves into the remote-scheme store
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    graft.streaming.SnapshotStream.appendStream(
+      st, root, in.toDF.toDF("id", "v"), ck).awaitTermination()
+    in.addData((3L, "c"))
+    graft.streaming.SnapshotStream.appendStream(
+      st, root, in.toDF.toDF("id", "v"), ck).awaitTermination()
+    assert(st.read().count() === 3)
+    assert(st.history().count() === 2, "one append commit per micro-batch")
+
+    // a mutation, then streaming CDC READ: commit-derived O(delta) change
+    // rows planned entirely over the remote scheme's metadata
+    st.deleteWhereMor(col("id") === 2L, "id")
+    graft.streaming.SnapshotStream.readChanges(spark, root, "id").writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        JFiles.createTempDirectory("remfs_cdc_ck").toFile.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("id", "_change_type").as[(Long, String)].collect().sorted
+    assert(got === Array((1L, "insert"), (2L, "delete"), (2L, "insert"),
+      (3L, "insert")))
+    assertNoNioEscape()
+  }
+
   test("concurrent appends on a scheme'd root land distinct versions via the " +
       "Hadoop-FS marker CAS") {
     import spark.implicits._
