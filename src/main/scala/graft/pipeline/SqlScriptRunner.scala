@@ -737,6 +737,49 @@ final class SqlScriptRunner(spark: SparkSession,
           st.fastForward(name)
       }
       None
+    } else if ("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+WRITE\\s+(ORDERED\\s+BY|UNORDERED)\\b".r
+        .findFirstIn(masked.trim).isDefined) {
+      // Write sort-order DDL on a snapshot-bound table (Apache Iceberg's
+      // public Spark SQL extension syntax):
+      //   ALTER TABLE t WRITE ORDERED BY c1, c2 [INTO n FILES]
+      //   ALTER TABLE t WRITE ORDERED BY zorder(c1, c2) [INTO n FILES]
+      //   ALTER TABLE t WRITE UNORDERED
+      // The order persists like the partition spec: every later data
+      // commit, compaction, and autonomous maintenance tick re-clusters on
+      // it (INTO n FILES pins the range-partition count — deterministic
+      // small-table layouts; omit it at scale and the shuffle-partition
+      // count decides).
+      val body = stmt.trim.stripSuffix(";")
+      val pu = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+WRITE\\s+UNORDERED\\s*$".r
+      val po = ("(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+WRITE\\s+ORDERED\\s+BY\\s+" +
+        "(.+?)(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*$").r
+      // split on TOP-LEVEL commas only (zorder(c1, c2) is one entry)
+      def splitTop(s: String): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sb = new StringBuilder; var depth = 0
+        s.foreach {
+          case '(' => depth += 1; sb += '('
+          case ')' => depth -= 1; sb += ')'
+          case ',' if depth == 0 =>
+            if (sb.toString.trim.nonEmpty) out += sb.toString.trim; sb.clear()
+          case c => sb += c
+        }
+        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+        out.toSeq
+      }
+      body match {
+        case pu(t) => snapshotStore(t, "ALTER").clearSortOrder()
+        case po(t, colsRaw, files) =>
+          var cols = colsRaw.trim
+          if (cols.startsWith("(") && cols.endsWith(")"))
+            cols = cols.substring(1, cols.length - 1)
+          snapshotStore(t, "ALTER").setSortOrder(splitTop(cols),
+            Option(files).map(_.toInt).getOrElse(0))
+        case _ => throw new IllegalArgumentException(
+          "expected: ALTER TABLE t WRITE ORDERED BY cols | zorder(cols) " +
+            "[INTO n FILES] | WRITE UNORDERED")
+      }
+      None
     } else if (upper.startsWith("DELETE FROM ") && !hasTopLevelWhere) {
       // repeatable-run truncate (logistics_AI.sql:60). A SNAPSHOT-BOUND
       // table truncates as an empty overwrite snapshot (history preserved;

@@ -948,4 +948,36 @@ class SqlScriptRunnerSpec extends SparkSpec {
     assert(row.getString(0) === "logged at timestamp '5' by nowhere.t")
     assert(row.getLong(1) === 1L)
   }
+
+  test("scripted WRITE ORDERED BY persists the clustering order; OPTIMIZE " +
+      "re-clusters; WRITE UNORDERED clears it") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("script_order").toString
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq.tabulate(400)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2))
+    (1 to 5).foreach { w =>
+      st.commit(Seq.tabulate(400)(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .filter(col("id") % 7 === w.toLong).coalesce(1), op = "append")
+    }
+    spark.conf.set("graft.snapshot.ops.orders", root)
+    val r = new SqlScriptRunner(spark)
+    // Iceberg's public extension DDL, with the pinned-count extension
+    r.run("ALTER TABLE ops.orders WRITE ORDERED BY id INTO 4 FILES")
+    assert(st.sortOrder === Seq("id") && st.sortOrderFiles === 4)
+    // the scripted OPTIMIZE now re-CLUSTERS (sort-order-aware compaction)
+    r.run("OPTIMIZE TABLE ops.orders")
+    val t2 = new SnapshotTable(spark, root)
+    t2.readWhere(col("id") < 50L).count()
+    val (kept, total) = t2.lastPruneStats
+    assert(total === 4L && kept === 1L,
+      s"scripted sorted rewrite should prune 1 of 4: $kept/$total")
+    // a zorder order round-trips through the DDL as ONE entry
+    r.run("ALTER TABLE ops.orders WRITE ORDERED BY zorder(id, v) INTO 8 FILES")
+    assert(t2.sortOrder === Seq("zorder(id, v)") && t2.sortOrderFiles === 8)
+    r.run("ALTER TABLE ops.orders WRITE UNORDERED")
+    assert(t2.sortOrder === Nil)
+  }
 }
