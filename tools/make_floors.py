@@ -2,10 +2,15 @@
 """Rebuild PERF_FLOORS.tsv from N bench captures (per-query MIN)."""
 import json, sys
 
-captures = [json.load(open(p)) for p in sys.argv[1:]]
-keys = sorted(set(k for c in captures for k in c["queries"]))
-floors = {k: min(c["queries"][k] for c in captures if k in c["queries"])
-          for k in keys}
+def short(k):
+    # the driver's BENCH json (stdout) uses the compact qNN ids; the floors
+    # file must key the same way or the floor gate can never match a row
+    return k.split("_")[0]
+
+captures = [{short(k): v for k, v in json.load(open(p))["queries"].items()}
+            for p in sys.argv[1:]]
+keys = sorted(set(k for c in captures for k in c))
+floors = {k: min(c[k] for c in captures if k in c) for k in keys}
 
 header = """# Per-query wall-clock floor (sec) at sf0.1, local[32] - the REGEN DETECTOR
 # companion to PLAN_BUDGETS.tsv: PLAN_BUDGETS catches plan drift; this file
