@@ -158,6 +158,40 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     assertNoNioEscape()
   }
 
+  test("r15 features compose with the remote seam: sorted compaction " +
+      "re-clusters and O(delta) CDC prunes on a scheme'd root") {
+    import spark.implicits._
+    val root = remoteRoot("remfs_compose")
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq.tabulate(400)(i => (i.toLong, s"v$i", (i % 7).toLong))
+      .toDF("id", "v", "n").repartition(2))
+    (1 to 4).foreach { w =>
+      t.commit(Seq.tabulate(400)(i => (i.toLong, s"w$w-$i", (i % 7).toLong))
+        .toDF("id", "v", "n").filter(col("id") % 5 === w.toLong).coalesce(1),
+        op = "append")
+    }
+    // sorted compaction: the order file + rewrite go through the seam
+    t.compactSorted(targetFiles = 8, order = Seq("id"))
+    assert(t.sortOrder === Seq("id"))
+    t.readWhere(col("id") < 10L).count()
+    val (kept, total) = t.lastPruneStats
+    assert(total === 8L && kept === 1L,
+      s"remote sorted rewrite should prune 1 of 8: $kept/$total")
+
+    // O(delta) CDC: the mor-update commit's derivation prunes the remote
+    // clustered base and equals the full diff
+    t.updateMor(col("id") < 3L, Map("n" -> lit(555L)), "id")
+    val v = t.currentVersion.get
+    val fast = t.changesForCommit(v, Seq("id"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val (cKept, cTotal) = t.lastPruneStats
+    assert(cTotal >= 8L && cKept <= 2L,
+      s"remote CDC pre-image scan should prune: $cKept/$cTotal")
+    assert(fast === t.changes(v - 1, v, "id")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")))
+    assertNoNioEscape()
+  }
+
   test("concurrent appends on a scheme'd root land distinct versions via the " +
       "Hadoop-FS marker CAS") {
     import spark.implicits._
