@@ -738,9 +738,13 @@ final class SqlScriptRunner(spark: SparkSession,
       }
       None
     } else if ("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+WRITE\\s+(ORDERED\\s+BY|UNORDERED)\\b".r
-        .findFirstIn(masked.trim).isDefined) {
-      // Write sort-order DDL on a snapshot-bound table (Apache Iceberg's
-      // public Spark SQL extension syntax):
+        .findFirstIn(masked.trim).isDefined && {
+        "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)".r.findFirstMatchIn(stmt.trim)
+          .exists(n => spark.conf.getOption(s"graft.snapshot.${n.group(1)}").isDefined)
+      }) {
+      // Write sort-order DDL on a SNAPSHOT-BOUND table (Apache Iceberg's
+      // public Spark SQL extension syntax; unbound tables fall through to
+      // Spark, where a real Iceberg catalog handles the same statement):
       //   ALTER TABLE t WRITE ORDERED BY c1, c2 [INTO n FILES]
       //   ALTER TABLE t WRITE ORDERED BY zorder(c1, c2) [INTO n FILES]
       //   ALTER TABLE t WRITE UNORDERED
@@ -753,28 +757,58 @@ final class SqlScriptRunner(spark: SparkSession,
       val pu = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+WRITE\\s+UNORDERED\\s*$".r
       val po = ("(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+WRITE\\s+ORDERED\\s+BY\\s+" +
         "(.+?)(?:\\s+INTO\\s+(\\d+)\\s+FILES)?\\s*$").r
-      // split on TOP-LEVEL commas only (zorder(c1, c2) is one entry)
-      def splitTop(s: String): Seq[String] = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        val sb = new StringBuilder; var depth = 0
-        s.foreach {
-          case '(' => depth += 1; sb += '('
-          case ')' => depth -= 1; sb += ')'
-          case ',' if depth == 0 =>
-            if (sb.toString.trim.nonEmpty) out += sb.toString.trim; sb.clear()
-          case c => sb += c
-        }
-        if (sb.toString.trim.nonEmpty) out += sb.toString.trim
-        out.toSeq
-      }
       body match {
         case pu(t) => snapshotStore(t, "ALTER").clearSortOrder()
         case po(t, colsRaw, files) =>
           var cols = colsRaw.trim
-          if (cols.startsWith("(") && cols.endsWith(")"))
-            cols = cols.substring(1, cols.length - 1)
-          snapshotStore(t, "ALTER").setSortOrder(splitTop(cols),
-            Option(files).map(_.toInt).getOrElse(0))
+          // strip ONE pair of outer parens — only when they actually match
+          // ("(a), (b)" must not lose its first and last paren)
+          if (cols.startsWith("(") && cols.endsWith(")") && {
+            var depth = 0; var matched = true
+            cols.zipWithIndex.foreach { case (c, i) =>
+              if (c == '(') depth += 1
+              else if (c == ')') { depth -= 1
+                if (depth == 0 && i < cols.length - 1) matched = false }
+            }
+            matched && depth == 0
+          }) cols = cols.substring(1, cols.length - 1)
+          // each entry is a bare column (an explicit ASC is fine) or ONE
+          // zorder(cols) — direction/null modifiers are rejected rather
+          // than silently persisted as a never-matching "column" that
+          // would disable clustering with no error anywhere
+          val entries = topLevelSplit(cols).map { e =>
+            val asc = "(?is)^(\\w+)(?:\\s+ASC)?$".r
+            e match {
+              case asc(c) => c
+              case z if "(?is)^zorder\\(.*\\)$".r.findFirstIn(z).isDefined => z
+              case other => throw new IllegalArgumentException(
+                s"WRITE ORDERED BY entry '$other': only ascending plain " +
+                  "columns or one zorder(c1, c2, ...) entry are supported " +
+                  "(DESC / NULLS FIRST|LAST orderings are not)")
+            }
+          }
+          require(entries.nonEmpty, "WRITE ORDERED BY needs at least one column")
+          val n = Option(files).map(_.toLongOption.getOrElse(Long.MaxValue))
+            .getOrElse(0L)
+          require(n >= 0 && n <= 100000,
+            s"INTO $n FILES: pinned file counts above 100000 would plan a " +
+              "degenerate range shuffle; omit the clause to let the " +
+              "shuffle-partition count decide")
+          val st = snapshotStore(t, "ALTER")
+          // a typo'd column would persist an order that silently never
+          // applies — validate every named column against the live schema
+          // (an EMPTY store has no schema yet; declaring ahead of the first
+          // commit is legitimate and validates on write instead)
+          if (st.currentVersion.isDefined) {
+            val have = st.read().columns.map(_.toLowerCase).toSet
+            val named = entries.flatMap(e =>
+              "(?is)^zorder\\((.*)\\)$".r.findFirstMatchIn(e)
+                .map(_.group(1).split(',').map(_.trim).toSeq).getOrElse(Seq(e)))
+            named.find(c => !have(c.toLowerCase)).foreach(c =>
+              throw new IllegalArgumentException(
+                s"WRITE ORDERED BY $c: no such column in $t"))
+          }
+          st.setSortOrder(entries, n.toInt)
         case _ => throw new IllegalArgumentException(
           "expected: ALTER TABLE t WRITE ORDERED BY cols | zorder(cols) " +
             "[INTO n FILES] | WRITE UNORDERED")

@@ -977,7 +977,28 @@ class SqlScriptRunnerSpec extends SparkSpec {
     // a zorder order round-trips through the DDL as ONE entry
     r.run("ALTER TABLE ops.orders WRITE ORDERED BY zorder(id, v) INTO 8 FILES")
     assert(t2.sortOrder === Seq("zorder(id, v)") && t2.sortOrderFiles === 8)
+    // parenthesized Iceberg spelling works; explicit ASC strips
+    r.run("ALTER TABLE ops.orders WRITE ORDERED BY (id ASC, v)")
+    assert(t2.sortOrder === Seq("id", "v"))
+    // unsupported orderings and typo'd columns are REJECTED, never
+    // persisted as a silently-never-matching order
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.orders WRITE ORDERED BY id DESC"))
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.orders WRITE ORDERED BY no_such_col"))
+    intercept[IllegalArgumentException](
+      r.run("ALTER TABLE ops.orders WRITE ORDERED BY id INTO 2000000000 FILES"))
+    assert(t2.sortOrder === Seq("id", "v"), "rejected DDL must not mutate")
     r.run("ALTER TABLE ops.orders WRITE UNORDERED")
     assert(t2.sortOrder === Nil)
+    // an UNBOUND table falls through to Spark's own SQL surface (where a
+    // real Iceberg catalog would handle the extension DDL) — this runner
+    // must not intercept and error
+    intercept[Exception] { // Spark parse error, not our snapshotStore error
+      val e = intercept[Exception](
+        r.run("ALTER TABLE nowhere.tbl WRITE ORDERED BY id"))
+      assert(!e.getMessage.contains("no snapshot store bound"), e.getMessage)
+      throw e
+    }
   }
 }

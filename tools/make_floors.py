@@ -1,6 +1,18 @@
 #!/usr/bin/env python3
-"""Rebuild PERF_FLOORS.tsv from N bench captures (per-query MIN)."""
-import json, sys
+"""Rebuild PERF_FLOORS.tsv from N bench captures (per-query MIN).
+
+Usage: python3 tools/make_floors.py run1.json run2.json [...]
+Run from the repo root; captures are SPARK_GRAFT_BENCH_OUT files from idle
+sf0.1 `runMain graft.Bench` runs.
+"""
+import json, os, sys
+
+if len(sys.argv) < 2:
+    sys.exit("usage: make_floors.py <bench_capture.json> [...] — refusing "
+             "to truncate PERF_FLOORS.tsv with zero captures")
+if not os.path.exists("PLAN_BUDGETS.tsv"):
+    sys.exit("run from the repo root (PLAN_BUDGETS.tsv not found in CWD)")
+
 
 def short(k):
     # the driver's BENCH json (stdout) uses the compact qNN ids; the floors
@@ -10,21 +22,21 @@ def short(k):
 captures = [{short(k): v for k, v in json.load(open(p))["queries"].items()}
             for p in sys.argv[1:]]
 keys = sorted(set(k for c in captures for k in c))
+
 floors = {k: min(c[k] for c in captures if k in c) for k in keys}
 
-header = """# Per-query wall-clock floor (sec) at sf0.1, local[32] - the REGEN DETECTOR
+header = f"""# Per-query wall-clock floor (sec) at sf0.1, local[32] - the REGEN DETECTOR
 # companion to PLAN_BUDGETS.tsv: PLAN_BUDGETS catches plan drift; this file
 # records the measured floor on the CURRENT testdata files (pyarrow-16 regen
 # of 2026-08-13, single row group per file, NTZ-annotated timestamps read as
 # session-zone TimestampType via Tables.load). A future testdata rewrite that
 # changes scan cost shows up as a broad drift against these numbers with
 # PLAN_BUDGETS unchanged - exactly the round-8 signature.
-# Round-15 re-ratchet: floors are the per-query MIN across THREE idle-machine
-# captures taken after the r15 Hadoop-FS-metadata / O(delta)-CDC /
-# sorted-compaction work landed, over the grown 131-row bench set (the 126
-# r14 rows + q124_cdc_odelta + q125_sorted_compaction).
-# Regenerate: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 sbt 'runMain graft.Bench'
-# Floors are the per-query MIN across this round's idle-machine captures.
+# Floors are the per-query MIN across {len(captures)} idle-machine captures
+# over the current {len(keys)}-row bench set.
+# Regenerate: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \\
+#   SPARK_GRAFT_BENCH_OUT=/tmp/runN.json sbt 'runMain graft.Bench'  (xN idle)
+#   then python3 tools/make_floors.py /tmp/run*.json
 # query\tfloor_sec
 """
 with open("PERF_FLOORS.tsv", "w") as f:
