@@ -65,6 +65,8 @@ object WorkloadAdvisor {
 final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   import WorkloadAdvisor.SkewFinding
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[WorkloadAdvisor])
+
   /** One observed aggregate shape. Keeps the first sighting's DataFrame as
     * the definition (immutable plan; `classic.Dataset.ofRows` is
     * private[sql], and the frame IS the plan). */
@@ -420,15 +422,33 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       }
     }
 
-  /** `analyze` that treats a vanished store (dropped since observation) as
-    * no-finding AND forgets the root — the loop must keep serving the
-    * remaining stores, not crash on a stale observation forever. */
+  /** `analyze` that treats a VANISHED store (dropped since observation:
+    * missing files / empty log) as no-finding AND forgets the root — the
+    * loop must keep serving the remaining stores, not crash on a stale
+    * observation forever. A TRANSIENT failure (object-store throttle, a
+    * commit log mid-rewrite by concurrent expiry) must NOT evict: the root
+    * keeps its read count and the next tick retries, with a WARN so the
+    * skip is observable rather than a silent monitoring hole. */
   private def analyzeOrEvict(root: String)
       : Option[graft.sources.TableMaintenance.Finding] =
     try graft.sources.TableMaintenance.analyze(spark, root)
     catch {
-      case scala.util.control.NonFatal(_) =>
+      case e @ (_: java.io.FileNotFoundException |
+                _: java.nio.file.NoSuchFileException) =>
+        log.warn(s"store $root vanished since observation (${e.getMessage}); " +
+          "evicting from the maintenance loop")
         synchronized { storeShapes.remove(root) }
+        None
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.startsWith("no snapshots") =>
+        log.warn(s"store $root has no snapshots (dropped or truncated); " +
+          "evicting from the maintenance loop")
+        synchronized { storeShapes.remove(root) }
+        None
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"transient analyze failure for store $root " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); keeping the " +
+          "root — the next tick retries")
         None
     }
 
@@ -456,21 +476,43 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       orphansOlderThanMillis: Long = 3L * 24 * 3600 * 1000): MaintenanceTick = {
     val roots = synchronized(storeShapes.toSeq)
       .collect { case (root, s) if s.seen >= minCount => root }
+    // heal through TableMaintenance.maintain — the ONE place that encodes
+    // how to heal (threshold logic, sort-order awareness, conflict policy);
+    // analyzeOrEvict still runs first so a vanished store is evicted rather
+    // than re-analyzed by maintain. Failures are PER ROOT: a commit
+    // conflict (writer landed mid-rewrite) is the documented skip-until-
+    // next-tick; any other store's FS error must not abort the rest of the
+    // tick or the orphan sweep.
     val compacted = roots.flatMap { root =>
       try
-        analyzeOrEvict(root).map(f =>
-          root -> new graft.sources.SnapshotTable(spark, root).compact(f.targetFiles))
+        analyzeOrEvict(root).flatMap(_ =>
+          graft.sources.TableMaintenance.maintain(spark, root).map(root -> _))
       catch {
-        case _: graft.sources.SnapshotTable.CommitConflictException => None
+        case _: graft.sources.SnapshotTable.CommitConflictException =>
+          log.info(s"maintenance of $root lost to a concurrent writer; " +
+            "retrying at the next tick")
+          None
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"maintenance of $root failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); continuing " +
+            "with the remaining stores")
+          None
       }
     }
     // the orphan sweep only visits roots that still exist (a vanished store
     // was evicted by the analyze pass above)
     val live = synchronized(storeShapes.keys.toSet)
     val orphans = roots.filter(live).flatMap { root =>
-      val removed = graft.sources.TableMaintenance
-        .removeOrphans(spark, root, orphansOlderThanMillis)
-      if (removed.nonEmpty) Some(root -> removed) else None
+      try {
+        val removed = graft.sources.TableMaintenance
+          .removeOrphans(spark, root, orphansOlderThanMillis)
+        if (removed.nonEmpty) Some(root -> removed) else None
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"orphan sweep of $root failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); continuing")
+          None
+      }
     }
     MaintenanceTick(compacted, orphans)
   }

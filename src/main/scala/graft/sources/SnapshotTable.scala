@@ -473,28 +473,64 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
 
+  /** Test seam: invoked inside the no-append read-modify-write fallback,
+    * between the cache read and the cache rewrite — lets specs inject a
+    * cross-process writer into the exact window where an interleaved RMW
+    * drops the other writer's cache line (which the record ledger must
+    * survive). Production: no-op. */
+  private[sources] var beforeCacheRmwWrite: String => Unit = _ => ()
+
   /** Create-or-append. HDFS (and local) append natively; filesystems
-    * without append (object stores) fall back to read-modify-write — safe
-    * for IN-JVM writers (the root lock serializes every log mutation) and
-    * carrying the same cross-process optimistic window the commit protocol
-    * already documents for S3-class stores (see [[validateHeadOrRelease]]:
-    * a real deployment closes it with a catalog-side CAS). */
+    * without append (object stores) fall back to read-modify-write. On
+    * scheme'd roots the files written through here are CACHES of the
+    * per-entry record ledgers (`_graft_log/`, `_graft_reflog/` — see the
+    * commit-record note above [[readMeta]]), so a cross-process RMW
+    * interleave can at worst stale the cache, never lose a committed
+    * entry; readers reconcile against the records. The RMW still verifies
+    * its own line landed and retries a bounded number of times, narrowing
+    * even the cache-staleness window. */
   private def metaAppendString(rel: String, content: String): Unit =
     if (rootIsLocal) {
       Files.createDirectories(nPath(rel).getParent)
       Files.writeString(nPath(rel), content,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    } else if (!rootFs.exists(hPath(rel))) {
-      val out = rootFs.create(hPath(rel), false)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-    } else
-      try {
-        val out = rootFs.append(hPath(rel))
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-      } catch {
-        case _: UnsupportedOperationException =>
-          metaWriteString(rel, metaReadString(rel) + content)
-      }
+    } else {
+      // create-exclusive first write; a concurrent creator (cross-process)
+      // throwing FileAlreadyExistsException just means the file now exists —
+      // fall through to the append/RMW path instead of failing the commit
+      val created =
+        if (rootFs.exists(hPath(rel))) false
+        else
+          try {
+            val out = rootFs.create(hPath(rel), false)
+            try out.write(content.getBytes("UTF-8")) finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException if rootFs.exists(hPath(rel)) => false
+          }
+      if (!created)
+        try {
+          val out = rootFs.append(hPath(rel))
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+        } catch {
+          case _: UnsupportedOperationException =>
+            // no-append store: read-modify-write, then re-read and verify
+            // OUR line survived (a concurrent RMW landing after ours would
+            // have dropped it); bounded retries — on exhaustion the cache
+            // is stale but the record ledger still holds the entry
+            var attempts = 0
+            var landed = false
+            while (!landed && attempts < 5) {
+              attempts += 1
+              val base = metaReadString(rel)
+              beforeCacheRmwWrite(rel)
+              metaWriteString(rel, base + content)
+              landed = metaReadString(rel).contains(content)
+            }
+        }
+    }
 
   private def metaDelete(rel: String): Unit =
     if (rootIsLocal) Files.deleteIfExists(nPath(rel))
@@ -1029,13 +1065,41 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Named refs (Iceberg branches/tags): append-only `name,kind,version`
     * log, last line per name wins; a `dropped` line is a tombstone — the
     * name is free for re-creation and its pins are released. */
-  private def readRefs(): Map[String, (String, Long)] =
-    if (!metaExists(RefsFile)) Map.empty
-    else
-      metaReadLines(RefsFile).map { line =>
-        val m = line.split(",", 3)
-        m(0) -> (m(1), m(2).toLong)
-      }.toMap.filter(_._2._1 != "dropped")
+  // Refs pin retention (expiry's reachability reads them), so on scheme'd
+  // roots they get the same no-shared-mutable-file treatment as the commit
+  // ledger: ONE record file per ref name (`_graft_reflog/r-<b64url(name)>
+  // .rec`), overwritten on update, `dropped`-tombstoned on drop. Writers to
+  // different names never touch the same object, so no read-modify-write
+  // can lose a ref; concurrent writers to the SAME name race last-PUT-wins,
+  // which is exactly the append log's last-line-wins semantics. Legacy
+  // appended lines still read (records overlay them per name).
+  private val RefRecordsDir = "_graft_reflog"
+  private def refRecordRel(name: String) = s"$RefRecordsDir/r-" +
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(name.getBytes("UTF-8")) + ".rec"
+
+  private def readRefs(): Map[String, (String, Long)] = {
+    def parse(line: String): (String, (String, Long)) = {
+      val m = line.split(",", 3)
+      m(0) -> (m(1), m(2).toLong)
+    }
+    val legacy =
+      if (!metaExists(RefsFile)) Nil else metaReadLines(RefsFile).map(parse)
+    val records =
+      if (rootIsLocal) Nil
+      else {
+        val dir = hPath(RefRecordsDir)
+        if (!rootFs.exists(dir)) Nil
+        else rootFs.listStatus(dir).toSeq
+          .filter(s => s.getPath.getName.startsWith("r-") &&
+            s.getPath.getName.endsWith(".rec"))
+          .flatMap(s => scala.util.Try(parse(
+            metaReadLines(s"$RefRecordsDir/${s.getPath.getName}").head)).toOption)
+      }
+    // records after legacy: on a scheme'd root every NEW write is a record,
+    // so a record is always the name's latest state
+    (legacy ++ records).toMap.filter(_._2._1 != "dropped")
+  }
 
   private def writeRef(name: String, kind: String, v: Long): Unit = {
     // the refs log is line/comma-delimited and branch names ride inside
@@ -1043,7 +1107,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // corrupt every later read of the whole log, so reject at write time
     require(name.nonEmpty && !name.exists(c => c == ',' || c == ':' || c == '\n' || c == '\r'),
       s"invalid ref name '$name': must be non-empty, no ',' ':' or line breaks")
-    metaAppendString(RefsFile, s"$name,$kind,$v\n")
+    if (rootIsLocal) metaAppendString(RefsFile, s"$name,$kind,$v\n")
+    else metaWriteString(refRecordRel(name), s"$name,$kind,$v\n")
   }
 
   private def isBranchOp(op: String): Boolean = op.startsWith(BranchOpPrefix)
@@ -1088,18 +1153,67 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def nextVersion(meta: Seq[Meta]): Long =
     meta.lastOption.map(_._1 + 1).getOrElse(0L)
 
-  private def readMeta(): Seq[Meta] =
-    if (!metaExists(MetaFile)) Nil
-    else {
-      metaReadLines(MetaFile).map { line =>
-        val m = line.split(",", 4)
-        (m(0).toLong, m(1).toLong, m(2), m(3).toLong)
-      }.sortBy(_._1) // concurrent writers may interleave log lines
-    }
+  // ── commit-record ledger (scheme'd roots only) ─────────────────────────
+  //    On object-store roots the shared log FILE cannot be the correctness
+  //    anchor: stores without native append fall back to read-modify-write
+  //    in [[metaAppendString]], and two cross-PROCESS writers can interleave
+  //    that RMW and silently drop an already-committed line. So on non-local
+  //    roots the COMMIT POINT is instead the creation of a per-version
+  //    record file `_graft_log/v=N.rec` holding exactly the log line: the
+  //    name is unique per claimed version (the marker CAS hands out distinct
+  //    numbers), so no two writers ever touch the same record and nothing
+  //    can be lost to an overwrite. The shared log file is then a derivable
+  //    CACHE — [[readMeta]] reconciles it against the records (one LIST per
+  //    read; missing lines are re-read from their records), and expiry's
+  //    full rewrite heals it. This is Iceberg's shape: immutable per-commit
+  //    metadata + a swap/record that is the only mutable step (spark.py:
+  //    26-28, SURVEY §3.1 step 5). `file:`/bare roots keep the plain
+  //    appended log — local appends are serialized by the root lock and
+  //    cheap, and the record ledger would only add IO.
+  private val LogRecordsDir = "_graft_log"
+  private def logRecordRel(v: Long) = s"$LogRecordsDir/v=$v.rec"
+
+  private def parseMetaLine(line: String): Meta = {
+    val m = line.split(",", 4)
+    (m(0).toLong, m(1).toLong, m(2), m(3).toLong)
+  }
+
+  /** Versions with a commit record on disk (scheme'd roots). One LIST. */
+  private def listLogRecordVersions(): Seq[Long] = {
+    val dir = hPath(LogRecordsDir)
+    if (!rootFs.exists(dir)) Nil
+    else rootFs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".rec"))
+      .flatMap(_.stripPrefix("v=").stripSuffix(".rec").toLongOption)
+  }
+
+  private def readMeta(): Seq[Meta] = {
+    val cached =
+      if (!metaExists(MetaFile)) Nil
+      else metaReadLines(MetaFile).map(parseMetaLine)
+    val all =
+      if (rootIsLocal) cached
+      else {
+        // reconcile: any committed record the cache is missing (a lost RMW
+        // append, or a writer that died between its record write and its
+        // cache append) is read back from its own file. A record that does
+        // not parse is mid-write — its commit point has not landed yet.
+        val inCache = cached.map(_._1).toSet
+        cached ++ listLogRecordVersions().filterNot(inCache).flatMap { v =>
+          scala.util.Try(parseMetaLine(
+            metaReadLines(logRecordRel(v)).head)).toOption
+        }
+      }
+    all.sortBy(_._1) // concurrent writers may interleave log lines
+  }
 
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
-    metaAppendString(MetaFile,
-      s"$version,${System.currentTimeMillis()},$op,$rows\n")
+    val line = s"$version,${System.currentTimeMillis()},$op,$rows\n"
+    // scheme'd roots: the record file IS the commit point (see the ledger
+    // note above); the shared log below is only a cache of it
+    if (!rootIsLocal) metaWriteString(logRecordRel(version), line)
+    metaAppendString(MetaFile, line)
     // self-GC: once the version is LOGGED the marker has done its job —
     // `claimVersion` re-validates against the log after every create, so a
     // racer that re-creates this number can never keep it. Without this a
@@ -1974,6 +2088,9 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     expire.foreach { v =>
       rootFs.delete(new Path(root, s"v=$v"), true)
       metaDelete(manifestRel(v))
+      // drop the commit record too (scheme'd roots), or readMeta's
+      // reconciliation would resurrect the expired entry from it
+      metaDelete(logRecordRel(v))
     }
     val expired = expire.toSet
     val remaining = meta.filterNot(m => expired(m._1))

@@ -167,7 +167,7 @@ final class SnapshotSource(
     entries.foreach { case (v, op) =>
       st.evolveNewColumns(op).filterNot(c => baseNames(c.toLowerCase))
         .foreach { c =>
-          SnapshotSource.recordDrift(root, v,
+          SnapshotSource.recordDrift(root, baseSchema.json, v,
             s"store $root evolved mid-stream at commit v=$v: column '$c' is " +
               "not in this stream's pinned schema and will not stream — " +
               "restart the stream to adopt the evolved schema")
@@ -210,7 +210,7 @@ final class SnapshotSource(
     delta.columns
       .filterNot(c => baseNames(c.toLowerCase) || c.startsWith("graft__"))
       .foreach { c =>
-        SnapshotSource.recordDrift(root, v,
+        SnapshotSource.recordDrift(root, baseSchema.json, v,
           s"append v=$v at $root carries column '$c' absent from this " +
             "stream's pinned schema; its data is dropped from the " +
             "stream — restart the stream to adopt the evolved schema")
@@ -283,7 +283,10 @@ final class SnapshotSource(
           // round-trips exactly for values that genuinely fit
           val back = col(c).try_cast(f.dataType)
           val inDt = inType(f.name.toLowerCase)
-          val lossy = back.isNull || back.try_cast(inDt) =!= col(c)
+          // null-safe: if the REVERSE cast itself nulls out, `back.try_cast
+          // (inDt) =!= col(c)` would be SQL NULL and when() would read it
+          // as "not lossy" — <=> keeps the guard firing on that edge
+          val lossy = back.isNull || !(back.try_cast(inDt) <=> col(c))
           when(col(c).isNotNull && lossy,
             raise_error(concat(
               lit(s"snapshot stream over $root: value "), col(c).cast("string"),
@@ -302,27 +305,57 @@ final class SnapshotSource(
 
 object SnapshotSource {
 
-  /** Schema-drift events recorded by running streams, keyed by store root:
-    * deduplicated `(commit version, message)` pairs (checkpoint replays of
-    * a range re-observe the same drift; the signal must not double). Each
-    * event is also logged at WARN when first recorded. */
-  private val drift = new java.util.concurrent.ConcurrentHashMap[
-    String, scala.collection.mutable.LinkedHashSet[(Long, String)]]()
+  /** Schema-drift events recorded by running streams, keyed by (store
+    * root, pinned stream schema): two concurrent streams over one root
+    * with DIFFERENT pinned schemas must not conflate or suppress each
+    * other's events. Per key the set is deduplicated `(commit version,
+    * message)` pairs (checkpoint replays of a range re-observe the same
+    * drift; the signal must not double) and CAPPED — a long-lived process
+    * watching a fast-evolving store must not grow the registry without
+    * bound. All mutation and read paths synchronize on the registry itself
+    * (drift is rare — contention is nil), so a record can never land in a
+    * just-cleared set and vanish. Each event is also logged at WARN when
+    * first recorded. */
+  private val drift = scala.collection.mutable.LinkedHashMap
+    .empty[(String, String), scala.collection.mutable.LinkedHashSet[(Long, String)]]
+  private val MaxEventsPerStream = 1000
+  private val MaxTrackedStreams = 256
 
   /** The observable schema-drift signal for a store's streams: every
-    * mid-stream evolution whose data this stream cannot carry (new/renamed
+    * mid-stream evolution whose data a stream cannot carry (new/renamed
     * columns waiting for a restart, extra delta columns dropped by
     * conform), with the restart remedy in the message. Monitoring hooks
-    * poll this the way they poll StreamingQuery progress. */
+    * poll this the way they poll StreamingQuery progress. The root-level
+    * form unions every pinned schema's events over that root; pass the
+    * stream's pinned schema for the per-stream view. */
   def schemaDriftEvents(root: String): Seq[(Long, String)] =
-    Option(drift.get(root)).map(s => s.synchronized(s.toSeq)).getOrElse(Nil)
+    drift.synchronized {
+      drift.toSeq.collect { case ((r, _), s) if r == root => s.toSeq }
+        .flatten.distinct
+    }
 
-  def clearSchemaDriftEvents(root: String): Unit = drift.remove(root)
+  def schemaDriftEvents(root: String, pinned: StructType): Seq[(Long, String)] =
+    drift.synchronized {
+      drift.get((root, pinned.json)).map(_.toSeq).getOrElse(Nil)
+    }
 
-  private[streaming] def recordDrift(root: String, v: Long, msg: String): Unit = {
-    val s = drift.computeIfAbsent(root,
-      _ => scala.collection.mutable.LinkedHashSet.empty[(Long, String)])
-    val fresh = s.synchronized(s.add((v, msg)))
+  def clearSchemaDriftEvents(root: String): Unit =
+    drift.synchronized { drift.filterInPlace { case ((r, _), _) => r != root } }
+
+  private[streaming] def recordDrift(root: String, pinnedJson: String,
+      v: Long, msg: String): Unit = {
+    val fresh = drift.synchronized {
+      if (!drift.contains((root, pinnedJson)))
+        while (drift.size >= MaxTrackedStreams)
+          drift.remove(drift.head._1) // evict the longest-idle stream key
+      val s = drift.getOrElseUpdate((root, pinnedJson),
+        scala.collection.mutable.LinkedHashSet.empty[(Long, String)])
+      if (s.contains((v, msg))) false
+      else {
+        while (s.size >= MaxEventsPerStream) s.remove(s.head) // ring: oldest out
+        s.add((v, msg))
+      }
+    }
     if (fresh)
       org.slf4j.LoggerFactory.getLogger(classOf[SnapshotSource]).warn(msg)
   }

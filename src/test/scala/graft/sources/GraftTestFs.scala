@@ -35,3 +35,29 @@ final class GraftTestFs extends RawLocalFileSystem {
   override def listStatus(f: Path): Array[FileStatus] =
     super.listStatus(f).map(eager)
 }
+
+/** [[GraftTestFs]] minus `append()` — the OBJECT-STORE shape (S3A has no
+  * native append), forcing the commit-log cache onto the read-modify-write
+  * fallback so specs can prove the record ledger survives an interleaved
+  * RMW that drops a cache line. */
+final class GraftNoAppendFs extends RawLocalFileSystem {
+  override def getScheme: String = "graftnoap"
+  override def getUri: URI = URI.create("graftnoap:///")
+
+  private def eager(s: FileStatus): FileStatus =
+    new FileStatus(s.getLen, s.isDirectory, 1, s.getBlockSize,
+      s.getModificationTime, s.getAccessTime,
+      if (s.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
+      "graft", "graft", s.getPath)
+
+  override def getFileStatus(f: Path): FileStatus = eager(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(eager)
+
+  override def append(f: Path, bufferSize: Int,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      "graftnoap: object-store semantics — no append")
+}

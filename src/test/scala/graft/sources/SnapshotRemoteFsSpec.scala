@@ -192,6 +192,107 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     assertNoNioEscape()
   }
 
+  test("commit-record ledger: a lost log-cache line can never lose a " +
+      "committed version, and expiry does not resurrect expired records") {
+    import spark.implicits._
+    val root = remoteRoot("remfs_ledger")
+    val local = root.stripPrefix("graftfs://")
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((0L, "base")).toDF("id", "v"))                          // v0
+    t.commit(Seq((1L, "a")).toDF("id", "v"), op = "append")              // v1
+    t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append")              // v2
+
+    // simulate the cross-process lost append: an interleaved read-modify-
+    // write left the shared log cache holding only v0's line
+    val metaPath = JPaths.get(local, "_graft_meta.jsonl")
+    val kept = JFiles.readString(metaPath).linesIterator.next()
+    JFiles.writeString(metaPath, kept + "\n")
+
+    // the per-version records are the commit point — the store reads back
+    // intact and the next claim lands PAST the reconstructed head
+    val fresh = new SnapshotTable(spark, root)
+    assert(fresh.history().select("version").as[Long].collect().sorted
+      === Array(0L, 1L, 2L))
+    assert(fresh.read().count() === 3)
+    fresh.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")          // v3
+    assert(fresh.read().count() === 4)
+    assert(fresh.history().count() === 4)
+
+    // expiry drops the expired versions' records too — reconciliation must
+    // not resurrect them into the rewritten log
+    fresh.compact(targetFiles = 1)                                       // v4
+    fresh.expireSnapshots(keep = 1)
+    val after = new SnapshotTable(spark, root)
+    assert(after.history().select("version").as[Long].collect() === Array(4L))
+    assert(after.read().count() === 4)
+    assertNoNioEscape()
+  }
+
+  test("refs on a scheme'd root live in per-name records: no shared " +
+      "mutable file, tombstones and retention pins intact") {
+    import spark.implicits._
+    val root = remoteRoot("remfs_refs")
+    val local = root.stripPrefix("graftfs://")
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((0L, "v0")).toDF("id", "v"))                            // v0
+    t.createTag("pin")
+    t.commit(Seq((1L, "v1")).toDF("id", "v"))                            // v1 (overwrite)
+    // every ref write is its own object — the shared appended file is
+    // never created on a scheme'd root
+    assert(!JFiles.exists(JPaths.get(local, "_graft_refs.jsonl")),
+      "a scheme'd root must not route refs through the RMW-prone shared file")
+    assert(t.readTag("pin").count() === 1)
+
+    // the tag pins v0 through expiry; dropping it (tombstone record)
+    // releases the pin
+    t.expireSnapshots(keep = 1)
+    assert(t.readTag("pin").select("v").head.getString(0) === "v0")
+    t.dropRef("pin")
+    assert(t.refs().count() === 0)
+    t.expireSnapshots(keep = 1)
+    assert(new SnapshotTable(spark, root).history().count() === 1)
+    assertNoNioEscape()
+  }
+
+  test("two interleaved appenders on a NO-APPEND (object-store-shaped) " +
+      "root: the RMW cache loss is survived by the record ledger") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftnoap.impl", classOf[GraftNoAppendFs].getName)
+    val local = JFiles.createTempDirectory("remfs_noap").toFile.getAbsolutePath
+    val root = s"graftnoap://$local"
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((0L, "seed")).toDF("id", "v"))                          // v0
+
+    // inject a foreign appender into OUR commit's read→write RMW window:
+    // it lands a full commit (record + cache line) whose cache line our
+    // stale rewrite then drops — the classic cross-process lost update
+    val other = new SnapshotTable(spark, root)
+    @volatile var injected = false
+    t.beforeCacheRmwWrite = rel =>
+      if (rel == "_graft_meta.jsonl" && !injected) {
+        injected = true
+        other.commit(Seq((2L, "foreign")).toDF("id", "v"), op = "append")
+      }
+    t.commit(Seq((1L, "mine")).toDF("id", "v"), op = "append")
+    assert(injected, "the RMW seam never fired — no-append fallback not taken")
+    t.beforeCacheRmwWrite = _ => ()
+
+    // the shared cache genuinely lost a line (the hazard is real) …
+    val cacheLines = JFiles.readString(
+      JPaths.get(local, "_graft_meta.jsonl")).linesIterator.size
+    assert(cacheLines < 3, s"expected the stale RMW to drop a cache line, " +
+      s"cache has $cacheLines")
+    // … but every committed version survives via its record
+    val fresh = new SnapshotTable(spark, root)
+    assert(fresh.history().select("version").as[Long].collect().sorted
+      === Array(0L, 1L, 2L))
+    assert(fresh.read().select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 2L))
+    fresh.commit(Seq((3L, "next")).toDF("id", "v"), op = "append")       // v3
+    assert(fresh.read().count() === 4)
+  }
+
   test("concurrent appends on a scheme'd root land distinct versions via the " +
       "Hadoop-FS marker CAS") {
     import spark.implicits._
