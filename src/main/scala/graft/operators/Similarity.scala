@@ -81,18 +81,27 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
               iters: Int = 5, sampleN: Int = 10000, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
+    val centroids =
+      trainCentroids(corpus, vecCol, nCells, iters, sampleN, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell", cellExpr(corpus.sparkSession, centroids)(col("__cv")))
+    scoreProbed(c, queries, idCol, vecCol, k, nprobe, centroids)
+  }
 
-    // --- train centroids on a driver-side sample (deterministic) ---
-    // SPHERICAL k-means: sample vectors are L2-normalized and centroid means
-    // are renormalized each iteration, so Euclidean argmin during training
-    // and dot-product argmax during assignment give the SAME partition (for
-    // unit centroids, argmax dot ≡ argmax cosine ≡ argmin L2 on the sphere).
+  /** Train IVF coarse centroids on a bounded driver-side sample
+    * (deterministic; standard IVF practice — centroids are tiny and
+    * training is O(sample), not O(corpus)). SPHERICAL k-means: sample
+    * vectors are L2-normalized and centroid means are renormalized each
+    * iteration, so Euclidean argmin during training and dot-product argmax
+    * during assignment give the SAME partition (for unit centroids, argmax
+    * dot ≡ argmax cosine ≡ argmin L2 on the sphere). Shared by the per-call
+    * [[ivfTopK]] and the persisted [[IvfIndex]]. */
+  private[operators] def trainCentroids(corpus: DataFrame, vecCol: String,
+      nCells: Int, iters: Int, sampleN: Int, seed: Long): Array[Array[Double]] = {
     val sample = corpus.select(asDouble(col(vecCol))).limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
       .map(normalize).filter(_ != null)
-    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    require(sample.nonEmpty, "IVF training: empty corpus")
     val rnd = new scala.util.Random(seed)
     var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
       sample(rnd.nextInt(sample.length)).clone())
@@ -109,35 +118,51 @@ object Similarity {
         else Option(normalize(sums(c))).getOrElse(centroids(c))
       }.toArray
     }
+    centroids
+  }
 
-    // --- assignment expression: argmax dot with UNIT centroids (map-side).
-    // Plain negated dot, no division: the row's own norm is constant across
-    // centroids so the ordering equals cosine ordering, and zero vectors tie
-    // at 0 and deterministically take the lowest cell id. ---
+  private def negDot(spark: org.apache.spark.sql.SparkSession)(
+      v: Column, cVec: Array[Double]): Column = {
     val dot = graft.functions.NativeVectorExpressions.dotFast(spark) _
-    def negDot(v: Column, cVec: Array[Double]): Column =
-      -dot(v, array(cVec.map(lit): _*))
-    def cellOf(v: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (cVec, i) =>
-        struct(negDot(v, cVec).as("negsim"), lit(i).as("cell"))
-      }
-      array_min(array(dists: _*)).getField("cell")
-    }
-    // nprobe cells per query: the nprobe largest dots
-    def probeCells(v: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (cVec, i) =>
-        struct(negDot(v, cVec).as("negsim"), lit(i).as("cell"))
-      }
-      slice(transform(array_sort(array(dists: _*)), s => s.getField("cell")), 1, nprobe)
-    }
+    -dot(v, array(cVec.map(lit): _*))
+  }
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("cell", cellOf(col("__cv")))
+  /** Cell-assignment expression: argmax dot with UNIT centroids (map-side,
+    * centroids inlined as plan literals). Plain negated dot, no division:
+    * the row's own norm is constant across centroids so the ordering equals
+    * cosine ordering, and zero vectors tie at 0 and deterministically take
+    * the lowest cell id. */
+  private[operators] def cellExpr(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]])(v: Column): Column = {
+    val dists = centroids.zipWithIndex.map { case (cVec, i) =>
+      struct(negDot(spark)(v, cVec).as("negsim"), lit(i).as("cell"))
+    }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
+  /** The `nprobe` nearest cells per query vector (the nprobe largest dots). */
+  private[operators] def probeCellsExpr(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], nprobe: Int)(v: Column): Column = {
+    val dists = centroids.zipWithIndex.map { case (cVec, i) =>
+      struct(negDot(spark)(v, cVec).as("negsim"), lit(i).as("cell"))
+    }
+    slice(transform(array_sort(array(dists: _*)), s => s.getField("cell")), 1, nprobe)
+  }
+
+  /** Score a cell-assigned corpus frame (`neighbor_id`, `__cv`, `cell`)
+    * against each query's probed cells — the shared serve tail of
+    * [[ivfTopK]] and [[IvfIndex.topK]]. */
+  private[operators] def scoreProbed(assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("cell", explode(probeCells(col("__qv"))))
+      .withColumn("cell",
+        explode(probeCellsExpr(spark, centroids, nprobe)(col("__qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    assigned.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__sim", cos(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
