@@ -72,6 +72,19 @@ final class SnapshotSource(
   private val skipMutations =
     options.getOrElse("skip-mutations", "false").trim.toBoolean
 
+  /** `true`: an evolve commit that ADDS columns the pinned stream schema
+    * lacks becomes a ROLLOVER BOUNDARY instead of a wait-for-operator page:
+    * offsets never advance past it, so a `Trigger.AvailableNow` run drains
+    * exactly up to the boundary and ends gracefully, and a restart from the
+    * SAME checkpoint re-pins the store's evolved schema and continues from
+    * the boundary — the added column is adopted with no rows lost or
+    * duplicated, turning "restart the stream" into an orchestrated
+    * rollover (run-until-terminate, then run again). Default false: the v1
+    * contract — the stream keeps running, new columns wait, drift events
+    * flag it ([[SnapshotSource.schemaDriftEvents]]). */
+  private val adoptOnEvolve =
+    options.getOrElse("adopt-schema-on-evolve", "false").trim.toBoolean
+
   /** Rate limit: at most this many VERSIONS advance per micro-batch (the
     * Iceberg `streaming-max-files-per-micro-batch` role — a backfill of a
     * long-lived table must arrive as many bounded batches, not one giant
@@ -120,12 +133,36 @@ final class SnapshotSource(
   private def nextOffset(base: Long): Option[Long] = {
     val head = st.commitOps().lastOption.map(_._1)
       .map(h => availableNowMark.fold(h)(math.min(h, _)))
+      .map(h => rolloverBoundary().fold(h)(math.min(h, _)))
     val capped = (head, maxVersionsPerBatch) match {
       case (Some(h), Some(n)) => Some(math.min(h, base + n))
       case _                  => head
     }
+    // a committed position AT the rollover boundary filters everything out:
+    // this run is drained — the restart (with the evolved schema re-pinned
+    // at source construction) takes over from exactly here
     capped.filter(_ > base)
   }
+
+  /** The first commit this SOURCE INSTANCE must not stream past under
+    * `adopt-schema-on-evolve`: an evolve whose added columns are outside
+    * the pinned schema but (still) inside the store's CURRENT schema — so
+    * a restart genuinely adopts them. An added-then-DROPPED column is
+    * deliberately NOT a boundary (restarting would not help; those deltas
+    * keep the v1 conform-and-flag behavior), or the rollover would wedge
+    * forever on history it can never adopt. Metadata-only: the commit log
+    * plus one schema resolution, and only when the flag is on. */
+  private def rolloverBoundary(): Option[Long] =
+    if (!adoptOnEvolve) None
+    else {
+      lazy val currentNames =
+        st.read().schema.fields.map(_.name.toLowerCase).toSet
+      st.commitOps().find { case (v, op) =>
+        v > startVersion &&
+          st.evolveNewColumns(op).exists(c =>
+            !baseNames(c.toLowerCase) && currentNames(c.toLowerCase))
+      }.map(_._1)
+    }
 
   /** The admission-control seam ([[SupportsTriggerAvailableNow]] extends
     * it): the execution hands the COMMITTED position in, so rate-limited
@@ -144,6 +181,7 @@ final class SnapshotSource(
   override def getOffset: Option[Offset] =
     st.commitOps().lastOption.map(_._1)
       .map(h => availableNowMark.fold(h)(math.min(h, _)))
+      .map(h => rolloverBoundary().fold(h)(math.min(h, _)))
       .filter(_ > startVersion).map(LongOffset(_))
 
   /** Lower-cased pinned data-schema names (drift detection). */

@@ -451,4 +451,54 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(advisor.storeFindings(minCount = 3).isEmpty)
     assert(advisor.maintenanceTick(minCount = 3).compacted.isEmpty)
   }
+
+  test("an appender racing the maintenance tick: every append lands, a " +
+      "conflicted heal skips to the next tick, and the heal eventually lands") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val advisor = new WorkloadAdvisor(spark,
+      new Materializations(spark, Some(graft.TempDirs.newDir("advisor_race"))))
+    val root = java.nio.file.Files.createTempDirectory("advisor_race_store")
+      .toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.setSortOrder(Seq("id"), files = 2)
+    t.commit(Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    (1 to 9).foreach { w =>
+      t.commit(Seq.tabulate(5)(i => ((w * 1000 + i).toLong, s"w$w"))
+        .toDF("id", "v").coalesce(1), op = "append")
+    }
+    (1 to 3).foreach(_ => advisor.observe(t.read()).count())
+
+    // ingest keeps landing WHILE the loop ticks: compaction is
+    // head-validated, so a mid-rewrite append conflicts the heal — the
+    // tick's contract is to skip that store until the next tick, never to
+    // crash the loop or to contend with the writer
+    val appender = new Thread(() => {
+      val mine = new SnapshotTable(spark, root)
+      (1 to 6).foreach { w =>
+        mine.commit(Seq.tabulate(5)(i => ((w * 100000 + i).toLong, s"r$w"))
+          .toDF("id", "v").coalesce(1), op = "append")
+        Thread.sleep(20)
+      }
+    })
+    appender.start()
+    val healed = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (appender.isAlive)
+      healed ++= advisor.maintenanceTick(minCount = 3).compacted
+    appender.join()
+    // the quiet-period tick: if every racing heal lost, the chain is still
+    // pathological and THIS one must land; if one landed mid-race, the
+    // store may already be healthy — either way a heal has happened
+    healed ++= advisor.maintenanceTick(minCount = 3).compacted
+    assert(healed.nonEmpty, "no tick ever healed the store")
+
+    // nothing lost to the race: the base, all 9 fixture waves, and all 6
+    // racing appends are present exactly once
+    val t2 = new SnapshotTable(spark, root)
+    assert(t2.read().count() === 100L + 9 * 5 + 6 * 5)
+    assert(t2.read().select("id").distinct().count() === 100L + 9 * 5 + 6 * 5)
+    // the heal went through TableMaintenance.maintain: the declared sort
+    // order survived every rewrite
+    assert(t2.sortOrder === Seq("id"))
+  }
 }

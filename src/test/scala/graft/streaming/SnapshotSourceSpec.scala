@@ -394,6 +394,83 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(SnapshotSource.schemaDriftEvents(root).size === n)
   }
 
+  test("adopt-schema-on-evolve: a graceful two-run rollover adopts the " +
+      "added column from the same checkpoint — no rows lost or duplicated") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_adopt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_adopt_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_adopt_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    SnapshotSource.clearSchemaDriftEvents(root)
+    st.commit(Seq((0L, "a"), (1L, "b")).toDF("id", "wave"), op = "append") // v0
+    st.commit(Seq((2L, "c")).toDF("id", "wave"), op = "append")            // v1
+    st.addColumn("extra", "INT")                                           // v2 evolve
+    st.commit(Seq((3L, "d", 30), (4L, "e", 40)).toDF("id", "wave", "extra"),
+      op = "append")                                                       // v3
+
+    // Run 1 models the long-lived stream that STARTED before the evolve:
+    // its pinned schema is the pre-evolution one. The restarts leave the
+    // schema unpinned — re-resolved from the store at run start, which is
+    // exactly what the rollover's restart adopts.
+    def run(pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+
+    run(Some("id LONG, wave STRING")) // run 1 drains up to the evolve
+                                      // boundary and ENDS — gracefully
+    val afterRun1 = spark.read.parquet(out)
+    assert(afterRun1.columns.toSeq === Seq("id", "wave"),
+      "run 1 must stop AT the boundary, never stream post-evolve data " +
+        "under the old schema")
+    assert(afterRun1.select("id").as[Long].collect().sorted === Array(0L, 1L, 2L))
+    // the boundary is observable while the orchestrator decides to restart
+    assert(SnapshotSource.schemaDriftEvents(root)
+      .exists(e => e._1 === 2L && e._2.contains("column 'extra'")))
+
+    run() // run 2, SAME checkpoint: evolved schema re-pinned, continues
+    val all = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(all.columns.sorted === Array("extra", "id", "wave"))
+    assert(all.select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 2L, 3L, 4L), "rollover lost or duplicated rows")
+    assert(all.filter(col("extra").isNotNull).select("id", "extra")
+      .as[(Long, Int)].collect().sorted === Array((3L, 30), (4L, 40)))
+
+    // the adopted stream keeps tailing: a later append lands exactly once
+    st.commit(Seq((5L, "f", 50)).toDF("id", "wave", "extra"), op = "append") // v4
+    run()
+    assert(spark.read.option("mergeSchema", "true").parquet(out).count() === 6)
+  }
+
+  test("adopt-schema-on-evolve ignores an added-then-DROPPED column: the " +
+      "rollover never wedges on history a restart cannot adopt") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_adoptdrop").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_adoptdrop_out").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((0L, "a")).toDF("id", "wave"), op = "append")          // v0
+    st.addColumn("gone", "INT")                                          // v1 evolve
+    st.commit(Seq((1L, "b", 7)).toDF("id", "wave", "gone"), op = "append") // v2
+    st.dropColumn("gone")                                                // v3 evolve
+    st.commit(Seq((2L, "c")).toDF("id", "wave"), op = "append")          // v4
+    spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+      .option("adopt-schema-on-evolve", "true")
+      .load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapsrc_adoptdrop_ck").toFile.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // one run drains EVERYTHING: the dropped column is not a boundary —
+    // its delta conforms (v1 behavior) instead of wedging the rollover
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 2L))
+  }
+
   test("a partitioned store streams without leaking hidden columns") {
     import spark.implicits._
     val root = Files.createTempDirectory("snapsrc_part").toFile.getAbsolutePath
