@@ -199,6 +199,11 @@ object DataPipelineQueries {
   private val ivfIndexFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q127's sink dir: a mid-stream ADD COLUMN adopted by the graceful
+    * rollover (adopt-schema-on-evolve) across two checkpointed runs. */
+  private val rolloverFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -2998,7 +3003,52 @@ object DataPipelineQueries {
              CAST(rank AS INTEGER) AS rank
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY s DESC, neighbor_id) AS rank FROM sims) t
-      WHERE rank <= 5"""))
+      WHERE rank <= 5""")),
+
+    // STREAMING SCHEMA ROLLOVER (adopt-schema-on-evolve): a long-lived
+    // ingest stream meets a mid-stream ADD COLUMN. Instead of the v1
+    // wait-for-operator page, the run drains exactly up to the evolve
+    // boundary and ends gracefully; the restart from the SAME checkpoint
+    // re-pins the evolved schema and continues — the oracle proves the
+    // adoption is exactly-once end to end: pre-evolve rows stream once
+    // under the old schema (lang NULL), post-evolve rows once with the
+    // column, nothing lost, duplicated, or leaked across the boundary.
+    Q("q127_stream_rollover", (s, dir) => {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val out = rolloverFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_rollover")
+          val st = new SnapshotTable(s, s"$r/tbl")
+          val docs = t(s, dir, "documents")
+          st.commit(docs.filter(col("doc_id") < 100)
+            .select(col("doc_id"), col("n_chars")), op = "append")     // v0
+          st.addColumn("lang", "STRING")                               // v1
+          st.commit(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+            .select(col("doc_id"), col("n_chars"), col("lang")),
+            op = "append")                                             // v2
+          def run(pin: Option[String]): Unit = {
+            val rdr = s.readStream.format(
+              classOf[graft.streaming.SnapshotSourceProvider].getName)
+              .option("adopt-schema-on-evolve", "true")
+            pin.foreach(rdr.schema)
+            rdr.load(s"$r/tbl").writeStream.format("parquet")
+              .option("path", s"$r/out").option("checkpointLocation", s"$r/ck")
+              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+          }
+          // run 1 models the stream that STARTED before the evolve (its
+          // pinned schema is the pre-evolution one): ends AT the boundary
+          run(Some("doc_id LONG, n_chars LONG"))
+          // run 2: restart-from-checkpoint adopts `lang`, streams wave 2
+          run(None)
+          s"$r/out"
+        })
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+    }, Some("""
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id < 100 THEN NULL ELSE lang END AS lang
+      FROM documents WHERE doc_id < 200"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed
