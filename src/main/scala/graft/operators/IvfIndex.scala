@@ -17,14 +17,24 @@ import graft.sources.SnapshotTable
   * as every other table — reference readme.md:393-401's "tables, not
   * files" discipline applied to index state):
   *
-  *  - ASSIGNMENTS at `root`: one row per corpus vector `(id, vec, cell)`,
-  *    identity-PARTITIONED by `cell` and written one file per cell, so a
-  *    serve that probes `nprobe` cells reads exactly those cells' files via
-  *    the store's own manifest/partition pruning ([[SnapshotTable.readWhere]])
-  *    — never a full-corpus scan.
-  *  - CENTROIDS at `root/_graft_ivf_centroids`: the trained unit centroids
-  *    `(cell, vec)` — tiny (nCells rows), collected to the driver at serve
-  *    time and inlined as plan literals exactly like [[Similarity.ivfTopK]].
+  *  - ASSIGNMENTS at `root`: one row per corpus vector `(id, vec, cell,
+  *    gen)`, identity-PARTITIONED by `cell` and written one file per cell,
+  *    so a serve that probes `nprobe` cells reads exactly those cells'
+  *    files via the store's own manifest/partition pruning
+  *    ([[SnapshotTable.readWhere]]) — never a full-corpus scan.
+  *  - CENTROIDS at `root/_graft_ivf_centroids`: APPEND-ONLY generations of
+  *    trained unit centroids `(gen, cell, vec)` — tiny (nCells rows per
+  *    generation), loaded driver-side at serve time and inlined as plan
+  *    literals exactly like [[Similarity.ivfTopK]].
+  *
+  * GENERATION PAIRING: cell ids are only meaningful relative to the
+  * centroids that assigned them, and the two halves commit separately —
+  * so every assignment row carries the content hash (`gen`) of its
+  * centroid generation, and serves/appends load the centroids the STANDING
+  * assignment actually references, never blindly the centroid head. A
+  * crash between a (re)build's centroid append and its assignment commit
+  * leaves only an unreferenced centroid generation — harmless — instead of
+  * a silently mispaired index.
   *
   * At 100 TB the difference from `ivfTopK` is structural: `ivfTopK` re-trains
   * and re-assigns the whole corpus on EVERY call (a full scan per query
@@ -40,61 +50,108 @@ object IvfIndex {
     * sweep (both only consider `v=N` dirs). */
   private def centroidsRoot(root: String) = s"$root/_graft_ivf_centroids"
 
-  /** Train centroids on `corpus` and commit the index: assignments as a
-    * fresh full snapshot partitioned by cell (one file per cell — the layout
-    * [[topK]]'s pruning depends on), centroids alongside. Returns the
-    * assignment store's new version. Deterministic for a given (corpus
-    * order, seed). */
+  /** Content hash of a centroid generation — the pairing key between the
+    * two stores. Deterministic (no clock, no RNG), so identical retrains
+    * pair identically. */
+  private def genOf(centroids: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    centroids.foreach(_.foreach { d =>
+      buf.clear(); buf.putDouble(d); md.update(buf.array())
+    })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Train centroids on `corpus` and commit the index: one new centroid
+    * GENERATION (appended to the centroid store), then the assignments as
+    * a fresh full snapshot partitioned by cell (one file per cell — the
+    * layout [[topK]]'s pruning depends on), every row stamped with the
+    * generation. Returns the assignment store's new version. Deterministic
+    * for a given (corpus order, seed). */
   def build(corpus: DataFrame, root: String, idCol: String, vecCol: String,
             nCells: Int = 16, iters: Int = 5, sampleN: Int = 10000,
-            seed: Long = 42L): Long = {
+            seed: Long = 42L): Long =
+    rebuild(corpus, root, idCol, vecCol, nCells, iters, sampleN, seed,
+      expectedHead = None)
+
+  private def rebuild(corpus: DataFrame, root: String, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, sampleN: Int, seed: Long,
+      expectedHead: Option[Option[Long]]): Long = {
     val spark = corpus.sparkSession
     val centroids =
       Similarity.trainCentroids(corpus, vecCol, nCells, iters, sampleN, seed)
+    val gen = genOf(centroids)
     import spark.implicits._
+    // centroid generation FIRST: a crash before the assignment commit
+    // leaves an unreferenced generation (harmless), never a mispaired index
     new SnapshotTable(spark, centroidsRoot(root)).commit(
-      centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
-        .toDF("cell", "vec"))
-    commitAssignments(corpus, root, idCol, vecCol, centroids, op = "overwrite")
+      centroids.toSeq.zipWithIndex.map { case (v, i) => (gen, i, v.toSeq) }
+        .toDF("gen", "cell", "vec"), op = "append")
+    beforeAssignCommit()
+    commitAssignments(corpus, root, idCol, vecCol, centroids, gen,
+      op = "overwrite", expectedHead = expectedHead)
   }
 
-  /** O(delta) maintenance: assign ONLY `delta`'s rows to the EXISTING
-    * centroids and append them to the standing assignment (one commit whose
-    * files hold just the delta, clustered by cell like the base — the q92
-    * dedup-index shape). The centroids do not move; call [[maintain]] on a
-    * cadence to retrain when enough of the corpus arrived after training. */
-  def append(delta: DataFrame, root: String, idCol: String, vecCol: String): Long =
+  /** Test seam: invoked between a (re)build's centroid append and its
+    * assignment commit — lets specs inject a concurrent ingest wave into
+    * the window the head validation protects. Production: no-op. */
+  private[operators] var beforeAssignCommit: () => Unit = () => ()
+
+  /** O(delta) maintenance: assign ONLY `delta`'s rows to the STANDING
+    * generation's centroids and append them to the assignment store (one
+    * commit whose files hold just the delta, clustered by cell like the
+    * base — the q92 dedup-index shape). The centroids do not move; call
+    * [[maintain]] on a cadence to retrain when enough of the corpus
+    * arrived after training. */
+  def append(delta: DataFrame, root: String, idCol: String, vecCol: String): Long = {
+    val spark = delta.sparkSession
+    val gen = standingGen(spark, root)
     commitAssignments(delta, root, idCol, vecCol,
-      loadCentroids(delta.sparkSession, root), op = "append")
+      loadCentroids(spark, root, gen), gen, op = "append", expectedHead = None)
+  }
 
   private def commitAssignments(df: DataFrame, root: String, idCol: String,
-      vecCol: String, centroids: Array[Array[Double]], op: String): Long = {
+      vecCol: String, centroids: Array[Array[Double]], gen: String,
+      op: String, expectedHead: Option[Option[Long]]): Long = {
     val spark = df.sparkSession
     val assigned = df
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .withColumn("cell", Similarity.cellExpr(spark, centroids)(col("vec")))
+      .withColumn("gen", lit(gen))
     // one file per cell: every row of a cell hashes to one task, and each
     // task writes one file per cell dir it holds — so a probe of c cells
     // opens exactly c files of this commit
     new SnapshotTable(spark, root).commitPartitioned(
-      assigned.repartition(centroids.length, col("cell")), Seq("cell"), op)
+      assigned.repartition(centroids.length, col("cell")), Seq("cell"), op,
+      expectedHead)
   }
 
-  /** The standing centroids, driver-side (nCells rows — tiny by design). */
-  private def loadCentroids(spark: SparkSession, root: String): Array[Array[Double]] =
+  /** The centroid generation the STANDING assignment references (constant
+    * across its rows — one tiny limit-1 lookup). */
+  private def standingGen(spark: SparkSession, root: String): String =
+    new SnapshotTable(spark, root).read().select("gen").limit(1)
+      .collect().headOption.map(_.getString(0)).getOrElse(
+        throw new IllegalStateException(s"no IVF index at $root — build() first"))
+
+  /** Generation `gen`'s centroids, driver-side (nCells rows — tiny). */
+  private def loadCentroids(spark: SparkSession, root: String,
+      gen: String): Array[Array[Double]] =
     new SnapshotTable(spark, centroidsRoot(root)).read()
+      .filter(col("gen") === gen)
       .orderBy(col("cell"))
       .select(col("vec"))
       .collect().map(_.getSeq[Double](0).toArray)
 
   /** Serve top-k from the STANDING index: each query probes its `nprobe`
     * nearest cells and the assignment store's scan prunes to exactly the
-    * probed cells' files (verify with [[SnapshotTable.scanStats]](root)).
-    * Same output shape and scoring as [[Similarity.ivfTopK]] — with
-    * `nprobe = nCells` the result equals exact brute force. */
+    * probed cells' files (see [[lastPruneStats]]). Centroids are loaded by
+    * the generation the standing assignment references, so a half-landed
+    * rebuild can never mispair the serve. Same output shape and scoring as
+    * [[Similarity.ivfTopK]] — with `nprobe = nCells` the result equals
+    * exact brute force. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val centroids = loadCentroids(spark, root)
+    val centroids = loadCentroids(spark, root, standingGen(spark, root))
     // the probed-cell UNION is bounded by nCells (small by construction) —
     // collecting it lets the store prune files BEFORE the scan plans; the
     // per-query cell join inside scoreProbed still bounds each query to its
@@ -125,7 +182,10 @@ object IvfIndex {
     * corpus — rebuild from the store's own current content (retrain +
     * reassign + one fresh full snapshot, folding the delta chain). The
     * decision reads only the commit log (row counts per op); None = healthy,
-    * nothing rewritten. */
+    * nothing rewritten. The rebuild is HEAD-VALIDATED against the history
+    * it read: an ingest wave landing mid-rebuild raises
+    * [[SnapshotTable.CommitConflictException]] (retry at the next tick)
+    * instead of being silently erased from the index. */
   def maintain(spark: SparkSession, root: String, retrainShare: Double = 0.5,
                nCells: Int = 16, iters: Int = 5, sampleN: Int = 10000,
                seed: Long = 42L): Option[Long] = {
@@ -140,7 +200,8 @@ object IvfIndex {
     if (baseRows <= 0 || (totalRows - baseRows).toDouble / baseRows < retrainShare)
       None
     else
-      Some(build(st.read().select(col("id"), col("vec")), root,
-        "id", "vec", nCells, iters, sampleN, seed))
+      Some(rebuild(st.read().select(col("id"), col("vec")), root,
+        "id", "vec", nCells, iters, sampleN, seed,
+        expectedHead = Some(Some(hist.last._1))))
   }
 }

@@ -429,26 +429,34 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     * commit log mid-rewrite by concurrent expiry) must NOT evict: the root
     * keeps its read count and the next tick retries, with a WARN so the
     * skip is observable rather than a silent monitoring hole. */
+  /** A store that genuinely VANISHED (dropped table, truncated log) vs a
+    * transient failure — the eviction classifier shared by the monitoring
+    * and healing paths. */
+  private def isVanished(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case _: java.nio.file.NoSuchFileException => true
+    case ise: IllegalStateException =>
+      ise.getMessage != null && ise.getMessage.startsWith("no snapshots")
+    case _ => false
+  }
+
+  private def evictOrKeep(root: String, e: Throwable, what: String): Unit =
+    if (isVanished(e)) {
+      log.warn(s"store $root vanished since observation " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}); evicting from " +
+        "the maintenance loop")
+      synchronized { storeShapes.remove(root) }
+    } else
+      log.warn(s"transient $what failure for store $root " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}); keeping the " +
+        "root — the next tick retries")
+
   private def analyzeOrEvict(root: String)
       : Option[graft.sources.TableMaintenance.Finding] =
     try graft.sources.TableMaintenance.analyze(spark, root)
     catch {
-      case e @ (_: java.io.FileNotFoundException |
-                _: java.nio.file.NoSuchFileException) =>
-        log.warn(s"store $root vanished since observation (${e.getMessage}); " +
-          "evicting from the maintenance loop")
-        synchronized { storeShapes.remove(root) }
-        None
-      case e: IllegalStateException if e.getMessage != null &&
-          e.getMessage.startsWith("no snapshots") =>
-        log.warn(s"store $root has no snapshots (dropped or truncated); " +
-          "evicting from the maintenance loop")
-        synchronized { storeShapes.remove(root) }
-        None
       case scala.util.control.NonFatal(e) =>
-        log.warn(s"transient analyze failure for store $root " +
-          s"(${e.getClass.getSimpleName}: ${e.getMessage}); keeping the " +
-          "root — the next tick retries")
+        evictOrKeep(root, e, "analyze")
         None
     }
 
@@ -477,25 +485,22 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
     val roots = synchronized(storeShapes.toSeq)
       .collect { case (root, s) if s.seen >= minCount => root }
     // heal through TableMaintenance.maintain — the ONE place that encodes
-    // how to heal (threshold logic, sort-order awareness, conflict policy);
-    // analyzeOrEvict still runs first so a vanished store is evicted rather
-    // than re-analyzed by maintain. Failures are PER ROOT: a commit
-    // conflict (writer landed mid-rewrite) is the documented skip-until-
-    // next-tick; any other store's FS error must not abort the rest of the
-    // tick or the orphan sweep.
+    // how to heal (threshold logic, sort-order awareness, conflict policy),
+    // and the ONE analyze per root per tick (maintain analyzes internally;
+    // a second pre-analyze would double the metadata reads of the hot
+    // loop). Failures are PER ROOT: a commit conflict (writer landed
+    // mid-rewrite) is the documented skip-until-next-tick; a vanished
+    // store evicts; any other store's error logs and continues — it must
+    // not abort the rest of the tick or the orphan sweep.
     val compacted = roots.flatMap { root =>
-      try
-        analyzeOrEvict(root).flatMap(_ =>
-          graft.sources.TableMaintenance.maintain(spark, root).map(root -> _))
+      try graft.sources.TableMaintenance.maintain(spark, root).map(root -> _)
       catch {
         case _: graft.sources.SnapshotTable.CommitConflictException =>
           log.info(s"maintenance of $root lost to a concurrent writer; " +
             "retrying at the next tick")
           None
         case scala.util.control.NonFatal(e) =>
-          log.warn(s"maintenance of $root failed " +
-            s"(${e.getClass.getSimpleName}: ${e.getMessage}); continuing " +
-            "with the remaining stores")
+          evictOrKeep(root, e, "maintenance")
           None
       }
     }

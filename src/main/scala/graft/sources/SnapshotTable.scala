@@ -525,9 +525,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
             while (!landed && attempts < 5) {
               attempts += 1
               val base = metaReadString(rel)
-              beforeCacheRmwWrite(rel)
-              metaWriteString(rel, base + content)
-              landed = metaReadString(rel).contains(content)
+              // a retry may find its line already restored by a third
+              // writer's rewrite — appending again would DUPLICATE it
+              if (base.contains(content)) landed = true
+              else {
+                beforeCacheRmwWrite(rel)
+                metaWriteString(rel, base + content)
+                landed = metaReadString(rel).contains(content)
+              }
             }
         }
     }
@@ -1205,7 +1210,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
             metaReadLines(logRecordRel(v)).head)).toOption
         }
       }
-    all.sortBy(_._1) // concurrent writers may interleave log lines
+    // defensive: interleaved RMW repairs could land one version's line
+    // twice in the cache — a duplicate entry would double that delta in
+    // chain resolution, so keep the first occurrence per version
+    all.distinctBy(_._1).sortBy(_._1)
   }
 
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
@@ -1682,11 +1690,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * (Iceberg's hidden-partitioning contract — predicates stay on the
     * timestamp itself). */
   def commitPartitioned(df: DataFrame, spec: Seq[String],
-      op: String = "overwrite"): Long = {
+      op: String = "overwrite",
+      expectedHead: Option[Option[Long]] = None): Long = {
     require(spec.nonEmpty, "commitPartitioned needs at least one spec entry")
     spec.foreach(e => validateSpecEntry(df.schema, e))
     metaWriteString(PartitionSpecFile, spec.mkString(","))
-    commit(df, op)
+    commit(df, op, expectedHead)
   }
 
   /** Table row count as of main version `v`, from the commit log alone:

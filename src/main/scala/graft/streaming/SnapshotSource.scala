@@ -131,9 +131,10 @@ final class SnapshotSource(
     * clipped to the AvailableNow mark, capped to `max-versions-per-batch`
     * above the committed position. */
   private def nextOffset(base: Long): Option[Long] = {
-    val head = st.commitOps().lastOption.map(_._1)
+    val ops = st.commitOps()
+    val head = ops.lastOption.map(_._1)
       .map(h => availableNowMark.fold(h)(math.min(h, _)))
-      .map(h => rolloverBoundary().fold(h)(math.min(h, _)))
+      .map(h => rolloverBoundary(ops).fold(h)(math.min(h, _)))
     val capped = (head, maxVersionsPerBatch) match {
       case (Some(h), Some(n)) => Some(math.min(h, base + n))
       case _                  => head
@@ -144,24 +145,50 @@ final class SnapshotSource(
     capped.filter(_ > base)
   }
 
+  /** This RUN's resume position: the committed offset observed when the
+    * run started (set once — by the first `latestOffset` base, or by the
+    * first `getBatch`'s END when the run opens with a WAL replay, since
+    * that batch is already durable and will commit). The rollover boundary
+    * anchors here, NOT at start-version: evolve commits at or below the
+    * resume position are history this run must step over (a restarted run
+    * whose pinned schema still cannot carry them keeps the v1
+    * conform-and-flag behavior), while the first adoptable evolve ABOVE it
+    * permanently caps this instance — whose pinned schema predates it. */
+  @volatile private var resumeBase: Option[Long] = None
+
+  private def noteResumeBase(v: Long): Unit =
+    if (resumeBase.isEmpty) resumeBase = Some(v)
+
+  /** Memoized per commit-log head (history below the head is immutable —
+    * recomputing the boundary and the store's current schema on every
+    * offset poll would put a metadata resolution in each trigger). */
+  @volatile private var boundaryCache: Option[(Long, Long, Option[Long])] = None
+
   /** The first commit this SOURCE INSTANCE must not stream past under
-    * `adopt-schema-on-evolve`: an evolve whose added columns are outside
-    * the pinned schema but (still) inside the store's CURRENT schema — so
-    * a restart genuinely adopts them. An added-then-DROPPED column is
-    * deliberately NOT a boundary (restarting would not help; those deltas
-    * keep the v1 conform-and-flag behavior), or the rollover would wedge
-    * forever on history it can never adopt. Metadata-only: the commit log
-    * plus one schema resolution, and only when the flag is on. */
-  private def rolloverBoundary(): Option[Long] =
+    * `adopt-schema-on-evolve`: an evolve ABOVE the run's resume position
+    * whose added columns are outside the pinned schema but (still) inside
+    * the store's CURRENT schema — so a restart genuinely adopts them. An
+    * added-then-DROPPED column is deliberately NOT a boundary (restarting
+    * would not help; those deltas keep the v1 conform-and-flag behavior),
+    * or the rollover would wedge forever on history it can never adopt. */
+  private def rolloverBoundary(ops: Seq[(Long, String)]): Option[Long] =
     if (!adoptOnEvolve) None
     else {
-      lazy val currentNames =
-        st.read().schema.fields.map(_.name.toLowerCase).toSet
-      st.commitOps().find { case (v, op) =>
-        v > startVersion &&
-          st.evolveNewColumns(op).exists(c =>
-            !baseNames(c.toLowerCase) && currentNames(c.toLowerCase))
-      }.map(_._1)
+      val anchor = math.max(startVersion, resumeBase.getOrElse(startVersion))
+      val headNow = ops.lastOption.map(_._1).getOrElse(-1L)
+      boundaryCache match {
+        case Some((h, a, b)) if h == headNow && a == anchor => b
+        case _ =>
+          lazy val currentNames =
+            st.read().schema.fields.map(_.name.toLowerCase).toSet
+          val b = ops.find { case (v, op) =>
+            v > anchor &&
+              st.evolveNewColumns(op).exists(c =>
+                !baseNames(c.toLowerCase) && currentNames(c.toLowerCase))
+          }.map(_._1)
+          boundaryCache = Some((headNow, anchor, b))
+          b
+      }
     }
 
   /** The admission-control seam ([[SupportsTriggerAvailableNow]] extends
@@ -172,17 +199,20 @@ final class SnapshotSource(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val base = Option(start).map(versionOf).getOrElse(startVersion)
+    noteResumeBase(math.max(base, startVersion))
     nextOffset(math.max(base, startVersion)).map(LongOffset(_)).orNull
   }
 
   /** The plain v1 seam (kept for completeness; the execution prefers
     * [[latestOffset]] on admission-controlled sources). Unrated: it has no
     * view of the committed position. */
-  override def getOffset: Option[Offset] =
-    st.commitOps().lastOption.map(_._1)
+  override def getOffset: Option[Offset] = {
+    val ops = st.commitOps()
+    ops.lastOption.map(_._1)
       .map(h => availableNowMark.fold(h)(math.min(h, _)))
-      .map(h => rolloverBoundary().fold(h)(math.min(h, _)))
+      .map(h => rolloverBoundary(ops).fold(h)(math.min(h, _)))
       .filter(_ > startVersion).map(LongOffset(_))
+  }
 
   /** Lower-cased pinned data-schema names (drift detection). */
   private val baseNames = baseSchema.fields.map(_.name.toLowerCase).toSet
@@ -195,6 +225,10 @@ final class SnapshotSource(
     // the floor the replayed batch would contain the mutation forever
     val lo = math.max(start.map(versionOf).getOrElse(startVersion), startVersion)
     val hi = versionOf(end)
+    // a run that opens with a WAL replay sets its resume position to the
+    // replayed batch's END: the batch is already durable and will commit,
+    // so boundaries inside it are history this run steps over
+    noteResumeBase(hi)
     val ops = st.commitOps()
     val entries = ops.filter { case (v, _) => v > lo && v <= hi }
     // schema drift observability: an evolve commit in range that introduces
@@ -386,8 +420,12 @@ object SnapshotSource {
       if (!drift.contains((root, pinnedJson)))
         while (drift.size >= MaxTrackedStreams)
           drift.remove(drift.head._1) // evict the longest-idle stream key
-      val s = drift.getOrElseUpdate((root, pinnedJson),
+      // true LRU: LinkedHashMap orders by INSERTION, so refresh this key's
+      // recency by re-inserting — otherwise the cap would evict the
+      // oldest-registered (possibly busiest) stream, not the longest-idle
+      val s = drift.remove((root, pinnedJson)).getOrElse(
         scala.collection.mutable.LinkedHashSet.empty[(Long, String)])
+      drift.put((root, pinnedJson), s)
       if (s.contains((v, msg))) false
       else {
         while (s.size >= MaxEventsPerStream) s.remove(s.head) // ring: oldest out

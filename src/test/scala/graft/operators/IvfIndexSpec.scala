@@ -93,6 +93,64 @@ class IvfIndexSpec extends SparkSpec {
     assert(kept <= 4L, s"nprobe=2 must read at most 2+2 files: $kept/$total")
   }
 
+  test("a rebuild racing an ingest wave is head-validated: the wave is " +
+      "never silently erased from the index") {
+    val root = newRoot("ivfidx_race")
+    IvfIndex.build(wave(100, 0), root, "id", "vec", nCells = 8)
+    IvfIndex.append(wave(80, 5000), root, "id", "vec")
+
+    // inject a concurrent ingest wave into the rebuild's window (between
+    // its centroid commit and its assignment overwrite): the head moved,
+    // so the overwrite must CONFLICT rather than erase the wave
+    @volatile var injected = false
+    IvfIndex.beforeAssignCommit = () =>
+      if (!injected) {
+        injected = true
+        IvfIndex.append(wave(10, 9000), root, "id", "vec")
+      }
+    try
+      intercept[graft.sources.SnapshotTable.CommitConflictException] {
+        IvfIndex.maintain(spark, root, retrainShare = 0.5, nCells = 8)
+      }
+    finally IvfIndex.beforeAssignCommit = () => ()
+    assert(injected)
+
+    // nothing lost; the retry (next tick) lands the rebuild over ALL rows
+    val st = new graft.sources.SnapshotTable(spark, root)
+    assert(st.read().count() === 190)
+    assert(IvfIndex.maintain(spark, root, retrainShare = 0.5, nCells = 8).nonEmpty)
+    assert(new graft.sources.SnapshotTable(spark, root).read().count() === 190)
+  }
+
+  test("a half-landed rebuild (crash between the centroid and assignment " +
+      "commits) never mispairs a serve: the standing generation keeps serving") {
+    val root = newRoot("ivfidx_crash")
+    val corpus = wave(120, 0)
+    IvfIndex.build(corpus, root, "id", "vec", nCells = 8)
+    IvfIndex.append(wave(80, 5000), root, "id", "vec")
+
+    // crash the rebuild AFTER its centroid generation lands but BEFORE the
+    // assignment commit — the classic torn two-store write
+    IvfIndex.beforeAssignCommit =
+      () => throw new RuntimeException("injected crash")
+    try
+      intercept[RuntimeException] {
+        IvfIndex.maintain(spark, root, retrainShare = 0.5, nCells = 8)
+      }
+    finally IvfIndex.beforeAssignCommit = () => ()
+
+    // the serve pairs by the generation the STANDING assignment references,
+    // not the centroid head: probe-all still equals exact brute force
+    val union = corpus.unionByName(wave(80, 5000))
+    val queries = union.filter(col("id") < 4)
+    assert(sortedRows(IvfIndex.topK(spark, root, queries, "id", "vec",
+        k = 5, nprobe = 8))
+      === sortedRows(Similarity.bruteForceTopK(union, queries, "id", "vec", k = 5)))
+    // and O(delta) appends keep pairing with the standing generation too
+    IvfIndex.append(wave(10, 9000), root, "id", "vec")
+    assert(new graft.sources.SnapshotTable(spark, root).read().count() === 210)
+  }
+
   test("maintain: metadata-only drift policy retrains past the threshold, " +
       "not below it, and the rebuild folds the chain") {
     import spark.implicits._

@@ -16,7 +16,7 @@ import org.apache.hadoop.fs.permission.FsPermission
   * the commit log exercises the native-append branch (the HDFS shape);
   * object stores without append take the documented read-modify-write
   * fallback instead. */
-final class GraftTestFs extends RawLocalFileSystem {
+class GraftTestFs extends RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: URI = URI.create("graftfs:///")
 
@@ -40,20 +40,9 @@ final class GraftTestFs extends RawLocalFileSystem {
   * native append), forcing the commit-log cache onto the read-modify-write
   * fallback so specs can prove the record ledger survives an interleaved
   * RMW that drops a cache line. */
-final class GraftNoAppendFs extends RawLocalFileSystem {
+final class GraftNoAppendFs extends GraftTestFs {
   override def getScheme: String = "graftnoap"
   override def getUri: URI = URI.create("graftnoap:///")
-
-  private def eager(s: FileStatus): FileStatus =
-    new FileStatus(s.getLen, s.isDirectory, 1, s.getBlockSize,
-      s.getModificationTime, s.getAccessTime,
-      if (s.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
-      "graft", "graft", s.getPath)
-
-  override def getFileStatus(f: Path): FileStatus = eager(super.getFileStatus(f))
-
-  override def listStatus(f: Path): Array[FileStatus] =
-    super.listStatus(f).map(eager)
 
   override def append(f: Path, bufferSize: Int,
       progress: org.apache.hadoop.util.Progressable)
