@@ -28,6 +28,62 @@ object SnapshotTable {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // ── pluggable claim arbiter ──────────────────────────────────────────────
+  //    The ONE primitive the commit protocol still needs from its storage is
+  //    an atomic "claim (root, version)" CAS. POSIX/HDFS provide it natively
+  //    (create-exclusive markers); S3-class stores do NOT — a PUT silently
+  //    overwrites — which is exactly why Iceberg delegates its head swap to
+  //    a catalog-side CAS (REST catalog / lock table; reference spark.py:
+  //    26-28, SURVEY §3.1 step 5). Registering an arbiter for a root routes
+  //    claims through it: markers are still written (best-effort) so
+  //    removeOrphans keeps protecting in-flight writers' dirs, but claim
+  //    ATOMICITY comes from the arbiter. Everything else in the protocol —
+  //    record-ledger commit points, head validation, claim release — is
+  //    already storage-agnostic.
+
+  /** The catalog-CAS seam: implement with any service that can do an
+    * atomic per-(root, version) claim — a REST catalog, a database row, a
+    * lock table. */
+  trait ClaimArbiter {
+    /** Atomically claim `version` of the table at `root`; true = owned. */
+    def tryClaim(root: String, version: Long): Boolean
+    /** Release a claim (after its commit is logged, or on a lost race). */
+    def release(root: String, version: Long): Unit
+    /** Highest currently-claimed version for `root`, -1 when none. */
+    def maxClaimed(root: String): Long
+  }
+
+  /** Reference arbiter backed by process memory — the deployment shape for
+    * a single-driver writer fleet, and the spec's stand-in for a real
+    * catalog CAS service. */
+  final class InProcessClaimArbiter extends ClaimArbiter {
+    private val claims = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]]()
+    private def set(root: String) = claims.computeIfAbsent(root,
+      _ => new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]())
+    def tryClaim(root: String, version: Long): Boolean = set(root).add(version)
+    def release(root: String, version: Long): Unit = set(root).remove(version)
+    def maxClaimed(root: String): Long = {
+      val s = set(root)
+      if (s.isEmpty) -1L else s.last()
+    }
+  }
+
+  private val claimArbiters =
+    new java.util.concurrent.ConcurrentHashMap[String, ClaimArbiter]()
+
+  /** Route version claims for `root` through `arbiter` — required for
+    * multi-process writers on stores whose create-exclusive is best-effort
+    * (S3-class); a no-op improvement elsewhere. */
+  def registerClaimArbiter(root: String, arbiter: ClaimArbiter): Unit =
+    claimArbiters.put(canonicalRoot(root), arbiter)
+
+  def unregisterClaimArbiter(root: String): Unit =
+    claimArbiters.remove(canonicalRoot(root))
+
+  private[sources] def arbiterFor(root: String): Option[ClaimArbiter] =
+    Option(claimArbiters.get(canonicalRoot(root)))
+
   /** Floor for [[SnapshotTable#removeOrphans]]'s age threshold (24 h —
     * Iceberg's remove_orphan_files refuses shorter intervals for the same
     * slow-writer reason). Overridable per call with `force = true`. */
@@ -1262,8 +1318,26 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def commitMarkersDir = new Path(root, "_graft_commits")
   private def markerPath(v: Long) = new Path(commitMarkersDir, s"v=$v")
 
-  /** Create-exclusive on the marker: true = this writer owns version `v`. */
+  /** Create-exclusive on the marker: true = this writer owns version `v`.
+    * With a registered [[SnapshotTable.ClaimArbiter]] the CAS is the
+    * arbiter's (the catalog-CAS seam for stores whose create-exclusive is
+    * best-effort); the marker file is still written, best-effort, so
+    * [[removeOrphans]] keeps protecting this in-flight writer's dir. */
   private def tryClaimMarker(v: Long): Boolean =
+    SnapshotTable.arbiterFor(root) match {
+      case Some(arb) =>
+        if (!arb.tryClaim(SnapshotTable.canonicalRoot(root), v)) false
+        else {
+          try {
+            rootFs.mkdirs(commitMarkersDir)
+            rootFs.create(markerPath(v), true).close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+          true
+        }
+      case None => tryClaimMarkerFs(v)
+    }
+
+  private def tryClaimMarkerFs(v: Long): Boolean =
     if (rootIsLocal) {
       try {
         Files.createDirectories(Paths.get(localRootPath, "_graft_commits"))
@@ -1278,16 +1352,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       }
     }
 
-  private def deleteMarker(v: Long): Unit =
+  private def deleteMarker(v: Long): Unit = {
+    SnapshotTable.arbiterFor(root)
+      .foreach(_.release(SnapshotTable.canonicalRoot(root), v))
     rootFs.delete(markerPath(v), false)
+  }
 
-  /** Highest marker currently on disk. Markers self-GC once logged
-    * ([[appendMeta]]), so this lists O(in-flight claims), not O(versions). */
-  private def maxClaimed(): Long =
-    if (!rootFs.exists(commitMarkersDir)) -1L
-    else rootFs.listStatus(commitMarkersDir).iterator
-      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption)
-      .foldLeft(-1L)(math.max)
+  /** Highest marker currently on disk (or held by the arbiter, when one is
+    * registered). Markers self-GC once logged ([[appendMeta]]), so this
+    * lists O(in-flight claims), not O(versions). */
+  private def maxClaimed(): Long = {
+    val fsMax =
+      if (!rootFs.exists(commitMarkersDir)) -1L
+      else rootFs.listStatus(commitMarkersDir).iterator
+        .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption)
+        .foldLeft(-1L)(math.max)
+    math.max(fsMax, SnapshotTable.arbiterFor(root)
+      .map(_.maxClaimed(SnapshotTable.canonicalRoot(root))).getOrElse(-1L))
+  }
 
   /** Atomically claim the next free version number. Never returns a version
     * another writer holds; a lost race simply moves to the next number.

@@ -40,7 +40,7 @@ class GraftTestFs extends RawLocalFileSystem {
   * native append), forcing the commit-log cache onto the read-modify-write
   * fallback so specs can prove the record ledger survives an interleaved
   * RMW that drops a cache line. */
-final class GraftNoAppendFs extends GraftTestFs {
+class GraftNoAppendFs extends GraftTestFs {
   override def getScheme: String = "graftnoap"
   override def getUri: URI = URI.create("graftnoap:///")
 
@@ -49,4 +49,31 @@ final class GraftNoAppendFs extends GraftTestFs {
       : org.apache.hadoop.fs.FSDataOutputStream =
     throw new UnsupportedOperationException(
       "graftnoap: object-store semantics — no append")
+}
+
+/** The full S3 shape: no append AND no atomic create-exclusive — a PUT
+  * silently replaces an existing object, so `create(f, overwrite=false)`
+  * succeeds even when the file exists. This is the filesystem on which the
+  * marker CAS alone cannot arbitrate claims and a registered
+  * [[SnapshotTable.ClaimArbiter]] (Iceberg's catalog-CAS role) is the
+  * correctness requirement, not an optimization. */
+final class GraftS3LikeFs extends GraftNoAppendFs {
+  override def getScheme: String = "grafts3"
+  override def getUri: URI = URI.create("grafts3:///")
+
+  // PUT semantics: exclusivity is silently ignored on every create path
+  // (RawLocalFileSystem checks existence in the non-permission overload)
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
 }

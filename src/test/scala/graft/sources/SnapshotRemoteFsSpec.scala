@@ -293,6 +293,59 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     assert(fresh.read().count() === 4)
   }
 
+  test("an S3-shaped root (PUT overwrites, no append): the claim-arbiter " +
+      "seam restores atomic version claims where create-exclusive is fake") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.grafts3.impl", classOf[GraftS3LikeFs].getName)
+    val local = JFiles.createTempDirectory("remfs_s3").toFile.getAbsolutePath
+    val root = s"grafts3://$local"
+
+    // the hazard is REAL on this filesystem: create-exclusive silently
+    // overwrites, so the marker CAS alone cannot arbitrate cross-process
+    // claims (exactly S3's PUT model — the reason Iceberg commits through
+    // a catalog-side CAS)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probe = new org.apache.hadoop.fs.Path(root, "probe")
+    fs.create(probe, false).close()
+    fs.create(probe, false).close() // would throw FileAlreadyExists on POSIX
+
+    // the arbiter IS atomic: second claim of a held version fails, release
+    // frees it, maxClaimed tracks the high-water mark
+    val arb = new SnapshotTable.InProcessClaimArbiter
+    assert(arb.tryClaim("r", 5L) && !arb.tryClaim("r", 5L))
+    assert(arb.maxClaimed("r") === 5L)
+    arb.release("r", 5L)
+    assert(arb.tryClaim("r", 5L) && arb.maxClaimed("r") === 5L)
+
+    // end to end: with the arbiter registered, the full commit protocol —
+    // claims, ledger records, log cache (RMW on this no-append store),
+    // DML, maintenance — runs on the S3-shaped root with distinct versions
+    SnapshotTable.registerClaimArbiter(root, new SnapshotTable.InProcessClaimArbiter)
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((0L, "seed")).toDF("id", "v"))
+      val threads = (1 to 4).map { i =>
+        new Thread(() => {
+          val mine = new SnapshotTable(spark, root)
+          mine.commit(Seq((i.toLong, s"w$i")).toDF("id", "v"), op = "append")
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val fresh = new SnapshotTable(spark, root)
+      assert(fresh.read().count() === 5)
+      assert(fresh.history().select("version").as[Long].collect().sorted
+        === Array(0L, 1L, 2L, 3L, 4L))
+      t.deleteWhereMor(col("id") === 3L, "id")
+      assert(new SnapshotTable(spark, root).read().count() === 4)
+      t.compact(targetFiles = 1)
+      t.expireSnapshots(keep = 1)
+      assert(new SnapshotTable(spark, root).read().count() === 4)
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+    assertNoNioEscape()
+  }
+
   test("concurrent appends on a scheme'd root land distinct versions via the " +
       "Hadoop-FS marker CAS") {
     import spark.implicits._
