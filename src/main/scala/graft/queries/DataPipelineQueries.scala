@@ -204,6 +204,10 @@ object DataPipelineQueries {
   private val rolloverFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q128's exported Iceberg v2 table dir (built from a mutated store). */
+  private val icebergExportFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3048,7 +3052,47 @@ object DataPipelineQueries {
     }, Some("""
       SELECT doc_id, n_chars,
              CASE WHEN doc_id < 100 THEN NULL ELSE lang END AS lang
-      FROM documents WHERE doc_id < 200"""))
+      FROM documents WHERE doc_id < 200""")),
+
+    // ICEBERG v2 EXPORT (the reference's native table format, readme.md:
+    // 357-369 / spark.py:52-59): a mutated snapshot store — base + append
+    // + merge-on-read delete — is exported as a real Iceberg table
+    // directory (data/ parquet + metadata/ with vN.metadata.json, Avro
+    // manifest list, Avro manifest, version-hint.text, all per the
+    // published spec with its field ids), and the timed query reads it
+    // back through the ICEBERG METADATA CHAIN ALONE (version-hint →
+    // metadata.json → manifest list → manifest entries → files; no store
+    // bookkeeping shared with the writer). The oracle replays the
+    // mutations declaratively — proving the export folded the delta chain
+    // and the delete file into exactly the resolved snapshot.
+    Q("q128_iceberg_export", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val dest = icebergExportFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val root = graft.TempDirs.newDir("graft_iceexp_store")
+          val st = new SnapshotTable(s, root)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          st.commit(docs.filter(col("doc_id") < 300))                 // v0
+          st.commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+            op = "append")                                            // v1
+          st.deleteWhereMor(col("doc_id") % 9 === 0L, "doc_id")       // v2
+          val d = graft.TempDirs.newDir("graft_iceexp_tbl")
+          IcebergExport.exportStore(s, root, d)
+          d
+        })
+      IcebergExport.readTable(s, dest)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+      FROM documents
+      WHERE doc_id < 400 AND doc_id % 9 <> 0
+      GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed
