@@ -49,6 +49,17 @@ object IcebergExport {
   /** One export's receipt: the snapshot id written and the planned files. */
   final case class Export(snapshotId: Long, dataFiles: Seq[String], rows: Long)
 
+  /** JSON string escape for interpolated names/paths — a column name with
+    * a quote or backslash (legal in Spark) must not corrupt metadata.json
+    * or the manifest's embedded schema. */
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
   // ── Iceberg schema JSON from a Spark schema (spec §"Schemas") ──────────
 
   private def icebergType(dt: DataType, nextId: () => Int): String = dt match {
@@ -68,7 +79,7 @@ object IcebergExport {
     case StructType(fields) =>
       val fs = fields.map { f =>
         val id = nextId()
-        s"""{"id":$id,"name":"${f.name}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
+        s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
       }
       s"""{"type":"struct","fields":[${fs.mkString(",")}]}"""
     case other => throw new IllegalArgumentException(
@@ -121,10 +132,17 @@ object IcebergExport {
       meta: Map[String, String], rows: Seq[GenericData.Record]): Long = {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
-    val w = new DataFileWriter(new GenericDatumWriter[GenericData.Record](schema))
-    meta.foreach { case (k, v) => w.setMeta(k, v) }
-    w.create(schema, out)
-    try rows.foreach(w.append) finally w.close()
+    var closed = false
+    try {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericData.Record](schema))
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
+      w.create(schema, out)
+      try rows.foreach(w.append)
+      finally { w.close(); closed = true } // closes the FS stream too
+    } finally
+      // a failure before the writer owned the stream must not leak it
+      if (!closed)
+        try out.close() catch { case scala.util.control.NonFatal(_) => () }
     fs.getFileStatus(path).getLen
   }
 
@@ -164,9 +182,7 @@ object IcebergExport {
       buf.toSeq.sortBy(_._1)
     }
     val counts = files.map { case (p, _) =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), hconf))
-      try reader.getRecordCount finally reader.close()
+      SnapshotTable.footerRecordCount(new Path(p), hconf)
     }
     val rowsTotal = counts.sum
 
@@ -232,7 +248,7 @@ object IcebergExport {
       s"""{
   "format-version": 2,
   "table-uuid": "${java.util.UUID.nameUUIDFromBytes(location.getBytes("UTF-8"))}",
-  "location": "$location",
+  "location": "${jsonEsc(location)}",
   "last-sequence-number": 1,
   "last-updated-ms": $nowMs,
   "last-column-id": $lastColumnId,
@@ -254,7 +270,7 @@ object IcebergExport {
       "added-records": "$rowsTotal",
       "total-records": "$rowsTotal",
       "total-data-files": "${files.size}"},
-    "manifest-list": "${fs.makeQualified(listPath).toString}",
+    "manifest-list": "${jsonEsc(fs.makeQualified(listPath).toString)}",
     "schema-id": 0
   }],
   "snapshot-log": [{"timestamp-ms": $nowMs, "snapshot-id": $snapshotId}],

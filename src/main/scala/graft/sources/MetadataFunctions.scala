@@ -75,10 +75,7 @@ object MetadataFunctions {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(file)
     val st = p.getFileSystem(hconf).getFileStatus(p)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
-    val records = try reader.getRecordCount finally reader.close()
-    (records, st.getLen)
+    (SnapshotTable.footerRecordCount(p, hconf), st.getLen)
   }
 
   /** The table's current DATA files with (records, bytes). A snapshot-bound

@@ -63,10 +63,11 @@ object SnapshotTable {
       _ => new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]())
     def tryClaim(root: String, version: Long): Boolean = set(root).add(version)
     def release(root: String, version: Long): Unit = set(root).remove(version)
-    def maxClaimed(root: String): Long = {
-      val s = set(root)
-      if (s.isEmpty) -1L else s.last()
-    }
+    def maxClaimed(root: String): Long =
+      // one atomic navigation call — isEmpty-then-last would be a
+      // check-then-act racing a concurrent release
+      Option(set(root).floor(java.lang.Long.MAX_VALUE))
+        .map(_.longValue).getOrElse(-1L)
   }
 
   private val claimArbiters =
@@ -94,6 +95,18 @@ object SnapshotTable {
     * (data written, log append pending) whose dir the marker protects from
     * [[SnapshotTable#removeOrphans]]; only stale markers are swept. */
   val MarkerSweepGraceMillis: Long = 3600L * 1000
+
+  /** Record count from one parquet FOOTER — a metadata read, no data pages
+    * opened. The shared helper for every consumer that needs ONLY the
+    * count (metadata tables' foreign-file fallback, the Iceberg export);
+    * the commit-time manifest pass keeps its own open reader because it
+    * also extracts column stats from the same footer. */
+  private[sources] def footerRecordCount(p: org.apache.hadoop.fs.Path,
+      hconf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+    try reader.getRecordCount finally reader.close()
+  }
 
   // ── column-stats capture (commit-time, from the footers the manifest pass
   //    already opens) ────────────────────────────────────────────────────────

@@ -128,6 +128,11 @@ class IcebergExportSpec extends SparkSpec {
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath
     val df = Seq((1L, Seq(0.5, 1.5), ("x", 9L)), (2L, Seq(2.5), ("y", 8L)))
       .toDF("id", "vec", "meta")
+
+    // a column name with a quote must not corrupt the metadata JSON
+    val destQ = JFiles.createTempDirectory("iceexp_quote").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, "z")).toDF("id", "a\"b"), destQ)
+    assert(IcebergExport.readTable(spark, destQ).count() === 1)
     IcebergExport.export(df, dest)
     val json = JFiles.readString(
       java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json"))
