@@ -346,6 +346,49 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     assertNoNioEscape()
   }
 
+  test("the full S3 story composes: exactly-once streaming ingest + CDC " +
+      "read-out on an S3-shaped root under the claim arbiter") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.grafts3.impl", classOf[GraftS3LikeFs].getName)
+    val local = JFiles.createTempDirectory("remfs_s3_stream").toFile.getAbsolutePath
+    val root = s"grafts3://$local"
+    SnapshotTable.registerClaimArbiter(root, new SnapshotTable.InProcessClaimArbiter)
+    try {
+      val ck = JFiles.createTempDirectory("remfs_s3_ck").toFile.getAbsolutePath
+      val out = JFiles.createTempDirectory("remfs_s3_out").toFile.getAbsolutePath
+      val st = new SnapshotTable(spark, root)
+      implicit val sql = spark.sqlContext
+
+      // streaming WRITE: micro-batch appends claim through the arbiter and
+      // commit through the record ledger (no append, no create-exclusive)
+      val in = MemoryStream[(Long, String)]
+      in.addData((1L, "a"), (2L, "b"))
+      graft.streaming.SnapshotStream.appendStream(
+        st, root, in.toDF.toDF("id", "v"), ck).awaitTermination()
+      in.addData((3L, "c"))
+      graft.streaming.SnapshotStream.appendStream(
+        st, root, in.toDF.toDF("id", "v"), ck).awaitTermination()
+      assert(st.read().count() === 3)
+      assert(st.history().count() === 2, "one append commit per micro-batch")
+
+      // a mutation, then streaming CDC READ planned over the same root
+      st.deleteWhereMor(col("id") === 2L, "id")
+      graft.streaming.SnapshotStream.readChanges(spark, root, "id").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation",
+          JFiles.createTempDirectory("remfs_s3_cdc_ck").toFile.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val got = spark.read.parquet(out)
+        .select("id", "_change_type").as[(Long, String)].collect().sorted
+      assert(got === Array((1L, "insert"), (2L, "delete"), (2L, "insert"),
+        (3L, "insert")))
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+    assertNoNioEscape()
+  }
+
   test("concurrent appends on a scheme'd root land distinct versions via the " +
       "Hadoop-FS marker CAS") {
     import spark.implicits._
