@@ -105,9 +105,27 @@ object IvfIndex {
     * arrived after training. */
   def append(delta: DataFrame, root: String, idCol: String, vecCol: String): Long = {
     val spark = delta.sparkSession
-    val gen = standingGen(spark, root)
-    commitAssignments(delta, root, idCol, vecCol,
-      loadCentroids(spark, root, gen), gen, op = "append", expectedHead = None)
+    // head-validated against the snapshot the generation was READ from: a
+    // maintain() rebuild landing between the gen read and this commit
+    // would otherwise be appended onto with STALE-generation rows (mixed
+    // generations = mispaired serves). A conflict re-reads the standing
+    // generation and re-assigns — appends still commute with each other,
+    // they just retry (bounded) when anything landed in between.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val head = new SnapshotTable(spark, root).currentVersion
+      val gen = standingGen(spark, root)
+      try
+        return commitAssignments(delta, root, idCol, vecCol,
+          loadCentroids(spark, root, gen), gen, op = "append",
+          expectedHead = Some(head))
+      catch {
+        case _: SnapshotTable.CommitConflictException if attempts < 5 =>
+          () // something landed (another wave, or a rebuild): re-pair + retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def commitAssignments(df: DataFrame, root: String, idCol: String,

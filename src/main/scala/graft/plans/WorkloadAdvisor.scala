@@ -422,13 +422,6 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       }
     }
 
-  /** `analyze` that treats a VANISHED store (dropped since observation:
-    * missing files / empty log) as no-finding AND forgets the root — the
-    * loop must keep serving the remaining stores, not crash on a stale
-    * observation forever. A TRANSIENT failure (object-store throttle, a
-    * commit log mid-rewrite by concurrent expiry) must NOT evict: the root
-    * keeps its read count and the next tick retries, with a WARN so the
-    * skip is observable rather than a silent monitoring hole. */
   /** A store that genuinely VANISHED (dropped table, truncated log) vs a
     * transient failure — the eviction classifier shared by the monitoring
     * and healing paths. */
@@ -451,6 +444,11 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
         s"(${e.getClass.getSimpleName}: ${e.getMessage}); keeping the " +
         "root — the next tick retries")
 
+  /** `analyze` that treats a VANISHED store (dropped since observation) as
+    * no-finding AND forgets the root — the loop must keep serving the
+    * remaining stores, not crash on a stale observation forever — while a
+    * TRANSIENT failure keeps the root for the next tick's retry (see
+    * [[evictOrKeep]]). */
   private def analyzeOrEvict(root: String)
       : Option[graft.sources.TableMaintenance.Finding] =
     try graft.sources.TableMaintenance.analyze(spark, root)

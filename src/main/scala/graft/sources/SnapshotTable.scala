@@ -28,6 +28,9 @@ object SnapshotTable {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Same-millisecond tiebreaker for ref-record sequence names. */
+  private[sources] val refSeqCounter = new java.util.concurrent.atomic.AtomicLong()
+
   // ── pluggable claim arbiter ──────────────────────────────────────────────
   //    The ONE primitive the commit protocol still needs from its storage is
   //    an atomic "claim (root, version)" CAS. POSIX/HDFS provide it natively
@@ -1140,17 +1143,23 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * log, last line per name wins; a `dropped` line is a tombstone — the
     * name is free for re-creation and its pins are released. */
   // Refs pin retention (expiry's reachability reads them), so on scheme'd
-  // roots they get the same no-shared-mutable-file treatment as the commit
-  // ledger: ONE record file per ref name (`_graft_reflog/r-<b64url(name)>
-  // .rec`), overwritten on update, `dropped`-tombstoned on drop. Writers to
-  // different names never touch the same object, so no read-modify-write
-  // can lose a ref; concurrent writers to the SAME name race last-PUT-wins,
-  // which is exactly the append log's last-line-wins semantics. Legacy
-  // appended lines still read (records overlay them per name).
+  // roots they get the same create-only-object treatment as the commit
+  // ledger: each ref WRITE is its own immutable record
+  // `_graft_reflog/r-<b64url(name)>.<seq>.rec` (never mutated in place — an
+  // in-place overwrite would open a truncation window where a concurrent
+  // expiry reads an empty record and loses the ref's retention pin); per
+  // name the HIGHEST sequence wins, `dropped` is a tombstone, and each
+  // write opportunistically GC's the name's superseded records. Writers to
+  // different names never touch the same object; concurrent writers to the
+  // SAME name race highest-seq-wins, which is the append log's
+  // last-line-wins semantics. Legacy appended lines still read (records
+  // overlay them per name).
   private val RefRecordsDir = "_graft_reflog"
-  private def refRecordRel(name: String) = s"$RefRecordsDir/r-" +
+  private def refRecordPrefix(name: String) = "r-" +
     java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString(name.getBytes("UTF-8")) + ".rec"
+      .encodeToString(name.getBytes("UTF-8"))
+  private def refRecordRel(name: String, seq: String) =
+    s"$RefRecordsDir/${refRecordPrefix(name)}.$seq.rec"
 
   private def readRefs(): Map[String, (String, Long)] = {
     def parse(line: String): (String, (String, Long)) = {
@@ -1165,10 +1174,23 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         val dir = hPath(RefRecordsDir)
         if (!rootFs.exists(dir)) Nil
         else rootFs.listStatus(dir).toSeq
-          .filter(s => s.getPath.getName.startsWith("r-") &&
-            s.getPath.getName.endsWith(".rec"))
-          .flatMap(s => scala.util.Try(parse(
-            metaReadLines(s"$RefRecordsDir/${s.getPath.getName}").head)).toOption)
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith("r-") && n.endsWith(".rec"))
+          .groupBy(_.split('.').head) // records of one name share a prefix
+          .toSeq.sortBy(_._1)
+          .flatMap { case (_, names) =>
+            // highest sequence wins; a mid-write record (no terminating
+            // newline yet) is skipped and its predecessor still serves.
+            // Sequence'd records outrank any legacy no-seq record.
+            val (seqd, legacyRec) = names.partition(_.count(_ == '.') >= 2)
+            (seqd.sorted.reverse ++ legacyRec).iterator.flatMap { n =>
+              scala.util.Try {
+                val raw = metaReadString(s"$RefRecordsDir/$n")
+                require(raw.endsWith("\n"), s"mid-write record $n")
+                parse(raw.split('\n').head)
+              }.toOption
+            }.nextOption()
+          }
       }
     // records after legacy: on a scheme'd root every NEW write is a record,
     // so a record is always the name's latest state
@@ -1182,7 +1204,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     require(name.nonEmpty && !name.exists(c => c == ',' || c == ':' || c == '\n' || c == '\r'),
       s"invalid ref name '$name': must be non-empty, no ',' ':' or line breaks")
     if (rootIsLocal) metaAppendString(RefsFile, s"$name,$kind,$v\n")
-    else metaWriteString(refRecordRel(name), s"$name,$kind,$v\n")
+    else {
+      val seq = "%020d-%06d".format(System.currentTimeMillis(),
+        SnapshotTable.refSeqCounter.getAndIncrement() % 1000000)
+      metaWriteString(refRecordRel(name, seq), s"$name,$kind,$v\n")
+      // opportunistic GC of this name's superseded records — readers pick
+      // the highest seq, so deleting lower ones is always safe
+      val dir = hPath(RefRecordsDir)
+      val mine = s"${refRecordPrefix(name)}.$seq.rec"
+      if (rootFs.exists(dir))
+        rootFs.listStatus(dir).map(_.getPath.getName)
+          .filter(n => n.startsWith(refRecordPrefix(name) + ".") &&
+            n.endsWith(".rec") && n < mine)
+          .foreach(n => metaDelete(s"$RefRecordsDir/$n"))
+    }
   }
 
   private def isBranchOp(op: String): Boolean = op.startsWith(BranchOpPrefix)
@@ -1262,27 +1297,68 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .flatMap(_.stripPrefix("v=").stripSuffix(".rec").toLongOption)
   }
 
+  /** Reconciliation memo for scheme'd roots, keyed by the cache file's
+    * (modificationTime, length): EVERY cache mutation — including the RMW
+    * rewrites that can lose lines — changes the file, so the memo can
+    * never hide a lost line; the one staleness it admits is a crashed
+    * writer's record-only commit staying invisible TO THIS INSTANCE until
+    * any later cache write (fresh instances — recovery reads, new
+    * readers — always reconcile anew). What it buys: an offset poll or
+    * repeat commit-path read costs ONE status RPC instead of a cache GET +
+    * a `_graft_log` LIST per call — the remote metadata hot path. */
+  @volatile private var metaMemo: Option[(Long, Long, Seq[Meta])] = None
+
   private def readMeta(): Seq[Meta] = {
+    if (!rootIsLocal) {
+      val status =
+        try Some(rootFs.getFileStatus(hPath(MetaFile)))
+        catch { case _: java.io.FileNotFoundException => None }
+      return readMetaRemote(status)
+    }
     val cached =
       if (!metaExists(MetaFile)) Nil
       else metaReadLines(MetaFile).map(parseMetaLine)
-    val all =
-      if (rootIsLocal) cached
-      else {
+    // defensive: interleaved RMW repairs could land one version's line
+    // twice in the cache — a duplicate entry would double that delta in
+    // chain resolution, so keep the first occurrence per version
+    cached.distinctBy(_._1).sortBy(_._1)
+  }
+
+  private def readMetaRemote(
+      status: Option[org.apache.hadoop.fs.FileStatus]): Seq[Meta] = {
+    val key = status.map(s => (s.getModificationTime, s.getLen))
+    metaMemo.foreach { case (m, l, res) =>
+      if (key.contains((m, l))) return res
+    }
+    val cached =
+      if (status.isEmpty) Nil
+      else metaReadLines(MetaFile).map(parseMetaLine)
+    val all = {
         // reconcile: any committed record the cache is missing (a lost RMW
         // append, or a writer that died between its record write and its
-        // cache append) is read back from its own file. A record that does
-        // not parse is mid-write — its commit point has not landed yet.
+        // cache append) is read back from its own file. A record is only
+        // accepted with its terminating newline — on stores where
+        // create+write+close is not atomic (HDFS-shape) a reader can see a
+        // PREFIX of a mid-write record, and a prefix truncated inside the
+        // final number would otherwise parse as a wrong row count; the
+        // newline is the record's last byte, so requiring it rejects every
+        // truncation. A record that does not parse is likewise mid-write —
+        // its commit point has not landed yet.
         val inCache = cached.map(_._1).toSet
         cached ++ listLogRecordVersions().filterNot(inCache).flatMap { v =>
-          scala.util.Try(parseMetaLine(
-            metaReadLines(logRecordRel(v)).head)).toOption
+          scala.util.Try {
+            val raw = metaReadString(logRecordRel(v))
+            require(raw.endsWith("\n"), s"mid-write record v=$v")
+            parseMetaLine(raw.split('\n').head)
+          }.toOption
         }
       }
     // defensive: interleaved RMW repairs could land one version's line
     // twice in the cache — a duplicate entry would double that delta in
     // chain resolution, so keep the first occurrence per version
-    all.distinctBy(_._1).sortBy(_._1)
+    val res = all.distinctBy(_._1).sortBy(_._1)
+    key.foreach { case (m, l) => metaMemo = Some((m, l, res)) }
+    res
   }
 
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
