@@ -1161,6 +1161,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def refRecordRel(name: String, seq: String) =
     s"$RefRecordsDir/${refRecordPrefix(name)}.$seq.rec"
 
+  /** Test seam: invoked between readRefs' record LIST and its per-record
+    * GETs — lets specs inject a concurrent [[writeRef]] (whose opportunistic
+    * GC deletes every record the LIST returned) into the exact window the
+    * re-list recovery protects. Production: no-op. */
+    private[sources] var afterRefsList: () => Unit = () => ()
+
   private def readRefs(): Map[String, (String, Long)] = {
     def parse(line: String): (String, (String, Long)) = {
       val m = line.split(",", 3)
@@ -1168,14 +1174,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     val legacy =
       if (!metaExists(RefsFile)) Nil else metaReadLines(RefsFile).map(parse)
-    val records =
-      if (rootIsLocal) Nil
+    // One LIST + per-name GETs. Returns (resolved entries, true when some
+    // listed name yielded NO readable record — the LIST-then-GET race with
+    // a concurrent writeRef whose opportunistic GC deleted every record the
+    // list returned; the caller re-lists once and the fresh list contains
+    // the writer's newer record). Without the retry a ref would transiently
+    // VANISH from readRefs, and an expiry in that window would lose the
+    // branch/tag's retention pin — the loss class the create-only record
+    // design exists to prevent.
+    def listOnce(): (Seq[(String, (String, Long))], Boolean) = {
+      val dir = hPath(RefRecordsDir)
+      if (!rootFs.exists(dir)) (Nil, false)
       else {
-        val dir = hPath(RefRecordsDir)
-        if (!rootFs.exists(dir)) Nil
-        else rootFs.listStatus(dir).toSeq
+        val listed = rootFs.listStatus(dir).toSeq
           .map(_.getPath.getName)
           .filter(n => n.startsWith("r-") && n.endsWith(".rec"))
+        afterRefsList()
+        var vanished = false
+        val entries = listed
           .groupBy(_.split('.').head) // records of one name share a prefix
           .toSeq.sortBy(_._1)
           .flatMap { case (_, names) =>
@@ -1183,14 +1199,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
             // newline yet) is skipped and its predecessor still serves.
             // Sequence'd records outrank any legacy no-seq record.
             val (seqd, legacyRec) = names.partition(_.count(_ == '.') >= 2)
-            (seqd.sorted.reverse ++ legacyRec).iterator.flatMap { n =>
+            val best = (seqd.sorted.reverse ++ legacyRec).iterator.flatMap { n =>
               scala.util.Try {
                 val raw = metaReadString(s"$RefRecordsDir/$n")
                 require(raw.endsWith("\n"), s"mid-write record $n")
                 parse(raw.split('\n').head)
               }.toOption
             }.nextOption()
+            if (best.isEmpty) vanished = true
+            best
           }
+        (entries, vanished)
+      }
+    }
+    val records =
+      if (rootIsLocal) Nil
+      else {
+        val (first, vanished) = listOnce()
+        if (!vanished) first else listOnce()._1
       }
     // records after legacy: on a scheme'd root every NEW write is a record,
     // so a record is always the name's latest state
@@ -1308,12 +1334,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * a `_graft_log` LIST per call — the remote metadata hot path. */
   @volatile private var metaMemo: Option[(Long, Long, Seq[Meta])] = None
 
-  private def readMeta(): Seq[Meta] = {
+  /** `fresh = true` bypasses [[metaMemo]] and reconciles anew — REQUIRED on
+    * the commit/claim validation path: the memo's (mtime, length) key can
+    * ALIAS on object stores with coarse mtime granularity (S3: 1 s) when two
+    * interleaved RMW cache rewrites land equal-length content within one
+    * tick, and a claim re-validation served from that stale memo could
+    * re-claim — and clobber — an already-committed version whose marker
+    * self-GC'd. Reads that only serve data keep the memo (their staleness
+    * window is the documented crashed-writer one); the correctness decisions
+    * (claim re-validation, final head check) pay one fresh LIST instead. */
+  private def readMeta(fresh: Boolean = false): Seq[Meta] = {
     if (!rootIsLocal) {
       val status =
         try Some(rootFs.getFileStatus(hPath(MetaFile)))
         catch { case _: java.io.FileNotFoundException => None }
-      return readMetaRemote(status)
+      return readMetaRemote(status, fresh)
     }
     val cached =
       if (!metaExists(MetaFile)) Nil
@@ -1325,9 +1360,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   private def readMetaRemote(
-      status: Option[org.apache.hadoop.fs.FileStatus]): Seq[Meta] = {
+      status: Option[org.apache.hadoop.fs.FileStatus],
+      fresh: Boolean = false): Seq[Meta] = {
     val key = status.map(s => (s.getModificationTime, s.getLen))
-    metaMemo.foreach { case (m, l, res) =>
+    if (!fresh) metaMemo.foreach { case (m, l, res) =>
       if (key.contains((m, l))) return res
     }
     val cached =
@@ -1480,7 +1516,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       if (!tryClaimMarker(next)) next += 1
       else {
         afterMarkerClaim(next)
-        val logged = nextVersion(readMeta())
+        val logged = nextVersion(readMeta(fresh = true))
         if (next < logged) { deleteMarker(next); next = math.max(logged, maxClaimed() + 1) }
         else claimed = true
       }
@@ -1539,7 +1575,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * window, which a real deployment closes with a catalog-side CAS. */
   private def validateHeadOrRelease(expected: Option[Long], next: Long): Unit = {
     beforeFinalHeadCheck()
-    val now = mainHead(readMeta())
+    val now = mainHead(readMeta(fresh = true))
     if (now != expected) { releaseClaim(next); headConflict(expected, now) }
   }
 

@@ -254,6 +254,65 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     assertNoNioEscape()
   }
 
+  test("readRefs survives a concurrent writeRef's record GC: the " +
+      "LIST-then-GET race re-lists once and the ref never vanishes") {
+    import spark.implicits._
+    val root = remoteRoot("remfs_refrace")
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((0L, "v0")).toDF("id", "v"))                            // v0
+    t.createBranch("b")
+    val other = new SnapshotTable(spark, root)
+    // inject a concurrent ref WRITE (new record + opportunistic GC of the
+    // one our LIST just returned) into the exact LIST-then-GET window
+    @volatile var fired = false
+    t.afterRefsList = () =>
+      if (!fired) {
+        fired = true
+        other.commitToBranch("b", Seq((1L, "staged")).toDF("id", "v"),
+          op = "append")
+      }
+    val refs = t.refs().select("ref_name").as[String].collect()
+    t.afterRefsList = () => ()
+    assert(fired, "the refs-list seam never fired")
+    assert(refs.contains("b"),
+      "the branch transiently vanished from readRefs — an expiry in this " +
+        "window would have lost its retention pin")
+    assertNoNioEscape()
+  }
+
+  test("claim re-validation bypasses the meta memo: an aliased " +
+      "(mtime, length) cache key can never clobber a committed version") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftnoap.impl", classOf[GraftNoAppendFs].getName)
+    val local = JFiles.createTempDirectory("remfs_memo").toFile.getAbsolutePath
+    val root = s"graftnoap://$local"
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((0L, "seed")).toDF("id", "v"))                          // v0
+    t.commit(Seq((1L, "a")).toDF("id", "v"), op = "append")              // v1
+    t.history().count() // memoize the 2-line cache in THIS instance
+    val cachePath = JPaths.get(local, "_graft_meta.jsonl")
+    val bytes0 = JFiles.readAllBytes(cachePath)
+    val mtime0 = cachePath.toFile.lastModified()
+
+    // a foreign writer lands v2 (record + cache line) …
+    new SnapshotTable(spark, root)
+      .commit(Seq((2L, "b")).toDF("id", "v"), op = "append")             // v2
+    // … then an interleaved RMW rewrite drops its cache line at EQUAL
+    // length within one mtime tick — the memo key aliases the pre-v2 state
+    JFiles.write(cachePath, bytes0)
+    assert(cachePath.toFile.setLastModified(mtime0))
+
+    // the stale memo must not let this instance re-claim v2: the claim
+    // path forces a fresh reconcile and lands PAST the committed version
+    t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")              // v3
+    val fresh = new SnapshotTable(spark, root)
+    assert(fresh.history().select("version").as[Long].collect().sorted
+      === Array(0L, 1L, 2L, 3L))
+    assert(fresh.read().select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 2L, 3L))
+  }
+
   test("two interleaved appenders on a NO-APPEND (object-store-shaped) " +
       "root: the RMW cache loss is survived by the record ledger") {
     import spark.implicits._
