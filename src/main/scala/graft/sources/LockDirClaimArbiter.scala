@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+
+/** Durable [[SnapshotTable.ClaimArbiter]]: version claims are arbitrated by
+  * create-exclusive LOCK FILES on a SEPARATE root that genuinely provides
+  * atomic create-exclusive — a POSIX/NFS directory, an HDFS path — backing a
+  * data root that does not (S3-class stores, where a PUT silently
+  * overwrites). This is Iceberg's lock-table/HadoopCatalog pattern with the
+  * catalog service replaced by the smallest durable primitive a fleet
+  * already has: one shared filesystem path (reference spark.py:26-28 solves
+  * the same problem with a REST catalog's CAS).
+  *
+  * Unlike [[SnapshotTable.InProcessClaimArbiter]] — whose claims live in
+  * process memory and therefore only arbitrate threads of ONE JVM — the
+  * lock files are visible to every process and host that mounts `lockRoot`,
+  * so two OS processes with no shared memory get a real cross-process CAS
+  * (proved by `CrossProcessClaimSpec`, which forks a second JVM).
+  *
+  * Layout: `lockRoot/<md5(canonical data root)>/v=<version>.lock`, one
+  * create-exclusive file per in-flight claim, plus a best-effort `root.txt`
+  * naming the data root for operators. Claims are RELEASED (deleted) once
+  * their version is logged or the race is lost, mirroring the marker
+  * self-GC, so the dir stays O(in-flight claims). A claim leaked by a
+  * crashed writer only makes later writers skip that number — the log
+  * re-validation in `claimVersion` keeps correctness regardless — and can
+  * be swept manually once the writer is known dead.
+  *
+  * Requirements on `lockRoot`'s filesystem: atomic create-exclusive
+  * (`O_EXCL` / HDFS `create(overwrite=false)`) and list-after-create
+  * visibility. Do NOT point it at an S3-class store — that would reproduce
+  * the exact gap this arbiter closes.
+  */
+final class LockDirClaimArbiter(lockRoot: String,
+    hconf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration())
+    extends SnapshotTable.ClaimArbiter {
+
+  private val lockUri = new Path(lockRoot).toUri
+  private val isLocal = lockUri.getScheme == null || lockUri.getScheme == "file"
+  private lazy val fs = new Path(lockRoot).getFileSystem(hconf)
+  private val localBase =
+    if (lockUri.getScheme == null) lockRoot else lockUri.getPath
+
+  /** Stable per-data-root subdirectory (the root string arrives already
+    * canonicalized by [[SnapshotTable]]'s arbiter seam). */
+  private def slug(root: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def lockName(version: Long) = s"v=$version.lock"
+
+  /** Best-effort operator breadcrumb: which data root this slug arbitrates. */
+  private def writeRootHint(root: String, dir: String): Unit =
+    try {
+      if (isLocal) {
+        val p = Paths.get(dir, "root.txt")
+        if (!Files.exists(p)) Files.writeString(p, root + "\n")
+      } else {
+        val p = new Path(dir, "root.txt")
+        if (!fs.exists(p)) {
+          val out = fs.create(p, false)
+          try out.write((root + "\n").getBytes("UTF-8")) finally out.close()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  def tryClaim(root: String, version: Long): Boolean =
+    if (isLocal) {
+      val dir = Paths.get(localBase, slug(root))
+      Files.createDirectories(dir)
+      writeRootHint(root, dir.toString)
+      try { Files.createFile(dir.resolve(lockName(version))); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val dir = new Path(lockRoot, slug(root))
+      fs.mkdirs(dir)
+      writeRootHint(root, dir.toString)
+      val p = new Path(dir, lockName(version))
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(p) => false
+      }
+    }
+
+  def release(root: String, version: Long): Unit =
+    if (isLocal)
+      Files.deleteIfExists(Paths.get(localBase, slug(root), lockName(version)))
+    else
+      fs.delete(new Path(new Path(lockRoot, slug(root)), lockName(version)),
+        false)
+
+  /** Age past which a `commit.lock` is treated as a crashed holder's leak
+    * and taken over. The commit critical section is a metadata tail (one
+    * fresh log read + one record write), so a healthy holder exits in
+    * milliseconds; two minutes is orders of magnitude of headroom. Tests
+    * shorten it to exercise the takeover. */
+  @volatile var staleCommitLockMillis: Long = 120000L
+
+  /** Hard cap on waiting for the section — a deployment where commits
+    * genuinely block this long has an operational problem that deserves an
+    * exception, not an unbounded hang. */
+  @volatile var commitLockTimeoutMillis: Long = 600000L
+
+  private def commitLock(root: String): (java.nio.file.Path, Path) =
+    (Paths.get(localBase, slug(root), "commit.lock"),
+      new Path(new Path(lockRoot, slug(root)), "commit.lock"))
+
+  override def lockCommit(root: String): Unit = {
+    val (np, hp) = commitLock(root)
+    if (isLocal) Files.createDirectories(np.getParent) else fs.mkdirs(hp.getParent)
+    val deadline = System.currentTimeMillis() + commitLockTimeoutMillis
+    val rnd = new java.util.Random()
+    while (true) {
+      val acquired =
+        if (isLocal)
+          try { Files.createFile(np); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        else
+          try { fs.create(hp, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException if fs.exists(hp) => false
+          }
+      if (acquired) return
+      // crashed-holder takeover: a lock older than the staleness threshold
+      // cannot belong to a live commit tail — delete (best-effort; losing
+      // the delete race to another waiter is fine) and retry
+      try {
+        val age = System.currentTimeMillis() - (
+          if (isLocal) Files.getLastModifiedTime(np).toMillis
+          else fs.getFileStatus(hp).getModificationTime)
+        if (age > staleCommitLockMillis) {
+          if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"commit lock for $root not acquired within " +
+            s"$commitLockTimeoutMillis ms — holder crashed without cleanup " +
+            s"or the section is badly contended; lock: ${if (isLocal) np else hp}")
+      Thread.sleep(5L + rnd.nextInt(25))
+    }
+  }
+
+  override def unlockCommit(root: String): Unit = {
+    val (np, hp) = commitLock(root)
+    if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
+  }
+
+  def maxClaimed(root: String): Long = {
+    val names: Seq[String] =
+      if (isLocal) {
+        val dir = Paths.get(localBase, slug(root))
+        if (!Files.isDirectory(dir)) Nil
+        else {
+          val s = Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.map(_.getFileName.toString).toList
+          } finally s.close()
+        }
+      } else {
+        val dir = new Path(lockRoot, slug(root))
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      }
+    names.filter(n => n.startsWith("v=") && n.endsWith(".lock"))
+      .flatMap(_.stripPrefix("v=").stripSuffix(".lock").toLongOption)
+      .foldLeft(-1L)(math.max)
+  }
+}

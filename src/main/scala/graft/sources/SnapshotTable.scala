@@ -54,11 +54,28 @@ object SnapshotTable {
     def release(root: String, version: Long): Unit
     /** Highest currently-claimed version for `root`, -1 when none. */
     def maxClaimed(root: String): Long
+    /** Enter the commit CRITICAL SECTION for `root` — the final head
+      * validation + log-record write of every commit runs inside it, so a
+      * read-dependent commit's validate→append tail and a concurrent
+      * append's record write can never interleave ACROSS PROCESSES (the
+      * optimistic window Iceberg closes with its catalog CAS: without this,
+      * an append logged between another process's head check and its
+      * full-copy commit would be silently erased by the restart point).
+      * In-JVM the per-root lock already serializes; the default no-op is
+      * correct for single-process fleets. Durable arbiters MUST implement
+      * both methods, blocking in lockCommit until the section is free. */
+    def lockCommit(root: String): Unit = ()
+    /** Leave the commit critical section for `root`. */
+    def unlockCommit(root: String): Unit = ()
   }
 
-  /** Reference arbiter backed by process memory — the deployment shape for
-    * a single-driver writer fleet, and the spec's stand-in for a real
-    * catalog CAS service. */
+  /** Arbiter backed by PROCESS MEMORY: atomic for every thread of ONE JVM
+    * (a single-driver writer fleet — Spark executors never claim, only the
+    * driver does), and the spec's stand-in for a catalog CAS service. It
+    * provides NO cross-process protection — two processes each registering
+    * their own instance share nothing; a multi-process fleet on an S3-class
+    * store needs [[LockDirClaimArbiter]] (durable lock files on a
+    * create-exclusive-capable root) or a real catalog-side CAS. */
   final class InProcessClaimArbiter extends ClaimArbiter {
     private val claims = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]]()
@@ -78,7 +95,10 @@ object SnapshotTable {
 
   /** Route version claims for `root` through `arbiter` — required for
     * multi-process writers on stores whose create-exclusive is best-effort
-    * (S3-class); a no-op improvement elsewhere. */
+    * (S3-class); a no-op improvement elsewhere. Cross-PROCESS fleets need a
+    * durable arbiter ([[LockDirClaimArbiter]], or a catalog CAS behind this
+    * trait) registered by EVERY writer process; [[InProcessClaimArbiter]]
+    * only arbitrates threads of one JVM. */
   def registerClaimArbiter(root: String, arbiter: ClaimArbiter): Unit =
     claimArbiters.put(canonicalRoot(root), arbiter)
 
@@ -1397,19 +1417,48 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     res
   }
 
+  // ── cross-process commit critical section ────────────────────────────────
+  //    With a registered arbiter, the validate→log tail of every commit runs
+  //    inside the arbiter's commit mutex: [[validateHeadOrRelease]] acquires
+  //    before its fresh head read, plain (validation-free) commits acquire
+  //    at [[appendMeta]], and the section releases once the log record is
+  //    durable. Data writes stay OUTSIDE the section — at 100 TB the heavy
+  //    parquet writes of concurrent commits proceed in parallel and only the
+  //    short metadata tail serializes, the same split Iceberg gets from its
+  //    catalog-side CAS. The flag is per-instance but every path here runs
+  //    under [[withRootLock]]'s monitor, so a single thread owns it.
+  private var commitMutexHeld = false
+
+  private def acquireCommitMutex(): Unit =
+    if (!commitMutexHeld)
+      SnapshotTable.arbiterFor(root).foreach { a =>
+        a.lockCommit(SnapshotTable.canonicalRoot(root))
+        commitMutexHeld = true
+      }
+
+  private def releaseCommitMutex(): Unit =
+    if (commitMutexHeld) {
+      commitMutexHeld = false
+      SnapshotTable.arbiterFor(root)
+        .foreach(_.unlockCommit(SnapshotTable.canonicalRoot(root)))
+    }
+
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
-    val line = s"$version,${System.currentTimeMillis()},$op,$rows\n"
-    // scheme'd roots: the record file IS the commit point (see the ledger
-    // note above); the shared log below is only a cache of it
-    if (!rootIsLocal) metaWriteString(logRecordRel(version), line)
-    metaAppendString(MetaFile, line)
-    // self-GC: once the version is LOGGED the marker has done its job —
-    // `claimVersion` re-validates against the log after every create, so a
-    // racer that re-creates this number can never keep it. Without this a
-    // long-lived table accrues one empty file per version forever and every
-    // commit pays an O(total-versions) marker listing (on an object store,
-    // the classic metadata bottleneck).
-    deleteMarker(version)
+    acquireCommitMutex()
+    try {
+      val line = s"$version,${System.currentTimeMillis()},$op,$rows\n"
+      // scheme'd roots: the record file IS the commit point (see the ledger
+      // note above); the shared log below is only a cache of it
+      if (!rootIsLocal) metaWriteString(logRecordRel(version), line)
+      metaAppendString(MetaFile, line)
+      // self-GC: once the version is LOGGED the marker has done its job —
+      // `claimVersion` re-validates against the log after every create, so a
+      // racer that re-creates this number can never keep it. Without this a
+      // long-lived table accrues one empty file per version forever and every
+      // commit pays an O(total-versions) marker listing (on an object store,
+      // the classic metadata bottleneck).
+      deleteMarker(version)
+    } finally releaseCommitMutex()
   }
 
   // ── optimistic concurrency (Iceberg's atomic-swap commit: SURVEY §3.1
@@ -1533,7 +1582,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def withRootLock[T](body: => T): T =
     SnapshotTable.rootLocks
       .computeIfAbsent(SnapshotTable.canonicalRoot(root), _ => new Object)
-      .synchronized(body)
+      // safety net: an op failing between its mutex acquire and appendMeta's
+      // release (a data-write error mid-tail) must not leak the cross-process
+      // commit section; release is a no-op when not held
+      .synchronized(try body finally releaseCommitMutex())
 
   private def headConflict(expected: Option[Long], now: Option[Long]): Nothing =
     throw new SnapshotTable.CommitConflictException(
@@ -1567,16 +1619,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * AFTER the data write (covering cross-process writers that landed during
     * the write window — in-JVM writers are serialized by [[withRootLock]])
     * and releases the claim before raising, so a conflict leaves no orphans.
-    * NOTE: even with this re-check, the validation and the log append are
-    * two steps, not a cross-process CAS — two PROCESSES whose checks
-    * interleave before their appends could both land (the marker CAS still
-    * keeps their versions distinct). Within one JVM the root lock makes
-    * check+append atomic; cross-process callers get Iceberg's optimistic
-    * window, which a real deployment closes with a catalog-side CAS. */
+    * NOTE: the validation and the log append are two steps, not a CAS —
+    * within one JVM the root lock makes check+append atomic, and ACROSS
+    * processes a registered arbiter's commit mutex does
+    * ([[SnapshotTable.ClaimArbiter.lockCommit]], entered here before the
+    * fresh read and released by [[appendMeta]]; [[LockDirClaimArbiter]] is
+    * the durable implementation). Without an arbiter, cross-process callers
+    * get Iceberg's optimistic window, which a real deployment closes with a
+    * catalog-side CAS. */
   private def validateHeadOrRelease(expected: Option[Long], next: Long): Unit = {
     beforeFinalHeadCheck()
+    // enter the cross-process commit section BEFORE the fresh read: no
+    // record can land between this check and our own appendMeta (which
+    // releases the section) — see the ClaimArbiter.lockCommit contract
+    acquireCommitMutex()
     val now = mainHead(readMeta(fresh = true))
-    if (now != expected) { releaseClaim(next); headConflict(expected, now) }
+    if (now != expected) {
+      releaseCommitMutex(); releaseClaim(next); headConflict(expected, now)
+    }
   }
 
   // ── data-dir write path (manifest-producing) ───────────────────────────

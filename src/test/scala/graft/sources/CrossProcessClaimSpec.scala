@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.file.{Files => JFiles, Paths => JPaths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** TWO OS PROCESSES — this JVM and a forked child running
+  * [[CrossProcessWriterMain]] — interleave commits on one S3-shaped root
+  * (PUT overwrites, no append, fake create-exclusive) with NO shared memory,
+  * arbitrated only by [[LockDirClaimArbiter]]'s lock files on a shared local
+  * directory. This is the proof [[SnapshotTable.InProcessClaimArbiter]]
+  * cannot give: its claims are per-JVM state, so only a DURABLE arbiter
+  * makes the multi-process story real. Zero lost commits is the bar: every
+  * append from both writers and the parent's cow mutation must survive. */
+class CrossProcessClaimSpec extends SparkSpec {
+
+  /** The forked JVM mirrors the test JVM's module opens (Spark 4 on JDK 17
+    * needs them) and classpath. */
+  private def forkChild(args: Seq[String], logFile: java.io.File): Process = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = JPaths.get(sys.props("java.home"), "bin", "java").toString
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val cmd = Seq(javaBin) ++ inherited ++ Seq("-Xmx3g",
+      "-cp", sys.props("java.class.path"),
+      classOf[CrossProcessWriterMain.type].getName.stripSuffix("$")) ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(logFile)
+    pb.start()
+  }
+
+  test("lockCommit is a real mutex across arbiter instances, and a crashed " +
+      "holder's stale commit.lock is taken over, not waited on forever") {
+    val lockDir = JFiles.createTempDirectory("xproc_mutex").toFile.getAbsolutePath
+    val arb = new LockDirClaimArbiter(lockDir)
+    val arb2 = new LockDirClaimArbiter(lockDir) // no shared state with arb
+    arb.lockCommit("r")
+    @volatile var acquired = false
+    val waiter = new Thread(() => { arb2.lockCommit("r"); acquired = true })
+    waiter.start()
+    Thread.sleep(300)
+    assert(!acquired, "second holder entered a held commit section")
+    arb.unlockCommit("r")
+    waiter.join(10000)
+    assert(acquired, "waiter never acquired after release")
+    arb2.unlockCommit("r")
+
+    // crashed holder: the leaked lock ages past the staleness threshold
+    // and the next waiter takes it over instead of hanging
+    arb.lockCommit("r")
+    arb2.staleCommitLockMillis = 100L
+    Thread.sleep(300)
+    arb2.lockCommit("r")
+    arb2.unlockCommit("r")
+  }
+
+  test("two OS processes with no shared memory interleave appends + a cow " +
+      "mutation on an S3-shaped root under the durable lock-dir arbiter: " +
+      "zero lost commits") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.grafts3.impl", classOf[GraftS3LikeFs].getName)
+    val local = JFiles.createTempDirectory("xproc_s3").toFile.getAbsolutePath
+    val root = s"grafts3://$local"
+    val lockDir = JFiles.createTempDirectory("xproc_lock").toFile.getAbsolutePath
+    val syncDir = JFiles.createTempDirectory("xproc_sync").toFile.getAbsolutePath
+    val childLog = JFiles.createTempFile("xproc_child", ".log").toFile
+    val nChild = 6
+    val nParent = 6
+
+    // the hazard is real on this fs: create-exclusive silently overwrites
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probe = new org.apache.hadoop.fs.Path(root, "probe")
+    fs.create(probe, false).close()
+    fs.create(probe, false).close()
+
+    SnapshotTable.registerClaimArbiter(root, new LockDirClaimArbiter(lockDir))
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((0L, "seed")).toDF("id", "w")) // v0
+
+      val child = forkChild(
+        Seq(root, lockDir, syncDir, nChild.toString), childLog)
+      try {
+        // barrier: wait for the child's session + arbiter, then release both
+        val readyDeadline = System.currentTimeMillis() + 180000L
+        while (!JFiles.exists(JPaths.get(syncDir, "ready")) &&
+          child.isAlive && System.currentTimeMillis() < readyDeadline)
+          Thread.sleep(50)
+        assert(JFiles.exists(JPaths.get(syncDir, "ready")),
+          s"child never became ready; log:\n" +
+            JFiles.readString(childLog.toPath))
+        JFiles.writeString(JPaths.get(syncDir, "go"), "1\n")
+
+        // parent's interleaved work: appends, then a cow DELETE of the seed
+        // row — retried through CommitConflictException while the child's
+        // appends move the head under it (Iceberg's optimistic contract)
+        (0 until nParent).foreach { i =>
+          t.commit(Seq((i.toLong + 1L, "A")).toDF("id", "w"), op = "append")
+        }
+        var deleted = false
+        var attempts = 0
+        while (!deleted) {
+          attempts += 1
+          try { t.deleteWhere(col("id") === 0L); deleted = true }
+          catch {
+            case _: SnapshotTable.CommitConflictException if attempts < 30 =>
+              ()
+          }
+        }
+
+        assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+          "child did not exit in time")
+        assert(child.exitValue() === 0,
+          s"child failed; log:\n" + JFiles.readString(childLog.toPath))
+        assert(JFiles.readString(JPaths.get(syncDir, "done")).trim.toInt
+          === nChild)
+      } finally if (child.isAlive) child.destroyForcibly()
+
+      // zero lost commits: every append from BOTH processes present, the
+      // seed row cow-deleted, all versions distinct
+      val fresh = new SnapshotTable(spark, root)
+      val ids = fresh.read().select("id").as[Long].collect().sorted
+      assert(ids === ((1 to nParent).map(_.toLong) ++
+        (0 until nChild).map(1000L + _)).sorted.toArray,
+        s"lost or phantom commits; ids = ${ids.mkString(",")}")
+      val versions = fresh.history().select("version").as[Long].collect()
+      assert(versions.distinct.length === versions.length)
+      assert(versions.length === 1 + nParent + nChild + 1,
+        s"history rows = ${versions.length}")
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+  }
+}

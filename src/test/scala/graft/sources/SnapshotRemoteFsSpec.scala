@@ -371,17 +371,28 @@ class SnapshotRemoteFsSpec extends SparkSpec {
     fs.create(probe, false).close() // would throw FileAlreadyExists on POSIX
 
     // the arbiter IS atomic: second claim of a held version fails, release
-    // frees it, maxClaimed tracks the high-water mark
+    // frees it, maxClaimed tracks the high-water mark — for the in-process
+    // arbiter AND the durable lock-dir one (two INSTANCES of the latter
+    // sharing a lock dir must arbitrate, the no-shared-memory shape)
     val arb = new SnapshotTable.InProcessClaimArbiter
     assert(arb.tryClaim("r", 5L) && !arb.tryClaim("r", 5L))
     assert(arb.maxClaimed("r") === 5L)
     arb.release("r", 5L)
     assert(arb.tryClaim("r", 5L) && arb.maxClaimed("r") === 5L)
+    val lockDir = JFiles.createTempDirectory("remfs_s3_lock").toFile.getAbsolutePath
+    val dArb = new LockDirClaimArbiter(lockDir)
+    val dArb2 = new LockDirClaimArbiter(lockDir) // separate instance, shared dir
+    assert(dArb.tryClaim("r", 5L) && !dArb2.tryClaim("r", 5L))
+    assert(dArb2.maxClaimed("r") === 5L)
+    dArb.release("r", 5L)
+    assert(dArb2.tryClaim("r", 5L) && dArb.maxClaimed("r") === 5L)
+    dArb2.release("r", 5L)
 
-    // end to end: with the arbiter registered, the full commit protocol —
-    // claims, ledger records, log cache (RMW on this no-append store),
-    // DML, maintenance — runs on the S3-shaped root with distinct versions
-    SnapshotTable.registerClaimArbiter(root, new SnapshotTable.InProcessClaimArbiter)
+    // end to end: with the DURABLE arbiter registered, the full commit
+    // protocol — claims, ledger records, log cache (RMW on this no-append
+    // store), DML, maintenance — runs on the S3-shaped root with distinct
+    // versions
+    SnapshotTable.registerClaimArbiter(root, dArb)
     try {
       val t = new SnapshotTable(spark, root)
       t.commit(Seq((0L, "seed")).toDF("id", "v"))
@@ -414,7 +425,8 @@ class SnapshotRemoteFsSpec extends SparkSpec {
       .set("fs.grafts3.impl", classOf[GraftS3LikeFs].getName)
     val local = JFiles.createTempDirectory("remfs_s3_stream").toFile.getAbsolutePath
     val root = s"grafts3://$local"
-    SnapshotTable.registerClaimArbiter(root, new SnapshotTable.InProcessClaimArbiter)
+    SnapshotTable.registerClaimArbiter(root, new LockDirClaimArbiter(
+      JFiles.createTempDirectory("remfs_s3_stream_lock").toFile.getAbsolutePath))
     try {
       val ck = JFiles.createTempDirectory("remfs_s3_ck").toFile.getAbsolutePath
       val out = JFiles.createTempDirectory("remfs_s3_out").toFile.getAbsolutePath
