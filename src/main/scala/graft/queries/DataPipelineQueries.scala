@@ -208,6 +208,17 @@ object DataPipelineQueries {
   private val icebergExportFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q129's Iceberg table: TWO incremental exports onto one metadata chain,
+    * hive-partitioned by lang under a real identity partition spec. */
+  private val icebergPartFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q130's Iceberg table: the mor interchange inverse — base data plus a
+    * FOREIGN-style equality-delete file (content=2), verified at build time
+    * to read back exactly as the store's own merge-on-read resolution. */
+  private val icebergDeleteFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3092,6 +3103,96 @@ object DataPipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_nchars
       FROM documents
       WHERE doc_id < 400 AND doc_id % 9 <> 0
+      GROUP BY lang""")),
+
+    // ICEBERG PARTITIONED + INCREMENTAL EXPORT (spec §"Partitioning",
+    // §"Snapshots"): two export() calls append snapshots to ONE metadata
+    // chain (vN.metadata.json with parent-snapshot-id / snapshot-log /
+    // advancing sequence numbers — the commit-in-graft → re-export-the-
+    // delta handoff cadence), hive-partitioned by lang under a real
+    // identity partition spec with per-file partition TUPLES and column
+    // BOUNDS in the manifests. The timed read plans through the metadata
+    // chain alone and its lang predicate must prune to the one partition's
+    // files IN-PLAN (require()d) — the same data skipping an external
+    // Iceberg reader gets from the exported stats. At 100 TB the handoff
+    // never rewrites history: each wave is O(delta) data plus O(1) metadata.
+    Q("q129_iceberg_partitioned_export", (s, dir) => {
+      import graft.sources.IcebergExport
+      val dest = icebergPartFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val d = graft.TempDirs.newDir("graft_icepart_tbl")
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          // two incremental snapshots onto one chain
+          IcebergExport.export(docs.filter(col("doc_id") % 2 === 0), d,
+            partitionBy = Seq("lang"))
+          IcebergExport.export(docs.filter(col("doc_id") % 2 === 1), d,
+            partitionBy = Seq("lang"))
+          require(IcebergExport.snapshotIds(s, d).size == 2,
+            "incremental export must append to one metadata chain")
+          d
+        })
+      val got = IcebergExport.readTable(s, dest,
+        preds = Seq(IcebergExport.Predicate("lang", "=", "en")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+      val (kept, total) = IcebergExport.lastPlanStats
+      require(kept < total,
+        s"partition-tuple pruning must fire on the exported table: $kept/$total")
+      got
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+      FROM documents
+      WHERE lang = 'en'
+      GROUP BY lang""")),
+
+    // ICEBERG DELETE-FILE READ (spec v2 row-level deletes — the INVERSE
+    // interchange direction): the exported table carries the base data
+    // plus an EQUALITY-DELETE file (content=2, equality_ids) written the
+    // way a foreign engine's merge-on-read DELETE would, and readTable
+    // APPLIES it with the spec's strictly-older sequence rule. The fixture
+    // proves interchange parity at build time: the Iceberg read equals the
+    // store's own mor resolution of the same mutation (except() empty both
+    // ways). The oracle replays the mutation declaratively.
+    Q("q130_iceberg_delete_read", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val dest = icebergDeleteFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val root = graft.TempDirs.newDir("graft_icedel_store")
+          val st = new SnapshotTable(s, root)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .filter(col("doc_id") < 400)
+          st.commit(docs)                                             // v0
+          st.deleteWhereMor(col("doc_id") % 7 === 0L, "doc_id")       // v1
+          val d = graft.TempDirs.newDir("graft_icedel_tbl")
+          // export the PRE-delete base, then the mutation as a real
+          // Iceberg equality-delete file — not folded away
+          IcebergExport.export(st.read(Some(0L)), d)
+          IcebergExport.appendEqualityDeletes(s, d,
+            docs.filter(col("doc_id") % 7 === 0L).select("doc_id"),
+            Seq("doc_id"))
+          val back = IcebergExport.readTable(s, d)
+          val mor = st.read()
+          require(back.except(mor).isEmpty && mor.except(back).isEmpty,
+            "Iceberg delete-file read must equal the store's mor read")
+          d
+        })
+      IcebergExport.readTable(s, dest)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+      FROM documents
+      WHERE doc_id < 400 AND doc_id % 7 <> 0
       GROUP BY lang"""))
   )
 

@@ -5,53 +5,93 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
-/** Export a snapshot (any DataFrame — typically a [[SnapshotTable]]'s
-  * RESOLVED current content) as an **Apache Iceberg v2 table directory**,
-  * and read such a directory back purely from its Iceberg metadata.
+/** Export snapshots as an **Apache Iceberg v2 table directory**, and read
+  * such a directory back purely from its Iceberg metadata.
   *
   * The reference workshop's tables ARE Iceberg tables (readme.md:357-369,
   * spark.py:52-59); the sandbox has no Iceberg runtime jars, so the store
   * side of this engine reproduces the SEMANTICS on versioned parquet. This
   * exporter closes the remaining interchange gap as far as the environment
-  * allows: it writes the public Iceberg table format (HadoopCatalog
-  * layout) so a real Iceberg reader outside this sandbox can open the
-  * result —
+  * allows: it writes the public Iceberg table format (HadoopCatalog layout)
+  * so a real Iceberg reader outside this sandbox can open the result —
   *
   *   dest/
-  *     data/…parquet                          (the snapshot's rows)
-  *     metadata/v1.metadata.json              (table metadata, spec §"Table Metadata")
-  *     metadata/snap-<id>-1-<uuid>.avro       (manifest LIST, spec §"Snapshots")
-  *     metadata/<uuid>-m0.avro                (manifest, spec §"Manifests")
+  *     data/…parquet                          (data files; hive dirs when partitioned)
+  *     metadata/vN.metadata.json              (table metadata, spec §"Table Metadata")
+  *     metadata/snap-<id>-1-<uuid>.avro       (manifest LISTS, spec §"Snapshots")
+  *     metadata/<uuid>-mN.avro                (manifests, spec §"Manifests")
   *     metadata/version-hint.text             (HadoopCatalog current-version pointer)
   *
   * Field ids, Avro record layouts (`manifest_entry`/`manifest_file` with
   * the spec's field-id properties), file-level metadata keys, and the
   * metadata.json shape follow the published Apache Iceberg spec
-  * (https://iceberg.apache.org/spec/, format version 2). Bounds/stats maps
-  * are spec-OPTIONAL and omitted; record_count and file_size_in_bytes are
-  * real (parquet footers).
+  * (https://iceberg.apache.org/spec/, format version 2).
+  *
+  * Depth (all spec features, not extensions):
+  *  - **Column bounds**: every data-file entry carries `lower_bounds` /
+  *    `upper_bounds` maps (field-id → the spec's single-value binary
+  *    serialization), read from the parquet footers the export already
+  *    opens — so an external Iceberg reader gets the same data skipping
+  *    the internal store reader has, and [[readTable]] prunes on them.
+  *  - **Partitioned layouts**: `export(df, dest, partitionBy)` writes hive
+  *    dirs, a real identity partition SPEC (source-ids into the schema,
+  *    partition field-ids from 1000), and per-file partition TUPLES in the
+  *    manifest entries; [[readTable]] with predicates prunes on the tuples
+  *    before it prunes on bounds.
+  *  - **Incremental export**: a second `export()` onto an existing table
+  *    dir appends a SNAPSHOT to the one metadata chain — new
+  *    vN+1.metadata.json with `parent-snapshot-id`, `snapshot-log`,
+  *    `metadata-log`, sequence numbers advancing, previous manifests
+  *    carried forward in the new manifest list (the fast-append shape) —
+  *    so the handoff cadence is commit-in-graft → re-export the delta,
+  *    and external readers time-travel by snapshot id.
+  *  - **Delete files**: [[appendPositionDeletes]] / [[appendEqualityDeletes]]
+  *    write content=1/2 delete files + delete manifests (the v2
+  *    merge-on-read forms a foreign engine would write), and [[readTable]]
+  *    APPLIES them with the spec's sequence-number rules (position deletes
+  *    hit data files with data-seq ≤ delete-seq; equality deletes hit
+  *    strictly older data files) — the inverse interchange direction.
   *
   * [[readTable]] is the independent verification path: it re-opens the
   * export using ONLY the Iceberg metadata chain (version-hint →
-  * metadata.json → manifest list → manifests → data files) — shared
-  * bookkeeping with the writer is nil, so a round-trip equality against
-  * the source snapshot pins the export's self-consistency (q128).
+  * metadata.json → manifest list → manifests → data + delete files) —
+  * shared bookkeeping with the writer is nil, so round-trip equality
+  * against the source snapshot pins the export's self-consistency (q128,
+  * q129, q130).
   *
-  * Scope: unpartitioned data layout (the export is a materializing copy of
-  * one resolved snapshot — delta chains and merge-on-read delete files are
-  * FOLDED by the resolution, which is exactly what a cross-engine handoff
-  * wants), primitive + array/struct column types. */
+  * Scope: each `export` call appends one snapshot holding `df`'s rows (a
+  * mutated store is exported as its RESOLVED content — delta chains and
+  * mor delete files fold, which is what a cross-engine handoff of state
+  * wants; the delete-file APIs cover the mor interchange direction).
+  * Primitive + array/struct column types; identity partition transforms. */
 object IcebergExport {
 
-  /** One export's receipt: the snapshot id written and the planned files. */
+  /** One export's receipt: the snapshot id written, the data files THIS
+    * export added, and their row count. */
   final case class Export(snapshotId: Long, dataFiles: Seq[String], rows: Long)
 
-  /** JSON string escape for interpolated names/paths — a column name with
-    * a quote or backslash (legal in Spark) must not corrupt metadata.json
-    * or the manifest's embedded schema. */
+  /** A pruning/filter predicate for [[readTable]] / [[plannedDataFiles]]:
+    * `op` ∈ {=, <, <=, >, >=} over one top-level column. Evaluated against
+    * partition tuples exactly and against column bounds inclusively (any
+    * uncertainty keeps the file); [[readTable]] also applies it as a
+    * residual row filter, so results equal `readTable().filter(...)`. */
+  final case class Predicate(column: String, op: String, value: Any) {
+    require(Set("=", "<", "<=", ">", ">=")(op), s"unsupported op $op")
+  }
+
+  /** (data files kept, data files live) of the most recent plan on this
+    * JVM — the audit observable for prune require()s (mirror of
+    * [[SnapshotTable#lastPruneStats]]). */
+  @volatile var lastPlanStats: (Long, Long) = (0L, 0L)
+
+  /** JSON string escape for interpolated names — a column name with a quote
+    * or backslash (legal in Spark) must not corrupt the schema JSON. */
   private def jsonEsc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -86,19 +126,152 @@ object IcebergExport {
       s"iceberg export: unsupported type ${other.simpleString}")
   }
 
-  /** (schema json with schema-id, last column/element id assigned). */
-  private def icebergSchema(schema: StructType): (String, Int) = {
+  /** (schema json with schema-id, last column/element id, top-level
+    * name → field id). */
+  private def icebergSchema(schema: StructType): (String, Int, Map[String, Int]) = {
     var last = 0
     val nextId = () => { last += 1; last }
-    val body = icebergType(schema, nextId)
-    (body.replaceFirst("""\{"type":"struct"""",
-      """{"type":"struct","schema-id":0"""), last)
+    // top-level ids are assigned first within each field's visit, in order
+    val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val fs = schema.fields.map { f =>
+      val id = nextId()
+      top(f.name) = id
+      s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
+    }
+    val body =
+      s"""{"type":"struct","schema-id":0,"fields":[${fs.mkString(",")}]}"""
+    (body, last, top.toMap)
+  }
+
+  /** Spark type from an Iceberg schema-JSON type node (the reader side). */
+  private def sparkType(t: JValue): DataType = t match {
+    case JString("boolean") => BooleanType
+    case JString("int") => IntegerType
+    case JString("long") => LongType
+    case JString("float") => FloatType
+    case JString("double") => DoubleType
+    case JString("string") => StringType
+    case JString("binary") => BinaryType
+    case JString("date") => DateType
+    case JString("timestamptz") | JString("timestamp") => TimestampType
+    case JString(s) if s.startsWith("decimal(") =>
+      val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+        .split(",").map(_.trim.toInt)
+      DecimalType(p, sc)
+    case o: JObject => (o \ "type") match {
+      case JString("list") =>
+        ArrayType(sparkType(o \ "element"),
+          containsNull = (o \ "element-required") != JBool(true))
+      case JString("struct") =>
+        StructType((o \ "fields").children.map { f =>
+          implicit val fmts: Formats = DefaultFormats
+          StructField((f \ "name").extract[String], sparkType(f \ "type"),
+            nullable = (f \ "required") != JBool(true))
+        })
+      case other => throw new IllegalArgumentException(
+        s"iceberg read: unsupported nested type $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"iceberg read: unsupported type $other")
+  }
+
+  private def sparkSchema(schemaAst: JValue): StructType =
+    sparkType(schemaAst).asInstanceOf[StructType]
+
+  // ── single-value binary serialization (spec §"Binary single-value
+  //    serialization" — bounds map values) ─────────────────────────────────
+
+  private def le(n: Int): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** Bound bytes for one canonical stat string (the store's commit-time
+    * footer-stat form: longs for ints/dates, micros for timestamps, raw
+    * strings) under the column's Spark type; None = type not serialized
+    * (omission only disables pruning for the column). */
+  private def boundBytes(dt: DataType, canonical: String): Option[Array[Byte]] =
+    try dt match {
+      case IntegerType | ShortType | ByteType =>
+        Some(le(4).putInt(canonical.toLong.toInt).array())
+      case DateType => Some(le(4).putInt(canonical.toLong.toInt).array())
+      case LongType => Some(le(8).putLong(canonical.toLong).array())
+      case _: TimestampType => Some(le(8).putLong(canonical.toLong).array())
+      case FloatType => Some(le(4).putFloat(canonical.toFloat).array())
+      case DoubleType => Some(le(8).putDouble(canonical.toDouble).array())
+      case BooleanType =>
+        Some(Array[Byte](if (canonical.toBoolean) 1 else 0))
+      case StringType => Some(canonical.getBytes("UTF-8"))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode bound bytes back to a comparison-domain value: Long for the
+    * integral family (ints, dates→days, timestamps→micros), Double for
+    * floats, String, Boolean. The exact inverse of [[boundBytes]]. */
+  private def boundValue(dt: DataType, bytes: Array[Byte]): Option[Any] =
+    try dt match {
+      case IntegerType | ShortType | ByteType | DateType =>
+        Some(le(4).put(bytes).flip().asInstanceOf[java.nio.ByteBuffer].getInt.toLong)
+      case LongType | _: TimestampType =>
+        Some(le(8).put(bytes).flip().asInstanceOf[java.nio.ByteBuffer].getLong)
+      case FloatType =>
+        Some(le(4).put(bytes).flip().asInstanceOf[java.nio.ByteBuffer].getFloat.toDouble)
+      case DoubleType =>
+        Some(le(8).put(bytes).flip().asInstanceOf[java.nio.ByteBuffer].getDouble)
+      case BooleanType => Some(bytes.headOption.contains(1: Byte))
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A predicate literal normalized to the same comparison domain. */
+  private def domainOf(v: Any): Option[Any] = v match {
+    case n: Int => Some(n.toLong)
+    case n: Long => Some(n)
+    case n: Short => Some(n.toLong)
+    case n: Byte => Some(n.toLong)
+    case n: Float => Some(n.toDouble)
+    case n: Double => Some(n)
+    case s: String => Some(s)
+    case b: Boolean => Some(b)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case _ => None
+  }
+
+  /** Ordering within one comparison domain; integral vs floating compares
+    * as double (adequate for pruning — any uncertainty keeps the file). */
+  private def domainCompare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: String, y: String) =>
+      val bx = x.getBytes("UTF-8"); val by = y.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(bx.length, by.length)
+      while (i < n) {
+        val c = (bx(i) & 0xff) - (by(i) & 0xff)
+        if (c != 0) return Some(c)
+        i += 1
+      }
+      Some(bx.length - by.length)
+    case _ => None
   }
 
   // ── the spec's Avro record layouts (field-id properties included) ──────
 
-  private val ManifestEntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+  /** manifest_entry schema; the r102 partition record's fields are the
+    * table's identity partition columns (name, avro type json, field-id
+    * 1000+i), empty for unpartitioned tables. */
+  private def manifestEntrySchema(partFields: Seq[(String, String, Int)]): Schema = {
+    val pf = partFields.map { case (n, avro, fid) =>
+      s"""{"name":"$n","type":["null",$avro],"default":null,"field-id":$fid}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int","field-id":0},
       {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -107,10 +280,18 @@ object IcebergExport {
         {"name":"content","type":"int","field-id":134},
         {"name":"file_path","type":"string","field-id":100},
         {"name":"file_format","type":"string","field-id":101},
-        {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+        {"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]},"field-id":102},
         {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+        {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
+          {"name":"key","type":"int","field-id":126},
+          {"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+        {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[
+          {"name":"key","type":"int","field-id":129},
+          {"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
       ]},"field-id":2}]}""")
+  }
 
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -127,6 +308,19 @@ object IcebergExport {
       {"name":"added_rows_count","type":"long","field-id":512},
       {"name":"existing_rows_count","type":"long","field-id":513},
       {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
+
+  /** Avro type (json fragment) for an identity partition column. */
+  private def partAvroType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case BooleanType => "\"boolean\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalArgumentException(
+      s"iceberg export: unsupported partition column type ${other.simpleString}")
+  }
 
   private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
       meta: Map[String, String], rows: Seq[GenericData.Record]): Long = {
@@ -156,135 +350,380 @@ object IcebergExport {
     } finally r.close()
   }
 
-  // ── export ──────────────────────────────────────────────────────────────
+  // ── table state (read side of the metadata chain) ───────────────────────
 
-  /** Write `df` as an Iceberg v2 table at `destDir` (fresh table, one
-    * snapshot). Deterministic layout except timestamps and the snapshot id. */
-  def export(df: DataFrame, destDir: String): Export = {
+  /** The current chain state of an exported table, parsed from
+    * version-hint → vN.metadata.json. */
+  private final case class TableState(
+      version: Int, meta: JValue, location: String,
+      schemaAst: JValue, fields: StructType, fieldIds: Map[String, Int],
+      specFields: Seq[(String, Int)], // (column name, partition field-id)
+      lastSeq: Long, currentSnapshotId: Long, snapshots: Seq[JValue])
+
+  private def readStr(spark: SparkSession, p: Path): String = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def hintPath(dir: String) = new Path(s"$dir/metadata/version-hint.text")
+
+  private def tableExists(spark: SparkSession, dir: String): Boolean = {
+    val p = hintPath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def readState(spark: SparkSession, dir: String): TableState = {
+    implicit val fmts: Formats = DefaultFormats
+    val v = readStr(spark, hintPath(dir)).trim.toInt
+    val meta = JsonMethods.parse(
+      readStr(spark, new Path(s"$dir/metadata/v$v.metadata.json")))
+    val schemaId = (meta \ "current-schema-id").extract[Int]
+    val schemaAst = (meta \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] == schemaId).getOrElse(
+      throw new IllegalStateException(s"schema $schemaId not in metadata"))
+    val fieldIds = (schemaAst \ "fields").children.map { f =>
+      (f \ "name").extract[String] -> (f \ "id").extract[Int]
+    }.toMap
+    val specId = (meta \ "default-spec-id").extract[Int]
+    val spec = (meta \ "partition-specs").children.find(s =>
+      (s \ "spec-id").extract[Int] == specId)
+      .map(s => (s \ "fields").children.map { f =>
+        ((f \ "name").extract[String], (f \ "field-id").extract[Int])
+      }).getOrElse(Nil)
+    TableState(v, meta, (meta \ "location").extract[String], schemaAst,
+      sparkSchema(schemaAst), fieldIds, spec,
+      (meta \ "last-sequence-number").extract[Long],
+      (meta \ "current-snapshot-id").extract[Long],
+      (meta \ "snapshots").children)
+  }
+
+  // ── export (create or append a snapshot to the chain) ───────────────────
+
+  /** Write `df` as a snapshot of the Iceberg v2 table at `destDir`. First
+    * call creates the table (v1.metadata.json, sequence 1); later calls
+    * APPEND a snapshot to the same metadata chain — `df` is the delta, the
+    * schema and `partitionBy` must match the table's, previous manifests
+    * carry forward, and `parent-snapshot-id`/`snapshot-log`/`metadata-log`
+    * record the lineage. External readers (and [[readTable]]) time-travel
+    * by snapshot id. */
+  def export(df: DataFrame, destDir: String,
+      partitionBy: Seq[String] = Nil): Export = {
     val spark = df.sparkSession
+    partitionBy.foreach { c =>
+      require(df.columns.contains(c), s"partition column $c not in schema")
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column $c must be avro-name-safe")
+    }
+    val prev = if (tableExists(spark, destDir)) Some(readState(spark, destDir)) else None
+    val (schemaJson, lastColumnId, fieldIds) = icebergSchema(df.schema)
+    prev.foreach { st =>
+      require(JsonMethods.compact(JsonMethods.render(st.schemaAst)) ==
+        JsonMethods.compact(JsonMethods.render(JsonMethods.parse(schemaJson))),
+        s"incremental export schema mismatch at $destDir — evolve is not " +
+          "supported by the exporter; export to a fresh dir")
+      require(st.specFields.map(_._1) == partitionBy,
+        s"incremental export partitioning mismatch at $destDir: table has " +
+          s"${st.specFields.map(_._1)}, caller passed $partitionBy")
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     val dest = new Path(destDir)
     val fs = dest.getFileSystem(hconf)
-    val location = fs.makeQualified(dest).toString
+    val location = prev.map(_.location).getOrElse(fs.makeQualified(dest).toString)
 
-    // 1. the data files (a materializing copy of the resolved snapshot)
-    df.write.mode("overwrite").parquet(s"$destDir/data")
-    val dataDir = new Path(s"$destDir/data")
-    val files = {
-      val it = fs.listFiles(dataDir, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += ((fs.makeQualified(st.getPath).toString, st.getLen))
-      }
-      buf.toSeq.sortBy(_._1)
-    }
-    val counts = files.map { case (p, _) =>
-      SnapshotTable.footerRecordCount(new Path(p), hconf)
-    }
-    val rowsTotal = counts.sum
+    // which files already belong to the chain (all manifests, all contents)
+    val known: Set[String] = prev.map { st =>
+      manifestsOf(spark, st, st.currentSnapshotId)
+        .flatMap { case (mPath, _) => readAvro(spark, new Path(mPath)).map(e =>
+          e.get("data_file").asInstanceOf[GenericData.Record]
+            .get("file_path").toString)
+        }.toSet
+    }.getOrElse(Set.empty)
 
+    // 1. the data files (append keeps previous snapshots' files untouched)
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$destDir/data")
+    val files = listDataFiles(spark, destDir)
+      .filterNot { case (p, _) => known.contains(p) }
+
+    // 2. per-file footer stats: record counts + typed column bounds
+    val typeByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val stats = files.map { case (p, len) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), hconf))
+      try {
+        val cols = SnapshotTable.footerColumnStats(reader.getFooter)
+        val lower = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+        val upper = scala.collection.mutable.LinkedHashMap.empty[Int, Array[Byte]]
+        cols.foreach { case (name, (mn, mx)) =>
+          for (fid <- fieldIds.get(name); dt <- typeByName.get(name);
+               lo <- boundBytes(dt, mn); hi <- boundBytes(dt, mx)) {
+            lower(fid) = lo; upper(fid) = hi
+          }
+        }
+        (p, len, reader.getRecordCount, lower.toMap, upper.toMap,
+          partitionValuesOf(p, destDir, partitionBy, typeByName))
+      } finally reader.close()
+    }
+    val rowsTotal = stats.map(_._3).sum
+    val seq = prev.map(_.lastSeq + 1).getOrElse(1L)
     val snapshotId = math.abs(java.util.UUID
-      .nameUUIDFromBytes(location.getBytes("UTF-8"))
+      .nameUUIDFromBytes(s"$location#snap$seq".getBytes("UTF-8"))
       .getMostSignificantBits)
-    val nowMs = System.currentTimeMillis()
-    val (schemaJson, lastColumnId) = icebergSchema(df.schema)
 
-    // 2. the manifest (spec §"Manifests": one ADDED entry per data file)
-    val dataFileSchema = ManifestEntrySchema.getField("data_file").schema()
-    val partitionSchema = dataFileSchema.getField("partition").schema()
-    val entries = files.zip(counts).map { case ((p, len), n) =>
-      val dfRec = new GenericData.Record(dataFileSchema)
-      dfRec.put("content", 0) // DATA
-      dfRec.put("file_path", p)
-      dfRec.put("file_format", "PARQUET")
-      dfRec.put("partition", new GenericData.Record(partitionSchema))
-      dfRec.put("record_count", n)
-      dfRec.put("file_size_in_bytes", len)
-      val e = new GenericData.Record(ManifestEntrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", 1L)
-      e.put("file_sequence_number", 1L)
-      e.put("data_file", dfRec)
-      e
+    // 3. the new manifest (one ADDED entry per new data file, with bounds
+    //    and the partition tuple)
+    val partFields = partitionBy.zipWithIndex.map { case (c, i) =>
+      (c, partAvroType(typeByName(c)), 1000 + i)
     }
-    val manifestName = java.util.UUID
-      .nameUUIDFromBytes(s"$location#m0".getBytes("UTF-8")).toString + "-m0.avro"
-    val manifestPath = new Path(s"$destDir/metadata/$manifestName")
-    val manifestLen = writeAvro(spark, manifestPath, ManifestEntrySchema,
-      Map("schema" -> schemaJson,
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
-        "format-version" -> "2", "content" -> "data"),
-      entries)
-
-    // 3. the manifest list (spec §"Snapshots")
-    val mf = new GenericData.Record(ManifestFileSchema)
-    mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
-    mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
-    mf.put("content", 0) // data
-    mf.put("sequence_number", 1L)
-    mf.put("min_sequence_number", 1L)
-    mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_files_count", files.size)
-    mf.put("existing_files_count", 0)
-    mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", rowsTotal)
-    mf.put("existing_rows_count", 0L)
-    mf.put("deleted_rows_count", 0L)
-    val listName = s"snap-$snapshotId-1-" + java.util.UUID
-      .nameUUIDFromBytes(s"$location#list".getBytes("UTF-8")).toString + ".avro"
-    val listPath = new Path(s"$destDir/metadata/$listName")
-    writeAvro(spark, listPath, ManifestFileSchema,
-      Map("snapshot-id" -> snapshotId.toString,
-        "sequence-number" -> "1", "format-version" -> "2"),
-      Seq(mf))
-
-    // 4. table metadata + the HadoopCatalog version hint
-    val metadataJson =
-      s"""{
-  "format-version": 2,
-  "table-uuid": "${java.util.UUID.nameUUIDFromBytes(location.getBytes("UTF-8"))}",
-  "location": "${jsonEsc(location)}",
-  "last-sequence-number": 1,
-  "last-updated-ms": $nowMs,
-  "last-column-id": $lastColumnId,
-  "current-schema-id": 0,
-  "schemas": [$schemaJson],
-  "default-spec-id": 0,
-  "partition-specs": [{"spec-id": 0, "fields": []}],
-  "last-partition-id": 999,
-  "default-sort-order-id": 0,
-  "sort-orders": [{"order-id": 0, "fields": []}],
-  "properties": {"write.format.default": "parquet"},
-  "current-snapshot-id": $snapshotId,
-  "snapshots": [{
-    "snapshot-id": $snapshotId,
-    "sequence-number": 1,
-    "timestamp-ms": $nowMs,
-    "summary": {"operation": "append",
-      "added-data-files": "${files.size}",
-      "added-records": "$rowsTotal",
-      "total-records": "$rowsTotal",
-      "total-data-files": "${files.size}"},
-    "manifest-list": "${jsonEsc(fs.makeQualified(listPath).toString)}",
-    "schema-id": 0
-  }],
-  "snapshot-log": [{"timestamp-ms": $nowMs, "snapshot-id": $snapshotId}],
-  "metadata-log": []
-}
-"""
-    writeString(fs, new Path(s"$destDir/metadata/v1.metadata.json"), metadataJson)
-    writeString(fs, new Path(s"$destDir/metadata/version-hint.text"), "1")
-    Export(snapshotId, files.map(_._1), rowsTotal)
+    val entrySchema = manifestEntrySchema(partFields)
+    val entries = stats.map { case (p, len, n, lower, upper, partVals) =>
+      dataFileEntry(entrySchema, status = 1, snapshotId, seq, content = 0,
+        p, n, len, partVals, lower, upper, equalityIds = Nil)
+    }
+    val specFieldsJson = partitionBy.zipWithIndex.map { case (c, i) =>
+      JObject("name" -> JString(c), "transform" -> JString("identity"),
+        "source-id" -> JInt(fieldIds(c)), "field-id" -> JInt(1000 + i))
+    }
+    writeSnapshot(spark, destDir, prev, location, schemaJson, lastColumnId,
+      seq, snapshotId, entrySchema, entries, manifestContent = 0,
+      addedRows = rowsTotal, operation = "append",
+      specFields = JArray(specFieldsJson.toList),
+      partitionSummary = Map(
+        "added-data-files" -> files.size.toString,
+        "added-records" -> rowsTotal.toString))
+    Export(snapshotId, stats.map(_._1), rowsTotal)
   }
 
   /** Export a [[SnapshotTable]]'s current resolved content. */
   def exportStore(spark: SparkSession, storeRoot: String, destDir: String): Export =
     export(new SnapshotTable(spark, storeRoot).read(), destDir)
+
+  // ── delete-file writers (the foreign-engine mutation shapes) ────────────
+
+  /** Append a POSITION-DELETE snapshot (spec content=1): `deletes` must
+    * have columns `(file_path string, pos long)` naming exact row positions
+    * in exact data files. Applies (on read) to data files whose data
+    * sequence number ≤ this snapshot's. */
+  def appendPositionDeletes(spark: SparkSession, destDir: String,
+      deletes: DataFrame): Long =
+    appendDeleteSnapshot(spark, destDir,
+      deletes.select(col("file_path").cast("string"), col("pos").cast("long")),
+      content = 1, equalityCols = Nil)
+
+  /** Append an EQUALITY-DELETE snapshot (spec content=2): every table row
+    * whose `equalityCols` tuple matches a row of `keys` is deleted from
+    * data files STRICTLY OLDER (by sequence number) than this snapshot —
+    * the v2 merge-on-read form a foreign engine writes for keyed deletes. */
+  def appendEqualityDeletes(spark: SparkSession, destDir: String,
+      keys: DataFrame, equalityCols: Seq[String]): Long = {
+    require(equalityCols.nonEmpty, "appendEqualityDeletes needs key columns")
+    appendDeleteSnapshot(spark, destDir,
+      keys.select(equalityCols.map(col): _*), content = 2,
+      equalityCols = equalityCols)
+  }
+
+  private def appendDeleteSnapshot(spark: SparkSession, destDir: String,
+      rows: DataFrame, content: Int, equalityCols: Seq[String]): Long = {
+    val st = readState(spark, destDir)
+    equalityCols.foreach(c => require(st.fieldIds.contains(c),
+      s"equality column $c not in the table schema"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sub = java.util.UUID.nameUUIDFromBytes(
+      s"${st.location}#del${st.lastSeq + 1}".getBytes("UTF-8")).toString
+    val delDir = s"$destDir/data/deletes-$sub"
+    rows.write.mode("overwrite").parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(hconf)
+    val files = {
+      val it = fs.listFiles(new Path(delDir), false)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+          buf += ((fs.makeQualified(s.getPath).toString, s.getLen))
+      }
+      buf.toSeq.sortBy(_._1)
+    }
+    val seq = st.lastSeq + 1
+    val snapshotId = math.abs(java.util.UUID
+      .nameUUIDFromBytes(s"${st.location}#snap$seq".getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val entrySchema = manifestEntrySchema(Nil)
+    val eqIds = equalityCols.map(st.fieldIds)
+    val entries = files.map { case (p, len) =>
+      val n = SnapshotTable.footerRecordCount(new Path(p), hconf)
+      dataFileEntry(entrySchema, status = 1, snapshotId, seq, content,
+        p, n, len, Map.empty, Map.empty, Map.empty, eqIds)
+    }
+    val deletedRows = files.map { case (p, _) =>
+      SnapshotTable.footerRecordCount(new Path(p), hconf) }.sum
+    val (schemaJson, lastColumnId, _) = icebergSchema(st.fields)
+    writeSnapshot(spark, destDir, Some(st), st.location, schemaJson,
+      lastColumnId, seq, snapshotId, entrySchema, entries,
+      manifestContent = 1, addedRows = 0L, operation = "delete",
+      specFields = (st.meta \ "partition-specs").children.headOption
+        .map(s => s \ "fields").getOrElse(JArray(Nil)),
+      partitionSummary = Map(
+        "added-delete-files" -> files.size.toString,
+        "added-position-deletes" -> (if (content == 1) deletedRows.toString else "0"),
+        "added-equality-deletes" -> (if (content == 2) deletedRows.toString else "0")))
+    snapshotId
+  }
+
+  // ── shared snapshot-commit tail ──────────────────────────────────────────
+
+  private def dataFileEntry(entrySchema: Schema, status: Int, snapshotId: Long,
+      seq: Long, content: Int, path: String, records: Long, bytes: Long,
+      partVals: Map[String, Any], lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]], equalityIds: Seq[Int]): GenericData.Record = {
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partitionSchema = dataFileSchema.getField("partition").schema()
+    val part = new GenericData.Record(partitionSchema)
+    partVals.foreach { case (k, v) => part.put(k, v) }
+    def boundsArr(m: Map[Int, Array[Byte]], sub: String) = {
+      val sch = dataFileSchema.getField(sub).schema().getTypes.get(1)
+      val arr = new GenericData.Array[GenericData.Record](m.size, sch)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(sch.getElementType)
+        r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v))
+        arr.add(r)
+      }
+      arr
+    }
+    val d = new GenericData.Record(dataFileSchema)
+    d.put("content", content)
+    d.put("file_path", path)
+    d.put("file_format", "PARQUET")
+    d.put("partition", part)
+    d.put("record_count", records)
+    d.put("file_size_in_bytes", bytes)
+    if (equalityIds.nonEmpty) {
+      val sch = dataFileSchema.getField("equality_ids").schema().getTypes.get(1)
+      val arr = new GenericData.Array[Integer](equalityIds.size, sch)
+      equalityIds.foreach(i => arr.add(Int.box(i)))
+      d.put("equality_ids", arr)
+    }
+    if (lower.nonEmpty) d.put("lower_bounds", boundsArr(lower, "lower_bounds"))
+    if (upper.nonEmpty) d.put("upper_bounds", boundsArr(upper, "upper_bounds"))
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", snapshotId)
+    e.put("sequence_number", seq)
+    e.put("file_sequence_number", seq)
+    e.put("data_file", d)
+    e
+  }
+
+  /** Write one snapshot's manifest + manifest list (carrying the previous
+    * snapshot's manifests forward — the fast-append shape) + the next
+    * vN.metadata.json + version hint. */
+  private def writeSnapshot(spark: SparkSession, destDir: String,
+      prev: Option[TableState], location: String, schemaJson: String,
+      lastColumnId: Int, seq: Long, snapshotId: Long, entrySchema: Schema,
+      entries: Seq[GenericData.Record], manifestContent: Int, addedRows: Long,
+      operation: String, specFields: JValue,
+      partitionSummary: Map[String, String]): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(destDir).getFileSystem(hconf)
+    val nowMs = System.currentTimeMillis()
+    val mIdx = prev.map(_.lastSeq).getOrElse(0L)
+
+    val manifestName = java.util.UUID
+      .nameUUIDFromBytes(s"$location#m$seq".getBytes("UTF-8")).toString + s"-m$mIdx.avro"
+    val manifestPath = new Path(s"$destDir/metadata/$manifestName")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema,
+      Map("schema" -> schemaJson,
+        "partition-spec" -> JsonMethods.compact(JsonMethods.render(specFields)),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2",
+        "content" -> (if (manifestContent == 0) "data" else "deletes")),
+      entries)
+
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", manifestContent)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_files_count", entries.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count",
+      entries.map(_.get("data_file").asInstanceOf[GenericData.Record]
+        .get("record_count").asInstanceOf[Long]).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+
+    // previous snapshot's manifests carry forward (same schema constant)
+    val carried = prev.map { st =>
+      val listPath = manifestListPathOf(st, st.currentSnapshotId)
+      readAvro(spark, new Path(listPath))
+    }.getOrElse(Nil)
+    val listName = s"snap-$snapshotId-1-" + java.util.UUID
+      .nameUUIDFromBytes(s"$location#list$seq".getBytes("UTF-8")).toString + ".avro"
+    val listPath = new Path(s"$destDir/metadata/$listName")
+    writeAvro(spark, listPath, ManifestFileSchema,
+      Map("snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> seq.toString, "format-version" -> "2"),
+      carried :+ mf)
+
+    // table metadata vN+1 (json4s AST — names/locations escape correctly)
+    val parent = prev.map(_.currentSnapshotId)
+    val summary = JObject(
+      ("operation" -> JString(operation)) +:
+        partitionSummary.toList.map { case (k, v) => k -> (JString(v): JValue) }: _*)
+    val newSnap = JObject(List[(String, JValue)](
+      "snapshot-id" -> JInt(snapshotId)) ++
+      parent.map(p => "parent-snapshot-id" -> (JInt(p): JValue)).toList ++
+      List[(String, JValue)](
+        "sequence-number" -> JInt(seq),
+        "timestamp-ms" -> JInt(nowMs),
+        "summary" -> summary,
+        "manifest-list" -> JString(fs.makeQualified(listPath).toString),
+        "schema-id" -> JInt(0)): _*)
+    val prevSnapshots = prev.map(_.snapshots).getOrElse(Nil)
+    val prevLog = prev.map(st => (st.meta \ "snapshot-log").children).getOrElse(Nil)
+    val prevMetaLog = prev.map(st => (st.meta \ "metadata-log").children).getOrElse(Nil)
+    val newMetaLog = prev.map { st =>
+      prevMetaLog :+ (JObject(
+        "timestamp-ms" -> JInt((st.meta \ "last-updated-ms").extract[Long]),
+        "metadata-file" -> JString(fs.makeQualified(new Path(
+          s"$destDir/metadata/v${st.version}.metadata.json")).toString)): JValue)
+    }.getOrElse(Nil)
+    val metaAst = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(java.util.UUID
+        .nameUUIDFromBytes(location.getBytes("UTF-8")).toString),
+      "location" -> JString(location),
+      "last-sequence-number" -> JInt(seq),
+      "last-updated-ms" -> JInt(nowMs),
+      "last-column-id" -> JInt(lastColumnId),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(JsonMethods.parse(schemaJson))),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0), "fields" -> specFields))),
+      "last-partition-id" -> JInt(999 + specFields.children.size),
+      "default-sort-order-id" -> JInt(0),
+      "sort-orders" -> JArray(List(JObject(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "properties" -> JObject("write.format.default" -> JString("parquet")),
+      "current-snapshot-id" -> JInt(snapshotId),
+      "snapshots" -> JArray((prevSnapshots :+ (newSnap: JValue)).toList),
+      "snapshot-log" -> JArray((prevLog :+ (JObject(
+        "timestamp-ms" -> JInt(nowMs),
+        "snapshot-id" -> JInt(snapshotId)): JValue)).toList),
+      "metadata-log" -> JArray(newMetaLog.toList))
+    val v = prev.map(_.version + 1).getOrElse(1)
+    writeString(fs, new Path(s"$destDir/metadata/v$v.metadata.json"),
+      JsonMethods.pretty(JsonMethods.render(metaAst)) + "\n")
+    writeString(fs, hintPath(destDir), v.toString)
+  }
 
   private def writeString(fs: org.apache.hadoop.fs.FileSystem, p: Path,
       s: String): Unit = {
@@ -292,43 +731,294 @@ object IcebergExport {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  // ── the independent read path (metadata chain only) ────────────────────
+  // ── data-dir listing + hive partition values ────────────────────────────
 
-  /** The data files the current snapshot plans, resolved ONLY through the
-    * Iceberg metadata chain: version-hint → vN.metadata.json →
-    * current-snapshot-id → manifest-list avro → manifest avro entries
-    * (live statuses). Returns (path, record_count) per file. */
-  def plannedFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    implicit val fmts: Formats = DefaultFormats
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dir).getFileSystem(hconf)
-    def readStr(p: Path): String = {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  /** (qualified path, length) of every data-dir file, partition dirs
+    * included, metadata/hidden names excluded. */
+  private def listDataFiles(spark: SparkSession, destDir: String): Seq[(String, Long)] = {
+    val dataDir = new Path(s"$destDir/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataDir)) return Nil
+    val it = fs.listFiles(dataDir, true)
+    val base = fs.makeQualified(dataDir).toUri.getPath.stripSuffix("/") + "/"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(base)
+        if (rel.split('/').forall(s => !s.startsWith("_") && !s.startsWith(".")) &&
+          !rel.startsWith("deletes-"))
+          buf += ((fs.makeQualified(st.getPath).toString, st.getLen))
+      }
     }
-    val v = readStr(new Path(s"$dir/metadata/version-hint.text")).trim.toInt
-    val meta = JsonMethods.parse(readStr(new Path(s"$dir/metadata/v$v.metadata.json")))
-    val snapId = (meta \ "current-snapshot-id").extract[Long]
-    val snap = (meta \ "snapshots").children.find(s =>
-      (s \ "snapshot-id").extract[Long] == snapId).getOrElse(
-      throw new IllegalStateException(s"current snapshot $snapId not in metadata"))
-    val listPath = (snap \ "manifest-list").extract[String]
-    val manifests = readAvro(spark, new Path(listPath))
-      .map(_.get("manifest_path").toString)
-    manifests.flatMap { m =>
+    buf.toSeq.sortBy(_._1)
+  }
+
+  /** Spark's hive-dir escaping, minimally inverted (%xx sequences). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The identity partition tuple of one data file, parsed from its hive
+    * path segments and typed for the Avro partition record. */
+  private def partitionValuesOf(path: String, destDir: String,
+      partitionBy: Seq[String], types: Map[String, DataType]): Map[String, Any] =
+    if (partitionBy.isEmpty) Map.empty
+    else {
+      val segs = path.split('/').filter(_.contains('='))
+        .map { s =>
+          val i = s.indexOf('=')
+          (s.substring(0, i), unescapePathName(s.substring(i + 1)))
+        }.toMap
+      partitionBy.flatMap { c =>
+        segs.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__").map { raw =>
+          val v: Any = types(c) match {
+            case IntegerType | ShortType | ByteType => raw.toInt
+            case LongType => raw.toLong
+            case StringType => raw
+            case BooleanType => raw.toBoolean
+            case FloatType => raw.toFloat
+            case DoubleType => raw.toDouble
+            case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition value type $other")
+          }
+          c -> v
+        }
+      }.toMap
+    }
+
+  // ── the independent read path (metadata chain only) ─────────────────────
+
+  /** One planned file, resolved purely through the metadata chain. */
+  private final case class PlannedFile(path: String, records: Long,
+      content: Int, seq: Long, partition: Map[String, Any],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      equalityIds: Seq[Int])
+
+  private def manifestListPathOf(st: TableState, snapshotId: Long): String = {
+    implicit val fmts: Formats = DefaultFormats
+    val snap = st.snapshots.find(s =>
+      (s \ "snapshot-id").extract[Long] == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in the metadata chain"))
+    (snap \ "manifest-list").extract[String]
+  }
+
+  /** (manifest path, manifest content) entries of one snapshot's list. */
+  private def manifestsOf(spark: SparkSession, st: TableState,
+      snapshotId: Long): Seq[(String, Int)] =
+    readAvro(spark, new Path(manifestListPathOf(st, snapshotId)))
+      .map(r => (r.get("manifest_path").toString,
+        r.get("content").asInstanceOf[Int]))
+
+  private def plannedOf(spark: SparkSession, st: TableState,
+      snapshotId: Long): Seq[PlannedFile] =
+    manifestsOf(spark, st, snapshotId).flatMap { case (m, _) =>
       readAvro(spark, new Path(m))
         .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
         .map { e =>
           val d = e.get("data_file").asInstanceOf[GenericData.Record]
-          (d.get("file_path").toString,
-            d.get("record_count").asInstanceOf[Long])
+          def bounds(field: String): Map[Int, Array[Byte]] =
+            Option(d.get(field)).map { arr =>
+              import scala.jdk.CollectionConverters._
+              arr.asInstanceOf[java.util.List[_]].asScala.map { kv =>
+                val r = kv.asInstanceOf[org.apache.avro.generic.GenericRecord]
+                val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+                val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+                r.get("key").asInstanceOf[Int] -> b
+              }.toMap
+            }.getOrElse(Map.empty)
+          val partition = Option(d.get("partition"))
+            .map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
+            .map { p =>
+              import scala.jdk.CollectionConverters._
+              p.getSchema.getFields.asScala.flatMap { f =>
+                Option(p.get(f.name())).map {
+                  case u: org.apache.avro.util.Utf8 => f.name() -> (u.toString: Any)
+                  case v => f.name() -> (v: Any)
+                }
+              }.toMap
+            }.getOrElse(Map.empty[String, Any])
+          val eqIds = Option(d.get("equality_ids")).map { arr =>
+            import scala.jdk.CollectionConverters._
+            arr.asInstanceOf[java.util.List[_]].asScala
+              .map(_.asInstanceOf[Int]).toSeq
+          }.getOrElse(Nil)
+          PlannedFile(d.get("file_path").toString,
+            d.get("record_count").asInstanceOf[Long],
+            d.get("content").asInstanceOf[Int],
+            Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+            partition, bounds("lower_bounds"), bounds("upper_bounds"), eqIds)
         }
     }
+
+  /** Inclusive metrics/partition evaluation: may this file contain a
+    * matching row? Any uncertainty keeps the file. */
+  private def mayMatch(f: PlannedFile, preds: Seq[Predicate],
+      fieldIds: Map[String, Int], types: Map[String, DataType]): Boolean =
+    preds.forall { p =>
+      val pv = domainOf(p.value)
+      if (pv.isEmpty) true
+      else {
+        // partition tuple: identity value known exactly
+        val byPartition = f.partition.get(p.column).flatMap(domainOf).map { v =>
+          domainCompare(v, pv.get) match {
+            case Some(c) => p.op match {
+              case "=" => c == 0
+              case "<" => c < 0
+              case "<=" => c <= 0
+              case ">" => c > 0
+              case ">=" => c >= 0
+            }
+            case None => true
+          }
+        }
+        byPartition.getOrElse {
+          // column bounds: inclusive range check
+          (for {
+            fid <- fieldIds.get(p.column)
+            dt <- types.get(p.column)
+            loB <- f.lower.get(fid); hiB <- f.upper.get(fid)
+            lo <- boundValue(dt, loB); hi <- boundValue(dt, hiB)
+            cLo <- domainCompare(lo, pv.get); cHi <- domainCompare(hi, pv.get)
+          } yield p.op match {
+            case "=" => cLo <= 0 && cHi >= 0
+            case "<" => cLo < 0
+            case "<=" => cLo <= 0
+            case ">" => cHi > 0
+            case ">=" => cHi >= 0
+          }).getOrElse(true)
+        }
+      }
+    }
+
+  /** The data files the chosen snapshot plans (content=0, live statuses),
+    * resolved ONLY through the Iceberg metadata chain. (path, record_count)
+    * per file — the q128 audit surface. */
+  def plannedFiles(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): Seq[(String, Long)] = {
+    val st = readState(spark, dir)
+    plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
+      .filter(_.content == 0).map(f => (f.path, f.records))
   }
 
-  /** Read an exported table back purely from its Iceberg metadata. */
-  def readTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(plannedFiles(spark, dir).map(_._1): _*)
+  /** Snapshot ids of the chain, oldest first (time-travel surface). */
+  def snapshotIds(spark: SparkSession, dir: String): Seq[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    readState(spark, dir).snapshots
+      .map(s => (s \ "snapshot-id").extract[Long])
+  }
+
+  /** Read an exported table back purely from its Iceberg metadata:
+    * version-hint → metadata.json → (chosen or current) snapshot →
+    * manifest list → manifests → data + delete files. Predicates prune on
+    * partition tuples and column bounds BEFORE the scan plans
+    * ([[lastPlanStats]] reports kept/total) and apply as residual filters;
+    * position and equality delete files apply with the spec's
+    * sequence-number rules. An empty snapshot returns an empty frame with
+    * the table's schema. */
+  def readTable(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None,
+      preds: Seq[Predicate] = Nil): DataFrame = {
+    val st = readState(spark, dir)
+    val planned = plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
+    val types = st.fields.fields.map(f => f.name -> f.dataType).toMap
+    val dataAll = planned.filter(_.content == 0)
+    val data = dataAll.filter(mayMatch(_, preds, st.fieldIds, types))
+    lastPlanStats = (data.size.toLong, dataAll.size.toLong)
+    val posDel = planned.filter(_.content == 1)
+    val eqDel = planned.filter(_.content == 2)
+
+    if (data.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.fields)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePath = fs.makeQualified(new Path(s"$dir/data")).toString
+    var df = spark.read.option("basePath", basePath)
+      .parquet(data.map(_.path): _*)
+
+    val needsDeletes = posDel.nonEmpty || eqDel.nonEmpty
+    if (needsDeletes) {
+      // per-row provenance for delete application: the owning file and the
+      // row's position in it (both from the parquet source's metadata)
+      df = df
+        .withColumn("__ice_file", col("_metadata.file_path"))
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+      // file → data sequence number (bounded by the planned file count)
+      val seqRows = data.map(f => (f.path, f.seq))
+      import spark.implicits._
+      val seqDf = seqRows.toDF("__ice_file2", "__ice_dseq")
+      df = df.join(broadcast(seqDf),
+        normPath(col("__ice_file")) === normPath(col("__ice_file2")), "left")
+        .drop("__ice_file2")
+
+      // position deletes: rows naming (file, pos); apply to data files with
+      // data seq ≤ delete seq (spec rule)
+      posDel.groupBy(_.seq).toSeq.sortBy(_._1).foreach { case (dseq, files) =>
+        val eligible = data.filter(_.seq <= dseq).map(_.path).toSet
+        if (eligible.nonEmpty) {
+          val dels = spark.read.parquet(files.map(_.path): _*)
+            .filter(normPath(col("file_path")).isin(
+              eligible.toSeq.map(p => normPathStr(p)): _*))
+          df = df.join(broadcast(dels),
+            normPath(df("__ice_file")) === normPath(dels("file_path")) &&
+              df("__ice_pos") === dels("pos"), "left_anti")
+        }
+      }
+
+      // equality deletes: key-tuple match against STRICTLY older data files
+      val idToName = st.fieldIds.map(_.swap)
+      eqDel.groupBy(f => (f.seq, f.equalityIds)).toSeq.sortBy(_._1._1)
+        .foreach { case ((dseq, ids), files) =>
+          val cols = ids.map(idToName)
+          val keys = spark.read.parquet(files.map(_.path): _*)
+            .select(cols.map(c => col(c).as(s"__del_$c")): _*)
+          val cond = cols.map(c => df(c) <=> keys(s"__del_$c"))
+            .reduce(_ && _) && (df("__ice_dseq") < dseq)
+          df = df.join(broadcast(keys), cond, "left_anti")
+        }
+      df = df.drop("__ice_file", "__ice_pos", "__ice_dseq")
+    }
+
+    // schema order + types: partition columns come back from hive dirs with
+    // inferred types — realign and cast to the Iceberg schema
+    val partCols = st.specFields.map(_._1).toSet
+    val out = df.select(st.fields.fields.map { f =>
+      if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+    preds.foldLeft(out)((d, p) => d.filter(residual(p)))
+  }
+
+  /** Scheme-insensitive path normalization for joining manifest paths
+    * against `_metadata.file_path` (Hadoop renders `file:/x`, Spark may
+    * render `file:///x`). */
+  private def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/{1,3}", "/")
+
+  private def normPathStr(s: String): String =
+    s.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/{1,3}", "/")
+
+  private def residual(p: Predicate): Column = {
+    val c = col(p.column)
+    val v = lit(p.value)
+    p.op match {
+      case "=" => c === v
+      case "<" => c < v
+      case "<=" => c <= v
+      case ">" => c > v
+      case ">=" => c >= v
+    }
+  }
 }

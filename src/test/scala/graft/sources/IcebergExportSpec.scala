@@ -62,16 +62,24 @@ class IcebergExportSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dest/metadata/version-hint.text")).trim === "1")
 
     // required v2 table-metadata fields (Iceberg spec §"Table Metadata")
-    val json = JFiles.readString(
-      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json"))
-    Seq("\"format-version\": 2", "table-uuid", "last-sequence-number",
-      "last-column-id", "schemas", "current-schema-id", "partition-specs",
-      "default-spec-id", "sort-orders", "default-sort-order-id",
-      "current-snapshot-id", "manifest-list", "snapshot-log")
-      .foreach(k => assert(json.contains(k), s"metadata.json missing $k"))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val json = JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")))
+    assert((json \ "format-version").extract[Int] === 2)
+    Seq("table-uuid", "last-sequence-number", "last-column-id", "schemas",
+      "current-schema-id", "partition-specs", "default-spec-id",
+      "sort-orders", "default-sort-order-id", "current-snapshot-id",
+      "snapshot-log")
+      .foreach(k => assert((json \ k) != JNothing, s"metadata.json missing $k"))
+    assert((json \ "snapshots").children.map(s => s \ "manifest-list")
+      .forall(_ != JNothing))
     // schema fields carry ids and required-ness
-    assert(json.contains("\"schema-id\":0"))
-    assert(json.contains("\"id\":1,\"name\":\"id\""))
+    val schema0 = (json \ "schemas").children.head
+    assert((schema0 \ "schema-id").extract[Int] === 0)
+    val f0 = (schema0 \ "fields").children.head
+    assert((f0 \ "id").extract[Int] === 1 && (f0 \ "name").extract[String] === "id")
 
     // the manifest avro carries the spec's file-level metadata keys
     val manifest = meta.listFiles().find(_.getName.endsWith("-m0.avro")).get
@@ -123,6 +131,173 @@ class IcebergExportSpec extends SparkSpec {
       "a java.nio path escaped the Hadoop FS seam")
   }
 
+  test("column bounds ride the manifests in single-value binary form and " +
+      "round-trip through readTable-side decoding into file pruning") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_bounds").toFile.getAbsolutePath
+    // 4 files with disjoint id ranges → bounds-only pruning is observable
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, s"s$i", i.toDouble / 2, java.sql.Date.valueOf("2024-01-01").toLocalDate.plusDays(i)))
+      .toDF("id", "v", "x", "d")
+      .withColumn("d", col("d").cast("date"))
+      .repartitionByRange(4, col("id"))
+    IcebergExport.export(df, dest)
+
+    // the manifest entries carry lower/upper bounds keyed by field id
+    val meta = new java.io.File(s"$dest/metadata")
+    val manifest = meta.listFiles().find(_.getName.endsWith("-m0.avro")).get
+    val rd = new org.apache.avro.file.DataFileReader(manifest,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericData.Record]())
+    try {
+      val d0 = rd.next().get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericData.Record]
+      val lower = d0.get("lower_bounds").asInstanceOf[java.util.List[_]]
+      assert(lower.size() >= 3, "bounds missing for id/x/d columns")
+      val first = lower.get(0).asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(first.get("key").asInstanceOf[Int] === 1) // id's field id
+      val bb = first.get("value").asInstanceOf[java.nio.ByteBuffer]
+      assert(bb.remaining() === 8, "long bound must be 8 bytes (spec LE)")
+    } finally rd.close()
+
+    // reader-side: a selective predicate prunes to the one file whose
+    // range can match, and the rows equal the unpruned filter
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", "=", 35L)))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(total === 4L && kept === 1L, s"bounds pruning: $kept/$total")
+    assert(got.select("id").as[Long].collect() === Array(35L))
+    // range op + string + date bounds also prune
+    IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", ">=", 30L))).count()
+    assert(IcebergExport.lastPlanStats._1 === 1L)
+    IcebergExport.readTable(spark, dest, preds = Seq(IcebergExport.Predicate(
+      "d", "<", java.sql.Date.valueOf("2024-01-05")))).count()
+    assert(IcebergExport.lastPlanStats._1 === 1L,
+      "date bounds should prune to the first range file")
+  }
+
+  test("partitioned export: real identity spec + per-file partition tuples, " +
+      "and predicates prune to the partition's files") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_part").toFile.getAbsolutePath
+    val df = Seq.tabulate(40)(i => (i.toLong, i % 4, s"r${i % 4}"))
+      .toDF("id", "k", "region")
+    IcebergExport.export(df, dest, partitionBy = Seq("region"))
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")))
+    val spec0 = (meta \ "partition-specs").children.head
+    val pf = (spec0 \ "fields").children.head
+    assert((pf \ "transform").extract[String] === "identity")
+    assert((pf \ "name").extract[String] === "region")
+    assert((pf \ "source-id").extract[Int] === 3)
+    assert((pf \ "field-id").extract[Int] === 1000)
+
+    // partition-tuple pruning + row equality incl. the re-attached column
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("region", "=", "r2")))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total, s"partition pruning should fire: $kept/$total")
+    assert(got.select("id").as[Long].collect().sorted
+      === (0 until 40).filter(_ % 4 == 2).map(_.toLong).toArray)
+    assert(got.columns.toSeq === Seq("id", "k", "region"))
+  }
+
+  test("incremental export: one metadata chain, snapshots append, " +
+      "version-hint advances, readTable time-travels by snapshot id") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_incr").toFile.getAbsolutePath
+    val e1 = IcebergExport.export(
+      Seq.tabulate(10)(i => (i.toLong, s"a$i")).toDF("id", "v"), dest)
+    val e2 = IcebergExport.export(
+      Seq.tabulate(5)(i => (100L + i, s"b$i")).toDF("id", "v"), dest)
+    assert(e1.snapshotId !== e2.snapshotId)
+    assert(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/version-hint.text")).trim === "2")
+    assert(JFiles.exists(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+
+    // chain linkage: 2 snapshots, the new one parented on the old, logs grow
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    assert((meta \ "snapshots").children.size === 2)
+    val snap2 = (meta \ "snapshots").children.last
+    assert((snap2 \ "parent-snapshot-id").extract[Long] === e1.snapshotId)
+    assert((snap2 \ "sequence-number").extract[Long] === 2L)
+    assert((meta \ "snapshot-log").children.size === 2)
+    assert((meta \ "metadata-log").children.size === 1)
+    assert(IcebergExport.snapshotIds(spark, dest)
+      === Seq(e1.snapshotId, e2.snapshotId))
+
+    // time travel: each snapshot id returns its respective content
+    assert(IcebergExport.readTable(spark, dest, Some(e1.snapshotId))
+      .count() === 10)
+    val cur = IcebergExport.readTable(spark, dest)
+    assert(cur.count() === 15)
+    assert(cur.select("id").as[Long].collect().sorted
+      === ((0 until 10).map(_.toLong) ++ (0 until 5).map(100L + _)).toArray)
+  }
+
+  test("position-delete files (content=1) apply on read with the spec's " +
+      "sequence rule: deletes hit data files with data-seq <= delete-seq") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_posdel").toFile.getAbsolutePath
+    // one data file with deterministic row order → positions are knowable
+    val e1 = IcebergExport.export(
+      Seq.tabulate(10)(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1)
+        .sortWithinPartitions("id"), dest)
+    val target = e1.dataFiles.head
+    IcebergExport.appendPositionDeletes(spark, dest,
+      Seq((target, 0L), (target, 3L), (target, 7L)).toDF("file_path", "pos"))
+    val got = IcebergExport.readTable(spark, dest)
+    assert(got.select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 4L, 5L, 6L, 8L, 9L))
+
+    // a LATER data file is untouched by the earlier delete snapshot, and
+    // the pre-delete snapshot still reads in full (time travel)
+    IcebergExport.export(
+      Seq((100L, "late")).toDF("id", "v"), dest)
+    assert(IcebergExport.readTable(spark, dest).count() === 8)
+    assert(IcebergExport.readTable(spark, dest, Some(e1.snapshotId))
+      .count() === 10)
+  }
+
+  test("equality-delete files (content=2) apply to strictly older data " +
+      "files; a foreign-style mor mutation matches the store's own read") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_eqdel").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq.tabulate(20)(i => (i.toLong, s"a$i", (i % 3).toLong))
+        .toDF("id", "v", "n"), dest)
+    IcebergExport.appendEqualityDeletes(spark, dest,
+      Seq.tabulate(20)(_.toLong).filter(_ % 5 == 0).toDF("id"), Seq("id"))
+    // a row re-inserted AFTER the delete snapshot survives (strict rule)
+    IcebergExport.export(Seq((5L, "reborn", 0L)).toDF("id", "v", "n"), dest)
+    val got = IcebergExport.readTable(spark, dest)
+    assert(got.filter(col("v") === "reborn").count() === 1)
+    assert(got.select("id").as[Long].collect().sorted
+      === ((0 until 20).map(_.toLong).filter(_ % 5 != 0) :+ 5L).sorted.toArray)
+  }
+
+  test("an exported EMPTY snapshot reads back as an empty frame with the " +
+      "table schema, not an error") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_empty").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, "x")).toDF("id", "v").filter(col("id") < 0), dest)
+    val got = IcebergExport.readTable(spark, dest)
+    assert(got.count() === 0)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(got.schema("id").dataType === org.apache.spark.sql.types.LongType)
+  }
+
   test("arrays and nested structs export with element/field ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath
@@ -136,7 +311,7 @@ class IcebergExportSpec extends SparkSpec {
     IcebergExport.export(df, dest)
     val json = JFiles.readString(
       java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json"))
-    assert(json.contains("\"type\":\"list\"") && json.contains("element-id"))
+    assert(json.contains("\"list\"") && json.contains("element-id"))
     val back = IcebergExport.readTable(spark, dest)
     assert(back.select("id", "vec").as[(Long, Seq[Double])].collect().sortBy(_._1)
       === Array((1L, Seq(0.5, 1.5)), (2L, Seq(2.5))))
