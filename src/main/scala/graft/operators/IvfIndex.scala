@@ -215,11 +215,47 @@ object IvfIndex {
     require(hist.nonEmpty, s"no IVF index at $root — build() first")
     val baseRows = hist.filter(_._2 == "overwrite").last._3
     val totalRows = hist.last._3 // every data op logs its resulting total
-    if (baseRows <= 0 || (totalRows - baseRows).toDouble / baseRows < retrainShare)
-      None
-    else
-      Some(rebuild(st.read().select(col("id"), col("vec")), root,
-        "id", "vec", nCells, iters, sampleN, seed,
-        expectedHead = Some(Some(hist.last._1))))
+    val rebuilt =
+      if (baseRows <= 0 || (totalRows - baseRows).toDouble / baseRows < retrainShare)
+        None
+      else
+        Some(rebuild(st.read().select(col("id"), col("vec")), root,
+          "id", "vec", nCells, iters, sampleN, seed,
+          expectedHead = Some(Some(hist.last._1))))
+    // lifecycle GC folds into every maintenance tick: a retrain just created
+    // a superseded assignment snapshot + an orphaned centroid generation,
+    // and a PREVIOUS crashed rebuild may have left centroid debris — both
+    // heal here; when nothing is dead the pass is metadata-only no-ops
+    gc(spark, root)
+    rebuilt
+  }
+
+  /** Lifecycle GC for the two-store index — without it the centroid store
+    * accrues one generation per retrain FOREVER and every superseded
+    * assignment snapshot's files stay on disk. Expires dead ASSIGNMENT
+    * versions through the store's own reachability expiry (the standing
+    * chain — last full build + its delta appends — always survives) and
+    * drops every centroid generation the standing assignment does NOT
+    * reference (retrain leftovers, crashed-rebuild debris). Serving is
+    * untouched: [[topK]] loads centroids BY the standing generation, which
+    * GC keeps by construction. Returns (centroid generations dropped,
+    * assignment log entries expired). */
+  def gc(spark: SparkSession, root: String): (Int, Int) = {
+    val gen = standingGen(spark, root)
+    val st = new SnapshotTable(spark, root)
+    val before = st.history().count()
+    st.expireSnapshots(keep = 1)
+    val expired = (before - new SnapshotTable(spark, root).history().count()).toInt
+    val cst = new SnapshotTable(spark, centroidsRoot(root))
+    val gens = cst.read().select("gen").distinct()
+      .collect().map(_.getString(0))
+    val dropped =
+      if (gens.length <= 1) 0
+      else {
+        cst.commit(cst.read().filter(col("gen") === gen), op = "overwrite")
+        cst.expireSnapshots(keep = 1)
+        gens.count(_ != gen)
+      }
+    (dropped, expired)
   }
 }

@@ -9,6 +9,12 @@ import graft.ops.ScaleOps
 
 object WorkloadAdvisor {
 
+  /** Retrain policy for one registered IVF index (the
+    * [[graft.operators.IvfIndex.maintain]] parameters the tick replays). */
+  final case class IvfPolicy(retrainShare: Double = 0.5, nCells: Int = 16,
+      iters: Int = 5, sampleN: Int = 10000, seed: Long = 42L)
+
+
   /** A hot-key diagnosis the advisor can act on. `kind` is `join-salt`
     * (actionable via [[WorkloadAdvisor.saltedRewrite]]: re-plan the observed
     * join with [[graft.ops.ScaleOps.saltedEquiJoin]] so the hot key's rows
@@ -466,9 +472,28 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
       .collect { case (root, s) if s.seen >= minCount => root }
       .flatMap(analyzeOrEvict)
 
-  /** One maintenance pass over the compacted stores and the orphans swept. */
+  private val ivfRoots =
+    scala.collection.mutable.LinkedHashMap.empty[String, WorkloadAdvisor.IvfPolicy]
+
+  /** Register a built [[graft.operators.IvfIndex]] for autonomous
+    * maintenance: every [[maintenanceTick]] runs the index's own
+    * observe→diagnose→act loop (`IvfIndex.maintain` — metadata-only drift
+    * check, retrain when the appended share exceeds the policy, lifecycle
+    * GC of superseded assignment snapshots + orphaned centroid
+    * generations). The advisor already owns this loop for STORES; indexes
+    * are derived state with the same operational needs. */
+  def registerIvfIndex(root: String,
+      policy: WorkloadAdvisor.IvfPolicy = WorkloadAdvisor.IvfPolicy()): Unit =
+    synchronized { ivfRoots(root) = policy }
+
+  def unregisterIvfIndex(root: String): Unit =
+    synchronized { ivfRoots.remove(root) }
+
+  /** One maintenance pass: the compacted stores, the orphans swept, and the
+    * registered IVF indexes retrained (root → new assignment version). */
   final case class MaintenanceTick(
-      compacted: Seq[(String, Long)], orphansRemoved: Seq[(String, Seq[Long])])
+      compacted: Seq[(String, Long)], orphansRemoved: Seq[(String, Seq[Long])],
+      indexesRetrained: Seq[(String, Long)] = Nil)
 
   /** The store analog of [[autoMaterialize]]/[[autoSalt]] — ACT on the
     * observed workload's store findings with NO caller involvement:
@@ -517,7 +542,25 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
           None
       }
     }
-    MaintenanceTick(compacted, orphans)
+    // registered IVF indexes: same per-root isolation discipline — a
+    // conflict (ingest wave landed mid-rebuild, the head validation's
+    // purpose) skips until the next tick; any other failure logs and keeps
+    // the registration (an index is derived state a later tick can heal)
+    val retrained = synchronized(ivfRoots.toSeq).flatMap { case (root, p) =>
+      try graft.operators.IvfIndex.maintain(spark, root, p.retrainShare,
+        p.nCells, p.iters, p.sampleN, p.seed).map(root -> _)
+      catch {
+        case _: graft.sources.SnapshotTable.CommitConflictException =>
+          log.info(s"IVF retrain of $root lost to a concurrent ingest wave; " +
+            "retrying at the next tick")
+          None
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"IVF maintenance of $root failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); continuing")
+          None
+      }
+    }
+    MaintenanceTick(compacted, orphans, retrained)
   }
 
   /** Shapes queried at least `minCount` times and not yet materialized —

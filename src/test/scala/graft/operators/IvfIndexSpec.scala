@@ -180,5 +180,50 @@ class IvfIndexSpec extends SparkSpec {
     val (kept, total) = IvfIndex.lastPruneStats
     assert(total === 8L, s"the rebuild should fold to one file per cell: $kept/$total")
     assert(kept <= 2L, s"nprobe=2 over the folded base: $kept/$total")
+
+    // LIFECYCLE GC folded into maintain: the superseded pre-rebuild
+    // assignment snapshots are expired (standing chain only) and the
+    // centroid store holds ONLY the generation the standing assignment
+    // references — generations do not accrue per retrain
+    assert(new SnapshotTable(spark, root).history().count() === 1L,
+      "pre-rebuild assignment snapshots should be expired by maintain")
+    val cgens = new SnapshotTable(spark, s"$root/_graft_ivf_centroids")
+      .read().select("gen").distinct().count()
+    assert(cgens === 1L, s"unreferenced centroid generations survived: $cgens")
+  }
+
+  test("gc drops unreferenced centroid generations and expired assignment " +
+      "versions while the standing generation keeps serving exactly") {
+    import spark.implicits._
+    val root = newRoot("ivfidx_gc")
+    val w1 = wave(100, 0)
+    IvfIndex.build(w1, root, "id", "vec", nCells = 8)
+    // a crashed rebuild's debris: a centroid generation no assignment
+    // references (the documented harmless leak — until GC collects it)
+    new SnapshotTable(spark, s"$root/_graft_ivf_centroids").commit(
+      Seq.tabulate(8)(i => ("deadbeef", i, Seq.fill(Dim)(0.5))).toDF("gen", "cell", "vec"),
+      op = "append")
+    // plus real history: an append wave, then a full rebuild
+    IvfIndex.append(wave(60, 1000), root, "id", "vec")
+    IvfIndex.build(w1.unionByName(wave(60, 1000)), root, "id", "vec", nCells = 8)
+
+    val cst = new SnapshotTable(spark, s"$root/_graft_ivf_centroids")
+    assert(cst.read().select("gen").distinct().count() >= 3L,
+      "fixture should hold debris + superseded + standing generations")
+    val (droppedGens, expired) = IvfIndex.gc(spark, root)
+    assert(droppedGens >= 2, s"dropped $droppedGens generations")
+    assert(expired >= 1, s"expired $expired assignment versions")
+    assert(new SnapshotTable(spark, s"$root/_graft_ivf_centroids")
+      .read().select("gen").distinct().count() === 1L)
+    assert(new SnapshotTable(spark, root).history().count() === 1L)
+
+    // serve unaffected: probe-all equals brute force after GC
+    val union = w1.unionByName(wave(60, 1000))
+    val queries = union.filter(col("id") < 4)
+    val served = IvfIndex.topK(spark, root, queries, "id", "vec", k = 5, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(union, queries, "id", "vec", k = 5)
+    assert(sortedRows(served) === sortedRows(exact))
+    // idempotent: a second pass finds nothing dead
+    assert(IvfIndex.gc(spark, root) === ((0, 0)))
   }
 }

@@ -452,6 +452,57 @@ class WorkloadAdvisorSpec extends SparkSpec {
     assert(advisor.maintenanceTick(minCount = 3).compacted.isEmpty)
   }
 
+  test("a registered IVF index drifted past its retrain share is retrained " +
+      "on the maintenance tick, with lifecycle GC folded in") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.sources.SnapshotTable
+    val advisor = new WorkloadAdvisor(spark,
+      new Materializations(spark, Some(graft.TempDirs.newDir("advisor_ivf"))))
+    val root = java.nio.file.Files.createTempDirectory("advisor_ivf_idx")
+      .toFile.getAbsolutePath
+    val dim = 8
+    def wave(n: Int, off: Long) = {
+      val rnd = new scala.util.Random(off + 7)
+      (0 until n).map { i =>
+        (off + i, Array.tabulate(dim)(d =>
+          (if (d % 4 == i % 4) 1.0 else 0.0) + rnd.nextGaussian() * 0.3).toSeq)
+      }.toDF("id", "vec")
+    }
+    IvfIndex.build(wave(100, 0), root, "id", "vec", nCells = 8)
+    advisor.registerIvfIndex(root,
+      WorkloadAdvisor.IvfPolicy(retrainShare = 0.5, nCells = 8))
+
+    // below the share: the tick leaves the index alone
+    IvfIndex.append(wave(10, 5000), root, "id", "vec")
+    assert(advisor.maintenanceTick(minCount = 99).indexesRetrained.isEmpty)
+
+    // drift past the share: the tick retrains + GCs with no caller involved
+    IvfIndex.append(wave(80, 6000), root, "id", "vec")
+    val tick = advisor.maintenanceTick(minCount = 99)
+    assert(tick.indexesRetrained.map(_._1) === Seq(root),
+      s"drifted index not retrained: $tick")
+    val st = new SnapshotTable(spark, root)
+    assert(st.history().count() === 1L, "GC should fold into the tick")
+    assert(st.read().count() === 190L)
+    assert(new SnapshotTable(spark, s"$root/_graft_ivf_centroids")
+      .read().select("gen").distinct().count() === 1L)
+
+    // serve still exact from the retrained standing state
+    val union = wave(100, 0).unionByName(wave(10, 5000)).unionByName(wave(80, 6000))
+    val queries = union.filter(col("id") < 3)
+    val served = IvfIndex.topK(spark, root, queries, "id", "vec", k = 5, nprobe = 8)
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(union, queries, "id", "vec", k = 5)
+    assert(served.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      === exact.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")))
+
+    // unregister: later ticks leave it alone even when drifted
+    advisor.unregisterIvfIndex(root)
+    IvfIndex.append(wave(300, 9000), root, "id", "vec")
+    assert(advisor.maintenanceTick(minCount = 99).indexesRetrained.isEmpty)
+  }
+
   test("an appender racing the maintenance tick: every append lands, a " +
       "conflicted heal skips to the next tick, and the heal eventually lands") {
     import spark.implicits._
