@@ -219,6 +219,11 @@ object DataPipelineQueries {
   private val icebergDeleteFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q131's standing semantic-search embedding index (an IvfIndex over the
+    * catalog entries' wiki/label stub embeddings). */
+  private val semanticIndexFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3193,7 +3198,77 @@ object DataPipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_nchars
       FROM documents
       WHERE doc_id < 400 AND doc_id % 7 <> 0
-      GROUP BY lang"""))
+      GROUP BY lang""")),
+
+    // EMBEDDING SEMANTIC SEARCH (X4's semantic-discovery promise, readme.md:
+    // 455-459, on top of q67's lexical floor): the catalog entries' wiki +
+    // label texts are embedded (deterministic SQL-expressible stub — no
+    // model ships in the sandbox; the index/serve plumbing is the real
+    // part) into a STANDING persisted IvfIndex, and every query serves
+    // hybrid = lexical token overlap + embedding cosine from that index —
+    // never a per-query embedding scan of the catalog. The oracle
+    // recomputes the identical stub vectors, cosine, and merged ranking in
+    // DuckDB from the same wiki seed + information_schema columns.
+    Q("q131_semantic_hybrid_search", (s, dir) => {
+      import graft.sources.SemanticLayer
+      SemanticLayer.seedReferenceWikis()
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val entries = SemanticLayer.entries(s, names.map(n => n -> t(s, dir, n)))
+      val idxRoot = semanticIndexFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_semidx")
+          SemanticLayer.buildSemanticIndex(s, entries, r, dim = 8, nCells = 4)
+          r
+        })
+      SemanticLayer.semanticSearch(s, entries, idxRoot,
+        "client purchase revenue history", topK = 10, dim = 8, nprobe = 4)
+    }, Some {
+      val meta = graft.sources.SemanticLayer.referenceWikiSeed
+        .map { case (p, w, ls) => s"('$p', '$w', '${ls.mkString(" ")}')" }
+        .mkString(",\n               ")
+      s"""
+      WITH cols AS (
+        SELECT table_name AS path, string_agg(column_name, ' ') AS cols_text
+        FROM information_schema.columns
+        WHERE table_name IN ('region','nation','customer','supplier','part',
+                             'orders','lineitem','events','documents','embeddings')
+        GROUP BY table_name),
+      meta AS (
+        SELECT * FROM (VALUES $meta) AS m(path, wiki, labels_text)),
+      pooled AS (
+        SELECT c.path,
+               list_distinct(list_filter(
+                 regexp_split_to_array(
+                   lower(c.path || ' ' || c.cols_text || ' ' || m.wiki || ' ' || m.labels_text),
+                   '[^a-z0-9]+'),
+                 x -> x <> '')) AS pool
+        FROM cols c JOIN meta m ON m.path = c.path),
+      lex AS (
+        SELECT path,
+               CAST(len(list_intersect(pool,
+                 ['client','purchase','revenue','history'])) AS INTEGER) AS score
+        FROM pooled),
+      emb AS (
+        SELECT path,
+               list_transform([0,1,2,3,4,5,6,7], j ->
+                 CAST(len(list_filter(list_distinct(list_filter(
+                   regexp_split_to_array(lower(wiki || ' ' || labels_text), '[^a-z0-9]+'),
+                   x -> x <> '')), t -> len(t) % 8 = j)) AS DOUBLE)) AS v
+        FROM meta),
+      qv AS (
+        SELECT list_transform([0,1,2,3,4,5,6,7], j ->
+                 CAST(len(list_filter(list_distinct(list_filter(
+                   regexp_split_to_array(lower('client purchase revenue history'), '[^a-z0-9]+'),
+                   x -> x <> '')), t -> len(t) % 8 = j)) AS DOUBLE) ) AS v)
+      SELECT l.path, l.score,
+             round(list_cosine_similarity(e.v, qv.v), 6) AS semantic,
+             round(l.score + round(list_cosine_similarity(e.v, qv.v), 6), 6) AS hybrid
+      FROM lex l JOIN emb e ON e.path = l.path CROSS JOIN qv
+      WHERE l.score + round(list_cosine_similarity(e.v, qv.v), 6) > 0
+      ORDER BY hybrid DESC, l.path
+      LIMIT 10"""
+    })
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

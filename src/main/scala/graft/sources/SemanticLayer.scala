@@ -119,6 +119,70 @@ object SemanticLayer {
       .limit(topK)
       .select(col("path"), col("score"), col("fuzzy"))
 
+  // ── embedding semantic search (the IvfIndex path) ────────────────────────
+  //    q67's token+trigram search is the LEXICAL floor of the reference's
+  //    semantic-discovery promise (readme.md:455-459); this is the embedding
+  //    path on top: the wiki/label texts are embedded (deterministic stub —
+  //    no model ships in this sandbox), indexed in a STANDING persisted
+  //    [[graft.operators.IvfIndex]], and `semanticSearch` serves every query
+  //    from that index merged with the lexical score. At catalog scale
+  //    (millions of datasets) the index is the difference between a
+  //    per-query full embedding scan and a probed-cells file read; at q131's
+  //    scale it is exact (probe-all) and DuckDB-recomputable.
+
+  /** Deterministic STUB embedder — dim-D bag of token lengths: component j
+    * counts the distinct tokens whose length ≡ j (mod D). A stand-in for a
+    * real text-embedding model (none ships in this sandbox) that keeps the
+    * full index/serve plumbing real AND is ANSI-expressible, so the q131
+    * oracle recomputes the identical vectors in DuckDB. */
+  def stubEmbed(text: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      size(filter(array_distinct(tokens(text)),
+        t => pmod(length(t), lit(dim)) === j)).cast("double"))
+
+  /** The text an entry's embedding indexes: the wiki + labels documentation
+    * layer (the part of an entry whose words need NOT match any physical
+    * name — exactly what the embedding path exists to bridge). */
+  private def wikiLabelText: Column =
+    concat_ws(" ", col("wiki"), array_join(col("labels"), " "))
+
+  /** Build (or rebuild) the STANDING embedding index for an entry table at
+    * `indexRoot` — a persisted [[graft.operators.IvfIndex]] (two snapshot
+    * stores: cell-partitioned assignments + centroid generations), so it is
+    * versioned, O(delta)-maintainable, and GC'd like every other index. */
+  def buildSemanticIndex(spark: SparkSession, entries: DataFrame,
+      indexRoot: String, dim: Int = 8, nCells: Int = 4): Long =
+    graft.operators.IvfIndex.build(
+      entries.select(col("path").as("id"), stubEmbed(wikiLabelText, dim).as("vec")),
+      indexRoot, "id", "vec", nCells = nCells)
+
+  /** HYBRID semantic search: exact lexical token overlap ([[scored]])
+    * merged with embedding cosine served from the standing index at
+    * `indexRoot`. `hybrid = score + semantic` — the integer lexical score
+    * dominates, the cosine breaks ties AND surfaces documentation-only
+    * matches the tokens miss. `nprobe = nCells` serves exact cosine (the
+    * oracle setting); smaller probes trade recall for reading only the
+    * probed cells' files. */
+  def semanticSearch(spark: SparkSession, entries: DataFrame,
+      indexRoot: String, query: String, topK: Int = 10, dim: Int = 8,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val lex = scored(entries, query).select(col("path"), col("score"))
+    val qdf = Seq(query).toDF("qtext")
+      .select(lit("__query__").as("qid"), stubEmbed(col("qtext"), dim).as("vec"))
+    val sem = graft.operators.IvfIndex
+      .topK(spark, indexRoot, qdf, "qid", "vec", k = topK, nprobe = nprobe)
+      .select(col("neighbor_id").as("path"), col("sim").as("semantic"))
+    lex.join(sem, Seq("path"), "left")
+      .withColumn("semantic", coalesce(col("semantic"), lit(0.0)))
+      .withColumn("hybrid",
+        round(col("score").cast("double") + col("semantic"), 6))
+      .filter(col("hybrid") > 0)
+      .orderBy(col("hybrid").desc, col("path"))
+      .limit(topK)
+      .select(col("path"), col("score"), col("semantic"), col("hybrid"))
+  }
+
   /** Dataset lineage: (dataset, depends_on) edges, from each named dataset's
     * analyzed plan leaves — the relationship metadata the reference's MCP
     * server serves (readme.md:443-452). Leaves are file relations (reported

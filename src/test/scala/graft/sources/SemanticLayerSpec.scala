@@ -54,6 +54,51 @@ class SemanticLayerSpec extends SparkSpec {
     spark.catalog.dropTempView("sl_claims")
   }
 
+  test("embedding semantic search serves hybrid rankings from a STANDING " +
+      "IvfIndex: wiki-only matches surface, and a pruned serve reads only " +
+      "probed cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a synthetic catalog big enough for cell pruning to have signal: 48
+    // datasets, four documentation "topics" with disjoint vocabulary
+    val topics = Seq(
+      ("billing invoices payments receivables ledger accounting", "fin"),
+      ("clickstream sessions funnels engagement retention telemetry", "beh"),
+      ("warehouse shipments logistics freight carriers customs", "log"),
+      ("genomics sequencing variants proteins assays biology", "sci"))
+    val dfs = (0 until 48).map { i =>
+      val (wiki, tag) = topics(i % 4)
+      val path = f"ds_${tag}_$i%02d"
+      SemanticLayer.setWiki(path, s"$wiki domain dataset number $i")
+      SemanticLayer.addLabels(path, tag)
+      path -> Seq((i.toLong, s"r$i")).toDF("id", "v")
+    }
+    val entries = SemanticLayer.entries(spark, dfs)
+    val root = java.nio.file.Files.createTempDirectory("semidx")
+      .toFile.getAbsolutePath
+    SemanticLayer.buildSemanticIndex(spark, entries, root, dim = 8, nCells = 8)
+
+    // a documentation-vocabulary query: none of these words appear in any
+    // dataset NAME or column — lexical still scores via wikis, and the
+    // embedding side must rank the topic's datasets together
+    val got = SemanticLayer.semanticSearch(spark, entries, root,
+      "billing payments ledger", topK = 48, dim = 8, nprobe = 8).collect()
+    assert(got.nonEmpty)
+    assert(got.take(12).map(_.getString(0)).forall(_.startsWith("ds_fin")),
+      s"hybrid ranking should put the billing topic first: " +
+        got.map(_.getString(0)).mkString(","))
+    assert(got.head.getInt(1) === 3, "lexical overlap should score 3 tokens")
+    assert(got.head.getDouble(2) > 0.5, "embedding cosine should be strong")
+
+    // the scale path: nprobe < nCells serves from a file subset
+    SemanticLayer.semanticSearch(spark, entries, root,
+      "billing payments ledger", topK = 5, dim = 8, nprobe = 2).collect()
+    // empty k-means cells write no file, so total is the POPULATED cells
+    val (kept, total) = graft.operators.IvfIndex.lastPruneStats
+    assert(total >= 4L && kept <= 2L && kept < total,
+      s"pruned serve should read <=2 of the populated cell files: $kept/$total")
+  }
+
   test("lineage reports a view's base relations") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sl_lineage").toString
