@@ -34,9 +34,22 @@ header = f"""# Per-query wall-clock floor (sec) at sf0.1, local[32] - the REGEN 
 # PLAN_BUDGETS unchanged - exactly the round-8 signature.
 # Floors are the per-query MIN across {len(captures)} idle-machine captures
 # over the current {len(keys)}-row bench set.
+#
+# GATE SEMANTICS (r17 redefinition, tools/floor_gate.py): a bench row flags
+# only when its LOAD-NORMALIZED ratio exceeds 2x -
+#   load_factor = median over common rows of bench/floor;
+#   flag q iff (bench(q)/floor(q)) / load_factor > 2.0.
+# Rationale: the shared sandbox's ambient load swings whole captures
+# 1.3-2x uniformly with zero plan drift (BENCH_r16: 11/134 rows past a RAW
+# 2x, zero past the normalized gate); a real regression moves a query
+# AGAINST its peers, which the median cancels out of. q30's r12-r16
+# 0.86-1.38 s swing was pinned as this noise class (stateless self-join,
+# zero fixture state, isolated re-runs span the same band).
+#
 # Regenerate: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \\
 #   SPARK_GRAFT_BENCH_OUT=/tmp/runN.json sbt 'runMain graft.Bench'  (xN idle)
 #   then python3 tools/make_floors.py /tmp/run*.json
+# Check a capture: python3 tools/floor_gate.py BENCH_rN.json
 # query\tfloor_sec
 """
 with open("PERF_FLOORS.tsv", "w") as f:
