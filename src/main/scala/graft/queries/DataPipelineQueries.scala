@@ -224,6 +224,12 @@ object DataPipelineQueries {
   private val semanticIndexFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q132's Iceberg table: a mutating store CONTINUOUSLY SYNCED into one
+    * metadata chain (appends O(delta), mor deletes as equality-delete
+    * files) across two syncStore calls. */
+  private val icebergSyncFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3268,7 +3274,59 @@ object DataPipelineQueries {
       WHERE l.score + round(list_cosine_similarity(e.v, qv.v), 6) > 0
       ORDER BY hybrid DESC, l.path
       LIMIT 10"""
-    })
+    }),
+
+    // CONTINUOUS STORE → ICEBERG SYNC (the actual interchange cadence:
+    // commit in graft, sync the delta, external engines read the chain):
+    // a store history of seed + append + merge-on-read delete + append is
+    // mirrored across TWO syncStore calls into ONE Iceberg metadata chain
+    // — the appends become O(delta) append snapshots (no content re-read),
+    // the mor delete becomes a real content=2 equality-delete FILE (the
+    // mutation stays a mutation instead of being folded away), and the
+    // sync cursor rides the chain's own metadata properties. Build-time
+    // require(): the chain read equals the store's mor resolution
+    // (except() empty both ways) and the chain holds one snapshot per
+    // synced commit. The timed read walks the Iceberg metadata alone; the
+    // oracle replays the history declaratively.
+    Q("q132_iceberg_sync", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val dest = icebergSyncFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val root = graft.TempDirs.newDir("graft_icesync_store")
+          val st = new SnapshotTable(s, root)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          st.commit(docs.filter(col("doc_id") < 300))                  // v0
+          val d = graft.TempDirs.newDir("graft_icesync_tbl")
+          IcebergExport.syncStore(s, root, d)
+          st.commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+            op = "append")                                             // v1
+          st.deleteWhereMor(col("doc_id") % 6 === 0L, "doc_id")        // v2
+          st.commit(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+            op = "append")                                             // v3
+          require(IcebergExport.syncStore(s, root, d) == Seq(1L, 2L, 3L),
+            "second sync must mirror exactly the three new commits")
+          require(IcebergExport.snapshotIds(s, d).size == 4,
+            "one Iceberg snapshot per synced commit")
+          val back = IcebergExport.readTable(s, d)
+          val mor = st.read()
+          require(back.except(mor).isEmpty && mor.except(back).isEmpty,
+            "synced Iceberg chain must equal the store's mor resolution")
+          d
+        })
+      IcebergExport.readTable(s, dest)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+      FROM documents
+      WHERE (doc_id < 400 AND doc_id % 6 <> 0)
+         OR (doc_id >= 400 AND doc_id < 450)
+      GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -358,7 +358,8 @@ object IcebergExport {
       version: Int, meta: JValue, location: String,
       schemaAst: JValue, fields: StructType, fieldIds: Map[String, Int],
       specFields: Seq[(String, Int)], // (column name, partition field-id)
-      lastSeq: Long, currentSnapshotId: Long, snapshots: Seq[JValue])
+      lastSeq: Long, currentSnapshotId: Long, snapshots: Seq[JValue],
+      properties: Map[String, String])
 
   private def readStr(spark: SparkSession, p: Path): String = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -391,11 +392,15 @@ object IcebergExport {
       .map(s => (s \ "fields").children.map { f =>
         ((f \ "name").extract[String], (f \ "field-id").extract[Int])
       }).getOrElse(Nil)
+    val props = (meta \ "properties") match {
+      case JObject(fs) => fs.collect { case (k, JString(v2)) => k -> v2 }.toMap
+      case _ => Map.empty[String, String]
+    }
     TableState(v, meta, (meta \ "location").extract[String], schemaAst,
       sparkSchema(schemaAst), fieldIds, spec,
       (meta \ "last-sequence-number").extract[Long],
       (meta \ "current-snapshot-id").extract[Long],
-      (meta \ "snapshots").children)
+      (meta \ "snapshots").children, props)
   }
 
   // ── export (create or append a snapshot to the chain) ───────────────────
@@ -408,7 +413,16 @@ object IcebergExport {
     * record the lineage. External readers (and [[readTable]]) time-travel
     * by snapshot id. */
   def export(df: DataFrame, destDir: String,
-      partitionBy: Seq[String] = Nil): Export = {
+      partitionBy: Seq[String] = Nil): Export =
+    exportInternal(df, destDir, partitionBy, overwrite = false, Map.empty)
+
+  /** `overwrite = true` writes an OVERWRITE snapshot: the new manifest is
+    * the snapshot's ONLY manifest (nothing carried forward), so current
+    * content is exactly `df` while older snapshots keep their files for
+    * time travel — the shape [[syncStore]] uses for coarse store mutations. */
+  private def exportInternal(df: DataFrame, destDir: String,
+      partitionBy: Seq[String], overwrite: Boolean,
+      extraProps: Map[String, String]): Export = {
     val spark = df.sparkSession
     partitionBy.foreach { c =>
       require(df.columns.contains(c), s"partition column $c not in schema")
@@ -431,10 +445,16 @@ object IcebergExport {
     val fs = dest.getFileSystem(hconf)
     val location = prev.map(_.location).getOrElse(fs.makeQualified(dest).toString)
 
-    // which files already belong to the chain (all manifests, all contents)
+    // which files already belong to the chain — across ALL snapshots, not
+    // just the current one: an OVERWRITE snapshot carries no manifests, but
+    // the files its predecessors planned are still on disk under data/ and
+    // must never be re-adopted as "new" by a later append
     val known: Set[String] = prev.map { st =>
-      manifestsOf(spark, st, st.currentSnapshotId)
-        .flatMap { case (mPath, _) => readAvro(spark, new Path(mPath)).map(e =>
+      implicit val fmts: Formats = DefaultFormats
+      st.snapshots
+        .map(s => (s \ "snapshot-id").extract[Long])
+        .flatMap(id => manifestsOf(spark, st, id)).map(_._1).distinct
+        .flatMap { mPath => readAvro(spark, new Path(mPath)).map(e =>
           e.get("data_file").asInstanceOf[GenericData.Record]
             .get("file_path").toString)
         }.toSet
@@ -488,17 +508,106 @@ object IcebergExport {
     }
     writeSnapshot(spark, destDir, prev, location, schemaJson, lastColumnId,
       seq, snapshotId, entrySchema, entries, manifestContent = 0,
-      addedRows = rowsTotal, operation = "append",
+      addedRows = rowsTotal,
+      operation = if (overwrite) "overwrite" else "append",
       specFields = JArray(specFieldsJson.toList),
       partitionSummary = Map(
         "added-data-files" -> files.size.toString,
-        "added-records" -> rowsTotal.toString))
+        "added-records" -> rowsTotal.toString),
+      carryForward = !overwrite, extraProps = extraProps)
     Export(snapshotId, stats.map(_._1), rowsTotal)
   }
 
   /** Export a [[SnapshotTable]]'s current resolved content. */
   def exportStore(spark: SparkSession, storeRoot: String, destDir: String): Export =
     export(new SnapshotTable(spark, storeRoot).read(), destDir)
+
+  /** The metadata property recording the last store version a
+    * [[syncStore]] call mirrored into the chain. */
+  val SyncVersionProp = "graft.sync.last-version"
+
+  /** CONTINUOUS store → Iceberg mirroring — the actual handoff cadence
+    * (commit in graft, sync the delta, external engines read the chain):
+    * every call mirrors the store commits since the last sync into the
+    * Iceberg chain at `destDir`, O(delta) on the common paths —
+    *
+    *  - store `append` commits → Iceberg APPEND snapshots holding exactly
+    *    the commit's delta dir (no content re-read);
+    *  - store merge-on-read equality deletes → Iceberg EQUALITY-DELETE
+    *    files (content=2) with the commit's own key rows — the mutation
+    *    stays a mutation instead of being folded away;
+    *  - anything coarser (cow overwrite/update/merge, position deletes —
+    *    whose positions name STORE files, not export files — rollback,
+    *    publish) → ONE full OVERWRITE snapshot of the resolved content at
+    *    the LAST such commit, with every earlier unsynced commit subsumed
+    *    (never N rewrites for N commits);
+    *  - compaction / evolve / branch commits are content-noops and sync
+    *    nothing.
+    *
+    * The cursor (`graft.sync.last-version`) rides the Iceberg metadata
+    * properties, so sync state lives in the chain itself and a fresh
+    * process resumes correctly. First call on an empty dest is a full
+    * export of current content (optionally `partitionBy`-laid-out; later
+    * calls inherit the table's spec). Schema evolution in the unsynced
+    * range is NOT supported (the exporter keeps one schema id) — export
+    * to a fresh dir after an evolve. Returns the store versions synced. */
+  def syncStore(spark: SparkSession, storeRoot: String, destDir: String,
+      partitionBy: Seq[String] = Nil): Seq[Long] = {
+    val st = new SnapshotTable(spark, storeRoot)
+    val entries = st.history().select("version", "operation")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .filterNot(_._2.startsWith("branch:")).toSeq
+    require(entries.nonEmpty, s"no snapshots at $storeRoot")
+
+    if (!tableExists(spark, destDir)) {
+      val head = entries.last._1
+      exportInternal(st.read(), destDir, partitionBy, overwrite = false,
+        Map(SyncVersionProp -> head.toString))
+      return entries.map(_._1)
+    }
+    val state = readState(spark, destDir)
+    val lastSynced = state.properties.get(SyncVersionProp).map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$destDir was not created by syncStore (no $SyncVersionProp " +
+          "property) — start the sync on a fresh dir"))
+    val partBy = state.specFields.map(_._1)
+    val todo = entries.filter(_._1 > lastSynced)
+    if (todo.isEmpty) return Nil
+
+    def kindOf(op: String): String =
+      if (op == "mor-delete") "eqdel" else st.streamOpKind(op)
+    val synced = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    // fold everything up to the LAST coarse mutation into one overwrite
+    val lastMut = todo.filter(e => kindOf(e._2) == "mutation").lastOption
+    lastMut.foreach { case (v, _) =>
+      exportInternal(st.read(Some(v)), destDir, partBy, overwrite = true,
+        Map(SyncVersionProp -> v.toString))
+      synced ++= todo.takeWhile(_._1 <= v).map(_._1)
+    }
+    val after = lastMut.map(m => todo.dropWhile(_._1 <= m._1)).getOrElse(todo)
+    after.foreach { case (v, op) =>
+      kindOf(op) match {
+        case "append" =>
+          exportInternal(st.appendDelta(v).drop(st.hiddenReadCols: _*),
+            destDir, partBy, overwrite = false,
+            Map(SyncVersionProp -> v.toString))
+          synced += v
+        case "eqdel" =>
+          val keys = st.appendDelta(v).drop(st.hiddenReadCols: _*)
+          appendDeleteSnapshot(spark, destDir, keys, content = 2,
+            equalityCols = keys.columns.toSeq,
+            extraProps = Map(SyncVersionProp -> v.toString))
+          synced += v
+        case _ =>
+          // content-noop (compact/evolve): nothing to write; the cursor
+          // advances with the next writing step, or stays put — a trailing
+          // noop re-classifies as noop on the next sync, idempotently
+          synced += v
+      }
+    }
+    synced.toSeq
+  }
 
   // ── delete-file writers (the foreign-engine mutation shapes) ────────────
 
@@ -525,7 +634,8 @@ object IcebergExport {
   }
 
   private def appendDeleteSnapshot(spark: SparkSession, destDir: String,
-      rows: DataFrame, content: Int, equalityCols: Seq[String]): Long = {
+      rows: DataFrame, content: Int, equalityCols: Seq[String],
+      extraProps: Map[String, String] = Map.empty): Long = {
     val st = readState(spark, destDir)
     equalityCols.foreach(c => require(st.fieldIds.contains(c),
       s"equality column $c not in the table schema"))
@@ -568,7 +678,8 @@ object IcebergExport {
       partitionSummary = Map(
         "added-delete-files" -> files.size.toString,
         "added-position-deletes" -> (if (content == 1) deletedRows.toString else "0"),
-        "added-equality-deletes" -> (if (content == 2) deletedRows.toString else "0")))
+        "added-equality-deletes" -> (if (content == 2) deletedRows.toString else "0")),
+      carryForward = true, extraProps = extraProps)
     snapshotId
   }
 
@@ -624,7 +735,9 @@ object IcebergExport {
       lastColumnId: Int, seq: Long, snapshotId: Long, entrySchema: Schema,
       entries: Seq[GenericData.Record], manifestContent: Int, addedRows: Long,
       operation: String, specFields: JValue,
-      partitionSummary: Map[String, String]): Unit = {
+      partitionSummary: Map[String, String],
+      carryForward: Boolean = true,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     implicit val fmts: Formats = DefaultFormats
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(destDir).getFileSystem(hconf)
@@ -659,11 +772,14 @@ object IcebergExport {
     mf.put("existing_rows_count", 0L)
     mf.put("deleted_rows_count", 0L)
 
-    // previous snapshot's manifests carry forward (same schema constant)
-    val carried = prev.map { st =>
-      val listPath = manifestListPathOf(st, st.currentSnapshotId)
-      readAvro(spark, new Path(listPath))
-    }.getOrElse(Nil)
+    // previous snapshot's manifests carry forward (same schema constant) —
+    // except for OVERWRITE snapshots, whose content is the new manifest alone
+    val carried =
+      if (!carryForward) Nil
+      else prev.map { st =>
+        val listPath = manifestListPathOf(st, st.currentSnapshotId)
+        readAvro(spark, new Path(listPath))
+      }.getOrElse(Nil)
     val listName = s"snap-$snapshotId-1-" + java.util.UUID
       .nameUUIDFromBytes(s"$location#list$seq".getBytes("UTF-8")).toString + ".avro"
     val listPath = new Path(s"$destDir/metadata/$listName")
@@ -712,7 +828,11 @@ object IcebergExport {
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
-      "properties" -> JObject("write.format.default" -> JString("parquet")),
+      "properties" -> JObject(
+        ((prev.map(_.properties).getOrElse(Map.empty) +
+          ("write.format.default" -> "parquet")) ++ extraProps)
+          .toList.sortBy(_._1)
+          .map { case (k, v2) => k -> (JString(v2): JValue) }: _*),
       "current-snapshot-id" -> JInt(snapshotId),
       "snapshots" -> JArray((prevSnapshots :+ (newSnap: JValue)).toList),
       "snapshot-log" -> JArray((prevLog :+ (JObject(

@@ -286,6 +286,57 @@ class IcebergExportSpec extends SparkSpec {
       === ((0 until 20).map(_.toLong).filter(_ % 5 != 0) :+ 5L).sorted.toArray)
   }
 
+  test("syncStore mirrors a store's history into one Iceberg chain: " +
+      "appends O(delta), mor deletes as equality-delete files, coarse " +
+      "mutations folded into one overwrite snapshot") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icesync_store").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icesync_tbl").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    def rows(r: Range, tag: String) =
+      r.map(i => (i.toLong, s"$tag$i", (i % 3).toLong)).toDF("id", "v", "n")
+
+    st.commit(rows(0 until 50, "a"))                                    // v0
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(0L))
+    assert(IcebergExport.snapshotIds(spark, dest).size === 1)
+
+    // O(delta) append: one new snapshot holding just the delta
+    st.commit(rows(100 until 120, "b"), op = "append")                  // v1
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(1L))
+    assert(IcebergExport.snapshotIds(spark, dest).size === 2)
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+
+    // mor equality delete mirrors as a delete FILE, not a fold
+    st.deleteWhereMor(col("id") % 5 === 0L, "id")                       // v2
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(2L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // and the pre-delete snapshot still time-travels in full
+    val preDelete = IcebergExport.snapshotIds(spark, dest)(1)
+    assert(IcebergExport.readTable(spark, dest, Some(preDelete)).count() === 70)
+
+    // a coarse mutation (cow delete) + a later append in ONE sync call:
+    // the mutation folds to one overwrite snapshot, the append stays O(delta)
+    st.deleteWhere(col("n") === 2L)                                     // v3 (cow)
+    st.commit(rows(200 until 210, "c"), op = "append")                  // v4
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(3L, 4L))
+    assert(IcebergExport.snapshotIds(spark, dest).size === 5)
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+
+    // content-noop (compact) syncs nothing new; idempotent when caught up
+    st.compact(targetFiles = 1)                                         // v5
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(5L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // v5 was a noop, so the cursor may lag — a repeat sync stays a noop
+    val again = IcebergExport.syncStore(spark, root, dest)
+    assert(again.isEmpty || again === Seq(5L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+  }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ==
+      b.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
   test("an exported EMPTY snapshot reads back as an empty frame with the " +
       "table schema, not an error") {
     import spark.implicits._
