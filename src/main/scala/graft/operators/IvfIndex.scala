@@ -243,9 +243,7 @@ object IvfIndex {
   def gc(spark: SparkSession, root: String): (Int, Int) = {
     val gen = standingGen(spark, root)
     val st = new SnapshotTable(spark, root)
-    val before = st.history().count()
-    st.expireSnapshots(keep = 1)
-    val expired = (before - new SnapshotTable(spark, root).history().count()).toInt
+    val expired = st.expireSnapshots(keep = 1).size
     val cst = new SnapshotTable(spark, centroidsRoot(root))
     val gens = cst.read().select("gen").distinct()
       .collect().map(_.getString(0))

@@ -445,27 +445,22 @@ object IcebergExport {
     val fs = dest.getFileSystem(hconf)
     val location = prev.map(_.location).getOrElse(fs.makeQualified(dest).toString)
 
-    // which files already belong to the chain — across ALL snapshots, not
-    // just the current one: an OVERWRITE snapshot carries no manifests, but
-    // the files its predecessors planned are still on disk under data/ and
-    // must never be re-adopted as "new" by a later append
-    val known: Set[String] = prev.map { st =>
-      implicit val fmts: Formats = DefaultFormats
-      st.snapshots
-        .map(s => (s \ "snapshot-id").extract[Long])
-        .flatMap(id => manifestsOf(spark, st, id)).map(_._1).distinct
-        .flatMap { mPath => readAvro(spark, new Path(mPath)).map(e =>
-          e.get("data_file").asInstanceOf[GenericData.Record]
-            .get("file_path").toString)
-        }.toSet
-    }.getOrElse(Set.empty)
-
-    // 1. the data files (append keeps previous snapshots' files untouched)
+    // 1. the data files (append keeps previous snapshots' files untouched).
+    //    The new snapshot adopts exactly the files THIS write added — the
+    //    before/after listing delta — never a list-minus-manifest diff:
+    //    files on disk but in no manifest (a crashed earlier export's
+    //    orphans, or files no longer carried after an OVERWRITE snapshot)
+    //    must not be silently adopted and duplicate rows. Orphans stay on
+    //    disk unreferenced (Iceberg's remove-orphan-files problem, same
+    //    cause). Exports to one dest are single-writer by contract — the
+    //    sync cadence — so the two listings cannot interleave a foreign
+    //    writer's files. Cost: two listings, never a chain-length re-read.
+    val before: Set[String] = listDataFiles(spark, destDir).map(_._1).toSet
     val w = df.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$destDir/data")
     val files = listDataFiles(spark, destDir)
-      .filterNot { case (p, _) => known.contains(p) }
+      .filterNot { case (p, _) => before.contains(p) }
 
     // 2. per-file footer stats: record counts + typed column bounds
     val typeByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -586,27 +581,31 @@ object IcebergExport {
       synced ++= todo.takeWhile(_._1 <= v).map(_._1)
     }
     val after = lastMut.map(m => todo.dropWhile(_._1 <= m._1)).getOrElse(todo)
+    // content-noops (compact/evolve) are only REPORTED synced when a later
+    // writing step's cursor durably covers them: a trailing noop writes no
+    // metadata, so claiming it would make the receipt re-report the same
+    // version on every later call — the next sync just re-classifies it,
+    // idempotently
+    val pendingNoops = scala.collection.mutable.ArrayBuffer.empty[Long]
     after.foreach { case (v, op) =>
       kindOf(op) match {
         case "append" =>
           exportInternal(st.appendDelta(v).drop(st.hiddenReadCols: _*),
             destDir, partBy, overwrite = false,
             Map(SyncVersionProp -> v.toString))
+          synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case "eqdel" =>
           val keys = st.appendDelta(v).drop(st.hiddenReadCols: _*)
           appendDeleteSnapshot(spark, destDir, keys, content = 2,
             equalityCols = keys.columns.toSeq,
             extraProps = Map(SyncVersionProp -> v.toString))
+          synced ++= pendingNoops; pendingNoops.clear()
           synced += v
-        case _ =>
-          // content-noop (compact/evolve): nothing to write; the cursor
-          // advances with the next writing step, or stays put — a trailing
-          // noop re-classifies as noop on the next sync, idempotently
-          synced += v
+        case _ => pendingNoops += v
       }
     }
-    synced.toSeq
+    synced.sorted.toSeq
   }
 
   // ── delete-file writers (the foreign-engine mutation shapes) ────────────

@@ -126,17 +126,20 @@ final class LockDirClaimArbiter(lockRoot: String,
             case _: java.io.IOException if fs.exists(hp) => false
           }
       if (acquired) return
-      // crashed-holder takeover: a lock older than the staleness threshold
-      // cannot belong to a live commit tail — delete (best-effort; losing
-      // the delete race to another waiter is fine) and retry
-      try {
-        val age = System.currentTimeMillis() - (
-          if (isLocal) Files.getLastModifiedTime(np).toMillis
-          else fs.getFileStatus(hp).getModificationTime)
-        if (age > staleCommitLockMillis) {
-          if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      // crashed-holder takeover, serialized through an exclusive BREAK
+      // marker: two waiters that both observed a stale mtime must not both
+      // delete — the second delete would remove the first waiter's FRESH
+      // lock and let two processes into the critical section (the
+      // delete-race TOCTOU). Only the breaker that owns the marker may
+      // delete, and it re-stats INSIDE the marker: the lock path is
+      // continuously occupied by the stale file until the delete (creates
+      // fail on an occupied path), so a fresh lock cannot appear between
+      // the breaker's re-stat and its delete. A crashed breaker leaks the
+      // marker; a marker past the staleness threshold is itself removed —
+      // the residual window now needs two crashed writers plus exact
+      // timing, not one crash plus any contention.
+      try tryBreakStale(np, hp)
+      catch { case scala.util.control.NonFatal(_) => () }
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"commit lock for $root not acquired within " +
@@ -149,6 +152,49 @@ final class LockDirClaimArbiter(lockRoot: String,
   override def unlockCommit(root: String): Unit = {
     val (np, hp) = commitLock(root)
     if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
+  }
+
+  private def mtimeOf(np: java.nio.file.Path, hp: Path): Option[Long] =
+    try Some(
+      if (isLocal) Files.getLastModifiedTime(np).toMillis
+      else fs.getFileStatus(hp).getModificationTime)
+    catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** Takeover of a crashed holder's `commit.lock` (see the call-site note):
+    * examine + delete only under the exclusive `.break` marker. */
+  private def tryBreakStale(np: java.nio.file.Path, hp: Path): Unit = {
+    val now = System.currentTimeMillis()
+    if (!mtimeOf(np, hp).exists(now - _ > staleCommitLockMillis)) return
+    val bNp = np.resolveSibling(np.getFileName.toString + ".break")
+    val bHp = new Path(hp.getParent, hp.getName + ".break")
+    // a crashed BREAKER's leaked marker: remove once stale (best-effort)
+    if (mtimeOf(bNp, bHp).exists(now - _ > staleCommitLockMillis)) {
+      if (isLocal) Files.deleteIfExists(bNp) else fs.delete(bHp, false)
+    }
+    val owned =
+      if (isLocal)
+        try { Files.createFile(bNp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { fs.create(bHp, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if fs.exists(bHp) => false
+        }
+    if (!owned) return
+    try {
+      // re-validate INSIDE the marker; the stale file has occupied the
+      // path continuously, so this delete can only remove the stale lock
+      if (mtimeOf(np, hp)
+          .exists(System.currentTimeMillis() - _ > staleCommitLockMillis)) {
+        if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
+      }
+    } finally {
+      if (isLocal) Files.deleteIfExists(bNp) else fs.delete(bHp, false)
+    }
   }
 
   def maxClaimed(root: String): Long = {

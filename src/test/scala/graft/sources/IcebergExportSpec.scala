@@ -322,14 +322,25 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.snapshotIds(spark, dest).size === 5)
     assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
 
-    // content-noop (compact) syncs nothing new; idempotent when caught up
+    // content-noop (compact) writes no metadata and is NOT claimed in the
+    // receipt (a trailing noop would otherwise be re-reported forever);
+    // repeat syncs stay no-ops and the content stays equal
     st.compact(targetFiles = 1)                                         // v5
-    assert(IcebergExport.syncStore(spark, root, dest) === Seq(5L))
+    assert(IcebergExport.syncStore(spark, root, dest).isEmpty)
+    assert(IcebergExport.syncStore(spark, root, dest).isEmpty)
     assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
-    // v5 was a noop, so the cursor may lag — a repeat sync stays a noop
-    val again = IcebergExport.syncStore(spark, root, dest)
-    assert(again.isEmpty || again === Seq(5L))
+    // a later append durably covers the pending noop: both report synced
+    st.commit(rows(300 until 305, "d"), op = "append")                  // v6
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(5L, 6L))
     assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+
+    // crash-orphan safety: parquet left under data/ by a crashed export
+    // attempt (on disk, in no manifest) is never adopted by a later sync
+    rows(900 until 905, "junk").write.mode("append").parquet(s"$dest/data")
+    st.commit(rows(310 until 312, "e"), op = "append")                  // v7
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(7L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()),
+      "a crashed attempt's orphan files leaked into the snapshot")
   }
 
   private def sameRows(a: org.apache.spark.sql.DataFrame,

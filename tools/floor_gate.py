@@ -60,11 +60,25 @@ def load_floors(path="PERF_FLOORS.tsv"):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = []
     threshold = 2.0
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1]) if "=" in a else threshold
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                threshold = float(argv[i + 1])
+                i += 1
+            else:
+                sys.exit("--threshold needs a value")
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a}\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
     if not args:
         sys.exit(__doc__)
     bench = load_bench(args[0])
