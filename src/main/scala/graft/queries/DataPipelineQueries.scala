@@ -230,6 +230,12 @@ object DataPipelineQueries {
   private val icebergSyncFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q133's Iceberg table: orders exported under a HIDDEN transform
+    * partition spec (years() + bucket() with the Iceberg spec's own
+    * transform functions — canonical murmur3 buckets, epoch-based years). */
+  private val icebergTransFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3326,7 +3332,48 @@ object DataPipelineQueries {
       FROM documents
       WHERE (doc_id < 400 AND doc_id % 6 <> 0)
          OR (doc_id >= 400 AND doc_id < 450)
-      GROUP BY lang"""))
+      GROUP BY lang""")),
+
+    // ICEBERG TRANSFORM PARTITIONING (spec §"Partition Transforms" — the
+    // reference partitions every table with HIDDEN transforms, e.g. DAY():
+    // clinicdata.sql:51): the export writes a years()+bucket() partition
+    // spec computed with the SPEC's own transform functions (epoch-based
+    // years, canonical murmur3 buckets per Appendix B — deliberately NOT
+    // Spark's seed-42 hash, so a foreign Iceberg engine recomputes the
+    // identical layout), and readTable prunes transform-aware: the date
+    // range keeps only matching year cells, the custkey equality keeps
+    // only its bucket. The oracle replays the filter declaratively.
+    Q("q133_iceberg_transform_export", (s, dir) => {
+      import graft.sources.IcebergExport
+      val dest = icebergTransFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val d = graft.TempDirs.newDir("graft_icetrans_tbl")
+          val o = t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("o_orderstatus"))
+          IcebergExport.export(o.coalesce(2), d,
+            partitionBy = Seq("years(o_orderdate)", "bucket(4, o_custkey)"))
+          d
+        })
+      val ck = t(s, dir, "orders").agg(min(col("o_custkey"))).head.getLong(0)
+      val got = IcebergExport.readTable(s, dest, preds = Seq(
+        IcebergExport.Predicate("o_orderdate", ">=",
+          java.sql.Date.valueOf("1996-01-01")),
+        IcebergExport.Predicate("o_custkey", "=", ck)))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("long").as("sum_keys"))
+      val (kept, total) = IcebergExport.lastPlanStats
+      require(kept < total, "transform pruning (year range + bucket " +
+        s"equality) must fire on the exported table: $kept/$total")
+      got
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_custkey = (SELECT min(o_custkey) FROM orders)
+      GROUP BY o_orderstatus"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -40,10 +40,17 @@ import org.json4s.jackson.JsonMethods
   *    opens — so an external Iceberg reader gets the same data skipping
   *    the internal store reader has, and [[readTable]] prunes on them.
   *  - **Partitioned layouts**: `export(df, dest, partitionBy)` writes hive
-  *    dirs, a real identity partition SPEC (source-ids into the schema,
-  *    partition field-ids from 1000), and per-file partition TUPLES in the
-  *    manifest entries; [[readTable]] with predicates prunes on the tuples
-  *    before it prunes on bounds.
+  *    dirs, a real partition SPEC (source-ids into the schema, partition
+  *    field-ids from 1000), and per-file partition TUPLES in the manifest
+  *    entries; [[readTable]] with predicates prunes on the tuples before
+  *    it prunes on bounds. The FULL transform family is supported with
+  *    the spec's own functions — `identity`, `day`/`month`/`year`/`hour`
+  *    (epoch-based int tuples), `bucket[N]` (canonical murmur3, seed 0 —
+  *    Appendix B, NOT Spark's seed-42 hash), `truncate[W]` — written in
+  *    the store's own grammar ("days(ts)", "bucket(8, id)", …), so a
+  *    store's hidden partitioning carries through `exportStore` and
+  *    foreign engines recompute identical partition values. Monotonic
+  *    transforms prune ranges; bucket prunes equality.
   *  - **Incremental export**: a second `export()` onto an existing table
   *    dir appends a SNAPSHOT to the one metadata chain — new
   *    vN+1.metadata.json with `parent-snapshot-id`, `snapshot-log`,
@@ -69,7 +76,7 @@ import org.json4s.jackson.JsonMethods
   * mutated store is exported as its RESOLVED content — delta chains and
   * mor delete files fold, which is what a cross-engine handoff of state
   * wants; the delete-file APIs cover the mor interchange direction).
-  * Primitive + array/struct column types; identity partition transforms. */
+  * Primitive + array/struct column types; all spec partition transforms. */
 object IcebergExport {
 
   /** One export's receipt: the snapshot id written, the data files THIS
@@ -261,6 +268,233 @@ object IcebergExport {
     case _ => None
   }
 
+  // ── partition transforms (spec §"Partition Transforms") ────────────────
+
+  /** One partition-spec field. `entry` is the store-grammar form the
+    * caller writes ("days(ts)", "bucket(8, id)", or a plain identity
+    * column name — the same grammar [[SnapshotTable]] records), `name` the
+    * Iceberg partition field name the spec/manifests/hive dirs carry,
+    * `transform` the spec's transform string ("identity", "day", "month",
+    * "year", "hour", "bucket[N]", "truncate[W]"), `source` the schema
+    * column the transform applies to. */
+  private[sources] final case class SpecField(
+      entry: String, name: String, transform: String, source: String) {
+    def isIdentity: Boolean = transform == "identity"
+  }
+
+  private val DayRe = "(?i)^days?\\((\\w+)\\)$".r
+  private val MonthRe = "(?i)^months?\\((\\w+)\\)$".r
+  private val YearRe = "(?i)^years?\\((\\w+)\\)$".r
+  private val HourRe = "(?i)^hours?\\((\\w+)\\)$".r
+  private val BucketRe = "(?i)^bucket\\((\\d+)\\s*,\\s*(\\w+)\\)$".r
+  private val TruncRe = "(?i)^truncate\\((\\d+)\\s*,\\s*(\\w+)\\)$".r
+
+  /** Parse one partitionBy entry (store grammar) into its spec field.
+    * Partition field names follow the Iceberg convention `<src>_<kind>`. */
+  private[sources] def parseSpecEntry(entry: String): SpecField =
+    entry.trim match {
+      case DayRe(src) => SpecField(s"days($src)", s"${src}_day", "day", src)
+      case MonthRe(src) =>
+        SpecField(s"months($src)", s"${src}_month", "month", src)
+      case YearRe(src) => SpecField(s"years($src)", s"${src}_year", "year", src)
+      case HourRe(src) => SpecField(s"hours($src)", s"${src}_hour", "hour", src)
+      case BucketRe(n, src) =>
+        SpecField(s"bucket($n, $src)", s"${src}_bucket", s"bucket[$n]", src)
+      case TruncRe(w, src) =>
+        SpecField(s"truncate($w, $src)", s"${src}_trunc", s"truncate[$w]", src)
+      case id => SpecField(id, id, "identity", id)
+    }
+
+  /** Rebuild the store-grammar entry from a spec field's (transform,
+    * source) — the read-side inverse of [[parseSpecEntry]]. */
+  private def entryOf(transform: String, source: String): String = {
+    def arg(t: String) = t.substring(t.indexOf('[') + 1, t.length - 1)
+    transform match {
+      case "identity" => source
+      case "day" => s"days($source)"
+      case "month" => s"months($source)"
+      case "year" => s"years($source)"
+      case "hour" => s"hours($source)"
+      case b if b.startsWith("bucket[") => s"bucket(${arg(b)}, $source)"
+      case t if t.startsWith("truncate[") => s"truncate(${arg(t)}, $source)"
+      case other => throw new IllegalArgumentException(
+        s"iceberg read: unsupported partition transform $other")
+    }
+  }
+
+  private def intArg(transform: String): Int =
+    transform.substring(transform.indexOf('[') + 1, transform.length - 1).toInt
+
+  /** Partition tuple type of a spec field (spec transform result types:
+    * day → date; month/year/hour/bucket → int; identity/truncate → the
+    * source type). */
+  private def partResultType(sf: SpecField, srcType: DataType): DataType =
+    sf.transform match {
+      case "identity" => srcType
+      case "day" => DateType
+      case "month" | "year" | "hour" => IntegerType
+      case b if b.startsWith("bucket[") => IntegerType
+      case _ => srcType // truncate[W]
+    }
+
+  /** Canonical 32-bit murmur3 (Austin Appleby's public algorithm), seed 0
+    * — the hash Iceberg's bucket transform REQUIRES (spec Appendix B).
+    * Deliberately NOT Spark's `hash()` (murmur3 seed 42 over Catalyst's
+    * own byte layouts): a foreign Iceberg engine recomputes these bucket
+    * values from the spec, so the exported layout must match it exactly. */
+  private[sources] def murmur3x86(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = 0
+    val n4 = (data.length / 4) * 4
+    var i = 0
+    while (i < n4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    val tail = data.length & 3
+    if (tail == 3) k ^= (data(n4 + 2) & 0xff) << 16
+    if (tail >= 2) k ^= (data(n4 + 1) & 0xff) << 8
+    if (tail >= 1) {
+      k ^= data(n4) & 0xff
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^ (h >>> 16)
+  }
+
+  /** Iceberg bucket of a long-domain value (ints/longs as the long value,
+    * dates as epoch days, timestamps as epoch micros — spec Appendix B):
+    * murmur3 of the 8-byte little-endian value, positive mod N. */
+  private[sources] def bucketLong(v: Long, n: Int): Int = {
+    val b = new Array[Byte](8)
+    var x = v; var i = 0
+    while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    (murmur3x86(b) & Int.MaxValue) % n
+  }
+
+  /** Iceberg bucket of a string: murmur3 of its UTF-8 bytes, positive
+    * mod N. */
+  private[sources] def bucketString(s: String, n: Int): Int =
+    (murmur3x86(s.getBytes("UTF-8")) & Int.MaxValue) % n
+
+  /** The derived write-side Column computing a spec field's partition
+    * value from its source column (the hive-layout + manifest-tuple value;
+    * Spark's partitionBy drops it from file contents, so data files keep
+    * the SOURCE column — transform partitioning is hidden, as in the
+    * store). */
+  private def partColumn(sf: SpecField, srcType: DataType): Column = {
+    val c = col(sf.source)
+    def unsupported() = throw new IllegalArgumentException(
+      s"iceberg export: transform ${sf.transform} unsupported over " +
+        s"${srcType.simpleString} column ${sf.source}")
+    sf.transform match {
+      case "identity" => c
+      case "day" => srcType match {
+        case DateType | _: TimestampType => to_date(c)
+        case _ => unsupported()
+      }
+      case "month" => srcType match {
+        case DateType | _: TimestampType =>
+          ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
+        case _ => unsupported()
+      }
+      case "year" => srcType match {
+        case DateType | _: TimestampType => (year(c) - lit(1970)).cast("int")
+        case _ => unsupported()
+      }
+      case "hour" => srcType match {
+        case _: TimestampType =>
+          floor(unix_timestamp(c).cast("double") / 3600d).cast("int")
+        case _ => unsupported()
+      }
+      case b if b.startsWith("bucket[") =>
+        val n = intArg(b)
+        val hashLong = udf((v: java.lang.Long) =>
+          if (v == null) null else Int.box(bucketLong(v, n)))
+        srcType match {
+          case StringType =>
+            val hashBytes = udf((b: Array[Byte]) => if (b == null) null
+              else Int.box((murmur3x86(b) & Int.MaxValue) % n))
+            hashBytes(encode(c, "UTF-8"))
+          case DateType =>
+            hashLong(datediff(c, to_date(lit("1970-01-01"))).cast("long"))
+          case _: TimestampType => hashLong(unix_micros(c))
+          case IntegerType | LongType | ShortType | ByteType =>
+            hashLong(c.cast("long"))
+          case _ => unsupported()
+        }
+      case t if t.startsWith("truncate[") =>
+        val w = intArg(t)
+        srcType match {
+          case StringType => substring(c, 1, w)
+          case IntegerType | LongType | ShortType | ByteType =>
+            (c.cast("long") - pmod(c.cast("long"), lit(w.toLong)))
+              .cast(srcType)
+          case _ => unsupported()
+        }
+      case other => throw new IllegalArgumentException(
+        s"iceberg export: unsupported transform $other")
+    }
+  }
+
+  /** Apply a spec field's transform to a predicate literal, in the SAME
+    * comparison domain [[domainOf]] uses (Long for the integral family —
+    * epoch days for day, months-from-1970 for month, etc. — String for
+    * string truncates). None = not derivable; the caller falls back to
+    * column bounds. */
+  private def evalTransform(sf: SpecField, srcType: DataType,
+      v: Any): Option[Any] = {
+    val dom = domainOf(v)
+    def utcDate: Option[java.time.LocalDate] = srcType match {
+      case DateType => dom.collect {
+        case d: Long => java.time.LocalDate.ofEpochDay(d) }
+      case _: TimestampType => dom.collect { case us: Long =>
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(us, 86400000000L)) }
+      case _ => None
+    }
+    sf.transform match {
+      case "identity" => dom
+      case "day" => utcDate.map(_.toEpochDay)
+      case "month" => utcDate.map(d =>
+        ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toLong)
+      case "year" => utcDate.map(d => (d.getYear - 1970).toLong)
+      case "hour" => srcType match {
+        case _: TimestampType => dom.collect {
+          case us: Long => Math.floorDiv(us, 3600000000L) }
+        case _ => None
+      }
+      case b if b.startsWith("bucket[") =>
+        val n = intArg(b)
+        srcType match {
+          case StringType => v match {
+            case s: String => Some(bucketString(s, n).toLong)
+            case _ => None
+          }
+          case DateType | _: TimestampType |
+               IntegerType | LongType | ShortType | ByteType =>
+            dom.collect { case x: Long => bucketLong(x, n).toLong }
+          case _ => None
+        }
+      case t if t.startsWith("truncate[") =>
+        val w = intArg(t)
+        srcType match {
+          case StringType => v match {
+            case s: String => Some(s.take(w))
+            case _ => None
+          }
+          case IntegerType | LongType | ShortType | ByteType =>
+            dom.collect { case x: Long => Math.floorDiv(x, w.toLong) * w }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   // ── the spec's Avro record layouts (field-id properties included) ──────
 
   /** manifest_entry schema; the r102 partition record's fields are the
@@ -357,7 +591,7 @@ object IcebergExport {
   private final case class TableState(
       version: Int, meta: JValue, location: String,
       schemaAst: JValue, fields: StructType, fieldIds: Map[String, Int],
-      specFields: Seq[(String, Int)], // (column name, partition field-id)
+      specFields: Seq[SpecField],
       lastSeq: Long, currentSnapshotId: Long, snapshots: Seq[JValue],
       properties: Map[String, String])
 
@@ -387,10 +621,16 @@ object IcebergExport {
       (f \ "name").extract[String] -> (f \ "id").extract[Int]
     }.toMap
     val specId = (meta \ "default-spec-id").extract[Int]
+    val idToName = fieldIds.map(_.swap)
     val spec = (meta \ "partition-specs").children.find(s =>
       (s \ "spec-id").extract[Int] == specId)
       .map(s => (s \ "fields").children.map { f =>
-        ((f \ "name").extract[String], (f \ "field-id").extract[Int])
+        val name = (f \ "name").extract[String]
+        val transform = (f \ "transform").extract[String]
+        val source = idToName.getOrElse((f \ "source-id").extract[Int],
+          throw new IllegalStateException(
+            s"partition field $name names an unknown source-id"))
+        SpecField(entryOf(transform, source), name, transform, source)
       }).getOrElse(Nil)
     val props = (meta \ "properties") match {
       case JObject(fs) => fs.collect { case (k, JString(v2)) => k -> v2 }.toMap
@@ -424,11 +664,17 @@ object IcebergExport {
       partitionBy: Seq[String], overwrite: Boolean,
       extraProps: Map[String, String]): Export = {
     val spark = df.sparkSession
-    partitionBy.foreach { c =>
-      require(df.columns.contains(c), s"partition column $c not in schema")
-      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"partition column $c must be avro-name-safe")
+    val specs = partitionBy.map(parseSpecEntry)
+    specs.foreach { sf =>
+      require(df.columns.contains(sf.source),
+        s"partition source column ${sf.source} not in schema")
+      require(sf.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition field ${sf.name} must be avro-name-safe")
+      require(sf.isIdentity || !df.columns.contains(sf.name),
+        s"derived partition field ${sf.name} collides with a schema column")
     }
+    require(specs.map(_.name).distinct.size == specs.size,
+      s"duplicate partition fields in ${partitionBy.mkString(", ")}")
     val prev = if (tableExists(spark, destDir)) Some(readState(spark, destDir)) else None
     val (schemaJson, lastColumnId, fieldIds) = icebergSchema(df.schema)
     prev.foreach { st =>
@@ -436,9 +682,9 @@ object IcebergExport {
         JsonMethods.compact(JsonMethods.render(JsonMethods.parse(schemaJson))),
         s"incremental export schema mismatch at $destDir — evolve is not " +
           "supported by the exporter; export to a fresh dir")
-      require(st.specFields.map(_._1) == partitionBy,
+      require(st.specFields.map(_.entry) == specs.map(_.entry),
         s"incremental export partitioning mismatch at $destDir: table has " +
-          s"${st.specFields.map(_._1)}, caller passed $partitionBy")
+          s"${st.specFields.map(_.entry)}, caller passed $partitionBy")
     }
     val hconf = spark.sparkContext.hadoopConfiguration
     val dest = new Path(destDir)
@@ -456,8 +702,13 @@ object IcebergExport {
     //    sync cadence — so the two listings cannot interleave a foreign
     //    writer's files. Cost: two listings, never a chain-length re-read.
     val before: Set[String] = listDataFiles(spark, destDir).map(_._1).toSet
-    val w = df.write.mode("append")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    val srcTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // derived transform columns partition the layout; Spark's partitionBy
+    // drops them from file contents, so data files keep the SOURCE columns
+    val writeDf = specs.filterNot(_.isIdentity).foldLeft(df)((d, sf) =>
+      d.withColumn(sf.name, partColumn(sf, srcTypes(sf.source))))
+    val w = writeDf.write.mode("append")
+    (if (specs.nonEmpty) w.partitionBy(specs.map(_.name): _*) else w)
       .parquet(s"$destDir/data")
     val files = listDataFiles(spark, destDir)
       .filterNot { case (p, _) => before.contains(p) }
@@ -478,7 +729,7 @@ object IcebergExport {
           }
         }
         (p, len, reader.getRecordCount, lower.toMap, upper.toMap,
-          partitionValuesOf(p, destDir, partitionBy, typeByName))
+          partitionValuesOf(p, specs, typeByName))
       } finally reader.close()
     }
     val rowsTotal = stats.map(_._3).sum
@@ -489,17 +740,19 @@ object IcebergExport {
 
     // 3. the new manifest (one ADDED entry per new data file, with bounds
     //    and the partition tuple)
-    val partFields = partitionBy.zipWithIndex.map { case (c, i) =>
-      (c, partAvroType(typeByName(c)), 1000 + i)
+    val partFields = specs.zipWithIndex.map { case (sf, i) =>
+      (sf.name, partAvroType(partResultType(sf, typeByName(sf.source))),
+        1000 + i)
     }
     val entrySchema = manifestEntrySchema(partFields)
     val entries = stats.map { case (p, len, n, lower, upper, partVals) =>
       dataFileEntry(entrySchema, status = 1, snapshotId, seq, content = 0,
         p, n, len, partVals, lower, upper, equalityIds = Nil)
     }
-    val specFieldsJson = partitionBy.zipWithIndex.map { case (c, i) =>
-      JObject("name" -> JString(c), "transform" -> JString("identity"),
-        "source-id" -> JInt(fieldIds(c)), "field-id" -> JInt(1000 + i))
+    val specFieldsJson = specs.zipWithIndex.map { case (sf, i) =>
+      JObject("name" -> JString(sf.name),
+        "transform" -> JString(sf.transform),
+        "source-id" -> JInt(fieldIds(sf.source)), "field-id" -> JInt(1000 + i))
     }
     writeSnapshot(spark, destDir, prev, location, schemaJson, lastColumnId,
       seq, snapshotId, entrySchema, entries, manifestContent = 0,
@@ -513,9 +766,16 @@ object IcebergExport {
     Export(snapshotId, stats.map(_._1), rowsTotal)
   }
 
-  /** Export a [[SnapshotTable]]'s current resolved content. */
-  def exportStore(spark: SparkSession, storeRoot: String, destDir: String): Export =
-    export(new SnapshotTable(spark, storeRoot).read(), destDir)
+  /** Export a [[SnapshotTable]]'s current resolved content. Pass
+    * `partitionBy = st.partitionSpec` to carry the store's recorded hidden
+    * partitioning (identity + days/months/years/hours/bucket/truncate
+    * entries) into the Iceberg layout — the export recomputes transform
+    * values with the SPEC's functions (Iceberg bucket hash, epoch-based
+    * time transforms), so foreign readers prune correctly even where the
+    * store's internal layout hashes differently. */
+  def exportStore(spark: SparkSession, storeRoot: String, destDir: String,
+      partitionBy: Seq[String] = Nil): Export =
+    export(new SnapshotTable(spark, storeRoot).read(), destDir, partitionBy)
 
   /** The metadata property recording the last store version a
     * [[syncStore]] call mirrored into the chain. */
@@ -565,7 +825,7 @@ object IcebergExport {
       .getOrElse(throw new IllegalStateException(
         s"$destDir was not created by syncStore (no $SyncVersionProp " +
           "property) — start the sync on a fresh dir"))
-    val partBy = state.specFields.map(_._1)
+    val partBy = state.specFields.map(_.entry)
     val todo = entries.filter(_._1 > lastSynced)
     if (todo.isEmpty) return Nil
 
@@ -887,20 +1147,22 @@ object IcebergExport {
     sb.toString
   }
 
-  /** The identity partition tuple of one data file, parsed from its hive
-    * path segments and typed for the Avro partition record. */
-  private def partitionValuesOf(path: String, destDir: String,
-      partitionBy: Seq[String], types: Map[String, DataType]): Map[String, Any] =
-    if (partitionBy.isEmpty) Map.empty
+  /** The partition tuple of one data file, parsed from its hive path
+    * segments and typed for the Avro partition record (the tuple's type is
+    * the TRANSFORM's result type — epoch-day int for `day`, int for
+    * month/year/hour/bucket, the source type for identity/truncate). */
+  private def partitionValuesOf(path: String,
+      specs: Seq[SpecField], types: Map[String, DataType]): Map[String, Any] =
+    if (specs.isEmpty) Map.empty
     else {
       val segs = path.split('/').filter(_.contains('='))
         .map { s =>
           val i = s.indexOf('=')
           (s.substring(0, i), unescapePathName(s.substring(i + 1)))
         }.toMap
-      partitionBy.flatMap { c =>
-        segs.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__").map { raw =>
-          val v: Any = types(c) match {
+      specs.flatMap { sf =>
+        segs.get(sf.name).filter(_ != "__HIVE_DEFAULT_PARTITION__").map { raw =>
+          val v: Any = partResultType(sf, types(sf.source)) match {
             case IntegerType | ShortType | ByteType => raw.toInt
             case LongType => raw.toLong
             case StringType => raw
@@ -911,7 +1173,7 @@ object IcebergExport {
             case other => throw new IllegalArgumentException(
               s"unsupported partition value type $other")
           }
-          c -> v
+          sf.name -> v
         }
       }.toMap
     }
@@ -984,24 +1246,44 @@ object IcebergExport {
   /** Inclusive metrics/partition evaluation: may this file contain a
     * matching row? Any uncertainty keeps the file. */
   private def mayMatch(f: PlannedFile, preds: Seq[Predicate],
-      fieldIds: Map[String, Int], types: Map[String, DataType]): Boolean =
+      fieldIds: Map[String, Int], types: Map[String, DataType],
+      specs: Seq[SpecField]): Boolean =
     preds.forall { p =>
       val pv = domainOf(p.value)
       if (pv.isEmpty) true
       else {
-        // partition tuple: identity value known exactly
-        val byPartition = f.partition.get(p.column).flatMap(domainOf).map { v =>
-          domainCompare(v, pv.get) match {
-            case Some(c) => p.op match {
-              case "=" => c == 0
-              case "<" => c < 0
-              case "<=" => c <= 0
-              case ">" => c > 0
-              case ">=" => c >= 0
-            }
-            case None => true
-          }
+        // partition tuple: every spec field sourced from the predicate's
+        // column derives a check. Identity tuples are exact; monotonic
+        // transforms (day/month/year/hour/truncate) relax </ > to their
+        // inclusive forms (rows below v share v's day); bucket derives
+        // equality only (hash scatter has no order).
+        val specChecks = specs.filter(_.source == p.column).flatMap { sf =>
+          for {
+            tupRaw <- f.partition.get(sf.name)
+            tup <- domainOf(tupRaw)
+            srcType <- types.get(p.column)
+            tv <- evalTransform(sf, srcType, p.value)
+            res <-
+              if (sf.isIdentity)
+                domainCompare(tup, tv).map { c => p.op match {
+                  case "=" => c == 0
+                  case "<" => c < 0
+                  case "<=" => c <= 0
+                  case ">" => c > 0
+                  case ">=" => c >= 0
+                }}
+              else if (sf.transform.startsWith("bucket[")) {
+                if (p.op == "=") domainCompare(tup, tv).map(_ == 0) else None
+              } else
+                domainCompare(tup, tv).map { c => p.op match {
+                  case "=" => c == 0
+                  case "<" | "<=" => c <= 0
+                  case ">" | ">=" => c >= 0
+                }}
+          } yield res
         }
+        val byPartition =
+          if (specChecks.isEmpty) None else Some(specChecks.forall(identity))
         byPartition.getOrElse {
           // column bounds: inclusive range check
           (for {
@@ -1053,7 +1335,8 @@ object IcebergExport {
     val planned = plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
     val types = st.fields.fields.map(f => f.name -> f.dataType).toMap
     val dataAll = planned.filter(_.content == 0)
-    val data = dataAll.filter(mayMatch(_, preds, st.fieldIds, types))
+    val data = dataAll.filter(mayMatch(_, preds, st.fieldIds, types,
+      st.specFields))
     lastPlanStats = (data.size.toLong, dataAll.size.toLong)
     val posDel = planned.filter(_.content == 1)
     val eqDel = planned.filter(_.content == 2)
@@ -1110,9 +1393,12 @@ object IcebergExport {
       df = df.drop("__ice_file", "__ice_pos", "__ice_dseq")
     }
 
-    // schema order + types: partition columns come back from hive dirs with
-    // inferred types — realign and cast to the Iceberg schema
-    val partCols = st.specFields.map(_._1).toSet
+    // schema order + types: identity partition columns come back from hive
+    // dirs with inferred types — realign and cast to the Iceberg schema.
+    // Derived transform dirs (ts_day=…) also surface as columns; the
+    // schema-ordered select drops them (their names are require()d not to
+    // collide with schema columns at export).
+    val partCols = st.specFields.filter(_.isIdentity).map(_.name).toSet
     val out = df.select(st.fields.fields.map { f =>
       if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else col(f.name)

@@ -360,6 +360,135 @@ class IcebergExportSpec extends SparkSpec {
     assert(got.schema("id").dataType === org.apache.spark.sql.types.LongType)
   }
 
+  test("bucket transform hashes with the spec's canonical murmur3 (seed 0, " +
+      "Appendix B), agreeing with an independent implementation and the " +
+      "published test vectors") {
+    def le(v: Long): Array[Byte] = {
+      val b = new Array[Byte](8); var x = v; var i = 0
+      while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }; b
+    }
+    // independent implementation agreement: Spark's Murmur3_x86_32.hashLong
+    // (same algorithm, processes the long as two LE 4-byte blocks) at seed 0
+    for (v <- Seq(0L, 1L, -1L, 34L, 17486L, 1510871468000000L, Long.MaxValue))
+      assert(IcebergExport.murmur3x86(le(v)) ===
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 0),
+        s"long $v")
+    // the spec's own Appendix B vectors: hash(34 as int/long) = 2017239379,
+    // hash("iceberg") = 1210000089, hash(date 2017-11-16 = 17486 days) =
+    // -653330422 (https://iceberg.apache.org/spec/#appendix-b)
+    assert(IcebergExport.murmur3x86(le(34L)) === 2017239379)
+    assert(IcebergExport.murmur3x86("iceberg".getBytes("UTF-8")) === 1210000089)
+    assert(IcebergExport.murmur3x86(le(17486L)) === -653330422)
+    // and it is NOT Spark's seed-42 hash() — the distinction foreign
+    // engines would mis-prune on
+    assert(IcebergExport.murmur3x86(le(34L)) !==
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(34L, 42))
+    assert(IcebergExport.bucketLong(34L, 16) === (2017239379 & Int.MaxValue) % 16)
+    assert(IcebergExport.bucketString("iceberg", 16) ===
+      (1210000089 & Int.MaxValue) % 16)
+  }
+
+  test("transform-partitioned export: month + bucket specs write transform " +
+      "tuples and hive dirs, round-trip, and prune transform-aware") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_trans").toFile.getAbsolutePath
+    val df = Seq.tabulate(60) { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i * 3L)),
+        s"name$i")
+    }.toDF("id", "d", "nm")
+    IcebergExport.export(df, dest, partitionBy = Seq("months(d)", "bucket(4, id)"))
+
+    // the spec carries the transform strings and derived field names
+    val json = JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json"))
+      .replaceAll("\\s", "")
+    assert(json.contains("\"transform\":\"month\""))
+    assert(json.contains("\"transform\":\"bucket[4]\""))
+    assert(json.contains("\"name\":\"d_month\""))
+    // hive layout by derived values; data files keep the SOURCE columns
+    val dirs = new java.io.File(s"$dest/data").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("d_month=")), dirs.mkString(","))
+
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "d", "nm"))
+    assert(back.count() === 60)
+    assert(back.agg(sum("id")).as[Long].head === (0L until 60L).sum)
+
+    // month range pruning: inclusive relaxation keeps the boundary month
+    val cut = java.sql.Date.valueOf("2024-05-01")
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("d", ">=", cut)))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total, s"month pruning must fire: $kept/$total")
+    assert(got.count() === df.filter(col("d") >= lit(cut)).count())
+
+    // bucket pruning: equality only, and to exactly the rows asked for
+    val got2 = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", "=", 7L)))
+    val (kept2, total2) = IcebergExport.lastPlanStats
+    assert(kept2 < total2, s"bucket pruning must fire: $kept2/$total2")
+    assert(got2.as[(Long, java.sql.Date, String)].collect().map(_._1).toSeq
+      === Seq(7L))
+    // a RANGE over the bucket source must NOT prune on the bucket tuple
+    IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", ">=", 0L))).count()
+
+    // incremental export with the same transform spec appends to the chain
+    IcebergExport.export(
+      Seq((100L, java.sql.Date.valueOf("2024-07-04"), "later")).toDF("id", "d", "nm"),
+      dest, partitionBy = Seq("months(d)", "bucket(4, id)"))
+    assert(IcebergExport.snapshotIds(spark, dest).size === 2)
+    assert(IcebergExport.readTable(spark, dest).count() === 61)
+    // a mismatched spec is refused
+    assertThrows[IllegalArgumentException] {
+      IcebergExport.export(df, dest, partitionBy = Seq("months(d)"))
+    }
+  }
+
+  test("day transform writes date hive dirs + epoch-day tuples; string " +
+      "truncate prunes prefix ranges; store specs carry through exportStore") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_day").toFile.getAbsolutePath
+    val rows = Seq.tabulate(40) { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(s"2024-03-${1 + i % 10} 0${i % 9}:15:00"),
+        s"${(97 + i % 4).toChar}k$i") // prefixes ak/bk/ck/dk → 4 truncate cells
+    }
+    IcebergExport.export(rows.toDF("id", "ts", "k"), dest,
+      partitionBy = Seq("days(ts)", "truncate(2, k)"))
+    val dirs = new java.io.File(s"$dest/data").listFiles().map(_.getName)
+    assert(dirs.exists(_.matches("ts_day=2024-03-\\d+")), dirs.mkString(","))
+
+    val cut = java.sql.Timestamp.valueOf("2024-03-08 00:00:00")
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("ts", ">=", cut)))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total, s"day pruning must fire: $kept/$total")
+    assert(got.count() ===
+      rows.count { case (_, ts, _) => !ts.before(cut) })
+
+    // string truncate: equality on the source prunes to its prefix cell
+    val got2 = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("k", "=", "ak8")))
+    val (kept2, total2) = IcebergExport.lastPlanStats
+    assert(kept2 < total2, s"truncate pruning must fire: $kept2/$total2")
+    assert(got2.count() === rows.count(_._3 == "ak8"))
+
+    // a store's recorded hidden partitioning carries into the export
+    val root = JFiles.createTempDirectory("iceexp_dayst").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commitPartitioned(rows.toDF("id", "ts", "k"), Seq("days(ts)"))
+    val dest2 = JFiles.createTempDirectory("iceexp_day2").toFile.getAbsolutePath
+    IcebergExport.exportStore(spark, root, dest2,
+      partitionBy = st.partitionSpec)
+    val json2 = JFiles.readString(
+      java.nio.file.Paths.get(s"$dest2/metadata/v1.metadata.json"))
+      .replaceAll("\\s", "")
+    assert(json2.contains("\"transform\":\"day\""))
+    assert(IcebergExport.readTable(spark, dest2).count() === 40)
+  }
+
   test("arrays and nested structs export with element/field ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath
