@@ -34,11 +34,13 @@ import org.json4s.jackson.JsonMethods
   * (https://iceberg.apache.org/spec/, format version 2).
   *
   * Depth (all spec features, not extensions):
-  *  - **Column bounds**: every data-file entry carries `lower_bounds` /
-  *    `upper_bounds` maps (field-id → the spec's single-value binary
-  *    serialization), read from the parquet footers the export already
-  *    opens — so an external Iceberg reader gets the same data skipping
-  *    the internal store reader has, and [[readTable]] prunes on them.
+  *  - **Column bounds + metrics**: every data-file entry carries
+  *    `lower_bounds`/`upper_bounds` maps (field-id → the spec's
+  *    single-value binary serialization) plus the `value_counts` /
+  *    `null_value_counts` metrics maps, read from the parquet footers the
+  *    export already opens — so an external Iceberg reader gets the same
+  *    data skipping the internal store reader has, and [[readTable]]
+  *    prunes on them (ranges on bounds, IS [NOT] NULL on the metrics).
   *  - **Partitioned layouts**: `export(df, dest, partitionBy)` writes hive
   *    dirs, a real partition SPEC (source-ids into the schema, partition
   *    field-ids from 1000), and per-file partition TUPLES in the manifest
@@ -83,13 +85,23 @@ object IcebergExport {
     * export added, and their row count. */
   final case class Export(snapshotId: Long, dataFiles: Seq[String], rows: Long)
 
+  /** Footer-derived stats of one data file this export wrote. */
+  private final case class FileStats(path: String, bytes: Long, records: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      partVals: Map[String, Any],
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long])
+
   /** A pruning/filter predicate for [[readTable]] / [[plannedDataFiles]]:
-    * `op` ∈ {=, <, <=, >, >=} over one top-level column. Evaluated against
-    * partition tuples exactly and against column bounds inclusively (any
-    * uncertainty keeps the file); [[readTable]] also applies it as a
-    * residual row filter, so results equal `readTable().filter(...)`. */
-  final case class Predicate(column: String, op: String, value: Any) {
-    require(Set("=", "<", "<=", ">", ">=")(op), s"unsupported op $op")
+    * `op` ∈ {=, <, <=, >, >=, isnull, notnull} over one top-level column
+    * (`value` is ignored for the null ops). Comparison ops evaluate
+    * against partition tuples (transform-aware) and column bounds
+    * inclusively; null ops evaluate against the manifests'
+    * `null_value_counts`/`value_counts` metrics. Any uncertainty keeps the
+    * file; [[readTable]] also applies it as a residual row filter, so
+    * results equal `readTable().filter(...)`. */
+  final case class Predicate(column: String, op: String, value: Any = null) {
+    require(Set("=", "<", "<=", ">", ">=", "isnull", "notnull")(op),
+      s"unsupported op $op")
   }
 
   /** (data files kept, data files live) of the most recent plan on this
@@ -123,6 +135,9 @@ object IcebergExport {
     case ArrayType(elem, containsNull) =>
       val id = nextId()
       s"""{"type":"list","element-id":$id,"element":${icebergType(elem, nextId)},"element-required":${!containsNull}}"""
+    case MapType(k, v, valueContainsNull) =>
+      val kid = nextId(); val vid = nextId()
+      s"""{"type":"map","key-id":$kid,"key":${icebergType(k, nextId)},"value-id":$vid,"value":${icebergType(v, nextId)},"value-required":${!valueContainsNull}}"""
     case StructType(fields) =>
       val fs = fields.map { f =>
         val id = nextId()
@@ -169,6 +184,9 @@ object IcebergExport {
       case JString("list") =>
         ArrayType(sparkType(o \ "element"),
           containsNull = (o \ "element-required") != JBool(true))
+      case JString("map") =>
+        MapType(sparkType(o \ "key"), sparkType(o \ "value"),
+          valueContainsNull = (o \ "value-required") != JBool(true))
       case JString("struct") =>
         StructType((o \ "fields").children.map { f =>
           implicit val fmts: Formats = DefaultFormats
@@ -518,6 +536,12 @@ object IcebergExport {
         {"name":"record_count","type":"long","field-id":103},
         {"name":"file_size_in_bytes","type":"long","field-id":104},
         {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+        {"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[
+          {"name":"key","type":"int","field-id":119},
+          {"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+        {"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[
+          {"name":"key","type":"int","field-id":121},
+          {"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
         {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
           {"name":"key","type":"int","field-id":126},
           {"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
@@ -713,7 +737,9 @@ object IcebergExport {
     val files = listDataFiles(spark, destDir)
       .filterNot { case (p, _) => before.contains(p) }
 
-    // 2. per-file footer stats: record counts + typed column bounds
+    // 2. per-file footer stats: record counts, typed column bounds, and the
+    //    spec's metrics maps (value_counts = values incl. nulls per column,
+    //    null_value_counts) — all from footers the export already opens
     val typeByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats = files.map { case (p, len) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -728,11 +754,25 @@ object IcebergExport {
             lower(fid) = lo; upper(fid) = hi
           }
         }
-        (p, len, reader.getRecordCount, lower.toMap, upper.toMap,
-          partitionValuesOf(p, specs, typeByName))
+        val valueCounts = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        val nullCounts = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            fieldIds.get(c.getPath.toDotString).foreach { fid =>
+              valueCounts(fid) = valueCounts.getOrElse(fid, 0L) + c.getValueCount
+              val st = c.getStatistics
+              if (st != null && st.isNumNullsSet)
+                nullCounts(fid) = nullCounts.getOrElse(fid, 0L) + st.getNumNulls
+            }
+          }
+        }
+        FileStats(p, len, reader.getRecordCount, lower.toMap, upper.toMap,
+          partitionValuesOf(p, specs, typeByName),
+          valueCounts.toMap, nullCounts.toMap)
       } finally reader.close()
     }
-    val rowsTotal = stats.map(_._3).sum
+    val rowsTotal = stats.map(_.records).sum
     val seq = prev.map(_.lastSeq + 1).getOrElse(1L)
     val snapshotId = math.abs(java.util.UUID
       .nameUUIDFromBytes(s"$location#snap$seq".getBytes("UTF-8"))
@@ -745,9 +785,11 @@ object IcebergExport {
         1000 + i)
     }
     val entrySchema = manifestEntrySchema(partFields)
-    val entries = stats.map { case (p, len, n, lower, upper, partVals) =>
+    val entries = stats.map { fst =>
       dataFileEntry(entrySchema, status = 1, snapshotId, seq, content = 0,
-        p, n, len, partVals, lower, upper, equalityIds = Nil)
+        fst.path, fst.records, fst.bytes, fst.partVals, fst.lower, fst.upper,
+        equalityIds = Nil, valueCounts = fst.valueCounts,
+        nullCounts = fst.nullCounts)
     }
     val specFieldsJson = specs.zipWithIndex.map { case (sf, i) =>
       JObject("name" -> JString(sf.name),
@@ -763,7 +805,7 @@ object IcebergExport {
         "added-data-files" -> files.size.toString,
         "added-records" -> rowsTotal.toString),
       carryForward = !overwrite, extraProps = extraProps)
-    Export(snapshotId, stats.map(_._1), rowsTotal)
+    Export(snapshotId, stats.map(_.path), rowsTotal)
   }
 
   /** Export a [[SnapshotTable]]'s current resolved content. Pass
@@ -947,21 +989,26 @@ object IcebergExport {
   private def dataFileEntry(entrySchema: Schema, status: Int, snapshotId: Long,
       seq: Long, content: Int, path: String, records: Long, bytes: Long,
       partVals: Map[String, Any], lower: Map[Int, Array[Byte]],
-      upper: Map[Int, Array[Byte]], equalityIds: Seq[Int]): GenericData.Record = {
+      upper: Map[Int, Array[Byte]], equalityIds: Seq[Int],
+      valueCounts: Map[Int, Long] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty): GenericData.Record = {
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
     val part = new GenericData.Record(partitionSchema)
     partVals.foreach { case (k, v) => part.put(k, v) }
-    def boundsArr(m: Map[Int, Array[Byte]], sub: String) = {
+    def mapArr(sub: String, m: Map[Int, Any]) = {
       val sch = dataFileSchema.getField(sub).schema().getTypes.get(1)
       val arr = new GenericData.Array[GenericData.Record](m.size, sch)
       m.toSeq.sortBy(_._1).foreach { case (k, v) =>
         val r = new GenericData.Record(sch.getElementType)
-        r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v))
+        r.put("key", k); r.put("value", v)
         arr.add(r)
       }
       arr
     }
+    def boundsArr(m: Map[Int, Array[Byte]], sub: String) =
+      mapArr(sub, m.map { case (k, v) =>
+        k -> (java.nio.ByteBuffer.wrap(v): Any) })
     val d = new GenericData.Record(dataFileSchema)
     d.put("content", content)
     d.put("file_path", path)
@@ -977,6 +1024,12 @@ object IcebergExport {
     }
     if (lower.nonEmpty) d.put("lower_bounds", boundsArr(lower, "lower_bounds"))
     if (upper.nonEmpty) d.put("upper_bounds", boundsArr(upper, "upper_bounds"))
+    if (valueCounts.nonEmpty)
+      d.put("value_counts", mapArr("value_counts",
+        valueCounts.map { case (k, v) => k -> (Long.box(v): Any) }))
+    if (nullCounts.nonEmpty)
+      d.put("null_value_counts", mapArr("null_value_counts",
+        nullCounts.map { case (k, v) => k -> (Long.box(v): Any) }))
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)
@@ -1184,7 +1237,8 @@ object IcebergExport {
   private final case class PlannedFile(path: String, records: Long,
       content: Int, seq: Long, partition: Map[String, Any],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      equalityIds: Seq[Int])
+      equalityIds: Seq[Int],
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long])
 
   private def manifestListPathOf(st: TableState, snapshotId: Long): String = {
     implicit val fmts: Formats = DefaultFormats
@@ -1235,11 +1289,24 @@ object IcebergExport {
             arr.asInstanceOf[java.util.List[_]].asScala
               .map(_.asInstanceOf[Int]).toSeq
           }.getOrElse(Nil)
+          def counts(field: String): Map[Int, Long] =
+            // older manifests lack the metrics fields: Avro's generic
+            // reader returns null there, which is just "no metrics"
+            Option(if (d.getSchema.getField(field) == null) null
+              else d.get(field)).map { arr =>
+              import scala.jdk.CollectionConverters._
+              arr.asInstanceOf[java.util.List[_]].asScala.map { kv =>
+                val r = kv.asInstanceOf[org.apache.avro.generic.GenericRecord]
+                r.get("key").asInstanceOf[Int] ->
+                  r.get("value").asInstanceOf[Long]
+              }.toMap
+            }.getOrElse(Map.empty)
           PlannedFile(d.get("file_path").toString,
             d.get("record_count").asInstanceOf[Long],
             d.get("content").asInstanceOf[Int],
             Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
-            partition, bounds("lower_bounds"), bounds("upper_bounds"), eqIds)
+            partition, bounds("lower_bounds"), bounds("upper_bounds"), eqIds,
+            counts("value_counts"), counts("null_value_counts"))
         }
     }
 
@@ -1250,7 +1317,17 @@ object IcebergExport {
       specs: Seq[SpecField]): Boolean =
     preds.forall { p =>
       val pv = domainOf(p.value)
-      if (pv.isEmpty) true
+      if (p.op == "isnull" || p.op == "notnull") {
+        // metrics maps: a file with zero nulls can't match IS NULL; a file
+        // that is all-null can't match IS NOT NULL. Missing metrics keep
+        // the file (identity partition columns live in hive dirs, not in
+        // file footers, so they never prune here — conservative).
+        fieldIds.get(p.column).forall { fid =>
+          if (p.op == "isnull") f.nullCounts.get(fid).forall(_ > 0)
+          else (for (vc <- f.valueCounts.get(fid); nc <- f.nullCounts.get(fid))
+            yield vc > nc).getOrElse(true)
+        }
+      } else if (pv.isEmpty) true
       else {
         // partition tuple: every spec field sourced from the predicate's
         // column derives a check. Identity tuples are exact; monotonic
@@ -1417,13 +1494,15 @@ object IcebergExport {
 
   private def residual(p: Predicate): Column = {
     val c = col(p.column)
-    val v = lit(p.value)
+    lazy val v = lit(p.value)
     p.op match {
       case "=" => c === v
       case "<" => c < v
       case "<=" => c <= v
       case ">" => c > v
       case ">=" => c >= v
+      case "isnull" => c.isNull
+      case "notnull" => c.isNotNull
     }
   }
 }

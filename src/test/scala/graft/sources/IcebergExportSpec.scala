@@ -489,6 +489,52 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.readTable(spark, dest2).count() === 40)
   }
 
+  test("map columns export with key/value ids and round-trip") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_map").toFile.getAbsolutePath
+    val df = Seq((1L, Map("a" -> 1.5, "b" -> 2.5)), (2L, Map("c" -> 9.0)))
+      .toDF("id", "props")
+    IcebergExport.export(df, dest)
+    val json = JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json"))
+      .replaceAll("\\s", "")
+    assert(json.contains("\"type\":\"map\""))
+    assert(json.contains("key-id") && json.contains("value-id"))
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.schema("props").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
+    assert(back.select(col("id"), map_values(col("props")))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (i, vs) => (i, vs.sorted) }
+      === Array((1L, Seq(1.5, 2.5)), (2L, Seq(9.0))))
+  }
+
+  test("value_counts/null_value_counts metrics ride the manifests and " +
+      "IS [NOT] NULL predicates prune on them") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_nulls").toFile.getAbsolutePath
+    // two snapshots → two data files: one with NO nulls, one ALL-null in v
+    IcebergExport.export(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dest)
+    IcebergExport.export(
+      Seq((3L, null: String), (4L, null: String)).toDF("id", "v").coalesce(1),
+      dest)
+
+    // IS NULL skips the no-null file
+    val gotNull = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("v", "isnull")))
+    val (k1, t1) = IcebergExport.lastPlanStats
+    assert(t1 === 2 && k1 === 1, s"isnull must prune the no-null file: $k1/$t1")
+    assert(gotNull.select("id").as[Long].collect().sorted === Array(3L, 4L))
+
+    // IS NOT NULL skips the all-null file
+    val gotNotNull = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("v", "notnull")))
+    val (k2, t2) = IcebergExport.lastPlanStats
+    assert(k2 === 1, s"notnull must prune the all-null file: $k2/$t2")
+    assert(gotNotNull.select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
   test("arrays and nested structs export with element/field ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath
