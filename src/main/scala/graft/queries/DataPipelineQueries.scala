@@ -236,6 +236,12 @@ object DataPipelineQueries {
   private val icebergTransFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q134's mirrored store: a FOREIGN-style Iceberg chain (base append,
+    * delta append, equality-delete file) continuously mirrored into a
+    * SnapshotTable via syncFromTable — the inverse interchange cadence. */
+  private val icebergFromFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3373,7 +3379,53 @@ object DataPipelineQueries {
       FROM orders
       WHERE o_orderdate >= DATE '1996-01-01'
         AND o_custkey = (SELECT min(o_custkey) FROM orders)
-      GROUP BY o_orderstatus"""))
+      GROUP BY o_orderstatus""")),
+
+    // ICEBERG → STORE CONTINUOUS MIRROR (the INVERSE of q132's syncStore,
+    // closing the interchange loop): a foreign engine commits to the
+    // Iceberg chain, the store follows O(delta) — append snapshots arrive
+    // as exactly-once TAGGED appends (the streaming sink's idempotent
+    // recipe, so crash replay can't duplicate), equality-delete files as
+    // merge-on-read key deletes (SnapshotTable.deleteKeysMor). Build-time
+    // require()s pin mirror-equals-chain; the oracle replays the chain's
+    // content declaratively.
+    Q("q134_iceberg_import_sync", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val root = icebergFromFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val chain = graft.TempDirs.newDir("graft_icefrom_tbl")
+          val r = graft.TempDirs.newDir("graft_icefrom_store")
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .filter(col("doc_id") < 500)
+          IcebergExport.export(docs.filter(col("doc_id") < 300), chain)
+          require(IcebergExport.syncFromTable(s, chain, r).size == 1,
+            "first mirror call must carry the base snapshot")
+          IcebergExport.export(docs.filter(col("doc_id") >= 300), chain)
+          IcebergExport.appendEqualityDeletes(s, chain,
+            docs.filter(col("doc_id") % 9 === 0L).select("doc_id"),
+            Seq("doc_id"))
+          require(IcebergExport.syncFromTable(s, chain, r).size == 2,
+            "second mirror call must carry exactly the two new snapshots")
+          val st = new SnapshotTable(s, r)
+          val back = IcebergExport.readTable(s, chain)
+          require(st.read().except(back).isEmpty &&
+            back.except(st.read()).isEmpty,
+            "mirrored store must equal the chain's own read")
+          r
+        })
+      new SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars
+      FROM documents
+      WHERE doc_id < 500 AND doc_id % 9 <> 0
+      GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -910,6 +910,136 @@ object IcebergExport {
     synced.sorted.toSeq
   }
 
+  /** CONTINUOUS Iceberg → store mirroring — the INVERSE of [[syncStore]],
+    * closing the interchange loop: each call mirrors the snapshots a
+    * foreign engine committed to the Iceberg chain at `tableDir` since the
+    * last sync into the [[SnapshotTable]] at `storeRoot`, O(delta) on the
+    * common paths —
+    *
+    *  - APPEND snapshots → store `append@<snapshotId>` commits holding
+    *    exactly the snapshot's ADDED data files (no chain re-read); the
+    *    tagged op makes crash replay exactly-once — the same
+    *    idempotent-sink recipe the streaming sink uses;
+    *  - DELETE snapshots whose added files are all EQUALITY deletes →
+    *    [[SnapshotTable.deleteKeysMor]] with the delete files' own key
+    *    rows — the mutation stays a merge-on-read mutation;
+    *  - anything coarser (overwrite/replace snapshots, position deletes —
+    *    whose positions name CHAIN files the store cannot map) → ONE full
+    *    overwrite commit of the chain's resolved content at the LAST such
+    *    snapshot, every earlier unsynced snapshot subsumed.
+    *
+    * Mirror state is a create-only record per snapshot under
+    * `<storeRoot>/_graft_mirror/` plus the tagged append ops themselves;
+    * a mutation replayed after a crash in the record window is idempotent
+    * BY VALUE (the same keys delete to the same result, the same content
+    * overwrites to the same content — one redundant history version, no
+    * row drift). One mirroring writer per store by contract (the sync
+    * cadence). First call must own a store with no snapshots. Returns the
+    * snapshot ids mirrored. */
+  def syncFromTable(spark: SparkSession, tableDir: String,
+      storeRoot: String): Seq[Long] = {
+    implicit val fmts: Formats = DefaultFormats
+    val st = new SnapshotTable(spark, storeRoot)
+    val state = readState(spark, tableDir)
+    val ids = snapshotIds(spark, tableDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mirrorDir = new Path(storeRoot, "_graft_mirror")
+    val fs = mirrorDir.getFileSystem(hconf)
+    val Rec = "s-(-?\\d+)\\.rec".r
+    val recorded: Set[Long] =
+      if (!fs.exists(mirrorDir)) Set.empty
+      else fs.listStatus(mirrorDir).toSeq.map(_.getPath.getName)
+        .collect { case Rec(id) => id.toLong }.toSet
+    val todo = ids.dropWhile(recorded.contains)
+    require(todo.forall(id => !recorded.contains(id)),
+      s"mirror records at $storeRoot are not a prefix of the chain at " +
+        s"$tableDir — was the chain rewritten, or the store shared?")
+    if (todo.isEmpty) return Nil
+    require(recorded.nonEmpty || st.history().isEmpty,
+      s"syncFromTable owns its store: $storeRoot already has snapshots " +
+        "but no mirror records — start the mirror on a fresh root")
+
+    def record(sid: Long): Unit = {
+      val out = fs.create(new Path(mirrorDir, s"s-$sid.rec"), false)
+      try out.write(java.lang.Long.toString(sid).getBytes("UTF-8"))
+      finally out.close()
+    }
+    def snapOp(sid: Long): String = {
+      val snap = state.snapshots.find(s =>
+        (s \ "snapshot-id").extract[Long] == sid).get
+      (snap \ "summary" \ "operation").extractOpt[String].getOrElse("overwrite")
+    }
+    // fine-grained kinds we can mirror O(delta); everything else is coarse
+    def kindOf(sid: Long): String = snapOp(sid) match {
+      case "append" => "append"
+      case "delete" =>
+        val added = plannedOf(spark, state, sid).filter(_.addedBy == sid)
+        if (added.nonEmpty && added.forall(_.content == 2)) "eqdel"
+        else "coarse"
+      case _ => "coarse"
+    }
+    val kinds = todo.map(sid => sid -> kindOf(sid))
+    val kindBySid = kinds.toMap
+    val synced = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    // fold everything up to the LAST coarse snapshot into one overwrite
+    val lastCoarse = kinds.filter(_._2 == "coarse").lastOption.map(_._1)
+    lastCoarse.foreach { sid =>
+      st.commit(readTable(spark, tableDir, Some(sid)), "overwrite")
+      todo.takeWhile(_ != sid).foreach(record)
+      record(sid)
+      synced ++= todo.takeWhile(_ != sid) :+ sid
+    }
+    val after = lastCoarse.map(s => todo.dropWhile(_ != s).drop(1))
+      .getOrElse(todo)
+
+    val idToName = state.fieldIds.map(_.swap)
+    val partCols = state.specFields.filter(_.isIdentity).map(_.name).toSet
+    val basePath = {
+      val p = new Path(s"$tableDir/data")
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    after.foreach { sid =>
+      kindBySid(sid) match {
+        case "append" =>
+          val op = st.streamAppendOp(sid)
+          val already = !st.history()
+            .filter(col("operation") === op).isEmpty
+          if (!already) {
+            val paths = plannedOf(spark, state, sid)
+              .filter(f => f.addedBy == sid && f.content == 0).map(_.path)
+            if (paths.nonEmpty) {
+              // identity partition values live in hive dirs, not files —
+              // basePath recovery + schema-ordered select, as in readTable
+              val df = spark.read.option("basePath", basePath)
+                .parquet(paths: _*)
+              st.commit(df.select(state.fields.fields.map { f =>
+                if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
+                else col(f.name)
+              }.toIndexedSeq: _*), op)
+            } else st.commit(
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                state.fields), op)
+          }
+          record(sid); synced += sid
+        case "eqdel" =>
+          val dels = plannedOf(spark, state, sid)
+            .filter(f => f.addedBy == sid && f.content == 2)
+          dels.groupBy(_.equalityIds).foreach { case (eqIds, files) =>
+            val cols = eqIds.map(idToName)
+            st.deleteKeysMor(
+              spark.read.parquet(files.map(_.path): _*)
+                .select(cols.map(col): _*), cols)
+          }
+          record(sid); synced += sid
+        case _ => // unreachable: coarse snapshots were folded above
+          throw new IllegalStateException(s"unfolded coarse snapshot $sid")
+      }
+    }
+    synced.toSeq
+  }
+
   // ── delete-file writers (the foreign-engine mutation shapes) ────────────
 
   /** Append a POSITION-DELETE snapshot (spec content=1): `deletes` must
@@ -1238,7 +1368,8 @@ object IcebergExport {
       content: Int, seq: Long, partition: Map[String, Any],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       equalityIds: Seq[Int],
-      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long])
+      valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
+      addedBy: Long)
 
   private def manifestListPathOf(st: TableState, snapshotId: Long): String = {
     implicit val fmts: Formats = DefaultFormats
@@ -1306,7 +1437,8 @@ object IcebergExport {
             d.get("content").asInstanceOf[Int],
             Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
             partition, bounds("lower_bounds"), bounds("upper_bounds"), eqIds,
-            counts("value_counts"), counts("null_value_counts"))
+            counts("value_counts"), counts("null_value_counts"),
+            Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L))
         }
     }
 

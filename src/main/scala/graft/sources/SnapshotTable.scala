@@ -2612,6 +2612,25 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     next
   }
 
+  /** Equality-delete commit from an explicit KEY FRAME (the shape an
+    * Iceberg equality-delete file carries): every table row whose
+    * `keyCols` tuple matches a row of `keys` is deleted merge-on-read —
+    * the frame form of [[deleteWhereMor]], for callers that HAVE the keys
+    * rather than a predicate (mirrored foreign delete files, CDC feeds).
+    * Deleting keys with no matching rows is a no-op in effect, so replays
+    * are idempotent by value. */
+  def deleteKeysMor(keys: DataFrame, keyCols: Seq[String]): Long = withRootLock {
+    require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
+    val meta = readMeta()
+    val head = mainHead(meta)
+    require(head.nonEmpty, s"no snapshots at $root")
+    val next = claimVersion(meta)
+    val n = writeVersionDir(keys.select(keyCols.map(col): _*).distinct(), next)
+    validateHeadOrRelease(head, next)
+    appendMeta(next, MorDeleteOp, n)
+    next
+  }
+
   /** DELETE FROM … WHERE, merge-on-read with POSITION deletes (Iceberg v2's
     * second delete-file kind): commits ONLY the `(file, row position)` pairs
     * of the matching rows — no key column needed, so this is the delete

@@ -489,6 +489,62 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.readTable(spark, dest2).count() === 40)
   }
 
+  test("syncFromTable mirrors a foreign chain into a store O(delta): " +
+      "appends tagged exactly-once, equality deletes stay mor, coarse " +
+      "snapshots fold, crash replay adds no rows") {
+    import spark.implicits._
+    val chain = JFiles.createTempDirectory("icefrom_tbl").toFile.getAbsolutePath
+    val root = JFiles.createTempDirectory("icefrom_store").toFile.getAbsolutePath
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d$i", (i % 3).toLong))
+        .toDF("id", "v", "n")
+
+    // a "foreign" chain: base append, delta append, an equality delete
+    IcebergExport.export(docs(0, 50), chain)
+    IcebergExport.export(docs(50, 70), chain)
+    val s1 = IcebergExport.syncFromTable(spark, chain, root)
+    assert(s1.size === 2)
+    val st = new SnapshotTable(spark, root)
+    assert(st.read().count() === 70)
+    // appends arrived as tagged appends (the exactly-once cursor)
+    assert(st.history().filter(col("operation").startsWith("append@"))
+      .count() === 2)
+
+    IcebergExport.appendEqualityDeletes(spark, chain,
+      Seq(3L, 7L, 66L).toDF("id"), Seq("id"))
+    val s2 = IcebergExport.syncFromTable(spark, chain, root)
+    assert(s2.size === 1)
+    assert(st.read().count() === 67)
+    // the delete stayed merge-on-read, not a cow rewrite
+    assert(st.history().filter(col("operation") === "mor-delete").count() === 1)
+    val back = IcebergExport.readTable(spark, chain)
+    assert(st.read().except(back).isEmpty && back.except(st.read()).isEmpty,
+      "mirrored store must equal the chain's own read")
+
+    // idempotence: nothing new → Nil; replay after a lost record adds no rows
+    assert(IcebergExport.syncFromTable(spark, chain, root) === Nil)
+    assert(new java.io.File(s"$root/_graft_mirror").listFiles()
+      .count(_.getName.endsWith(".rec")) === 3)
+    // drop the LAST record (crash between mutation commit and record)
+    val lastSid = IcebergExport.snapshotIds(spark, chain).last
+    assert(new java.io.File(s"$root/_graft_mirror/s-$lastSid.rec").delete())
+    val s3 = IcebergExport.syncFromTable(spark, chain, root)
+    assert(s3 === Seq(lastSid))
+    assert(st.read().count() === 67, "crash replay must not change content")
+
+    // a coarse snapshot (position deletes name chain files the store can't
+    // map) folds into one overwrite commit of the resolved content
+    val rcpt = IcebergExport.export(docs(100, 110), chain) // append
+    IcebergExport.appendPositionDeletes(spark, chain,
+      Seq((rcpt.dataFiles.head, 0L)).toDF("file_path", "pos"))
+    val s4 = IcebergExport.syncFromTable(spark, chain, root)
+    assert(s4.size === 2)
+    val back2 = IcebergExport.readTable(spark, chain)
+    assert(st.read().except(back2).isEmpty && back2.except(st.read()).isEmpty,
+      "folded mirror must equal the chain's own read")
+    assert(st.history().filter(col("operation") === "overwrite").count() >= 1)
+  }
+
   test("map columns export with key/value ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_map").toFile.getAbsolutePath
