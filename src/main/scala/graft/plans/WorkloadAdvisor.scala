@@ -14,6 +14,16 @@ object WorkloadAdvisor {
   final case class IvfPolicy(retrainShare: Double = 0.5, nCells: Int = 16,
       iters: Int = 5, sampleN: Int = 10000, seed: Long = 42L)
 
+  /** One registered continuous store ↔ Iceberg sync. `direction` is
+    * `"export"` (store → chain via [[graft.sources.IcebergExport.syncStore]])
+    * or `"import"` (chain → store via
+    * [[graft.sources.IcebergExport.syncFromTable]]). */
+  final case class SyncMirror(storeRoot: String, tableDir: String,
+      direction: String) {
+    require(direction == "export" || direction == "import",
+      s"sync direction must be export|import, got $direction")
+  }
+
 
   /** A hot-key diagnosis the advisor can act on. `kind` is `join-salt`
     * (actionable via [[WorkloadAdvisor.saltedRewrite]]: re-plan the observed
@@ -489,11 +499,35 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
   def unregisterIvfIndex(root: String): Unit =
     synchronized { ivfRoots.remove(root) }
 
-  /** One maintenance pass: the compacted stores, the orphans swept, and the
-    * registered IVF indexes retrained (root → new assignment version). */
+  private val syncMirrors =
+    scala.collection.mutable.LinkedHashMap.empty[String, WorkloadAdvisor.SyncMirror]
+
+  /** Register a continuous store ↔ Iceberg sync for the autonomous
+    * cadence: every [[maintenanceTick]] mirrors the commits/snapshots
+    * since the last sync (`direction = "export"` runs
+    * [[graft.sources.IcebergExport.syncStore]] store → chain;
+    * `"import"` runs [[graft.sources.IcebergExport.syncFromTable]]
+    * chain → store). The advisor owns only the CADENCE — the sync
+    * primitives own the O(delta) semantics and carry their own durable
+    * cursors (chain properties / mirror records), so a tick is stateless
+    * and idempotent: an up-to-date pair syncs nothing. */
+  def registerSync(storeRoot: String, tableDir: String,
+      direction: String = "export"): Unit = synchronized {
+    syncMirrors(s"$storeRoot->$tableDir") =
+      WorkloadAdvisor.SyncMirror(storeRoot, tableDir, direction)
+  }
+
+  def unregisterSync(storeRoot: String, tableDir: String): Unit =
+    synchronized { syncMirrors.remove(s"$storeRoot->$tableDir") }
+
+  /** One maintenance pass: the compacted stores, the orphans swept, the
+    * registered IVF indexes retrained (root → new assignment version), and
+    * the registered sync mirrors advanced (key → versions/snapshots
+    * carried). */
   final case class MaintenanceTick(
       compacted: Seq[(String, Long)], orphansRemoved: Seq[(String, Seq[Long])],
-      indexesRetrained: Seq[(String, Long)] = Nil)
+      indexesRetrained: Seq[(String, Long)] = Nil,
+      mirrorsSynced: Seq[(String, Int)] = Nil)
 
   /** The store analog of [[autoMaterialize]]/[[autoSalt]] — ACT on the
     * observed workload's store findings with NO caller involvement:
@@ -560,7 +594,25 @@ final class WorkloadAdvisor(spark: SparkSession, mats: Materializations) {
           None
       }
     }
-    MaintenanceTick(compacted, orphans, retrained)
+    // registered sync mirrors: the same per-registration isolation — a
+    // failing pair (chain unreachable, store conflict) logs and keeps its
+    // registration for the next tick; it must not stall other mirrors
+    val mirrors = synchronized(syncMirrors.toSeq).flatMap { case (key, m) =>
+      try {
+        val carried =
+          if (m.direction == "export")
+            graft.sources.IcebergExport.syncStore(spark, m.storeRoot, m.tableDir)
+          else
+            graft.sources.IcebergExport.syncFromTable(spark, m.tableDir, m.storeRoot)
+        if (carried.nonEmpty) Some(key -> carried.size) else None
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"sync mirror $key failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); continuing")
+          None
+      }
+    }
+    MaintenanceTick(compacted, orphans, retrained, mirrors)
   }
 
   /** Shapes queried at least `minCount` times and not yet materialized —

@@ -552,4 +552,53 @@ class WorkloadAdvisorSpec extends SparkSpec {
     // order survived every rewrite
     assert(t2.sortOrder === Seq("id"))
   }
+
+  test("registered sync mirrors ride the maintenance tick: export mirrors " +
+      "advance the chain O(delta), idle ticks sync nothing, a broken " +
+      "mirror logs without stalling the rest") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, SnapshotTable}
+    val mats = new Materializations(spark,
+      Some(java.nio.file.Files.createTempDirectory("sync_mats")
+        .toFile.getAbsolutePath))
+    val advisor = new WorkloadAdvisor(spark, mats)
+    val root = java.nio.file.Files.createTempDirectory("sync_store")
+      .toFile.getAbsolutePath
+    val chain = java.nio.file.Files.createTempDirectory("sync_chain")
+      .toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq.tabulate(40)(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    advisor.registerSync(root, chain, direction = "export")
+    // a broken registration must not stall the working one
+    advisor.registerSync("/nonexistent/graft_broken_store", s"$chain-x")
+
+    val t1 = advisor.maintenanceTick(minCount = 99)
+    assert(t1.mirrorsSynced.map(_._1) === Seq(s"$root->$chain"),
+      s"export mirror must advance on the tick: $t1")
+    assert(IcebergExport.readTable(spark, chain).count() === 40)
+
+    // idle tick: cursors say up to date, nothing syncs
+    assert(advisor.maintenanceTick(minCount = 99).mirrorsSynced.isEmpty)
+
+    // a new store commit rides the NEXT tick as one appended snapshot
+    st.commit(Seq((100L, "w")).toDF("id", "v"), op = "append")
+    val t2 = advisor.maintenanceTick(minCount = 99)
+    assert(t2.mirrorsSynced === Seq(s"$root->$chain" -> 1))
+    assert(IcebergExport.snapshotIds(spark, chain).size === 2)
+    assert(IcebergExport.readTable(spark, chain).count() === 41)
+
+    // import direction: a second store follows the chain autonomously
+    val follower = java.nio.file.Files.createTempDirectory("sync_follow")
+      .toFile.getAbsolutePath
+    advisor.registerSync(follower, chain, direction = "import")
+    val t3 = advisor.maintenanceTick(minCount = 99)
+    assert(t3.mirrorsSynced.map(_._1).contains(s"$follower->$chain"))
+    assert(new SnapshotTable(spark, follower).read().count() === 41)
+
+    advisor.unregisterSync(root, chain)
+    st.commit(Seq((200L, "z")).toDF("id", "v"), op = "append")
+    val t4 = advisor.maintenanceTick(minCount = 99)
+    assert(!t4.mirrorsSynced.exists(_._1 == s"$root->$chain"),
+      "unregistered mirror must not sync")
+  }
 }
