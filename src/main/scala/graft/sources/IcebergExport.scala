@@ -410,21 +410,25 @@ object IcebergExport {
     def unsupported() = throw new IllegalArgumentException(
       s"iceberg export: transform ${sf.transform} unsupported over " +
         s"${srcType.simpleString} column ${sf.source}")
+    // the UTC calendar date of the source: dates are tz-free; timestamps
+    // are instants and the spec's time transforms are UTC — session-tz
+    // to_date/year/month would mis-bucket in non-UTC sessions and then
+    // MIS-PRUNE against evalTransform's UTC epoch math
+    def utcDate: Column = srcType match {
+      case DateType => c
+      case _: TimestampType =>
+        date_add(to_date(lit("1970-01-01")),
+          ((unix_micros(c) - pmod(unix_micros(c), lit(86400000000L))) /
+            lit(86400000000L)).cast("int"))
+      case _ => unsupported()
+    }
     sf.transform match {
       case "identity" => c
-      case "day" => srcType match {
-        case DateType | _: TimestampType => to_date(c)
-        case _ => unsupported()
-      }
-      case "month" => srcType match {
-        case DateType | _: TimestampType =>
-          ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
-        case _ => unsupported()
-      }
-      case "year" => srcType match {
-        case DateType | _: TimestampType => (year(c) - lit(1970)).cast("int")
-        case _ => unsupported()
-      }
+      case "day" => utcDate
+      case "month" =>
+        ((year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1))
+          .cast("int")
+      case "year" => (year(utcDate) - lit(1970)).cast("int")
       case "hour" => srcType match {
         case _: TimestampType =>
           floor(unix_timestamp(c).cast("double") / 3600d).cast("int")
@@ -465,7 +469,7 @@ object IcebergExport {
     * epoch days for day, months-from-1970 for month, etc. — String for
     * string truncates). None = not derivable; the caller falls back to
     * column bounds. */
-  private def evalTransform(sf: SpecField, srcType: DataType,
+  private[sources] def evalTransform(sf: SpecField, srcType: DataType,
       v: Any): Option[Any] = {
     val dom = domainOf(v)
     def utcDate: Option[java.time.LocalDate] = srcType match {
@@ -502,11 +506,27 @@ object IcebergExport {
         val w = intArg(t)
         srcType match {
           case StringType => v match {
-            case s: String => Some(s.take(w))
+            case s: String =>
+              // code points, not UTF-16 units — the spec's definition
+              // (and Spark substring's), or supplementary characters
+              // would compare a lone surrogate against the tuple
+              val cps = s.codePoints().toArray
+              Some(new String(cps, 0, math.min(w, cps.length)))
             case _ => None
           }
           case IntegerType | LongType | ShortType | ByteType =>
-            dom.collect { case x: Long => Math.floorDiv(x, w.toLong) * w }
+            dom.collect { case x: Long =>
+              val t0 = Math.floorDiv(x, w.toLong) * w
+              // mirror the write side's wrapping cast: Iceberg's own
+              // TruncateInteger wraps in 32-bit arithmetic at the type
+              // minimum, and the tuple was written that way
+              srcType match {
+                case IntegerType => t0.toInt.toLong
+                case ShortType => t0.toShort.toLong
+                case ByteType => t0.toByte.toLong
+                case _ => t0
+              }
+            }
           case _ => None
         }
       case _ => None
@@ -726,11 +746,11 @@ object IcebergExport {
     //    sync cadence — so the two listings cannot interleave a foreign
     //    writer's files. Cost: two listings, never a chain-length re-read.
     val before: Set[String] = listDataFiles(spark, destDir).map(_._1).toSet
-    val srcTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val typeByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     // derived transform columns partition the layout; Spark's partitionBy
     // drops them from file contents, so data files keep the SOURCE columns
     val writeDf = specs.filterNot(_.isIdentity).foldLeft(df)((d, sf) =>
-      d.withColumn(sf.name, partColumn(sf, srcTypes(sf.source))))
+      d.withColumn(sf.name, partColumn(sf, typeByName(sf.source))))
     val w = writeDf.write.mode("append")
     (if (specs.nonEmpty) w.partitionBy(specs.map(_.name): _*) else w)
       .parquet(s"$destDir/data")
@@ -740,7 +760,6 @@ object IcebergExport {
     // 2. per-file footer stats: record counts, typed column bounds, and the
     //    spec's metrics maps (value_counts = values incl. nulls per column,
     //    null_value_counts) — all from footers the export already opens
-    val typeByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val stats = files.map { case (p, len) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), hconf))
@@ -964,26 +983,46 @@ object IcebergExport {
       try out.write(java.lang.Long.toString(sid).getBytes("UTF-8"))
       finally out.close()
     }
-    def snapOp(sid: Long): String = {
-      val snap = state.snapshots.find(s =>
-        (s \ "snapshot-id").extract[Long] == sid).get
-      (snap \ "summary" \ "operation").extractOpt[String].getOrElse("overwrite")
+    def snapJson(sid: Long): JValue = state.snapshots.find(s =>
+      (s \ "snapshot-id").extract[Long] == sid).get
+    def snapOp(sid: Long): String =
+      (snapJson(sid) \ "summary" \ "operation").extractOpt[String]
+        .getOrElse("overwrite")
+    // one manifest walk per snapshot per tick (kindOf + the branch bodies
+    // share it), not one per USE — chains are long, manifests carry every
+    // live file
+    val plannedMemo = scala.collection.mutable.Map.empty[Long, Seq[PlannedFile]]
+    def planned(sid: Long): Seq[PlannedFile] =
+      plannedMemo.getOrElseUpdate(sid, plannedOf(spark, state, sid))
+    // CHAIN CONTINUITY: if the foreign engine expired an UNSYNCED snapshot
+    // (routine expire-snapshots maintenance), the first todo snapshot's
+    // parent is no longer the last recorded id — its delta-by-delta replay
+    // would silently skip the expired snapshot's rows. Fall back to one
+    // coarse overwrite of the resolved head, which is always correct.
+    val lastRecorded = ids.takeWhile(recorded.contains).lastOption
+    val gap = (lastRecorded, todo.headOption) match {
+      case (Some(lr), Some(first)) =>
+        !(snapJson(first) \ "parent-snapshot-id").extractOpt[Long].contains(lr)
+      case _ => false
     }
     // fine-grained kinds we can mirror O(delta); everything else is coarse
     def kindOf(sid: Long): String = snapOp(sid) match {
       case "append" => "append"
       case "delete" =>
-        val added = plannedOf(spark, state, sid).filter(_.addedBy == sid)
+        val added = planned(sid).filter(_.addedBy == sid)
         if (added.nonEmpty && added.forall(_.content == 2)) "eqdel"
         else "coarse"
       case _ => "coarse"
     }
-    val kinds = todo.map(sid => sid -> kindOf(sid))
-    val kindBySid = kinds.toMap
+    val kindBySid: Map[Long, String] =
+      if (gap) Map.empty else todo.map(sid => sid -> kindOf(sid)).toMap
     val synced = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     // fold everything up to the LAST coarse snapshot into one overwrite
-    val lastCoarse = kinds.filter(_._2 == "coarse").lastOption.map(_._1)
+    // (the whole range when continuity was lost)
+    val lastCoarse =
+      if (gap) Some(todo.last)
+      else todo.filter(sid => kindBySid(sid) == "coarse").lastOption
     lastCoarse.foreach { sid =>
       st.commit(readTable(spark, tableDir, Some(sid)), "overwrite")
       todo.takeWhile(_ != sid).foreach(record)
@@ -999,14 +1038,18 @@ object IcebergExport {
       val p = new Path(s"$tableDir/data")
       p.getFileSystem(hconf).makeQualified(p).toString
     }
+    // one commit-log read per tick: ops committed by THIS loop are new
+    // sids never re-visited, so a snapshot taken up front stays correct
+    val priorOps: Set[String] =
+      if (after.isEmpty) Set.empty
+      else st.history().select("operation").collect().map(_.getString(0)).toSet
     after.foreach { sid =>
       kindBySid(sid) match {
         case "append" =>
           val op = st.streamAppendOp(sid)
-          val already = !st.history()
-            .filter(col("operation") === op).isEmpty
+          val already = priorOps.contains(op)
           if (!already) {
-            val paths = plannedOf(spark, state, sid)
+            val paths = planned(sid)
               .filter(f => f.addedBy == sid && f.content == 0).map(_.path)
             if (paths.nonEmpty) {
               // identity partition values live in hive dirs, not files —
@@ -1024,7 +1067,7 @@ object IcebergExport {
           }
           record(sid); synced += sid
         case "eqdel" =>
-          val dels = plannedOf(spark, state, sid)
+          val dels = planned(sid)
             .filter(f => f.addedBy == sid && f.content == 2)
           dels.groupBy(_.equalityIds).foreach { case (eqIds, files) =>
             val cols = eqIds.map(idToName)
@@ -1380,16 +1423,21 @@ object IcebergExport {
     (snap \ "manifest-list").extract[String]
   }
 
-  /** (manifest path, manifest content) entries of one snapshot's list. */
+  /** (manifest path, manifest content, added-snapshot-id, sequence) of one
+    * snapshot's list — the last two feed the spec's METADATA INHERITANCE:
+    * a null entry-level snapshot_id/sequence_number (what real engines
+    * write for ADDED entries) inherits the manifest_file's values. */
   private def manifestsOf(spark: SparkSession, st: TableState,
-      snapshotId: Long): Seq[(String, Int)] =
+      snapshotId: Long): Seq[(String, Int, Long, Long)] =
     readAvro(spark, new Path(manifestListPathOf(st, snapshotId)))
       .map(r => (r.get("manifest_path").toString,
-        r.get("content").asInstanceOf[Int]))
+        r.get("content").asInstanceOf[Int],
+        Option(r.get("added_snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)))
 
   private def plannedOf(spark: SparkSession, st: TableState,
       snapshotId: Long): Seq[PlannedFile] =
-    manifestsOf(spark, st, snapshotId).flatMap { case (m, _) =>
+    manifestsOf(spark, st, snapshotId).flatMap { case (m, _, mAdded, mSeq) =>
       readAvro(spark, new Path(m))
         .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
         .map { e =>
@@ -1435,10 +1483,12 @@ object IcebergExport {
           PlannedFile(d.get("file_path").toString,
             d.get("record_count").asInstanceOf[Long],
             d.get("content").asInstanceOf[Int],
-            Option(e.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+            Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+              .getOrElse(mSeq),
             partition, bounds("lower_bounds"), bounds("upper_bounds"), eqIds,
             counts("value_counts"), counts("null_value_counts"),
-            Option(e.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L))
+            Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+              .getOrElse(mAdded))
         }
     }
 

@@ -2624,10 +2624,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val head = mainHead(meta)
     require(head.nonEmpty, s"no snapshots at $root")
+    val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
+    // the logged row delta must be the MATCHED row count, not the key
+    // count: tableRowsAsOf subtracts it, and foreign keys may match zero
+    // rows (replays) or be absent entirely — deleteWhereMor's keys are
+    // head-selected so the two coincide there, not here
+    val matched = read()
+      .join(broadcast(distinctKeys), keyCols, "left_semi").count()
     val next = claimVersion(meta)
-    val n = writeVersionDir(keys.select(keyCols.map(col): _*).distinct(), next)
-    validateHeadOrRelease(head, next)
-    appendMeta(next, MorDeleteOp, n)
+    writeVersionDir(distinctKeys, next)
+    validateHeadOrRelease(head, next) // matched was counted against `head`
+    appendMeta(next, MorDeleteOp, matched)
     next
   }
 

@@ -545,6 +545,135 @@ class IcebergExportSpec extends SparkSpec {
     assert(st.history().filter(col("operation") === "overwrite").count() >= 1)
   }
 
+  test("day/month transforms stay UTC in a NON-UTC session: pruning never " +
+      "drops the matching boundary row") {
+    import spark.implicits._
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val dest = JFiles.createTempDirectory("iceexp_tz").toFile.getAbsolutePath
+      // 01:00 UTC is the previous LOCAL date in LA — the mis-bucket case
+      val rows = Seq(
+        (1L, java.sql.Timestamp.from(java.time.Instant.parse("2020-06-10T01:00:00Z"))),
+        (2L, java.sql.Timestamp.from(java.time.Instant.parse("2020-06-09T23:00:00Z"))),
+        (3L, java.sql.Timestamp.from(java.time.Instant.parse("2020-06-11T12:00:00Z"))))
+      IcebergExport.export(rows.toDF("id", "ts"), dest,
+        partitionBy = Seq("days(ts)"))
+      // the hive dirs carry UTC dates, not LA dates
+      val dirs = new java.io.File(s"$dest/data").listFiles().map(_.getName)
+      assert(dirs.contains("ts_day=2020-06-10"), dirs.mkString(","))
+      val cut = java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-06-10T00:00:00Z"))
+      val got = IcebergExport.readTable(spark, dest,
+        preds = Seq(IcebergExport.Predicate("ts", ">=", cut)))
+        .select("id").as[Long].collect().sorted
+      assert(got === Array(1L, 3L),
+        "UTC day pruning must keep the 01:00Z row in a non-UTC session")
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+  }
+
+  test("spec metadata inheritance: entries with NULL snapshot_id/sequence " +
+      "(what real engines write) inherit the manifest list's values, so " +
+      "syncFromTable mirrors a foreign append instead of an empty commit") {
+    import spark.implicits._
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter}
+    val chain = JFiles.createTempDirectory("iceinherit_tbl").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq.tabulate(20)(i => (i.toLong, s"v$i")).toDF("id", "v"), chain)
+    // null out the entry-level ids in the manifest, as a foreign ADDED
+    // entry would be written (spec: readers inherit from manifest_file)
+    val manifest = new java.io.File(s"$chain/metadata").listFiles()
+      .find(f => f.getName.endsWith(".avro") && !f.getName.startsWith("snap-"))
+      .get
+    val rd = new DataFileReader(manifest,
+      new GenericDatumReader[GenericData.Record]())
+    val schema = rd.getSchema
+    val entries = new scala.collection.mutable.ArrayBuffer[GenericData.Record]
+    while (rd.hasNext) entries += rd.next()
+    rd.close()
+    entries.foreach { e =>
+      e.put("snapshot_id", null); e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
+    }
+    val w = new DataFileWriter(new GenericDatumWriter[GenericData.Record](schema))
+    w.create(schema, manifest)
+    entries.foreach(w.append)
+    w.close()
+    // the rewrite bypassed Hadoop's checksum FS — drop the stale sidecar
+    new java.io.File(manifest.getParent, s".${manifest.getName}.crc").delete()
+
+    // the chain still reads fully…
+    assert(IcebergExport.readTable(spark, chain).count() === 20)
+    // …and the mirror carries the rows (pre-inheritance this committed an
+    // EMPTY tagged append and recorded the snapshot as synced)
+    val root = JFiles.createTempDirectory("iceinherit_store").toFile.getAbsolutePath
+    IcebergExport.syncFromTable(spark, chain, root)
+    assert(new SnapshotTable(spark, root).read().count() === 20)
+  }
+
+  test("syncFromTable falls back to one coarse overwrite when an UNSYNCED " +
+      "snapshot was expired from the chain (continuity gap)") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val chain = JFiles.createTempDirectory("icegap_tbl").toFile.getAbsolutePath
+    val root = JFiles.createTempDirectory("icegap_store").toFile.getAbsolutePath
+    def part(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val a = IcebergExport.export(part(0, 10), chain)
+    assert(IcebergExport.syncFromTable(spark, chain, root).size === 1)
+    val b = IcebergExport.export(part(10, 20), chain)
+    IcebergExport.export(part(20, 30), chain)
+
+    // simulate a foreign expire-snapshots of B: rewrite the current
+    // metadata.json without B's snapshot entry (files stay referenced by
+    // C's carried-forward manifests, as real expiry keeps live files)
+    val hint = java.nio.file.Paths.get(s"$chain/metadata/version-hint.text")
+    val v = JFiles.readString(hint).trim.toInt
+    val metaPath = java.nio.file.Paths.get(s"$chain/metadata/v$v.metadata.json")
+    implicit val fmts: Formats = DefaultFormats
+    val meta = JsonMethods.parse(JFiles.readString(metaPath))
+    val pruned = meta.transformField {
+      case ("snapshots", JArray(snaps)) =>
+        ("snapshots", JArray(snaps.filterNot(s =>
+          (s \ "snapshot-id").extract[Long] == b.snapshotId)))
+    }
+    JFiles.writeString(metaPath,
+      JsonMethods.pretty(JsonMethods.render(pruned)))
+    // the rewrite bypassed Hadoop's checksum FS — drop the stale sidecar
+    new java.io.File(metaPath.getParent.toFile, s".v$v.metadata.json.crc").delete()
+
+    // the mirror detects C.parent != last-recorded(A) and folds to one
+    // overwrite of the resolved head — B's rows arrive, nothing silent
+    val synced = IcebergExport.syncFromTable(spark, chain, root)
+    assert(synced.size === 1, s"gap must fold to the head snapshot: $synced")
+    val st = new SnapshotTable(spark, root)
+    assert(st.read().count() === 30,
+      "expired-unsynced rows must arrive via the coarse fold")
+    assert(st.history().filter(col("operation") === "overwrite").count() === 1)
+  }
+
+  test("string truncate derivation counts CODE POINTS (the spec's and " +
+      "Spark substring's unit), not UTF-16 units, and truncate at the " +
+      "int minimum mirrors the write side's wrapping arithmetic") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    // supplementary character: take(1) in UTF-16 units would yield a lone
+    // surrogate whose bytes never match the written tuple (the sandbox
+    // JVM can't WRITE non-ASCII partition dirs — sun.jnu.encoding=ASCII —
+    // so the derivation is pinned at the unit level)
+    val sTrunc = IcebergExport.parseSpecEntry("truncate(1, s)")
+    assert(IcebergExport.evalTransform(sTrunc, StringType, "😀a")
+      === Some("😀"))
+    assert(IcebergExport.evalTransform(sTrunc, StringType, "ab") === Some("a"))
+    // Int.MinValue: floorDiv(-2147483648, 10)*10 = -2147483650 overflows
+    // int32; Iceberg's own TruncateInteger wraps in 32-bit arithmetic and
+    // the written tuple wraps the same way — the derivation must agree
+    val iTrunc = IcebergExport.parseSpecEntry("truncate(10, x)")
+    assert(IcebergExport.evalTransform(iTrunc, IntegerType, Int.MinValue)
+      === Some((-2147483650L).toInt.toLong))
+  }
+
   test("map columns export with key/value ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_map").toFile.getAbsolutePath
