@@ -60,6 +60,13 @@ import org.json4s.jackson.JsonMethods
   *    carried forward in the new manifest list (the fast-append shape) —
   *    so the handoff cadence is commit-in-graft → re-export the delta,
   *    and external readers time-travel by snapshot id.
+  *  - **Schema evolution across exports**: an export whose frame adds,
+  *    drops, or legally promotes (int → long, float → double) columns
+  *    EVOLVES the chain — a new `schemas` entry under a new
+  *    `current-schema-id` with STABLE field ids for kept columns (nested
+  *    ids carried verbatim), fresh ids past `last-column-id` for added
+  *    ones; [[readTable]] merges old files' schemas and null-fills
+  *    columns their snapshots predate.
   *  - **Delete files**: [[appendPositionDeletes]] / [[appendEqualityDeletes]]
   *    write content=1/2 delete files + delete manifests (the v2
   *    merge-on-read forms a foreign engine would write), and [[readTable]]
@@ -163,6 +170,54 @@ object IcebergExport {
     val body =
       s"""{"type":"struct","schema-id":0,"fields":[${fs.mkString(",")}]}"""
     (body, last, top.toMap)
+  }
+
+  /** EVOLVE the chain's current schema to `schema` with STABLE field ids —
+    * the Iceberg evolution rules the jsonless path can express: kept
+    * columns (matched by name) carry their field json VERBATIM (nested
+    * element/field ids stay stable), legal primitive promotions
+    * (int → long, float → double) keep the id under the new type, added
+    * columns get fresh ids past the chain's last-column-id, dropped
+    * columns simply leave the new schema (old data files keep their
+    * bytes). Anything else refuses loudly. Returns (schema json with the
+    * NEXT schema-id, new last-column-id, top-level name → id, schema-id). */
+  private def evolveSchema(st: TableState,
+      schema: StructType): (String, Int, Map[String, Int], Int) = {
+    implicit val fmts: Formats = DefaultFormats
+    val prevFields: Map[String, JValue] = (st.schemaAst \ "fields").children
+      .map(f => (f \ "name").extract[String] -> f).toMap
+    var last = (st.meta \ "last-column-id").extract[Int]
+    val nextId = () => { last += 1; last }
+    val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def promoted(prev: DataType, now: DataType): Boolean = (prev, now) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val fs = schema.fields.map { f =>
+      prevFields.get(f.name) match {
+        case Some(pf) =>
+          val id = (pf \ "id").extract[Int]
+          top(f.name) = id
+          val prevType = sparkType(pf \ "type")
+          if (prevType == f.dataType)
+            JsonMethods.compact(JsonMethods.render(pf))
+          else if (promoted(prevType, f.dataType))
+            s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
+          else throw new IllegalArgumentException(
+            s"incremental export cannot evolve column ${f.name}: " +
+              s"${prevType.simpleString} → ${f.dataType.simpleString} is " +
+              "not an Iceberg-legal promotion (int→long, float→double)")
+        case None =>
+          val id = nextId()
+          top(f.name) = id
+          s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
+      }
+    }
+    val newId = (st.meta \ "schemas").children
+      .map(s => (s \ "schema-id").extract[Int]).max + 1
+    (s"""{"type":"struct","schema-id":$newId,"fields":[${fs.mkString(",")}]}""",
+      last, top.toMap, newId)
   }
 
   /** Spark type from an Iceberg schema-JSON type node (the reader side). */
@@ -720,12 +775,23 @@ object IcebergExport {
     require(specs.map(_.name).distinct.size == specs.size,
       s"duplicate partition fields in ${partitionBy.mkString(", ")}")
     val prev = if (tableExists(spark, destDir)) Some(readState(spark, destDir)) else None
-    val (schemaJson, lastColumnId, fieldIds) = icebergSchema(df.schema)
+    implicit val fmts: Formats = DefaultFormats
+    // schema vs the chain: first export assigns fresh ids; an unchanged
+    // schema carries the chain's CURRENT entry (and its whole schemas
+    // history); a changed one EVOLVES it with stable field ids
+    val (schemaJson, lastColumnId, fieldIds, schemaId) = prev match {
+      case None =>
+        val (j, last, ids) = icebergSchema(df.schema)
+        (j, last, ids, 0)
+      case Some(st) if st.fields == df.schema =>
+        (JsonMethods.compact(JsonMethods.render(st.schemaAst)),
+          (st.meta \ "last-column-id").extract[Int], st.fieldIds,
+          (st.meta \ "current-schema-id").extract[Int])
+      case Some(st) => evolveSchema(st, df.schema)
+    }
+    val prevSchemas: Seq[JValue] =
+      prev.map(st => (st.meta \ "schemas").children).getOrElse(Nil)
     prev.foreach { st =>
-      require(JsonMethods.compact(JsonMethods.render(st.schemaAst)) ==
-        JsonMethods.compact(JsonMethods.render(JsonMethods.parse(schemaJson))),
-        s"incremental export schema mismatch at $destDir — evolve is not " +
-          "supported by the exporter; export to a fresh dir")
       require(st.specFields.map(_.entry) == specs.map(_.entry),
         s"incremental export partitioning mismatch at $destDir: table has " +
           s"${st.specFields.map(_.entry)}, caller passed $partitionBy")
@@ -823,7 +889,8 @@ object IcebergExport {
       partitionSummary = Map(
         "added-data-files" -> files.size.toString,
         "added-records" -> rowsTotal.toString),
-      carryForward = !overwrite, extraProps = extraProps)
+      carryForward = !overwrite, extraProps = extraProps,
+      schemaId = schemaId, prevSchemas = prevSchemas)
     Export(snapshotId, stats.map(_.path), rowsTotal)
   }
 
@@ -864,9 +931,10 @@ object IcebergExport {
     * properties, so sync state lives in the chain itself and a fresh
     * process resumes correctly. First call on an empty dest is a full
     * export of current content (optionally `partitionBy`-laid-out; later
-    * calls inherit the table's spec). Schema evolution in the unsynced
-    * range is NOT supported (the exporter keeps one schema id) — export
-    * to a fresh dir after an evolve. Returns the store versions synced. */
+    * calls inherit the table's spec). A schema change in the unsynced
+    * range EVOLVES the chain's schema (stable field ids, a new schemas
+    * entry — see `evolveSchema`); only non-promotable type changes
+    * refuse. Returns the store versions synced. */
   def syncStore(spark: SparkSession, storeRoot: String, destDir: String,
       partitionBy: Seq[String] = Nil): Seq[Long] = {
     val st = new SnapshotTable(spark, storeRoot)
@@ -1054,10 +1122,15 @@ object IcebergExport {
             if (paths.nonEmpty) {
               // identity partition values live in hive dirs, not files —
               // basePath recovery + schema-ordered select, as in readTable
+              // (explicit current schema: the snapshot may predate an
+              // evolution, its missing columns read as null)
               val df = spark.read.option("basePath", basePath)
+                .schema(state.fields)
                 .parquet(paths: _*)
               st.commit(df.select(state.fields.fields.map { f =>
                 if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
+                else if (!df.columns.contains(f.name))
+                  lit(null).cast(f.dataType).as(f.name)
                 else col(f.name)
               }.toIndexedSeq: _*), op)
             } else st.commit(
@@ -1143,9 +1216,14 @@ object IcebergExport {
     }
     val deletedRows = files.map { case (p, _) =>
       SnapshotTable.footerRecordCount(new Path(p), hconf) }.sum
-    val (schemaJson, lastColumnId, _) = icebergSchema(st.fields)
-    writeSnapshot(spark, destDir, Some(st), st.location, schemaJson,
-      lastColumnId, seq, snapshotId, entrySchema, entries,
+    // a delete snapshot changes no schema: carry the chain's CURRENT
+    // schema entry + schemas history verbatim (regenerating ids here
+    // would reset an evolved chain back to schema-id 0)
+    implicit val fmts: Formats = DefaultFormats
+    writeSnapshot(spark, destDir, Some(st), st.location,
+      JsonMethods.compact(JsonMethods.render(st.schemaAst)),
+      (st.meta \ "last-column-id").extract[Int],
+      seq, snapshotId, entrySchema, entries,
       manifestContent = 1, addedRows = 0L, operation = "delete",
       specFields = (st.meta \ "partition-specs").children.headOption
         .map(s => s \ "fields").getOrElse(JArray(Nil)),
@@ -1153,7 +1231,9 @@ object IcebergExport {
         "added-delete-files" -> files.size.toString,
         "added-position-deletes" -> (if (content == 1) deletedRows.toString else "0"),
         "added-equality-deletes" -> (if (content == 2) deletedRows.toString else "0")),
-      carryForward = true, extraProps = extraProps)
+      carryForward = true, extraProps = extraProps,
+      schemaId = (st.meta \ "current-schema-id").extract[Int],
+      prevSchemas = (st.meta \ "schemas").children)
     snapshotId
   }
 
@@ -1222,7 +1302,8 @@ object IcebergExport {
       operation: String, specFields: JValue,
       partitionSummary: Map[String, String],
       carryForward: Boolean = true,
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      schemaId: Int = 0, prevSchemas: Seq[JValue] = Nil): Unit = {
     implicit val fmts: Formats = DefaultFormats
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(destDir).getFileSystem(hconf)
@@ -1304,8 +1385,10 @@ object IcebergExport {
       "last-sequence-number" -> JInt(seq),
       "last-updated-ms" -> JInt(nowMs),
       "last-column-id" -> JInt(lastColumnId),
-      "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(JsonMethods.parse(schemaJson))),
+      "current-schema-id" -> JInt(schemaId),
+      "schemas" -> JArray((prevSchemas.filterNot(s =>
+        (s \ "schema-id").extract[Int] == schemaId) :+
+        JsonMethods.parse(schemaJson)).toList),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0), "fields" -> specFields))),
@@ -1606,7 +1689,12 @@ object IcebergExport {
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val basePath = fs.makeQualified(new Path(s"$dir/data")).toString
+    // explicit read schema = the chain's CURRENT schema: files written
+    // before an evolution read their missing columns as null and promoted
+    // columns widen on read (int→long, float→double — Spark 4 parquet
+    // widening); identity partition columns take their dir values typed
     var df = spark.read.option("basePath", basePath)
+      .schema(st.fields)
       .parquet(data.map(_.path): _*)
 
     val needsDeletes = posDel.nonEmpty || eqDel.nonEmpty
@@ -1660,6 +1748,8 @@ object IcebergExport {
     val partCols = st.specFields.filter(_.isIdentity).map(_.name).toSet
     val out = df.select(st.fields.fields.map { f =>
       if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else if (!df.columns.contains(f.name))
+        lit(null).cast(f.dataType).as(f.name) // added column, no data yet
       else col(f.name)
     }.toIndexedSeq: _*)
     preds.foldLeft(out)((d, p) => d.filter(residual(p)))

@@ -674,6 +674,68 @@ class IcebergExportSpec extends SparkSpec {
       === Some((-2147483650L).toInt.toLong))
   }
 
+  test("schema evolution across incremental exports: stable field ids, a " +
+      "new schemas entry, null-filled history reads, promotions honored, " +
+      "illegal changes refused; syncStore continues through an evolve") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceevo_tbl").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "n"), dest)
+    // ADD a column + PROMOTE n int→long + DROP v in one step
+    IcebergExport.export(
+      Seq((3L, 30L, "x")).toDF("id", "n", "extra")
+        .select(col("id"), col("n").cast("long").as("n"), col("extra")),
+      dest)
+    val json = JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json"))
+      .replaceAll("\\s", "")
+    assert(json.contains("\"current-schema-id\":1"))
+    assert(json.contains("\"schema-id\":0") && json.contains("\"schema-id\":1"))
+    // kept columns keep their ids; the added one is past last-column-id
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s._
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    val cur = (meta \ "schemas").children
+      .find(s => (s \ "schema-id").extract[Int] == 1).get
+    val ids = (cur \ "fields").children
+      .map(f => (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    assert(ids("id") === 1 && ids("n") === 3, s"stable ids: $ids")
+    assert(ids("extra") > 3, s"fresh id past last-column-id: $ids")
+    // the promoted column carries the NEW type under the OLD id
+    assert(org.json4s.jackson.JsonMethods.compact((cur \ "fields").children
+      .find(f => (f \ "name").extract[String] == "n").get \ "type")
+      .contains("long"))
+
+    // reads merge: old rows null-fill `extra`, dropped `v` is gone,
+    // promoted `n` reads as long everywhere
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "n", "extra"))
+    assert(back.schema("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(back.as[(Long, Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, 1L, None), (2L, 2L, None), (3L, 30L, Some("x"))))
+
+    // an illegal change (string → long) refuses loudly
+    assertThrows[IllegalArgumentException] {
+      IcebergExport.export(
+        Seq((4L, 5L, 6L)).toDF("id", "n", "extra"), dest)
+    }
+
+    // syncStore continues one chain straight through a store evolve
+    val root = JFiles.createTempDirectory("iceevo_store").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a")).toDF("id", "v"))
+    val chain = JFiles.createTempDirectory("iceevo_chain").toFile.getAbsolutePath
+    IcebergExport.syncStore(spark, root, chain)
+    st.commit(Seq((2L, "b", 9L)).toDF("id", "v", "w"), op = "append")
+    IcebergExport.syncStore(spark, root, chain)
+    val synced = IcebergExport.readTable(spark, chain)
+    assert(synced.columns.toSeq === Seq("id", "v", "w"))
+    assert(synced.count() === 2)
+    assert(IcebergExport.snapshotIds(spark, chain).size === 2,
+      "the evolve must not force a fresh chain")
+  }
+
   test("map columns export with key/value ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_map").toFile.getAbsolutePath
