@@ -1367,7 +1367,7 @@ object IcebergExport {
         "timestamp-ms" -> JInt(nowMs),
         "summary" -> summary,
         "manifest-list" -> JString(fs.makeQualified(listPath).toString),
-        "schema-id" -> JInt(0)): _*)
+        "schema-id" -> JInt(schemaId)): _*)
     val prevSnapshots = prev.map(_.snapshots).getOrElse(Nil)
     val prevLog = prev.map(st => (st.meta \ "snapshot-log").children).getOrElse(Nil)
     val prevMetaLog = prev.map(st => (st.meta \ "metadata-log").children).getOrElse(Nil)
@@ -1670,10 +1670,28 @@ object IcebergExport {
     * position and equality delete files apply with the spec's
     * sequence-number rules. An empty snapshot returns an empty frame with
     * the table's schema. */
+  /** The table state as seen FROM one snapshot: if the snapshot records a
+    * schema-id other than the current one (time travel across an
+    * evolution), swap in that schema — the spec's time-travel rule. */
+  private def stateAt(st: TableState, sid: Long): TableState = {
+    implicit val fmts: Formats = DefaultFormats
+    st.snapshots.find(s => (s \ "snapshot-id").extract[Long] == sid)
+      .flatMap(s => (s \ "schema-id").extractOpt[Int])
+      .flatMap(id => (st.meta \ "schemas").children.find(s =>
+        (s \ "schema-id").extract[Int] == id))
+      .map { ast =>
+        val fieldIds = (ast \ "fields").children.map(f =>
+          (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+        st.copy(schemaAst = ast, fields = sparkSchema(ast),
+          fieldIds = fieldIds)
+      }.getOrElse(st)
+  }
+
   def readTable(spark: SparkSession, dir: String,
       snapshotId: Option[Long] = None,
       preds: Seq[Predicate] = Nil): DataFrame = {
-    val st = readState(spark, dir)
+    val st0 = readState(spark, dir)
+    val st = snapshotId.map(stateAt(st0, _)).getOrElse(st0)
     val planned = plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
     val types = st.fields.fields.map(f => f.name -> f.dataType).toMap
     val dataAll = planned.filter(_.content == 0)

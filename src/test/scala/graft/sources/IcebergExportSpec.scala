@@ -721,6 +721,15 @@ class IcebergExportSpec extends SparkSpec {
         Seq((4L, 5L, 6L)).toDF("id", "n", "extra"), dest)
     }
 
+    // time travel to the pre-evolution snapshot reads with the snapshot's
+    // RECORDED schema (the spec's time-travel rule), not the current one
+    val firstSnap = IcebergExport.snapshotIds(spark, dest).head
+    val old = IcebergExport.readTable(spark, dest, Some(firstSnap))
+    assert(old.columns.toSeq === Seq("id", "v", "n"))
+    assert(old.schema("n").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(old.as[(Long, String, Int)].collect().sortBy(_._1)
+      === Array((1L, "a", 1), (2L, "b", 2)))
+
     // syncStore continues one chain straight through a store evolve
     val root = JFiles.createTempDirectory("iceevo_store").toFile.getAbsolutePath
     val st = new SnapshotTable(spark, root)
