@@ -172,6 +172,23 @@ object IcebergExport {
     (body, last, top.toMap)
   }
 
+  /** A Spark type as it ROUND-TRIPS through the Iceberg JSON mapping
+    * (short/byte surface as int — what [[icebergType]] writes and
+    * [[sparkType]] reads back). Schema comparisons against a chain must
+    * normalize, or a ShortType frame re-exported unchanged would look
+    * like an (illegal) evolution. */
+  private def normType(dt: DataType): DataType = dt match {
+    case ShortType | ByteType => IntegerType
+    case ArrayType(e, n) => ArrayType(normType(e), n)
+    case MapType(k, v, n) => MapType(normType(k), normType(v), n)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = normType(f.dataType))))
+    case other => other
+  }
+
+  private def normSchema(s: StructType): StructType =
+    normType(s).asInstanceOf[StructType]
+
   /** EVOLVE the chain's current schema to `schema` with STABLE field ids —
     * the Iceberg evolution rules the jsonless path can express: kept
     * columns (matched by name) carry their field json VERBATIM (nested
@@ -195,15 +212,21 @@ object IcebergExport {
       case _ => false
     }
     val fs = schema.fields.map { f =>
+      val newType = normType(f.dataType)
       prevFields.get(f.name) match {
         case Some(pf) =>
           val id = (pf \ "id").extract[Int]
           top(f.name) = id
           val prevType = sparkType(pf \ "type")
-          if (prevType == f.dataType)
-            JsonMethods.compact(JsonMethods.render(pf))
-          else if (promoted(prevType, f.dataType))
-            s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
+          if (prevType == newType) {
+            // nullability: required → optional is the one legal widening;
+            // optional can never become required (history has nulls)
+            if ((pf \ "required") == JBool(true) && f.nullable)
+              JsonMethods.compact(JsonMethods.render(
+                pf merge JObject("required" -> JBool(false))))
+            else JsonMethods.compact(JsonMethods.render(pf))
+          } else if (promoted(prevType, newType))
+            s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${(pf \ "required") == JBool(true) && !f.nullable},"type":${icebergType(newType, nextId)}}"""
           else throw new IllegalArgumentException(
             s"incremental export cannot evolve column ${f.name}: " +
               s"${prevType.simpleString} → ${f.dataType.simpleString} is " +
@@ -211,13 +234,25 @@ object IcebergExport {
         case None =>
           val id = nextId()
           top(f.name) = id
-          s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${!f.nullable},"type":${icebergType(f.dataType, nextId)}}"""
+          // added columns are ALWAYS optional (spec): pre-evolution rows
+          // read as null in them regardless of the frame's nullability
+          s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":false,"type":${icebergType(newType, nextId)}}"""
       }
     }
-    val newId = (st.meta \ "schemas").children
-      .map(s => (s \ "schema-id").extract[Int]).max + 1
-    (s"""{"type":"struct","schema-id":$newId,"fields":[${fs.mkString(",")}]}""",
-      last, top.toMap, newId)
+    // no EFFECTIVE change (e.g. a nullability tighten we ignore) → carry
+    // the current schema; never append duplicate schemas entries
+    val prevCompact =
+      JsonMethods.compact(JsonMethods.render(st.schemaAst \ "fields"))
+    if (prevCompact == "[" + fs.mkString(",") + "]")
+      (JsonMethods.compact(JsonMethods.render(st.schemaAst)),
+        (st.meta \ "last-column-id").extract[Int], st.fieldIds,
+        (st.meta \ "current-schema-id").extract[Int])
+    else {
+      val newId = (st.meta \ "schemas").children
+        .map(s => (s \ "schema-id").extract[Int]).max + 1
+      (s"""{"type":"struct","schema-id":$newId,"fields":[${fs.mkString(",")}]}""",
+        last, top.toMap, newId)
+    }
   }
 
   /** Spark type from an Iceberg schema-JSON type node (the reader side). */
@@ -472,9 +507,12 @@ object IcebergExport {
     def utcDate: Column = srcType match {
       case DateType => c
       case _: TimestampType =>
+        // exact long-domain floor division (decimal, not `/`'s double —
+        // |micros| can exceed 2^53 and a rounded quotient would mis-place
+        // boundary rows vs evalTransform's Math.floorDiv)
         date_add(to_date(lit("1970-01-01")),
-          ((unix_micros(c) - pmod(unix_micros(c), lit(86400000000L))) /
-            lit(86400000000L)).cast("int"))
+          ((unix_micros(c) - pmod(unix_micros(c), lit(86400000000L)))
+            .cast(DecimalType(28, 0)) / lit(86400000000L)).cast("int"))
       case _ => unsupported()
     }
     sf.transform match {
@@ -783,11 +821,25 @@ object IcebergExport {
       case None =>
         val (j, last, ids) = icebergSchema(df.schema)
         (j, last, ids, 0)
-      case Some(st) if st.fields == df.schema =>
+      case Some(st) if st.fields == normSchema(df.schema) =>
         (JsonMethods.compact(JsonMethods.render(st.schemaAst)),
           (st.meta \ "last-column-id").extract[Int], st.fieldIds,
           (st.meta \ "current-schema-id").extract[Int])
-      case Some(st) => evolveSchema(st, df.schema)
+      case Some(st) =>
+        // dropping a column that LIVE equality-delete files key on would
+        // make the chain unreadable (the delete's field id resolves to
+        // nothing) — refuse loudly before any data lands
+        val dropped = st.fieldIds.view
+          .filterKeys(n => !df.schema.fieldNames.contains(n)).toMap
+        if (dropped.nonEmpty) {
+          val liveEqIds = plannedOf(spark, st, st.currentSnapshotId)
+            .filter(_.content == 2).flatMap(_.equalityIds).toSet
+          val conflict = dropped.filter(kv => liveEqIds.contains(kv._2))
+          require(conflict.isEmpty,
+            s"cannot drop column(s) ${conflict.keys.mkString(", ")} at " +
+              s"$destDir — live equality-delete files key on them")
+        }
+        evolveSchema(st, df.schema)
     }
     val prevSchemas: Seq[JValue] =
       prev.map(st => (st.meta \ "schemas").children).getOrElse(Nil)
@@ -1068,10 +1120,18 @@ object IcebergExport {
     // would silently skip the expired snapshot's rows. Fall back to one
     // coarse overwrite of the resolved head, which is always correct.
     val lastRecorded = ids.takeWhile(recorded.contains).lastOption
-    val gap = (lastRecorded, todo.headOption) match {
-      case (Some(lr), Some(first)) =>
-        !(snapJson(first) \ "parent-snapshot-id").extractOpt[Long].contains(lr)
-      case _ => false
+    val gap = todo.headOption.exists { first =>
+      val parent = (snapJson(first) \ "parent-snapshot-id").extractOpt[Long]
+      (lastRecorded, parent) match {
+        // chain must continue exactly from the last recorded snapshot
+        case (Some(lr), p) => !p.contains(lr)
+        // first unsynced snapshot has a parent this mirror never saw —
+        // the chain's older snapshots were expired before we synced them
+        case (None, Some(_)) => true
+        // parentless root, but records exist that name no live snapshot:
+        // the chain was rewritten under us
+        case (None, None) => recorded.nonEmpty
+      }
     }
     // fine-grained kinds we can mirror O(delta); everything else is coarse
     def kindOf(sid: Long): String = snapOp(sid) match {
@@ -1129,8 +1189,6 @@ object IcebergExport {
                 .parquet(paths: _*)
               st.commit(df.select(state.fields.fields.map { f =>
                 if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
-                else if (!df.columns.contains(f.name))
-                  lit(null).cast(f.dataType).as(f.name)
                 else col(f.name)
               }.toIndexedSeq: _*), op)
             } else st.commit(
@@ -1143,7 +1201,10 @@ object IcebergExport {
           val dels = planned(sid)
             .filter(f => f.addedBy == sid && f.content == 2)
           dels.groupBy(_.equalityIds).foreach { case (eqIds, files) =>
-            val cols = eqIds.map(idToName)
+            val cols = eqIds.map(id => idToName.getOrElse(id,
+              throw new IllegalStateException(
+                s"equality-delete snapshot $sid keys on field id $id, " +
+                  "absent from the chain's current schema")))
             st.deleteKeysMor(
               spark.read.parquet(files.map(_.path): _*)
                 .select(cols.map(col): _*), cols)
@@ -1748,7 +1809,11 @@ object IcebergExport {
       val idToName = st.fieldIds.map(_.swap)
       eqDel.groupBy(f => (f.seq, f.equalityIds)).toSeq.sortBy(_._1._1)
         .foreach { case ((dseq, ids), files) =>
-          val cols = ids.map(idToName)
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalStateException(
+              s"equality-delete file keys on field id $id, which the " +
+                "read schema no longer carries (dropped column) — read " +
+                "at a snapshot whose schema still has it")))
           val keys = spark.read.parquet(files.map(_.path): _*)
             .select(cols.map(c => col(c).as(s"__del_$c")): _*)
           val cond = cols.map(c => df(c) <=> keys(s"__del_$c"))
@@ -1763,11 +1828,11 @@ object IcebergExport {
     // Derived transform dirs (ts_day=…) also surface as columns; the
     // schema-ordered select drops them (their names are require()d not to
     // collide with schema columns at export).
+    // the explicit read schema already null-fills columns old files lack;
+    // this select only re-orders and types the identity partition columns
     val partCols = st.specFields.filter(_.isIdentity).map(_.name).toSet
     val out = df.select(st.fields.fields.map { f =>
       if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else if (!df.columns.contains(f.name))
-        lit(null).cast(f.dataType).as(f.name) // added column, no data yet
       else col(f.name)
     }.toIndexedSeq: _*)
     preds.foldLeft(out)((d, p) => d.filter(residual(p)))

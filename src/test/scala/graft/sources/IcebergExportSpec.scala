@@ -745,6 +745,101 @@ class IcebergExportSpec extends SparkSpec {
       "the evolve must not force a fresh chain")
   }
 
+  test("evolution guard rails: short/byte frames re-export unchanged, " +
+      "nullability widens without schema accretion, added columns are " +
+      "optional, and dropping an equality-delete key column refuses") {
+    import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+
+    // short column: round-trips as int — NOT an evolution
+    val destS = JFiles.createTempDirectory("iceevo_short").toFile.getAbsolutePath
+    val shortDf = Seq((1L, 2.toShort)).toDF("id", "sv")
+    IcebergExport.export(shortDf, destS)
+    IcebergExport.export(shortDf, destS) // must not throw / not evolve
+    val metaS = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$destS/metadata/v2.metadata.json")))
+    assert((metaS \ "schemas").children.size === 1)
+    assert(IcebergExport.readTable(spark, destS).count() === 2)
+
+    // nullability widen: required → optional evolves ONCE, repeats carry
+    // (toDF marks strings nullable, so build the required schema by hand)
+    val destN = JFiles.createTempDirectory("iceevo_null").toFile.getAbsolutePath
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val reqDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a")),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", StringType, nullable = false))))
+    IcebergExport.export(reqDf, destN)
+    val nullable = Seq((2L, Option.empty[String]), (3L, Some("c")))
+      .toDF("id", "v")
+    IcebergExport.export(nullable, destN)
+    IcebergExport.export(nullable, destN)
+    val metaN = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$destN/metadata/v3.metadata.json")))
+    assert((metaN \ "schemas").children.size === 2,
+      "one widen, then no accretion")
+    val curN = (metaN \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] ==
+        (metaN \ "current-schema-id").extract[Int]).get
+    assert((curN \ "fields").children.find(f =>
+      (f \ "name").extract[String] == "v").get \ "required" === JBool(false))
+    assert(IcebergExport.readTable(spark, destN)
+      .filter(col("v").isNull).count() === 2) // the nullable frame landed twice
+
+    // an added column is recorded optional even from a non-null frame
+    val destA = JFiles.createTempDirectory("iceevo_add").toFile.getAbsolutePath
+    IcebergExport.export(Seq(Tuple1(1L)).toDF("id"), destA)
+    IcebergExport.export(Seq((2L, "x")).toDF("id", "w"), destA)
+    val metaA = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$destA/metadata/v2.metadata.json")))
+    val curA = (metaA \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] == 1).get
+    assert((curA \ "fields").children.find(f =>
+      (f \ "name").extract[String] == "w").get \ "required" === JBool(false),
+      "added columns must be optional (pre-evolution rows are null)")
+
+    // dropping a column live equality-delete files key on refuses loudly
+    val destD = JFiles.createTempDirectory("iceevo_drop").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), destD)
+    IcebergExport.appendEqualityDeletes(spark, destD,
+      Seq("a").toDF("v"), Seq("v"))
+    assertThrows[IllegalArgumentException] {
+      IcebergExport.export(Seq(Tuple1(3L)).toDF("id"), destD)
+    }
+    assert(IcebergExport.readTable(spark, destD).count() === 1)
+  }
+
+  test("syncFromTable treats a chain whose UNSEEN older snapshots were " +
+      "expired as a continuity gap even when no synced snapshot survives") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val chain = JFiles.createTempDirectory("icegap2_tbl").toFile.getAbsolutePath
+    val root = JFiles.createTempDirectory("icegap2_store").toFile.getAbsolutePath
+    val a = IcebergExport.export(
+      (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), chain)
+    IcebergExport.export(
+      (10 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), chain)
+    // expire A before the FIRST sync: fresh mirror, todo.head has a parent
+    val hint = java.nio.file.Paths.get(s"$chain/metadata/version-hint.text")
+    val v = JFiles.readString(hint).trim.toInt
+    val metaPath = java.nio.file.Paths.get(s"$chain/metadata/v$v.metadata.json")
+    val pruned = JsonMethods.parse(JFiles.readString(metaPath)).transformField {
+      case ("snapshots", JArray(snaps)) =>
+        ("snapshots", JArray(snaps.filterNot(s =>
+          (s \ "snapshot-id").extract[Long] == a.snapshotId)))
+    }
+    JFiles.writeString(metaPath, JsonMethods.pretty(JsonMethods.render(pruned)))
+    new java.io.File(metaPath.getParent.toFile, s".v$v.metadata.json.crc").delete()
+
+    val synced = IcebergExport.syncFromTable(spark, chain, root)
+    assert(synced.size === 1, s"gap fold expected: $synced")
+    assert(new SnapshotTable(spark, root).read().count() === 20,
+      "rows carried from the expired snapshot must arrive via the fold")
+  }
+
   test("map columns export with key/value ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_map").toFile.getAbsolutePath
