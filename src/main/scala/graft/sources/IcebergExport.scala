@@ -85,7 +85,8 @@ import org.json4s.jackson.JsonMethods
   * mutated store is exported as its RESOLVED content — delta chains and
   * mor delete files fold, which is what a cross-engine handoff of state
   * wants; the delete-file APIs cover the mor interchange direction).
-  * Primitive + array/struct column types; all spec partition transforms. */
+  * Primitive + array/struct/map column types; all spec partition
+  * transforms. */
 object IcebergExport {
 
   /** One export's receipt: the snapshot id written, the data files THIS
@@ -99,16 +100,22 @@ object IcebergExport {
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long])
 
   /** A pruning/filter predicate for [[readTable]] / [[plannedDataFiles]]:
-    * `op` ∈ {=, <, <=, >, >=, isnull, notnull} over one top-level column
-    * (`value` is ignored for the null ops). Comparison ops evaluate
-    * against partition tuples (transform-aware) and column bounds
-    * inclusively; null ops evaluate against the manifests'
+    * `op` ∈ {=, !=, <, <=, >, >=, in, isnull, notnull} over one top-level
+    * column (`value` is ignored for the null ops; for `in` it is the
+    * Iterable of values). Comparison ops evaluate against partition tuples
+    * (transform-aware) and column bounds inclusively; `in` prunes as a
+    * disjunction of equalities (bucket transforms derive a cell per
+    * value); `!=` excludes only files provably all-`value` (an identity
+    * tuple equal to it, or bounds collapsed onto it) and otherwise applies
+    * as residual; null ops evaluate against the manifests'
     * `null_value_counts`/`value_counts` metrics. Any uncertainty keeps the
     * file; [[readTable]] also applies it as a residual row filter, so
     * results equal `readTable().filter(...)`. */
   final case class Predicate(column: String, op: String, value: Any = null) {
-    require(Set("=", "<", "<=", ">", ">=", "isnull", "notnull")(op),
+    require(Set("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "notnull")(op),
       s"unsupported op $op")
+    if (op == "in") require(value.isInstanceOf[Iterable[_]],
+      "in predicate needs an Iterable of values")
   }
 
   /** (data files kept, data files live) of the most recent plan on this
@@ -203,6 +210,14 @@ object IcebergExport {
     implicit val fmts: Formats = DefaultFormats
     val prevFields: Map[String, JValue] = (st.schemaAst \ "fields").children
       .map(f => (f \ "name").extract[String] -> f).toMap
+    // every top-level name that EVER held an id, across all historical
+    // schemas entries — a dropped name must never be re-added under a
+    // fresh id: readTable reads parquet by NAME, so the dropped column's
+    // old bytes would resurface under the new field instead of reading
+    // as null (the spec's id-based rule, which foreign readers apply)
+    val historicalNames: Set[String] = (st.meta \ "schemas").children
+      .flatMap(s => (s \ "fields").children.map(f =>
+        (f \ "name").extract[String])).toSet
     var last = (st.meta \ "last-column-id").extract[Int]
     val nextId = () => { last += 1; last }
     val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -232,6 +247,12 @@ object IcebergExport {
               s"${prevType.simpleString} → ${f.dataType.simpleString} is " +
               "not an Iceberg-legal promotion (int→long, float→double)")
         case None =>
+          if (historicalNames.contains(f.name))
+            throw new IllegalArgumentException(
+              s"incremental export cannot re-add column ${f.name}: the " +
+                "name was dropped from an earlier schema and name-based " +
+                "parquet reads would resurface its old bytes under the " +
+                "new field id; use a fresh column name")
           val id = nextId()
           top(f.name) = id
           // added columns are ALWAYS optional (spec): pre-evolution rows
@@ -524,7 +545,12 @@ object IcebergExport {
       case "year" => (year(utcDate) - lit(1970)).cast("int")
       case "hour" => srcType match {
         case _: TimestampType =>
-          floor(unix_timestamp(c).cast("double") / 3600d).cast("int")
+          // exact floor division of micros (matches evalTransform's
+          // Math.floorDiv) — unix_timestamp truncates toward zero, which
+          // mis-cells pre-1970 fractional-second instants and then
+          // MIS-PRUNES '=' predicates on them
+          ((unix_micros(c) - pmod(unix_micros(c), lit(3600000000L)))
+            .cast(DecimalType(28, 0)) / lit(3600000000L)).cast("int")
         case _ => unsupported()
       }
       case b if b.startsWith("bucket[") =>
@@ -547,9 +573,21 @@ object IcebergExport {
         val w = intArg(t)
         srcType match {
           case StringType => substring(c, 1, w)
-          case IntegerType | LongType | ShortType | ByteType =>
-            (c.cast("long") - pmod(c.cast("long"), lit(w.toLong)))
-              .cast(srcType)
+          case LongType =>
+            // Java long arithmetic (wraps silently at Long.MinValue, like
+            // Iceberg's TruncateLong) — an ANSI-mode Column subtraction
+            // would THROW on the wrap cell instead
+            val f = udf((v: java.lang.Long) => if (v == null) null
+              else java.lang.Long.valueOf(v - Math.floorMod(v, w.toLong)))
+            f(c)
+          case IntegerType | ShortType | ByteType =>
+            // iceberg surfaces these as int: truncation computes in 32-bit
+            // arithmetic and wraps at Int.MinValue exactly like Iceberg's
+            // TruncateInteger (byte/short values can never overflow int,
+            // so only the int source has a wrap cell)
+            val f = udf((v: java.lang.Long) => if (v == null) null
+              else Int.box(v.toInt - Math.floorMod(v.toInt, w)))
+            f(c.cast("long"))
           case _ => unsupported()
         }
       case other => throw new IllegalArgumentException(
@@ -609,15 +647,13 @@ object IcebergExport {
           }
           case IntegerType | LongType | ShortType | ByteType =>
             dom.collect { case x: Long =>
-              val t0 = Math.floorDiv(x, w.toLong) * w
-              // mirror the write side's wrapping cast: Iceberg's own
-              // TruncateInteger wraps in 32-bit arithmetic at the type
-              // minimum, and the tuple was written that way
+              // mirror the write side exactly: long arithmetic for long
+              // sources (wraps at Long.MinValue), 32-bit arithmetic for
+              // the int family (wraps at Int.MinValue; byte/short values
+              // can never overflow int)
               srcType match {
-                case IntegerType => t0.toInt.toLong
-                case ShortType => t0.toShort.toLong
-                case ByteType => t0.toByte.toLong
-                case _ => t0
+                case LongType => x - Math.floorMod(x, w.toLong)
+                case _ => (x.toInt - Math.floorMod(x.toInt, w)).toLong
               }
             }
           case _ => None
@@ -1125,9 +1161,12 @@ object IcebergExport {
       (lastRecorded, parent) match {
         // chain must continue exactly from the last recorded snapshot
         case (Some(lr), p) => !p.contains(lr)
-        // first unsynced snapshot has a parent this mirror never saw —
-        // the chain's older snapshots were expired before we synced them
-        case (None, Some(_)) => true
+        // no recorded snapshot is still LIVE in the chain — fine as long
+        // as the parent is one we already synced (the foreign engine
+        // expired already-synced snapshots, routine retention; replay
+        // stays O(delta)). A parent we never recorded means unsynced
+        // snapshots were expired — that is the real gap.
+        case (None, Some(p)) => !recorded.contains(p)
         // parentless root, but records exist that name no live snapshot:
         // the chain was rewritten under us
         case (None, None) => recorded.nonEmpty
@@ -1636,13 +1675,43 @@ object IcebergExport {
         }
     }
 
+  /** Does a range predicate on this truncate field risk the wrap at the
+    * type minimum? Only the single LOWEST cell can wrap (and only when the
+    * type minimum is not W-aligned), so the check is exact: the tuple
+    * equals the wrapped image of that cell, or the literal falls inside
+    * it. String truncation and aligned widths never wrap. */
+  private def truncateWrapRisk(sf: SpecField, srcType: DataType,
+      tup: Any, litValue: Any): Boolean =
+    sf.transform.startsWith("truncate[") && (srcType match {
+      // byte/short truncate in int arithmetic and can never overflow it;
+      // only the int and long sources have a wrap cell (at their minimum)
+      case IntegerType | LongType =>
+        val w = intArg(sf.transform).toLong
+        val typeMin: Long =
+          if (srcType == IntegerType) Int.MinValue else Long.MinValue
+        if (Math.floorMod(typeMin, w) == 0L) false
+        else {
+          // the wrap cell's tuple AS WRITTEN (32-bit wrap for int; for
+          // long the subtraction itself overflows — also as written)
+          val wrappedCell: Long = srcType match {
+            case IntegerType =>
+              (typeMin.toInt - Math.floorMod(typeMin.toInt, w.toInt)).toLong
+            case _ => typeMin - Math.floorMod(typeMin, w)
+          }
+          val tupIsWrapped = tup == wrappedCell
+          val litInWrapCell = domainOf(litValue).collect { case x: Long =>
+            Math.floorDiv(x, w) == Math.floorDiv(typeMin, w) }.contains(true)
+          tupIsWrapped || litInWrapCell
+        }
+      case _ => false
+    })
+
   /** Inclusive metrics/partition evaluation: may this file contain a
     * matching row? Any uncertainty keeps the file. */
   private def mayMatch(f: PlannedFile, preds: Seq[Predicate],
       fieldIds: Map[String, Int], types: Map[String, DataType],
       specs: Seq[SpecField]): Boolean =
     preds.forall { p =>
-      val pv = domainOf(p.value)
       if (p.op == "isnull" || p.op == "notnull") {
         // metrics maps: a file with zero nulls can't match IS NULL; a file
         // that is all-null can't match IS NOT NULL. Missing metrics keep
@@ -1653,22 +1722,64 @@ object IcebergExport {
           else (for (vc <- f.valueCounts.get(fid); nc <- f.nullCounts.get(fid))
             yield vc > nc).getOrElse(true)
         }
-      } else if (pv.isEmpty) true
+      } else if (p.op == "in") p.value match {
+        // a disjunction of equalities: the file survives if ANY listed
+        // value may match — on a bucket-partitioned column each value
+        // derives its cell, so IN prunes to the union of named cells.
+        // IN () matches nothing (the residual is `false` too).
+        case vs: Iterable[_] =>
+          vs.exists(v => cmpMayMatch(f, p.column, "=", v, fieldIds, types, specs))
+        case _ => true
+      } else if (p.op == "!=") {
+        // only a provably all-`v` file is excludable: an identity tuple
+        // equal to v, or bounds collapsed onto exactly v (bounds ignore
+        // nulls, but null rows never satisfy != so they can't rescue the
+        // file). Everything else keeps the file; the residual filters rows.
+        domainOf(p.value).forall { lv =>
+          val identityAllV = specs
+            .filter(sf => sf.isIdentity && sf.source == p.column)
+            .exists { sf =>
+              (for {
+                tupRaw <- f.partition.get(sf.name)
+                tup <- domainOf(tupRaw)
+                c <- domainCompare(tup, lv)
+              } yield c == 0).getOrElse(false)
+            }
+          val boundsAllV = (for {
+            fid <- fieldIds.get(p.column)
+            dt <- types.get(p.column)
+            loB <- f.lower.get(fid); hiB <- f.upper.get(fid)
+            lo <- boundValue(dt, loB); hi <- boundValue(dt, hiB)
+            cLo <- domainCompare(lo, lv); cHi <- domainCompare(hi, lv)
+          } yield cLo == 0 && cHi == 0).getOrElse(false)
+          !(identityAllV || boundsAllV)
+        }
+      } else cmpMayMatch(f, p.column, p.op, p.value, fieldIds, types, specs)
+    }
+
+  /** One comparison op (=, <, <=, >, >=) against a file's partition tuple
+    * and column bounds — the shared leg for plain predicates and each IN
+    * disjunct. */
+  private def cmpMayMatch(f: PlannedFile, column: String, op: String,
+      value: Any, fieldIds: Map[String, Int], types: Map[String, DataType],
+      specs: Seq[SpecField]): Boolean = {
+      val pv = domainOf(value)
+      if (pv.isEmpty) true
       else {
         // partition tuple: every spec field sourced from the predicate's
         // column derives a check. Identity tuples are exact; monotonic
         // transforms (day/month/year/hour/truncate) relax </ > to their
         // inclusive forms (rows below v share v's day); bucket derives
         // equality only (hash scatter has no order).
-        val specChecks = specs.filter(_.source == p.column).flatMap { sf =>
+        val specChecks = specs.filter(_.source == column).flatMap { sf =>
           for {
             tupRaw <- f.partition.get(sf.name)
             tup <- domainOf(tupRaw)
-            srcType <- types.get(p.column)
-            tv <- evalTransform(sf, srcType, p.value)
+            srcType <- types.get(column)
+            tv <- evalTransform(sf, srcType, value)
             res <-
               if (sf.isIdentity)
-                domainCompare(tup, tv).map { c => p.op match {
+                domainCompare(tup, tv).map { c => op match {
                   case "=" => c == 0
                   case "<" => c < 0
                   case "<=" => c <= 0
@@ -1676,9 +1787,19 @@ object IcebergExport {
                   case ">=" => c >= 0
                 }}
               else if (sf.transform.startsWith("bucket[")) {
-                if (p.op == "=") domainCompare(tup, tv).map(_ == 0) else None
+                if (op == "=") domainCompare(tup, tv).map(_ == 0) else None
+              } else if (op != "=" &&
+                  truncateWrapRisk(sf, srcType, tup, value)) {
+                // truncate over the int family wraps at the type minimum
+                // (write and read mirror it), which breaks the monotonicity
+                // the </> relaxation assumes: a value within W-1 of the
+                // minimum wraps to a large positive tuple. '=' is safe
+                // (both sides wrap identically); for range ops, skip the
+                // partition check and fall back to column bounds whenever
+                // the tuple or the literal sits in the one wrapping cell.
+                None
               } else
-                domainCompare(tup, tv).map { c => p.op match {
+                domainCompare(tup, tv).map { c => op match {
                   case "=" => c == 0
                   case "<" | "<=" => c <= 0
                   case ">" | ">=" => c >= 0
@@ -1690,12 +1811,12 @@ object IcebergExport {
         byPartition.getOrElse {
           // column bounds: inclusive range check
           (for {
-            fid <- fieldIds.get(p.column)
-            dt <- types.get(p.column)
+            fid <- fieldIds.get(column)
+            dt <- types.get(column)
             loB <- f.lower.get(fid); hiB <- f.upper.get(fid)
             lo <- boundValue(dt, loB); hi <- boundValue(dt, hiB)
             cLo <- domainCompare(lo, pv.get); cHi <- domainCompare(hi, pv.get)
-          } yield p.op match {
+          } yield op match {
             case "=" => cLo <= 0 && cHi >= 0
             case "<" => cLo < 0
             case "<=" => cLo <= 0
@@ -1852,10 +1973,16 @@ object IcebergExport {
     lazy val v = lit(p.value)
     p.op match {
       case "=" => c === v
+      case "!=" => c =!= v
       case "<" => c < v
       case "<=" => c <= v
       case ">" => c > v
       case ">=" => c >= v
+      case "in" => p.value match {
+        case vs: Iterable[_] if vs.isEmpty => lit(false)
+        case vs: Iterable[_] => c.isin(vs.toSeq: _*)
+        case _ => lit(true)
+      }
       case "isnull" => c.isNull
       case "notnull" => c.isNotNull
     }

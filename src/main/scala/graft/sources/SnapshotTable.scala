@@ -2227,10 +2227,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       // of the read predicate (only data-contributing dirs may be skipped)
       val del = readVersionDir(m._1)
       // the delete file's COLUMNS are the equality-delete key (one or many —
-      // Iceberg equality deletes are multi-column)
+      // Iceberg equality deletes are multi-column); NULL-SAFE equality, the
+      // way IcebergExport.readTable applies equality-delete files — a
+      // foreign delete file may carry NULL key values and must delete
+      // null-keyed rows here too, or the mirror drifts from the chain
       val df = acc.getOrElse(throw new IllegalStateException(
         s"mor-delete v=${m._1} has no base snapshot at $root"))
-      df.join(broadcast(del), del.columns.toSeq, "left_anti")
+      df.join(broadcast(del),
+        del.columns.map(c => df(c) <=> del(c)).reduce(_ && _), "left_anti")
     case PosDeleteOp =>
       // the delete file's columns ARE the provenance pair (graft__file,
       // graft__pos); the base carries them because posNeeded covered this
@@ -2629,8 +2633,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // count: tableRowsAsOf subtracts it, and foreign keys may match zero
     // rows (replays) or be absent entirely — deleteWhereMor's keys are
     // head-selected so the two coincide there, not here
-    val matched = read()
-      .join(broadcast(distinctKeys), keyCols, "left_semi").count()
+    val cur = read()
+    // null-safe: a foreign delete file may carry NULL key values, and the
+    // resolution anti-join (applyChainOp) removes null-keyed rows for them
+    val matched = cur.join(broadcast(distinctKeys),
+      keyCols.map(c => cur(c) <=> distinctKeys(c)).reduce(_ && _),
+      "left_semi").count()
     val next = claimVersion(meta)
     writeVersionDir(distinctKeys, next)
     validateHeadOrRelease(head, next) // matched was counted against `head`
@@ -3290,19 +3298,35 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     val perColValues = joinCols.indices.map(i =>
       keyRows.map(_.get(i)).filter(_ != null).distinct.toSeq)
+    val perColHasNull = joinCols.indices.map(i =>
+      keyRows.exists(_.get(i) == null))
     val base =
       if (keyRows.nonEmpty && perColValues.forall(_.nonEmpty)) {
-        // a semi-join never matches NULL keys, so pruning by the non-null
-        // values alone can never skip a file a matching row lives in
-        val pred = joinCols.zip(perColValues)
-          .map { case (c, vs) => col(c).isin(vs: _*) }.reduce(_ && _)
+        // the update/merge semi-joins never match NULL keys, so their
+        // non-null value prune is exact; equality DELETES apply null-safely
+        // (a foreign delete file may carry NULL key values), so columns
+        // whose key set holds a null get an IS NULL disjunct — weaker
+        // pruning, never a skipped matching file
+        val pred = joinCols.indices.map { i =>
+          val in = col(joinCols(i)).isin(perColValues(i): _*)
+          if (op == MorDeleteOp && perColHasNull(i))
+            in || col(joinCols(i)).isNull
+          else in
+        }.reduce(_ && _)
         val conj0 = SnapshotTable.conjunctsOf(resolvedPrev, pred)
         val conj = transformConjuncts(resolvedPrev.schema, conj0,
           dataDirsOf(meta, prev).map(dirVersionOf))
         resolveVersion(meta, prev, Some(conj))
       } else resolvedPrev
-    val preSub = base.join(broadcast(keyFrame), joinCols, "left_semi")
-      .drop(hiddenReadCols: _*)
+    // equality deletes match null-safely (mirrors applyChainOp's
+    // resolution anti-join exactly — the CDC pre-images must name the
+    // SAME rows the resolution removes, null-keyed ones included)
+    val preSub = (op match {
+      case MorDeleteOp => base.join(broadcast(keyFrame),
+        joinCols.map(c => base(c) <=> keyFrame(c)).reduce(_ && _),
+        "left_semi")
+      case _ => base.join(broadcast(keyFrame), joinCols, "left_semi")
+    }).drop(hiddenReadCols: _*)
     val postSub = (op match {
       case MorDeleteOp | PosDeleteOp => resolvedPrev.limit(0) // deletes only
       case _                         => readVersionDir(v)

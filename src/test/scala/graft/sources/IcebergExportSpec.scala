@@ -886,6 +886,131 @@ class IcebergExportSpec extends SparkSpec {
     assert(gotNotNull.select("id").as[Long].collect().sorted === Array(1L, 2L))
   }
 
+  test("hours() cells pre-1970 fractional-second instants by exact floor " +
+      "(not toward-zero truncation): '=' pruning keeps the matching file") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_prehour").toFile.getAbsolutePath
+    val early = java.sql.Timestamp.from(
+      java.time.Instant.parse("1969-12-31T23:59:59.500Z"))
+    val late = java.sql.Timestamp.from(
+      java.time.Instant.parse("2023-06-01T10:30:00Z"))
+    IcebergExport.export(Seq((1L, early), (2L, late)).toDF("id", "ts"),
+      dest, partitionBy = Seq("hours(ts)"))
+    // the buggy write side cells -0.5 s into hour 0; the read side derives
+    // hour -1, prunes the only file holding the row → silent row loss
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("ts", "=", early)))
+    assert(got.select("id").as[Long].collect().toSeq === Seq(1L))
+    // and the cell prunes: the 2023 file is skipped
+    assert(IcebergExport.lastPlanStats._1 < IcebergExport.lastPlanStats._2)
+  }
+
+  test("re-adding a DROPPED column name is refused: name-based parquet " +
+      "reads would resurface the dropped column's bytes under the new id") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_readd").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, "a")).toDF("id", "v"), dest)
+    IcebergExport.export(Seq(Tuple1(2L)).toDF("id"), dest) // drop v
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.export(Seq((3L, "b")).toDF("id", "v"), dest))
+    assert(e.getMessage.contains("re-add"))
+    // a genuinely fresh name still evolves fine
+    IcebergExport.export(Seq((3L, "b")).toDF("id", "v2"), dest)
+    assert(IcebergExport.readTable(spark, dest).count() === 3)
+  }
+
+  test("truncate over the int family: the wrap cell at the type minimum " +
+      "must not be range-pruned (monotonicity breaks there)") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_wrap").toFile.getAbsolutePath
+    // IntegerType, truncate(100): Int.MinValue's cell wraps in 32-bit
+    // arithmetic to tuple 2147483596 — a '<' relaxation comparing tuples
+    // would prune the file although the row matches the predicate
+    val df = Seq(Tuple2(1L, Int.MinValue), Tuple2(2L, 10),
+      Tuple2(3L, 110)).toDF("id", "x")
+    IcebergExport.export(df, dest, partitionBy = Seq("truncate(100, x)"))
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("x", "<", 20)))
+    assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // equality into the wrap cell still resolves (both sides wrap alike)
+    val eq = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("x", "=", Int.MinValue)))
+    assert(eq.select("id").as[Long].collect().toSeq === Seq(1L))
+    // byte sources truncate in the int DOMAIN (no wrap, no ANSI overflow):
+    // -128 lands in cell -200 and range pruning stays exact
+    val destB = JFiles.createTempDirectory("iceexp_wrapb").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq(Tuple2(1L, (-128).toByte), Tuple2(2L, 110.toByte)).toDF("id", "b"),
+      destB, partitionBy = Seq("truncate(100, b)"))
+    val gotB = IcebergExport.readTable(spark, destB,
+      preds = Seq(IcebergExport.Predicate("b", "<", 20.toByte)))
+    assert(gotB.select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(IcebergExport.lastPlanStats._1 < IcebergExport.lastPlanStats._2)
+  }
+
+  test("IN prunes as a disjunction of equalities (bucket cells); != " +
+      "excludes only provably single-valued files and filters residually") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceexp_in").toFile.getAbsolutePath
+    val df = Seq.tabulate(40)(i => (i.toLong, s"v$i")).toDF("id", "v")
+    IcebergExport.export(df, dest, partitionBy = Seq("bucket(4, id)"))
+    val got = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", "in", Seq(5L, 9L))))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total, s"IN must prune bucket cells: $kept/$total")
+    assert(got.select("id").as[Long].collect().sorted.toSeq === Seq(5L, 9L))
+    // empty IN matches nothing
+    assert(IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", "in", Seq.empty[Long])))
+      .count() === 0)
+    // != keeps everything else; soundness over the same table
+    assert(IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", "!=", 5L))).count() === 39)
+  }
+
+  test("syncFromTable stays O(delta) when the foreign engine expired " +
+      "ALREADY-SYNCED snapshots (routine retention, not a gap)") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val dest = JFiles.createTempDirectory("iceexp_expire").toFile.getAbsolutePath
+    val store = JFiles.createTempDirectory("iceexp_expire_store").toFile
+      .getAbsolutePath
+    IcebergExport.export(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    IcebergExport.export(Seq((3L, "c")).toDF("id", "v"), dest)
+    // the foreign engine expires the FIRST (already-synced) snapshot:
+    // drop it from snapshots + snapshot-log, head unchanged
+    val hint = java.nio.file.Paths.get(s"$dest/metadata/version-hint.text")
+    val v = JFiles.readString(hint).trim
+    val mpath = java.nio.file.Paths.get(s"$dest/metadata/v$v.metadata.json")
+    val meta = JsonMethods.parse(JFiles.readString(mpath))
+    val headId = (meta \ "current-snapshot-id").extract[Long]
+    val pruned = meta.transformField {
+      case ("snapshots", JArray(ss)) => ("snapshots", JArray(ss.filter(s =>
+        (s \ "snapshot-id").extract[Long] == headId)))
+      case ("snapshot-log", JArray(ls)) => ("snapshot-log", JArray(ls.filter(
+        l => (l \ "snapshot-id").extract[Long] == headId)))
+    }
+    JFiles.writeString(mpath, JsonMethods.compact(JsonMethods.render(pruned)))
+    // direct java.nio rewrite: drop the stale Hadoop checksum sidecar
+    JFiles.deleteIfExists(
+      java.nio.file.Paths.get(s"$dest/metadata/.v$v.metadata.json.crc"))
+    assert(IcebergExport.snapshotIds(spark, dest).size === 1)
+    // the mirror's parent is recorded → O(delta) append, NOT an overwrite
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    val st = new SnapshotTable(spark, store)
+    val lastOp = st.history().orderBy(col("version").desc)
+      .select("operation").head.getString(0)
+    assert(lastOp !== "overwrite",
+      s"expired-but-synced parent must replay O(delta), got $lastOp")
+    assert(st.read().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // a THIRD tick is a no-op
+    assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
+  }
+
   test("arrays and nested structs export with element/field ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath

@@ -30,11 +30,11 @@ class IcebergPrunePropertySpec extends SparkSpec {
   private case class P(column: String, op: String, value: Any)
 
   private val predGen: Gen[Seq[P]] = {
-    val ops = Gen.oneOf("=", "<", "<=", ">", ">=")
+    val ops = Gen.oneOf("=", "!=", "<", "<=", ">", ">=", "in")
     val one = for {
       col <- Gen.oneOf("id", "d", "ts", "s", "maybe")
       op <- if (col == "maybe") Gen.oneOf("isnull", "notnull") else ops
-      v <- col match {
+      vg = col match {
         case "id" => Gen.chooseNum(-5L, 70L).map(x => x: Any)
         case "d" => Gen.chooseNum(0, 900).map(n =>
           java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
@@ -45,6 +45,9 @@ class IcebergPrunePropertySpec extends SparkSpec {
         case "s" => Gen.oneOf("aa", "ab", "ba", "bz", "ca").map(x => x: Any)
         case _ => Gen.const(null: Any)
       }
+      v <- if (op == "in")
+        Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, vg)).map(x => x: Any)
+      else vg
     } yield P(col, op, v)
     Gen.listOfN(2, one).map(_.toSeq)
   }
@@ -88,6 +91,9 @@ class IcebergPrunePropertySpec extends SparkSpec {
           case "isnull" => col(p.column).isNull
           case "notnull" => col(p.column).isNotNull
           case "=" => col(p.column) === lit(p.value)
+          case "!=" => col(p.column) =!= lit(p.value)
+          case "in" =>
+            col(p.column).isin(p.value.asInstanceOf[Seq[Any]]: _*)
           case "<" => col(p.column) < lit(p.value)
           case "<=" => col(p.column) <= lit(p.value)
           case ">" => col(p.column) > lit(p.value)

@@ -738,4 +738,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.history().orderBy(col("version").desc)
       .select("row_count").as[Long].head() === 13L)
   }
+
+  test("equality deletes apply NULL-SAFELY: a delete file carrying a NULL " +
+      "key deletes null-keyed rows, the logged count matches, and CDC " +
+      "pre-images name the same rows the resolution removes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_nulldel").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((Option(1L), "a"), (Option.empty[Long], "b"),
+      (Option(3L), "c"), (Option.empty[Long], "b2")).toDF("k", "v"))
+    // a foreign-style delete file: one NULL key + one present key
+    val ver = t.deleteKeysMor(
+      Seq(Option.empty[Long], Option(3L)).toDF("k"), Seq("k"))
+    // both null-keyed rows AND k=3 are gone (IcebergExport.readTable's
+    // <=> semantics — plain equality would leave the null-keyed rows)
+    assert(t.read().select("v").as[String].collect().toSeq === Seq("a"))
+    // the logged delta is the MATCHED row count — 3 (two null-keyed rows
+    // plus k=3), not the 2-key count: row accounting subtracts it exactly
+    assert(t.history().orderBy(col("version").desc)
+      .select("row_count").as[Long].head() === 3L)
+    // CDC derives the same three deletions from the commit file alone
+    val ch = t.changesForCommit(ver)
+    assert(ch.filter(col("_change_type") === "delete").count() === 3L)
+    assert(ch.count() === 3L)
+  }
 }
