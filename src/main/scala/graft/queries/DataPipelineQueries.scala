@@ -242,6 +242,39 @@ object DataPipelineQueries {
   private val icebergFromFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q136's Iceberg chain: a store's keyless POSITION delete
+    * (deleteWherePos) synced as a content=1 position-delete FILE —
+    * the r18 O(delta) mutation-fidelity direction (no data rewrite). */
+  private val icebergPosSyncFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q137's mirrored store: a foreign chain's position-delete snapshot
+    * applied O(delta) as a TAGGED store pos-delete commit (value-multiset
+    * onto store positions; the tag makes crash replay exactly-once). */
+  private val icebergPosFromFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q138's mirrored store: foreign schema EVOLUTION (ADD + int→long
+    * promote mid-chain) mirrored as metadata-only store evolve commits,
+    * with store time travel keeping the pre-evolution schema. */
+  private val icebergEvoFromFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q133/q135's shared fixture: orders exported under a HIDDEN
+    * years()+bucket() transform spec (the spec's own transform functions —
+    * canonical murmur3 buckets, epoch-based years). */
+  private def transformExportFixture(s: SparkSession, dir: String): String =
+    icebergTransFixtures.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir", _ => {
+        val d = graft.TempDirs.newDir("graft_icetrans_tbl")
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_orderstatus"))
+        graft.sources.IcebergExport.export(o.coalesce(2), d,
+          partitionBy = Seq("years(o_orderdate)", "bucket(4, o_custkey)"))
+        d
+      })
+
   /** q106's lang-partitioned rewrite of the corpus (partitions metadata). */
   private val partitionedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3351,16 +3384,7 @@ object DataPipelineQueries {
     // only its bucket. The oracle replays the filter declaratively.
     Q("q133_iceberg_transform_export", (s, dir) => {
       import graft.sources.IcebergExport
-      val dest = icebergTransFixtures.computeIfAbsent(
-        s"${System.identityHashCode(s)}|$dir", _ => {
-          val d = graft.TempDirs.newDir("graft_icetrans_tbl")
-          val o = t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-              col("o_orderstatus"))
-          IcebergExport.export(o.coalesce(2), d,
-            partitionBy = Seq("years(o_orderdate)", "bucket(4, o_custkey)"))
-          d
-        })
+      val dest = transformExportFixture(s, dir)
       val ck = t(s, dir, "orders").agg(min(col("o_custkey"))).head.getLong(0)
       val got = IcebergExport.readTable(s, dest, preds = Seq(
         IcebergExport.Predicate("o_orderdate", ">=",
@@ -3425,6 +3449,205 @@ object DataPipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_nchars
       FROM documents
       WHERE doc_id < 500 AND doc_id % 9 <> 0
+      GROUP BY lang""")),
+
+    // ICEBERG IN-LIST PRUNING (r18): `IN` prunes as a DISJUNCTION of
+    // equalities — on the bucket(4, o_custkey) spec each listed key
+    // derives its own cell with the spec's canonical murmur3, so the scan
+    // plans only the named buckets' files (require()d in-plan); `!=` is
+    // accepted residual-only. The oracle replays both declaratively.
+    Q("q135_iceberg_in_prune", (s, dir) => {
+      import graft.sources.IcebergExport
+      val dest = transformExportFixture(s, dir)
+      val mm = t(s, dir, "orders")
+        .agg(min(col("o_custkey")), max(col("o_custkey"))).head
+      val got = IcebergExport.readTable(s, dest, preds = Seq(
+        IcebergExport.Predicate("o_custkey", "in",
+          Seq(mm.getLong(0), mm.getLong(1))),
+        IcebergExport.Predicate("o_orderstatus", "!=", "X")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("long").as("sum_keys"))
+      val (kept, total) = IcebergExport.lastPlanStats
+      require(kept < total,
+        s"IN-list bucket pruning must fire on the export: $kept/$total")
+      got
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders
+      WHERE o_custkey IN ((SELECT min(o_custkey) FROM orders),
+                          (SELECT max(o_custkey) FROM orders))
+        AND o_orderstatus <> 'X'
+      GROUP BY o_orderstatus""")),
+
+    // STORE → ICEBERG POSITION-DELETE SYNC (r18 mutation fidelity): a
+    // keyless deleteWherePos commit — the DML form for tables WITHOUT a
+    // unique key — mirrors as a content=1 position-delete FILE on the
+    // chain, NOT a coarse overwrite: require()s pin that every
+    // pre-existing data file still serves (zero rewrite; at 100 TB a
+    // coarse fold is a table rewrite) and that the chain read equals the
+    // store's own position-delete resolution.
+    Q("q136_iceberg_posdelete_sync", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val dest = icebergPosSyncFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val root = graft.TempDirs.newDir("graft_icepos_store")
+          val st = new SnapshotTable(s, root)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          st.commit(docs.filter(col("doc_id") < 400))                 // v0
+          val d = graft.TempDirs.newDir("graft_icepos_tbl")
+          IcebergExport.syncStore(s, root, d)
+          val dataBefore = IcebergExport.plannedFiles(s, d).map(_._1).toSet
+          st.deleteWherePos(col("doc_id") % 7 === 0L)                 // v1
+          require(IcebergExport.syncStore(s, root, d) == Seq(1L),
+            "sync must mirror exactly the position-delete commit")
+          require(
+            IcebergExport.plannedFiles(s, d).map(_._1).toSet == dataBefore,
+            "position-delete sync must not rewrite any data file")
+          val back = IcebergExport.readTable(s, d)
+          val mor = st.read()
+          require(back.except(mor).isEmpty && mor.except(back).isEmpty,
+            "synced chain must equal the store's pos-delete resolution")
+          d
+        })
+      IcebergExport.readTable(s, dest)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      WHERE doc_id < 400 AND doc_id % 7 <> 0
+      GROUP BY lang""")),
+
+    // ICEBERG → STORE POSITION-DELETE IMPORT (r18, the inverse): a
+    // foreign position-delete snapshot names CHAIN (file, pos) pairs the
+    // store cannot map — the mirror translates the deleted row VALUES as
+    // a multiset onto its own live positions (identical copies are
+    // interchangeable) and commits a TAGGED pos-delete, O(delta):
+    // require()s pin no overwrite fold and mirror ≡ chain. The export
+    // writes ONE sorted file so the deleted positions are deterministic
+    // for the oracle (rows 0..9 = the 10 smallest doc_ids).
+    Q("q137_iceberg_posdelete_import", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val root = icebergPosFromFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val chain = graft.TempDirs.newDir("graft_iceposf_tbl")
+          val r = graft.TempDirs.newDir("graft_iceposf_store")
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .filter(col("doc_id") < 400)
+          val rcpt = IcebergExport.export(
+            docs.repartition(1).sortWithinPartitions("doc_id"), chain)
+          require(IcebergExport.syncFromTable(s, chain, r).size == 1,
+            "first mirror call must carry the base snapshot")
+          import s.implicits._
+          IcebergExport.appendPositionDeletes(s, chain,
+            (0L until 10L).map(p => (rcpt.dataFiles.head, p))
+              .toDF("file_path", "pos"))
+          require(IcebergExport.syncFromTable(s, chain, r).size == 1,
+            "second mirror call must carry the position-delete snapshot")
+          val st = new SnapshotTable(s, r)
+          val ops = st.history().select("operation").collect()
+            .map(_.getString(0))
+          require(ops.exists(_.startsWith("pos-delete@ice")),
+            s"the delete must land as a tagged pos-delete commit: $ops")
+          require(!ops.contains("overwrite"),
+            s"a position delete must not coarse-fold: $ops")
+          val back = IcebergExport.readTable(s, chain)
+          require(st.read().except(back).isEmpty &&
+            back.except(st.read()).isEmpty,
+            "mirrored store must equal the chain's own read")
+          r
+        })
+      new SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      WHERE doc_id < 400
+        AND doc_id NOT IN (
+          SELECT doc_id FROM documents WHERE doc_id < 400
+          ORDER BY doc_id LIMIT 10)
+      GROUP BY lang""")),
+
+    // ICEBERG → STORE SCHEMA-EVOLUTION IMPORT (r18): a foreign chain ADDs
+    // a column and PROMOTEs int→long mid-chain; the mirror lands both as
+    // metadata-only store evolve commits BEFORE the delta append (never a
+    // coarse overwrite — at 100 TB that is a table rewrite for a schema
+    // change that costs zero bytes), require()d in the fixture. The one
+    // frame pins BOTH the head content (evolved schema) and the
+    // pre-evolution v0 content via store time travel.
+    Q("q138_iceberg_evolution_import", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val root = icebergEvoFromFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val chain = graft.TempDirs.newDir("graft_iceevo_tbl")
+          val r = graft.TempDirs.newDir("graft_iceevo_store")
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .filter(col("doc_id") < 400)
+          // schema v0: n_chars INT, no quality column
+          IcebergExport.export(docs.filter(col("doc_id") < 200)
+            .withColumn("n_chars", col("n_chars").cast("int")), chain)
+          require(IcebergExport.syncFromTable(s, chain, r).size == 1,
+            "first mirror call must carry the base snapshot")
+          // mid-chain evolution: ADD quality + PROMOTE n_chars int→long
+          IcebergExport.export(docs.filter(col("doc_id") >= 200)
+            .withColumn("quality", (col("doc_id") % 5).cast("long")), chain)
+          require(IcebergExport.syncFromTable(s, chain, r).size == 1,
+            "second mirror call must carry the evolved append")
+          val st = new SnapshotTable(s, r)
+          val ops = st.history().select("operation").collect()
+            .map(_.getString(0))
+          require(ops.count(_.startsWith("evolve:")) == 2,
+            s"ADD + promote must mirror as two evolve commits: $ops")
+          require(!ops.contains("overwrite"),
+            s"schema evolution must not coarse-fold: $ops")
+          require(st.read(Some(0L)).schema("n_chars").dataType ==
+            org.apache.spark.sql.types.IntegerType,
+            "store time travel must keep the pre-evolution schema")
+          val back = IcebergExport.readTable(s, chain)
+          require(st.read().except(back).isEmpty &&
+            back.except(st.read()).isEmpty,
+            "mirrored store must equal the chain's own read")
+          r
+        })
+      val st = new SnapshotTable(s, root)
+      val head = st.read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(coalesce(col("quality"), lit(0L))).cast("long")
+            .as("sum_quality"))
+        .withColumn("snap", lit("head"))
+      val v0 = st.read(Some(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("sum_quality", lit(0L))
+        .withColumn("snap", lit("v0"))
+      head.unionByName(v0)
+        .select(col("snap"), col("lang"), col("n_docs"), col("sum_chars"),
+          col("sum_quality"))
+    }, Some("""
+      SELECT 'head' AS snap, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(CASE WHEN doc_id >= 200 THEN doc_id % 5 ELSE 0 END)
+               AS BIGINT) AS sum_quality
+      FROM documents WHERE doc_id < 400
+      GROUP BY lang
+      UNION ALL
+      SELECT 'v0' AS snap, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(0 AS BIGINT) AS sum_quality
+      FROM documents WHERE doc_id < 200
       GROUP BY lang"""))
   )
 

@@ -833,7 +833,7 @@ object IcebergExport {
     * the snapshot's ONLY manifest (nothing carried forward), so current
     * content is exactly `df` while older snapshots keep their files for
     * time travel — the shape [[syncStore]] uses for coarse store mutations. */
-  private def exportInternal(df: DataFrame, destDir: String,
+  private[sources] def exportInternal(df: DataFrame, destDir: String,
       partitionBy: Seq[String], overwrite: Boolean,
       extraProps: Map[String, String]): Export = {
     val spark = df.sparkSession
@@ -1047,7 +1047,9 @@ object IcebergExport {
     if (todo.isEmpty) return Nil
 
     def kindOf(op: String): String =
-      if (op == "mor-delete") "eqdel" else st.streamOpKind(op)
+      if (op == "mor-delete") "eqdel"
+      else if (st.isPosDelete(op)) "posdel"
+      else st.streamOpKind(op)
     val synced = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     // fold everything up to the LAST coarse mutation into one overwrite
@@ -1077,6 +1079,42 @@ object IcebergExport {
           appendDeleteSnapshot(spark, destDir, keys, content = 2,
             equalityCols = keys.columns.toSeq,
             extraProps = Map(SyncVersionProp -> v.toString))
+          synced ++= pendingNoops; pendingNoops.clear()
+          synced += v
+        case "posdel" =>
+          // the store's positions name STORE files the chain can't map —
+          // but identical copies are interchangeable, so mirror the
+          // deleted row VALUES (multiset, O(delta) from the commit file)
+          // onto that many live CHAIN positions: a content=1 delete
+          // snapshot, never a table rewrite
+          import org.apache.spark.sql.expressions.Window
+          val deleted = st.changesForCommit(v)
+            .filter(col("_change_type") === "delete").drop("_change_type")
+          val live = readTableWithPos(spark, destDir)
+          val valueCols =
+            live.columns.filterNot(Set("__ice_file", "__ice_pos")).toSeq
+          val wanted = deleted.groupBy(valueCols.map(col): _*)
+            .agg(count(lit(1)).as("__del_n"))
+          val joinCond =
+            valueCols.map(c => live(c) <=> wanted(c)).reduce(_ && _)
+          val w = Window.partitionBy(valueCols.map(live(_)): _*)
+            .orderBy(col("__ice_file"), col("__ice_pos"))
+          val chosen = live.join(broadcast(wanted), joinCond, "inner")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= col("__del_n"))
+            .select(col("__ice_file").as("file_path"),
+              col("__ice_pos").as("pos"))
+            .cache()
+          try {
+            val (got, asked) = (chosen.count(), deleted.count())
+            if (got != asked) throw new IllegalStateException(
+              s"syncStore position-delete v=$v: $asked deleted copies in " +
+                s"the store but only $got live copies in the chain at " +
+                s"$destDir — the chain has drifted")
+            appendDeleteSnapshot(spark, destDir, chosen, content = 1,
+              equalityCols = Nil,
+              extraProps = Map(SyncVersionProp -> v.toString))
+          } finally chosen.unpersist()
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case _ => pendingNoops += v
@@ -1178,6 +1216,7 @@ object IcebergExport {
       case "delete" =>
         val added = planned(sid).filter(_.addedBy == sid)
         if (added.nonEmpty && added.forall(_.content == 2)) "eqdel"
+        else if (added.nonEmpty && added.forall(_.content == 1)) "posdel"
         else "coarse"
       case _ => "coarse"
     }
@@ -1199,7 +1238,6 @@ object IcebergExport {
     val after = lastCoarse.map(s => todo.dropWhile(_ != s).drop(1))
       .getOrElse(todo)
 
-    val idToName = state.fieldIds.map(_.swap)
     val partCols = state.specFields.filter(_.isIdentity).map(_.name).toSet
     val basePath = {
       val p = new Path(s"$tableDir/data")
@@ -1210,7 +1248,88 @@ object IcebergExport {
     val priorOps: Set[String] =
       if (after.isEmpty) Set.empty
       else st.history().select("operation").collect().map(_.getString(0)).toSet
+    var storeNonEmpty = priorOps.nonEmpty
+
+    def schemaAstOf(schemaId: Int): Option[JValue] =
+      (state.meta \ "schemas").children
+        .find(s => (s \ "schema-id").extract[Int] == schemaId)
+    // MIRROR a foreign schema evolution as store evolve commits
+    // (metadata-only, O(0) data) instead of letting the delta replay
+    // null-fill against a stale schema: renames resolve by FIELD ID
+    // against the parent snapshot's schema when it is still live;
+    // otherwise a simultaneous add+drop is ambiguous (could be a rename
+    // that would silently null a column) and refuses loudly. Every step
+    // checks the store's CURRENT schema first, so a crash replay
+    // re-applies as a no-op.
+    def mirrorEvolution(sid: Long): Unit = {
+      val tgt = stateAt(state, sid)
+      val tgtFields = (tgt.schemaAst \ "fields").children.map(f =>
+        ((f \ "id").extract[Int], (f \ "name").extract[String],
+          sparkType(f \ "type")))
+      var cur = st.read().schema.fields.map(f => f.name -> f.dataType).toSeq
+      def curMap = cur.toMap
+      if (tgtFields.map(t => (t._2, t._3)) == cur) return
+      val parentFieldsOpt: Option[Seq[(Int, String, DataType)]] = for {
+        pid <- (snapJson(sid) \ "parent-snapshot-id").extractOpt[Long]
+        pjson <- state.snapshots.find(s =>
+          (s \ "snapshot-id").extract[Long] == pid)
+        psid <- (pjson \ "schema-id").extractOpt[Int]
+        ast <- schemaAstOf(psid)
+      } yield (ast \ "fields").children.map(f =>
+        ((f \ "id").extract[Int], (f \ "name").extract[String],
+          sparkType(f \ "type")))
+      parentFieldsOpt match {
+        case Some(parentFields) =>
+          val prevById = parentFields.map(t => t._1 -> t).toMap
+          val tgtIds = tgtFields.map(_._1).toSet
+          // renames first (id kept, name changed)
+          tgtFields.foreach { case (id, name, _) =>
+            prevById.get(id).foreach { case (_, pn, _) =>
+              if (pn != name && curMap.contains(pn) && !curMap.contains(name)) {
+                st.renameColumn(pn, name)
+                cur = cur.map { case (n, t) => (if (n == pn) name else n, t) }
+              }
+            }
+          }
+          // drops (id gone) — by the PARENT name
+          parentFields.foreach { case (id, pn, _) =>
+            if (!tgtIds.contains(id) && curMap.contains(pn) &&
+                !tgtFields.exists(_._2 == pn)) {
+              st.dropColumn(pn)
+              cur = cur.filterNot(_._1 == pn)
+            }
+          }
+        case None =>
+          // parent schema unavailable (expired): name-based fallback — a
+          // simultaneous add+drop could be a rename; refuse rather than
+          // silently null a column's history
+          val tgtNames = tgtFields.map(_._2).toSet
+          val dropped = cur.map(_._1).filterNot(tgtNames.contains)
+          val added = tgtFields.filterNot(t => curMap.contains(t._2))
+          require(dropped.isEmpty || added.isEmpty,
+            s"syncFromTable: snapshot $sid both adds ${added.map(_._2)} " +
+              s"and drops $dropped with no live parent schema to resolve " +
+              "field ids — cannot distinguish a rename from add+drop")
+          dropped.foreach { n => st.dropColumn(n); cur = cur.filterNot(_._1 == n) }
+      }
+      // adds + legal widenings, against the (possibly renamed) store schema
+      tgtFields.foreach { case (_, name, dt) =>
+        curMap.get(name) match {
+          case None =>
+            st.addColumn(name, dt.sql); cur = cur :+ (name -> dt)
+          case Some(have) if have != dt =>
+            // alterColumnType enforces Iceberg-legal promotions and
+            // refuses loudly otherwise — exactly the export-side rule
+            st.alterColumnType(name, dt.sql)
+            cur = cur.map { case (n, t) => (n, if (n == name) dt else t) }
+          case _ =>
+        }
+      }
+    }
+
     after.foreach { sid =>
+      if (storeNonEmpty) mirrorEvolution(sid)
+      val snapState = stateAt(state, sid)
       kindBySid(sid) match {
         case "append" =>
           val op = st.streamAppendOp(sid)
@@ -1221,32 +1340,67 @@ object IcebergExport {
             if (paths.nonEmpty) {
               // identity partition values live in hive dirs, not files —
               // basePath recovery + schema-ordered select, as in readTable
-              // (explicit current schema: the snapshot may predate an
-              // evolution, its missing columns read as null)
+              // (the SNAPSHOT's schema: evolution up to sid was mirrored
+              // above, later chain evolutions must not leak back in time)
               val df = spark.read.option("basePath", basePath)
-                .schema(state.fields)
+                .schema(snapState.fields)
                 .parquet(paths: _*)
-              st.commit(df.select(state.fields.fields.map { f =>
+              st.commit(df.select(snapState.fields.fields.map { f =>
                 if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
                 else col(f.name)
               }.toIndexedSeq: _*), op)
             } else st.commit(
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                state.fields), op)
+                snapState.fields), op)
           }
+          storeNonEmpty = true
           record(sid); synced += sid
         case "eqdel" =>
+          val idToName = snapState.fieldIds.map(_.swap)
           val dels = planned(sid)
             .filter(f => f.addedBy == sid && f.content == 2)
           dels.groupBy(_.equalityIds).foreach { case (eqIds, files) =>
             val cols = eqIds.map(id => idToName.getOrElse(id,
               throw new IllegalStateException(
                 s"equality-delete snapshot $sid keys on field id $id, " +
-                  "absent from the chain's current schema")))
+                  "absent from the snapshot's schema")))
             st.deleteKeysMor(
               spark.read.parquet(files.map(_.path): _*)
                 .select(cols.map(col): _*), cols)
+          }
+          record(sid); synced += sid
+        case "posdel" =>
+          // a foreign position-delete names CHAIN (file, pos) pairs the
+          // store cannot map — mirror the deleted row VALUES as a
+          // multiset onto store positions instead (identical copies are
+          // interchangeable). The op tag makes a crash replay skip: a
+          // position delete is NOT idempotent by value.
+          val op = s"pos-delete@ice$sid"
+          if (!priorOps.contains(op)) {
+            val delFiles = planned(sid)
+              .filter(f => f.addedBy == sid && f.content == 1)
+            val dels = spark.read.parquet(delFiles.map(_.path): _*)
+              .select(col("file_path").cast("string").as("file_path"),
+                col("pos").cast("long").as("pos"))
+            val namedPaths = dels.select("file_path").distinct().collect()
+              .map(r => normPathStr(r.getString(0))).toSet
+            val targets = planned(sid).filter(f => f.content == 0 &&
+              namedPaths.contains(normPathStr(f.path))).map(_.path)
+            require(targets.nonEmpty, s"position-delete snapshot $sid " +
+              "names no live data file of its own snapshot")
+            val data = spark.read.option("basePath", basePath)
+              .schema(snapState.fields).parquet(targets: _*)
+              .withColumn("__f", col("_metadata.file_path"))
+              .withColumn("__p", col("_metadata.row_index"))
+            val deletedVals = data.join(broadcast(dels),
+              normPath(col("__f")) === normPath(dels("file_path")) &&
+                col("__p") === dels("pos"), "left_semi")
+              .select(snapState.fields.fields.map { f =>
+                if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
+                else col(f.name)
+              }.toIndexedSeq: _*)
+            st.deleteRowsMultiset(deletedVals, Some(s"ice$sid"))
           }
           record(sid); synced += sid
         case _ => // unreachable: coarse snapshots were folded above
@@ -1871,7 +2025,19 @@ object IcebergExport {
 
   def readTable(spark: SparkSession, dir: String,
       snapshotId: Option[Long] = None,
-      preds: Seq[Predicate] = Nil): DataFrame = {
+      preds: Seq[Predicate] = Nil): DataFrame =
+    readTableInternal(spark, dir, snapshotId, preds, keepPos = false)
+
+  /** [[readTable]] plus per-row provenance columns `__ice_file`/`__ice_pos`
+    * (the owning chain data file and row position) — the surface
+    * [[syncStore]]'s position-delete mirroring picks live copies from. */
+  private[sources] def readTableWithPos(spark: SparkSession,
+      dir: String): DataFrame =
+    readTableInternal(spark, dir, None, Nil, keepPos = true)
+
+  private def readTableInternal(spark: SparkSession, dir: String,
+      snapshotId: Option[Long],
+      preds: Seq[Predicate], keepPos: Boolean): DataFrame = {
     val st0 = readState(spark, dir)
     val st = snapshotId.map(stateAt(st0, _)).getOrElse(st0)
     val planned = plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
@@ -1883,9 +2049,13 @@ object IcebergExport {
     val posDel = planned.filter(_.content == 1)
     val eqDel = planned.filter(_.content == 2)
 
-    if (data.isEmpty)
+    if (data.isEmpty) {
+      val schema = if (!keepPos) st.fields else StructType(st.fields.fields
+        ++ Seq(StructField("__ice_file", StringType),
+          StructField("__ice_pos", LongType)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.fields)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val basePath = fs.makeQualified(new Path(s"$dir/data")).toString
@@ -1898,7 +2068,7 @@ object IcebergExport {
       .parquet(data.map(_.path): _*)
 
     val needsDeletes = posDel.nonEmpty || eqDel.nonEmpty
-    if (needsDeletes) {
+    if (needsDeletes || keepPos) {
       // per-row provenance for delete application: the owning file and the
       // row's position in it (both from the parquet source's metadata)
       df = df
@@ -1941,7 +2111,8 @@ object IcebergExport {
             .reduce(_ && _) && (df("__ice_dseq") < dseq)
           df = df.join(broadcast(keys), cond, "left_anti")
         }
-      df = df.drop("__ice_file", "__ice_pos", "__ice_dseq")
+      df = if (keepPos) df.drop("__ice_dseq")
+        else df.drop("__ice_file", "__ice_pos", "__ice_dseq")
     }
 
     // schema order + types: identity partition columns come back from hive
@@ -1952,10 +2123,12 @@ object IcebergExport {
     // the explicit read schema already null-fills columns old files lack;
     // this select only re-orders and types the identity partition columns
     val partCols = st.specFields.filter(_.isIdentity).map(_.name).toSet
-    val out = df.select(st.fields.fields.map { f =>
+    val outCols = st.fields.fields.map { f =>
       if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else col(f.name)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq ++
+      (if (keepPos) Seq(col("__ice_file"), col("__ice_pos")) else Nil)
+    val out = df.select(outCols: _*)
     preds.foldLeft(out)((d, p) => d.filter(residual(p)))
   }
 

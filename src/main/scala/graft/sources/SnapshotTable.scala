@@ -645,6 +645,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * equality delete would remove every copy (see [[deleteWherePos]]). */
   private val PosDeleteOp = "pos-delete"
 
+  /** A position-delete commit, plain or TAGGED (`pos-delete@<tag>`) — the
+    * tag is an idempotence marker for mirrored foreign snapshots, exactly
+    * the streamed-append recipe: a replay sees its tag in the commit log
+    * and skips. All readers treat tagged forms identically. */
+  private[graft] def isPosDelete(op: String): Boolean =
+    op == PosDeleteOp || op.startsWith(PosDeleteOp + "@")
+
   /** Hidden columns carrying each row's physical provenance during a
     * pos-delete-aware resolution: the parquet file's qualified path and the
     * row's index within it (Spark's `_metadata` contract — stable for a
@@ -1296,7 +1303,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * mor-deletes, and evolve commits are NOT restart points — they fold onto
     * the chain before them. */
   private def isRestart(op: String): Boolean =
-    op != MorDeleteOp && op != PosDeleteOp && !isDeltaAppend(op) &&
+    op != MorDeleteOp && !isPosDelete(op) && !isDeltaAppend(op) &&
       op != MorUpdateOp && op != MorMergeOp &&
       !op.startsWith(EvolveOpPrefix) && !isBranchOp(op)
 
@@ -1972,7 +1979,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def tableRowsAsOf(meta: Seq[Meta], v: Long): Long = {
     val entry = meta.find(_._1 == v).getOrElse(
       throw new IllegalStateException(s"no snapshot v=$v at $root"))
-    if (entry._3 == MorDeleteOp || entry._3 == PosDeleteOp) {
+    if (entry._3 == MorDeleteOp || isPosDelete(entry._3)) {
       // both delete-file kinds log their delete count; each delete row
       // removes exactly one table row ((file, pos) is unique per row; mor
       // keys are unique by the mode's contract)
@@ -2125,7 +2132,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       // pos-deletes in the window need every DATA frame annotated with its
       // rows' (file, pos) provenance from the base onward, so the delete
       // files can anti-join
-      val posNeeded = withPos || tail.exists(_._3 == PosDeleteOp)
+      val posNeeded = withPos || tail.exists(m => isPosDelete(m._3))
       def posWrap(df: DataFrame): DataFrame =
         if (posNeeded) withPosCols(df) else df
       val base: Option[DataFrame] = start.map { m =>
@@ -2235,7 +2242,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         s"mor-delete v=${m._1} has no base snapshot at $root"))
       df.join(broadcast(del),
         del.columns.map(c => df(c) <=> del(c)).reduce(_ && _), "left_anti")
-    case PosDeleteOp =>
+    case op2 if isPosDelete(op2) =>
       // the delete file's columns ARE the provenance pair (graft__file,
       // graft__pos); the base carries them because posNeeded covered this
       // window — one broadcast anti-join, exactly the equality-delete plan
@@ -2346,7 +2353,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
           else Set(v)
         } else if (op.startsWith(AliasOpPrefix)) Set(v, dataDirVersion(entry))
         else if (op.startsWith(AsOfOpPrefix)) Set(v) ++ reachable(meta, asOfTarget(op))
-        else if (op == MorDeleteOp || op == PosDeleteOp || isDeltaAppend(op) ||
+        else if (op == MorDeleteOp || isPosDelete(op) || isDeltaAppend(op) ||
             op == MorUpdateOp || op == MorMergeOp ||
             op.startsWith(EvolveOpPrefix)) {
           val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
@@ -2520,7 +2527,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val baseIdx = upTo.lastIndexWhere(m => isRestart(m._3) ||
       (isDeltaAppend(m._3) && readManifest(m._1).isEmpty))
     val tail = if (baseIdx < 0) upTo else upTo.drop(baseIdx + 1)
-    val folds = tail.count(m => m._3 == MorDeleteOp || m._3 == PosDeleteOp ||
+    val folds = tail.count(m => m._3 == MorDeleteOp || isPosDelete(m._3) ||
       m._3 == MorUpdateOp || m._3 == MorMergeOp)
     (perDir, folds.toLong)
   }
@@ -2667,6 +2674,53 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val n = writeVersionDir(positions, next)
     validateHeadOrRelease(head, next) // positions were selected from `head`
     appendMeta(next, PosDeleteOp, n)
+    next
+  }
+
+  /** Position-delete commit from a MULTISET of row VALUES: removes exactly
+    * as many copies of each distinct row as `rows` carries, by naming that
+    * many live `(file, pos)` pairs — identical copies are interchangeable,
+    * so WHICH copies is unobservable. This is the mirror shape for a
+    * foreign chain's position-delete snapshot, whose positions name chain
+    * files this store cannot map (see `IcebergExport.syncFromTable`);
+    * `tag` stamps the commit op `pos-delete@<tag>` so a crash replay is
+    * detected in the commit log (the streamed-append recipe — position
+    * deletes are NOT idempotent by value: a blind replay would delete
+    * FURTHER copies). Refuses loudly when live copies run short: that is
+    * mirror drift, not a no-op. O(delta) commit: one table scan with a
+    * broadcast semi-join gate, the shuffle holds only matched copies. */
+  def deleteRowsMultiset(rows: DataFrame, tag: Option[String] = None): Long =
+    withRootLock {
+    import org.apache.spark.sql.expressions.Window
+    val meta = readMeta()
+    val head = mainHead(meta)
+    require(head.nonEmpty, s"no snapshots at $root")
+    val live = resolveVersion(meta, head.get, None, withPos = true)
+    val valueCols = live.columns.filterNot(hiddenReadCols.contains).toSeq
+    require(rows.columns.toSeq.sorted == valueCols.sorted,
+      s"deleteRowsMultiset frame columns ${rows.columns.toSeq} must match " +
+        s"the table's $valueCols")
+    val wanted = rows.groupBy(valueCols.map(col): _*)
+      .agg(count(lit(1)).as("__del_n"))
+    // null-safe equality on every column — the frame is a row multiset
+    val joinCond = valueCols.map(c => live(c) <=> wanted(c)).reduce(_ && _)
+    val w = Window.partitionBy(valueCols.map(live(_)): _*)
+      .orderBy(col(FileCol).asc_nulls_last, col(PosCol).asc_nulls_last)
+    val chosen = live.join(broadcast(wanted), joinCond, "inner")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__del_n") && col(FileCol).isNotNull)
+      .select(col(FileCol), col(PosCol))
+    val next = claimVersion(meta)
+    val n = writeVersionDir(chosen, next)
+    val asked = rows.count()
+    if (n != asked) {
+      releaseClaim(next)
+      throw new IllegalStateException(
+        s"deleteRowsMultiset: $asked copies requested but only $n live " +
+          s"copies found at $root — the store has drifted from the source")
+    }
+    validateHeadOrRelease(head, next) // copies were chosen from `head`
+    appendMeta(next, tag.fold(PosDeleteOp)(t => s"$PosDeleteOp@$t"), n)
     next
   }
 
@@ -3266,19 +3320,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val meta = readMeta()
     val entry = meta.find(_._1 == v).getOrElse(return None)
     val op = entry._3
-    if (op != MorDeleteOp && op != PosDeleteOp &&
+    if (op != MorDeleteOp && !isPosDelete(op) &&
         op != MorUpdateOp && op != MorMergeOp) return None
     val prev = meta.filter(m => m._1 < v && !isBranchOp(m._3)).lastOption
       .getOrElse(return None)._1
     val keyFrame = op match {
-      case MorDeleteOp | PosDeleteOp => readVersionDir(v)
+      case o if o == MorDeleteOp || isPosDelete(o) => readVersionDir(v)
       case _ =>
         if (morKeysExist(v)) spark.read.parquet(morUpdateDeletesDir(v))
         else readVersionDir(v).limit(0) // no claimed keys (e.g. insert-only merge)
     }
     val joinCols = keyFrame.columns.toSeq
     val resolvedPrev =
-      resolveVersion(meta, prev, None, withPos = op == PosDeleteOp)
+      resolveVersion(meta, prev, None, withPos = isPosDelete(op))
     // (kept, total) must describe THIS derivation: the unpruned fallbacks
     // report (0, 0) — "no pruning ran" — never a previous operation's stats
     pruneKept = 0L; pruneTotal = 0L
@@ -3287,7 +3341,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     // key files are delta-sized, and take(bound + 1) answers the size check
     // and the collect in ONE bounded driver job
     val keyRows: Array[Row] = op match {
-      case PosDeleteOp => Array.empty // (file, pos) pairs derive no ranges
+      case o if isPosDelete(o) => Array.empty // (file, pos) pairs derive no ranges
       case MorDeleteOp =>
         if (entry._4 > 0 && entry._4 <= MaxInlineCdcKeys) keyFrame.collect()
         else Array.empty
@@ -3328,7 +3382,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case _ => base.join(broadcast(keyFrame), joinCols, "left_semi")
     }).drop(hiddenReadCols: _*)
     val postSub = (op match {
-      case MorDeleteOp | PosDeleteOp => resolvedPrev.limit(0) // deletes only
+      case o if o == MorDeleteOp || isPosDelete(o) => resolvedPrev.limit(0) // deletes only
       case _                         => readVersionDir(v)
     }).drop(hiddenReadCols: _*)
     Some(

@@ -532,8 +532,8 @@ class IcebergExportSpec extends SparkSpec {
     assert(s3 === Seq(lastSid))
     assert(st.read().count() === 67, "crash replay must not change content")
 
-    // a coarse snapshot (position deletes name chain files the store can't
-    // map) folds into one overwrite commit of the resolved content
+    // position deletes now mirror O(delta) too (r18): value-multiset onto
+    // store positions, tagged pos-delete commit, NO fold
     val rcpt = IcebergExport.export(docs(100, 110), chain) // append
     IcebergExport.appendPositionDeletes(spark, chain,
       Seq((rcpt.dataFiles.head, 0L)).toDF("file_path", "pos"))
@@ -541,8 +541,22 @@ class IcebergExportSpec extends SparkSpec {
     assert(s4.size === 2)
     val back2 = IcebergExport.readTable(spark, chain)
     assert(st.read().except(back2).isEmpty && back2.except(st.read()).isEmpty,
+      "mirrored store must equal the chain's own read")
+    assert(st.history().filter(col("operation").startsWith("pos-delete@ice"))
+      .count() === 1)
+    assert(st.history().filter(col("operation") === "overwrite").count() === 0)
+
+    // a genuinely coarse snapshot (an OVERWRITE — replaces all content)
+    // folds into one overwrite commit of the resolved content
+    IcebergExport.exportInternal(docs(200, 205), chain, Nil,
+      overwrite = true, Map.empty)
+    val s5 = IcebergExport.syncFromTable(spark, chain, root)
+    assert(s5.size === 1)
+    assert(st.read().count() === 5)
+    val back3 = IcebergExport.readTable(spark, chain)
+    assert(st.read().except(back3).isEmpty && back3.except(st.read()).isEmpty,
       "folded mirror must equal the chain's own read")
-    assert(st.history().filter(col("operation") === "overwrite").count() >= 1)
+    assert(st.history().filter(col("operation") === "overwrite").count() === 1)
   }
 
   test("day/month transforms stay UTC in a NON-UTC session: pruning never " +
@@ -884,6 +898,108 @@ class IcebergExportSpec extends SparkSpec {
     val (k2, t2) = IcebergExport.lastPlanStats
     assert(k2 === 1, s"notnull must prune the all-null file: $k2/$t2")
     assert(gotNotNull.select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("syncStore mirrors POSITION deletes as content=1 delete files: " +
+      "multiset semantics over duplicates, zero data files rewritten") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icesync_pos").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icesync_post").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    // duplicate rows: the case equality deletes CANNOT express (they would
+    // remove every copy) — the reason position deletes exist
+    st.commit(Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").coalesce(1))
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(0L))
+    val dataBefore = IcebergExport.plannedFiles(spark, dest).map(_._1).toSet
+    // delete ONE copy of the duplicate by position (keyless DML)
+    st.deleteWherePos(col("id") === 1L && col("graft__pos") === 0L)   // v1
+    assert(st.read().filter(col("id") === 1L).count() === 1)
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(1L))
+    // the chain resolved identically — one copy of (1, a) survives
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // O(delta): every pre-existing DATA file still serves; the mutation
+    // landed as a delete FILE, not a fold/rewrite
+    assert(IcebergExport.plannedFiles(spark, dest).map(_._1).toSet
+      === dataBefore)
+    // the pre-delete snapshot still time-travels in full
+    val pre = IcebergExport.snapshotIds(spark, dest).head
+    assert(IcebergExport.readTable(spark, dest, Some(pre)).count() === 4)
+    // repeat sync is a no-op
+    assert(IcebergExport.syncStore(spark, root, dest).isEmpty)
+  }
+
+  test("syncFromTable applies a foreign POSITION-delete snapshot O(delta) " +
+      "(values mirrored onto store positions) and a crash replay is " +
+      "detected by the op tag, not re-applied") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("icesync_posf").toFile.getAbsolutePath
+    val store = JFiles.createTempDirectory("icesync_posfs").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    // the foreign engine position-deletes ONE copy of the duplicate
+    val dataFile = IcebergExport.plannedFiles(spark, dest).head._1
+    IcebergExport.appendPositionDeletes(spark, dest,
+      Seq((dataFile, 0L)).toDF("file_path", "pos"))
+    val synced = IcebergExport.syncFromTable(spark, dest, store)
+    assert(synced.size === 1)
+    val st = new SnapshotTable(spark, store)
+    assert(sameRows(st.read(), IcebergExport.readTable(spark, dest)))
+    assert(st.read().count() === 2)
+    val ops = st.history().select("operation").as[String].collect().toSeq
+    assert(ops.exists(_.startsWith("pos-delete@ice")),
+      s"expected a tagged pos-delete commit, got $ops")
+    assert(!ops.contains("overwrite"), s"pos-delete must not fold: $ops")
+    // crash replay: the mirror record vanished after the commit landed —
+    // the tag in the commit log must stop a SECOND application (position
+    // deletes are not idempotent by value: a blind replay would remove
+    // the remaining copy of the duplicate)
+    val rec = new java.io.File(s"$store/_graft_mirror/s-${synced.head}.rec")
+    assert(rec.delete())
+    assert(IcebergExport.syncFromTable(spark, dest, store) === synced)
+    assert(st.read().count() === 2)
+    assert(sameRows(st.read(), IcebergExport.readTable(spark, dest)))
+    assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
+  }
+
+  test("syncFromTable mirrors foreign SCHEMA EVOLUTION as store evolve " +
+      "commits (metadata-only, O(delta) replay), with store time travel " +
+      "keeping the pre-evolution schema") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("icesync_evo").toFile.getAbsolutePath
+    val store = JFiles.createTempDirectory("icesync_evos").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "n"),
+      dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    // the foreign chain ADDs a column and PROMOTEs n int→long mid-chain
+    IcebergExport.export(
+      Seq((3L, "c", 30L, "x")).toDF("id", "v", "n", "extra")
+        .select(col("id"), col("v"), col("n").cast("long").as("n"),
+          col("extra")), dest)
+    // and appends again at the evolved schema
+    IcebergExport.export(
+      Seq((4L, "d", 40L, "y")).toDF("id", "v", "n", "extra")
+        .select(col("id"), col("v"), col("n").cast("long").as("n"),
+          col("extra")), dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 2)
+    val st = new SnapshotTable(spark, store)
+    assert(sameRows(st.read(), IcebergExport.readTable(spark, dest)))
+    val ops = st.history().select("operation").as[String].collect().toSeq
+    assert(ops.count(_.startsWith("evolve:")) === 2,
+      s"expected ADD + promote as two evolve commits, got $ops")
+    assert(!ops.contains("overwrite"),
+      s"schema evolution must not coarse-fold: $ops")
+    // store time travel: the first mirrored version predates the evolution
+    val v0 = st.history().orderBy(col("version")).select("version")
+      .as[Long].head()
+    val oldSchema = st.read(Some(v0)).schema
+    assert(!oldSchema.fieldNames.contains("extra"))
+    assert(oldSchema("n").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(st.read().schema("n").dataType
+      === org.apache.spark.sql.types.LongType)
+    // repeat sync: no-op
+    assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
   }
 
   test("hours() cells pre-1970 fractional-second instants by exact floor " +

@@ -762,4 +762,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "delete").count() === 3L)
     assert(ch.count() === 3L)
   }
+
+  test("deleteRowsMultiset removes exactly as many copies as the frame " +
+      "carries (position semantics), tags the op, and refuses on drift") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snap_multidel").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    t.commit(Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"))
+      .toDF("id", "v").coalesce(1))
+    // delete TWO of the three copies + the unique row
+    t.deleteRowsMultiset(
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v"),
+      tag = Some("t1"))
+    assert(t.read().collect().map(_.toSeq).toSeq === Seq(Seq(1L, "a")))
+    assert(t.history().orderBy(col("version").desc)
+      .select("operation").as[String].head() === "pos-delete@t1")
+    // asking for more copies than live is mirror DRIFT, not a no-op
+    val e = intercept[IllegalStateException](
+      t.deleteRowsMultiset(Seq((1L, "a"), (1L, "a")).toDF("id", "v")))
+    assert(e.getMessage.contains("drift"))
+    // the failed attempt released its claim: a later delete commits fine
+    t.deleteRowsMultiset(Seq((1L, "a")).toDF("id", "v"))
+    assert(t.read().count() === 0)
+  }
 }
