@@ -696,7 +696,8 @@ object IcebergExport {
           {"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
         {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[
           {"name":"key","type":"int","field-id":129},
-          {"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
+          {"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
       ]},"field-id":2}]}""")
   }
 
@@ -826,8 +827,10 @@ object IcebergExport {
     * record the lineage. External readers (and [[readTable]]) time-travel
     * by snapshot id. */
   def export(df: DataFrame, destDir: String,
-      partitionBy: Seq[String] = Nil): Export =
-    exportInternal(df, destDir, partitionBy, overwrite = false, Map.empty)
+      partitionBy: Seq[String] = Nil,
+      sortOrder: Seq[String] = Nil): Export =
+    exportInternal(df, destDir, partitionBy, overwrite = false, Map.empty,
+      sortOrder)
 
   /** `overwrite = true` writes an OVERWRITE snapshot: the new manifest is
     * the snapshot's ONLY manifest (nothing carried forward), so current
@@ -835,7 +838,8 @@ object IcebergExport {
     * time travel — the shape [[syncStore]] uses for coarse store mutations. */
   private[sources] def exportInternal(df: DataFrame, destDir: String,
       partitionBy: Seq[String], overwrite: Boolean,
-      extraProps: Map[String, String]): Export = {
+      extraProps: Map[String, String],
+      sortOrder: Seq[String] = Nil): Export = {
     val spark = df.sparkSession
     val specs = partitionBy.map(parseSpecEntry)
     specs.foreach { sf =>
@@ -958,11 +962,21 @@ object IcebergExport {
         1000 + i)
     }
     val entrySchema = manifestEntrySchema(partFields)
+    // the declared write order (zorder spelled as a multi-column order):
+    // metadata records it in sort-orders, every file THIS snapshot adds
+    // records its id — the clustering survives the handoff, so a foreign
+    // engine can see (and preserve) it
+    val declaredOrderIds = orderColsOf(sortOrder).map(c =>
+      fieldIds.getOrElse(c, throw new IllegalArgumentException(
+        s"sort-order column $c not in the table schema")))
+    val (_, thisOrderId) = resolveSortOrders(prev, declaredOrderIds)
+    val fileOrderId =
+      if (declaredOrderIds.nonEmpty) Some(thisOrderId) else None
     val entries = stats.map { fst =>
       dataFileEntry(entrySchema, status = 1, snapshotId, seq, content = 0,
         fst.path, fst.records, fst.bytes, fst.partVals, fst.lower, fst.upper,
         equalityIds = Nil, valueCounts = fst.valueCounts,
-        nullCounts = fst.nullCounts)
+        nullCounts = fst.nullCounts, sortOrderId = fileOrderId)
     }
     val specFieldsJson = specs.zipWithIndex.map { case (sf, i) =>
       JObject("name" -> JString(sf.name),
@@ -978,7 +992,8 @@ object IcebergExport {
         "added-data-files" -> files.size.toString,
         "added-records" -> rowsTotal.toString),
       carryForward = !overwrite, extraProps = extraProps,
-      schemaId = schemaId, prevSchemas = prevSchemas)
+      schemaId = schemaId, prevSchemas = prevSchemas,
+      declaredOrderIds = declaredOrderIds)
     Export(snapshotId, stats.map(_.path), rowsTotal)
   }
 
@@ -990,8 +1005,13 @@ object IcebergExport {
     * time transforms), so foreign readers prune correctly even where the
     * store's internal layout hashes differently. */
   def exportStore(spark: SparkSession, storeRoot: String, destDir: String,
-      partitionBy: Seq[String] = Nil): Export =
-    export(new SnapshotTable(spark, storeRoot).read(), destDir, partitionBy)
+      partitionBy: Seq[String] = Nil): Export = {
+    val st = new SnapshotTable(spark, storeRoot)
+    // the store's declared write order crosses the boundary: the export's
+    // metadata records it and the files (clustered by the store's own
+    // commit path) carry its id
+    export(st.read(), destDir, partitionBy, sortOrder = st.sortOrder)
+  }
 
   /** The metadata property recording the last store version a
     * [[syncStore]] call mirrored into the chain. */
@@ -1034,7 +1054,7 @@ object IcebergExport {
     if (!tableExists(spark, destDir)) {
       val head = entries.last._1
       exportInternal(st.read(), destDir, partitionBy, overwrite = false,
-        Map(SyncVersionProp -> head.toString))
+        Map(SyncVersionProp -> head.toString), sortOrder = st.sortOrder)
       return entries.map(_._1)
     }
     val state = readState(spark, destDir)
@@ -1056,7 +1076,7 @@ object IcebergExport {
     val lastMut = todo.filter(e => kindOf(e._2) == "mutation").lastOption
     lastMut.foreach { case (v, _) =>
       exportInternal(st.read(Some(v)), destDir, partBy, overwrite = true,
-        Map(SyncVersionProp -> v.toString))
+        Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
       synced ++= todo.takeWhile(_._1 <= v).map(_._1)
     }
     val after = lastMut.map(m => todo.dropWhile(_._1 <= m._1)).getOrElse(todo)
@@ -1071,7 +1091,7 @@ object IcebergExport {
         case "append" =>
           exportInternal(st.appendDelta(v).drop(st.hiddenReadCols: _*),
             destDir, partBy, overwrite = false,
-            Map(SyncVersionProp -> v.toString))
+            Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case "eqdel" =>
@@ -1498,7 +1518,8 @@ object IcebergExport {
       partVals: Map[String, Any], lower: Map[Int, Array[Byte]],
       upper: Map[Int, Array[Byte]], equalityIds: Seq[Int],
       valueCounts: Map[Int, Long] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty): GenericData.Record = {
+      nullCounts: Map[Int, Long] = Map.empty,
+      sortOrderId: Option[Int] = None): GenericData.Record = {
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partitionSchema = dataFileSchema.getField("partition").schema()
     val part = new GenericData.Record(partitionSchema)
@@ -1537,6 +1558,7 @@ object IcebergExport {
     if (nullCounts.nonEmpty)
       d.put("null_value_counts", mapArr("null_value_counts",
         nullCounts.map { case (k, v) => k -> (Long.box(v): Any) }))
+    sortOrderId.foreach(i => d.put("sort_order_id", Int.box(i)))
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)
@@ -1545,6 +1567,53 @@ object IcebergExport {
     e.put("data_file", d)
     e
   }
+
+  /** The sort-orders metadata list + the order id THIS write declares
+    * (0 = unsorted). Previously declared orders always carry forward —
+    * manifest entries reference them by id — and a write that declares
+    * nothing PRESERVES the standing default (delete snapshots and plain
+    * appends must not reset a table to unsorted). A new field list gets
+    * the next free order-id; re-declaring an existing one reuses its id. */
+  private def resolveSortOrders(prev: Option[TableState],
+      declaredIds: Seq[Int]): (List[JValue], Int) = {
+    implicit val fmts: Formats = DefaultFormats
+    val order0: JValue =
+      JObject("order-id" -> JInt(0), "fields" -> JArray(Nil))
+    val prevOrders = prev.map(st =>
+      (st.meta \ "sort-orders").children).getOrElse(Nil)
+    val base: List[JValue] =
+      if (prevOrders.isEmpty) List(order0) else prevOrders.toList
+    if (declaredIds.isEmpty) {
+      val keep = prev.flatMap(st =>
+        (st.meta \ "default-sort-order-id").extractOpt[Int]).getOrElse(0)
+      (base, keep)
+    } else {
+      val fieldsJson = JArray(declaredIds.map(id => (JObject(
+        "transform" -> JString("identity"), "source-id" -> JInt(id),
+        "direction" -> JString("asc"),
+        "null-order" -> JString("nulls-first")): JValue)).toList)
+      base.find(o => (o \ "fields") == fieldsJson) match {
+        case Some(o) => (base, (o \ "order-id").extract[Int])
+        case None =>
+          val nid = base.map(o => (o \ "order-id").extract[Int]).max + 1
+          (base :+ (JObject("order-id" -> JInt(nid),
+            "fields" -> fieldsJson): JValue), nid)
+      }
+    }
+  }
+
+  /** Sort-order ENTRIES → the flat column list: a `zorder(c1, c2, …)`
+    * entry (the store's multi-column clustering) spells as the spec
+    * allows — a multi-column order over its columns; plain entries pass
+    * through. */
+  private def orderColsOf(entries: Seq[String]): Seq[String] =
+    entries.flatMap { e =>
+      "(?i)^zorder\\((.*)\\)$".r.findFirstMatchIn(e.trim) match {
+        case Some(m) =>
+          m.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        case None => Seq(e.trim)
+      }
+    }
 
   /** Write one snapshot's manifest + manifest list (carrying the previous
     * snapshot's manifests forward — the fast-append shape) + the next
@@ -1557,12 +1626,14 @@ object IcebergExport {
       partitionSummary: Map[String, String],
       carryForward: Boolean = true,
       extraProps: Map[String, String] = Map.empty,
-      schemaId: Int = 0, prevSchemas: Seq[JValue] = Nil): Unit = {
+      schemaId: Int = 0, prevSchemas: Seq[JValue] = Nil,
+      declaredOrderIds: Seq[Int] = Nil): Unit = {
     implicit val fmts: Formats = DefaultFormats
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(destDir).getFileSystem(hconf)
     val nowMs = System.currentTimeMillis()
     val mIdx = prev.map(_.lastSeq).getOrElse(0L)
+    val (sortOrders, defaultOrderId) = resolveSortOrders(prev, declaredOrderIds)
 
     val manifestName = java.util.UUID
       .nameUUIDFromBytes(s"$location#m$seq".getBytes("UTF-8")).toString + s"-m$mIdx.avro"
@@ -1647,9 +1718,8 @@ object IcebergExport {
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0), "fields" -> specFields))),
       "last-partition-id" -> JInt(999 + specFields.children.size),
-      "default-sort-order-id" -> JInt(0),
-      "sort-orders" -> JArray(List(JObject(
-        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "default-sort-order-id" -> JInt(defaultOrderId),
+      "sort-orders" -> JArray(sortOrders),
       "properties" -> JObject(
         ((prev.map(_.properties).getOrElse(Map.empty) +
           ("write.format.default" -> "parquet")) ++ extraProps)
@@ -1749,7 +1819,7 @@ object IcebergExport {
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       equalityIds: Seq[Int],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
-      addedBy: Long)
+      addedBy: Long, sortOrderId: Option[Int])
 
   private def manifestListPathOf(st: TableState, snapshotId: Long): String = {
     implicit val fmts: Formats = DefaultFormats
@@ -1825,7 +1895,10 @@ object IcebergExport {
             partition, bounds("lower_bounds"), bounds("upper_bounds"), eqIds,
             counts("value_counts"), counts("null_value_counts"),
             Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
-              .getOrElse(mAdded))
+              .getOrElse(mAdded),
+            // older manifests lack the field; null = unsorted/unknown
+            Option(if (d.getSchema.getField("sort_order_id") == null) null
+              else d.get("sort_order_id")).map(_.asInstanceOf[Int]))
         }
     }
 
@@ -1989,6 +2062,36 @@ object IcebergExport {
     val st = readState(spark, dir)
     plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
       .filter(_.content == 0).map(f => (f.path, f.records))
+  }
+
+  /** The chain's DEFAULT sort order as a column list (empty = unsorted):
+    * the write clustering recorded across the interchange boundary, so a
+    * consumer can preserve it. A store's zorder(c1, c2, …) surfaces as
+    * the spec's multi-column order over the same columns. */
+  def sortOrderOf(spark: SparkSession, dir: String): Seq[String] = {
+    implicit val fmts: Formats = DefaultFormats
+    val st = readState(spark, dir)
+    val oid = (st.meta \ "default-sort-order-id").extractOpt[Int].getOrElse(0)
+    if (oid == 0) Nil
+    else {
+      val idToName = st.fieldIds.map(_.swap)
+      (st.meta \ "sort-orders").children
+        .find(o => (o \ "order-id").extract[Int] == oid)
+        .map(o => (o \ "fields").children.map(f =>
+          idToName.getOrElse((f \ "source-id").extract[Int],
+            throw new IllegalStateException(
+              "sort-order field names an unknown source-id"))))
+        .getOrElse(Nil)
+    }
+  }
+
+  /** (data-file path, per-file sort_order_id) of the current snapshot's
+    * plan — the audit surface for the clustering handoff. */
+  private[sources] def plannedDataFileOrders(spark: SparkSession,
+      dir: String): Seq[(String, Option[Int])] = {
+    val st = readState(spark, dir)
+    plannedOf(spark, st, st.currentSnapshotId)
+      .filter(_.content == 0).map(f => (f.path, f.sortOrderId))
   }
 
   /** Snapshot ids of the chain, oldest first (time-travel surface). */

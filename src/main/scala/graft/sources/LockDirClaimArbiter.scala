@@ -109,6 +109,56 @@ final class LockDirClaimArbiter(lockRoot: String,
     (Paths.get(localBase, slug(root), "commit.lock"),
       new Path(new Path(lockRoot, slug(root)), "commit.lock"))
 
+  private def epochPaths(root: String): (java.nio.file.Path, Path) =
+    (Paths.get(localBase, slug(root), "commit.epoch"),
+      new Path(new Path(lockRoot, slug(root)), "commit.epoch"))
+
+  /** FENCING epoch of the commit section: bumped by every stale-lock
+    * TAKEOVER (under the exclusive break marker, so bumps are serialized).
+    * A holder records the epoch at acquisition; `verifyFence` rejects the
+    * log-tail write when the epoch moved — the paused-but-alive holder
+    * whose lock was broken cannot append with a section it no longer
+    * owns. */
+  private def readEpoch(root: String): Long = {
+    val (np, hp) = epochPaths(root)
+    try {
+      val txt =
+        if (isLocal) { if (!Files.exists(np)) return 0L; Files.readString(np) }
+        else {
+          if (!fs.exists(hp)) return 0L
+          val in = fs.open(hp)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+      txt.trim.toLongOption.getOrElse(0L)
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  private def writeEpoch(root: String, e: Long): Unit = {
+    val (np, hp) = epochPaths(root)
+    if (isLocal) Files.writeString(np, e.toString + "\n")
+    else {
+      val out = fs.create(hp, true)
+      try out.write((e.toString + "\n").getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Epoch each held section was acquired at, per canonical data root. */
+  private val heldEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  override def verifyFence(root: String): Unit = {
+    val held = heldEpoch.get(root)
+    if (held != null) {
+      val now = readEpoch(root)
+      if (now != held.longValue)
+        throw new IllegalStateException(
+          s"commit section for $root was TAKEN OVER while this holder was " +
+            s"paused (fencing epoch $held -> $now, stale threshold " +
+            s"$staleCommitLockMillis ms): its lock was broken as crashed; " +
+            "the commit is rejected — re-read and retry")
+    }
+  }
+
   override def lockCommit(root: String): Unit = {
     val (np, hp) = commitLock(root)
     if (isLocal) Files.createDirectories(np.getParent) else fs.mkdirs(hp.getParent)
@@ -125,7 +175,7 @@ final class LockDirClaimArbiter(lockRoot: String,
             case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
             case _: java.io.IOException if fs.exists(hp) => false
           }
-      if (acquired) return
+      if (acquired) { heldEpoch.put(root, readEpoch(root)); return }
       // crashed-holder takeover, serialized through an exclusive BREAK
       // marker: two waiters that both observed a stale mtime must not both
       // delete — the second delete would remove the first waiter's FRESH
@@ -138,7 +188,7 @@ final class LockDirClaimArbiter(lockRoot: String,
       // marker; a marker past the staleness threshold is itself removed —
       // the residual window now needs two crashed writers plus exact
       // timing, not one crash plus any contention.
-      try tryBreakStale(np, hp)
+      try tryBreakStale(root, np, hp)
       catch { case scala.util.control.NonFatal(_) => () }
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
@@ -150,6 +200,10 @@ final class LockDirClaimArbiter(lockRoot: String,
   }
 
   override def unlockCommit(root: String): Unit = {
+    val held = heldEpoch.remove(root)
+    // after a takeover the lock FILE belongs to the taker: deleting it
+    // here would let a third process into the taker's critical section
+    if (held != null && readEpoch(root) != held.longValue) return
     val (np, hp) = commitLock(root)
     if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
   }
@@ -165,7 +219,8 @@ final class LockDirClaimArbiter(lockRoot: String,
 
   /** Takeover of a crashed holder's `commit.lock` (see the call-site note):
     * examine + delete only under the exclusive `.break` marker. */
-  private def tryBreakStale(np: java.nio.file.Path, hp: Path): Unit = {
+  private def tryBreakStale(root: String, np: java.nio.file.Path,
+      hp: Path): Unit = {
     val now = System.currentTimeMillis()
     if (!mtimeOf(np, hp).exists(now - _ > staleCommitLockMillis)) return
     val bNp = np.resolveSibling(np.getFileName.toString + ".break")
@@ -190,6 +245,10 @@ final class LockDirClaimArbiter(lockRoot: String,
       // path continuously, so this delete can only remove the stale lock
       if (mtimeOf(np, hp)
           .exists(System.currentTimeMillis() - _ > staleCommitLockMillis)) {
+        // FENCE the broken holder first: bump the epoch while the stale
+        // lock still occupies the path, so by the time anyone can acquire,
+        // the old holder's recorded epoch is already dead
+        writeEpoch(root, readEpoch(root) + 1)
         if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
       }
     } finally {

@@ -67,15 +67,50 @@ object MetadataFunctions {
     * this to ZERO growth over engine-written snapshot stores. */
   val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Record count (parquet FOOTER — a metadata read, no data pages opened)
-    * and byte size of one data file: the FALLBACK for files outside any
-    * engine-written manifest. */
-  private def footerStats(spark: SparkSession, file: String): (Long, Long) = {
-    footerReads.incrementAndGet()
+  /** Per-file footer memo keyed by (path, length, mtime): a parquet file
+    * is immutable for a given (len, mtime) pair, so repeated metadata
+    * scans over the SAME foreign dir never re-open footers. Bounded by a
+    * wholesale clear (metadata-table calls are driver-paced; precision
+    * eviction buys nothing). */
+  private val footerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Long, Long)]()
+
+  /** (path, records, bytes) for files outside any engine-written manifest
+    * — the FOREIGN-dir fallback. Footer reads are memoized per
+    * (path, len, mtime) and, past a driver-friendly handful, PARALLELIZED
+    * on the cluster: at 10× corpus a sequential driver loop over foreign
+    * footers was the one super-linear metadata path (engine-written dirs
+    * never reach here; their manifests carry the stats). */
+  private def footerStatsAll(spark: SparkSession,
+      files: Seq[String]): Seq[(String, Long, Long)] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(file)
-    val st = p.getFileSystem(hconf).getFileStatus(p)
-    (SnapshotTable.footerRecordCount(p, hconf), st.getLen)
+    val withStatus = files.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      (f, st.getLen, st.getModificationTime)
+    }
+    if (footerMemo.size > 100000) footerMemo.clear()
+    val missing = withStatus.filterNot(footerMemo.containsKey)
+    footerReads.addAndGet(missing.size.toLong)
+    if (missing.size <= 16)
+      missing.foreach { case t @ (f, len, _) =>
+        footerMemo.put(t,
+          (SnapshotTable.footerRecordCount(new Path(f), hconf), len))
+      }
+    else {
+      val n = math.min(missing.size,
+        math.max(1, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(missing, n).map { case (f, len, mt) =>
+        // executors build a default Hadoop conf (the driver's is not
+        // serializable); file:// and default-FS paths resolve identically
+        val conf = new org.apache.hadoop.conf.Configuration()
+        ((f, len, mt),
+          (SnapshotTable.footerRecordCount(new Path(f), conf), len))
+      }.collect().foreach { case (k, v) => footerMemo.put(k, v) }
+    }
+    withStatus.map { case t @ (f, _, _) =>
+      val (r, b) = footerMemo.get(t); (f, r, b)
+    }
   }
 
   /** The table's current DATA files with (records, bytes). A snapshot-bound
@@ -95,14 +130,10 @@ object MetadataFunctions {
             case Some((_, files)) =>
               files.map(f =>
                 (new Path(dirStr, f.name).toUri.getPath, f.records, f.bytes))
-            case None => listDataFiles(spark, dirStr).map { f =>
-              val (r, b) = footerStats(spark, f); (f, r, b)
-            }
+            case None => footerStatsAll(spark, listDataFiles(spark, dirStr))
           }
         }.sortBy(_._1)
-      case None => inputFiles(spark, table).map { f =>
-        val (r, b) = footerStats(spark, f); (f, r, b)
-      }
+      case None => footerStatsAll(spark, inputFiles(spark, table))
     }
 
   private def listDataFiles(spark: SparkSession, dirStr: String): Seq[String] = {

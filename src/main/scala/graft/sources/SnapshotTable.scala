@@ -67,6 +67,16 @@ object SnapshotTable {
     def lockCommit(root: String): Unit = ()
     /** Leave the commit critical section for `root`. */
     def unlockCommit(root: String): Unit = ()
+    /** FENCING check, called by the log-tail write while the section is
+      * held: throw if this holder's section was TAKEN OVER since
+      * `lockCommit` returned (a stale-lock break by another process — the
+      * GC-pause hazard: a paused-but-alive holder must not append with a
+      * lock it no longer owns). Default no-op: an in-process section is
+      * never broken. NOTE the residual window of any fencing TOKEN over
+      * storage that does not itself check tokens: a pause between this
+      * check and the record write is not caught — closing it needs a
+      * token-conditional write (catalog CAS). */
+    def verifyFence(root: String): Unit = ()
   }
 
   /** Arbiter backed by PROCESS MEMORY: atomic for every thread of ONE JVM
@@ -418,7 +428,7 @@ object SnapshotTable {
     * (`s3a://…`, `hdfs://…`) normalize through Hadoop's Path; bare local
     * paths through java.nio (absolute + normalized), so relative and
     * absolute spellings of one local root share a slot. */
-  private def canonicalRoot(root: String): String = {
+  private[sources] def canonicalRoot(root: String): String = {
     val uri = new Path(root).toUri
     if (uri.getScheme == null)
       java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
@@ -1450,9 +1460,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         .foreach(_.unlockCommit(SnapshotTable.canonicalRoot(root)))
     }
 
+  /** Test seam: runs inside the commit section just before the fence
+    * check + log-tail write (models a GC pause at the worst point). */
+  private[sources] var beforeLogTail: () => Unit = () => ()
+
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
     acquireCommitMutex()
     try {
+      beforeLogTail()
+      // fencing: a holder whose commit.lock was taken over (stale-break
+      // by another process after a long pause) must NOT write the tail
+      SnapshotTable.arbiterFor(root)
+        .foreach(_.verifyFence(SnapshotTable.canonicalRoot(root)))
       val line = s"$version,${System.currentTimeMillis()},$op,$rows\n"
       // scheme'd roots: the record file IS the commit point (see the ledger
       // note above); the shared log below is only a cache of it
@@ -1909,6 +1928,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case Seq("add", name, _)  => Seq(name)
       case Seq("rename", _, to) => Seq(to)
       case _                    => Nil
+    }
+
+  /** The (column, target type) a WIDENING evolve commit promotes, if any —
+    * the adopt-on-evolve rollover boundary check for type widening. */
+  private[graft] def evolveWidenedColumn(op: String): Option[(String, DataType)] =
+    if (!op.startsWith(EvolveOpPrefix)) None
+    else decodeEvolve(op) match {
+      case Seq("widen", name, ddl) => Some(name -> DataType.fromDDL(ddl))
+      case _                       => None
     }
 
   /** Is this op on MAIN's lineage (a valid time-travel anchor)? Branch

@@ -179,12 +179,24 @@ final class SnapshotSource(
       boundaryCache match {
         case Some((h, a, b)) if h == headNow && a == anchor => b
         case _ =>
-          lazy val currentNames =
-            st.read().schema.fields.map(_.name.toLowerCase).toSet
+          lazy val currentTypes = st.read().schema.fields
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
+          lazy val currentNames = currentTypes.keySet
           val b = ops.find { case (v, op) =>
-            v > anchor &&
+            v > anchor && (
               st.evolveNewColumns(op).exists(c =>
-                !baseNames(c.toLowerCase) && currentNames(c.toLowerCase))
+                !baseNames(c.toLowerCase) && currentNames(c.toLowerCase)) ||
+              // a WIDENING evolve is a boundary too: the pinned schema's
+              // conform-and-try_cast path would FAIL the batch on values
+              // beyond the narrow type, while a restart re-pins the
+              // widened schema and the values flow. Only when the store's
+              // CURRENT type still differs from the pinned one (a later
+              // drop makes the restart pointless — not a boundary).
+              st.evolveWidenedColumn(op).exists { case (c, to) =>
+                val lc = c.toLowerCase
+                baseTypes.get(lc).exists(have => have != to &&
+                  currentTypes.get(lc).exists(_ != have))
+              })
           }.map(_._1)
           boundaryCache = Some((headNow, anchor, b))
           b
@@ -216,6 +228,8 @@ final class SnapshotSource(
 
   /** Lower-cased pinned data-schema names (drift detection). */
   private val baseNames = baseSchema.fields.map(_.name.toLowerCase).toSet
+  private val baseTypes =
+    baseSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // the floor honors start-version even when `start` is a CHECKPOINTED
@@ -243,6 +257,15 @@ final class SnapshotSource(
             s"store $root evolved mid-stream at commit v=$v: column '$c' is " +
               "not in this stream's pinned schema and will not stream — " +
               "restart the stream to adopt the evolved schema")
+        }
+      st.evolveWidenedColumn(op)
+        .filter { case (c, to) => baseTypes.get(c.toLowerCase).exists(_ != to) }
+        .foreach { case (c, to) =>
+          SnapshotSource.recordDrift(root, baseSchema.json, v,
+            s"store $root widened column '$c' to ${to.simpleString} " +
+              s"mid-stream at commit v=$v: this stream's pinned schema " +
+              "keeps the narrow type and out-of-range values would fail — " +
+              "restart the stream to adopt the widened schema")
         }
     }
     val frames =

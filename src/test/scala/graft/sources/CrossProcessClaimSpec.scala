@@ -58,6 +58,65 @@ class CrossProcessClaimSpec extends SparkSpec {
     arb2.unlockCommit("r")
   }
 
+  test("fencing: a paused holder whose commit.lock was taken over cannot " +
+      "pass verifyFence, and its unlock leaves the taker's lock intact") {
+    val lockDir = JFiles.createTempDirectory("xproc_fence").toFile.getAbsolutePath
+    val holder = new LockDirClaimArbiter(lockDir)
+    val taker = new LockDirClaimArbiter(lockDir)
+    holder.staleCommitLockMillis = 60L
+    taker.staleCommitLockMillis = 60L
+    holder.lockCommit("r")
+    holder.verifyFence("r") // owned: passes
+    Thread.sleep(150)       // the "GC pause": the lock goes stale
+    taker.lockCommit("r")   // breaks the stale lock, bumps the fence epoch
+    val e = intercept[IllegalStateException](holder.verifyFence("r"))
+    assert(e.getMessage.contains("TAKEN OVER"))
+    taker.verifyFence("r")  // the taker owns the current epoch
+    // the paused holder's unlock must NOT delete the taker's fresh lock
+    holder.unlockCommit("r")
+    val slugDir = new java.io.File(lockDir).listFiles()
+      .filter(_.isDirectory).head
+    assert(new java.io.File(slugDir, "commit.lock").exists(),
+      "paused holder deleted the taker's lock")
+    taker.unlockCommit("r")
+    assert(!new java.io.File(slugDir, "commit.lock").exists())
+  }
+
+  test("fencing end-to-end: a holder paused past takeover INSIDE the " +
+      "commit section has its append rejected at the log tail; the store " +
+      "stays consistent and later commits proceed") {
+    import spark.implicits._
+    val lockDir = JFiles.createTempDirectory("xproc_fence2").toFile.getAbsolutePath
+    val root = JFiles.createTempDirectory("xproc_fence2_t").toFile.getAbsolutePath
+    val arb = new LockDirClaimArbiter(lockDir)
+    arb.staleCommitLockMillis = 80L
+    SnapshotTable.registerClaimArbiter(root, arb)
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((1L, "a")).toDF("id", "v"))
+      val canon = SnapshotTable.canonicalRoot(root)
+      val taker = new LockDirClaimArbiter(lockDir)
+      taker.staleCommitLockMillis = 80L
+      @volatile var paused = false
+      t.beforeLogTail = () => if (!paused) {
+        paused = true
+        Thread.sleep(200)       // pause INSIDE the section, past staleness
+        taker.lockCommit(canon) // "another process" takes the section over
+      }
+      val e = intercept[IllegalStateException](
+        t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append"))
+      assert(e.getMessage.contains("TAKEN OVER"))
+      t.beforeLogTail = () => ()
+      taker.unlockCommit(canon)
+      // the rejected append never reached the log
+      assert(t.read().count() === 1)
+      assert(t.history().count() === 1)
+      // a later commit acquires a fresh section and proceeds
+      t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")
+      assert(t.read().count() === 2)
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+  }
+
   test("two OS processes with no shared memory interleave appends + a cow " +
       "mutation on an S3-shaped root under the durable lock-dir arbiter: " +
       "zero lost commits") {

@@ -1127,6 +1127,54 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
   }
 
+  test("sort orders cross the interchange boundary: metadata declares the " +
+      "order, every data file records its sort_order_id, a sorted store's " +
+      "sync chain carries it, and a zorder spells as a multi-column order") {
+    import spark.implicits._
+    // direct export with a declared order
+    val dest = JFiles.createTempDirectory("iceexp_sort").toFile.getAbsolutePath
+    val df = Seq.tabulate(20)(i => (i.toLong, s"v$i", (i % 3).toLong))
+      .toDF("id", "v", "n")
+    IcebergExport.export(df, dest, sortOrder = Seq("id"))
+    val json = JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json"))
+      .replaceAll("\\s", "")
+    assert(json.contains("\"default-sort-order-id\":1"))
+    assert(json.contains("\"order-id\":1") &&
+      json.contains("\"transform\":\"identity\"") &&
+      json.contains("\"direction\":\"asc\""))
+    assert(IcebergExport.sortOrderOf(spark, dest) === Seq("id"))
+    val orders = IcebergExport.plannedDataFileOrders(spark, dest)
+    assert(orders.nonEmpty && orders.forall(_._2.contains(1)),
+      s"every data file must record sort_order_id=1: $orders")
+    // a later UNDECLARED append preserves the default and leaves its own
+    // files' order null (unsorted/unknown — the spec's meaning)
+    IcebergExport.export(Seq((100L, "x", 9L)).toDF("id", "v", "n"), dest)
+    assert(IcebergExport.sortOrderOf(spark, dest) === Seq("id"))
+    val mixed = IcebergExport.plannedDataFileOrders(spark, dest)
+    assert(mixed.exists(_._2.contains(1)) && mixed.exists(_._2.isEmpty))
+    // a DIFFERENT later order gets the next id; both stay in sort-orders
+    IcebergExport.export(Seq((101L, "y", 9L)).toDF("id", "v", "n"), dest,
+      sortOrder = Seq("n", "id"))
+    assert(IcebergExport.sortOrderOf(spark, dest) === Seq("n", "id"))
+    val json3 = JFiles.readString(java.nio.file.Paths.get(
+      s"$dest/metadata/v3.metadata.json")).replaceAll("\\s", "")
+    assert(json3.contains("\"order-id\":1") && json3.contains("\"order-id\":2"))
+
+    // a sorted (zorder) store's sync chain declares the multi-column order
+    val root = JFiles.createTempDirectory("iceexp_sorts").toFile.getAbsolutePath
+    val chain = JFiles.createTempDirectory("iceexp_sortc").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.setSortOrder(Seq("zorder(id, n)"), files = 2)
+    st.commit(df)
+    IcebergExport.syncStore(spark, root, chain)
+    assert(IcebergExport.sortOrderOf(spark, chain) === Seq("id", "n"))
+    assert(IcebergExport.plannedDataFileOrders(spark, chain)
+      .forall(_._2.contains(1)))
+    // the chain read still equals the store (order is metadata, not rows)
+    assert(sameRows(IcebergExport.readTable(spark, chain), st.read()))
+  }
+
   test("arrays and nested structs export with element/field ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath

@@ -447,6 +447,54 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(spark.read.option("mergeSchema", "true").parquet(out).count() === 6)
   }
 
+  test("adopt-schema-on-evolve: a mid-stream TYPE WIDENING is a rollover " +
+      "boundary too — a >2^31 value flows after the restart instead of " +
+      "failing the batch, every row exactly once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_widenroll").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_widenroll_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_widenroll_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    SnapshotSource.clearSchemaDriftEvents(root)
+    st.commit(Seq((1, "a"), (2, "b")).toDF("n", "wave"), op = "append")  // v0: n INT
+    st.alterColumnType("n", "bigint")                                   // v1 evolve
+    // a value NO int can carry — the v1 conform-and-try_cast path FAILS
+    // the batch on it; the rollover must make it flow instead
+    st.commit(Seq((5000000000L, "c")).toDF("n", "wave"), op = "append") // v2
+
+    def run(pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+
+    run(Some("n INT, wave STRING")) // run 1: drains up to the widen, ENDS
+    val afterRun1 = spark.read.parquet(out)
+    assert(afterRun1.schema("n").dataType
+      === org.apache.spark.sql.types.IntegerType)
+    assert(afterRun1.select("wave").as[String].collect().sorted
+      === Array("a", "b"), "run 1 must stop AT the widen boundary")
+    // the boundary is observable while the orchestrator restarts
+    assert(SnapshotSource.schemaDriftEvents(root)
+      .exists(e => e._2.contains("widened column 'n'")))
+
+    run() // run 2, SAME checkpoint: widened schema re-pinned, value flows
+    // mergeSchema cannot merge INT/BIGINT parquet files — an explicit
+    // read schema applies Spark 4's type widening instead
+    def readAll = spark.read.schema("n LONG, wave STRING").parquet(out)
+    assert(readAll.select("n").as[Long].collect().sorted
+      === Array(1L, 2L, 5000000000L), "rollover lost or duplicated rows")
+
+    // the adopted stream keeps tailing
+    st.commit(Seq((7000000000L, "d")).toDF("n", "wave"), op = "append") // v3
+    run()
+    assert(readAll.count() === 4)
+  }
+
   test("adopt-schema-on-evolve ignores an added-then-DROPPED column: the " +
       "rollover never wedges on history a restart cannot adopt") {
     import spark.implicits._
