@@ -969,9 +969,11 @@ object IcebergExport {
     val declaredOrderIds = orderColsOf(sortOrder).map(c =>
       fieldIds.getOrElse(c, throw new IllegalArgumentException(
         s"sort-order column $c not in the table schema")))
-    val (_, thisOrderId) = resolveSortOrders(prev, declaredOrderIds)
+    // resolved ONCE: the per-file id and the metadata list must come from
+    // the same derivation
+    val ordersResolved = resolveSortOrders(prev, declaredOrderIds)
     val fileOrderId =
-      if (declaredOrderIds.nonEmpty) Some(thisOrderId) else None
+      if (declaredOrderIds.nonEmpty) Some(ordersResolved._2) else None
     val entries = stats.map { fst =>
       dataFileEntry(entrySchema, status = 1, snapshotId, seq, content = 0,
         fst.path, fst.records, fst.bytes, fst.partVals, fst.lower, fst.upper,
@@ -993,7 +995,7 @@ object IcebergExport {
         "added-records" -> rowsTotal.toString),
       carryForward = !overwrite, extraProps = extraProps,
       schemaId = schemaId, prevSchemas = prevSchemas,
-      declaredOrderIds = declaredOrderIds)
+      sortOrdersResolved = Some(ordersResolved))
     Export(snapshotId, stats.map(_.path), rowsTotal)
   }
 
@@ -1086,6 +1088,15 @@ object IcebergExport {
     // version on every later call — the next sync just re-classifies it,
     // idempotently
     val pendingNoops = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // the chain's CURRENT top-level columns (fresh per use: earlier loop
+    // iterations may have evolved the chain)
+    def chainColsNow(): Set[String] =
+      readState(spark, destDir).fields.fieldNames.toSet
+    // fold one commit to an overwrite of its resolved content — the
+    // fallback when a fine-grained mirror has no common schema to map
+    def coarseOne(v: Long): Unit =
+      exportInternal(st.read(Some(v)), destDir, partBy, overwrite = true,
+        Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
     after.foreach { case (v, op) =>
       kindOf(op) match {
         case "append" =>
@@ -1096,7 +1107,12 @@ object IcebergExport {
           synced += v
         case "eqdel" =>
           val keys = st.appendDelta(v).drop(st.hiddenReadCols: _*)
-          appendDeleteSnapshot(spark, destDir, keys, content = 2,
+          if (!keys.columns.forall(chainColsNow().contains))
+            // an unsynced store evolution (a content-noop the chain only
+            // adopts at the next append) renamed/dropped a key column:
+            // fold THIS commit to one overwrite instead of wedging
+            coarseOne(v)
+          else appendDeleteSnapshot(spark, destDir, keys, content = 2,
             equalityCols = keys.columns.toSeq,
             extraProps = Map(SyncVersionProp -> v.toString))
           synced ++= pendingNoops; pendingNoops.clear()
@@ -1110,6 +1126,14 @@ object IcebergExport {
           import org.apache.spark.sql.expressions.Window
           val deleted = st.changesForCommit(v)
             .filter(col("_change_type") === "delete").drop("_change_type")
+          if (deleted.columns.toSet != chainColsNow()) {
+            // an unsynced store schema evolution precedes this delete: the
+            // value multiset has no common schema to map through — fold
+            // this one commit to an overwrite instead of wedging the sync
+            coarseOne(v)
+            synced ++= pendingNoops; pendingNoops.clear()
+            synced += v
+          } else {
           val live = readTableWithPos(spark, destDir)
           val valueCols =
             live.columns.filterNot(Set("__ice_file", "__ice_pos")).toSeq
@@ -1137,6 +1161,7 @@ object IcebergExport {
           } finally chosen.unpersist()
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
+          }
         case _ => pendingNoops += v
       }
     }
@@ -1302,21 +1327,30 @@ object IcebergExport {
         case Some(parentFields) =>
           val prevById = parentFields.map(t => t._1 -> t).toMap
           val tgtIds = tgtFields.map(_._1).toSet
-          // renames first (id kept, name changed)
+          // rename targets (id kept, name changed): target name -> source
+          val renameSrc: Map[String, String] = tgtFields.flatMap {
+            case (id, name, _) => prevById.get(id).collect {
+              case (_, pn, _) if pn != name => name -> pn }
+          }.toMap
+          // DROPS FIRST (id gone), by the parent name — a dropped name may
+          // be re-occupied by a rename in the SAME snapshot (drop a,
+          // rename b→a, legal Iceberg): drop only while that rename is
+          // still PENDING (its source column present), so a crash replay
+          // that already renamed never drops the renamed column
+          parentFields.foreach { case (id, pn, _) =>
+            if (!tgtIds.contains(id) && curMap.contains(pn) &&
+                renameSrc.get(pn).forall(src => curMap.contains(src))) {
+              st.dropColumn(pn)
+              cur = cur.filterNot(_._1 == pn)
+            }
+          }
+          // renames after drops (a freed name is available again)
           tgtFields.foreach { case (id, name, _) =>
             prevById.get(id).foreach { case (_, pn, _) =>
               if (pn != name && curMap.contains(pn) && !curMap.contains(name)) {
                 st.renameColumn(pn, name)
                 cur = cur.map { case (n, t) => (if (n == pn) name else n, t) }
               }
-            }
-          }
-          // drops (id gone) — by the PARENT name
-          parentFields.foreach { case (id, pn, _) =>
-            if (!tgtIds.contains(id) && curMap.contains(pn) &&
-                !tgtFields.exists(_._2 == pn)) {
-              st.dropColumn(pn)
-              cur = cur.filterNot(_._1 == pn)
             }
           }
         case None =>
@@ -1400,9 +1434,27 @@ object IcebergExport {
           if (!priorOps.contains(op)) {
             val delFiles = planned(sid)
               .filter(f => f.addedBy == sid && f.content == 1)
-            val dels = spark.read.parquet(delFiles.map(_.path): _*)
+            val stated = spark.read.parquet(delFiles.map(_.path): _*)
               .select(col("file_path").cast("string").as("file_path"),
                 col("pos").cast("long").as("pos"))
+            // the spec permits RE-STATING an already-deleted position (a
+            // read-side no-op): subtract positions earlier delete files
+            // already name, or the mirror would delete an extra copy of a
+            // duplicate — or refuse as drift
+            val priorDelFiles = planned(sid)
+              .filter(f => f.content == 1 && f.addedBy != sid).map(_.path)
+            val dels =
+              if (priorDelFiles.isEmpty) stated
+              else {
+                val prior = spark.read.parquet(priorDelFiles: _*)
+                  .select(col("file_path").cast("string").as("pf"),
+                    col("pos").cast("long").as("pp"))
+                stated.join(broadcast(prior),
+                  normPath(stated("file_path")) === normPath(prior("pf")) &&
+                    stated("pos") === prior("pp"), "left_anti")
+              }
+            if (dels.isEmpty) () // every position was a restatement: no-op
+            else {
             val namedPaths = dels.select("file_path").distinct().collect()
               .map(r => normPathStr(r.getString(0))).toSet
             val targets = planned(sid).filter(f => f.content == 0 &&
@@ -1421,6 +1473,7 @@ object IcebergExport {
                 else col(f.name)
               }.toIndexedSeq: _*)
             st.deleteRowsMultiset(deletedVals, Some(s"ice$sid"))
+            }
           }
           record(sid); synced += sid
         case _ => // unreachable: coarse snapshots were folded above
@@ -1627,13 +1680,14 @@ object IcebergExport {
       carryForward: Boolean = true,
       extraProps: Map[String, String] = Map.empty,
       schemaId: Int = 0, prevSchemas: Seq[JValue] = Nil,
-      declaredOrderIds: Seq[Int] = Nil): Unit = {
+      sortOrdersResolved: Option[(List[JValue], Int)] = None): Unit = {
     implicit val fmts: Formats = DefaultFormats
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(destDir).getFileSystem(hconf)
     val nowMs = System.currentTimeMillis()
     val mIdx = prev.map(_.lastSeq).getOrElse(0L)
-    val (sortOrders, defaultOrderId) = resolveSortOrders(prev, declaredOrderIds)
+    val (sortOrders, defaultOrderId) =
+      sortOrdersResolved.getOrElse(resolveSortOrders(prev, Nil))
 
     val manifestName = java.util.UUID
       .nameUUIDFromBytes(s"$location#m$seq".getBytes("UTF-8")).toString + s"-m$mIdx.avro"

@@ -135,19 +135,35 @@ final class LockDirClaimArbiter(lockRoot: String,
 
   private def writeEpoch(root: String, e: Long): Unit = {
     val (np, hp) = epochPaths(root)
-    if (isLocal) Files.writeString(np, e.toString + "\n")
-    else {
-      val out = fs.create(hp, true)
+    // ATOMIC replace: an in-place truncate would let a concurrent
+    // readEpoch observe an empty file and parse epoch 0 — defeating the
+    // fence exactly in the takeover window
+    if (isLocal) {
+      val tmp = np.resolveSibling(np.getFileName.toString + ".tmp")
+      Files.writeString(tmp, e.toString + "\n")
+      Files.move(tmp, np, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(hp.getParent, hp.getName + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write((e.toString + "\n").getBytes("UTF-8")) finally out.close()
+      fs.delete(hp, false)
+      fs.rename(tmp, hp)
     }
   }
 
-  /** Epoch each held section was acquired at, per canonical data root. */
+  /** Epoch each held section was acquired at, per (canonical data root,
+    * holder thread): lock, fence check and unlock all run on the commit's
+    * thread, and a same-JVM taker must never overwrite the paused
+    * holder's recorded epoch (that would disarm its fence). */
   private val heldEpoch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private def holderKey(root: String): String =
+    root + "#" + Thread.currentThread().getId
+
   override def verifyFence(root: String): Unit = {
-    val held = heldEpoch.get(root)
+    val held = heldEpoch.get(holderKey(root))
     if (held != null) {
       val now = readEpoch(root)
       if (now != held.longValue)
@@ -165,6 +181,11 @@ final class LockDirClaimArbiter(lockRoot: String,
     val deadline = System.currentTimeMillis() + commitLockTimeoutMillis
     val rnd = new java.util.Random()
     while (true) {
+      // read the epoch BEFORE the create: a holder paused between its
+      // acquisition and an after-the-fact read would adopt the epoch its
+      // own takeover bumped, and the fence would pass for both writers. A
+      // stale pre-read can only cause a safe spurious rejection.
+      val epochBefore = readEpoch(root)
       val acquired =
         if (isLocal)
           try { Files.createFile(np); true }
@@ -175,7 +196,7 @@ final class LockDirClaimArbiter(lockRoot: String,
             case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
             case _: java.io.IOException if fs.exists(hp) => false
           }
-      if (acquired) { heldEpoch.put(root, readEpoch(root)); return }
+      if (acquired) { heldEpoch.put(holderKey(root), epochBefore); return }
       // crashed-holder takeover, serialized through an exclusive BREAK
       // marker: two waiters that both observed a stale mtime must not both
       // delete — the second delete would remove the first waiter's FRESH
@@ -200,7 +221,7 @@ final class LockDirClaimArbiter(lockRoot: String,
   }
 
   override def unlockCommit(root: String): Unit = {
-    val held = heldEpoch.remove(root)
+    val held = heldEpoch.remove(holderKey(root))
     // after a takeover the lock FILE belongs to the taker: deleting it
     // here would let a third process into the taker's critical section
     if (held != null && readEpoch(root) != held.longValue) return

@@ -100,16 +100,30 @@ object MetadataFunctions {
     else {
       val n = math.min(missing.size,
         math.max(1, spark.sparkContext.defaultParallelism * 2))
-      spark.sparkContext.parallelize(missing, n).map { case (f, len, mt) =>
-        // executors build a default Hadoop conf (the driver's is not
-        // serializable); file:// and default-FS paths resolve identically
+      // the driver's Hadoop conf is not serializable — ship its ENTRIES
+      // (s3a credentials, endpoints, fs.defaultFS overrides) and rebuild
+      // per partition, or scheme'd foreign dirs would lose auth exactly
+      // when the file count crosses into the parallel path
+      import scala.jdk.CollectionConverters._
+      val confEntries =
+        hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+      spark.sparkContext.parallelize(missing, n).mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        ((f, len, mt),
-          (SnapshotTable.footerRecordCount(new Path(f), conf), len))
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        it.map { case (f, len, mt) =>
+          ((f, len, mt),
+            (SnapshotTable.footerRecordCount(new Path(f), conf), len))
+        }
       }.collect().foreach { case (k, v) => footerMemo.put(k, v) }
     }
-    withStatus.map { case t @ (f, _, _) =>
-      val (r, b) = footerMemo.get(t); (f, r, b)
+    withStatus.map { case t @ (f, len, _) =>
+      // a concurrent scan's wholesale clear() may have raced our put —
+      // fall back to one driver-side footer read, never a null MatchError
+      val v = footerMemo.get(t)
+      val (r, b) =
+        if (v != null) v
+        else (SnapshotTable.footerRecordCount(new Path(f), hconf), len)
+      (f, r, b)
     }
   }
 

@@ -189,13 +189,15 @@ final class SnapshotSource(
               // a WIDENING evolve is a boundary too: the pinned schema's
               // conform-and-try_cast path would FAIL the batch on values
               // beyond the narrow type, while a restart re-pins the
-              // widened schema and the values flow. Only when the store's
-              // CURRENT type still differs from the pinned one (a later
-              // drop makes the restart pointless — not a boundary).
+              // widened schema and the values flow. A widened-then-DROPPED
+              // column is STILL a boundary (unlike add-then-drop): the
+              // restart's re-pinned schema simply lacks the column, so its
+              // deltas conform by dropping — without the boundary the old
+              // pinned type would fail the batch on out-of-range values.
               st.evolveWidenedColumn(op).exists { case (c, to) =>
                 val lc = c.toLowerCase
                 baseTypes.get(lc).exists(have => have != to &&
-                  currentTypes.get(lc).exists(_ != have))
+                  currentTypes.get(lc).forall(_ != have))
               })
           }.map(_._1)
           boundaryCache = Some((headNow, anchor, b))

@@ -82,6 +82,37 @@ class CrossProcessClaimSpec extends SparkSpec {
     assert(!new java.io.File(slugDir, "commit.lock").exists())
   }
 
+  test("fencing: a SAME-JVM taker on the SHARED arbiter instance does not " +
+      "disarm the paused holder's fence (per-holder epoch slots)") {
+    val lockDir = JFiles.createTempDirectory("xproc_fence_jvm").toFile.getAbsolutePath
+    val arb = new LockDirClaimArbiter(lockDir)
+    arb.staleCommitLockMillis = 60L
+    arb.lockCommit("r") // main thread = the holder that will pause
+    Thread.sleep(150)   // ... and pauses past the staleness threshold
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val exit = new java.util.concurrent.CountDownLatch(1)
+    val taker = new Thread(() => {
+      arb.lockCommit("r") // takes over via the SAME instance
+      entered.countDown()
+      exit.await()
+      arb.unlockCommit("r")
+    })
+    taker.start()
+    assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // the taker's own heldEpoch record must not have clobbered the paused
+    // holder's — its fence still fires
+    val e = intercept[IllegalStateException](arb.verifyFence("r"))
+    assert(e.getMessage.contains("TAKEN OVER"))
+    // and the paused holder's unlock leaves the taker's lock intact
+    arb.unlockCommit("r")
+    val slugDir = new java.io.File(lockDir).listFiles()
+      .filter(_.isDirectory).head
+    assert(new java.io.File(slugDir, "commit.lock").exists(),
+      "paused holder deleted the same-JVM taker's lock")
+    exit.countDown(); taker.join(10000)
+    assert(!new java.io.File(slugDir, "commit.lock").exists())
+  }
+
   test("fencing end-to-end: a holder paused past takeover INSIDE the " +
       "commit section has its append rejected at the log tail; the store " +
       "stays consistent and later commits proceed") {

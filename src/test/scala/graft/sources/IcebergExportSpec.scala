@@ -963,6 +963,64 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
   }
 
+  test("syncStore survives an unsynced store EVOLUTION followed by a " +
+      "delete: the delete folds to one overwrite instead of wedging") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icesync_evodel").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icesync_evodelt").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 1L), (1L, "a", 2L), (2L, "b", 3L))
+      .toDF("id", "v", "x"))                                          // v0
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(0L))
+    // an evolve (content-noop: the chain only adopts at the next append)
+    // then a POSITION delete whose CDC frame has the NEW schema
+    st.dropColumn("x")                                                // v1
+    st.deleteWherePos(col("id") === 2L)                               // v2
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(1L, 2L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // repeat ticks stay no-ops — the sync never wedges on v2
+    assert(IcebergExport.syncStore(spark, root, dest).isEmpty)
+    // same for an equality delete after an evolve of its KEY column
+    val root2 = JFiles.createTempDirectory("icesync_evodel2").toFile.getAbsolutePath
+    val dest2 = JFiles.createTempDirectory("icesync_evodel2t").toFile.getAbsolutePath
+    val st2 = new SnapshotTable(spark, root2)
+    st2.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(IcebergExport.syncStore(spark, root2, dest2).nonEmpty)
+    st2.renameColumn("id", "key")
+    st2.deleteWhereMor(col("key") === 2L, "key")
+    assert(IcebergExport.syncStore(spark, root2, dest2).size === 2)
+    assert(sameRows(IcebergExport.readTable(spark, dest2), st2.read()))
+  }
+
+  test("syncFromTable ignores RE-STATED positions (the spec permits " +
+      "re-deleting an already-deleted position — a read-side no-op, " +
+      "never an extra deleted copy or a drift refusal)") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("icesync_restate").toFile.getAbsolutePath
+    val store = JFiles.createTempDirectory("icesync_restates").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    val f = IcebergExport.plannedFiles(spark, dest).head._1
+    IcebergExport.appendPositionDeletes(spark, dest,
+      Seq((f, 0L)).toDF("file_path", "pos"))
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    // the second delete snapshot RE-STATES (f,0) alongside the new (f,1)
+    IcebergExport.appendPositionDeletes(spark, dest,
+      Seq((f, 0L), (f, 1L)).toDF("file_path", "pos"))
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    val st = new SnapshotTable(spark, store)
+    assert(st.read().count() === 1)
+    assert(sameRows(st.read(), IcebergExport.readTable(spark, dest)))
+    // a snapshot whose EVERY position is a restatement mirrors as a no-op
+    IcebergExport.appendPositionDeletes(spark, dest,
+      Seq((f, 1L)).toDF("file_path", "pos"))
+    val before = st.history().count()
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    assert(st.history().count() === before, "a pure restatement must not commit")
+    assert(sameRows(st.read(), IcebergExport.readTable(spark, dest)))
+  }
+
   test("syncFromTable mirrors foreign SCHEMA EVOLUTION as store evolve " +
       "commits (metadata-only, O(delta) replay), with store time travel " +
       "keeping the pre-evolution schema") {
@@ -1000,6 +1058,16 @@ class IcebergExportSpec extends SparkSpec {
       === org.apache.spark.sql.types.LongType)
     // repeat sync: no-op
     assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
+    // crash replay ACROSS the evolution (record lost after the commits
+    // landed): the evolve steps re-apply as no-ops, the tagged append is
+    // skipped — nothing duplicated, no rename/drop misfire
+    val lastSid = IcebergExport.snapshotIds(spark, dest).last
+    val opsBefore = st.history().count()
+    assert(new java.io.File(s"$store/_graft_mirror/s-$lastSid.rec").delete())
+    assert(IcebergExport.syncFromTable(spark, dest, store) === Seq(lastSid))
+    assert(st.history().count() === opsBefore,
+      "evolution replay must converge without new commits")
+    assert(sameRows(st.read(), IcebergExport.readTable(spark, dest)))
   }
 
   test("hours() cells pre-1970 fractional-second instants by exact floor " +

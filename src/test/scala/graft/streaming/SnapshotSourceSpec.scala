@@ -495,6 +495,37 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(readAll.count() === 4)
   }
 
+  test("adopt-schema-on-evolve: a widened-then-DROPPED column is STILL a " +
+      "rollover boundary — the restart's re-pinned schema drops it, so " +
+      "out-of-range values never fail the batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_widendrop").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_widendrop_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_widendrop_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1, "a"), (2, "b")).toDF("n", "wave"), op = "append")  // v0
+    st.alterColumnType("n", "bigint")                                   // v1
+    st.commit(Seq((5000000000L, "c")).toDF("n", "wave"), op = "append") // v2
+    st.dropColumn("n")                                                  // v3
+    def run(pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    run(Some("n INT, wave STRING")) // drains to the widen boundary, ENDS
+    assert(spark.read.schema("wave STRING").parquet(out)
+      .as[String].collect().sorted === Array("a", "b"))
+    // restart: the re-pinned schema LACKS n (dropped), so v2's delta
+    // conforms by dropping the column — the >2^31 value never errors
+    run()
+    assert(spark.read.schema("wave STRING").parquet(out)
+      .as[String].collect().sorted === Array("a", "b", "c"))
+  }
+
   test("adopt-schema-on-evolve ignores an added-then-DROPPED column: the " +
       "rollover never wedges on history a restart cannot adopt") {
     import spark.implicits._
