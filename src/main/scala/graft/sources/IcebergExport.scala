@@ -1029,11 +1029,21 @@ object IcebergExport {
     *  - store merge-on-read equality deletes → Iceberg EQUALITY-DELETE
     *    files (content=2) with the commit's own key rows — the mutation
     *    stays a mutation instead of being folded away;
-    *  - anything coarser (cow overwrite/update/merge, position deletes —
-    *    whose positions name STORE files, not export files — rollback,
-    *    publish) → ONE full OVERWRITE snapshot of the resolved content at
-    *    the LAST such commit, with every earlier unsynced commit subsumed
-    *    (never N rewrites for N commits);
+    *  - store POSITION deletes (`deleteWherePos`, whose positions name
+    *    STORE files the chain cannot map) → content=1 position-delete
+    *    files naming equivalently many LIVE CHAIN positions of the same
+    *    row values (identical copies are interchangeable) — zero data
+    *    files rewritten;
+    *  - store mor UPDATE/MERGE commits → an equality-delete file + an
+    *    APPEND snapshot holding the replacement rows (two chain
+    *    snapshots, O(delta); the cursor lands on the append, and a
+    *    replayed delete file is idempotent on read);
+    *  - anything coarser (cow overwrite/update/merge, rollback, publish —
+    *    or a fine-grained mutation whose schema an unsynced store
+    *    evolution left incompatible with the chain's) → ONE full
+    *    OVERWRITE snapshot of the resolved content at the LAST such
+    *    commit, with every earlier unsynced commit subsumed (never N
+    *    rewrites for N commits);
     *  - compaction / evolve / branch commits are content-noops and sync
     *    nothing.
     *
@@ -1071,6 +1081,7 @@ object IcebergExport {
     def kindOf(op: String): String =
       if (op == "mor-delete") "eqdel"
       else if (st.isPosDelete(op)) "posdel"
+      else if (st.isMorUpdateLike(op)) "morupd"
       else st.streamOpKind(op)
     val synced = scala.collection.mutable.ArrayBuffer.empty[Long]
 
@@ -1162,6 +1173,34 @@ object IcebergExport {
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
           }
+        case "morupd" =>
+          // a mor UPDATE/MERGE is (claimed keys, replacement rows): mirror
+          // as an equality-delete file + an APPEND snapshot — two chain
+          // snapshots, O(delta), never a fold. The cursor lands on the
+          // append (the second write): a crash between the two replays the
+          // delete file, which is idempotent ON READ (equality deletes
+          // apply to strictly older files only; the replacements land with
+          // a later sequence either way).
+          val repl = st.appendDelta(v).drop(st.hiddenReadCols: _*)
+          val keysOpt = st.morClaimedKeys(v)
+          val cols = chainColsNow()
+          // the delete file's key columns must exist in the chain schema
+          // NOW and survive the append's evolution (readTable resolves
+          // equality ids against the current schema) — else fold
+          val keysOk = keysOpt.forall(k =>
+            k.columns.forall(cols.contains) &&
+              k.columns.forall(repl.columns.contains))
+          if (!keysOk) coarseOne(v)
+          else {
+            keysOpt.foreach { keys =>
+              appendDeleteSnapshot(spark, destDir, keys, content = 2,
+                equalityCols = keys.columns.toSeq)
+            }
+            exportInternal(repl, destDir, partBy, overwrite = false,
+              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+          }
+          synced ++= pendingNoops; pendingNoops.clear()
+          synced += v
         case _ => pendingNoops += v
       }
     }

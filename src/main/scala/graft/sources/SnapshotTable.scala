@@ -712,6 +712,18 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def morUpdateDeletesDir(v: Long) = s"$root/v=$v/_graft_deletes"
 
+  /** Is this a mor UPDATE/MERGE commit — (claimed keys, replacement rows)?
+    * The shape `IcebergExport.syncStore` mirrors as an equality-delete
+    * file + an append snapshot. */
+  private[graft] def isMorUpdateLike(op: String): Boolean =
+    op == MorUpdateOp || op == MorMergeOp
+
+  /** The claimed-keys frame of a mor UPDATE/MERGE commit; None when the
+    * commit claimed none (an insert-only merge). */
+  private[graft] def morClaimedKeys(v: Long): Option[DataFrame] =
+    if (morKeysExist(v)) Some(spark.read.parquet(morUpdateDeletesDir(v)))
+    else None
+
   /** Does version `v` carry a non-empty equality-delete key file? */
   private def morKeysExist(v: Long): Boolean =
     if (rootIsLocal) {

@@ -992,6 +992,58 @@ class IcebergExportSpec extends SparkSpec {
     assert(sameRows(IcebergExport.readTable(spark, dest2), st2.read()))
   }
 
+  test("syncStore mirrors mor UPDATE/MERGE commits O(delta): an " +
+      "equality-delete file + an append snapshot, never a fold") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icesync_upd").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icesync_updt").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "score"))                                        // v0
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(0L))
+    val dataBefore = IcebergExport.plannedFiles(spark, dest).map(_._1).toSet
+
+    // mor UPDATE: one store commit = (claimed keys, replacement rows)
+    st.updateMor(col("id") === 2L,
+      Map("v" -> lit("B2"), "score" -> lit(200L)), "id")                // v1
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(1L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // O(delta): every pre-existing data file still serves (the update
+    // landed as delete file + append, not a rewrite)
+    assert(dataBefore.subsetOf(
+      IcebergExport.plannedFiles(spark, dest).map(_._1).toSet))
+
+    // mor MERGE: replaced + inserted rows in one commit (update-all
+    // matched, insert-all unmatched — the plain upsert clause pair)
+    st.mergeIntoMor(Seq((3L, "C2", 300L), (9L, "new", 90L))
+      .toDF("id", "v", "score"), "id",
+      matched = Seq((None, Some(Map("v" -> col("__src_v"),
+        "score" -> col("__src_score"))))),
+      notMatched = Seq((None, None)))                                  // v2
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(2L))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // the chain accrued SNAPSHOTS (delete + append per mutation), and no
+    // overwrite ever folded the history
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s._
+    val ops = IcebergExport.snapshotIds(spark, dest).map { sid =>
+      val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+        java.nio.file.Paths.get(s"$dest/metadata/v" +
+          JFiles.readString(java.nio.file.Paths.get(
+            s"$dest/metadata/version-hint.text")).trim + ".metadata.json")))
+      (meta \ "snapshots").children.find(s2 =>
+        (s2 \ "snapshot-id").extract[Long] == sid)
+        .map(s2 => (s2 \ "summary" \ "operation").extract[String]).get
+    }
+    assert(!ops.contains("overwrite"), s"mor update/merge must not fold: $ops")
+    assert(ops.count(_ == "delete") === 2 && ops.count(_ == "append") >= 3)
+
+    // repeat sync: no-op; time travel before the update still intact
+    assert(IcebergExport.syncStore(spark, root, dest).isEmpty)
+    val first = IcebergExport.snapshotIds(spark, dest).head
+    assert(IcebergExport.readTable(spark, dest, Some(first)).count() === 3)
+  }
+
   test("syncFromTable ignores RE-STATED positions (the spec permits " +
       "re-deleting an already-deleted position — a read-side no-op, " +
       "never an extra deleted copy or a drift refusal)") {
