@@ -1082,6 +1082,7 @@ object IcebergExport {
       if (op == "mor-delete") "eqdel"
       else if (st.isPosDelete(op)) "posdel"
       else if (st.isMorUpdateLike(op)) "morupd"
+      else if (st.isEvolveOp(op)) "evolve"
       else st.streamOpKind(op)
     val synced = scala.collection.mutable.ArrayBuffer.empty[Long]
 
@@ -1197,6 +1198,25 @@ object IcebergExport {
                 equalityCols = keys.columns.toSeq)
             }
             exportInternal(repl, destDir, partBy, overwrite = false,
+              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+          }
+          synced ++= pendingNoops; pendingNoops.clear()
+          synced += v
+        case "evolve" =>
+          // a store evolve is METADATA-ONLY but changes the store's READ
+          // schema immediately — mirror it NOW as an empty evolving
+          // append, so chain reads equal store reads BETWEEN data commits
+          // (not only after the next one). A RENAME folds coarse instead:
+          // the chain's name-based reads would null the renamed column's
+          // history under its fresh field id, silently diverging.
+          if (st.evolveIsRename(op)) coarseOne(v)
+          else {
+            val schemaAtV = st.read(Some(v)).schema
+            exportInternal(
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                schemaAtV),
+              destDir, partBy, overwrite = false,
               Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
           }
           synced ++= pendingNoops; pendingNoops.clear()

@@ -1942,6 +1942,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case _                    => Nil
     }
 
+  /** Is this a schema-evolution commit at all? */
+  private[graft] def isEvolveOp(op: String): Boolean =
+    op.startsWith(EvolveOpPrefix)
+
+  /** Is this evolve commit a RENAME? (The one evolution a name-matched
+    * consumer cannot mirror losslessly — `IcebergExport.syncStore` folds
+    * it coarse.) */
+  private[graft] def evolveIsRename(op: String): Boolean =
+    op.startsWith(EvolveOpPrefix) &&
+      decodeEvolve(op).headOption.contains("rename")
+
   /** The (column, target type) a WIDENING evolve commit promotes, if any —
     * the adopt-on-evolve rollover boundary check for type widening. */
   private[graft] def evolveWidenedColumn(op: String): Option[(String, DataType)] =
