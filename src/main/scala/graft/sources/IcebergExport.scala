@@ -1539,6 +1539,17 @@ object IcebergExport {
           throw new IllegalStateException(s"unfolded coarse snapshot $sid")
       }
     }
+    // the clustering handoff, INVERSE direction: adopt the chain's
+    // declared default sort order as the mirror's write order (metadata
+    // only; the store's own commits and maintenance then preserve the
+    // foreign engine's clustering). A multi-column order lands as the
+    // store's multi-column range order — the same spelling the export
+    // side writes for a zorder.
+    if (synced.nonEmpty) {
+      val declared = sortOrderOf(spark, tableDir)
+      if (declared.nonEmpty && st.sortOrder != declared)
+        st.setSortOrder(declared)
+    }
     synced.toSeq
   }
 

@@ -1293,6 +1293,13 @@ class IcebergExportSpec extends SparkSpec {
       .forall(_._2.contains(1)))
     // the chain read still equals the store (order is metadata, not rows)
     assert(sameRows(IcebergExport.readTable(spark, chain), st.read()))
+
+    // INVERSE direction: a mirror of a sorted chain ADOPTS the declared
+    // order as its own write order (clustering survives the handoff both
+    // ways — the mirror's commits and maintenance then preserve it)
+    val mirror = JFiles.createTempDirectory("iceexp_sortm").toFile.getAbsolutePath
+    assert(IcebergExport.syncFromTable(spark, dest, mirror).nonEmpty)
+    assert(new SnapshotTable(spark, mirror).sortOrder === Seq("n", "id"))
   }
 
   test("arrays and nested structs export with element/field ids and round-trip") {

@@ -108,7 +108,7 @@ class SnapshotFuzzSpec extends SparkSpec {
       checkCdc()
 
       for (step <- 1 to 22) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 =>
             val rs = rows(1 + rnd.nextInt(6))
             model = model ++ rs
@@ -168,6 +168,24 @@ class SnapshotFuzzSpec extends SparkSpec {
             expired.foreach(history.remove)
             expiredAll ++= expired
             check(s"expire(${expired.size})")
+          case 10 =>
+            if (model.nonEmpty) {
+              // multiset VALUE delete (r18, the foreign pos-delete mirror
+              // shape): exactly as many copies as picked go — the model is
+              // a plain multiset subtraction
+              val k = 1 + rnd.nextInt(math.min(4, model.size))
+              val picked = rnd.shuffle(model).take(k)
+              val counts = scala.collection.mutable.Map(
+                picked.groupBy(identity).view.mapValues(_.size).toSeq: _*)
+              model = model.filter { r =>
+                counts.get(r) match {
+                  case Some(n) if n > 0 => counts(r) = n - 1; false
+                  case _ => true
+                }
+              }
+              record(t.deleteRowsMultiset(df(picked)))
+              check(s"multiset-delete($k)")
+            }
         }
         // the keyless changelog between the previous head and the new one
         // must equal the model's multiset diff — CDC property-tested over
