@@ -905,6 +905,14 @@ object IcebergExport {
     //    writer's files. Cost: two listings, never a chain-length re-read.
     val before: Set[String] = listDataFiles(spark, destDir).map(_._1).toSet
     val typeByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // the declared write order (zorder spelled as a multi-column order):
+    // metadata records it in sort-orders, every file THIS snapshot adds
+    // records its id — the clustering survives the handoff, so a foreign
+    // engine can see (and preserve) it. Validated BEFORE the data write:
+    // a bad column name must not orphan freshly written files.
+    val declaredOrderIds = orderColsOf(sortOrder).map(c =>
+      fieldIds.getOrElse(c, throw new IllegalArgumentException(
+        s"sort-order column $c not in the table schema")))
     // derived transform columns partition the layout; Spark's partitionBy
     // drops them from file contents, so data files keep the SOURCE columns
     val writeDf = specs.filterNot(_.isIdentity).foldLeft(df)((d, sf) =>
@@ -962,13 +970,6 @@ object IcebergExport {
         1000 + i)
     }
     val entrySchema = manifestEntrySchema(partFields)
-    // the declared write order (zorder spelled as a multi-column order):
-    // metadata records it in sort-orders, every file THIS snapshot adds
-    // records its id — the clustering survives the handoff, so a foreign
-    // engine can see (and preserve) it
-    val declaredOrderIds = orderColsOf(sortOrder).map(c =>
-      fieldIds.getOrElse(c, throw new IllegalArgumentException(
-        s"sort-order column $c not in the table schema")))
     // resolved ONCE: the per-file id and the metadata list must come from
     // the same derivation
     val ordersResolved = resolveSortOrders(prev, declaredOrderIds)
