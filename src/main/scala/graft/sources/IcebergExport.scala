@@ -1851,6 +1851,11 @@ object IcebergExport {
           .toList.sortBy(_._1)
           .map { case (k, v2) => k -> (JString(v2): JValue) }: _*),
       "current-snapshot-id" -> JInt(snapshotId),
+      // the spec's snapshot-references map: `main` tracks the current
+      // snapshot (what HadoopTables and the REST catalog both write)
+      "refs" -> JObject("main" -> (JObject(
+        "snapshot-id" -> JInt(snapshotId),
+        "type" -> JString("branch")): JValue)),
       "snapshots" -> JArray((prevSnapshots :+ (newSnap: JValue)).toList),
       "snapshot-log" -> JArray((prevLog :+ (JObject(
         "timestamp-ms" -> JInt(nowMs),

@@ -75,6 +75,10 @@ class IcebergExportSpec extends SparkSpec {
       .foreach(k => assert((json \ k) != JNothing, s"metadata.json missing $k"))
     assert((json \ "snapshots").children.map(s => s \ "manifest-list")
       .forall(_ != JNothing))
+    // the snapshot-references map: main tracks the current snapshot
+    assert((json \ "refs" \ "main" \ "snapshot-id").extract[Long]
+      === (json \ "current-snapshot-id").extract[Long])
+    assert((json \ "refs" \ "main" \ "type").extract[String] === "branch")
     // schema fields carry ids and required-ness
     val schema0 = (json \ "schemas").children.head
     assert((schema0 \ "schema-id").extract[Int] === 0)

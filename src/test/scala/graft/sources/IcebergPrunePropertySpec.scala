@@ -36,12 +36,24 @@ class IcebergPrunePropertySpec extends SparkSpec {
       op <- if (col == "maybe") Gen.oneOf("isnull", "notnull") else ops
       vg = col match {
         case "id" => Gen.chooseNum(-5L, 70L).map(x => x: Any)
-        case "d" => Gen.chooseNum(0, 900).map(n =>
-          java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
-            .plusDays(n.toLong)): Any)
-        case "ts" => Gen.chooseNum(0, 900 * 24).map(h =>
-          java.sql.Timestamp.valueOf(java.time.LocalDateTime
-            .of(2023, 1, 1, 0, 30).plusHours(h.toLong)): Any)
+        case "d" => Gen.frequency(
+          (3, Gen.chooseNum(0, 900).map(n =>
+            java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
+              .plusDays(n.toLong)): Any)),
+          (1, Gen.chooseNum(0, 400).map(n =>
+            java.sql.Date.valueOf(java.time.LocalDate.of(1969, 12, 31)
+              .minusDays(n.toLong)): Any)))
+        case "ts" => Gen.frequency(
+          (3, Gen.chooseNum(0, 900 * 24).map(h =>
+            java.sql.Timestamp.valueOf(java.time.LocalDateTime
+              .of(2023, 1, 1, 0, 30).plusHours(h.toLong)): Any)),
+          // pre-1970 fractional-second instants: the negative-epoch
+          // domain where toward-zero truncation diverges from floor
+          // division (the r18 hour-transform defect class)
+          (1, Gen.chooseNum(0, 200).map(h =>
+            java.sql.Timestamp.from(java.time.Instant
+              .parse("1969-12-31T23:59:59.500Z")
+              .minus(java.time.Duration.ofHours(h.toLong))): Any)))
         case "s" => Gen.oneOf("aa", "ab", "ba", "bz", "ca").map(x => x: Any)
         case _ => Gen.const(null: Any)
       }
@@ -58,8 +70,17 @@ class IcebergPrunePropertySpec extends SparkSpec {
     val base = java.time.LocalDate.of(2023, 1, 1)
     val rows = Seq.tabulate(60) { i =>
       (i.toLong,
-        java.sql.Date.valueOf(base.plusDays(i * 17L % 900)),
-        java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        // every seventh date pre-1970: negative epoch days exercise the
+        // floor-vs-truncate boundary in day/month/year derivations too
+        if (i % 7 == 3)
+          java.sql.Date.valueOf(java.time.LocalDate.of(1969, 12, 31)
+            .minusDays(i * 11L % 400))
+        else java.sql.Date.valueOf(base.plusDays(i * 17L % 900)),
+        if (i % 7 == 3)
+          java.sql.Timestamp.from(java.time.Instant
+            .parse("1969-12-31T23:59:59.500Z")
+            .minus(java.time.Duration.ofHours(i.toLong)))
+        else java.sql.Timestamp.valueOf(java.time.LocalDateTime
           .of(2023, 1, 1, i % 24, 11).plusDays(i * 13L % 37)),
         Seq("aa", "ab", "ba", "bz", "ca")(i % 5),
         if (i % 4 == 0) null else s"m$i")
