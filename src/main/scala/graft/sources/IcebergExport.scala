@@ -839,7 +839,8 @@ object IcebergExport {
   private[sources] def exportInternal(df: DataFrame, destDir: String,
       partitionBy: Seq[String], overwrite: Boolean,
       extraProps: Map[String, String],
-      sortOrder: Seq[String] = Nil): Export = {
+      sortOrder: Seq[String] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Export = {
     val spark = df.sparkSession
     val specs = partitionBy.map(parseSpecEntry)
     specs.foreach { sf =>
@@ -993,7 +994,7 @@ object IcebergExport {
       specFields = JArray(specFieldsJson.toList),
       partitionSummary = Map(
         "added-data-files" -> files.size.toString,
-        "added-records" -> rowsTotal.toString),
+        "added-records" -> rowsTotal.toString) ++ extraSummary,
       carryForward = !overwrite, extraProps = extraProps,
       schemaId = schemaId, prevSchemas = prevSchemas,
       sortOrdersResolved = Some(ordersResolved))
@@ -1058,16 +1059,39 @@ object IcebergExport {
     * refuse. Returns the store versions synced. */
   def syncStore(spark: SparkSession, storeRoot: String, destDir: String,
       partitionBy: Seq[String] = Nil): Seq[Long] = {
+    implicit val fmts: Formats = DefaultFormats
     val st = new SnapshotTable(spark, storeRoot)
     val entries = st.history().select("version", "operation")
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       .filterNot(_._2.startsWith("branch:")).toSeq
     require(entries.nonEmpty, s"no snapshots at $storeRoot")
 
+    // TAG interchange tail: mirror the store's tags whose pinned versions
+    // map to a synced snapshot (the summary stamp). Tags inside a coarse
+    // fold have no chain snapshot and are skipped; dropped store tags
+    // leave the refs map (the chain's non-main refs are sync-owned).
+    // Metadata-only.
+    def mirrorTags(): Unit = {
+      val stateNow = readState(spark, destDir)
+      val verToSnap: Map[Long, Long] = stateNow.snapshots.flatMap { sn =>
+        (sn \ "summary" \ "graft-store-version").extractOpt[String]
+          .flatMap(_.toLongOption)
+          .map(_ -> (sn \ "snapshot-id").extract[Long])
+      }.toMap
+      val tags: Map[String, (Long, String)] = st.refs().collect()
+        .filter(_.getString(1) == "tag")
+        .flatMap(r => verToSnap.get(r.getLong(2))
+          .map(sid => r.getString(0) -> (sid, "tag")))
+        .toMap
+      if (tags != chainRefs(spark, destDir)) updateRefs(spark, destDir, tags)
+    }
+
     if (!tableExists(spark, destDir)) {
       val head = entries.last._1
       exportInternal(st.read(), destDir, partitionBy, overwrite = false,
-        Map(SyncVersionProp -> head.toString), sortOrder = st.sortOrder)
+        Map(SyncVersionProp -> head.toString), sortOrder = st.sortOrder,
+        extraSummary = Map("graft-store-version" -> head.toString))
+      mirrorTags()
       return entries.map(_._1)
     }
     val state = readState(spark, destDir)
@@ -1077,7 +1101,9 @@ object IcebergExport {
           "property) — start the sync on a fresh dir"))
     val partBy = state.specFields.map(_.entry)
     val todo = entries.filter(_._1 > lastSynced)
-    if (todo.isEmpty) return Nil
+    // tags are tick-level, not commit-coupled: a tag created between data
+    // commits propagates on the next tick even with nothing else to sync
+    if (todo.isEmpty) { mirrorTags(); return Nil }
 
     def kindOf(op: String): String =
       if (op == "mor-delete") "eqdel"
@@ -1091,7 +1117,8 @@ object IcebergExport {
     val lastMut = todo.filter(e => kindOf(e._2) == "mutation").lastOption
     lastMut.foreach { case (v, _) =>
       exportInternal(st.read(Some(v)), destDir, partBy, overwrite = true,
-        Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+        Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
+        extraSummary = Map("graft-store-version" -> v.toString))
       synced ++= todo.takeWhile(_._1 <= v).map(_._1)
     }
     val after = lastMut.map(m => todo.dropWhile(_._1 <= m._1)).getOrElse(todo)
@@ -1109,13 +1136,15 @@ object IcebergExport {
     // fallback when a fine-grained mirror has no common schema to map
     def coarseOne(v: Long): Unit =
       exportInternal(st.read(Some(v)), destDir, partBy, overwrite = true,
-        Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+        Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
+        extraSummary = Map("graft-store-version" -> v.toString))
     after.foreach { case (v, op) =>
       kindOf(op) match {
         case "append" =>
           exportInternal(st.appendDelta(v).drop(st.hiddenReadCols: _*),
             destDir, partBy, overwrite = false,
-            Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+            Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
+        extraSummary = Map("graft-store-version" -> v.toString))
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case "eqdel" =>
@@ -1127,7 +1156,8 @@ object IcebergExport {
             coarseOne(v)
           else appendDeleteSnapshot(spark, destDir, keys, content = 2,
             equalityCols = keys.columns.toSeq,
-            extraProps = Map(SyncVersionProp -> v.toString))
+            extraProps = Map(SyncVersionProp -> v.toString),
+            extraSummary = Map("graft-store-version" -> v.toString))
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case "posdel" =>
@@ -1170,7 +1200,8 @@ object IcebergExport {
                 s"$destDir — the chain has drifted")
             appendDeleteSnapshot(spark, destDir, chosen, content = 1,
               equalityCols = Nil,
-              extraProps = Map(SyncVersionProp -> v.toString))
+              extraProps = Map(SyncVersionProp -> v.toString),
+              extraSummary = Map("graft-store-version" -> v.toString))
           } finally chosen.unpersist()
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
@@ -1199,7 +1230,8 @@ object IcebergExport {
                 equalityCols = keys.columns.toSeq)
             }
             exportInternal(repl, destDir, partBy, overwrite = false,
-              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
+        extraSummary = Map("graft-store-version" -> v.toString))
           }
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
@@ -1218,13 +1250,15 @@ object IcebergExport {
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 schemaAtV),
               destDir, partBy, overwrite = false,
-              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder)
+              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
+        extraSummary = Map("graft-store-version" -> v.toString))
           }
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case _ => pendingNoops += v
       }
     }
+    mirrorTags()
     synced.sorted.toSeq
   }
 
@@ -1272,7 +1306,71 @@ object IcebergExport {
     require(todo.forall(id => !recorded.contains(id)),
       s"mirror records at $storeRoot are not a prefix of the chain at " +
         s"$tableDir — was the chain rewritten, or the store shared?")
-    if (todo.isEmpty) return Nil
+
+    // the clustering + TAG handoff, INVERSE direction (tick-level, so a
+    // foreign tag or order declared between data commits still arrives):
+    //  - adopt the chain's declared default sort order as the mirror's
+    //    write order (metadata only; the store's own commits and
+    //    maintenance then preserve the foreign engine's clustering);
+    //  - adopt the chain's TAGS whose snapshots replayed under a
+    //    version-mapped op (tagged appends / pos-deletes). Mirror-created
+    //    tags are tracked as `tag-<name>.rec` markers, so a tag the
+    //    foreign engine dropped or re-pointed is dropped/re-created here
+    //    while operator-made store tags are never touched.
+    def adoptChainMeta(): Unit = if (st.history().count() > 0) {
+      val declared = sortOrderOf(spark, tableDir)
+      if (declared.nonEmpty && st.sortOrder != declared)
+        st.setSortOrder(declared)
+      val chainTags = chainRefs(spark, tableDir).filter(_._2._2 == "tag")
+      val hist = st.history().select("version", "operation").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def storeVersionOf(sid: Long): Option[Long] =
+        hist.collectFirst {
+          case (v2, op) if op == st.streamAppendOp(sid) ||
+            op == s"pos-delete@ice$sid" => v2
+        }
+      val TagRec = "tag-(.+)\\.rec".r
+      val mirrored: Map[String, Long] =
+        if (!fs.exists(mirrorDir)) Map.empty
+        else fs.listStatus(mirrorDir).toSeq.flatMap { stt =>
+          stt.getPath.getName match {
+            case TagRec(n) =>
+              val in = fs.open(stt.getPath)
+              val v2 = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+                finally in.close()
+              Some(n -> v2)
+            case _ => None
+          }
+        }.toMap
+      def writeTagRec(name: String, v2: Long): Unit = {
+        val out = fs.create(new Path(mirrorDir, s"tag-$name.rec"), true)
+        try out.write(v2.toString.getBytes("UTF-8")) finally out.close()
+      }
+      val have = st.refs().collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+      chainTags.foreach { case (name, (sid, _)) =>
+        storeVersionOf(sid).foreach { v2 =>
+          mirrored.get(name) match {
+            case Some(mv) if mv == v2 => // already mirrored at this pin
+            case Some(_) => // the foreign engine re-pointed (drop+recreate)
+              st.dropRef(name, expectKind = Some("tag"))
+              st.createTag(name, Some(v2)); writeTagRec(name, v2)
+            case None =>
+              // never shadow an operator-made store tag of the same name
+              if (!have.contains(name)) {
+                st.createTag(name, Some(v2)); writeTagRec(name, v2)
+              }
+          }
+        }
+      }
+      mirrored.keys.filterNot(chainTags.contains).foreach { name =>
+        if (have.get(name).exists(_._1 == "tag"))
+          st.dropRef(name, expectKind = Some("tag"))
+        fs.delete(new Path(mirrorDir, s"tag-$name.rec"), false)
+      }
+    }
+
+    if (todo.isEmpty) { adoptChainMeta(); return Nil }
     require(recorded.nonEmpty || st.history().isEmpty,
       s"syncFromTable owns its store: $storeRoot already has snapshots " +
         "but no mirror records — start the mirror on a fresh root")
@@ -1540,17 +1638,7 @@ object IcebergExport {
           throw new IllegalStateException(s"unfolded coarse snapshot $sid")
       }
     }
-    // the clustering handoff, INVERSE direction: adopt the chain's
-    // declared default sort order as the mirror's write order (metadata
-    // only; the store's own commits and maintenance then preserve the
-    // foreign engine's clustering). A multi-column order lands as the
-    // store's multi-column range order — the same spelling the export
-    // side writes for a zorder.
-    if (synced.nonEmpty) {
-      val declared = sortOrderOf(spark, tableDir)
-      if (declared.nonEmpty && st.sortOrder != declared)
-        st.setSortOrder(declared)
-    }
+    adoptChainMeta()
     synced.toSeq
   }
 
@@ -1580,7 +1668,8 @@ object IcebergExport {
 
   private def appendDeleteSnapshot(spark: SparkSession, destDir: String,
       rows: DataFrame, content: Int, equalityCols: Seq[String],
-      extraProps: Map[String, String] = Map.empty): Long = {
+      extraProps: Map[String, String] = Map.empty,
+      extraSummary: Map[String, String] = Map.empty): Long = {
     val st = readState(spark, destDir)
     equalityCols.foreach(c => require(st.fieldIds.contains(c),
       s"equality column $c not in the table schema"))
@@ -1628,7 +1717,8 @@ object IcebergExport {
       partitionSummary = Map(
         "added-delete-files" -> files.size.toString,
         "added-position-deletes" -> (if (content == 1) deletedRows.toString else "0"),
-        "added-equality-deletes" -> (if (content == 2) deletedRows.toString else "0")),
+        "added-equality-deletes" -> (if (content == 2) deletedRows.toString else "0"))
+        ++ extraSummary,
       carryForward = true, extraProps = extraProps,
       schemaId = (st.meta \ "current-schema-id").extract[Int],
       prevSchemas = (st.meta \ "schemas").children)
@@ -2222,6 +2312,60 @@ object IcebergExport {
     val st = readState(spark, dir)
     plannedOf(spark, st, st.currentSnapshotId)
       .filter(_.content == 0).map(f => (f.path, f.sortOrderId))
+  }
+
+  /** The chain's snapshot-references beyond `main`: name →
+    * (snapshot-id, type). The tag-interchange surface — [[syncStore]]
+    * mirrors store TAGS here, [[syncFromTable]] adopts them. */
+  def chainRefs(spark: SparkSession, dir: String): Map[String, (Long, String)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val st = readState(spark, dir)
+    (st.meta \ "refs") match {
+      case JObject(fs) => fs.collect {
+        case (name, o) if name != "main" =>
+          name -> ((o \ "snapshot-id").extract[Long],
+            (o \ "type").extract[String])
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** METADATA-ONLY update of the refs map (a new vN+1.metadata.json that
+    * differs only in refs, last-updated-ms and the metadata-log): `main`
+    * always tracks the current snapshot and cannot be overridden. The
+    * ref-propagation tail of a [[syncStore]] tick. */
+  private def updateRefs(spark: SparkSession, dir: String,
+      refs: Map[String, (Long, String)]): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    val st = readState(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nowMs = System.currentTimeMillis()
+    val refsJson = JObject(
+      ("main" -> (JObject(
+        "snapshot-id" -> JInt(st.currentSnapshotId),
+        "type" -> JString("branch")): JValue)) +:
+        refs.toList.sortBy(_._1).map { case (n, (sid, kind)) =>
+          n -> (JObject("snapshot-id" -> JInt(sid),
+            "type" -> JString(kind)): JValue)
+        }: _*)
+    val prevMetaLog = (st.meta \ "metadata-log").children
+    // remove-then-append: a chain written before refs existed has no such
+    // field, and transformField alone would silently never add it (the
+    // update must converge, not re-bump metadata every tick)
+    val newMeta = st.meta
+      .removeField { case ("refs", _) => true; case _ => false }
+      .transformField {
+        case ("last-updated-ms", _) => ("last-updated-ms", JInt(nowMs))
+        case ("metadata-log", _) => ("metadata-log", JArray(
+          (prevMetaLog :+ (JObject(
+            "timestamp-ms" -> JInt((st.meta \ "last-updated-ms").extract[Long]),
+            "metadata-file" -> JString(fs.makeQualified(new Path(
+              s"$dir/metadata/v${st.version}.metadata.json")).toString)): JValue)).toList))
+      } merge JObject("refs" -> (refsJson: JValue))
+    val v = st.version + 1
+    writeString(fs, new Path(s"$dir/metadata/v$v.metadata.json"),
+      JsonMethods.pretty(JsonMethods.render(newMeta)) + "\n")
+    writeString(fs, hintPath(dir), v.toString)
   }
 
   /** Snapshot ids of the chain, oldest first (time-travel surface). */

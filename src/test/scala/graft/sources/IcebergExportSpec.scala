@@ -1306,6 +1306,54 @@ class IcebergExportSpec extends SparkSpec {
     assert(new SnapshotTable(spark, mirror).sortOrder === Seq("n", "id"))
   }
 
+  test("TAGS cross the interchange boundary end to end: store tags land " +
+      "in the chain's refs map (tick-level), a second mirror adopts them " +
+      "at the mapped versions, drops propagate, operator tags survive") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icetag_store").toFile.getAbsolutePath
+    val chain = JFiles.createTempDirectory("icetag_chain").toFile.getAbsolutePath
+    val mirror = JFiles.createTempDirectory("icetag_mirror").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))               // v0
+    IcebergExport.syncStore(spark, root, chain)
+    st.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")           // v1
+    st.createTag("rel-1", Some(0L))
+    IcebergExport.syncStore(spark, root, chain)
+    val refs = IcebergExport.chainRefs(spark, chain)
+    assert(refs.keySet === Set("rel-1") && refs("rel-1")._2 === "tag")
+    // the pinned chain snapshot time-travels to the tagged content
+    assert(IcebergExport.readTable(spark, chain,
+      Some(refs("rel-1")._1)).count() === 2)
+    // a tag created with NOTHING else to sync still propagates next tick
+    st.createTag("rel-2", Some(1L))
+    assert(IcebergExport.syncStore(spark, root, chain).isEmpty)
+    assert(IcebergExport.chainRefs(spark, chain).keySet
+      === Set("rel-1", "rel-2"))
+
+    // inverse hop: a mirror store adopts the chain's tags at the mapped
+    // store versions, and their time travel shows the pinned content
+    assert(IcebergExport.syncFromTable(spark, chain, mirror).size === 2)
+    val st2 = new SnapshotTable(spark, mirror)
+    val mrefs = st2.refs().collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(mrefs.keySet === Set("rel-1", "rel-2"), mrefs.toString)
+    assert(mrefs("rel-1")._1 === "tag")
+    assert(st2.read(Some(mrefs("rel-1")._2)).count() === 2)
+    assert(st2.read(Some(mrefs("rel-2")._2)).count() === 3)
+
+    // a DROP at the source propagates through both hops
+    st.dropRef("rel-2")
+    IcebergExport.syncStore(spark, root, chain)
+    assert(IcebergExport.chainRefs(spark, chain).keySet === Set("rel-1"))
+    // an operator-made mirror tag with an unrelated name is never touched
+    st2.createTag("local-pin", Some(0L))
+    IcebergExport.syncFromTable(spark, chain, mirror)
+    val after = st2.refs().collect().map(_.getString(0)).toSet
+    assert(after === Set("rel-1", "local-pin"), after.toString)
+    // mirrored content is still chain-identical after all metadata churn
+    assert(sameRows(st2.read(), IcebergExport.readTable(spark, chain)))
+  }
+
   test("arrays and nested structs export with element/field ids and round-trip") {
     import spark.implicits._
     val dest = JFiles.createTempDirectory("iceexp_types").toFile.getAbsolutePath
