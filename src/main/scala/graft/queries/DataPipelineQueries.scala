@@ -260,6 +260,24 @@ object DataPipelineQueries {
   private val icebergEvoFromFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q139's mirrored store: a RENAME mid-chain crossed in BOTH directions
+    * metadata-only (r19 field-id resolution) — store rename → chain
+    * schema-evolving snapshot (zero data files rewritten), chain → second
+    * store as an evolve commit, pre-rename history valued throughout. */
+  private val icebergRenameFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q140's Iceberg chain: PARTITION-SPEC EVOLUTION mid-stream (r19) —
+    * years() layout re-declared as bucket() without refusal or rewrite;
+    * files keep the spec they were written under and prune against it. */
+  private val icebergSpecEvoFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q141's view-metadata root: a catalog view exported as PUBLIC Iceberg
+    * view metadata (r19) and read back purely from it. */
+  private val icebergViewFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q133/q135's shared fixture: orders exported under a HIDDEN
     * years()+bucket() transform spec (the spec's own transform functions —
     * canonical murmur3 buckets, epoch-based years). */
@@ -3481,13 +3499,16 @@ object DataPipelineQueries {
         AND o_orderstatus <> 'X'
       GROUP BY o_orderstatus""")),
 
-    // STORE → ICEBERG POSITION-DELETE SYNC (r18 mutation fidelity): a
-    // keyless deleteWherePos commit — the DML form for tables WITHOUT a
-    // unique key — mirrors as a content=1 position-delete FILE on the
-    // chain, NOT a coarse overwrite: require()s pin that every
+    // STORE → ICEBERG POSITION-DELETE SYNC (r18 mutation fidelity; r19
+    // pruned): a keyless deleteWherePos commit — the DML form for tables
+    // WITHOUT a unique key — mirrors as a content=1 position-delete FILE
+    // on the chain, NOT a coarse overwrite: require()s pin that every
     // pre-existing data file still serves (zero rewrite; at 100 TB a
-    // coarse fold is a table rewrite) and that the chain read equals the
-    // store's own position-delete resolution.
+    // coarse fold is a table rewrite), that the live-copy scan PRUNED to
+    // candidate files via predicates derived from the deleted multiset
+    // (the chain is range-clustered on doc_id, the delete range-bounded —
+    // the one O(table) step of the r18 sync, now O(candidate files)), and
+    // that the chain read equals the store's position-delete resolution.
     Q("q136_iceberg_posdelete_sync", (s, dir) => {
       import graft.sources.{IcebergExport, SnapshotTable}
       val dest = icebergPosSyncFixtures.computeIfAbsent(
@@ -3496,13 +3517,20 @@ object DataPipelineQueries {
           val st = new SnapshotTable(s, root)
           val docs = t(s, dir, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
-          st.commit(docs.filter(col("doc_id") < 400))                 // v0
+          st.commit(docs.filter(col("doc_id") < 400)
+            .repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id"))                          // v0
           val d = graft.TempDirs.newDir("graft_icepos_tbl")
           IcebergExport.syncStore(s, root, d)
           val dataBefore = IcebergExport.plannedFiles(s, d).map(_._1).toSet
-          st.deleteWherePos(col("doc_id") % 7 === 0L)                 // v1
+          st.deleteWherePos(col("doc_id") % 7 === 0L &&
+            col("doc_id") < 100L)                                     // v1
           require(IcebergExport.syncStore(s, root, d) == Seq(1L),
             "sync must mirror exactly the position-delete commit")
+          val (kept, total) = IcebergExport.lastPlanStats
+          require(kept < total,
+            s"the live-copy scan must prune on the clustered chain: " +
+              s"$kept/$total")
           require(
             IcebergExport.plannedFiles(s, d).map(_._1).toSet == dataBefore,
             "position-delete sync must not rewrite any data file")
@@ -3520,7 +3548,7 @@ object DataPipelineQueries {
       SELECT lang, count(*) AS n_docs,
              CAST(sum(doc_id) AS BIGINT) AS sum_ids
       FROM documents
-      WHERE doc_id < 400 AND doc_id % 7 <> 0
+      WHERE doc_id < 400 AND NOT (doc_id % 7 = 0 AND doc_id < 100)
       GROUP BY lang""")),
 
     // ICEBERG → STORE POSITION-DELETE IMPORT (r18, the inverse): a
@@ -3648,7 +3676,150 @@ object DataPipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              CAST(0 AS BIGINT) AS sum_quality
       FROM documents WHERE doc_id < 200
-      GROUP BY lang"""))
+      GROUP BY lang""")),
+
+    // ICEBERG RENAME ROUND-TRIP (r19 field-id resolution): a store RENAME
+    // crosses the interchange boundary METADATA-ONLY in both directions —
+    // store → chain as a schema-evolving snapshot carrying the field id
+    // (require()d: zero data files rewritten — at 100 TB a name-based
+    // rename is a full table rewrite), chain → a second store as an
+    // evolve commit (no overwrite fold), with pre-rename time travel
+    // valued on the chain AND the sum over the renamed column spanning
+    // pre- and post-rename files (the old bytes resolve by id).
+    Q("q139_iceberg_rename_roundtrip", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val root = icebergRenameFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val a = graft.TempDirs.newDir("graft_icern_store")
+          val st = new SnapshotTable(s, a)
+          val docs = t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .filter(col("doc_id") < 400)
+          st.commit(docs.filter(col("doc_id") < 200))                 // v0
+          val d = graft.TempDirs.newDir("graft_icern_tbl")
+          IcebergExport.syncStore(s, a, d)
+          val before = IcebergExport.plannedFiles(s, d).map(_._1).toSet
+          st.renameColumn("n_chars", "length")                        // v1
+          st.commit(docs.filter(col("doc_id") >= 200)
+            .withColumnRenamed("n_chars", "length"), op = "append")   // v2
+          require(IcebergExport.syncStore(s, a, d) == Seq(1L, 2L),
+            "sync must mirror the rename + append, nothing coarser")
+          require(before.subsetOf(
+            IcebergExport.plannedFiles(s, d).map(_._1).toSet),
+            "a rename must rewrite ZERO data files")
+          val first = IcebergExport.snapshotIds(s, d).head
+          require(IcebergExport.readTable(s, d, Some(first))
+            .columns.contains("n_chars"),
+            "pre-rename chain time travel must keep the old name")
+          // inverse direction: the foreign rename mirrors as a store
+          // evolve commit, never a fold
+          val b = graft.TempDirs.newDir("graft_icern_mirror")
+          IcebergExport.syncFromTable(s, d, b)
+          val mt = new SnapshotTable(s, b)
+          val mops = mt.history().select("operation").collect()
+            .map(_.getString(0))
+          require(mops.exists(_.startsWith("evolve:")),
+            s"the rename must land as an evolve commit: ${mops.toSeq}")
+          require(!mops.contains("overwrite"),
+            s"a foreign rename must not coarse-fold: ${mops.toSeq}")
+          val back = IcebergExport.readTable(s, d)
+          require(mt.read().except(back).isEmpty &&
+            back.except(mt.read()).isEmpty,
+            "mirrored store must equal the chain's own read")
+          b
+        })
+      new SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("length")).cast("long").as("sum_len"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_len
+      FROM documents WHERE doc_id < 400
+      GROUP BY lang""")),
+
+    // ICEBERG PARTITION-SPEC EVOLUTION (r19): a growing table re-declares
+    // its layout mid-stream — years(o_orderdate) → bucket(4, o_custkey) —
+    // and the export MINTS spec-id 1 instead of refusing (Iceberg's spec
+    // evolution; at 100 TB a layout change must never force a rewrite).
+    // Files keep the spec they were written under and the read prunes
+    // each file against ITS spec: require()s pin pruning under BOTH
+    // layouts. The timed query reads through a date predicate that the
+    // old spec's year tuples and both specs' footer bounds serve.
+    Q("q140_iceberg_spec_evolution", (s, dir) => {
+      import graft.sources.IcebergExport
+      import graft.sources.IcebergExport.Predicate
+      val dest = icebergSpecEvoFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val d = graft.TempDirs.newDir("graft_icespec_tbl")
+          val o = t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("o_orderstatus"))
+          IcebergExport.export(o.filter(col("o_orderkey") % 2 === 0)
+            .coalesce(2), d, partitionBy = Seq("years(o_orderdate)"))
+          IcebergExport.export(o.filter(col("o_orderkey") % 2 === 1)
+            .coalesce(2), d, partitionBy = Seq("bucket(4, o_custkey)"))
+          // the old layout still prunes: a tight date range keeps only
+          // the matching year cells of the spec-0 files
+          IcebergExport.readTable(s, d, preds = Seq(
+            Predicate("o_orderdate", "<",
+              java.sql.Date.valueOf("1993-01-01"))))
+          val (k1, t1) = IcebergExport.lastPlanStats
+          require(k1 < t1, s"year-spec files must prune: $k1/$t1")
+          // the new layout prunes too: a key equality keeps only its
+          // bucket cell among the spec-1 files
+          IcebergExport.readTable(s, d, preds = Seq(
+            Predicate("o_custkey", "=", 371L)))
+          val (k2, t2) = IcebergExport.lastPlanStats
+          require(k2 < t2, s"bucket-spec files must prune: $k2/$t2")
+          d
+        })
+      IcebergExport.readTable(s, dest, preds = Seq(
+        Predicate("o_orderdate", ">=", java.sql.Date.valueOf("1996-01-01"))))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+      GROUP BY o_orderstatus""")),
+
+    // ICEBERG VIEW INTERCHANGE (r19): a semantic-layer view definition
+    // (the reference keeps ~40 of these in its catalog) crosses the
+    // boundary as PUBLIC Iceberg view metadata — exported once from the
+    // catalog's recorded SQL, then read back and re-analyzed purely from
+    // the metadata file. The timed frame IS the view read through the
+    // chain; the oracle re-states the view's SQL — equality pins that the
+    // definition round-trips byte-exactly and evaluates identically.
+    Q("q141_iceberg_view_interchange", (s, dir) => {
+      import graft.sources.{Catalog, IcebergViews}
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .createOrReplaceTempView("q141_docs")
+      val root = icebergViewFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_iceview")
+          Catalog.createOrReplaceView(s, "q141_doc_stats", """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM q141_docs WHERE doc_id % 3 = 0 GROUP BY lang""")
+          require(IcebergViews.exportCatalogViews(s, r,
+            Seq("q141_doc_stats")) == Seq("q141_doc_stats"),
+            "the catalog view must export")
+          // the definition round-trips byte-exactly through the metadata
+          require(IcebergViews.viewSql(s, s"$r/q141_doc_stats")
+            == Catalog.recordedViewSql("q141_doc_stats"),
+            "view SQL must round-trip verbatim")
+          r
+        })
+      IcebergViews.readView(s, s"$root/q141_doc_stats")
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -53,12 +53,21 @@ object Catalog {
   }
 
   /** D9 — CREATE OR REPLACE VIEW (the semantic layer; ~40 occurrences in the
-    * reference). Temp views for session scope, global for cross-session. */
+    * reference). Temp views for session scope, global for cross-session.
+    * SQL-defined views also record their text, so [[IcebergViews]] can
+    * export the definitions as public Iceberg view metadata (the
+    * semantic-layer interchange direction). */
   def createOrReplaceView(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
-  def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit =
+  def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
+    synchronized { viewSqlByName(name) = sql }
+  }
+
+  private val viewSqlByName = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  /** name → SQL text of every SQL-defined view this catalog recorded. */
+  def recordedViewSql: Map[String, String] = synchronized(viewSqlByName.toMap)
 
   /** D8 — DROP TABLE IF EXISTS. */
   def dropTable(spark: SparkSession, name: String): Unit =

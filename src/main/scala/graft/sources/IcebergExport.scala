@@ -164,7 +164,7 @@ object IcebergExport {
 
   /** (schema json with schema-id, last column/element id, top-level
     * name → field id). */
-  private def icebergSchema(schema: StructType): (String, Int, Map[String, Int]) = {
+  private[sources] def icebergSchema(schema: StructType): (String, Int, Map[String, Int]) = {
     var last = 0
     val nextId = () => { last += 1; last }
     // top-level ids are assigned first within each field's visit, in order
@@ -199,25 +199,22 @@ object IcebergExport {
   /** EVOLVE the chain's current schema to `schema` with STABLE field ids —
     * the Iceberg evolution rules the jsonless path can express: kept
     * columns (matched by name) carry their field json VERBATIM (nested
-    * element/field ids stay stable), legal primitive promotions
-    * (int → long, float → double) keep the id under the new type, added
-    * columns get fresh ids past the chain's last-column-id, dropped
-    * columns simply leave the new schema (old data files keep their
-    * bytes). Anything else refuses loudly. Returns (schema json with the
-    * NEXT schema-id, new last-column-id, top-level name → id, schema-id). */
-  private def evolveSchema(st: TableState,
-      schema: StructType): (String, Int, Map[String, Int], Int) = {
+    * element/field ids stay stable), RENAMED columns (named in `renames`,
+    * old → new) carry their field id under the new name — metadata-only,
+    * like the spec — legal primitive promotions (int → long,
+    * float → double) keep the id under the new type, added columns get
+    * fresh ids past the chain's last-column-id, dropped columns simply
+    * leave the new schema (old data files keep their bytes; a later
+    * re-add of the same name takes a FRESH id, and [[readTable]]'s
+    * per-file field-id resolution reads the old bytes as null under it —
+    * the spec's id-based rule). Anything else refuses loudly. Returns
+    * (schema json with the NEXT schema-id, new last-column-id, top-level
+    * name → id, schema-id). */
+  private def evolveSchema(st: TableState, schema: StructType,
+      renames: Map[String, String] = Map.empty): (String, Int, Map[String, Int], Int) = {
     implicit val fmts: Formats = DefaultFormats
     val prevFields: Map[String, JValue] = (st.schemaAst \ "fields").children
       .map(f => (f \ "name").extract[String] -> f).toMap
-    // every top-level name that EVER held an id, across all historical
-    // schemas entries — a dropped name must never be re-added under a
-    // fresh id: readTable reads parquet by NAME, so the dropped column's
-    // old bytes would resurface under the new field instead of reading
-    // as null (the spec's id-based rule, which foreign readers apply)
-    val historicalNames: Set[String] = (st.meta \ "schemas").children
-      .flatMap(s => (s \ "fields").children.map(f =>
-        (f \ "name").extract[String])).toSet
     var last = (st.meta \ "last-column-id").extract[Int]
     val nextId = () => { last += 1; last }
     val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -228,31 +225,40 @@ object IcebergExport {
     }
     val fs = schema.fields.map { f =>
       val newType = normType(f.dataType)
-      prevFields.get(f.name) match {
+      // a declared rename resolves to its OLD field, carrying the field id
+      // under the new name; it wins over an accidental same-name match
+      val renamedFrom: Option[JValue] = renames.collectFirst {
+        case (o, n) if n == f.name => o }.flatMap(prevFields.get)
+      renamedFrom.orElse(prevFields.get(f.name)) match {
         case Some(pf) =>
           val id = (pf \ "id").extract[Int]
           top(f.name) = id
           val prevType = sparkType(pf \ "type")
+          val pfNamed =
+            if (renamedFrom.isDefined)
+              pf merge JObject("name" -> JString(f.name))
+            else pf
           if (prevType == newType) {
             // nullability: required → optional is the one legal widening;
             // optional can never become required (history has nulls)
             if ((pf \ "required") == JBool(true) && f.nullable)
               JsonMethods.compact(JsonMethods.render(
-                pf merge JObject("required" -> JBool(false))))
-            else JsonMethods.compact(JsonMethods.render(pf))
+                pfNamed merge JObject("required" -> JBool(false))))
+            else JsonMethods.compact(JsonMethods.render(pfNamed))
           } else if (promoted(prevType, newType))
             s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${(pf \ "required") == JBool(true) && !f.nullable},"type":${icebergType(newType, nextId)}}"""
-          else throw new IllegalArgumentException(
-            s"incremental export cannot evolve column ${f.name}: " +
-              s"${prevType.simpleString} → ${f.dataType.simpleString} is " +
-              "not an Iceberg-legal promotion (int→long, float→double)")
+          else evolveStructJson(pf \ "type", newType, nextId) match {
+            // NESTED struct ADD (r19): kept subfields carry their ids,
+            // added ones take fresh ids — metadata-only, like the spec
+            case Some(tj) =>
+              s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${(pf \ "required") == JBool(true) && !f.nullable},"type":$tj}"""
+            case None => throw new IllegalArgumentException(
+              s"incremental export cannot evolve column ${f.name}: " +
+                s"${prevType.simpleString} → ${f.dataType.simpleString} is " +
+                "not an Iceberg-legal promotion (int→long, float→double, " +
+                "or a struct ADDING subfields)")
+          }
         case None =>
-          if (historicalNames.contains(f.name))
-            throw new IllegalArgumentException(
-              s"incremental export cannot re-add column ${f.name}: the " +
-                "name was dropped from an earlier schema and name-based " +
-                "parquet reads would resurface its old bytes under the " +
-                "new field id; use a fresh column name")
           val id = nextId()
           top(f.name) = id
           // added columns are ALWAYS optional (spec): pre-evolution rows
@@ -273,6 +279,45 @@ object IcebergExport {
         .map(s => (s \ "schema-id").extract[Int]).max + 1
       (s"""{"type":"struct","schema-id":$newId,"fields":[${fs.mkString(",")}]}""",
         last, top.toMap, newId)
+    }
+  }
+
+  /** Evolve a STRUCT field's type json to `now`, carrying nested field ids
+    * for kept subfields (matched by name; recursively for struct-typed
+    * ones) and minting FRESH ids for added subfields — Iceberg's nested
+    * ADD. None = not a pure nested-add evolution (dropped/re-typed
+    * subfields refuse at the caller). */
+  private def evolveStructJson(prevTypeJson: JValue, now: DataType,
+      nextId: () => Int): Option[String] = {
+    implicit val fmts: Formats = DefaultFormats
+    (prevTypeJson, now) match {
+      case (o: JObject, s: StructType) if (o \ "type") == JString("struct") =>
+        val prevByName = (o \ "fields").children.map(f =>
+          (f \ "name").extract[String] -> f).toMap
+        // every previous subfield must survive (nested drops out of scope)
+        if (!prevByName.keySet.subsetOf(s.fieldNames.toSet)) None
+        else {
+          val parts = s.fields.toSeq.map { sf =>
+            prevByName.get(sf.name) match {
+              case Some(pf2) =>
+                val pt = sparkType(pf2 \ "type")
+                val nt = normType(sf.dataType)
+                if (pt == nt)
+                  Some(JsonMethods.compact(JsonMethods.render(pf2)))
+                else evolveStructJson(pf2 \ "type", nt, nextId).map { tj =>
+                  val id = (pf2 \ "id").extract[Int]
+                  s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":${(pf2 \ "required") == JBool(true)},"type":$tj}"""
+                }
+              case None =>
+                val id = nextId()
+                Some(s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":false,"type":${icebergType(normType(sf.dataType), nextId)}}""")
+            }
+          }
+          if (parts.exists(_.isEmpty)) None
+          else Some(
+            s"""{"type":"struct","fields":[${parts.flatten.mkString(",")}]}""")
+        }
+      case _ => None
     }
   }
 
@@ -313,6 +358,38 @@ object IcebergExport {
 
   private def sparkSchema(schemaAst: JValue): StructType =
     sparkType(schemaAst).asInstanceOf[StructType]
+
+  /** `schema` with `parquet.field.id` metadata attached per field (nested
+    * struct fields included), ids taken from the Iceberg schema-JSON
+    * `fields` list in matching order. Spark's parquet writer emits the ids
+    * into the file schema (spark.sql.parquet.fieldId.write.enabled, on by
+    * default), so a real Iceberg reader resolves the exported data files
+    * by FIELD ID — renames and dropped-name re-adds stay metadata-only
+    * for foreign readers exactly as for [[readTable]]'s own per-file
+    * resolution. Types and nullability are the frame's own — only
+    * metadata is added. */
+  private def withFieldIds(schema: StructType,
+      astFields: Seq[JValue]): StructType = {
+    implicit val fmts: Formats = DefaultFormats
+    def annotate(dt: DataType, ast: JValue): DataType = (dt, ast) match {
+      case (s: StructType, o: JObject) if (o \ "type") == JString("struct") =>
+        annotateStruct(s, (o \ "fields").children)
+      case (ArrayType(e, n), o: JObject) if (o \ "type") == JString("list") =>
+        ArrayType(annotate(e, o \ "element"), n)
+      case (MapType(k, v, n), o: JObject) if (o \ "type") == JString("map") =>
+        MapType(annotate(k, o \ "key"), annotate(v, o \ "value"), n)
+      case _ => dt
+    }
+    def annotateStruct(s: StructType, fields: Seq[JValue]): StructType =
+      StructType(s.fields.toSeq.zip(fields).map { case (f, fAst) =>
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", (fAst \ "id").extract[Int].toLong)
+          .build()
+        StructField(f.name, annotate(f.dataType, fAst \ "type"),
+          f.nullable, md)
+      })
+    annotateStruct(schema, astFields)
+  }
 
   // ── single-value binary serialization (spec §"Binary single-value
   //    serialization" — bounds map values) ─────────────────────────────────
@@ -761,11 +838,17 @@ object IcebergExport {
   // ── table state (read side of the metadata chain) ───────────────────────
 
   /** The current chain state of an exported table, parsed from
-    * version-hint → vN.metadata.json. */
+    * version-hint → vN.metadata.json. `specFields` is the DEFAULT spec;
+    * `specsById` holds every parseable historical spec (spec evolution:
+    * files keep the spec they were written under and prune against it —
+    * a spec naming a source the current schema dropped is omitted, which
+    * only disables partition pruning for its files). */
   private final case class TableState(
       version: Int, meta: JValue, location: String,
       schemaAst: JValue, fields: StructType, fieldIds: Map[String, Int],
       specFields: Seq[SpecField],
+      specsById: Map[Int, Seq[SpecField]],
+      defaultSpecId: Int,
       lastSeq: Long, currentSnapshotId: Long, snapshots: Seq[JValue],
       properties: Map[String, String])
 
@@ -796,22 +879,32 @@ object IcebergExport {
     }.toMap
     val specId = (meta \ "default-spec-id").extract[Int]
     val idToName = fieldIds.map(_.swap)
-    val spec = (meta \ "partition-specs").children.find(s =>
-      (s \ "spec-id").extract[Int] == specId)
-      .map(s => (s \ "fields").children.map { f =>
+    def parseSpec(s: JValue): Option[Seq[SpecField]] = {
+      val fields = (s \ "fields").children.map { f =>
         val name = (f \ "name").extract[String]
         val transform = (f \ "transform").extract[String]
-        val source = idToName.getOrElse((f \ "source-id").extract[Int],
-          throw new IllegalStateException(
-            s"partition field $name names an unknown source-id"))
-        SpecField(entryOf(transform, source), name, transform, source)
-      }).getOrElse(Nil)
+        idToName.get((f \ "source-id").extract[Int])
+          .map(src => SpecField(entryOf(transform, src), name, transform, src))
+      }
+      if (fields.forall(_.isDefined)) Some(fields.flatten) else None
+    }
+    val specsById: Map[Int, Seq[SpecField]] =
+      (meta \ "partition-specs").children.flatMap { s =>
+        parseSpec(s).map((s \ "spec-id").extract[Int] -> _)
+      }.toMap
+    val spec = specsById.getOrElse(specId,
+      (meta \ "partition-specs").children.find(s =>
+        (s \ "spec-id").extract[Int] == specId) match {
+        case Some(_) => throw new IllegalStateException(
+          "the default partition spec names an unknown source-id")
+        case None => Nil
+      })
     val props = (meta \ "properties") match {
       case JObject(fs) => fs.collect { case (k, JString(v2)) => k -> v2 }.toMap
       case _ => Map.empty[String, String]
     }
     TableState(v, meta, (meta \ "location").extract[String], schemaAst,
-      sparkSchema(schemaAst), fieldIds, spec,
+      sparkSchema(schemaAst), fieldIds, spec, specsById, specId,
       (meta \ "last-sequence-number").extract[Long],
       (meta \ "current-snapshot-id").extract[Long],
       (meta \ "snapshots").children, props)
@@ -840,7 +933,8 @@ object IcebergExport {
       partitionBy: Seq[String], overwrite: Boolean,
       extraProps: Map[String, String],
       sortOrder: Seq[String] = Nil,
-      extraSummary: Map[String, String] = Map.empty): Export = {
+      extraSummary: Map[String, String] = Map.empty,
+      renames: Map[String, String] = Map.empty): Export = {
     val spark = df.sparkSession
     val specs = partitionBy.map(parseSpecEntry)
     specs.foreach { sf =>
@@ -869,9 +963,11 @@ object IcebergExport {
       case Some(st) =>
         // dropping a column that LIVE equality-delete files key on would
         // make the chain unreadable (the delete's field id resolves to
-        // nothing) — refuse loudly before any data lands
+        // nothing) — refuse loudly before any data lands. A RENAME is not
+        // a drop: the field id survives under the new name.
         val dropped = st.fieldIds.view
-          .filterKeys(n => !df.schema.fieldNames.contains(n)).toMap
+          .filterKeys(n => !df.schema.fieldNames.contains(n) &&
+            !renames.contains(n)).toMap
         if (dropped.nonEmpty) {
           val liveEqIds = plannedOf(spark, st, st.currentSnapshotId)
             .filter(_.content == 2).flatMap(_.equalityIds).toSet
@@ -880,14 +976,46 @@ object IcebergExport {
             s"cannot drop column(s) ${conflict.keys.mkString(", ")} at " +
               s"$destDir — live equality-delete files key on them")
         }
-        evolveSchema(st, df.schema)
+        evolveSchema(st, df.schema, renames)
     }
     val prevSchemas: Seq[JValue] =
       prev.map(st => (st.meta \ "schemas").children).getOrElse(Nil)
-    prev.foreach { st =>
-      require(st.specFields.map(_.entry) == specs.map(_.entry),
-        s"incremental export partitioning mismatch at $destDir: table has " +
-          s"${st.specFields.map(_.entry)}, caller passed $partitionBy")
+    // ── partition-spec resolution (spec EVOLUTION, the Iceberg rule): an
+    // export whose partitionBy differs from the table's default spec does
+    // not refuse — it reuses the historical spec with the same
+    // (name, transform, source FIELD id) fields, or MINTS spec-id N+1.
+    // Files keep the spec they were written under (per-manifest spec id)
+    // and [[readTable]] prunes each file against ITS spec; partition
+    // FIELD ids are reused across specs for the same (transform, source)
+    // and otherwise advance past last-partition-id.
+    val (specId, partFieldIds): (Int, Seq[Int]) = prev match {
+      case None => (0, specs.indices.map(1000 + _))
+      case Some(st) =>
+        val prevSpecsJson = (st.meta \ "partition-specs").children
+        def keyOf(f: JValue): (String, String, Int) =
+          ((f \ "name").extract[String], (f \ "transform").extract[String],
+            (f \ "source-id").extract[Int])
+        val wanted: Seq[(String, String, Int)] =
+          specs.map(sf => (sf.name, sf.transform, fieldIds(sf.source)))
+        prevSpecsJson.find(s =>
+          (s \ "fields").children.map(keyOf) == wanted) match {
+          case Some(s) => ((s \ "spec-id").extract[Int],
+            (s \ "fields").children.map(f => (f \ "field-id").extract[Int]))
+          case None =>
+            val fieldIdOf: Map[(String, Int), Int] = prevSpecsJson.flatMap(s =>
+              (s \ "fields").children.map(f =>
+                ((f \ "transform").extract[String],
+                  (f \ "source-id").extract[Int]) ->
+                  (f \ "field-id").extract[Int])).toMap
+            val newId = prevSpecsJson
+              .map(s => (s \ "spec-id").extract[Int]).max + 1
+            var lastP = (st.meta \ "last-partition-id").extractOpt[Int]
+              .getOrElse(999)
+            val ids = wanted.map { case (_, tr, srcId) =>
+              fieldIdOf.getOrElse((tr, srcId), { lastP += 1; lastP })
+            }
+            (newId, ids)
+        }
     }
     val hconf = spark.sparkContext.hadoopConfiguration
     val dest = new Path(destDir)
@@ -914,9 +1042,14 @@ object IcebergExport {
     val declaredOrderIds = orderColsOf(sortOrder).map(c =>
       fieldIds.getOrElse(c, throw new IllegalArgumentException(
         s"sort-order column $c not in the table schema")))
+    // parquet field-id metadata per column (nested included) — foreign
+    // Iceberg readers resolve data files by id, so evolution stays
+    // metadata-only for them too
+    val dfIds = df.to(withFieldIds(df.schema,
+      (JsonMethods.parse(schemaJson) \ "fields").children))
     // derived transform columns partition the layout; Spark's partitionBy
     // drops them from file contents, so data files keep the SOURCE columns
-    val writeDf = specs.filterNot(_.isIdentity).foldLeft(df)((d, sf) =>
+    val writeDf = specs.filterNot(_.isIdentity).foldLeft(dfIds)((d, sf) =>
       d.withColumn(sf.name, partColumn(sf, typeByName(sf.source))))
     val w = writeDf.write.mode("append")
     (if (specs.nonEmpty) w.partitionBy(specs.map(_.name): _*) else w)
@@ -966,9 +1099,8 @@ object IcebergExport {
 
     // 3. the new manifest (one ADDED entry per new data file, with bounds
     //    and the partition tuple)
-    val partFields = specs.zipWithIndex.map { case (sf, i) =>
-      (sf.name, partAvroType(partResultType(sf, typeByName(sf.source))),
-        1000 + i)
+    val partFields = specs.zip(partFieldIds).map { case (sf, fid) =>
+      (sf.name, partAvroType(partResultType(sf, typeByName(sf.source))), fid)
     }
     val entrySchema = manifestEntrySchema(partFields)
     // resolved ONCE: the per-file id and the metadata list must come from
@@ -982,11 +1114,25 @@ object IcebergExport {
         equalityIds = Nil, valueCounts = fst.valueCounts,
         nullCounts = fst.nullCounts, sortOrderId = fileOrderId)
     }
-    val specFieldsJson = specs.zipWithIndex.map { case (sf, i) =>
+    val specFieldsJson = specs.zip(partFieldIds).map { case (sf, fid) =>
       JObject("name" -> JString(sf.name),
         "transform" -> JString(sf.transform),
-        "source-id" -> JInt(fieldIds(sf.source)), "field-id" -> JInt(1000 + i))
+        "source-id" -> JInt(fieldIds(sf.source)), "field-id" -> JInt(fid))
     }
+    // the full partition-specs list: previous specs carry forward verbatim,
+    // a freshly minted spec appends
+    val thisSpecJson: JValue = JObject("spec-id" -> JInt(specId),
+      "fields" -> JArray(specFieldsJson.toList))
+    val specsJsonAll: List[JValue] = prev match {
+      case None => List(thisSpecJson)
+      case Some(st) =>
+        val prevSpecsJson = (st.meta \ "partition-specs").children
+        if (prevSpecsJson.exists(s => (s \ "spec-id").extract[Int] == specId))
+          prevSpecsJson.toList
+        else prevSpecsJson.toList :+ thisSpecJson
+    }
+    val lastPartitionId = (999 +: specsJsonAll.flatMap(s =>
+      (s \ "fields").children.map(f => (f \ "field-id").extract[Int]))).max
     writeSnapshot(spark, destDir, prev, location, schemaJson, lastColumnId,
       seq, snapshotId, entrySchema, entries, manifestContent = 0,
       addedRows = rowsTotal,
@@ -997,7 +1143,9 @@ object IcebergExport {
         "added-records" -> rowsTotal.toString) ++ extraSummary,
       carryForward = !overwrite, extraProps = extraProps,
       schemaId = schemaId, prevSchemas = prevSchemas,
-      sortOrdersResolved = Some(ordersResolved))
+      sortOrdersResolved = Some(ordersResolved),
+      specsJson = specsJsonAll, defaultSpecId = specId,
+      manifestSpecId = specId, lastPartitionId = lastPartitionId)
     Export(snapshotId, stats.map(_.path), rowsTotal)
   }
 
@@ -1099,7 +1247,7 @@ object IcebergExport {
       .getOrElse(throw new IllegalStateException(
         s"$destDir was not created by syncStore (no $SyncVersionProp " +
           "property) — start the sync on a fresh dir"))
-    val partBy = state.specFields.map(_.entry)
+    var partBy = state.specFields.map(_.entry)
     val todo = entries.filter(_._1 > lastSynced)
     // tags are tick-level, not commit-coupled: a tag created between data
     // commits propagates on the next tick even with nothing else to sync
@@ -1177,7 +1325,64 @@ object IcebergExport {
             synced ++= pendingNoops; pendingNoops.clear()
             synced += v
           } else {
-          val live = readTableWithPos(spark, destDir)
+          // derive prune predicates from the deleted-value multiset (the
+          // commit's own O(delta) rows): per-column min/max bounds, an IN
+          // set when the distinct count is small — so the chain scan
+          // prunes to candidate files on a clustered chain (q124's CDC
+          // pre-image recipe) instead of reading the whole table per
+          // synced delete. A column with ANY null deleted value
+          // contributes nothing (predicates also apply residually, and
+          // `c >= lo` would drop the null rows). Results are identical
+          // with pruning disabled: every deleted row satisfies its own
+          // bounds, and rows outside them cannot join the multiset.
+          val prunableCols = deleted.schema.fields.filter(f =>
+            f.dataType match {
+              case IntegerType | LongType | ShortType | ByteType |
+                   FloatType | DoubleType | StringType | BooleanType |
+                   DateType | _: TimestampType => true
+              case _ => false
+            }).toSeq
+          val preds: Seq[Predicate] =
+            if (prunableCols.isEmpty) Nil
+            else {
+              val statsRow = deleted.select(prunableCols.zipWithIndex.flatMap {
+                case (f, i) => Seq(
+                  min(col(f.name)).as(s"mn_$i"),
+                  max(col(f.name)).as(s"mx_$i"),
+                  sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nn_$i"),
+                  approx_count_distinct(col(f.name)).as(s"nd_$i"))
+              }.toIndexedSeq: _*).collect()(0)
+              val inCands = prunableCols.zipWithIndex.filter { case (f, i) =>
+                statsRow.getAs[Any](s"mn_$i") != null &&
+                  statsRow.getAs[Long](s"nn_$i") == 0L &&
+                  statsRow.getAs[Long](s"nd_$i") <= 16L
+              }
+              // one bounded pass for the small-set columns (capped: an
+              // approx undercount falls back to bounds, never to OOM)
+              val inSets: Map[String, Seq[Any]] =
+                if (inCands.isEmpty) Map.empty
+                else {
+                  val row = deleted.select(inCands.map { case (f, i) =>
+                    slice(sort_array(collect_set(col(f.name))), 1, 33)
+                      .as(s"in_$i")
+                  }.toIndexedSeq: _*).collect()(0)
+                  inCands.flatMap { case (f, i) =>
+                    val vs = row.getSeq[Any](row.fieldIndex(s"in_$i"))
+                    if (vs.size <= 32) Some(f.name -> vs) else None
+                  }.toMap
+                }
+              prunableCols.zipWithIndex.flatMap { case (f, i) =>
+                val mn = statsRow.getAs[Any](s"mn_$i")
+                val mx = statsRow.getAs[Any](s"mx_$i")
+                if (mn == null || statsRow.getAs[Long](s"nn_$i") > 0L) Nil
+                else inSets.get(f.name) match {
+                  case Some(vs) => Seq(Predicate(f.name, "in", vs))
+                  case None => Seq(Predicate(f.name, ">=", mn),
+                    Predicate(f.name, "<=", mx))
+                }
+              }
+            }
+          val live = readTableWithPos(spark, destDir, preds)
           val valueCols =
             live.columns.filterNot(Set("__ice_file", "__ice_pos")).toSeq
           val wanted = deleted.groupBy(valueCols.map(col): _*)
@@ -1239,20 +1444,33 @@ object IcebergExport {
           // a store evolve is METADATA-ONLY but changes the store's READ
           // schema immediately — mirror it NOW as an empty evolving
           // append, so chain reads equal store reads BETWEEN data commits
-          // (not only after the next one). A RENAME folds coarse instead:
-          // the chain's name-based reads would null the renamed column's
-          // history under its fresh field id, silently diverging.
-          if (st.evolveIsRename(op)) coarseOne(v)
-          else {
-            val schemaAtV = st.read(Some(v)).schema
-            exportInternal(
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                schemaAtV),
-              destDir, partBy, overwrite = false,
-              Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
-        extraSummary = Map("graft-store-version" -> v.toString))
-          }
+          // (not only after the next one). A RENAME carries its FIELD ID
+          // under the new name (the `renames` map): metadata-only in this
+          // direction too — readTable resolves pre-rename files by id, so
+          // no data is rewritten and history keeps its values.
+          val renames = st.evolveRenamePair(op)
+            .map { case (o, n) => Map(o -> n) }.getOrElse(Map.empty)
+          val schemaAtV = st.read(Some(v)).schema
+          // a store PARTITION evolution re-declares the layout: mirror it
+          // as a chain spec evolution (the empty evolving append below
+          // mints spec-id N+1; files keep their old spec) — otherwise
+          // translate the current spec through a rename
+          val partByV = st.evolvePartitionSpec(op).getOrElse(
+            partBy.map { e =>
+              val sf = parseSpecEntry(e)
+              renames.get(sf.source)
+                .map(n => parseSpecEntry(entryOf(sf.transform, n)).entry)
+                .getOrElse(e)
+            })
+          exportInternal(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schemaAtV),
+            destDir, partByV, overwrite = false,
+            Map(SyncVersionProp -> v.toString), sortOrder = st.sortOrder,
+            extraSummary = Map("graft-store-version" -> v.toString),
+            renames = renames)
+          partBy = partByV
           synced ++= pendingNoops; pendingNoops.clear()
           synced += v
         case _ => pendingNoops += v
@@ -1502,12 +1720,54 @@ object IcebergExport {
               cur = cur.filterNot(_._1 == pn)
             }
           }
-          // renames after drops (a freed name is available again)
-          tgtFields.foreach { case (id, name, _) =>
-            prevById.get(id).foreach { case (_, pn, _) =>
-              if (pn != name && curMap.contains(pn) && !curMap.contains(name)) {
+          // renames after drops (a freed name is available again). A
+          // DEPENDENT set — swap (a<->b) or chain (a->b, b->c), where some
+          // target name is still occupied by a column that is itself being
+          // renamed — cannot apply in one pass: stage those through
+          // deterministic temp names keyed by field id (phase 1 vacates
+          // every source, phase 2 lands every target). Each step checks
+          // the store's CURRENT schema, so a crash replay resumes
+          // mid-stage without double-renaming.
+          val renamePairs = tgtFields.flatMap { case (id, name, _) =>
+            prevById.get(id).collect {
+              case (_, pn, _) if pn != name => (id, pn, name) }
+          }
+          val renameSources = renamePairs.map(_._2).toSet
+          if (!renamePairs.exists(p => renameSources.contains(p._3))) {
+            renamePairs.foreach { case (_, pn, name) =>
+              if (curMap.contains(pn) && !curMap.contains(name)) {
                 st.renameColumn(pn, name)
                 cur = cur.map { case (n, t) => (if (n == pn) name else n, t) }
+              }
+            }
+          } else {
+            def tmpName(id: Int) = s"__graft_mirror_tmp_$id"
+            require(!cur.exists(_._1.startsWith("__graft_mirror_tmp_")) ||
+              renamePairs.exists(p => curMap.contains(tmpName(p._1))),
+              "store columns must not use the __graft_mirror_tmp_ prefix")
+            // phase 1: vacate sources. The target name EXISTING is not a
+            // skip signal here (in a swap it is another pair's source, and
+            // a completed swap leaves the same name set as an unstarted
+            // one) — completion is detected from the store's own op
+            // history: a finished pair recorded rename(tmp -> target).
+            val doneOps: Set[String] = st.history().select("operation")
+              .collect().map(_.getString(0)).toSet
+            def pairDone(id: Int, name: String): Boolean =
+              doneOps.contains(st.renameOpString(tmpName(id), name))
+            renamePairs.foreach { case (id, pn, name) =>
+              if (!pairDone(id, name) && curMap.contains(pn) &&
+                  !curMap.contains(tmpName(id))) {
+                st.renameColumn(pn, tmpName(id))
+                cur = cur.map { case (n, t) =>
+                  (if (n == pn) tmpName(id) else n, t) }
+              }
+            }
+            // phase 2: land targets from their temps
+            renamePairs.foreach { case (id, _, name) =>
+              if (curMap.contains(tmpName(id)) && !curMap.contains(name)) {
+                st.renameColumn(tmpName(id), name)
+                cur = cur.map { case (n, t) =>
+                  (if (n == tmpName(id)) name else n, t) }
               }
             }
           }
@@ -1530,9 +1790,21 @@ object IcebergExport {
           case None =>
             st.addColumn(name, dt.sql); cur = cur :+ (name -> dt)
           case Some(have) if have != dt =>
-            // alterColumnType enforces Iceberg-legal promotions and
-            // refuses loudly otherwise — exactly the export-side rule
-            st.alterColumnType(name, dt.sql)
+            (have, dt) match {
+              // a struct that only APPENDS subfields is a foreign NESTED
+              // ADD: mirror each missing subfield as a store nested-add
+              // evolve commit (crash replay skips ones already present)
+              case (hs: StructType, ds: StructType)
+                  if hs.fields.length < ds.fields.length &&
+                    hs.fields.zip(ds.fields).forall { case (a, b) =>
+                      a.name == b.name && a.dataType == b.dataType } =>
+                ds.fields.drop(hs.fields.length).foreach(sub =>
+                  st.addNestedColumn(name, sub.name, sub.dataType.sql))
+              case _ =>
+                // alterColumnType enforces Iceberg-legal promotions and
+                // refuses loudly otherwise — exactly the export-side rule
+                st.alterColumnType(name, dt.sql)
+            }
             cur = cur.map { case (n, t) => (n, if (n == name) dt else t) }
           case _ =>
         }
@@ -1616,13 +1888,16 @@ object IcebergExport {
             val namedPaths = dels.select("file_path").distinct().collect()
               .map(r => normPathStr(r.getString(0))).toSet
             val targets = planned(sid).filter(f => f.content == 0 &&
-              namedPaths.contains(normPathStr(f.path))).map(_.path)
+              namedPaths.contains(normPathStr(f.path)))
             require(targets.nonEmpty, s"position-delete snapshot $sid " +
               "names no live data file of its own snapshot")
-            val data = spark.read.option("basePath", basePath)
-              .schema(snapState.fields).parquet(targets: _*)
-              .withColumn("__f", col("_metadata.file_path"))
-              .withColumn("__p", col("_metadata.row_index"))
+            // field-id-resolved read: the named files may predate a later
+            // RENAME — reading them under the delete snapshot's schema by
+            // NAME would null the renamed column and lose the row values
+            val data = readDataResolved(spark, snapState, targets, basePath,
+              withProv = true)
+              .withColumnRenamed("__ice_file", "__f")
+              .withColumnRenamed("__ice_pos", "__p")
             val deletedVals = data.join(broadcast(dels),
               normPath(col("__f")) === normPath(dels("file_path")) &&
                 col("__p") === dels("pos"), "left_semi")
@@ -1677,7 +1952,14 @@ object IcebergExport {
     val sub = java.util.UUID.nameUUIDFromBytes(
       s"${st.location}#del${st.lastSeq + 1}".getBytes("UTF-8")).toString
     val delDir = s"$destDir/data/deletes-$sub"
-    rows.write.mode("overwrite").parquet(delDir)
+    // the spec REQUIRES position-delete file rows sorted by (file_path,
+    // pos) — foreign readers may rely on the ordering; sortWithinPartitions
+    // keeps each written file spec-ordered without a shuffle
+    val ordered =
+      if (content == 1)
+        rows.sortWithinPartitions(col("file_path"), col("pos"))
+      else rows
+    ordered.write.mode("overwrite").parquet(delDir)
     val fs = new Path(delDir).getFileSystem(hconf)
     val files = {
       val it = fs.listFiles(new Path(delDir), false)
@@ -1714,6 +1996,10 @@ object IcebergExport {
       manifestContent = 1, addedRows = 0L, operation = "delete",
       specFields = (st.meta \ "partition-specs").children.headOption
         .map(s => s \ "fields").getOrElse(JArray(Nil)),
+      specsJson = (st.meta \ "partition-specs").children.toList,
+      defaultSpecId = st.defaultSpecId,
+      lastPartitionId =
+        (st.meta \ "last-partition-id").extractOpt[Int].getOrElse(-1),
       partitionSummary = Map(
         "added-delete-files" -> files.size.toString,
         "added-position-deletes" -> (if (content == 1) deletedRows.toString else "0"),
@@ -1841,7 +2127,9 @@ object IcebergExport {
       carryForward: Boolean = true,
       extraProps: Map[String, String] = Map.empty,
       schemaId: Int = 0, prevSchemas: Seq[JValue] = Nil,
-      sortOrdersResolved: Option[(List[JValue], Int)] = None): Unit = {
+      sortOrdersResolved: Option[(List[JValue], Int)] = None,
+      specsJson: List[JValue] = Nil, defaultSpecId: Int = 0,
+      manifestSpecId: Int = 0, lastPartitionId: Int = -1): Unit = {
     implicit val fmts: Formats = DefaultFormats
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(destDir).getFileSystem(hconf)
@@ -1856,7 +2144,7 @@ object IcebergExport {
     val manifestLen = writeAvro(spark, manifestPath, entrySchema,
       Map("schema" -> schemaJson,
         "partition-spec" -> JsonMethods.compact(JsonMethods.render(specFields)),
-        "partition-spec-id" -> "0",
+        "partition-spec-id" -> manifestSpecId.toString,
         "format-version" -> "2",
         "content" -> (if (manifestContent == 0) "data" else "deletes")),
       entries)
@@ -1864,7 +2152,7 @@ object IcebergExport {
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
     mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
+    mf.put("partition_spec_id", manifestSpecId)
     mf.put("content", manifestContent)
     mf.put("sequence_number", seq)
     mf.put("min_sequence_number", seq)
@@ -1929,10 +2217,13 @@ object IcebergExport {
       "schemas" -> JArray((prevSchemas.filterNot(s =>
         (s \ "schema-id").extract[Int] == schemaId) :+
         JsonMethods.parse(schemaJson)).toList),
-      "default-spec-id" -> JInt(0),
-      "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> specFields))),
-      "last-partition-id" -> JInt(999 + specFields.children.size),
+      "default-spec-id" -> JInt(defaultSpecId),
+      "partition-specs" -> JArray(
+        if (specsJson.nonEmpty) specsJson
+        else List(JObject("spec-id" -> JInt(0), "fields" -> specFields))),
+      "last-partition-id" -> JInt(
+        if (lastPartitionId >= 0) lastPartitionId
+        else 999 + specFields.children.size),
       "default-sort-order-id" -> JInt(defaultOrderId),
       "sort-orders" -> JArray(sortOrders),
       "properties" -> JObject(
@@ -1942,10 +2233,18 @@ object IcebergExport {
           .map { case (k, v2) => k -> (JString(v2): JValue) }: _*),
       "current-snapshot-id" -> JInt(snapshotId),
       // the spec's snapshot-references map: `main` tracks the current
-      // snapshot (what HadoopTables and the REST catalog both write)
-      "refs" -> JObject("main" -> (JObject(
-        "snapshot-id" -> JInt(snapshotId),
-        "type" -> JString("branch")): JValue)),
+      // snapshot (what HadoopTables and the REST catalog both write).
+      // Non-main refs CARRY FORWARD — a data/delete snapshot between
+      // mirrorTags ticks (or a foreign engine's own tags) must not wipe
+      // the refs map; updateRefs remains the reconciliation point.
+      "refs" -> JObject(
+        ("main" -> (JObject(
+          "snapshot-id" -> JInt(snapshotId),
+          "type" -> JString("branch")): JValue)) +:
+          prev.map(st => (st.meta \ "refs") match {
+            case JObject(fs2) => fs2.filterNot(_._1 == "main")
+            case _ => Nil
+          }).getOrElse(Nil): _*),
       "snapshots" -> JArray((prevSnapshots :+ (newSnap: JValue)).toList),
       "snapshot-log" -> JArray((prevLog :+ (JObject(
         "timestamp-ms" -> JInt(nowMs),
@@ -2039,7 +2338,7 @@ object IcebergExport {
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       equalityIds: Seq[Int],
       valueCounts: Map[Int, Long], nullCounts: Map[Int, Long],
-      addedBy: Long, sortOrderId: Option[Int])
+      addedBy: Long, sortOrderId: Option[Int], specId: Int = 0)
 
   private def manifestListPathOf(st: TableState, snapshotId: Long): String = {
     implicit val fmts: Formats = DefaultFormats
@@ -2055,16 +2354,17 @@ object IcebergExport {
     * a null entry-level snapshot_id/sequence_number (what real engines
     * write for ADDED entries) inherits the manifest_file's values. */
   private def manifestsOf(spark: SparkSession, st: TableState,
-      snapshotId: Long): Seq[(String, Int, Long, Long)] =
+      snapshotId: Long): Seq[(String, Int, Long, Long, Int)] =
     readAvro(spark, new Path(manifestListPathOf(st, snapshotId)))
       .map(r => (r.get("manifest_path").toString,
         r.get("content").asInstanceOf[Int],
         Option(r.get("added_snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)))
+        Option(r.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get("partition_spec_id")).map(_.asInstanceOf[Int]).getOrElse(0)))
 
   private def plannedOf(spark: SparkSession, st: TableState,
       snapshotId: Long): Seq[PlannedFile] =
-    manifestsOf(spark, st, snapshotId).flatMap { case (m, _, mAdded, mSeq) =>
+    manifestsOf(spark, st, snapshotId).flatMap { case (m, _, mAdded, mSeq, mSpec) =>
       readAvro(spark, new Path(m))
         .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
         .map { e =>
@@ -2118,7 +2418,8 @@ object IcebergExport {
               .getOrElse(mAdded),
             // older manifests lack the field; null = unsorted/unknown
             Option(if (d.getSchema.getField("sort_order_id") == null) null
-              else d.get("sort_order_id")).map(_.asInstanceOf[Int]))
+              else d.get("sort_order_id")).map(_.asInstanceOf[Int]),
+            specId = mSpec)
         }
     }
 
@@ -2400,6 +2701,84 @@ object IcebergExport {
       }.getOrElse(st)
   }
 
+  /** Read content=0 `files` resolved to `st`'s schema BY FIELD ID (the
+    * spec's column-resolution rule): files are grouped by the schema they
+    * were ADDED under; when that schema names a shared field id
+    * differently (a later RENAME) or holds a target NAME under a
+    * different id (a dropped name re-added under a fresh id), the group
+    * reads its OWN column names and projects to the target schema by id —
+    * renamed columns keep their history, re-added names read pre-add
+    * bytes as NULL. Chains with no such divergence (the common case) take
+    * the single-scan path: an explicit read schema already null-fills
+    * added columns and widens promoted ones (int→long, float→double —
+    * Spark 4 parquet widening); identity partition columns take their dir
+    * values typed. `withProv` appends `__ice_file`/`__ice_pos` at SCAN
+    * time (before any union, where `_metadata` resolves). */
+  private def readDataResolved(spark: SparkSession, st: TableState,
+      files: Seq[PlannedFile], basePath: String,
+      withProv: Boolean): DataFrame = {
+    implicit val fmts: Formats = DefaultFormats
+    def proved(d: DataFrame): DataFrame =
+      if (withProv) d
+        .withColumn("__ice_file", col("_metadata.file_path"))
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+      else d
+    val targetFields: Seq[(Int, StructField)] =
+      st.fields.fields.toSeq.map(f => st.fieldIds(f.name) -> f)
+    val targetSchemaId = (st.schemaAst \ "schema-id").extract[Int]
+    val schemaIdOfSnap: Map[Long, Int] = st.snapshots.flatMap { s =>
+      for { sid <- (s \ "snapshot-id").extractOpt[Long]
+            scid <- (s \ "schema-id").extractOpt[Int] } yield sid -> scid
+    }.toMap
+    def fieldsById(schemaId: Int): Option[Map[Int, (String, DataType)]] =
+      (st.meta \ "schemas").children
+        .find(s => (s \ "schema-id").extractOpt[Int].contains(schemaId))
+        .map(ast => (ast \ "fields").children.map(f =>
+          (f \ "id").extract[Int] ->
+            ((f \ "name").extract[String], sparkType(f \ "type"))).toMap)
+    def needsIdMapping(g: Map[Int, (String, DataType)]): Boolean = {
+      val gNames = g.values.map(_._1).toSet
+      targetFields.exists { case (id, f) =>
+        g.get(id) match {
+          case Some((gname, _)) => gname != f.name // renamed since
+          case None => gNames.contains(f.name) // re-added: old bytes elsewhere
+        }
+      }
+    }
+    // files whose adding snapshot is unknown (foreign manifests without
+    // entry-level ids) resolve name-based under the target schema. Groups
+    // split on the WRITE spec too: two specs lay files out under
+    // different hive dir structures, which one basePath scan cannot mix.
+    val grouped = files.groupBy(f =>
+      (schemaIdOfSnap.getOrElse(f.addedBy, targetSchemaId), f.specId))
+    val mappingNeeded =
+      grouped.keysIterator.map(_._2).toSet.size > 1 ||
+        grouped.keysIterator.exists { case (gid, _) =>
+          gid != targetSchemaId && fieldsById(gid).exists(needsIdMapping) }
+    if (!mappingNeeded)
+      proved(spark.read.option("basePath", basePath)
+        .schema(st.fields)
+        .parquet(files.map(_.path): _*))
+    else grouped.toSeq.sortBy(_._1).map { case ((gid, _), gFiles) =>
+      val g = fieldsById(gid).getOrElse(
+        targetFields.map { case (id, f) => id -> (f.name, f.dataType) }.toMap)
+      // read the group under ITS OWN names (target types: promotions
+      // widen on read), then project to the target schema by field id
+      val readSchema = StructType(targetFields.flatMap { case (id, f) =>
+        g.get(id).map { case (gname, _) =>
+          StructField(gname, f.dataType, nullable = true) } })
+      val base = proved(spark.read.option("basePath", basePath)
+        .schema(readSchema).parquet(gFiles.map(_.path): _*))
+      val sel = targetFields.map { case (id, f) =>
+        g.get(id) match {
+          case Some((gname, _)) => col(gname).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      } ++ (if (withProv) Seq(col("__ice_file"), col("__ice_pos")) else Nil)
+      base.select(sel: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   def readTable(spark: SparkSession, dir: String,
       snapshotId: Option[Long] = None,
       preds: Seq[Predicate] = Nil): DataFrame =
@@ -2407,10 +2786,11 @@ object IcebergExport {
 
   /** [[readTable]] plus per-row provenance columns `__ice_file`/`__ice_pos`
     * (the owning chain data file and row position) — the surface
-    * [[syncStore]]'s position-delete mirroring picks live copies from. */
+    * [[syncStore]]'s position-delete mirroring picks live copies from.
+    * `preds` prune exactly as in [[readTable]]. */
   private[sources] def readTableWithPos(spark: SparkSession,
-      dir: String): DataFrame =
-    readTableInternal(spark, dir, None, Nil, keepPos = true)
+      dir: String, preds: Seq[Predicate] = Nil): DataFrame =
+    readTableInternal(spark, dir, None, preds, keepPos = true)
 
   private def readTableInternal(spark: SparkSession, dir: String,
       snapshotId: Option[Long],
@@ -2420,8 +2800,10 @@ object IcebergExport {
     val planned = plannedOf(spark, st, snapshotId.getOrElse(st.currentSnapshotId))
     val types = st.fields.fields.map(f => f.name -> f.dataType).toMap
     val dataAll = planned.filter(_.content == 0)
-    val data = dataAll.filter(mayMatch(_, preds, st.fieldIds, types,
-      st.specFields))
+    // each file prunes against the spec it was WRITTEN under (spec
+    // evolution: per-manifest spec ids; an unknown id prunes bounds-only)
+    val data = dataAll.filter(f => mayMatch(f, preds, st.fieldIds, types,
+      st.specsById.getOrElse(f.specId, Nil)))
     lastPlanStats = (data.size.toLong, dataAll.size.toLong)
     val posDel = planned.filter(_.content == 1)
     val eqDel = planned.filter(_.content == 2)
@@ -2436,21 +2818,11 @@ object IcebergExport {
 
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val basePath = fs.makeQualified(new Path(s"$dir/data")).toString
-    // explicit read schema = the chain's CURRENT schema: files written
-    // before an evolution read their missing columns as null and promoted
-    // columns widen on read (int→long, float→double — Spark 4 parquet
-    // widening); identity partition columns take their dir values typed
-    var df = spark.read.option("basePath", basePath)
-      .schema(st.fields)
-      .parquet(data.map(_.path): _*)
-
     val needsDeletes = posDel.nonEmpty || eqDel.nonEmpty
+    val withProv = needsDeletes || keepPos
+    var df = readDataResolved(spark, st, data, basePath, withProv)
+
     if (needsDeletes || keepPos) {
-      // per-row provenance for delete application: the owning file and the
-      // row's position in it (both from the parquet source's metadata)
-      df = df
-        .withColumn("__ice_file", col("_metadata.file_path"))
-        .withColumn("__ice_pos", col("_metadata.row_index"))
       // file → data sequence number (bounded by the planned file count)
       val seqRows = data.map(f => (f.path, f.seq))
       import spark.implicits._

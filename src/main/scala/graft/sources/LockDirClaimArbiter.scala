@@ -138,7 +138,7 @@ final class LockDirClaimArbiter(lockRoot: String,
     // ATOMIC replace: an in-place truncate would let a concurrent
     // readEpoch observe an empty file and parse epoch 0 — defeating the
     // fence exactly in the takeover window
-    if (isLocal) {
+    if (isLocal) withEpochOsLock(root) {
       val tmp = np.resolveSibling(np.getFileName.toString + ".tmp")
       Files.writeString(tmp, e.toString + "\n")
       Files.move(tmp, np, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -149,6 +149,53 @@ final class LockDirClaimArbiter(lockRoot: String,
       try out.write((e.toString + "\n").getBytes("UTF-8")) finally out.close()
       fs.delete(hp, false)
       fs.rename(tmp, hp)
+    }
+  }
+
+  /** OS file lock (flock/fcntl — a TRUE cross-process mutex the kernel
+    * releases on process death, so it can never go stale) over the slug's
+    * `commit.epoch.lck`, plus a JVM-wide monitor for same-process threads
+    * (overlapping FileLocks from one JVM throw instead of blocking). This
+    * is what makes [[conditionalTailWrite]]'s epoch-check-then-write
+    * ATOMIC against a takeover's epoch bump on POSIX lock roots. */
+  private def withEpochOsLock[T](root: String)(body: => T): T = {
+    val dir = Paths.get(localBase, slug(root))
+    Files.createDirectories(dir)
+    val key = dir.resolve("commit.epoch.lck").toAbsolutePath.toString
+    val monitor = LockDirClaimArbiter.epochMonitors
+      .computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(key),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Token-conditional log-tail write: on a POSIX lock root the section
+    * epoch is re-read and the write executed under ONE OS file lock shared
+    * with [[writeEpoch]] — a takeover's bump either precedes the check
+    * (write rejected) or waits for the write to finish (the holder was
+    * still the legitimate owner at the serialization point). This closes
+    * the r18 fencing residual (a holder paused between `verifyFence` and
+    * the write). Non-local lock roots keep check-then-act — closing it
+    * there needs the storage itself to check tokens (a REST catalog CAS
+    * behind this same seam). */
+  override def conditionalTailWrite(root: String, write: () => Unit): Unit = {
+    val held = heldEpoch.get(holderKey(root))
+    if (held == null || !isLocal) { verifyFence(root); write(); return }
+    withEpochOsLock(root) {
+      val now = readEpoch(root)
+      if (now != held.longValue)
+        throw new IllegalStateException(
+          s"commit section for $root was TAKEN OVER while this holder was " +
+            s"paused (fencing epoch $held -> $now, stale threshold " +
+            s"$staleCommitLockMillis ms): the conditional tail write is " +
+            "rejected — re-read and retry")
+      write()
     }
   }
 
@@ -298,4 +345,12 @@ final class LockDirClaimArbiter(lockRoot: String,
       .flatMap(_.stripPrefix("v=").stripSuffix(".lock").toLongOption)
       .foldLeft(-1L)(math.max)
   }
+}
+
+object LockDirClaimArbiter {
+  /** JVM-wide monitors per epoch-lock file: same-process threads serialize
+    * here (an overlapping OS FileLock from one JVM throws rather than
+    * blocks), cross-process writers serialize on the OS lock itself. */
+  private val epochMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -72,11 +72,20 @@ object SnapshotTable {
       * `lockCommit` returned (a stale-lock break by another process — the
       * GC-pause hazard: a paused-but-alive holder must not append with a
       * lock it no longer owns). Default no-op: an in-process section is
-      * never broken. NOTE the residual window of any fencing TOKEN over
-      * storage that does not itself check tokens: a pause between this
-      * check and the record write is not caught — closing it needs a
-      * token-conditional write (catalog CAS). */
+      * never broken. */
     def verifyFence(root: String): Unit = ()
+    /** TOKEN-CONDITIONAL log-tail write — the catalog-CAS shape: run
+      * `write` only if this holder's section epoch is still current, with
+      * check and write ATOMIC against takeovers (a takeover's epoch bump
+      * must either precede the check or wait for the write). The default
+      * composes `verifyFence` + `write` — correct for arbiters whose
+      * sections are never broken (in-process); durable arbiters with a
+      * takeover path must override with a genuinely conditional form, or
+      * a holder paused between the fence check and the write lands a
+      * record with a section it no longer owns. */
+    def conditionalTailWrite(root: String, write: () => Unit): Unit = {
+      verifyFence(root); write()
+    }
   }
 
   /** Arbiter backed by PROCESS MEMORY: atomic for every thread of ONE JVM
@@ -1476,19 +1485,36 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * check + log-tail write (models a GC pause at the worst point). */
   private[sources] var beforeLogTail: () => Unit = () => ()
 
+  /** Test seam: runs AFTER the early fence check passes, just before the
+    * token-conditional tail write (models a GC pause in the residual
+    * window the r18 fence left open — the conditional write closes it). */
+  private[sources] var afterFenceBeforeTail: () => Unit = () => ()
+
   private def appendMeta(version: Long, op: String, rows: Long): Unit = {
     acquireCommitMutex()
     try {
       beforeLogTail()
-      // fencing: a holder whose commit.lock was taken over (stale-break
-      // by another process after a long pause) must NOT write the tail
+      // fencing, early reject: a holder whose commit.lock was taken over
+      // (stale-break by another process after a long pause) must NOT
+      // write the tail
       SnapshotTable.arbiterFor(root)
         .foreach(_.verifyFence(SnapshotTable.canonicalRoot(root)))
+      afterFenceBeforeTail()
       val line = s"$version,${System.currentTimeMillis()},$op,$rows\n"
-      // scheme'd roots: the record file IS the commit point (see the ledger
-      // note above); the shared log below is only a cache of it
-      if (!rootIsLocal) metaWriteString(logRecordRel(version), line)
-      metaAppendString(MetaFile, line)
+      // the tail write itself is TOKEN-CONDITIONAL on the arbiter seam:
+      // epoch check + write are atomic against takeovers, so a pause
+      // between the fence check above and here cannot land the record
+      def writeTail(): Unit = {
+        // scheme'd roots: the record file IS the commit point (see the
+        // ledger note above); the shared log below is only a cache of it
+        if (!rootIsLocal) metaWriteString(logRecordRel(version), line)
+        metaAppendString(MetaFile, line)
+      }
+      SnapshotTable.arbiterFor(root) match {
+        case Some(a) => a.conditionalTailWrite(
+          SnapshotTable.canonicalRoot(root), () => writeTail())
+        case None => writeTail()
+      }
       // self-GC: once the version is LOGGED the marker has done its job —
       // `claimVersion` re-validates against the log after every create, so a
       // racer that re-creates this number can never keep it. Without this a
@@ -1946,12 +1972,52 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def isEvolveOp(op: String): Boolean =
     op.startsWith(EvolveOpPrefix)
 
-  /** Is this evolve commit a RENAME? (The one evolution a name-matched
-    * consumer cannot mirror losslessly — `IcebergExport.syncStore` folds
-    * it coarse.) */
+  /** Is this evolve commit a RENAME? */
   private[graft] def evolveIsRename(op: String): Boolean =
     op.startsWith(EvolveOpPrefix) &&
       decodeEvolve(op).headOption.contains("rename")
+
+  /** The (old, new) names of a RENAME evolve commit — what
+    * `IcebergExport.syncStore` mirrors metadata-only (the field id
+    * carries under the new name). */
+  private[graft] def evolveRenamePair(op: String): Option[(String, String)] =
+    if (!op.startsWith(EvolveOpPrefix)) None
+    else decodeEvolve(op) match {
+      case Seq("rename", o, n) => Some((o, n))
+      case _                   => None
+    }
+
+  /** The commit-log op string a `renameColumn(o, n)` records — the replay
+    * marker `IcebergExport.syncFromTable`'s staged-rename mirror checks
+    * (a pure swap leaves the NAME SET unchanged, so completion is only
+    * visible in the op history). */
+  private[graft] def renameOpString(o: String, n: String): String =
+    encodeEvolve(Seq("rename", o, n))
+
+  /** The new spec of a PARTITION evolve commit (store grammar entries;
+    * empty = partitioning dropped) — what `IcebergExport.syncStore`
+    * mirrors as a chain spec evolution. */
+  private[graft] def evolvePartitionSpec(op: String): Option[Seq[String]] =
+    if (!op.startsWith(EvolveOpPrefix)) None
+    else decodeEvolve(op) match {
+      case Seq("partition", csv) =>
+        // entries themselves contain commas ("bucket(2, id)") — split on
+        // top-level commas only
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var depth = 0
+        csv.foreach {
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case c =>
+            if (c == '(') depth += 1
+            if (c == ')') depth -= 1
+            cur += c
+        }
+        out += cur.toString
+        Some(out.toSeq.map(_.trim).filter(_.nonEmpty))
+      case Seq("partition") => Some(Nil)
+      case _ => None
+    }
 
   /** The (column, target type) a WIDENING evolve commit promotes, if any —
     * the adopt-on-evolve rollover boundary check for type widening. */
@@ -1960,6 +2026,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     else decodeEvolve(op) match {
       case Seq("widen", name, ddl) => Some(name -> DataType.fromDDL(ddl))
       case _                       => None
+    }
+
+  /** The (parent, child) of a NESTED-ADD evolve commit — a rollover
+    * boundary like a top-level ADD: a pinned schema whose struct lacks the
+    * subfield restarts to adopt it. */
+  private[graft] def evolveNestedAdd(op: String): Option[(String, String)] =
+    if (!op.startsWith(EvolveOpPrefix)) None
+    else decodeEvolve(op) match {
+      case Seq("addnested", p, c, _) => Some((p, c))
+      case _                         => None
     }
 
   /** Is this op on MAIN's lineage (a valid time-travel anchor)? Branch
@@ -2349,6 +2425,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         // type widening is metadata-only: readers cast during resolution
         // (idempotent — casting an already-widened column is a no-op)
         df.withColumn(name, col(name).cast(DataType.fromDDL(ddl)))
+      case Seq("addnested", parent, child, ddl) =>
+        // nested ADD: history rows read the subfield as NULL; withField
+        // keeps a NULL struct NULL (idempotent for CDC alignment — a
+        // frame already carrying the subfield keeps its values)
+        val cur = df.schema.fields.find(_.name.equalsIgnoreCase(parent))
+        val has = cur.exists(_.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fieldNames.exists(_.equalsIgnoreCase(child))
+          case _ => false
+        })
+        if (has || cur.isEmpty) df
+        else df.withColumn(cur.get.name, col(cur.get.name)
+          .withField(child, lit(null).cast(DataType.fromDDL(ddl))))
       case Seq("partition", _*) =>
         // partition-spec evolution is LAYOUT-only: the frame a reader sees
         // is unchanged (files written before keep their dirs, files after
@@ -3043,6 +3132,34 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     appendMeta(next, encodeEvolve(Seq("add", name, typeDdl)), tableRowsAsOf(meta, head))
     next
   }
+
+  /** ALTER TABLE … ADD COLUMN parent.child type — a NESTED add (Iceberg
+    * permits struct-internal adds with fresh field ids): metadata-only
+    * like every evolve commit; rows from before the change read the new
+    * subfield as NULL, time travel before it keeps the narrow struct. The
+    * field appends at the END of the struct (the one position the
+    * streaming conform path can reconcile without a reorder). */
+  def addNestedColumn(parent: String, child: String, typeDdl: String): Long =
+    withRootLock {
+      val meta = readMeta()
+      val head = mainHead(meta).getOrElse(
+        throw new IllegalStateException(s"no snapshots at $root"))
+      val schema = resolveVersion(meta, head, None).schema
+      val pf = schema.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
+        throw new IllegalArgumentException(s"no column $parent"))
+      val stType = pf.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s
+        case o => throw new IllegalArgumentException(
+          s"$parent is ${o.simpleString}, not a struct")
+      }
+      require(!stType.fieldNames.exists(_.equalsIgnoreCase(child)),
+        s"field $parent.$child already exists")
+      DataType.fromDDL(typeDdl) // validate the type spelling at DDL time
+      val next = claimVersion(meta)
+      appendMeta(next, encodeEvolve(Seq("addnested", pf.name, child, typeDdl)),
+        tableRowsAsOf(meta, head))
+      next
+    }
 
   /** ALTER TABLE … DROP COLUMN name — hidden from head reads; versions
     * before the drop still carry it (time travel keeps old schemas). */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
@@ -198,6 +198,20 @@ final class SnapshotSource(
                 val lc = c.toLowerCase
                 baseTypes.get(lc).exists(have => have != to &&
                   currentTypes.get(lc).forall(_ != have))
+              } ||
+              // a NESTED ADD is a boundary like a top-level add: the
+              // pinned struct type cannot carry the subfield, and after
+              // restart the re-pinned schema has it (unless the store has
+              // since dropped/re-typed the parent — then not adoptable)
+              st.evolveNestedAdd(op).exists { case (p, c) =>
+                def hasChild(dt: Option[org.apache.spark.sql.types.DataType]) =
+                  dt.exists {
+                    case s: org.apache.spark.sql.types.StructType =>
+                      s.fieldNames.exists(_.equalsIgnoreCase(c))
+                    case _ => false
+                  }
+                !hasChild(baseTypes.get(p.toLowerCase)) &&
+                  hasChild(currentTypes.get(p.toLowerCase))
               })
           }.map(_._1)
           boundaryCache = Some((headNow, anchor, b))
@@ -366,6 +380,40 @@ final class SnapshotSource(
     * neither silently wrap (non-ANSI cast) nor die with a bare cast error
     * (ANSI) — it fails the batch with the actual remedy: restart the
     * stream to adopt the evolved schema. */
+  /** Is `to` the same struct as `from` plus APPENDED subfields (recursively)
+    * — the one struct drift [[conform]] reconciles losslessly (a nested ADD:
+    * missing subfields null-fill; nothing reorders or narrows)? */
+  private def structAddOnly(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    case (a: org.apache.spark.sql.types.StructType,
+          b: org.apache.spark.sql.types.StructType) =>
+      a.fields.length <= b.fields.length &&
+        a.fields.zip(b.fields).forall { case (af, bf) =>
+          af.name.equalsIgnoreCase(bf.name) &&
+            (af.dataType == bf.dataType || structAddOnly(af.dataType, bf.dataType))
+        }
+    case _ => false
+  }
+
+  /** Null-fill the subfields `to` appends beyond `from` (struct add-only
+    * drift); a NULL struct stays NULL (withField semantics). */
+  private def fillNested(c: Column,
+      from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType): Column = {
+    val widened = from.fields.zip(to.fields).foldLeft(c) {
+      case (acc, (af, bf)) if af.dataType != bf.dataType =>
+        (af.dataType, bf.dataType) match {
+          case (fs: org.apache.spark.sql.types.StructType,
+                ts: org.apache.spark.sql.types.StructType) =>
+            acc.withField(bf.name, fillNested(c.getField(af.name), fs, ts))
+          case _ => acc
+        }
+      case (acc, _) => acc
+    }
+    to.fields.drop(from.fields.length).foldLeft(widened)((acc, tf) =>
+      acc.withField(tf.name, lit(null).cast(tf.dataType)))
+  }
+
   private def conform(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
     val inType = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
@@ -373,6 +421,15 @@ final class SnapshotSource(
       have.get(f.name.toLowerCase) match {
         case Some(c) if inType(f.name.toLowerCase) == f.dataType =>
           col(c).as(f.name)
+        case Some(c) if structAddOnly(inType(f.name.toLowerCase), f.dataType) =>
+          // nested ADD drift (a struct delta from before the add): null-fill
+          // the appended subfields — lossless by construction, so the
+          // try_cast round-trip guard below does not apply
+          fillNested(col(c),
+            inType(f.name.toLowerCase)
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+            .as(f.name)
         case Some(c) =>
           // lossless iff the cast ROUND-TRIPS: try_cast(null) catches
           // overflow/unparseable, the round-trip equality catches

@@ -148,6 +148,44 @@ class CrossProcessClaimSpec extends SparkSpec {
     } finally SnapshotTable.unregisterClaimArbiter(root)
   }
 
+  test("token-conditional tail write: a holder paused BETWEEN the fence " +
+      "check and the log-tail write (the r18 residual window) still " +
+      "cannot land its line after takeover — check + write are atomic " +
+      "under the epoch's OS lock") {
+    import spark.implicits._
+    val lockDir = JFiles.createTempDirectory("xproc_fence3").toFile.getAbsolutePath
+    val root = JFiles.createTempDirectory("xproc_fence3_t").toFile.getAbsolutePath
+    val arb = new LockDirClaimArbiter(lockDir)
+    arb.staleCommitLockMillis = 80L
+    SnapshotTable.registerClaimArbiter(root, arb)
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((1L, "a")).toDF("id", "v"))
+      val canon = SnapshotTable.canonicalRoot(root)
+      val taker = new LockDirClaimArbiter(lockDir)
+      taker.staleCommitLockMillis = 80L
+      @volatile var paused = false
+      // the pause lands AFTER verifyFence has already PASSED — exactly
+      // the window a token check alone cannot close
+      t.afterFenceBeforeTail = () => if (!paused) {
+        paused = true
+        Thread.sleep(200)       // past staleness, fence already checked
+        taker.lockCommit(canon) // takeover bumps the epoch
+      }
+      val e = intercept[IllegalStateException](
+        t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append"))
+      assert(e.getMessage.contains("TAKEN OVER"))
+      t.afterFenceBeforeTail = () => ()
+      taker.unlockCommit(canon)
+      // the rejected append never reached the log
+      assert(t.read().count() === 1)
+      assert(t.history().count() === 1)
+      // a later commit acquires a fresh section and proceeds
+      t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")
+      assert(t.read().count() === 2)
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+  }
+
   test("two OS processes with no shared memory interleave appends + a cow " +
       "mutation on an S3-shaped root under the durable lock-dir arbiter: " +
       "zero lost commits") {

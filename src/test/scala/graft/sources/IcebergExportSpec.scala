@@ -444,10 +444,25 @@ class IcebergExportSpec extends SparkSpec {
       dest, partitionBy = Seq("months(d)", "bucket(4, id)"))
     assert(IcebergExport.snapshotIds(spark, dest).size === 2)
     assert(IcebergExport.readTable(spark, dest).count() === 61)
-    // a mismatched spec is refused
-    assertThrows[IllegalArgumentException] {
-      IcebergExport.export(df, dest, partitionBy = Seq("months(d)"))
-    }
+    // a different spec EVOLVES the layout (r19): spec-id 1 minted, the
+    // shared months(d) field keeps its partition field id
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    IcebergExport.export(df, dest, partitionBy = Seq("months(d)"))
+    val hint = JFiles.readString(java.nio.file.Paths.get(
+      s"$dest/metadata/version-hint.text")).trim
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v$hint.metadata.json")))
+    assert((meta \ "partition-specs").children.size === 2)
+    assert((meta \ "default-spec-id").extract[Int] === 1)
+    def fidOf(specId: Int, name: String): Int =
+      ((meta \ "partition-specs").children.find(s =>
+        (s \ "spec-id").extract[Int] == specId).get \ "fields").children
+        .find(f => (f \ "name").extract[String] == name)
+        .map(f => (f \ "field-id").extract[Int]).get
+    assert(fidOf(1, "d_month") === fidOf(0, "d_month"),
+      "the shared transform field reuses its partition field id")
+    assert(IcebergExport.readTable(spark, dest).count() === 121)
   }
 
   test("day transform writes date hive dirs + epoch-day tuples; string " +
@@ -933,6 +948,44 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.syncStore(spark, root, dest).isEmpty)
   }
 
+  test("position-delete sync PRUNES its chain read with predicates derived " +
+      "from the deleted multiset: a range-clustered chain scans only " +
+      "candidate files, an unclustered one yields identical results") {
+    import spark.implicits._
+    // clustered: 4 range-partitioned files over id, delete values confined
+    // to the lowest range — the live-copy scan must skip files
+    val root = JFiles.createTempDirectory("iceppr_store").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("iceppr_tbl").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    val rows = spark.range(0, 400).toDF("id")
+      .withColumn("v", concat(lit("r"), col("id")))
+    st.commit(rows.repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"))
+    IcebergExport.syncStore(spark, root, dest)
+    assert(IcebergExport.plannedFiles(spark, dest).size >= 4)
+    st.deleteWherePos(col("id") < 50L && col("id") % 3 === 0L)
+    IcebergExport.syncStore(spark, root, dest)
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total,
+      s"clustered chain must prune the live-copy scan: $kept/$total")
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+
+    // unclustered: the same delete over a shuffled layout cannot prune,
+    // but results are identical (predicates are a pure optimization)
+    val root2 = JFiles.createTempDirectory("iceppr_store2").toFile.getAbsolutePath
+    val dest2 = JFiles.createTempDirectory("iceppr_tbl2").toFile.getAbsolutePath
+    val st2 = new SnapshotTable(spark, root2)
+    st2.commit(rows.repartition(4)) // hash layout: every file spans the range
+    IcebergExport.syncStore(spark, root2, dest2)
+    st2.deleteWherePos(col("id") < 50L && col("id") % 3 === 0L)
+    IcebergExport.syncStore(spark, root2, dest2)
+    assert(sameRows(IcebergExport.readTable(spark, dest2), st2.read()))
+    assert(sameRows(IcebergExport.readTable(spark, dest2)
+      .select("id", "v"), IcebergExport.readTable(spark, dest)
+      .select("id", "v")),
+      "clustered and unclustered chains must resolve to the same rows")
+  }
+
   test("syncFromTable applies a foreign POSITION-delete snapshot O(delta) " +
       "(values mirrored onto store positions) and a crash replay is " +
       "detected by the op tag, not re-applied") {
@@ -1145,18 +1198,35 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.lastPlanStats._1 < IcebergExport.lastPlanStats._2)
   }
 
-  test("re-adding a DROPPED column name is refused: name-based parquet " +
-      "reads would resurface the dropped column's bytes under the new id") {
+  test("re-adding a DROPPED column name takes a FRESH field id and the " +
+      "old bytes read as NULL under it — the spec's id-based resolution, " +
+      "never a name-based resurface") {
     import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
     val dest = JFiles.createTempDirectory("iceexp_readd").toFile.getAbsolutePath
     IcebergExport.export(Seq((1L, "a")).toDF("id", "v"), dest)
     IcebergExport.export(Seq(Tuple1(2L)).toDF("id"), dest) // drop v
-    val e = intercept[IllegalArgumentException](
-      IcebergExport.export(Seq((3L, "b")).toDF("id", "v"), dest))
-    assert(e.getMessage.contains("re-add"))
-    // a genuinely fresh name still evolves fine
-    IcebergExport.export(Seq((3L, "b")).toDF("id", "v2"), dest)
-    assert(IcebergExport.readTable(spark, dest).count() === 3)
+    IcebergExport.export(Seq((3L, "b")).toDF("id", "v"), dest) // re-add v
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v3.metadata.json")))
+    val schemas = (meta \ "schemas").children
+    def idOfV(schemaId: Int): Option[Int] = schemas
+      .find(s => (s \ "schema-id").extract[Int] == schemaId)
+      .flatMap(s => (s \ "fields").children.find(f =>
+        (f \ "name").extract[String] == "v"))
+      .map(f => (f \ "id").extract[Int])
+    assert(idOfV(2).get > idOfV(0).get,
+      s"re-added v must take a fresh id: ${idOfV(0)} vs ${idOfV(2)}")
+    // row 1's ORIGINAL v bytes ("a") belong to the dropped id: under the
+    // re-added field they read as NULL; row 3's new value reads back
+    val back = IcebergExport.readTable(spark, dest)
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(back === Array((1L, None), (2L, None), (3L, Some("b"))))
+    // time travel to the ORIGINAL schema still values the old bytes
+    val first = IcebergExport.snapshotIds(spark, dest).head
+    assert(IcebergExport.readTable(spark, dest, Some(first))
+      .as[(Long, String)].collect() === Array((1L, "a")))
   }
 
   test("truncate over the int family: the wrap cell at the type minimum " +
@@ -1372,5 +1442,292 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.select("id", "vec").as[(Long, Seq[Double])].collect().sortBy(_._1)
       === Array((1L, Seq(0.5, 1.5)), (2L, Seq(2.5))))
     assert(back.select("meta._2").as[Long].collect().sorted === Array(8L, 9L))
+  }
+
+  test("a store RENAME syncs METADATA-ONLY in both directions: the chain " +
+      "keeps every data file (field id carried under the new name), " +
+      "pre-rename time travel values the old bytes, and the mirror store " +
+      "lands the rename as an evolve commit — never an overwrite fold") {
+    import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val root = JFiles.createTempDirectory("icern_store").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icern_tbl").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "x")) // v0
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(0L))
+    val filesBefore = IcebergExport.plannedFiles(spark, dest).map(_._1).toSet
+    st.renameColumn("x", "amount")                                     // v1
+    st.commit(Seq((3L, "c", 30L)).toDF("id", "v", "amount"),
+      op = "append")                                                   // v2
+    st.deleteWhereMor(col("amount") === 20L, "amount")                 // v3
+    assert(IcebergExport.syncStore(spark, root, dest) === Seq(1L, 2L, 3L))
+
+    // the rename snapshot rewrote NOTHING: every base data file still
+    // serves, and no snapshot in the chain is an overwrite
+    val filesAfter = IcebergExport.plannedFiles(spark, dest).map(_._1).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "rename/append/delete must keep the base snapshot's data files")
+    val hint = JFiles.readString(java.nio.file.Paths.get(
+      s"$dest/metadata/version-hint.text")).trim
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v$hint.metadata.json")))
+    val ops = (meta \ "snapshots").children
+      .map(s => (s \ "summary" \ "operation").extract[String])
+    assert(!ops.contains("overwrite"), s"rename must not coarse-fold: $ops")
+    // the renamed field keeps its ID under the new name
+    val curId = (meta \ "current-schema-id").extract[Int]
+    def fieldId(schemaId: Int, name: String): Option[Int] =
+      (meta \ "schemas").children
+        .find(s => (s \ "schema-id").extract[Int] == schemaId)
+        .flatMap(s => (s \ "fields").children.find(f =>
+          (f \ "name").extract[String] == name))
+        .map(f => (f \ "id").extract[Int])
+    assert(fieldId(curId, "amount") === fieldId(0, "x"),
+      "the rename must carry the field id")
+
+    // reads: history values survive under the new name; store ≡ chain
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "v", "amount"))
+    assert(sameRows(back, st.read()))
+    assert(back.select("id", "amount").as[(Long, Long)].collect().sorted
+      === Array((1L, 10L), (3L, 30L)))
+    // pre-rename time travel keeps the OLD name and the values
+    val first = IcebergExport.snapshotIds(spark, dest).head
+    val old = IcebergExport.readTable(spark, dest, Some(first))
+    assert(old.columns.toSeq === Seq("id", "v", "x"))
+    assert(old.select("x").as[Long].collect().sorted === Array(10L, 20L))
+
+    // the INVERSE direction: mirror the chain into a fresh store — the
+    // rename lands as a store evolve commit, never an overwrite, and the
+    // mirror equals the source store
+    val mirror = JFiles.createTempDirectory("icern_mirror").toFile.getAbsolutePath
+    IcebergExport.syncFromTable(spark, dest, mirror)
+    val mt = new SnapshotTable(spark, mirror)
+    val mops = mt.history().select("operation").collect().map(_.getString(0))
+    assert(!mops.contains("overwrite"),
+      s"foreign rename must mirror as evolve, not fold: $mops")
+    assert(sameRows(mt.read(), st.read()))
+    assert(mt.read().columns.toSeq === Seq("id", "v", "amount"))
+  }
+
+  test("a RENAMED identity-partition source stays metadata-only through " +
+      "syncStore: new files land under the new dir name, old files keep " +
+      "serving, and reads merge both layouts") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icernp_store").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icernp_tbl").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "us", 10L), (2L, "de", 20L)).toDF("id", "region", "x"))
+    IcebergExport.syncStore(spark, root, dest, partitionBy = Seq("region"))
+    val before = IcebergExport.plannedFiles(spark, dest).map(_._1).toSet
+    st.renameColumn("region", "geo")
+    st.commit(Seq((3L, "fr", 30L)).toDF("id", "geo", "x"), op = "append")
+    IcebergExport.syncStore(spark, root, dest)
+    val after = IcebergExport.plannedFiles(spark, dest).map(_._1)
+    assert(before.subsetOf(after.toSet), "old partition files must survive")
+    assert(after.exists(_.contains("geo=fr")),
+      s"new files use the renamed dir name: $after")
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "geo", "x"))
+    assert(sameRows(back, st.read()))
+  }
+
+  test("a dependent foreign rename set (swap a<->b) mirrors through " +
+      "syncFromTable via staged temp names instead of silently diverging") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("iceswap_tbl").toFile.getAbsolutePath
+    val store = JFiles.createTempDirectory("iceswap_store").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L, 100L)).toDF("id", "a", "b"), dest)
+    IcebergExport.syncFromTable(spark, dest, store)
+    // author the swap on the chain: ids carried crosswise
+    IcebergExport.exportInternal(
+      Seq((2L, 11L, 101L)).toDF("id", "b", "a")
+        .select(col("id"), col("b"), col("a")),
+      dest, Nil, overwrite = false, Map.empty,
+      renames = Map("a" -> "b", "b" -> "a"))
+    IcebergExport.syncFromTable(spark, dest, store)
+    val mt = new SnapshotTable(spark, store)
+    assert(mt.read().columns.toSeq === Seq("id", "b", "a"))
+    assert(sameRows(mt.read(), IcebergExport.readTable(spark, dest)))
+    // the swapped columns carried their data (a's history is under b now)
+    assert(IcebergExport.readTable(spark, dest)
+      .select("id", "b", "a").as[(Long, Long, Long)].collect().sortBy(_._1)
+      === Array((1L, 10L, 100L), (2L, 11L, 101L)))
+  }
+
+  test("partition-spec EVOLUTION: a re-partitioned export mints spec-id " +
+      "N+1 instead of refusing, files keep the spec they were written " +
+      "under, and reads prune each file against ITS spec") {
+    import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dest = JFiles.createTempDirectory("icespev_tbl").toFile.getAbsolutePath
+    val d1 = Seq((1L, "us", 10L), (2L, "de", 20L), (3L, "us", 30L))
+      .toDF("id", "region", "x")
+    IcebergExport.export(d1.repartition(1), dest,
+      partitionBy = Seq("region"))
+    // the second export re-partitions: bucket layout on id
+    val d2 = Seq((4L, "fr", 40L), (5L, "us", 50L)).toDF("id", "region", "x")
+    IcebergExport.export(d2.repartition(1), dest,
+      partitionBy = Seq("bucket(2, id)"))
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    assert((meta \ "partition-specs").children.size === 2)
+    assert((meta \ "default-spec-id").extract[Int] === 1)
+    assert((meta \ "last-partition-id").extract[Int] === 1001,
+      "the new spec's field takes a fresh partition field id")
+    // full read merges both layouts
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.count() === 5)
+    assert(back.select("id", "region", "x").as[(Long, String, Long)]
+      .collect().sortBy(_._1).map(_._1) === Array(1L, 2L, 3L, 4L, 5L))
+    // predicate on region: spec-0 files prune via their identity tuples
+    // (the de file drops), spec-1 files stay via bounds/residual
+    val us = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("region", "=", "us")))
+    assert(us.select("id").as[Long].collect().sorted === Array(1L, 3L, 5L))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total, s"identity tuples must still prune: $kept/$total")
+    // predicate on id: spec-1 files prune via their bucket cells
+    val one = IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("id", "=", 4L)))
+    assert(one.select("id").as[Long].collect() === Array(4L))
+    // a third export back under the ORIGINAL layout REUSES spec-id 0
+    IcebergExport.export(Seq((6L, "de", 60L)).toDF("id", "region", "x"),
+      dest, partitionBy = Seq("region"))
+    val meta3 = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v3.metadata.json")))
+    assert((meta3 \ "partition-specs").children.size === 2,
+      "re-declaring a historical spec must not mint a new id")
+    assert((meta3 \ "default-spec-id").extract[Int] === 0)
+    assert(IcebergExport.readTable(spark, dest).count() === 6)
+  }
+
+  test("a store PARTITION evolution mirrors through syncStore as a chain " +
+      "spec evolution: later appends land under the new layout, the " +
+      "chain's default spec advances, reads merge both") {
+    import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val root = JFiles.createTempDirectory("icespev_store").toFile.getAbsolutePath
+    val dest = JFiles.createTempDirectory("icespev_chain").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "us", 10L), (2L, "de", 20L)).toDF("id", "region", "x"))
+    IcebergExport.syncStore(spark, root, dest, partitionBy = Seq("region"))
+    st.evolvePartition(Seq("bucket(2, id)"))
+    st.commit(Seq((3L, "fr", 30L)).toDF("id", "region", "x"), op = "append")
+    IcebergExport.syncStore(spark, root, dest)
+    val hint = JFiles.readString(java.nio.file.Paths.get(
+      s"$dest/metadata/version-hint.text")).trim
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v$hint.metadata.json")))
+    assert((meta \ "partition-specs").children.size === 2)
+    val curSpec = (meta \ "partition-specs").children.find(s =>
+      (s \ "spec-id").extract[Int] == (meta \ "default-spec-id").extract[Int])
+      .get
+    assert((curSpec \ "fields").children.map(f =>
+      (f \ "transform").extract[String]) === List("bucket[2]"))
+    assert(sameRows(IcebergExport.readTable(spark, dest), st.read()))
+    // old files still prune under their identity spec
+    IcebergExport.readTable(spark, dest,
+      preds = Seq(IcebergExport.Predicate("region", "=", "us")))
+    val (kept, total) = IcebergExport.lastPlanStats
+    assert(kept < total, s"old-spec files must still prune: $kept/$total")
+  }
+
+  test("NESTED schema evolution: a struct subfield added mid-chain takes " +
+      "a FRESH id, history reads it null-filled, time travel keeps the " +
+      "narrow struct, and BOTH sync directions mirror it metadata-only") {
+    import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    // chain direction: export evolves nest struct<a> → struct<a, b>
+    val dest = JFiles.createTempDirectory("icenest_tbl").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L)).toDF("id", "a")
+      .select(col("id"), struct(col("a")).as("nest")), dest)
+    IcebergExport.export(Seq((2L, 20L, "x")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("nest")), dest)
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    val curSchema = (meta \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] ==
+        (meta \ "current-schema-id").extract[Int]).get
+    val nestFields = ((curSchema \ "fields").children.find(f =>
+      (f \ "name").extract[String] == "nest").get \ "type" \ "fields").children
+    val idsByName = nestFields.map(f =>
+      (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    assert(idsByName("a") === 3, "kept nested subfield keeps its id")
+    assert(idsByName("b") > 3, s"added subfield takes a fresh id: $idsByName")
+    assert((meta \ "last-column-id").extract[Int] >= idsByName("b"))
+    // history null-fills nest.b; time travel keeps the narrow struct
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.select(col("id"), col("nest.a"), col("nest.b"))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, 10L, None), (2L, 20L, Some("x"))))
+    val first = IcebergExport.snapshotIds(spark, dest).head
+    assert(IcebergExport.readTable(spark, dest, Some(first))
+      .schema("nest").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("a"))
+
+    // chain → store: the nested add mirrors as a store evolve commit
+    val mirror = JFiles.createTempDirectory("icenest_mirror").toFile.getAbsolutePath
+    IcebergExport.syncFromTable(spark, dest, mirror)
+    val mt = new SnapshotTable(spark, mirror)
+    val mops = mt.history().select("operation").collect().map(_.getString(0))
+    assert(mops.count(_.startsWith("evolve:")) === 1,
+      s"the nested add must land as ONE evolve commit: ${mops.toSeq}")
+    assert(!mops.contains("overwrite"), s"no fold: ${mops.toSeq}")
+    assert(sameRows(mt.read(), back))
+    assert(mt.read(Some(0L)).schema("nest").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("a"),
+      "store time travel keeps the pre-add struct")
+
+    // store → chain: addNestedColumn mirrors metadata-only through
+    // syncStore (no data file rewritten)
+    val root = JFiles.createTempDirectory("icenest_store").toFile.getAbsolutePath
+    val chain2 = JFiles.createTempDirectory("icenest_chain").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 5L)).toDF("id", "a")
+      .select(col("id"), struct(col("a")).as("nest")))
+    IcebergExport.syncStore(spark, root, chain2)
+    val before = IcebergExport.plannedFiles(spark, chain2).map(_._1).toSet
+    st.addNestedColumn("nest", "b", "STRING")
+    st.commit(Seq((2L, 6L, "y")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("nest")), op = "append")
+    assert(IcebergExport.syncStore(spark, root, chain2) === Seq(1L, 2L))
+    assert(before.subsetOf(
+      IcebergExport.plannedFiles(spark, chain2).map(_._1).toSet),
+      "a nested add must rewrite zero data files")
+    assert(sameRows(IcebergExport.readTable(spark, chain2), st.read()))
+    assert(st.read().filter(col("id") === 1L)
+      .select(col("nest.b")).as[Option[String]].collect() === Array(None))
+  }
+
+  test("exported data files carry parquet FIELD IDS (nested included), so " +
+      "real id-resolving Iceberg readers survive renames too") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("icefid_tbl").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, "a", (2L, "x"))).toDF("id", "v", "nest"), dest)
+    val file = IcebergExport.plannedFiles(spark, dest).head._1
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val topIds = schema.getFields.asScala.map(f =>
+        f.getName -> Option(f.getId).map(_.intValue))
+      assert(topIds.toMap === Map("id" -> Some(1), "v" -> Some(2),
+        "nest" -> Some(3)), s"top-level ids: $topIds")
+      val nest = schema.getFields.asScala.find(_.getName == "nest")
+        .get.asGroupType()
+      assert(nest.getFields.asScala.flatMap(f =>
+        Option(f.getId).map(_.intValue)).toSeq === Seq(4, 5),
+        "nested struct fields carry fresh ids")
+    } finally reader.close()
   }
 }

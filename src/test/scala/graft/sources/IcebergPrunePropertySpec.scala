@@ -87,19 +87,26 @@ class IcebergPrunePropertySpec extends SparkSpec {
     }
     val df = rows.toDF("id", "d", "ts", "s", "maybe")
 
-    val cases = samples(Gen.zip(specGen, predGen), 40)
+    // each table takes TWO independently drawn specs — equal draws exercise
+    // the single-spec path, unequal ones SPEC EVOLUTION (r19): the second
+    // snapshot re-partitions, files keep the spec they were written under,
+    // and pruning must stay sound across the mixed layouts
+    val cases = samples(Gen.zip(Gen.zip(specGen, specGen), predGen), 40)
     assert(cases.nonEmpty)
-    val destBySpec = scala.collection.mutable.Map.empty[Seq[String], String]
+    val destBySpec =
+      scala.collection.mutable.Map.empty[(Seq[String], Seq[String]), String]
     var pruned = 0
-    cases.foreach { case (spec, preds) =>
-      val dest = destBySpec.getOrElseUpdate(spec, {
+    var evolved = 0
+    cases.foreach { case ((specA, specB), preds) =>
+      if (specA != specB) evolved += 1
+      val dest = destBySpec.getOrElseUpdate((specA, specB), {
         val d = JFiles.createTempDirectory("iceprop").toFile.getAbsolutePath
         // two snapshots → several files per partition cell, so pruning has
         // real file boundaries to get wrong
         IcebergExport.export(df.filter(col("id") % 2 === 0).repartition(2),
-          d, partitionBy = spec)
+          d, partitionBy = specA)
         IcebergExport.export(df.filter(col("id") % 2 === 1).repartition(2),
-          d, partitionBy = spec)
+          d, partitionBy = specB)
         d
       })
       val ps = preds.map(p => IcebergExport.Predicate(p.column, p.op, p.value))
@@ -122,10 +129,11 @@ class IcebergPrunePropertySpec extends SparkSpec {
         })
       }.select("id").as[Long].collect().sorted
       assert(got.toSeq === want.toSeq,
-        s"prune soundness violated for spec=$spec preds=$preds " +
+        s"prune soundness violated for specs=($specA, $specB) preds=$preds " +
           s"(kept $kept/$total)")
     }
-    // the property is vacuous if nothing ever pruned
+    // the property is vacuous if nothing ever pruned / never evolved
     assert(pruned > 5, s"pruning fired only $pruned times across ${cases.size}")
+    assert(evolved > 5, s"spec evolution drawn only $evolved times")
   }
 }

@@ -50,9 +50,10 @@ class IcebergSyncFuzzSpec extends SparkSpec {
       st.commit(freshRows(spark,
         Seq("id" -> "LongType", "v" -> "StringType"), 0, 30)); nextId = 30
       var added = 0
+      var vName = "v" // the string column's CURRENT name (rename target)
       val addedCols = scala.collection.mutable.ArrayBuffer.empty[String]
       for (step <- 0 until 14) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 | 1 => append(5 + rnd.nextInt(10), "append")
           case 2 if st.read().count() > 4 =>
             st.deleteWhereMor(col("id") % 9 === (step % 9).toLong, "id")
@@ -60,7 +61,7 @@ class IcebergSyncFuzzSpec extends SparkSpec {
             st.deleteWherePos(col("id") % 11 === (step % 11).toLong)
           case 4 if st.read().count() > 4 =>
             st.updateMor(col("id") % 7 === (step % 7).toLong,
-              Map("v" -> concat(lit(s"u$step:"), col("v"))), "id")
+              Map(vName -> concat(lit(s"u$step:"), col(vName))), "id")
           case 5 if st.read().count() > 4 =>
             st.deleteWhere(col("id") % 13 === (step % 13).toLong) // cow fold
           case 6 =>
@@ -69,6 +70,10 @@ class IcebergSyncFuzzSpec extends SparkSpec {
           case 7 if addedCols.nonEmpty =>
             val c = addedCols.remove(0)
             st.dropColumn(c)
+          case 8 =>
+            // RENAME (r19): must mirror metadata-only, id carried
+            val n2 = s"v$step"
+            st.renameColumn(vName, n2); vName = n2
           case _ => append(3, "append")
         }
         if (step % 2 == 1 || step == 13) {
@@ -104,7 +109,7 @@ class IcebergSyncFuzzSpec extends SparkSpec {
       export(20)
       val st = new SnapshotTable(spark, store)
       for (step <- 0 until 10) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 | 1 => export(4 + rnd.nextInt(8))
           case 2 =>
             // equality-delete a few ids (some may already be gone — fine)
@@ -126,6 +131,18 @@ class IcebergSyncFuzzSpec extends SparkSpec {
             added += 1
             cols = cols :+ (s"e$added" -> "LongType")
             export(3)
+          case 5 =>
+            // foreign RENAME mid-chain (r19): the mirror must land it as
+            // a store rename (field id carried), never a fold
+            val cands = cols.filter(_._1 != "id")
+            val (o, _) = cands(rnd.nextInt(cands.size))
+            val n2 = s"r${step}_$added"
+            cols = cols.map { case (c, t) => (if (c == o) n2 else c, t) }
+            IcebergExport.exportInternal(
+              freshRows(spark, cols, nextId, 3).coalesce(1),
+              chain, Nil, overwrite = false, Map.empty,
+              renames = Map(o -> n2))
+            nextId += 3
         }
         IcebergExport.syncFromTable(spark, chain, store)
         val back = IcebergExport.readTable(spark, chain)

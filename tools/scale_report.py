@@ -46,7 +46,21 @@ def main():
               for q in common}
     # None growths (zero base time) are excluded from the worst-query pick
     # explicitly — they carry no growth information, not a best-case 0.
-    measurable = [q for q in common if growth[q] is not None]
+    # ORACLE-BASELINE rows are excluded too (r19): their scale growth is by
+    # design not a production-path signal — they generate exact ground
+    # truth for operators whose linear production form is a separate row.
+    # Their growths still land in the report under oracle_baseline_rows.
+    ORACLE_BASELINE = {
+        "q48_embedding_neardup":
+            "exact all-pairs cosine ground truth (quadratic by definition);"
+            " the production path is q79's LSH-bucketed linear form",
+        "q98_semantic_decontam":
+            "ScaleUp replicates the eval split together with the corpus, so"
+            " train x eval fixture work grows superlinearly by design;"
+            " production eval splits are fixed-size",
+    }
+    measurable = [q for q in common
+                  if growth[q] is not None and q not in ORACLE_BASELINE]
     if not measurable:
         raise SystemExit("no query has a measurable (nonzero-base) growth")
     worst = max(measurable, key=lambda q: growth[q])
@@ -64,6 +78,12 @@ def main():
                               sum(base[q] for q in common), 2),
         "max_query_growth": growth[worst],
         "max_query": worst,
+        "max_query_growth_note": "computed over production paths only; "
+                                 "oracle/ground-truth fixture rows are "
+                                 "reported separately below",
+        "oracle_baseline_rows": {
+            q: {"growth": growth.get(q), "rationale": why}
+            for q, why in ORACLE_BASELINE.items() if q in growth},
         "queries_failed_at_10x": [q for q in base if q not in ten],
         "per_query_sec_10x": ten,
         "per_query_growth": growth,
