@@ -57,8 +57,12 @@ object Catalog {
     * SQL-defined views also record their text, so [[IcebergViews]] can
     * export the definitions as public Iceberg view metadata (the
     * semantic-layer interchange direction). */
-  def createOrReplaceView(spark: SparkSession, name: String, df: DataFrame): Unit =
+  def createOrReplaceView(spark: SparkSession, name: String, df: DataFrame): Unit = {
     df.createOrReplaceTempView(name)
+    // a DataFrame REPLACE invalidates any recorded SQL text — exporting
+    // the stale definition would diverge from what the catalog serves
+    synchronized { viewSqlByName.remove(name): Unit }
+  }
 
   def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")

@@ -226,10 +226,15 @@ object IcebergExport {
     val fs = schema.fields.map { f =>
       val newType = normType(f.dataType)
       // a declared rename resolves to its OLD field, carrying the field id
-      // under the new name; it wins over an accidental same-name match
+      // under the new name; it wins over an accidental same-name match.
+      // A column NAMED like a rename SOURCE must not name-match either —
+      // the source's id just moved to the rename target, so a same-export
+      // re-occupant of the old name is an ADD with a fresh id (matching
+      // by name would mint two fields with one id: invalid metadata).
       val renamedFrom: Option[JValue] = renames.collectFirst {
         case (o, n) if n == f.name => o }.flatMap(prevFields.get)
-      renamedFrom.orElse(prevFields.get(f.name)) match {
+      renamedFrom.orElse(
+        if (renames.contains(f.name)) None else prevFields.get(f.name)) match {
         case Some(pf) =>
           val id = (pf \ "id").extract[Int]
           top(f.name) = id
@@ -929,7 +934,7 @@ object IcebergExport {
     * the snapshot's ONLY manifest (nothing carried forward), so current
     * content is exactly `df` while older snapshots keep their files for
     * time travel — the shape [[syncStore]] uses for coarse store mutations. */
-  private[sources] def exportInternal(df: DataFrame, destDir: String,
+  private[graft] def exportInternal(df: DataFrame, destDir: String,
       partitionBy: Seq[String], overwrite: Boolean,
       extraProps: Map[String, String],
       sortOrder: Seq[String] = Nil,
@@ -1741,7 +1746,10 @@ object IcebergExport {
               }
             }
           } else {
-            def tmpName(id: Int) = s"__graft_mirror_tmp_$id"
+            // temp names scope to THIS snapshot: a later identical swap
+            // (a<->b, back, a<->b again) must not mistake an earlier
+            // application's history ops for its own completion
+            def tmpName(id: Int) = s"__graft_mirror_tmp_${sid}_$id"
             require(!cur.exists(_._1.startsWith("__graft_mirror_tmp_")) ||
               renamePairs.exists(p => curMap.contains(tmpName(p._1))),
               "store columns must not use the __graft_mirror_tmp_ prefix")
@@ -1790,20 +1798,35 @@ object IcebergExport {
           case None =>
             st.addColumn(name, dt.sql); cur = cur :+ (name -> dt)
           case Some(have) if have != dt =>
-            (have, dt) match {
-              // a struct that only APPENDS subfields is a foreign NESTED
-              // ADD: mirror each missing subfield as a store nested-add
-              // evolve commit (crash replay skips ones already present)
-              case (hs: StructType, ds: StructType)
-                  if hs.fields.length < ds.fields.length &&
-                    hs.fields.zip(ds.fields).forall { case (a, b) =>
-                      a.name == b.name && a.dataType == b.dataType } =>
-                ds.fields.drop(hs.fields.length).foreach(sub =>
-                  st.addNestedColumn(name, sub.name, sub.dataType.sql))
-              case _ =>
-                // alterColumnType enforces Iceberg-legal promotions and
-                // refuses loudly otherwise — exactly the export-side rule
-                st.alterColumnType(name, dt.sql)
+            // a struct that only APPENDS subfields (recursively — deep
+            // adds too, matching evolveStructJson's export-side grammar)
+            // is a foreign NESTED ADD: mirror each missing path as a
+            // store nested-add evolve commit (crash replay skips paths
+            // already present). Anything else goes to alterColumnType,
+            // which enforces Iceberg-legal promotions and refuses loudly.
+            def addPaths(h: DataType, d: DataType,
+                prefix: String): Option[Seq[(String, DataType)]] =
+              (h, d) match {
+                case (a, b) if a == b => Some(Nil)
+                case (a: StructType, b: StructType)
+                    if a.fields.length <= b.fields.length &&
+                      a.fields.zip(b.fields).forall {
+                        case (af, bf) => af.name == bf.name } =>
+                  val deep = a.fields.zip(b.fields).map { case (af, bf) =>
+                    addPaths(af.dataType, bf.dataType,
+                      if (prefix.isEmpty) af.name else s"$prefix.${af.name}")
+                  }
+                  if (deep.exists(_.isEmpty)) None
+                  else Some(deep.flatMap(_.get).toSeq ++
+                    b.fields.drop(a.fields.length).map(bf =>
+                      (if (prefix.isEmpty) bf.name
+                       else s"$prefix.${bf.name}") -> bf.dataType))
+                case _ => None
+              }
+            addPaths(have, dt, "") match {
+              case Some(paths) => paths.foreach { case (p, t) =>
+                st.addNestedColumn(name, p, t.sql) }
+              case None => st.alterColumnType(name, dt.sql)
             }
             cur = cur.map { case (n, t) => (n, if (n == name) dt else t) }
           case _ =>
@@ -1989,15 +2012,29 @@ object IcebergExport {
     // schema entry + schemas history verbatim (regenerating ids here
     // would reset an evolved chain back to schema-id 0)
     implicit val fmts: Formats = DefaultFormats
+    // delete files are written UNPARTITIONED (empty partition record), so
+    // their manifest must reference a spec whose fields are [] — reuse an
+    // existing unpartitioned spec, else mint one (NOT as default); a
+    // foreign reader otherwise resolves the record against a partitioned
+    // spec's struct and fails
+    val prevSpecsJson = (st.meta \ "partition-specs").children.toList
+    val (delSpecId, delSpecsJson) = prevSpecsJson.find(s =>
+      (s \ "fields").children.isEmpty) match {
+      case Some(s) => ((s \ "spec-id").extract[Int], prevSpecsJson)
+      case None =>
+        val id = prevSpecsJson.map(s => (s \ "spec-id").extract[Int]).max + 1
+        (id, prevSpecsJson :+ (JObject("spec-id" -> JInt(id),
+          "fields" -> JArray(Nil)): JValue))
+    }
     writeSnapshot(spark, destDir, Some(st), st.location,
       JsonMethods.compact(JsonMethods.render(st.schemaAst)),
       (st.meta \ "last-column-id").extract[Int],
       seq, snapshotId, entrySchema, entries,
       manifestContent = 1, addedRows = 0L, operation = "delete",
-      specFields = (st.meta \ "partition-specs").children.headOption
-        .map(s => s \ "fields").getOrElse(JArray(Nil)),
-      specsJson = (st.meta \ "partition-specs").children.toList,
+      specFields = JArray(Nil),
+      specsJson = delSpecsJson,
       defaultSpecId = st.defaultSpecId,
+      manifestSpecId = delSpecId,
       lastPartitionId =
         (st.meta \ "last-partition-id").extractOpt[Int].getOrElse(-1),
       partitionSummary = Map(
@@ -2854,8 +2891,16 @@ object IcebergExport {
               s"equality-delete file keys on field id $id, which the " +
                 "read schema no longer carries (dropped column) — read " +
                 "at a snapshot whose schema still has it")))
+          // the delete parquet carries its WRITE-TIME column names: resolve
+          // the key ids against the ADDING snapshot's schema, so a later
+          // rename stays metadata-only for standing delete files too (one
+          // group = one delete snapshot — seq numbers are per-snapshot)
+          val writeNames: Map[Int, String] = files.headOption
+            .map(f => stateAt(st, f.addedBy).fieldIds.map(_.swap))
+            .getOrElse(idToName)
           val keys = spark.read.parquet(files.map(_.path): _*)
-            .select(cols.map(c => col(c).as(s"__del_$c")): _*)
+            .select(ids.zip(cols).map { case (id, c) =>
+              col(writeNames.getOrElse(id, c)).as(s"__del_$c") }: _*)
           val cond = cols.map(c => df(c) <=> keys(s"__del_$c"))
             .reduce(_ && _) && (df("__ice_dseq") < dseq)
           df = df.join(broadcast(keys), cond, "left_anti")

@@ -2428,13 +2428,19 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case Seq("addnested", parent, child, ddl) =>
         // nested ADD: history rows read the subfield as NULL; withField
         // keeps a NULL struct NULL (idempotent for CDC alignment — a
-        // frame already carrying the subfield keeps its values)
+        // frame already carrying the subfield keeps its values). `child`
+        // may be a dotted path into nested structs.
         val cur = df.schema.fields.find(_.name.equalsIgnoreCase(parent))
-        val has = cur.exists(_.dataType match {
+        def walk(dt: DataType, segs: Seq[String]): Boolean = dt match {
           case s: org.apache.spark.sql.types.StructType =>
-            s.fieldNames.exists(_.equalsIgnoreCase(child))
+            s.fields.find(_.name.equalsIgnoreCase(segs.head)) match {
+              case Some(f) if segs.size == 1 => true
+              case Some(f) => walk(f.dataType, segs.tail)
+              case None => false
+            }
           case _ => false
-        })
+        }
+        val has = cur.exists(f => walk(f.dataType, child.split('.').toSeq))
         if (has || cur.isEmpty) df
         else df.withColumn(cur.get.name, col(cur.get.name)
           .withField(child, lit(null).cast(DataType.fromDDL(ddl))))
@@ -3137,8 +3143,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * permits struct-internal adds with fresh field ids): metadata-only
     * like every evolve commit; rows from before the change read the new
     * subfield as NULL, time travel before it keeps the narrow struct. The
-    * field appends at the END of the struct (the one position the
-    * streaming conform path can reconcile without a reorder). */
+    * field appends at the END of its struct (the one position the
+    * streaming conform path can reconcile without a reorder). `child` may
+    * be a DOTTED path into nested structs ("inner.y" adds y inside
+    * parent.inner). */
   def addNestedColumn(parent: String, child: String, typeDdl: String): Long =
     withRootLock {
       val meta = readMeta()
@@ -3147,13 +3155,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val schema = resolveVersion(meta, head, None).schema
       val pf = schema.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
         throw new IllegalArgumentException(s"no column $parent"))
-      val stType = pf.dataType match {
+      def asStruct(dt: DataType, at: String) = dt match {
         case s: org.apache.spark.sql.types.StructType => s
         case o => throw new IllegalArgumentException(
-          s"$parent is ${o.simpleString}, not a struct")
+          s"$at is ${o.simpleString}, not a struct")
       }
-      require(!stType.fieldNames.exists(_.equalsIgnoreCase(child)),
-        s"field $parent.$child already exists")
+      // walk the dotted path: every intermediate segment must be an
+      // existing struct subfield, the LAST segment must be absent
+      val segs = child.split('.').toSeq
+      val holder = segs.dropRight(1).foldLeft(
+        (asStruct(pf.dataType, parent), parent)) { case ((s, at), seg) =>
+        val f = s.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+          throw new IllegalArgumentException(s"no field $at.$seg"))
+        (asStruct(f.dataType, s"$at.$seg"), s"$at.$seg")
+      }
+      require(!holder._1.fieldNames.exists(_.equalsIgnoreCase(segs.last)),
+        s"field ${holder._2}.${segs.last} already exists")
       DataType.fromDDL(typeDdl) // validate the type spelling at DDL time
       val next = claimVersion(meta)
       appendMeta(next, encodeEvolve(Seq("addnested", pf.name, child, typeDdl)),

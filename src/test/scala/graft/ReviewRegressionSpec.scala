@@ -143,4 +143,145 @@ class ReviewRegressionSpec extends SparkSpec {
       }
     }
   }
+
+  test("r19 review: renaming a column that STANDING equality-delete files " +
+      "key on keeps the chain readable (keys resolve by field id against " +
+      "the delete file's write-time name)") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, SnapshotTable}
+    val root = Files.createTempDirectory("rr_eqren_s").toFile.getAbsolutePath
+    val dest = Files.createTempDirectory("rr_eqren_t").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    IcebergExport.syncStore(spark, root, dest)
+    st.deleteWhereMor(col("k") === 2L, "k") // standing eq-delete file on k
+    IcebergExport.syncStore(spark, root, dest)
+    st.renameColumn("k", "key")
+    st.commit(Seq((4L, "d")).toDF("key", "v"), op = "append")
+    IcebergExport.syncStore(spark, root, dest)
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.columns.toSeq === Seq("key", "v"))
+    assert(back.select("key").as[Long].collect().sorted === Array(1L, 3L, 4L),
+      "the pre-rename delete file must still apply")
+    // the inverse mirror stays consistent too
+    val mirror = Files.createTempDirectory("rr_eqren_m").toFile.getAbsolutePath
+    IcebergExport.syncFromTable(spark, dest, mirror)
+    assert(new SnapshotTable(spark, mirror).read().except(back).isEmpty)
+  }
+
+  test("r19 review: a REPEATED identical swap mirrors every time (temp " +
+      "names scope to the snapshot, not the whole history)") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, SnapshotTable}
+    val dest = Files.createTempDirectory("rr_swap_t").toFile.getAbsolutePath
+    val store = Files.createTempDirectory("rr_swap_s").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L, 100L)).toDF("id", "a", "b"), dest)
+    IcebergExport.syncFromTable(spark, dest, store)
+    def swap(row: (Long, Long, Long)): Unit =
+      IcebergExport.exportInternal(
+        Seq(row).toDF("id", "b", "a").select(col("id"), col("b"), col("a")),
+        dest, Nil, overwrite = false, Map.empty,
+        renames = Map("a" -> "b", "b" -> "a"))
+    swap((2L, 11L, 101L)) // a<->b
+    IcebergExport.syncFromTable(spark, dest, store)
+    swap((3L, 12L, 102L)) // back
+    IcebergExport.syncFromTable(spark, dest, store)
+    swap((4L, 13L, 103L)) // the IDENTICAL swap again
+    IcebergExport.syncFromTable(spark, dest, store)
+    val st = new SnapshotTable(spark, store)
+    val back = IcebergExport.readTable(spark, dest)
+    assert(st.read().except(back).isEmpty && back.except(st.read()).isEmpty,
+      "third swap must apply — history ops from the first must not mask it")
+  }
+
+  test("r19 review: a DEEP nested add (subfield inside a nested struct) " +
+      "mirrors through syncFromTable as a dotted-path evolve commit") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, SnapshotTable}
+    val dest = Files.createTempDirectory("rr_deep_t").toFile.getAbsolutePath
+    val store = Files.createTempDirectory("rr_deep_s").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L, 7L)).toDF("id", "a", "x")
+      .select(col("id"), struct(col("a"),
+        struct(col("x")).as("inner")).as("nest")), dest)
+    IcebergExport.syncFromTable(spark, dest, store)
+    // inner gains y mid-chain
+    IcebergExport.export(Seq((2L, 20L, 8L, "y2")).toDF("id", "a", "x", "y")
+      .select(col("id"), struct(col("a"),
+        struct(col("x"), col("y")).as("inner")).as("nest")), dest)
+    IcebergExport.syncFromTable(spark, dest, store)
+    val st = new SnapshotTable(spark, store)
+    val mops = st.history().select("operation").collect().map(_.getString(0))
+    assert(!mops.contains("overwrite"), s"deep add must not fold: ${mops.toSeq}")
+    val back = IcebergExport.readTable(spark, dest)
+    assert(st.read().except(back).isEmpty && back.except(st.read()).isEmpty)
+    assert(st.read().filter(col("id") === 1L)
+      .select(col("nest.inner.y")).as[Option[String]].collect() === Array(None))
+  }
+
+  test("r19 review: rename + same-export re-add of the OLD name mints a " +
+      "FRESH id for the re-add (never two fields on one id)") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dest = Files.createTempDirectory("rr_renadd_t").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L)).toDF("id", "a"), dest)
+    IcebergExport.exportInternal(
+      Seq((2L, 20L, 30L)).toDF("id", "b", "a")
+        .select(col("id"), col("b"), col("a")),
+      dest, Nil, overwrite = false, Map.empty, renames = Map("a" -> "b"))
+    val meta = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    val cur = (meta \ "schemas").children.maxBy(s =>
+      (s \ "schema-id").extract[Int])
+    val ids = (cur \ "fields").children.map(f => (f \ "id").extract[Int])
+    assert(ids.distinct.size === ids.size, s"duplicate field ids: $ids")
+    // old a's history reads under b; the re-added a is null for old rows
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.select("id", "b", "a").as[(Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+      === Array((1L, 10L, None), (2L, 20L, Some(30L))))
+  }
+
+  test("r19 review: on a PARTITIONED chain, delete manifests reference an " +
+      "UNPARTITIONED spec (their entries carry empty partition records)") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dest = Files.createTempDirectory("rr_delspec_t").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, "us"), (2L, "de")).toDF("id", "region"),
+      dest, partitionBy = Seq("region"))
+    IcebergExport.appendEqualityDeletes(spark, dest,
+      Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    val hint = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dest/metadata/version-hint.text")).trim
+    val meta = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(
+        s"$dest/metadata/v$hint.metadata.json")))
+    assert((meta \ "partition-specs").children.exists(s =>
+      (s \ "fields").children.isEmpty),
+      "an unpartitioned spec must exist for the delete manifest")
+    assert((meta \ "default-spec-id").extract[Int] === 0,
+      "the data spec stays the default")
+    assert(IcebergExport.readTable(spark, dest)
+      .select("id").as[Long].collect() === Array(1L))
+  }
+
+  test("r19 review: replacing a SQL view with a DataFrame view drops the " +
+      "recorded SQL, so exportCatalogViews cannot export a stale definition") {
+    import spark.implicits._
+    import graft.sources.{Catalog => C, IcebergViews}
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("rr_view_src")
+    C.createOrReplaceView(spark, "rr_stale_v",
+      "SELECT count(*) AS n FROM rr_view_src")
+    assert(C.recordedViewSql.contains("rr_stale_v"))
+    C.createOrReplaceView(spark, "rr_stale_v",
+      spark.sql("SELECT 42L AS n"))
+    assert(!C.recordedViewSql.contains("rr_stale_v"),
+      "the DataFrame replace must invalidate the recorded SQL")
+    val root = Files.createTempDirectory("rr_stale_r").toFile.getAbsolutePath
+    assertThrows[IllegalArgumentException](
+      IcebergViews.exportCatalogViews(spark, root, Seq("rr_stale_v")))
+  }
 }
