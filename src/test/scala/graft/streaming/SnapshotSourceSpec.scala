@@ -495,6 +495,59 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(readAll.count() === 4)
   }
 
+  test("adopt-schema-on-evolve: a NESTED struct ADD is a rollover " +
+      "boundary, and pre-add struct deltas RECONCILE under the extended " +
+      "schema (appended subfield null-fills) instead of failing analysis") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_nestroll").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_nestroll_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_nestroll_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 10L)).toDF("id", "a")
+      .select(col("id"), struct(col("a")).as("nest")), op = "append")   // v0
+    st.addNestedColumn("nest", "b", "STRING")                           // v1
+    st.commit(Seq((2L, 20L, "x")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("nest")),
+      op = "append")                                                    // v2
+
+    def run(ck: String, pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+
+    run(ckpt, Some("id BIGINT, nest STRUCT<a: BIGINT>"))
+    // run 1 drains up to the nested-add boundary and ends gracefully
+    assert(spark.read.schema("id BIGINT, nest STRUCT<a: BIGINT>")
+      .parquet(out).count() === 1, "run 1 must stop AT the nested add")
+    run(ckpt) // run 2 re-pins the extended struct; v2 flows, exactly once
+    val readAll = spark.read
+      .schema("id BIGINT, nest STRUCT<a: BIGINT, b: STRING>").parquet(out)
+    assert(readAll.select(col("id"), col("nest.a"), col("nest.b"))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, 10L, None), (2L, 20L, Some("x"))))
+
+    // a FRESH stream (pinned to the CURRENT extended schema) replays v0's
+    // pre-add delta: conform must reconcile the narrow struct by
+    // null-filling the appended subfield, not fail the cast analysis
+    val out2 = Files.createTempDirectory("snapsrc_nestroll_o2").toFile.getAbsolutePath
+    val ck2 = Files.createTempDirectory("snapsrc_nestroll_c2").toFile.getAbsolutePath
+    val r2 = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+      .load(root)
+    r2.writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read
+      .schema("id BIGINT, nest STRUCT<a: BIGINT, b: STRING>").parquet(out2)
+      .select(col("id"), col("nest.a"), col("nest.b"))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, 10L, None), (2L, 20L, Some("x"))))
+  }
+
   test("adopt-schema-on-evolve: a widened-then-DROPPED column is STILL a " +
       "rollover boundary — the restart's re-pinned schema drops it, so " +
       "out-of-range values never fail the batch") {
