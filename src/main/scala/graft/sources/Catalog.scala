@@ -60,17 +60,20 @@ object Catalog {
   def createOrReplaceView(spark: SparkSession, name: String, df: DataFrame): Unit = {
     df.createOrReplaceTempView(name)
     // a DataFrame REPLACE invalidates any recorded SQL text — exporting
-    // the stale definition would diverge from what the catalog serves
-    synchronized { viewSqlByName.remove(name): Unit }
+    // the stale definition would diverge from what the catalog serves.
+    // Keys are lowercased: Spark temp-view names are case-insensitive,
+    // so a replace under a different case must hit the same entry.
+    synchronized { viewSqlByName.remove(name.toLowerCase): Unit }
   }
 
   def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
-    synchronized { viewSqlByName(name) = sql }
+    synchronized { viewSqlByName(name.toLowerCase) = sql }
   }
 
   private val viewSqlByName = scala.collection.mutable.LinkedHashMap.empty[String, String]
-  /** name → SQL text of every SQL-defined view this catalog recorded. */
+  /** lowercased name → SQL text of every SQL-defined view this catalog
+    * recorded (Spark temp-view names are case-insensitive). */
   def recordedViewSql: Map[String, String] = synchronized(viewSqlByName.toMap)
 
   /** D8 — DROP TABLE IF EXISTS. */

@@ -218,6 +218,11 @@ object IcebergExport {
     var last = (st.meta \ "last-column-id").extract[Int]
     val nextId = () => { last += 1; last }
     val top = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // rename sources whose TARGET is actually in the exported schema: only
+    // those moved their id — a declared rename whose target the frame does
+    // not carry is inert, and its source keeps matching by name
+    val movedSources: Set[String] = renames.collect {
+      case (o, n) if schema.fieldNames.contains(n) => o }.toSet
     def promoted(prev: DataType, now: DataType): Boolean = (prev, now) match {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
@@ -234,7 +239,8 @@ object IcebergExport {
       val renamedFrom: Option[JValue] = renames.collectFirst {
         case (o, n) if n == f.name => o }.flatMap(prevFields.get)
       renamedFrom.orElse(
-        if (renames.contains(f.name)) None else prevFields.get(f.name)) match {
+        if (movedSources.contains(f.name)) None
+        else prevFields.get(f.name)) match {
         case Some(pf) =>
           val id = (pf \ "id").extract[Int]
           top(f.name) = id
@@ -1835,7 +1841,24 @@ object IcebergExport {
     }
 
     after.foreach { sid =>
-      if (storeNonEmpty) mirrorEvolution(sid)
+      // an evolution the store cannot express FINE-GRAINED — a mid-struct
+      // insert or subfield reorder (the store's nested adds append at the
+      // end), a non-promotable type change a foreign engine authored, the
+      // ambiguous add+drop with no live parent schema, or leftover staged
+      // temp columns from a pre-upgrade crash — FOLDS this snapshot to one
+      // overwrite of its resolved content: granularity coarsens, content
+      // stays exact, and the sync never wedges on a legal foreign chain.
+      val folded =
+        if (!storeNonEmpty) false
+        else
+          try { mirrorEvolution(sid); false }
+          catch {
+            case _: IllegalArgumentException =>
+              st.commit(readTable(spark, tableDir, Some(sid)), "overwrite")
+              record(sid); synced += sid
+              true
+          }
+      if (!folded) {
       val snapState = stateAt(state, sid)
       kindBySid(sid) match {
         case "append" =>
@@ -1935,6 +1958,8 @@ object IcebergExport {
         case _ => // unreachable: coarse snapshots were folded above
           throw new IllegalStateException(s"unfolded coarse snapshot $sid")
       }
+      }
+      storeNonEmpty = true
     }
     adoptChainMeta()
     synced.toSeq

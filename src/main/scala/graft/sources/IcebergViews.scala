@@ -169,8 +169,10 @@ object IcebergViews {
     * names. */
   def exportCatalogViews(spark: SparkSession, destRoot: String,
       names: Seq[String] = Nil): Seq[String] = {
-    val all = Catalog.recordedViewSql
-    val todo = if (names.isEmpty) all.keys.toSeq.sorted else names
+    val all = Catalog.recordedViewSql // keyed lowercase (temp-view names
+                                      // are case-insensitive)
+    val todo =
+      if (names.isEmpty) all.keys.toSeq.sorted else names.map(_.toLowerCase)
     todo.map { n =>
       val sql = all.getOrElse(n, throw new IllegalArgumentException(
         s"no recorded SQL for view $n — was it created from a DataFrame?"))

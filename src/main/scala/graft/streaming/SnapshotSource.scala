@@ -204,12 +204,21 @@ final class SnapshotSource(
               // restart the re-pinned schema has it (unless the store has
               // since dropped/re-typed the parent — then not adoptable)
               st.evolveNestedAdd(op).exists { case (p, c) =>
-                def hasChild(dt: Option[org.apache.spark.sql.types.DataType]) =
-                  dt.exists {
+                // the child may be a DOTTED path into nested structs —
+                // walk segments, like the replay walker
+                def hasChild(dt: Option[org.apache.spark.sql.types.DataType]) = {
+                  def walk(t: org.apache.spark.sql.types.DataType,
+                      segs: Seq[String]): Boolean = t match {
                     case s: org.apache.spark.sql.types.StructType =>
-                      s.fieldNames.exists(_.equalsIgnoreCase(c))
+                      s.fields.find(_.name.equalsIgnoreCase(segs.head)) match {
+                        case Some(_) if segs.size == 1 => true
+                        case Some(f) => walk(f.dataType, segs.tail)
+                        case None => false
+                      }
                     case _ => false
                   }
+                  dt.exists(walk(_, c.split('.').toSeq))
+                }
                 !hasChild(baseTypes.get(p.toLowerCase)) &&
                   hasChild(currentTypes.get(p.toLowerCase))
               })

@@ -276,12 +276,64 @@ class ReviewRegressionSpec extends SparkSpec {
     C.createOrReplaceView(spark, "rr_stale_v",
       "SELECT count(*) AS n FROM rr_view_src")
     assert(C.recordedViewSql.contains("rr_stale_v"))
-    C.createOrReplaceView(spark, "rr_stale_v",
+    // the replace arrives under a DIFFERENT case — Spark temp-view names
+    // are case-insensitive, and the invalidation must be too
+    C.createOrReplaceView(spark, "RR_STALE_V",
       spark.sql("SELECT 42L AS n"))
     assert(!C.recordedViewSql.contains("rr_stale_v"),
       "the DataFrame replace must invalidate the recorded SQL")
     val root = Files.createTempDirectory("rr_stale_r").toFile.getAbsolutePath
     assertThrows[IllegalArgumentException](
       IcebergViews.exportCatalogViews(spark, root, Seq("rr_stale_v")))
+  }
+
+  test("r19 review: an evolution the store cannot express fine-grained " +
+      "(struct subfield REORDER) folds that snapshot to one overwrite — " +
+      "content exact, sync never wedges — and later snapshots mirror fine") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, SnapshotTable}
+    val dest = Files.createTempDirectory("rr_reord_t").toFile.getAbsolutePath
+    val store = Files.createTempDirectory("rr_reord_s").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L, "p")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("nest")), dest)
+    IcebergExport.syncFromTable(spark, dest, store)
+    // the chain REORDERS the struct's subfields (legal Iceberg — ids
+    // resolve it); the store's nested adds are append-only, so this
+    // snapshot must fold, not wedge
+    IcebergExport.export(Seq((2L, 20L, "q")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("b"), col("a")).as("nest")), dest)
+    IcebergExport.syncFromTable(spark, dest, store)
+    val st = new SnapshotTable(spark, store)
+    val ops1 = st.history().select("operation").collect().map(_.getString(0))
+    assert(ops1.contains("overwrite"), s"reorder must fold: ${ops1.toSeq}")
+    val back = IcebergExport.readTable(spark, dest)
+    assert(st.read().except(back).isEmpty && back.except(st.read()).isEmpty)
+    // the sync is NOT wedged: a later plain append mirrors O(delta)
+    IcebergExport.export(Seq((3L, 30L, "r")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("b"), col("a")).as("nest")), dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    val back2 = IcebergExport.readTable(spark, dest)
+    assert(st.read().except(back2).isEmpty && back2.except(st.read()).isEmpty)
+    assert(st.read().count() === 3)
+  }
+
+  test("r19 review: a declared rename whose TARGET the frame does not " +
+      "carry is inert — the source column keeps its field id and history") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dest = Files.createTempDirectory("rr_inert_t").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L)).toDF("id", "a"), dest)
+    // stale renames map: target 'b' absent from the exported schema
+    IcebergExport.exportInternal(Seq((2L, 20L)).toDF("id", "a"),
+      dest, Nil, overwrite = false, Map.empty, renames = Map("a" -> "b"))
+    val meta = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    assert((meta \ "schemas").children.size === 1,
+      "an inert rename must not evolve the schema at all")
+    assert(IcebergExport.readTable(spark, dest)
+      .select("id", "a").as[(Long, Long)].collect().sorted
+      === Array((1L, 10L), (2L, 20L)), "a's history must keep its values")
   }
 }

@@ -548,6 +548,43 @@ class SnapshotSourceSpec extends SparkSpec {
       === Array((1L, 10L, None), (2L, 20L, Some("x"))))
   }
 
+  test("adopt-schema-on-evolve: a DEEP nested add (dotted path) is a " +
+      "rollover boundary too — the stream stops at it instead of dying on " +
+      "a struct-cast analysis error") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_deeproll").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_deeproll_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_deeproll_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 7L)).toDF("id", "x")
+      .select(col("id"),
+        struct(struct(col("x")).as("inner")).as("nest")), op = "append") // v0
+    st.addNestedColumn("nest", "inner.y", "STRING")                      // v1
+    st.commit(Seq((2L, 8L, "y2")).toDF("id", "x", "y")
+      .select(col("id"),
+        struct(struct(col("x"), col("y")).as("inner")).as("nest")),
+      op = "append")                                                     // v2
+    def run(pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    run(Some("id BIGINT, nest STRUCT<inner: STRUCT<x: BIGINT>>"))
+    assert(spark.read.schema("id BIGINT, nest STRUCT<inner: STRUCT<x: BIGINT>>")
+      .parquet(out).count() === 1, "run 1 must stop AT the deep add")
+    run() // restart adopts; the wide delta flows
+    assert(spark.read
+      .schema("id BIGINT, nest STRUCT<inner: STRUCT<x: BIGINT, y: STRING>>")
+      .parquet(out)
+      .select(col("id"), col("nest.inner.y"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, None), (2L, Some("y2"))))
+  }
+
   test("adopt-schema-on-evolve: a widened-then-DROPPED column is STILL a " +
       "rollover boundary — the restart's re-pinned schema drops it, so " +
       "out-of-range values never fail the batch") {
