@@ -677,21 +677,44 @@ final class SqlScriptRunner(spark: SparkSession,
       //   ALTER TABLE t DROP COLUMN c
       //   ALTER TABLE t RENAME COLUMN a TO b
       //   ALTER TABLE t ALTER COLUMN c TYPE type   -- widening only
+      // Column names may be DOTTED paths into struct columns (Iceberg's
+      // nested evolution, r19 adds + r20 rename/drop/widen): `nest.b`
+      // routes to the nested evolve ops.
       // Unbound tables fall through to Spark's own ALTER TABLE.
       val body = stmt.trim.stripSuffix(";")
-      val pAdd = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+(.+)$".r
-      val pDrop = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*$".r
-      val pRen = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*$".r
-      val pWiden = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+)$".r
+      val pAdd = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ADD\\s+COLUMN\\s+([\\w.]+)\\s+(.+)$".r
+      val pDrop = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+DROP\\s+COLUMN\\s+([\\w.]+)\\s*$".r
+      val pRen = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+RENAME\\s+COLUMN\\s+([\\w.]+)\\s+TO\\s+(\\w+)\\s*$".r
+      val pWiden = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+ALTER\\s+COLUMN\\s+([\\w.]+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+)$".r
+      def split(c: String): Option[(String, String)] = {
+        val i = c.indexOf('.')
+        if (i < 0) None else Some((c.substring(0, i), c.substring(i + 1)))
+      }
       body match {
-        case pAdd(t, c, ty) => snapshotStore(t, "ALTER").addColumn(c, ty.trim)
-        case pDrop(t, c)    => snapshotStore(t, "ALTER").dropColumn(c)
-        case pRen(t, a, b)  => snapshotStore(t, "ALTER").renameColumn(a, b)
-        case pWiden(t, c, ty) =>
-          snapshotStore(t, "ALTER").alterColumnType(c, ty.trim)
+        case pAdd(t, c, ty) => split(c) match {
+          case Some((p, rest)) =>
+            snapshotStore(t, "ALTER").addNestedColumn(p, rest, ty.trim)
+          case None => snapshotStore(t, "ALTER").addColumn(c, ty.trim)
+        }
+        case pDrop(t, c) => split(c) match {
+          case Some((p, rest)) =>
+            snapshotStore(t, "ALTER").dropNestedColumn(p, rest)
+          case None => snapshotStore(t, "ALTER").dropColumn(c)
+        }
+        case pRen(t, a, b) => split(a) match {
+          case Some((p, rest)) =>
+            snapshotStore(t, "ALTER").renameNestedColumn(p, rest, b)
+          case None => snapshotStore(t, "ALTER").renameColumn(a, b)
+        }
+        case pWiden(t, c, ty) => split(c) match {
+          case Some((p, rest)) =>
+            snapshotStore(t, "ALTER").alterNestedColumnType(p, rest, ty.trim)
+          case None => snapshotStore(t, "ALTER").alterColumnType(c, ty.trim)
+        }
         case _ => throw new IllegalArgumentException(
           "expected: ALTER TABLE t ADD COLUMN c type | DROP COLUMN c | " +
-            "RENAME COLUMN a TO b | ALTER COLUMN c TYPE type")
+            "RENAME COLUMN a TO b | ALTER COLUMN c TYPE type " +
+            "(column may be a dotted struct path)")
       }
       None
     } else if (("(?is)^ALTER\\s+TABLE\\s+[\\w.]+\\s+" +

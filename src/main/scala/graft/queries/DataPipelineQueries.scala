@@ -278,6 +278,12 @@ object DataPipelineQueries {
   private val icebergViewFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q142's chain: DECIMAL(18,2)-clustered store commits synced to an
+    * Iceberg chain whose manifests carry spec-serialized decimal bounds
+    * (r20) — amount-range predicates skip files on both sides. */
+  private val icebergDecimalFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q133/q135's shared fixture: orders exported under a HIDDEN
     * years()+bucket() transform spec (the spec's own transform functions —
     * canonical murmur3 buckets, epoch-based years). */
@@ -3810,7 +3816,7 @@ object DataPipelineQueries {
             "the catalog view must export")
           // the definition round-trips byte-exactly through the metadata
           require(IcebergViews.viewSql(s, s"$r/q141_doc_stats")
-            == Catalog.recordedViewSql("q141_doc_stats"),
+            == Catalog.recordedViewSql(s)("q141_doc_stats"),
             "view SQL must round-trip verbatim")
           r
         })
@@ -3819,7 +3825,71 @@ object DataPipelineQueries {
       SELECT lang, count(*) AS n_docs,
              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              count(DISTINCT source) AS n_sources
-      FROM documents WHERE doc_id % 3 = 0 GROUP BY lang"""))
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY lang""")),
+
+    // DECIMAL FILE SKIPPING ACROSS THE INTERCHANGE (r20): the reference's
+    // fact tables cluster on DECIMAL amount columns (finance_example.sql:21
+    // DECIMAL(18,4), insurance_example.sql:21 DECIMAL(18,2), retail.sql:117)
+    // — a 100 TB chain clustered by amount must skip files on amount
+    // predicates. Four store commits clustered by a DECIMAL(18,2) price
+    // sync to an Iceberg chain whose manifests carry the spec's decimal
+    // bounds (minimal big-endian unscaled bytes); the timed read's range
+    // predicate require()s kept < total IN-PLAN, and the oracle replays
+    // filter + aggregate from the raw table.
+    Q("q142_iceberg_decimal_skipping", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      import graft.sources.IcebergExport.Predicate
+      val dest = icebergDecimalFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val root = graft.TempDirs.newDir("graft_icedec_store")
+          val d = graft.TempDirs.newDir("graft_icedec_tbl")
+          val li = t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_returnflag"),
+              col("l_quantity").cast("long").as("qty"),
+              col("l_extendedprice").cast("decimal(18,2)").as("price"))
+          val st = new SnapshotTable(s, root)
+          // four ingest waves clustered on the amount (disjoint price
+          // bands, one file each — the batch-clustered fact shape)
+          val bands = Seq((0L, 20000L), (20000L, 45000L), (45000L, 70000L),
+            (70000L, 200000L))
+          bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+            st.commit(li.filter(col("price") >= BigDecimal(lo) &&
+              col("price") < BigDecimal(hi)).coalesce(1),
+              op = if (i == 0) "overwrite" else "append")
+            // sync per wave: each commit mirrors as its OWN append
+            // snapshot holding exactly its clustered file (one packed
+            // full-export would merge the small bands into one file)
+            require(IcebergExport.syncStore(s, root, d).nonEmpty,
+              s"wave $i must mirror")
+          }
+          // the chain prunes on the DECIMAL bounds: a high-amount range
+          // predicate keeps only its band's file
+          IcebergExport.readTable(s, d, preds = Seq(
+            Predicate("price", ">=", new java.math.BigDecimal("70000.00"))))
+            .count()
+          val (kept, total) = IcebergExport.lastPlanStats
+          require(total >= 4 && kept < total,
+            s"decimal bounds must prune the chain scan: kept $kept/$total")
+          // the STORE's own manifest skipping prunes the same predicate
+          st.readWhere(col("price") >= BigDecimal(70000)).count()
+          val (sk, stot) = st.lastPruneStats
+          require(sk < stot,
+            s"store decimal stats must prune: kept $sk/$stot")
+          d
+        })
+      IcebergExport.readTable(s, dest, preds = Seq(
+        Predicate("price", ">=", new java.math.BigDecimal("70000.00"))))
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("price")).cast("double"), 2).as("sum_price"))
+        .select(col("flag"), col("n_items"), col("sum_price"))
+    }, Some("""
+      SELECT l_returnflag AS flag, count(*) AS n_items,
+             ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 2) AS sum_price
+      FROM lineitem
+      WHERE CAST(l_extendedprice AS DECIMAL(18,2)) >= 70000.00
+      GROUP BY l_returnflag"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

@@ -63,18 +63,37 @@ object Catalog {
     // the stale definition would diverge from what the catalog serves.
     // Keys are lowercased: Spark temp-view names are case-insensitive,
     // so a replace under a different case must hit the same entry.
-    synchronized { viewSqlByName.remove(name.toLowerCase): Unit }
+    synchronized { viewSqlOf(spark).remove(name.toLowerCase): Unit }
   }
 
   def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
-    synchronized { viewSqlByName(name.toLowerCase) = sql }
+    synchronized { viewSqlOf(spark)(name.toLowerCase) = sql }
   }
 
-  private val viewSqlByName = scala.collection.mutable.LinkedHashMap.empty[String, String]
-  /** lowercased name → SQL text of every SQL-defined view this catalog
-    * recorded (Spark temp-view names are case-insensitive). */
-  def recordedViewSql: Map[String, String] = synchronized(viewSqlByName.toMap)
+  // keyed by SESSION, then lowercased view name: temp views are
+  // per-SparkSession, so two sessions defining different SQL under the same
+  // name must not cross-contaminate exportCatalogViews. Weak keys: a closed
+  // session's recordings go with it. NOTE: Catalog.createOrReplaceView is
+  // the only supported mutation path for exportable views — a view replaced
+  // via raw spark.sql leaves its recorded text stale (ReviewRegressionSpec
+  // pins the DataFrame-replace invalidation; the raw-SQL path has no hook).
+  private val viewSqlBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.LinkedHashMap[String, String]]()
+  private def viewSqlOf(spark: SparkSession) = {
+    val cur = viewSqlBySession.get(spark)
+    if (cur != null) cur
+    else {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      viewSqlBySession.put(spark, m)
+      m
+    }
+  }
+  /** lowercased name → SQL text of every SQL-defined view recorded in THIS
+    * session (Spark temp-view names are case-insensitive). */
+  def recordedViewSql(spark: SparkSession): Map[String, String] =
+    synchronized(viewSqlOf(spark).toMap)
 
   /** D8 — DROP TABLE IF EXISTS. */
   def dropTable(spark: SparkSession, name: String): Unit =

@@ -223,11 +223,15 @@ object IcebergExport {
     // not carry is inert, and its source keeps matching by name
     val movedSources: Set[String] = renames.collect {
       case (o, n) if schema.fieldNames.contains(n) => o }.toSet
-    def promoted(prev: DataType, now: DataType): Boolean = (prev, now) match {
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case _ => false
-    }
+    // dotted rename pairs ("col.sub" → "col.newsub") are NESTED renames
+    // scoped to their holder column; evolveStructJson consumes them as
+    // holder-relative paths
+    def nestedRenamesFor(colName: String): Map[String, String] =
+      renames.collect { case (o, n)
+        if o.contains('.') && n.contains('.') &&
+          o.takeWhile(_ != '.') == colName &&
+          n.takeWhile(_ != '.') == colName =>
+        o.substring(colName.length + 1) -> n.substring(colName.length + 1) }
     val fs = schema.fields.map { f =>
       val newType = normType(f.dataType)
       // a declared rename resolves to its OLD field, carrying the field id
@@ -256,18 +260,21 @@ object IcebergExport {
               JsonMethods.compact(JsonMethods.render(
                 pfNamed merge JObject("required" -> JBool(false))))
             else JsonMethods.compact(JsonMethods.render(pfNamed))
-          } else if (promoted(prevType, newType))
+          } else if (promotedPrim(prevType, newType))
             s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${(pf \ "required") == JBool(true) && !f.nullable},"type":${icebergType(newType, nextId)}}"""
-          else evolveStructJson(pf \ "type", newType, nextId) match {
-            // NESTED struct ADD (r19): kept subfields carry their ids,
-            // added ones take fresh ids — metadata-only, like the spec
+          else evolveStructJson(pf \ "type", newType, nextId,
+            nestedRenamesFor(f.name)) match {
+            // NESTED struct evolution (r19 adds; r20 the full family):
+            // kept subfields carry their ids — through declared renames
+            // too — drops leave, promotions widen under the old id, added
+            // subfields take fresh ids. Metadata-only, like the spec.
             case Some(tj) =>
               s"""{"id":$id,"name":"${jsonEsc(f.name)}","required":${(pf \ "required") == JBool(true) && !f.nullable},"type":$tj}"""
             case None => throw new IllegalArgumentException(
               s"incremental export cannot evolve column ${f.name}: " +
                 s"${prevType.simpleString} → ${f.dataType.simpleString} is " +
                 "not an Iceberg-legal promotion (int→long, float→double, " +
-                "or a struct ADDING subfields)")
+                "or a struct add/rename/drop/promote evolution)")
           }
         case None =>
           val id = nextId()
@@ -293,41 +300,75 @@ object IcebergExport {
     }
   }
 
-  /** Evolve a STRUCT field's type json to `now`, carrying nested field ids
-    * for kept subfields (matched by name; recursively for struct-typed
-    * ones) and minting FRESH ids for added subfields — Iceberg's nested
-    * ADD. None = not a pure nested-add evolution (dropped/re-typed
-    * subfields refuse at the caller). */
+  /** Iceberg's legal primitive promotions (shared by top-level and nested
+    * evolution). */
+  private def promotedPrim(prev: DataType, now: DataType): Boolean =
+    (prev, now) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Evolve a STRUCT field's type json to `now` with STABLE subfield ids —
+    * the full nested evolution family (r20): kept subfields (matched by
+    * name, or by a declared RENAME in `renames` — relative dotted paths,
+    * old → new, same holder) carry their ids, legal promotions
+    * (int → long, float → double) keep the id under the new type, DROPPED
+    * subfields simply leave (old files keep their bytes; [[readDataResolved]]
+    * reads by id so a re-added name takes a fresh id and null-fills
+    * history), added subfields mint fresh ids. Recursive for struct-typed
+    * subfields. None = not expressible (a non-promotable type change, or a
+    * rename through a non-struct) — the caller refuses loudly. */
   private def evolveStructJson(prevTypeJson: JValue, now: DataType,
-      nextId: () => Int): Option[String] = {
+      nextId: () => Int,
+      renames: Map[String, String] = Map.empty): Option[String] = {
     implicit val fmts: Formats = DefaultFormats
     (prevTypeJson, now) match {
       case (o: JObject, s: StructType) if (o \ "type") == JString("struct") =>
         val prevByName = (o \ "fields").children.map(f =>
           (f \ "name").extract[String] -> f).toMap
-        // every previous subfield must survive (nested drops out of scope)
-        if (!prevByName.keySet.subsetOf(s.fieldNames.toSet)) None
-        else {
-          val parts = s.fields.toSeq.map { sf =>
-            prevByName.get(sf.name) match {
-              case Some(pf2) =>
-                val pt = sparkType(pf2 \ "type")
-                val nt = normType(sf.dataType)
-                if (pt == nt)
-                  Some(JsonMethods.compact(JsonMethods.render(pf2)))
-                else evolveStructJson(pf2 \ "type", nt, nextId).map { tj =>
-                  val id = (pf2 \ "id").extract[Int]
-                  s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":${(pf2 \ "required") == JBool(true)},"type":$tj}"""
-                }
-              case None =>
-                val id = nextId()
-                Some(s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":false,"type":${icebergType(normType(sf.dataType), nextId)}}""")
-            }
+        // single-segment pairs rename AT this level; dotted pairs with a
+        // shared head segment descend into that subfield
+        val leafRen = renames.filter { case (op2, np) =>
+          !op2.contains('.') && !np.contains('.') }
+        def head(p: String) = p.takeWhile(_ != '.')
+        def tail(p: String) = p.substring(p.indexOf('.') + 1)
+        val deeper: Map[String, Map[String, String]] = renames.toSeq.collect {
+          case (op2, np) if op2.contains('.') && np.contains('.') &&
+            head(op2) == head(np) => (head(op2), tail(op2) -> tail(np))
+        }.groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).toMap }
+        // a rename source whose target this struct carries moved its id —
+        // it must not name-match (same rule as the top level)
+        val moved: Set[String] = leafRen.collect {
+          case (o2, n2) if s.fieldNames.contains(n2) => o2 }.toSet
+        val parts = s.fields.toSeq.map { sf =>
+          val renamedFrom = leafRen.collectFirst {
+            case (o2, n2) if n2 == sf.name => o2 }.flatMap(prevByName.get)
+          renamedFrom.orElse(
+            if (moved.contains(sf.name)) None
+            else prevByName.get(sf.name)) match {
+            case Some(pf2) =>
+              val pt = sparkType(pf2 \ "type")
+              val nt = normType(sf.dataType)
+              val id = (pf2 \ "id").extract[Int]
+              val req = (pf2 \ "required") == JBool(true)
+              if (pt == nt)
+                Some(JsonMethods.compact(JsonMethods.render(
+                  pf2 merge JObject("name" -> JString(sf.name)))))
+              else if (promotedPrim(pt, nt))
+                Some(s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":$req,"type":${icebergType(nt, nextId)}}""")
+              else evolveStructJson(pf2 \ "type", nt, nextId,
+                deeper.getOrElse(sf.name, Map.empty)).map { tj =>
+                s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":$req,"type":$tj}"""
+              }
+            case None =>
+              val id = nextId()
+              Some(s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":false,"type":${icebergType(normType(sf.dataType), nextId)}}""")
           }
-          if (parts.exists(_.isEmpty)) None
-          else Some(
-            s"""{"type":"struct","fields":[${parts.flatten.mkString(",")}]}""")
         }
+        if (parts.exists(_.isEmpty)) None
+        else Some(
+          s"""{"type":"struct","fields":[${parts.flatten.mkString(",")}]}""")
       case _ => None
     }
   }
@@ -424,6 +465,12 @@ object IcebergExport {
       case BooleanType =>
         Some(Array[Byte](if (canonical.toBoolean) 1 else 0))
       case StringType => Some(canonical.getBytes("UTF-8"))
+      case _: DecimalType =>
+        // the spec's decimal serialization: UNSCALED value as the minimal
+        // number of two's-complement big-endian bytes (exactly BigInteger's
+        // toByteArray). The canonical stat is the raw unscaled long the
+        // store's footer pass records for INT32/INT64-physical decimals.
+        Some(java.math.BigInteger.valueOf(canonical.toLong).toByteArray)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -442,6 +489,11 @@ object IcebergExport {
         Some(le(8).put(bytes).flip().asInstanceOf[java.nio.ByteBuffer].getDouble)
       case BooleanType => Some(bytes.headOption.contains(1: Byte))
       case StringType => Some(new String(bytes, "UTF-8"))
+      case d: DecimalType =>
+        // minimal big-endian two's-complement unscaled bytes (handles
+        // negative values and any byte length a foreign writer minimized to)
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.scale))
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -461,6 +513,12 @@ object IcebergExport {
       Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
     case i: java.time.Instant =>
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    // decimals compare as java.math.BigDecimal (compareTo is
+    // scale-insensitive, so a literal at a different scale still orders
+    // correctly against the column's bounds)
+    case d: java.math.BigDecimal => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
     case _ => None
   }
 
@@ -471,6 +529,12 @@ object IcebergExport {
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
     case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
     case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      Some(x.compareTo(y))
+    case (x: java.math.BigDecimal, y: Long) =>
+      Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+    case (x: Long, y: java.math.BigDecimal) =>
+      Some(java.math.BigDecimal.valueOf(x).compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case (x: String, y: String) =>
       val bx = x.getBytes("UTF-8"); val by = y.getBytes("UTF-8")
@@ -975,10 +1039,14 @@ object IcebergExport {
         // dropping a column that LIVE equality-delete files key on would
         // make the chain unreadable (the delete's field id resolves to
         // nothing) — refuse loudly before any data lands. A RENAME is not
-        // a drop: the field id survives under the new name.
+        // a drop: the field id survives under the new name — but only an
+        // EFFECTIVE rename exempts its source (a declared rename whose
+        // target the frame does not carry is inert per evolveSchema's
+        // movedSources rule, so its source is still being dropped).
         val dropped = st.fieldIds.view
           .filterKeys(n => !df.schema.fieldNames.contains(n) &&
-            !renames.contains(n)).toMap
+            !renames.get(n).exists(t => df.schema.fieldNames.contains(t)))
+          .toMap
         if (dropped.nonEmpty) {
           val liveEqIds = plannedOf(spark, st, st.currentSnapshotId)
             .filter(_.content == 2).flatMap(_.equalityIds).toSet
@@ -1350,7 +1418,7 @@ object IcebergExport {
             f.dataType match {
               case IntegerType | LongType | ShortType | ByteType |
                    FloatType | DoubleType | StringType | BooleanType |
-                   DateType | _: TimestampType => true
+                   DateType | _: TimestampType | _: DecimalType => true
               case _ => false
             }).toSeq
           val preds: Seq[Predicate] =
@@ -1458,9 +1526,17 @@ object IcebergExport {
           // (not only after the next one). A RENAME carries its FIELD ID
           // under the new name (the `renames` map): metadata-only in this
           // direction too — readTable resolves pre-rename files by id, so
-          // no data is rewritten and history keeps its values.
+          // no data is rewritten and history keeps its values. A NESTED
+          // rename (r20) rides the same map as a dotted pair; nested
+          // drops/widens need no map entry — evolveStructJson reads them
+          // off the schema delta by subfield name.
           val renames = st.evolveRenamePair(op)
-            .map { case (o, n) => Map(o -> n) }.getOrElse(Map.empty)
+            .map { case (o, n) => Map(o -> n) }
+            .orElse(st.evolveNestedRenamePair(op).map { case (p, path, to) =>
+              val toPath = (path.split('.').dropRight(1) :+ to).mkString(".")
+              Map(s"$p.$path" -> s"$p.$toPath")
+            })
+            .getOrElse(Map.empty)
           val schemaAtV = st.read(Some(v)).schema
           // a store PARTITION evolution re-declares the layout: mirror it
           // as a chain spec evolution (the empty evolving append below
@@ -1698,18 +1774,23 @@ object IcebergExport {
       val tgtFields = (tgt.schemaAst \ "fields").children.map(f =>
         ((f \ "id").extract[Int], (f \ "name").extract[String],
           sparkType(f \ "type")))
+      val tgtFieldAstByName: Map[String, JValue] =
+        (tgt.schemaAst \ "fields").children.map(f =>
+          (f \ "name").extract[String] -> f).toMap
       var cur = st.read().schema.fields.map(f => f.name -> f.dataType).toSeq
       def curMap = cur.toMap
       if (tgtFields.map(t => (t._2, t._3)) == cur) return
-      val parentFieldsOpt: Option[Seq[(Int, String, DataType)]] = for {
+      val parentFieldAstsOpt: Option[Seq[JValue]] = for {
         pid <- (snapJson(sid) \ "parent-snapshot-id").extractOpt[Long]
         pjson <- state.snapshots.find(s =>
           (s \ "snapshot-id").extract[Long] == pid)
         psid <- (pjson \ "schema-id").extractOpt[Int]
         ast <- schemaAstOf(psid)
-      } yield (ast \ "fields").children.map(f =>
-        ((f \ "id").extract[Int], (f \ "name").extract[String],
-          sparkType(f \ "type")))
+      } yield (ast \ "fields").children
+      val parentFieldsOpt: Option[Seq[(Int, String, DataType)]] =
+        parentFieldAstsOpt.map(_.map(f =>
+          ((f \ "id").extract[Int], (f \ "name").extract[String],
+            sparkType(f \ "type"))))
       parentFieldsOpt match {
         case Some(parentFields) =>
           val prevById = parentFields.map(t => t._1 -> t).toMap
@@ -1808,8 +1889,11 @@ object IcebergExport {
             // adds too, matching evolveStructJson's export-side grammar)
             // is a foreign NESTED ADD: mirror each missing path as a
             // store nested-add evolve commit (crash replay skips paths
-            // already present). Anything else goes to alterColumnType,
-            // which enforces Iceberg-legal promotions and refuses loudly.
+            // already present). A nested RENAME/DROP/PROMOTE (r20)
+            // resolves by SUBFIELD ID against the parent snapshot's
+            // schema ast and lands as store nested evolve commits.
+            // Anything else goes to alterColumnType, which enforces
+            // Iceberg-legal promotions and refuses loudly (→ fold).
             def addPaths(h: DataType, d: DataType,
                 prefix: String): Option[Seq[(String, DataType)]] =
               (h, d) match {
@@ -1817,7 +1901,12 @@ object IcebergExport {
                 case (a: StructType, b: StructType)
                     if a.fields.length <= b.fields.length &&
                       a.fields.zip(b.fields).forall {
-                        case (af, bf) => af.name == bf.name } =>
+                        // case-insensitive, like the store's own field
+                        // matching (addNestedColumn, the addnested replay
+                        // walker, SnapshotSource.structAddOnly) — a chain
+                        // whose subfields differ only in case must not
+                        // fall through to alterColumnType and coarse-fold
+                        case (af, bf) => af.name.equalsIgnoreCase(bf.name) } =>
                   val deep = a.fields.zip(b.fields).map { case (af, bf) =>
                     addPaths(af.dataType, bf.dataType,
                       if (prefix.isEmpty) af.name else s"$prefix.${af.name}")
@@ -1832,7 +1921,23 @@ object IcebergExport {
             addPaths(have, dt, "") match {
               case Some(paths) => paths.foreach { case (p, t) =>
                 st.addNestedColumn(name, p, t.sql) }
-              case None => st.alterColumnType(name, dt.sql)
+              case None =>
+                // only STRUCT-shaped changes resolve by subfield id; a
+                // top-level primitive promote goes straight to
+                // alterColumnType (which enforces Iceberg legality)
+                val byId = for {
+                  pAsts <- parentFieldAstsOpt
+                  tAst <- tgtFieldAstByName.get(name)
+                  pAst <- pAsts.find(f => (f \ "id") == (tAst \ "id"))
+                  pT = pAst \ "type"
+                  tT = tAst \ "type"
+                  if (pT \ "type") == JString("struct") &&
+                    (tT \ "type") == JString("struct")
+                } yield (pT, tT)
+                byId match {
+                  case Some((pT, tT)) => nestedMirror(st, name, pT, tT, "")
+                  case None => st.alterColumnType(name, dt.sql)
+                }
             }
             cur = cur.map { case (n, t) => (n, if (n == name) dt else t) }
           case _ =>
@@ -2290,7 +2395,15 @@ object IcebergExport {
       "sort-orders" -> JArray(sortOrders),
       "properties" -> JObject(
         ((prev.map(_.properties).getOrElse(Map.empty) +
-          ("write.format.default" -> "parquet")) ++ extraProps)
+          ("write.format.default" -> "parquet") +
+          // the Iceberg name-mapping spec, refreshed per write from the
+          // CURRENT schema: Spark's parquet writer stamps field ids on
+          // struct-shaped columns only (map key/value and array element
+          // ids have no StructField metadata slot), so a strict foreign
+          // reader resolving purely by id needs this name-based fallback
+          // for those nested positions
+          ("schema.name-mapping.default" ->
+            nameMappingJson(JsonMethods.parse(schemaJson)))) ++ extraProps)
           .toList.sortBy(_._1)
           .map { case (k, v2) => k -> (JString(v2): JValue) }: _*),
       "current-snapshot-id" -> JInt(snapshotId),
@@ -2785,6 +2898,7 @@ object IcebergExport {
         .withColumn("__ice_file", col("_metadata.file_path"))
         .withColumn("__ice_pos", col("_metadata.row_index"))
       else d
+    val targetFieldAsts: Seq[JValue] = (st.schemaAst \ "fields").children
     val targetFields: Seq[(Int, StructField)] =
       st.fields.fields.toSeq.map(f => st.fieldIds(f.name) -> f)
     val targetSchemaId = (st.schemaAst \ "schema-id").extract[Int]
@@ -2792,18 +2906,40 @@ object IcebergExport {
       for { sid <- (s \ "snapshot-id").extractOpt[Long]
             scid <- (s \ "schema-id").extractOpt[Int] } yield sid -> scid
     }.toMap
-    def fieldsById(schemaId: Int): Option[Map[Int, (String, DataType)]] =
+    def fieldAstsById(schemaId: Int): Option[Map[Int, JValue]] =
       (st.meta \ "schemas").children
         .find(s => (s \ "schema-id").extractOpt[Int].contains(schemaId))
         .map(ast => (ast \ "fields").children.map(f =>
-          (f \ "id").extract[Int] ->
-            ((f \ "name").extract[String], sparkType(f \ "type"))).toMap)
-    def needsIdMapping(g: Map[Int, (String, DataType)]): Boolean = {
-      val gNames = g.values.map(_._1).toSet
-      targetFields.exists { case (id, f) =>
-        g.get(id) match {
-          case Some((gname, _)) => gname != f.name // renamed since
-          case None => gNames.contains(f.name) // re-added: old bytes elsewhere
+          (f \ "id").extract[Int] -> f).toMap)
+    // does a name-based read of this group's files misresolve anything —
+    // at the TOP level or (r20) INSIDE a struct? Renamed-since (same id,
+    // new name) and re-added (same name, new id) both need id mapping.
+    def divergesByName(gT: JValue, tT: JValue): Boolean = (gT, tT) match {
+      case (go: JObject, to2: JObject)
+          if (go \ "type") == JString("struct") &&
+            (to2 \ "type") == JString("struct") =>
+        val gFields = (go \ "fields").children.map(f =>
+          (f \ "id").extract[Int] -> f).toMap
+        val gNames = (go \ "fields").children.map(f =>
+          (f \ "name").extract[String]).toSet
+        (to2 \ "fields").children.exists { tf =>
+          gFields.get((tf \ "id").extract[Int]) match {
+            case Some(gf) =>
+              (gf \ "name").extract[String] != (tf \ "name").extract[String] ||
+                divergesByName(gf \ "type", tf \ "type")
+            case None => gNames.contains((tf \ "name").extract[String])
+          }
+        }
+      case _ => false
+    }
+    def needsIdMapping(g: Map[Int, JValue]): Boolean = {
+      val gNames = g.values.map(f => (f \ "name").extract[String]).toSet
+      targetFieldAsts.exists { tf =>
+        g.get((tf \ "id").extract[Int]) match {
+          case Some(gf) =>
+            (gf \ "name").extract[String] != (tf \ "name").extract[String] ||
+              divergesByName(gf \ "type", tf \ "type")
+          case None => gNames.contains((tf \ "name").extract[String])
         }
       }
     }
@@ -2816,29 +2952,192 @@ object IcebergExport {
     val mappingNeeded =
       grouped.keysIterator.map(_._2).toSet.size > 1 ||
         grouped.keysIterator.exists { case (gid, _) =>
-          gid != targetSchemaId && fieldsById(gid).exists(needsIdMapping) }
+          gid != targetSchemaId && fieldAstsById(gid).exists(needsIdMapping) }
     if (!mappingNeeded)
       proved(spark.read.option("basePath", basePath)
         .schema(st.fields)
         .parquet(files.map(_.path): _*))
     else grouped.toSeq.sortBy(_._1).map { case ((gid, _), gFiles) =>
-      val g = fieldsById(gid).getOrElse(
-        targetFields.map { case (id, f) => id -> (f.name, f.dataType) }.toMap)
-      // read the group under ITS OWN names (target types: promotions
-      // widen on read), then project to the target schema by field id
-      val readSchema = StructType(targetFields.flatMap { case (id, f) =>
-        g.get(id).map { case (gname, _) =>
-          StructField(gname, f.dataType, nullable = true) } })
+      val g: Map[Int, JValue] = fieldAstsById(gid).getOrElse(
+        targetFieldAsts.map(f => (f \ "id").extract[Int] -> f).toMap)
+      // read the group under ITS OWN names (target leaf types: promotions
+      // widen on read), then project to the target schema by field id —
+      // recursively through structs (r20: nested renames keep history,
+      // nested re-adds null-fill)
+      val resolved: Seq[(Option[(String, DataType, Column => Column)], StructField)] =
+        targetFields.zip(targetFieldAsts).map { case ((id, f), tAst) =>
+          g.get(id) match {
+            case Some(gf) =>
+              val gname = (gf \ "name").extract[String]
+              val (rt, proj) = resolveTypeById(gf \ "type", tAst \ "type",
+                f.dataType)
+              (Some((gname, rt, proj)), f)
+            case None => (None, f)
+          }
+        }
+      val readSchema = StructType(resolved.collect {
+        case (Some((gname, rt, _)), _) =>
+          StructField(gname, rt, nullable = true) })
       val base = proved(spark.read.option("basePath", basePath)
         .schema(readSchema).parquet(gFiles.map(_.path): _*))
-      val sel = targetFields.map { case (id, f) =>
-        g.get(id) match {
-          case Some((gname, _)) => col(gname).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
+      val sel = resolved.map {
+        case (Some((gname, _, proj)), f) =>
+          proj(col(gname)).cast(allNullable(f.dataType)).as(f.name)
+        case (None, f) => lit(null).cast(allNullable(f.dataType)).as(f.name)
       } ++ (if (withProv) Seq(col("__ice_file"), col("__ice_pos")) else Nil)
       base.select(sel: _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** Mirror a foreign NESTED struct evolution (rename/drop/promote/add, by
+    * SUBFIELD ID against the parent snapshot's type ast) as store nested
+    * evolve commits — metadata-only, crash-replay-safe (each op checks the
+    * store's CURRENT schema first). Refuses (IllegalArgumentException →
+    * the caller's fold) what the store cannot express fine-grained:
+    * subfield reorders, mid-struct inserts (store nested adds append at
+    * the end), dependent rename sets (a nested swap), non-promotable type
+    * changes. `prefix` is the dotted path into `parentCol` ("" at the
+    * top), built from TARGET names (renames apply before descent). */
+  private def nestedMirror(st: SnapshotTable, parentCol: String,
+      pT: JValue, tT: JValue, prefix: String): Unit = {
+    implicit val fmts: Formats = DefaultFormats
+    def pathType(path: String): Option[DataType] = {
+      def walk(t: DataType, segs: Seq[String]): Option[DataType] = t match {
+        case s: StructType => s.fields
+          .find(_.name.equalsIgnoreCase(segs.head))
+          .flatMap(f => if (segs.size == 1) Some(f.dataType)
+            else walk(f.dataType, segs.tail))
+        case _ => None
+      }
+      st.read().schema.fields.find(_.name.equalsIgnoreCase(parentCol))
+        .flatMap(f => walk(f.dataType, path.split('.').toSeq))
+    }
+    (pT, tT) match {
+      case (po: JObject, to2: JObject)
+          if (po \ "type") == JString("struct") &&
+            (to2 \ "type") == JString("struct") =>
+        val pF = (po \ "fields").children.map(f =>
+          ((f \ "id").extract[Int], (f \ "name").extract[String], f \ "type"))
+        val tF = (to2 \ "fields").children.map(f =>
+          ((f \ "id").extract[Int], (f \ "name").extract[String], f \ "type"))
+        val pIds = pF.map(_._1)
+        val tIds = tF.map(_._1).toSet
+        val keptT = tF.filter(f => pIds.contains(f._1))
+        val keptP = pF.filter(f => tIds.contains(f._1))
+        require(keptT.map(_._1) == keptP.map(_._1),
+          s"snapshot reorders subfields of $parentCol.$prefix — " +
+            "the store cannot express a nested reorder")
+        require(tF.reverse.takeWhile(f => !pIds.contains(f._1)).size ==
+          tF.count(f => !pIds.contains(f._1)),
+          s"snapshot inserts a subfield mid-struct in $parentCol.$prefix — " +
+            "store nested adds append at the end")
+        val renamePairs = keptT.flatMap { case (id, tn, _) =>
+          val pn = pF.find(_._1 == id).get._2
+          if (pn != tn) Some((pn, tn)) else None
+        }
+        val srcs = renamePairs.map(_._1).toSet
+        require(!renamePairs.exists(p => srcs.contains(p._2)),
+          s"dependent nested rename set in $parentCol.$prefix (a swap) — " +
+            "the store cannot stage nested temp renames")
+        // drops first (a dropped name may be re-used by a rename target)
+        pF.filterNot(f => tIds.contains(f._1)).foreach { case (_, pn, _) =>
+          if (pathType(s"$prefix$pn").isDefined &&
+              !renamePairs.exists(_._2 == pn))
+            st.dropNestedColumn(parentCol, s"$prefix$pn")
+          else if (pathType(s"$prefix$pn").isDefined)
+            // the dropped name is also a rename TARGET: the store's
+            // occupant under pn is the pre-rename column only if the
+            // rename hasn't run; a single pass can't order these — refuse
+            throw new IllegalArgumentException(
+              s"subfield $pn of $parentCol.$prefix is dropped and " +
+                "re-occupied by a rename in one snapshot")
+        }
+        // renames (replay-safe: only when source present, target absent)
+        renamePairs.foreach { case (pn, tn) =>
+          if (pathType(s"$prefix$pn").isDefined &&
+              pathType(s"$prefix$tn").isEmpty)
+            st.renameNestedColumn(parentCol, s"$prefix$pn", tn)
+        }
+        // promotions + recursion, under TARGET names
+        keptT.foreach { case (id, tn, tAst2) =>
+          val pAst2 = pF.find(_._1 == id).get._3
+          val pt = sparkType(pAst2)
+          val tt = sparkType(tAst2)
+          if (pt != tt) (pt, tt) match {
+            case (_: StructType, _: StructType) =>
+              nestedMirror(st, parentCol, pAst2, tAst2, s"$prefix$tn.")
+            case _ =>
+              if (pathType(s"$prefix$tn").exists(t => t != tt))
+                st.alterNestedColumnType(parentCol, s"$prefix$tn", tt.sql)
+          }
+        }
+        // adds, appended in target order
+        tF.filterNot(f => pIds.contains(f._1)).foreach { case (_, tn, tAst2) =>
+          if (pathType(s"$prefix$tn").isEmpty)
+            st.addNestedColumn(parentCol, s"$prefix$tn", sparkType(tAst2).sql)
+        }
+      case _ => throw new IllegalArgumentException(
+        s"column $parentCol changed type in a way the store cannot mirror " +
+          "fine-grained")
+    }
+  }
+
+  /** Read-side NESTED id resolution (r20): given the type AST a file group
+    * was written under and the target's, return (the read type — group
+    * subfield NAMES with target leaf types, so parquet widens promotions
+    * by name — and a projection rebuilding the target struct shape by
+    * FIELD ID: renamed subfields carry their values, added/re-added ids
+    * null-fill, dropped ones leave; NULL structs stay NULL). Non-struct
+    * positions are identity — structs inside arrays/maps resolve by name,
+    * matching the export's refusal to author renames there. */
+  /** `dt` with every nested nullability flag erased to nullable — cast
+    * targets for reconstruction expressions (casting an expression to a
+    * NOT NULL struct type is an analysis error, and the projection's
+    * null-fills are nullable by nature). */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(allNullable(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(allNullable(k), allNullable(v), valueContainsNull = true)
+    case o => o
+  }
+
+  private def resolveTypeById(gAst: JValue, tAst: JValue,
+      tType: DataType): (DataType, Column => Column) = {
+    implicit val fmts: Formats = DefaultFormats
+    (gAst, tAst, tType) match {
+      case (go: JObject, to2: JObject, ts: StructType)
+          if (go \ "type") == JString("struct") &&
+            (to2 \ "type") == JString("struct") =>
+        val gFields = (go \ "fields").children.map(f =>
+          (f \ "id").extract[Int] -> f).toMap
+        val subs = ts.fields.toSeq.zip((to2 \ "fields").children).map {
+          case (tf, tfAst) =>
+            gFields.get((tfAst \ "id").extract[Int]) match {
+              case Some(gf) =>
+                val gname = (gf \ "name").extract[String]
+                val (rt, proj) =
+                  resolveTypeById(gf \ "type", tfAst \ "type", tf.dataType)
+                (Some((gname, rt, proj)), tf)
+              case None => (None, tf)
+            }
+        }
+        val readType = StructType(subs.collect {
+          case (Some((gn, rt, _)), _) => StructField(gn, rt, nullable = true) })
+        val proj: Column => Column = c => {
+          val parts = subs.map {
+            case (Some((gn, _, p)), tf) =>
+              p(c.getField(gn)).cast(allNullable(tf.dataType)).as(tf.name)
+            case (None, tf) =>
+              lit(null).cast(allNullable(tf.dataType)).as(tf.name)
+          }
+          when(c.isNull, lit(null).cast(allNullable(ts)))
+            .otherwise(struct(parts: _*))
+        }
+        (readType, proj)
+      case _ => (tType, identity)
+    }
   }
 
   def readTable(spark: SparkSession, dir: String,
@@ -2949,6 +3248,41 @@ object IcebergExport {
       (if (keepPos) Seq(col("__ice_file"), col("__ice_pos")) else Nil)
     val out = df.select(outCols: _*)
     preds.foldLeft(out)((d, p) => d.filter(residual(p)))
+  }
+
+  /** The Iceberg NAME-MAPPING spec JSON for a schema AST (spec §"Name
+    * Mapping Serialization"): every field id with its name, recursively —
+    * struct subfields under "fields", list elements as "element", map
+    * sides as "key"/"value". Written as the `schema.name-mapping.default`
+    * table property, the spec's fallback for data files whose parquet
+    * schema lacks (some) field ids. */
+  private[sources] def nameMappingJson(schemaAst: JValue): String = {
+    implicit val fmts: Formats = DefaultFormats
+    def entry(id: Int, names: Seq[String], t: JValue): JValue =
+      JObject(List[(String, JValue)](
+        "field-id" -> JInt(id),
+        "names" -> JArray(names.map(n => JString(n): JValue).toList)) ++
+        nested(t).map(f => "fields" -> (f: JValue)).toList: _*)
+    def nested(t: JValue): Option[JArray] = t match {
+      case o: JObject => (o \ "type") match {
+        case JString("struct") => Some(JArray((o \ "fields").children.map { f =>
+          entry((f \ "id").extract[Int], Seq((f \ "name").extract[String]),
+            f \ "type")
+        }.toList))
+        case JString("list") => Some(JArray(List(
+          entry((o \ "element-id").extract[Int], Seq("element"), o \ "element"))))
+        case JString("map") => Some(JArray(List(
+          entry((o \ "key-id").extract[Int], Seq("key"), o \ "key"),
+          entry((o \ "value-id").extract[Int], Seq("value"), o \ "value"))))
+        case _ => None
+      }
+      case _ => None
+    }
+    JsonMethods.compact(JsonMethods.render(JArray(
+      (schemaAst \ "fields").children.map { f =>
+        entry((f \ "id").extract[Int], Seq((f \ "name").extract[String]),
+          f \ "type")
+      }.toList)))
   }
 
   /** Scheme-insensitive path normalization for joining manifest paths

@@ -169,8 +169,8 @@ object IcebergViews {
     * names. */
   def exportCatalogViews(spark: SparkSession, destRoot: String,
       names: Seq[String] = Nil): Seq[String] = {
-    val all = Catalog.recordedViewSql // keyed lowercase (temp-view names
-                                      // are case-insensitive)
+    val all = Catalog.recordedViewSql(spark) // keyed lowercase (temp-view
+                                             // names are case-insensitive)
     val todo =
       if (names.isEmpty) all.keys.toSeq.sorted else names.map(_.toLowerCase)
     todo.map { n =>

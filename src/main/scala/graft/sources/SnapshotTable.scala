@@ -156,8 +156,11 @@ object SnapshotTable {
   /** Per-column (min, max) over every row group of one parquet footer, in
     * canonical string form; a column is omitted when any row group lacks
     * usable stats, its physical type is unsupported (INT96 timestamps,
-    * decimals, nested), or it is entirely null — omission only disables
-    * pruning for that column, never correctness. */
+    * FIXED_LEN_BYTE_ARRAY decimals past precision 18, nested), or it is
+    * entirely null — omission only disables pruning for that column, never
+    * correctness. Decimal columns at precision ≤ 18 (INT32/INT64 physical —
+    * the reference's DECIMAL(18,2)/(18,4) fact columns) record their raw
+    * UNSCALED values, ordering-equivalent at the column's fixed scale. */
   private[sources] def footerColumnStats(
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata)
       : Map[String, (String, String)] = {
@@ -318,6 +321,19 @@ object SnapshotTable {
     }
     case StringType => Some(v.toString) // internal UTF8String → String
     case BooleanType => v match { case b: Boolean => Some(b); case _ => None }
+    case dt: org.apache.spark.sql.types.DecimalType => v match {
+      // Catalyst internal decimal literal → the stats domain (UNSCALED long
+      // at the column's scale — what footerColumnStats records for the
+      // INT32/INT64 physical decimals Spark writes at precision ≤ 18). A
+      // literal whose scale doesn't land exactly (or whose unscaled value
+      // overflows long) disables pruning on the conjunct, never correctness.
+      case d: org.apache.spark.sql.types.Decimal =>
+        try {
+          val unscaled = d.toJavaBigDecimal.setScale(dt.scale).unscaledValue()
+          if (unscaled.bitLength() < 64) Some(unscaled.longValue()) else None
+        } catch { case _: ArithmeticException => None }
+      case _ => None
+    }
     case _ => None
   }
 
@@ -329,6 +345,9 @@ object SnapshotTable {
     case DoubleType => Some(s.toDouble)
     case StringType => Some(s)
     case BooleanType => s.toBooleanOption
+    // decimal stats are the raw UNSCALED values (ordering-equivalent at one
+    // column's fixed scale; evolution only ever raises precision)
+    case _: org.apache.spark.sql.types.DecimalType => s.toLongOption
     case _ => None
   }
 
@@ -2038,6 +2057,30 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       case _                         => None
     }
 
+  /** The (parent, path, newName) of a NESTED-RENAME evolve commit — what
+    * `IcebergExport.syncStore` mirrors as a chain nested rename (dotted
+    * renames map), field id carried. */
+  private[graft] def evolveNestedRenamePair(op: String)
+      : Option[(String, String, String)] =
+    if (!op.startsWith(EvolveOpPrefix)) None
+    else decodeEvolve(op) match {
+      case Seq("renamenested", p, path, to) => Some((p, path, to))
+      case _                                => None
+    }
+
+  /** The (parent, path) a nested MUTATION evolve commit (rename/drop/widen
+    * inside a struct) touches — the streaming source's rollover-boundary
+    * and drift probe for struct drift a pinned schema cannot carry. */
+  private[graft] def evolveNestedMutation(op: String)
+      : Option[(String, String, String)] =
+    if (!op.startsWith(EvolveOpPrefix)) None
+    else decodeEvolve(op) match {
+      case Seq("renamenested", p, path, _) => Some((p, path, "rename"))
+      case Seq("dropnested", p, path)      => Some((p, path, "drop"))
+      case Seq("widennested", p, path, _)  => Some((p, path, "widen"))
+      case _                               => None
+    }
+
   /** Is this op on MAIN's lineage (a valid time-travel anchor)? Branch
     * commits share the version counter but not the lineage. */
   private[graft] def isMainLineageOp(op: String): Boolean = !isBranchOp(op)
@@ -2444,6 +2487,36 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         if (has || cur.isEmpty) df
         else df.withColumn(cur.get.name, col(cur.get.name)
           .withField(child, lit(null).cast(DataType.fromDDL(ddl))))
+      case Seq("renamenested", parent, path, to) =>
+        // nested RENAME: position-preserving struct rebuild (withField +
+        // dropFields would move the subfield to the end, and the mirror
+        // compare against a foreign chain — whose renames keep position —
+        // must see identical shapes). Idempotent: a frame already renamed
+        // (or never carrying the source path) passes through.
+        df.schema.fields.find(_.name.equalsIgnoreCase(parent)) match {
+          case Some(pf) if nestedPathType(pf.dataType, path).isDefined =>
+            df.withColumn(pf.name, renameNestedExpr(col(pf.name),
+              pf.dataType.asInstanceOf[StructType], path.split('.').toSeq, to))
+          case _ => df
+        }
+      case Seq("dropnested", parent, path) =>
+        // nested DROP: dropFields keeps sibling order and NULL structs NULL;
+        // idempotent (a frame without the path passes through)
+        df.schema.fields.find(_.name.equalsIgnoreCase(parent)) match {
+          case Some(pf) if nestedPathType(pf.dataType, path).isDefined =>
+            df.withColumn(pf.name, col(pf.name).dropFields(path))
+          case _ => df
+        }
+      case Seq("widennested", parent, path, ddl) =>
+        // nested type widening: withField replaces IN PLACE; casting an
+        // already-widened subfield is a no-op, so replay is idempotent
+        df.schema.fields.find(_.name.equalsIgnoreCase(parent)) match {
+          case Some(pf) if nestedPathType(pf.dataType, path).isDefined =>
+            val sub = path.split('.').foldLeft(col(pf.name))(_.getField(_))
+            df.withColumn(pf.name, col(pf.name)
+              .withField(path, sub.cast(DataType.fromDDL(ddl))))
+          case _ => df
+        }
       case Seq("partition", _*) =>
         // partition-spec evolution is LAYOUT-only: the frame a reader sees
         // is unchanged (files written before keep their dirs, files after
@@ -2452,6 +2525,45 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         df
       case other => throw new IllegalStateException(s"bad evolve op: $other")
     }
+
+  /** The type at a dotted subfield path (None when any segment is missing
+    * or not a struct) — the replay/idempotence probe for nested evolve ops. */
+  private def nestedPathType(dt: DataType, path: String): Option[DataType] = {
+    def walk(t: DataType, segs: Seq[String]): Option[DataType] = t match {
+      case s: StructType =>
+        s.fields.find(_.name.equalsIgnoreCase(segs.head)).flatMap(f =>
+          if (segs.size == 1) Some(f.dataType) else walk(f.dataType, segs.tail))
+      case _ => None
+    }
+    walk(dt, path.split('.').toSeq)
+  }
+
+  /** Position-preserving nested rename as a struct-rebuild expression; a
+    * NULL struct stays NULL at every level. */
+  private def renameNestedExpr(c: Column, s: StructType, segs: Seq[String],
+      to: String): Column = {
+    def renameInType(t: StructType, sg: Seq[String]): StructType =
+      StructType(t.fields.map { f =>
+        val renamed =
+          if (f.name.equalsIgnoreCase(sg.head)) {
+            if (sg.size == 1) f.copy(name = to)
+            else f.copy(dataType = renameInType(
+              f.dataType.asInstanceOf[StructType], sg.tail))
+          } else f
+        // nullable cast target: casting an expression to a NOT NULL struct
+        // type is an analysis error
+        renamed.copy(nullable = true)
+      })
+    val parts = s.fields.toSeq.map { f =>
+      if (f.name.equalsIgnoreCase(segs.head)) {
+        if (segs.size == 1) c.getField(f.name).as(to)
+        else renameNestedExpr(c.getField(f.name),
+          f.dataType.asInstanceOf[StructType], segs.tail, to).as(f.name)
+      } else c.getField(f.name).as(f.name)
+    }
+    when(c.isNull, lit(null).cast(renameInType(s, segs)))
+      .otherwise(struct(parts: _*))
+  }
 
   /** The main-lineage version a snapshot's resolution chain is rooted in:
     * branch commits root at the main version their parent walk reaches. */
@@ -3206,6 +3318,112 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     next
   }
 
+  /** Walk a dotted subfield path under column `parent` of `schema`:
+    * returns (holder struct, holder path label, resolved last segment) —
+    * every intermediate segment must be an existing struct subfield and the
+    * LAST segment must exist too (callers renaming/dropping/promoting an
+    * existing subfield). Case-insensitive like the rest of the surface. */
+  private def resolveNestedPath(schema: StructType, parent: String,
+      path: String): (org.apache.spark.sql.types.StructType, String,
+        org.apache.spark.sql.types.StructField, String) = {
+    val pf = schema.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
+      throw new IllegalArgumentException(s"no column $parent"))
+    def asStruct(dt: DataType, at: String) = dt match {
+      case s: org.apache.spark.sql.types.StructType => s
+      case o => throw new IllegalArgumentException(
+        s"$at is ${o.simpleString}, not a struct")
+    }
+    val segs = path.split('.').toSeq
+    val (holder, at) = segs.dropRight(1).foldLeft(
+      (asStruct(pf.dataType, parent), parent)) { case ((s, a), seg) =>
+      val f = s.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+        throw new IllegalArgumentException(s"no field $a.$seg"))
+      (asStruct(f.dataType, s"$a.$seg"), s"$a.$seg")
+    }
+    val last = holder.fields.find(_.name.equalsIgnoreCase(segs.last)).getOrElse(
+      throw new IllegalArgumentException(s"no field $at.${segs.last}"))
+    (holder, at, last, pf.name)
+  }
+
+  /** ALTER TABLE … RENAME COLUMN parent.path TO newName — a NESTED rename
+    * (Iceberg renames subfields by field id): metadata-only, position and
+    * values kept, time travel before the change keeps the old name. `path`
+    * may be dotted into nested structs. */
+  def renameNestedColumn(parent: String, path: String, newName: String): Long =
+    withRootLock {
+      val meta = readMeta()
+      val head = mainHead(meta).getOrElse(
+        throw new IllegalStateException(s"no snapshots at $root"))
+      val schema = resolveVersion(meta, head, None).schema
+      val (holder, at, last, pname) = resolveNestedPath(schema, parent, path)
+      require(!newName.contains('.'),
+        s"rename target $newName must be a bare field name")
+      require(!holder.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"field $at.$newName already exists")
+      val canonical =
+        (path.split('.').dropRight(1) :+ last.name).mkString(".")
+      val next = claimVersion(meta)
+      appendMeta(next,
+        encodeEvolve(Seq("renamenested", pname, canonical, newName)),
+        tableRowsAsOf(meta, head))
+      next
+    }
+
+  /** ALTER TABLE … DROP COLUMN parent.path — a NESTED drop: hidden from
+    * head reads, metadata-only; versions before the drop still carry the
+    * subfield. */
+  def dropNestedColumn(parent: String, path: String): Long = withRootLock {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val schema = resolveVersion(meta, head, None).schema
+    val (holder, at, last, pname) = resolveNestedPath(schema, parent, path)
+    require(holder.fields.length > 1,
+      s"cannot drop the only field $at.${last.name} of its struct")
+    val canonical = (path.split('.').dropRight(1) :+ last.name).mkString(".")
+    val next = claimVersion(meta)
+    appendMeta(next, encodeEvolve(Seq("dropnested", pname, canonical)),
+      tableRowsAsOf(meta, head))
+    next
+  }
+
+  /** ALTER TABLE … ALTER COLUMN parent.path TYPE type — NESTED type
+    * widening, the same legal promotions as [[alterColumnType]], metadata
+    * only. */
+  def alterNestedColumnType(parent: String, path: String,
+      typeDdl: String): Long = withRootLock {
+    val meta = readMeta()
+    val head = mainHead(meta).getOrElse(
+      throw new IllegalStateException(s"no snapshots at $root"))
+    val schema = resolveVersion(meta, head, None).schema
+    val (_, at, last, pname) = resolveNestedPath(schema, parent, path)
+    val to = DataType.fromDDL(typeDdl)
+    require(legalWidening(last.dataType, to),
+      s"ALTER COLUMN $at.${last.name} TYPE $typeDdl: " +
+        s"${last.dataType.simpleString} → ${to.simpleString} is not a legal " +
+        "widening (int→long, float→double, decimal precision increase only)")
+    val canonical = (path.split('.').dropRight(1) :+ last.name).mkString(".")
+    val next = claimVersion(meta)
+    appendMeta(next,
+      encodeEvolve(Seq("widennested", pname, canonical, typeDdl)),
+      tableRowsAsOf(meta, head))
+    next
+  }
+
+  /** Iceberg's legal primitive promotions (shared by the top-level and
+    * nested widen DDLs). */
+  private def legalWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (a: org.apache.spark.sql.types.DecimalType,
+            b: org.apache.spark.sql.types.DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+
   /** ALTER TABLE … ALTER COLUMN name TYPE type — TYPE WIDENING, Iceberg's
     * legal promotions only: int→long (and byte/short upward), float→double,
     * decimal precision increase at the same scale. METADATA-ONLY like every
@@ -3221,17 +3439,8 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(s"no column $name to alter"))
     val to = DataType.fromDDL(typeDdl)
-    val legal = (field.dataType, to) match {
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case (ShortType, IntegerType | LongType)            => true
-      case (IntegerType, LongType)                        => true
-      case (FloatType, DoubleType)                        => true
-      case (a: org.apache.spark.sql.types.DecimalType,
-            b: org.apache.spark.sql.types.DecimalType) =>
-        b.scale == a.scale && b.precision > a.precision
-      case _ => false
-    }
-    require(legal, s"ALTER COLUMN $name TYPE $typeDdl: " +
+    require(legalWidening(field.dataType, to),
+      s"ALTER COLUMN $name TYPE $typeDdl: " +
       s"${field.dataType.simpleString} → ${to.simpleString} is not a legal " +
       "widening (int→long, float→double, decimal precision increase only)")
     val next = claimVersion(meta)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, struct, when}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
@@ -199,6 +199,15 @@ final class SnapshotSource(
                 baseTypes.get(lc).exists(have => have != to &&
                   currentTypes.get(lc).forall(_ != have))
               } ||
+              // a NESTED RENAME/DROP/WIDEN (r20) is a boundary whenever the
+              // parent struct's CURRENT type still differs from the pinned
+              // one — the pinned shape cannot carry the mutated struct, and
+              // a restart re-pins it (mutated-then-reverted parents are
+              // deliberately not boundaries: nothing left to adopt)
+              st.evolveNestedMutation(op).exists { case (p, _, _) =>
+                baseTypes.get(p.toLowerCase).exists(bt =>
+                  currentTypes.get(p.toLowerCase).exists(ct => ct != bt))
+              } ||
               // a NESTED ADD is a boundary like a top-level add: the
               // pinned struct type cannot carry the subfield, and after
               // restart the re-pinned schema has it (unless the store has
@@ -291,6 +300,19 @@ final class SnapshotSource(
               s"mid-stream at commit v=$v: this stream's pinned schema " +
               "keeps the narrow type and out-of-range values would fail — " +
               "restart the stream to adopt the widened schema")
+        }
+      st.evolveNestedMutation(op)
+        .filter { case (p, _, _) => baseTypes.contains(p.toLowerCase) }
+        .foreach { case (p, path, what) =>
+          val verb = what match {
+            case "rename" => "renamed"; case "drop" => "dropped"
+            case _ => "widened"
+          }
+          SnapshotSource.recordDrift(root, baseSchema.json, v,
+            s"store $root $verb nested field '$p.$path' mid-stream at " +
+              s"commit v=$v: this stream's pinned schema keeps the old " +
+              "struct shape (the drifted subfield null-fills or casts " +
+              "back) — restart the stream to adopt the evolved schema")
         }
     }
     val frames =
@@ -423,6 +445,65 @@ final class SnapshotSource(
       acc.withField(tf.name, lit(null).cast(tf.dataType)))
   }
 
+  /** Lossless-or-fail cast back to the pinned type: try_cast(null) catches
+    * overflow/unparseable, the round-trip equality catches lossy-but-valid
+    * casts (1.7 → int 1) — every legal widening round-trips exactly for
+    * values that genuinely fit. Null-safe: if the REVERSE cast itself
+    * nulls out, `=!=` would read SQL NULL as "not lossy" — <=> keeps the
+    * guard firing on that edge. */
+  private def guardedConform(cv: Column,
+      inDt: org.apache.spark.sql.types.DataType,
+      outDt: org.apache.spark.sql.types.DataType, label: String): Column = {
+    val back = cv.try_cast(outDt)
+    val lossy = back.isNull || !(back.try_cast(inDt) <=> cv)
+    when(cv.isNotNull && lossy,
+      raise_error(concat(
+        lit(s"snapshot stream over $root: value "), cv.cast("string"),
+        lit(s" of column $label does not fit the stream's pinned type " +
+          s"${outDt.simpleString} (the store widened the column " +
+          "mid-stream) — restart the stream to adopt the evolved schema")))
+        .cast(outDt))
+      .otherwise(back)
+  }
+
+  /** General struct drift reconcile BY NAME (r20 — nested rename/drop/
+    * promote can leave a delta's struct shape off the pinned one in ways
+    * a positional cast would mis-map or refuse): pinned subfields take the
+    * incoming same-named value (recursing through structs, leaf type
+    * changes through the lossy guard), missing ones null-fill, extras
+    * drop; a NULL struct stays NULL. */
+  private def structReconcile(c: Column,
+      from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType, label: String): Column = {
+    // nullable cast targets: casting an expression to a NOT NULL struct
+    // type is an analysis error, and null-fill is nullable by nature
+    def nn(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = nn(f.dataType), nullable = true)))
+      case o => o
+    }
+    val fromByName = from.fields.map(f => f.name.toLowerCase -> f).toMap
+    val parts = to.fields.toSeq.map { tf =>
+      fromByName.get(tf.name.toLowerCase) match {
+        case Some(ff) if ff.dataType == tf.dataType =>
+          c.getField(ff.name).as(tf.name)
+        case Some(ff) => (ff.dataType, tf.dataType) match {
+          case (fs: org.apache.spark.sql.types.StructType,
+                ts: org.apache.spark.sql.types.StructType) =>
+            structReconcile(c.getField(ff.name), fs, ts,
+              s"$label.${tf.name}").as(tf.name)
+          case _ =>
+            guardedConform(c.getField(ff.name), ff.dataType, tf.dataType,
+              s"$label.${tf.name}").as(tf.name)
+        }
+        case None => lit(null).cast(nn(tf.dataType)).as(tf.name)
+      }
+    }
+    when(c.isNull, lit(null).cast(nn(to))).otherwise(struct(parts: _*))
+  }
+
   private def conform(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
     val inType = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
@@ -439,25 +520,21 @@ final class SnapshotSource(
               .asInstanceOf[org.apache.spark.sql.types.StructType],
             f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
             .as(f.name)
+        case Some(c)
+            if inType(f.name.toLowerCase)
+              .isInstanceOf[org.apache.spark.sql.types.StructType] &&
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          // any OTHER struct drift (nested rename/drop/promote, r20):
+          // reconcile by name — a positional struct cast would mis-map
+          // renamed subfields or fail analysis on count changes
+          structReconcile(col(c),
+            inType(f.name.toLowerCase)
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType], c)
+            .as(f.name)
         case Some(c) =>
-          // lossless iff the cast ROUND-TRIPS: try_cast(null) catches
-          // overflow/unparseable, the round-trip equality catches
-          // lossy-but-valid casts (1.7 → int 1) — every legal widening
-          // round-trips exactly for values that genuinely fit
-          val back = col(c).try_cast(f.dataType)
-          val inDt = inType(f.name.toLowerCase)
-          // null-safe: if the REVERSE cast itself nulls out, `back.try_cast
-          // (inDt) =!= col(c)` would be SQL NULL and when() would read it
-          // as "not lossy" — <=> keeps the guard firing on that edge
-          val lossy = back.isNull || !(back.try_cast(inDt) <=> col(c))
-          when(col(c).isNotNull && lossy,
-            raise_error(concat(
-              lit(s"snapshot stream over $root: value "), col(c).cast("string"),
-              lit(s" of column $c does not fit the stream's pinned type " +
-                s"${f.dataType.simpleString} (the store widened the column " +
-                "mid-stream) — restart the stream to adopt the evolved schema")))
-              .cast(f.dataType))
-            .otherwise(back).as(f.name)
+          guardedConform(col(c), inType(f.name.toLowerCase), f.dataType, c)
+            .as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     } ++ keep.map(col): _*)

@@ -275,12 +275,12 @@ class ReviewRegressionSpec extends SparkSpec {
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("rr_view_src")
     C.createOrReplaceView(spark, "rr_stale_v",
       "SELECT count(*) AS n FROM rr_view_src")
-    assert(C.recordedViewSql.contains("rr_stale_v"))
+    assert(C.recordedViewSql(spark).contains("rr_stale_v"))
     // the replace arrives under a DIFFERENT case — Spark temp-view names
     // are case-insensitive, and the invalidation must be too
     C.createOrReplaceView(spark, "RR_STALE_V",
       spark.sql("SELECT 42L AS n"))
-    assert(!C.recordedViewSql.contains("rr_stale_v"),
+    assert(!C.recordedViewSql(spark).contains("rr_stale_v"),
       "the DataFrame replace must invalidate the recorded SQL")
     val root = Files.createTempDirectory("rr_stale_r").toFile.getAbsolutePath
     assertThrows[IllegalArgumentException](

@@ -43,6 +43,40 @@ class FileSkippingSpec extends SparkSpec {
     assert(t.lastPruneStats._1 === 0L)
   }
 
+  test("DECIMAL predicates prune (r20): unscaled stats + scale-insensitive " +
+      "literals, negatives included — the reference's amount-column class") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("skip_dec").toFile.getAbsolutePath
+    val t = new SnapshotTable(spark, root)
+    // four single-file commits with disjoint DECIMAL(18,2) amount ranges
+    // spanning negative values (refunds) — the finance/insurance fact shape
+    // (finance_example.sql:21, insurance_example.sql:21)
+    (0 to 3).foreach { k =>
+      val lo = k * 100 - 200 // file ranges: [-200,-101], [-100,-1], [0,99], [100,199]
+      val df = Seq.tabulate(100)(i =>
+        (k * 100L + i, BigDecimal(lo + i).setScale(2) + BigDecimal("0.25")))
+        .toDF("id", "amount")
+        .select(col("id"), col("amount").cast("decimal(18,2)").as("amount"))
+        .coalesce(1)
+      t.commit(df, op = if (k == 0) "overwrite" else "append")
+    }
+    val hit = t.readWhere(col("amount") >= BigDecimal("120.00"))
+    assert(hit.count() === 80)
+    assert(t.lastPruneStats === ((1L, 4L)),
+      s"one file covers [100.25, 199.25]; got ${t.lastPruneStats}")
+    // negative range: only the two negative files may hold matches
+    val neg = t.readWhere(col("amount") < BigDecimal("-5.5"))
+    assert(neg.count() === 195)
+    assert(t.lastPruneStats === ((2L, 4L)))
+    // a literal at a DIFFERENT scale still prunes (scale-insensitive compare)
+    t.readWhere(col("amount") === lit(new java.math.BigDecimal("150.2500")))
+    assert(t.lastPruneStats === ((1L, 4L)))
+    // results identical to the unpruned read
+    assert(hit.select("id").as[Long].collect().sorted ===
+      t.read().filter(col("amount") >= BigDecimal("120.00"))
+        .select("id").as[Long].collect().sorted)
+  }
+
   test("string and conjunction predicates prune; uncertainty keeps the file") {
     import spark.implicits._
     val root = Files.createTempDirectory("skip_str").toFile.getAbsolutePath

@@ -1705,6 +1705,114 @@ class IcebergExportSpec extends SparkSpec {
       .select(col("nest.b")).as[Option[String]].collect() === Array(None))
   }
 
+  test("NESTED rename/drop/promote (r20): ids carry through a subfield " +
+      "rename, history reads BY ID, drops leave, promotions widen — and " +
+      "the chain → store mirror lands them as nested evolve commits") {
+    import spark.implicits._
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dest = JFiles.createTempDirectory("icenmut_tbl").toFile.getAbsolutePath
+    def nestOf(rows: org.apache.spark.sql.DataFrame) = rows.select(
+      col("id"), struct(col("a"), col("b"), col("c")).as("nest"))
+    IcebergExport.export(nestOf(Seq((1L, 10L, "x", 7))
+      .toDF("id", "a", "b", "c")), dest)
+    // one evolution: rename a→alpha (id kept), DROP b, promote c int→long
+    IcebergExport.exportInternal(
+      Seq((2L, 20L, 8L)).toDF("id", "alpha", "c")
+        .select(col("id"), struct(col("alpha"), col("c")).as("nest")),
+      dest, Nil, overwrite = false, Map.empty,
+      renames = Map("nest.a" -> "nest.alpha"))
+    val meta = org.json4s.jackson.JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    val cur = (meta \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] ==
+        (meta \ "current-schema-id").extract[Int]).get
+    val nf = ((cur \ "fields").children.find(f =>
+      (f \ "name").extract[String] == "nest").get \ "type" \ "fields").children
+    val byName = nf.map(f => (f \ "name").extract[String] ->
+      ((f \ "id").extract[Int], (f \ "type").values.toString)).toMap
+    assert(byName.keySet === Set("alpha", "c"))
+    assert(byName("alpha")._1 === 3, "renamed subfield keeps a's field id")
+    assert(byName("c") === ((5, "long")), "promoted subfield keeps its id")
+    // the read resolves the OLD file's subfields BY ID: a's bytes surface
+    // under alpha, b leaves, c widens
+    val back = IcebergExport.readTable(spark, dest)
+    assert(back.select(col("id"), col("nest.alpha"), col("nest.c"))
+      .as[(Long, Long, Long)].collect().sorted
+      === Array((1L, 10L, 7L), (2L, 20L, 8L)))
+    // pre-evolution time travel keeps the old shape
+    val first = IcebergExport.snapshotIds(spark, dest).head
+    val oldNest = IcebergExport.readTable(spark, dest, Some(first))
+      .schema("nest").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(oldNest.fieldNames.toSeq === Seq("a", "b", "c"))
+    assert(oldNest("c").dataType === org.apache.spark.sql.types.IntegerType)
+
+    // chain → store: nested rename/drop/promote mirror as evolve commits
+    val mirror = JFiles.createTempDirectory("icenmut_mirror").toFile.getAbsolutePath
+    IcebergExport.syncFromTable(spark, dest, mirror)
+    val mt = new SnapshotTable(spark, mirror)
+    val mops = mt.history().select("operation").collect().map(_.getString(0))
+    assert(!mops.contains("overwrite"), s"no fold: ${mops.toSeq}")
+    assert(mops.exists(_.startsWith("evolve:")), s"evolves: ${mops.toSeq}")
+    assert(sameRows(mt.read(), back))
+    assert(mt.read().schema("nest").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("alpha", "c"))
+    // replay tolerance: a second tick changes nothing
+    assert(IcebergExport.syncFromTable(spark, dest, mirror).isEmpty)
+    assert(sameRows(mt.read(), back))
+  }
+
+  test("NESTED rename in the STORE mirrors to the chain metadata-only " +
+      "(r20): zero data files rewritten, pre-rename chain time travel " +
+      "keeps the old subfield name") {
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("icenmut_store").toFile.getAbsolutePath
+    val chain = JFiles.createTempDirectory("icenmut_chain").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 5L, 2)).toDF("id", "a", "w")
+      .select(col("id"), struct(col("a"), col("w")).as("nest")))
+    IcebergExport.syncStore(spark, root, chain)
+    val before = IcebergExport.plannedFiles(spark, chain).map(_._1).toSet
+    st.renameNestedColumn("nest", "a", "alpha")
+    st.alterNestedColumnType("nest", "w", "BIGINT")
+    st.commit(Seq((2L, 6L, 3L)).toDF("id", "alpha", "w")
+      .select(col("id"), struct(col("alpha"), col("w")).as("nest")),
+      op = "append")
+    assert(IcebergExport.syncStore(spark, root, chain) === Seq(1L, 2L, 3L))
+    assert(before.subsetOf(
+      IcebergExport.plannedFiles(spark, chain).map(_._1).toSet),
+      "nested rename/widen must rewrite zero data files")
+    assert(sameRows(IcebergExport.readTable(spark, chain), st.read()))
+    assert(st.read().select(col("nest.alpha"), col("nest.w"))
+      .as[(Long, Long)].collect().sorted === Array((5L, 2L), (6L, 3L)))
+    val first = IcebergExport.snapshotIds(spark, chain).head
+    assert(IcebergExport.readTable(spark, chain, Some(first))
+      .schema("nest").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("a", "w"),
+      "pre-rename chain time travel keeps the old subfield name")
+  }
+
+  test("a foreign MID-STRUCT insert still folds (the store cannot express " +
+      "it) — content stays exact, granularity coarsens honestly") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("icemid_tbl").toFile.getAbsolutePath
+    IcebergExport.export(Seq((1L, 10L, 7L)).toDF("id", "a", "c")
+      .select(col("id"), struct(col("a"), col("c")).as("nest")), dest)
+    val mirror = JFiles.createTempDirectory("icemid_mirror").toFile.getAbsolutePath
+    IcebergExport.syncFromTable(spark, dest, mirror)
+    // the foreign engine inserts b BETWEEN a and c
+    IcebergExport.export(Seq((2L, 20L, "x", 8L)).toDF("id", "a", "b", "c")
+      .select(col("id"), struct(col("a"), col("b"), col("c")).as("nest")),
+      dest)
+    IcebergExport.syncFromTable(spark, dest, mirror)
+    val mt = new SnapshotTable(spark, mirror)
+    val mops = mt.history().select("operation").collect().map(_.getString(0))
+    assert(mops.contains("overwrite"),
+      s"a mid-struct insert must fold: ${mops.toSeq}")
+    assert(sameRows(mt.read(), IcebergExport.readTable(spark, dest)))
+  }
+
   test("exported data files carry parquet FIELD IDS (nested included), so " +
       "real id-resolving Iceberg readers survive renames too") {
     import spark.implicits._
@@ -1729,5 +1837,98 @@ class IcebergExportSpec extends SparkSpec {
         Option(f.getId).map(_.intValue)).toSeq === Seq(4, 5),
         "nested struct fields carry fresh ids")
     } finally reader.close()
+  }
+
+  test("DECIMAL bounds cross the export (r20): spec-serialized unscaled " +
+      "big-endian bytes, range + IN pruning, negatives, scale-insensitive " +
+      "literals") {
+    import spark.implicits._
+    val dest = JFiles.createTempDirectory("icedec_tbl").toFile.getAbsolutePath
+    // 4 files clustered by a DECIMAL(18,2) amount spanning negatives
+    val df = Seq.tabulate(400) { i =>
+      (i.toLong, BigDecimal(i - 200).setScale(2) + BigDecimal("0.25"))
+    }.toDF("id", "amount")
+      .select(col("id"), col("amount").cast("decimal(18,2)").as("amount"))
+      .repartitionByRange(4, col("amount"))
+      .sortWithinPartitions("amount")
+    IcebergExport.export(df, dest)
+    assert(IcebergExport.plannedFiles(spark, dest).size === 4)
+
+    def prunes(p: IcebergExport.Predicate*): (Long, Long) = {
+      IcebergExport.readTable(spark, dest, preds = p.toSeq).count()
+      IcebergExport.lastPlanStats
+    }
+    // range predicate on the decimal column prunes to its covering files
+    val (k1, t1) = prunes(
+      IcebergExport.Predicate("amount", ">=", new java.math.BigDecimal("150.00")))
+    assert(t1 === 4L && k1 < t1, s"kept $k1 of $t1")
+    // negative range (negative unscaled values serialize as
+    // two's-complement minimal bytes — the sign-handling pin)
+    val (k2, _) = prunes(
+      IcebergExport.Predicate("amount", "<", new java.math.BigDecimal("-150")))
+    assert(k2 === 1L, s"kept $k2")
+    // IN + scale-mismatched literals still prune and still match
+    val got = IcebergExport.readTable(spark, dest, preds = Seq(
+      IcebergExport.Predicate("amount", "in", Seq(
+        new java.math.BigDecimal("-199.7500"), BigDecimal("150.25")))))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 350L))
+    assert(IcebergExport.lastPlanStats._1 === 2L)
+    // full equality of pruned vs unpruned-filtered (the soundness contract)
+    val p = Seq(IcebergExport.Predicate("amount", "<=",
+      new java.math.BigDecimal("-0.5")))
+    assert(IcebergExport.readTable(spark, dest, preds = p)
+      .select("id").as[Long].collect().sorted ===
+      IcebergExport.readTable(spark, dest)
+        .filter(col("amount") <= BigDecimal("-0.5"))
+        .select("id").as[Long].collect().sorted)
+  }
+
+  test("schema.name-mapping.default property: the spec's name-based id " +
+      "fallback covers list-element and map key/value ids Spark's parquet " +
+      "writer cannot stamp") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val dest = JFiles.createTempDirectory("icenm_tbl").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, Seq("a", "b"), Map("k" -> 2L), (3L, "x")))
+        .toDF("id", "tags", "m", "nest"), dest)
+    val meta = JsonMethods.parse(JFiles.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")))
+    val nm = (meta \ "properties" \ "schema.name-mapping.default")
+      .extract[String]
+    val mapping = JsonMethods.parse(nm).children
+    def entryOf(root: Seq[JValue], name: String): JValue =
+      root.find(e => (e \ "names").children.contains(JString(name))).getOrElse(
+        fail(s"name-mapping misses $name in ${JsonMethods.compact(
+          JsonMethods.render(JArray(root.toList)))}"))
+    // ids must agree with the schema AST: id=1, tags=2 (element 3),
+    // m=4 (key 5, value 6), nest=7 (a=8, b=9) — icebergSchema's visit order
+    assert((entryOf(mapping, "id") \ "field-id").extract[Int] === 1)
+    val tags = entryOf(mapping, "tags")
+    assert((tags \ "field-id").extract[Int] === 2)
+    assert((entryOf((tags \ "fields").children, "element") \ "field-id")
+      .extract[Int] === 3)
+    val m = entryOf(mapping, "m")
+    assert((entryOf((m \ "fields").children, "key") \ "field-id")
+      .extract[Int] === 5)
+    assert((entryOf((m \ "fields").children, "value") \ "field-id")
+      .extract[Int] === 6)
+    val nest = entryOf(mapping, "nest")
+    assert((nest \ "fields").children.size === 2)
+    // the mapping REFRESHES on evolution: a renamed column's entry carries
+    // the new name under the old id
+    IcebergExport.exportInternal(
+      Seq((2L, Seq("c"), Map("j" -> 4L), (5L, "y")))
+        .toDF("doc", "tags", "m", "nest"),
+      dest, Nil, overwrite = false, Map.empty,
+      renames = Map("id" -> "doc"))
+    val meta2 = JsonMethods.parse(JFiles.readString(java.nio.file.Paths.get(
+      s"$dest/metadata/v2.metadata.json")))
+    val nm2 = JsonMethods.parse(
+      (meta2 \ "properties" \ "schema.name-mapping.default").extract[String])
+    assert((entryOf(nm2.children, "doc") \ "field-id").extract[Int] === 1)
   }
 }

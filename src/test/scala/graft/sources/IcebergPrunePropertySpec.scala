@@ -32,10 +32,19 @@ class IcebergPrunePropertySpec extends SparkSpec {
   private val predGen: Gen[Seq[P]] = {
     val ops = Gen.oneOf("=", "!=", "<", "<=", ">", ">=", "in")
     val one = for {
-      col <- Gen.oneOf("id", "d", "ts", "s", "maybe")
+      col <- Gen.oneOf("id", "d", "ts", "s", "maybe", "amt")
       op <- if (col == "maybe") Gen.oneOf("isnull", "notnull") else ops
       vg = col match {
         case "id" => Gen.chooseNum(-5L, 70L).map(x => x: Any)
+        // decimal literals at scales 1 and 3 — DELIBERATELY not the
+        // column's scale 2, so the bounds compare has to be
+        // scale-insensitive; range spans the column's negative values
+        // (negative-unscaled two's-complement encodings)
+        case "amt" => Gen.frequency(
+          (2, Gen.chooseNum(-1200L, 1700L)
+            .map(n => java.math.BigDecimal.valueOf(n, 1): Any)),
+          (1, Gen.chooseNum(-120000L, 170000L)
+            .map(n => java.math.BigDecimal.valueOf(n, 3): Any)))
         case "d" => Gen.frequency(
           (3, Gen.chooseNum(0, 900).map(n =>
             java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1)
@@ -85,7 +94,12 @@ class IcebergPrunePropertySpec extends SparkSpec {
         Seq("aa", "ab", "ba", "bz", "ca")(i % 5),
         if (i % 4 == 0) null else s"m$i")
     }
+    // a DECIMAL(12,2) amount column with NEGATIVE values: decimal bounds
+    // serialize as minimal big-endian unscaled bytes (r20) and the negative
+    // encodings are the easy ones to get wrong
     val df = rows.toDF("id", "d", "ts", "s", "maybe")
+      .withColumn("amt",
+        ((col("id") * lit(37) - lit(900)) / lit(8.0)).cast("decimal(12,2)"))
 
     // each table takes TWO independently drawn specs — equal draws exercise
     // the single-spec path, unequal ones SPEC EVOLUTION (r19): the second

@@ -59,6 +59,16 @@ def main():
             " train x eval fixture work grows superlinearly by design;"
             " production eval splits are fixed-size",
     }
+    # The exclusion list must not drift silently: an ORACLE_BASELINE name
+    # absent from the measured set (renamed/retired query) is a loud error —
+    # otherwise the worst-growth gate would quietly stop excluding it and the
+    # disclosure block would drop the rationale without a trace.
+    missing_excl = [q for q in ORACLE_BASELINE if q not in growth]
+    if missing_excl:
+        raise SystemExit(
+            f"ORACLE_BASELINE names not in the measured query set: "
+            f"{missing_excl} — update the exclusion list to match the "
+            f"registry (was a query renamed?)")
     measurable = [q for q in common
                   if growth[q] is not None and q not in ORACLE_BASELINE]
     if not measurable:
