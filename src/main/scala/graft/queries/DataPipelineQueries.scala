@@ -284,6 +284,13 @@ object DataPipelineQueries {
   private val icebergDecimalFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q143's mirrored store: a NESTED struct-subfield RENAME mid-chain
+    * (r20) crossed in both directions metadata-only — subfield ids carry
+    * through the store's renamenested evolve op and the chain's nested
+    * schema evolution; pre-rename history reads by id in both engines. */
+  private val icebergNestedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q133/q135's shared fixture: orders exported under a HIDDEN
     * years()+bucket() transform spec (the spec's own transform functions —
     * canonical murmur3 buckets, epoch-based years). */
@@ -3889,7 +3896,85 @@ object DataPipelineQueries {
                         AS DOUBLE), 2) AS sum_price
       FROM lineitem
       WHERE CAST(l_extendedprice AS DECIMAL(18,2)) >= 70000.00
-      GROUP BY l_returnflag"""))
+      GROUP BY l_returnflag""")),
+
+    // NESTED STRUCT EVOLUTION ACROSS THE INTERCHANGE (r20): the
+    // reference's AI pipelines build ROW-typed columns
+    // (logistics_AI.sql:135-140, media_ai.sql:101-106) — a long-lived
+    // table of those eventually renames a subfield. A store struct
+    // column's subfield renamed mid-chain crosses in BOTH directions
+    // metadata-only: store renamenested evolve → chain nested schema
+    // evolution (zero data files rewritten, pre-rename time travel keeps
+    // the old subfield name), foreign chain → second store as a
+    // renamenested evolve commit, with history read BY SUBFIELD ID in
+    // both engines.
+    Q("q143_iceberg_nested_rename", (s, dir) => {
+      import graft.sources.{IcebergExport, SnapshotTable}
+      val root = icebergNestedFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val a = graft.TempDirs.newDir("graft_icenest_store")
+          val st = new SnapshotTable(s, a)
+          val docs = t(s, dir, "documents")
+            .filter(col("doc_id") < 500)
+            .select(col("doc_id"), col("lang"),
+              struct(col("n_chars").as("n_chars"),
+                col("source").as("source")).as("meta"))
+          st.commit(docs.filter(col("doc_id") < 250))                 // v0
+          val d = graft.TempDirs.newDir("graft_icenest_tbl")
+          IcebergExport.syncStore(s, a, d)
+          val before = IcebergExport.plannedFiles(s, d).map(_._1).toSet
+          st.renameNestedColumn("meta", "n_chars", "length")          // v1
+          st.commit(docs.filter(col("doc_id") >= 250)
+            .withColumn("meta", struct(col("meta.n_chars").as("length"),
+              col("meta.source").as("source"))), op = "append")       // v2
+          require(IcebergExport.syncStore(s, a, d) == Seq(1L, 2L),
+            "sync must mirror the nested rename + append, nothing coarser")
+          require(before.subsetOf(
+            IcebergExport.plannedFiles(s, d).map(_._1).toSet),
+            "a nested rename must rewrite ZERO data files")
+          val first = IcebergExport.snapshotIds(s, d).head
+          require(IcebergExport.readTable(s, d, Some(first))
+            .select(col("meta.n_chars")).columns.contains("n_chars"),
+            "pre-rename chain time travel must keep the old subfield name")
+          // inverse direction: the foreign nested rename mirrors as a
+          // store renamenested evolve commit, never a fold
+          val b = graft.TempDirs.newDir("graft_icenest_mirror")
+          IcebergExport.syncFromTable(s, d, b)
+          val mt = new SnapshotTable(s, b)
+          val mops = mt.history().select("operation").collect()
+            .map(_.getString(0))
+          require(mops.exists(_.startsWith("evolve:")),
+            s"the nested rename must land as an evolve commit: ${mops.toSeq}")
+          require(!mops.contains("overwrite"),
+            s"a foreign nested rename must not coarse-fold: ${mops.toSeq}")
+          // subfield id carried: head reads the NEW name, store time
+          // travel to v0 keeps the OLD one — with the same values
+          val headMeta = mt.read().schema("meta").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          require(headMeta.fieldNames.contains("length") &&
+            !headMeta.fieldNames.contains("n_chars"),
+            s"mirror head must carry the renamed subfield: $headMeta")
+          val v0Meta = mt.read(Some(0L)).schema("meta").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          require(v0Meta.fieldNames.contains("n_chars"),
+            s"mirror time travel must keep the pre-rename subfield: $v0Meta")
+          val back = IcebergExport.readTable(s, d)
+          require(mt.read().except(back).isEmpty &&
+            back.except(mt.read()).isEmpty,
+            "mirrored store must equal the chain's own read")
+          b
+        })
+      new SnapshotTable(s, root).read()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("meta.length")).cast("long").as("sum_len"),
+          count(when(col("meta.source") === "web", 1)).as("n_web"))
+    }, Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_len,
+             count(CASE WHEN source = 'web' THEN 1 END) AS n_web
+      FROM documents WHERE doc_id < 500
+      GROUP BY lang"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

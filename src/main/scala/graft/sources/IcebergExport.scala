@@ -2049,9 +2049,43 @@ object IcebergExport {
               withProv = true)
               .withColumnRenamed("__ice_file", "__f")
               .withColumnRenamed("__ice_pos", "__p")
-            val deletedVals = data.join(broadcast(dels),
+            var cand = data.join(broadcast(dels),
               normPath(col("__f")) === normPath(dels("file_path")) &&
                 col("__p") === dels("pos"), "left_semi")
+            // a position delete may name a row an EQUALITY delete already
+            // hides (seq rule: eqdel applies to strictly older data files)
+            // — a read-side no-op the store must not re-delete, or the
+            // multiset requests more copies than are live. Subtract them,
+            // resolving key ids against each delete file's write-time
+            // names exactly as the read path does.
+            val eqFiles = planned(sid).filter(_.content == 2)
+            if (eqFiles.nonEmpty) {
+              import spark.implicits._
+              val seqDf = targets.map(f => (f.path, f.seq))
+                .toDF("__f2", "__dseq")
+              cand = cand.join(broadcast(seqDf),
+                normPath(col("__f")) === normPath(col("__f2")), "left")
+                .drop("__f2")
+              val idToName2 = snapState.fieldIds.map(_.swap)
+              eqFiles.groupBy(f => (f.seq, f.equalityIds)).toSeq
+                .sortBy(_._1._1).foreach { case ((dseq, ids), files) =>
+                  val cols = ids.map(id => idToName2.getOrElse(id,
+                    throw new IllegalStateException(
+                      s"equality-delete file keys on field id $id, absent " +
+                        s"from snapshot $sid's schema")))
+                  val writeNames: Map[Int, String] = files.headOption
+                    .map(f => stateAt(snapState, f.addedBy).fieldIds
+                      .map(_.swap))
+                    .getOrElse(idToName2)
+                  val keys = spark.read.parquet(files.map(_.path): _*)
+                    .select(ids.zip(cols).map { case (id, c) =>
+                      col(writeNames.getOrElse(id, c)).as(s"__del_$c") }: _*)
+                  val cond = cols.map(c => cand(c) <=> keys(s"__del_$c"))
+                    .reduce(_ && _) && (cand("__dseq") < dseq)
+                  cand = cand.join(broadcast(keys), cond, "left_anti")
+                }
+            }
+            val deletedVals = cand
               .select(snapState.fields.fields.map { f =>
                 if (partCols(f.name)) col(f.name).cast(f.dataType).as(f.name)
                 else col(f.name)

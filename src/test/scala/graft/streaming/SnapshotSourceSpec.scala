@@ -585,6 +585,71 @@ class SnapshotSourceSpec extends SparkSpec {
       === Array((1L, None), (2L, Some("y2"))))
   }
 
+  test("adopt-schema-on-evolve: a NESTED RENAME then a NESTED DROP are " +
+      "each a rollover boundary, and a pre-rename struct delta reconciles " +
+      "BY NAME under the re-pinned schema (renamed subfield null-fills in " +
+      "a fresh stream, like a top-level rename)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_nestren").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_nestren_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_nestren_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 10L, "x")).toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("nest")),
+      op = "append")                                                    // v0
+    st.renameNestedColumn("nest", "b", "c")                             // v1
+    st.commit(Seq((2L, 20L, "y")).toDF("id", "a", "c")
+      .select(col("id"), struct(col("a"), col("c")).as("nest")),
+      op = "append")                                                    // v2
+    def run(pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    run(Some("id BIGINT, nest STRUCT<a: BIGINT, b: STRING>"))
+    // run 1 drains exactly up to the nested-rename boundary
+    assert(spark.read.schema("id BIGINT, nest STRUCT<a: BIGINT, b: STRING>")
+      .parquet(out).count() === 1, "run 1 must stop AT the nested rename")
+    run() // run 2 re-pins the renamed struct; v2 flows, exactly once
+    assert(spark.read
+      .schema("id BIGINT, nest STRUCT<a: BIGINT, c: STRING>").parquet(out)
+      .select(col("id"), col("nest.a"), col("nest.c"))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, 10L, None), (2L, 20L, Some("y"))))
+
+    // a nested DROP is a boundary too: run 3 drains nothing new, run 4
+    // adopts the narrowed struct and the post-drop delta flows
+    st.dropNestedColumn("nest", "a")                                    // v3
+    st.commit(Seq((3L, "z")).toDF("id", "c")
+      .select(col("id"), struct(col("c")).as("nest")), op = "append")   // v4
+    run()
+    assert(spark.read
+      .schema("id BIGINT, nest STRUCT<c: STRING>").parquet(out)
+      .select(col("id"), col("nest.c"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, None), (2L, Some("y")), (3L, Some("z"))))
+
+    // a FRESH stream pinned to the CURRENT schema replays the pre-rename
+    // deltas: structReconcile maps by name — the renamed/dropped subfield
+    // values null-fill, exactly the top-level-rename conform semantic
+    val out2 = Files.createTempDirectory("snapsrc_nestren_o2").toFile.getAbsolutePath
+    val ck2 = Files.createTempDirectory("snapsrc_nestren_c2").toFile.getAbsolutePath
+    spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+      .load(root)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read
+      .schema("id BIGINT, nest STRUCT<c: STRING>").parquet(out2)
+      .select(col("id"), col("nest.c"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, None), (2L, Some("y")), (3L, Some("z"))))
+  }
+
   test("adopt-schema-on-evolve: a widened-then-DROPPED column is STILL a " +
       "rollover boundary — the restart's re-pinned schema drops it, so " +
       "out-of-range values never fail the batch") {
