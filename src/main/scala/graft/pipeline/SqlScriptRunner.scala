@@ -174,12 +174,32 @@ final class SqlScriptRunner(spark: SparkSession,
     } else if (upper.startsWith("CREATE OR REPLACE VIEW ") ||
         upper.startsWith("CREATE VIEW ")) {
       val m = "(?is)^(CREATE(?:\\s+OR\\s+REPLACE)?\\s+)VIEW\\s+([\\w.]+)(.*)$".r
+      // record representations for the Iceberg view export (r20): the
+      // translated Spark SQL is the canonical dialect; when the ORIGINAL
+      // statement differs (Dremio spellings the dialect layer rewrote),
+      // it rides along as a `dremio` representation — the spec's
+      // multi-representation list, so the source engine reads its own
+      // text back
+      def record(viewName: String, sparkBody: String, rawStmt: String): Unit = {
+        val rawBody = "(?is)^CREATE(?:\\s+OR\\s+REPLACE)?\\s+VIEW\\s+[\\w.\"]+\\s+AS\\s+(.*)$".r
+          .findFirstMatchIn(rawStmt.trim).map(_.group(1).trim)
+        val extra = rawBody.filter(_ != sparkBody).map("dremio" -> _).toSeq
+        Catalog.recordViewRepresentations(spark, viewName,
+          ("spark" -> sparkBody) +: extra)
+      }
+      def bodyOf(rest: String): Option[String] =
+        "(?is)^\\s+AS\\s+(.*)$".r.findFirstMatchIn(rest).map(_.group(1).trim)
       stmt match {
         case m(head, name, rest) if name.contains(".") =>
           val flat = name.replace('.', '_')
           viewRewrites(name) = flat
           viewPathsByFlat(flat) = name.split("\\.").toSeq
           spark.sql(s"${head}TEMP VIEW $flat$rest")
+          bodyOf(rest).foreach(record(flat, _, raw))
+          None
+        case m(_, name, rest) =>
+          spark.sql(stmt)
+          bodyOf(rest).foreach(record(name, _, raw))
           None
         case _ =>
           spark.sql(stmt); None

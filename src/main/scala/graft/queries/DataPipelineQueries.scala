@@ -291,6 +291,13 @@ object DataPipelineQueries {
   private val icebergNestedFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q144's view-metadata root: a REPLACEd view whose metadata carries
+    * both versions (r20) — readViewAt time-travels the pre-replace
+    * DEFINITION, and the version list records the multi-representation
+    * dialects the catalog knows. */
+  private val icebergViewReplaceFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q133/q135's shared fixture: orders exported under a HIDDEN
     * years()+bucket() transform spec (the spec's own transform functions —
     * canonical murmur3 buckets, epoch-based years). */
@@ -3974,7 +3981,67 @@ object DataPipelineQueries {
              CAST(sum(n_chars) AS BIGINT) AS sum_len,
              count(CASE WHEN source = 'web' THEN 1 END) AS n_web
       FROM documents WHERE doc_id < 500
-      GROUP BY lang"""))
+      GROUP BY lang""")),
+
+    // VIEW DEFINITION TIME TRAVEL + MULTI-REPRESENTATION (r20): a
+    // semantic-layer view is REPLACED — the Iceberg view metadata records
+    // BOTH versions (the spec's create-or-replace history), readViewAt
+    // evaluates the pre-replace DEFINITION (not just old data), and the
+    // replaced version carries a second dialect representation (the
+    // source engine's own text) alongside the canonical Spark SQL. The
+    // timed frame reads version 1 through the metadata; the oracle
+    // re-states v1's SQL — equality pins that definition history
+    // round-trips and evaluates identically.
+    Q("q144_iceberg_view_replace", (s, dir) => {
+      import graft.sources.{Catalog, IcebergViews}
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .createOrReplaceTempView("q144_docs")
+      val root = icebergViewReplaceFixtures.computeIfAbsent(
+        s"${System.identityHashCode(s)}|$dir", _ => {
+          val r = graft.TempDirs.newDir("graft_iceviewrep")
+          val v1Sql = """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM q144_docs WHERE doc_id % 2 = 0 GROUP BY source"""
+          // v1 carries a second dialect alongside the canonical Spark SQL
+          Catalog.createOrReplaceView(s, "q144_doc_rollup", v1Sql,
+            extra = Seq("dremio" -> v1Sql.replace("CAST(sum(n_chars) AS BIGINT)",
+              "CONVERT_TO_BIGINT(sum(n_chars))")))
+          require(IcebergViews.exportCatalogViews(s, r,
+            Seq("q144_doc_rollup")) == Seq("q144_doc_rollup"))
+          // REPLACE: narrower definition; export appends version 2
+          Catalog.createOrReplaceView(s, "q144_doc_rollup", """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM q144_docs WHERE doc_id % 4 = 0 GROUP BY source""")
+          require(IcebergViews.exportCatalogViews(s, r,
+            Seq("q144_doc_rollup")) == Seq("q144_doc_rollup"))
+          val d = s"$r/q144_doc_rollup"
+          require(IcebergViews.versionIds(s, d) == Seq(1, 2),
+            "the replace must append a view version, not rewrite history")
+          require(IcebergViews.viewSql(s, d, Some(1)) !=
+            IcebergViews.viewSql(s, d, Some(2)),
+            "both definitions must be recorded verbatim")
+          // the multi-representation list survives on the HISTORICAL
+          // version: spark first, the source dialect alongside
+          val reps = IcebergViews.viewRepresentations(s, d, Some(1))
+          require(reps.map(_._1) == Seq("spark", "dremio") &&
+            reps.exists(_._2.contains("CONVERT_TO_BIGINT")),
+            s"v1 must carry both dialect representations: $reps")
+          // current read evaluates the REPLACED definition
+          require(IcebergViews.readView(s, d)
+            .agg(sum(col("n_docs"))).head.getLong(0) ==
+            s.sql("SELECT count(*) FROM q144_docs WHERE doc_id % 4 = 0")
+              .head.getLong(0),
+            "the current version must evaluate the replaced definition")
+          r
+        })
+      IcebergViews.readViewAt(s, s"$root/q144_doc_rollup", 1)
+    }, Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY source"""))
   )
 
   /** Shared oracle CTE body: the q99/q100 fixture's three mutations replayed

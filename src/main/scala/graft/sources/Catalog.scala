@@ -54,22 +54,46 @@ object Catalog {
 
   /** D9 — CREATE OR REPLACE VIEW (the semantic layer; ~40 occurrences in the
     * reference). Temp views for session scope, global for cross-session.
-    * SQL-defined views also record their text, so [[IcebergViews]] can
-    * export the definitions as public Iceberg view metadata (the
-    * semantic-layer interchange direction). */
+    * SQL-defined views record their text, so [[IcebergViews]] can export
+    * the definitions as public Iceberg view metadata (the semantic-layer
+    * interchange direction). A DataFrame-defined view records a DERIVED
+    * canonical SQL when its analyzed plan is inside [[ViewSql]]'s
+    * verified grammar (r20) — outside it, the recording is dropped and
+    * export refuses loudly with the remedy. */
   def createOrReplaceView(spark: SparkSession, name: String, df: DataFrame): Unit = {
     df.createOrReplaceTempView(name)
-    // a DataFrame REPLACE invalidates any recorded SQL text — exporting
-    // the stale definition would diverge from what the catalog serves.
     // Keys are lowercased: Spark temp-view names are case-insensitive,
     // so a replace under a different case must hit the same entry.
-    synchronized { viewSqlOf(spark).remove(name.toLowerCase): Unit }
+    ViewSql.derive(spark, df) match {
+      case Some(sql) =>
+        synchronized { viewSqlOf(spark)(name.toLowerCase) = Seq("spark" -> sql) }
+      case None =>
+        // underivable: invalidate any recorded SQL — exporting a stale
+        // definition would diverge from what the catalog serves
+        synchronized { viewSqlOf(spark).remove(name.toLowerCase): Unit }
+    }
   }
 
-  def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit = {
+  def createOrReplaceView(spark: SparkSession, name: String, sql: String): Unit =
+    createOrReplaceView(spark, name, sql, Nil)
+
+  /** SQL-defined view with EXTRA dialect representations (the Iceberg view
+    * spec's multi-representation list): `extra` carries (dialect, sql)
+    * pairs recorded alongside the canonical spark-dialect text — e.g. the
+    * ORIGINAL Dremio statement a script view was translated from. */
+  def createOrReplaceView(spark: SparkSession, name: String, sql: String,
+      extra: Seq[(String, String)]): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
-    synchronized { viewSqlOf(spark)(name.toLowerCase) = sql }
+    synchronized {
+      viewSqlOf(spark)(name.toLowerCase) = ("spark" -> sql) +: extra
+    }
   }
+
+  /** Record representations for a view created elsewhere (the script
+    * runner's CREATE VIEW path creates the temp view itself). */
+  private[graft] def recordViewRepresentations(spark: SparkSession,
+      name: String, reps: Seq[(String, String)]): Unit =
+    synchronized { viewSqlOf(spark)(name.toLowerCase) = reps }
 
   // keyed by SESSION, then lowercased view name: temp views are
   // per-SparkSession, so two sessions defining different SQL under the same
@@ -77,22 +101,31 @@ object Catalog {
   // session's recordings go with it. NOTE: Catalog.createOrReplaceView is
   // the only supported mutation path for exportable views — a view replaced
   // via raw spark.sql leaves its recorded text stale (ReviewRegressionSpec
-  // pins the DataFrame-replace invalidation; the raw-SQL path has no hook).
+  // pins the invalidation semantics; the raw-SQL path has no hook).
   private val viewSqlBySession =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.LinkedHashMap[String, String]]()
+      scala.collection.mutable.LinkedHashMap[String, Seq[(String, String)]]]()
   private def viewSqlOf(spark: SparkSession) = {
     val cur = viewSqlBySession.get(spark)
     if (cur != null) cur
     else {
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val m = scala.collection.mutable
+        .LinkedHashMap.empty[String, Seq[(String, String)]]
       viewSqlBySession.put(spark, m)
       m
     }
   }
-  /** lowercased name → SQL text of every SQL-defined view recorded in THIS
-    * session (Spark temp-view names are case-insensitive). */
+  /** lowercased name → spark-dialect SQL of every view with a recorded (or
+    * derived) definition in THIS session (Spark temp-view names are
+    * case-insensitive). */
   def recordedViewSql(spark: SparkSession): Map[String, String] =
+    synchronized(viewSqlOf(spark).view.mapValues(reps =>
+      reps.collectFirst { case ("spark", s) => s }.get).toMap)
+
+  /** lowercased name → FULL representation list (dialect, sql), spark
+    * first — the Iceberg view spec's multi-representation surface. */
+  def recordedViewRepresentations(
+      spark: SparkSession): Map[String, Seq[(String, String)]] =
     synchronized(viewSqlOf(spark).toMap)
 
   /** D8 — DROP TABLE IF EXISTS. */

@@ -411,36 +411,52 @@ object IcebergExport {
   private def sparkSchema(schemaAst: JValue): StructType =
     sparkType(schemaAst).asInstanceOf[StructType]
 
-  /** `schema` with `parquet.field.id` metadata attached per field (nested
-    * struct fields included), ids taken from the Iceberg schema-JSON
-    * `fields` list in matching order. Spark's parquet writer emits the ids
-    * into the file schema (spark.sql.parquet.fieldId.write.enabled, on by
-    * default), so a real Iceberg reader resolves the exported data files
-    * by FIELD ID — renames and dropped-name re-adds stay metadata-only
-    * for foreign readers exactly as for [[readTable]]'s own per-file
-    * resolution. Types and nullability are the frame's own — only
-    * metadata is added. */
-  private def withFieldIds(schema: StructType,
-      astFields: Seq[JValue]): StructType = {
+  /** `df` re-projected so every column (nested struct subfields included)
+    * carries `parquet.field.id` metadata, ids taken from the Iceberg
+    * schema-JSON `fields` list in matching order. Spark's parquet writer
+    * emits the ids into the file schema
+    * (spark.sql.parquet.fieldId.write.enabled, on by default), so a real
+    * Iceberg reader resolves the exported data files by FIELD ID — renames
+    * and dropped-name re-adds stay metadata-only for foreign readers
+    * exactly as for [[readTable]]'s own per-file resolution, and
+    * [[footerTopLevelIds]] can recover an expired parent schema's id map
+    * from any data file.
+    *
+    * Implementation note: `Dataset.to(schema)` silently DROPS the target
+    * schema's field metadata, so the ids must ride Alias metadata —
+    * top-level via `col.as(name, md)`, struct subfields by rebuilding the
+    * struct from aliased `getField`s (NULL structs preserved through a
+    * cast whose target type carries the nested metadata). Map key/value
+    * and array element ids cannot be expressed through Spark metadata at
+    * all — the `schema.name-mapping.default` table property covers those
+    * (Iceberg name-mapping spec). Projection-only: stays inside
+    * whole-stage codegen, no RDD round trip. */
+  private def withFieldIds(df: DataFrame, astFields: Seq[JValue]): DataFrame = {
     implicit val fmts: Formats = DefaultFormats
-    def annotate(dt: DataType, ast: JValue): DataType = (dt, ast) match {
-      case (s: StructType, o: JObject) if (o \ "type") == JString("struct") =>
-        annotateStruct(s, (o \ "fields").children)
-      case (ArrayType(e, n), o: JObject) if (o \ "type") == JString("list") =>
-        ArrayType(annotate(e, o \ "element"), n)
-      case (MapType(k, v, n), o: JObject) if (o \ "type") == JString("map") =>
-        MapType(annotate(k, o \ "key"), annotate(v, o \ "value"), n)
-      case _ => dt
-    }
-    def annotateStruct(s: StructType, fields: Seq[JValue]): StructType =
-      StructType(s.fields.toSeq.zip(fields).map { case (f, fAst) =>
-        val md = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong("parquet.field.id", (fAst \ "id").extract[Int].toLong)
-          .build()
-        StructField(f.name, annotate(f.dataType, fAst \ "type"),
-          f.nullable, md)
-      })
-    annotateStruct(schema, astFields)
+    def mdOf(fAst: JValue, base: Metadata): Metadata =
+      new MetadataBuilder().withMetadata(base)
+        .putLong("parquet.field.id", (fAst \ "id").extract[Int].toLong)
+        .build()
+    def rebuild(c: Column, dt: DataType, tAst: JValue): (Column, DataType) =
+      (dt, tAst) match {
+        case (s: StructType, o: JObject)
+            if (o \ "type") == JString("struct") =>
+          val fAsts = (o \ "fields").children
+          val parts = s.fields.toSeq.zip(fAsts).map { case (f, fAst) =>
+            val (cc, cdt) = rebuild(c.getField(f.name), f.dataType,
+              fAst \ "type")
+            val md = mdOf(fAst, f.metadata)
+            (cc.as(f.name, md), StructField(f.name, cdt, nullable = true, md))
+          }
+          val outT = StructType(parts.map(_._2))
+          (when(c.isNull, lit(null).cast(outT))
+            .otherwise(struct(parts.map(_._1): _*)), outT)
+        case _ => (c, dt)
+      }
+    df.select(df.schema.fields.toSeq.zip(astFields).map { case (f, fAst) =>
+      val (cc, _) = rebuild(col(f.name), f.dataType, fAst \ "type")
+      cc.as(f.name, mdOf(fAst, f.metadata))
+    }: _*)
   }
 
   // ── single-value binary serialization (spec §"Binary single-value
@@ -1124,8 +1140,8 @@ object IcebergExport {
     // parquet field-id metadata per column (nested included) — foreign
     // Iceberg readers resolve data files by id, so evolution stays
     // metadata-only for them too
-    val dfIds = df.to(withFieldIds(df.schema,
-      (JsonMethods.parse(schemaJson) \ "fields").children))
+    val dfIds = withFieldIds(df,
+      (JsonMethods.parse(schemaJson) \ "fields").children)
     // derived transform columns partition the layout; Spark's partitionBy
     // drops them from file contents, so data files keep the SOURCE columns
     val writeDf = specs.filterNot(_.isIdentity).foldLeft(dfIds)((d, sf) =>
@@ -1791,7 +1807,27 @@ object IcebergExport {
         parentFieldAstsOpt.map(_.map(f =>
           ((f \ "id").extract[Int], (f \ "name").extract[String],
             sparkType(f \ "type"))))
-      parentFieldsOpt match {
+      // parent schema EXPIRED (r20): every data file carries parquet field
+      // ids since r19 — recover the parent id-per-name map from the
+      // footers of files that predate this snapshot (newest schema first,
+      // by data sequence number), and resolve rename-vs-add+drop by id
+      // exactly as if the parent schema were live. Only complete coverage
+      // counts: a store column no footer names (e.g. added by the parent
+      // snapshot itself with no data written since) keeps the refusal.
+      lazy val footerFields: Option[Seq[(Int, String, DataType)]] = {
+        val acc = scala.collection.mutable.Map.empty[String, Int]
+        val need = cur.map(_._1).toSet
+        val it = planned(sid)
+          .filter(f => f.content == 0 && f.addedBy != sid)
+          .sortBy(-_.seq).iterator
+        while (!need.subsetOf(acc.keySet) && it.hasNext)
+          footerTopLevelIds(spark, it.next().path).foreach { case (n, i) =>
+            if (!acc.contains(n)) acc(n) = i }
+        if (need.subsetOf(acc.keySet))
+          Some(cur.map { case (n, t) => (acc(n), n, t) })
+        else None
+      }
+      parentFieldsOpt.orElse(footerFields) match {
         case Some(parentFields) =>
           val prevById = parentFields.map(t => t._1 -> t).toMap
           val tgtIds = tgtFields.map(_._1).toSet
@@ -1875,8 +1911,9 @@ object IcebergExport {
           val added = tgtFields.filterNot(t => curMap.contains(t._2))
           require(dropped.isEmpty || added.isEmpty,
             s"syncFromTable: snapshot $sid both adds ${added.map(_._2)} " +
-              s"and drops $dropped with no live parent schema to resolve " +
-              "field ids — cannot distinguish a rename from add+drop")
+              s"and drops $dropped with no live parent schema, and the " +
+              "data-file footers do not cover every store column's field " +
+              "id — cannot distinguish a rename from add+drop")
           dropped.foreach { n => st.dropColumn(n); cur = cur.filterNot(_._1 == n) }
       }
       // adds + legal widenings, against the (possibly renamed) store schema
@@ -3032,6 +3069,21 @@ object IcebergExport {
     * the end), dependent rename sets (a nested swap), non-promotable type
     * changes. `prefix` is the dotted path into `parentCol` ("" at the
     * top), built from TARGET names (renames apply before descent). */
+  /** Top-level (column-name → parquet field id) pairs from one data
+    * file's footer — the ids [[withFieldIds]] stamped at write time.
+    * Nested ids are not needed here: the expired-parent fallback resolves
+    * only top-level rename-vs-add+drop ambiguity. */
+  private def footerTopLevelIds(spark: SparkSession,
+      path: String): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path),
+        spark.sparkContext.hadoopConfiguration))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .flatMap(f => Option(f.getId).map(id => f.getName -> id.intValue))
+    finally reader.close()
+  }
+
   private def nestedMirror(st: SnapshotTable, parentCol: String,
       pT: JValue, tT: JValue, prefix: String): Unit = {
     implicit val fmts: Formats = DefaultFormats

@@ -60,11 +60,18 @@ object IcebergViews {
 
   /** Write (or version-advance) the Iceberg view metadata for `sql` at
     * `destDir`. Re-exporting the SAME current SQL is a no-op (no spurious
-    * versions); a changed SQL appends a new view version. Returns the
-    * current version id. */
+    * versions); a changed SQL appends a new view version. `extraReps`
+    * (r20) carries additional (dialect, sql) representation pairs — the
+    * spec's multi-representation list; the spark dialect stays the
+    * canonical one (it is what [[readView]] re-analyzes and what the
+    * idempotence check compares). Returns the current version id. */
   def exportView(spark: SparkSession, destDir: String, sql: String,
-      defaultNamespace: Seq[String] = Nil): Int = {
+      defaultNamespace: Seq[String] = Nil,
+      extraReps: Seq[(String, String)] = Nil): Int = {
     implicit val fmts: Formats = DefaultFormats
+    require(!extraReps.exists(_._1 == "spark"),
+      "extraReps carries NON-spark dialects; the spark representation is " +
+        "the sql parameter")
     val analyzed = spark.sql(sql) // analysis errors surface BEFORE any write
     val nowMs = System.currentTimeMillis()
     val prev: Option[(Int, JValue)] =
@@ -96,10 +103,13 @@ object IcebergViews {
       "schema-id" -> JInt(schemaId),
       "summary" -> JObject("engine-name" -> JString("graft"),
         "operation" -> JString(if (prev.isEmpty) "create" else "replace")),
-      "representations" -> JArray(List(JObject(
-        "type" -> JString("sql"),
-        "sql" -> JString(sql),
-        "dialect" -> JString("spark")))),
+      "representations" -> JArray(
+        (("spark" -> sql) +: extraReps).map { case (d, s) =>
+          JObject(
+            "type" -> JString("sql"),
+            "sql" -> JString(s),
+            "dialect" -> JString(d)): JValue
+        }.toList),
       "default-namespace" -> JArray(
         defaultNamespace.map(n => JString(n): JValue).toList))
     val fsDest = new Path(destDir)
@@ -162,21 +172,44 @@ object IcebergViews {
     (meta \ "versions").children.map(v => (v \ "version-id").extract[Int])
   }
 
+  /** ALL representations (dialect, sql) of one view version, spark
+    * first — the spec's multi-representation list (r20). */
+  def viewRepresentations(spark: SparkSession, dir: String,
+      versionId: Option[Int] = None): Seq[(String, String)] = {
+    implicit val fmts: Formats = DefaultFormats
+    val (_, meta) = currentMeta(spark, dir)
+    require((meta \ "view-uuid") != JNothing,
+      s"$dir holds a TABLE metadata chain, not a view")
+    val id = versionId.getOrElse((meta \ "current-version-id").extract[Int])
+    val version = (meta \ "versions").children
+      .find(v => (v \ "version-id").extract[Int] == id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"view version $id not in the metadata at $dir"))
+    (version \ "representations").children.map(r =>
+      (r \ "dialect").extract[String] -> (r \ "sql").extract[String])
+  }
+
   /** Export every recorded catalog view (created via
-    * [[Catalog.createOrReplaceView]] with SQL text) under
+    * [[Catalog.createOrReplaceView]] — SQL text, a derived DataFrame
+    * definition, or a script view with its original-dialect text) under
     * `destRoot/<name>` — the semantic-layer handoff: a foreign engine
-    * opens each definition from public view metadata. Returns the exported
-    * names. */
+    * opens each definition from public view metadata, non-spark dialects
+    * included. Returns the exported names. */
   def exportCatalogViews(spark: SparkSession, destRoot: String,
       names: Seq[String] = Nil): Seq[String] = {
-    val all = Catalog.recordedViewSql(spark) // keyed lowercase (temp-view
-                                             // names are case-insensitive)
+    val all = Catalog.recordedViewRepresentations(spark) // keyed lowercase
+                                             // (temp-view names are
+                                             // case-insensitive)
     val todo =
       if (names.isEmpty) all.keys.toSeq.sorted else names.map(_.toLowerCase)
     todo.map { n =>
-      val sql = all.getOrElse(n, throw new IllegalArgumentException(
-        s"no recorded SQL for view $n — was it created from a DataFrame?"))
-      exportView(spark, s"$destRoot/$n", sql)
+      val reps = all.getOrElse(n, throw new IllegalArgumentException(
+        s"no recorded or derivable SQL for view $n — it was created from " +
+          "a DataFrame whose plan is outside the derivable grammar; " +
+          "re-create it with Catalog.createOrReplaceView(spark, name, sql)"))
+      val sql = reps.collectFirst { case ("spark", s) => s }.get
+      exportView(spark, s"$destRoot/$n", sql,
+        extraReps = reps.filterNot(_._1 == "spark"))
       n
     }
   }

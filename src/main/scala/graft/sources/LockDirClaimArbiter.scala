@@ -181,23 +181,65 @@ final class LockDirClaimArbiter(lockRoot: String,
     * (write rejected) or waits for the write to finish (the holder was
     * still the legitimate owner at the serialization point). This closes
     * the r18 fencing residual (a holder paused between `verifyFence` and
-    * the write). Non-local lock roots keep check-then-act — closing it
-    * there needs the storage itself to check tokens (a REST catalog CAS
-    * behind this same seam). */
+    * the write).
+    *
+    * On NON-LOCAL (Hadoop-FS) lock roots (r20) the same atomicity comes
+    * from a CREATE-EXCLUSIVE fence marker named by the held epoch
+    * (`fence-e<E>.marker`): the holder must create it before the write,
+    * and a takeover creates the SAME name before breaking the lock — so
+    * exactly one of them wins the create. A holder that lost finds the
+    * name occupied and is rejected; a breaker that lost (the holder is
+    * mid-write) aborts its takeover and retries after the marker itself
+    * goes stale. A taken-over epoch's marker is left in place forever
+    * (one tiny file per takeover) — deleting it would re-admit the very
+    * holder it fences. The residual now needs a holder paused LONGER than
+    * the staleness threshold BETWEEN its marker create and its write —
+    * the same two-independent-stale-observations class as the break
+    * marker's documented residual. */
   override def conditionalTailWrite(root: String, write: () => Unit): Unit = {
     val held = heldEpoch.get(holderKey(root))
-    if (held == null || !isLocal) { verifyFence(root); write(); return }
-    withEpochOsLock(root) {
-      val now = readEpoch(root)
-      if (now != held.longValue)
-        throw new IllegalStateException(
-          s"commit section for $root was TAKEN OVER while this holder was " +
-            s"paused (fencing epoch $held -> $now, stale threshold " +
-            s"$staleCommitLockMillis ms): the conditional tail write is " +
-            "rejected — re-read and retry")
+    if (held == null) { verifyFence(root); write(); return }
+    if (isLocal) {
+      withEpochOsLock(root) {
+        val now = readEpoch(root)
+        if (now != held.longValue)
+          throw new IllegalStateException(
+            s"commit section for $root was TAKEN OVER while this holder was " +
+              s"paused (fencing epoch $held -> $now, stale threshold " +
+              s"$staleCommitLockMillis ms): the conditional tail write is " +
+              "rejected — re-read and retry")
+        write()
+      }
+    } else {
+      val key = holderKey(root)
+      if (!ownMarker.containsKey(key)) {
+        val m = fenceMarkerPath(root, held.longValue)
+        val won =
+          try { fs.create(m, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException if fs.exists(m) => false
+          }
+        if (!won)
+          throw new IllegalStateException(
+            s"commit section for $root was TAKEN OVER while this holder " +
+              s"was paused (fence marker for epoch $held already claimed, " +
+              s"stale threshold $staleCommitLockMillis ms): the " +
+              "conditional tail write is rejected — re-read and retry")
+        ownMarker.put(key, held)
+      }
       write()
     }
   }
+
+  private def fenceMarkerPath(root: String, epoch: Long): Path =
+    new Path(new Path(lockRoot, slug(root)), s"fence-e$epoch.marker")
+
+  /** Holder threads that created their section's fence marker (non-local
+    * roots): the marker is created once per section and deleted on a clean
+    * unlock. */
+  private val ownMarker =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Epoch each held section was acquired at, per (canonical data root,
     * holder thread): lock, fence check and unlock all run on the commit's
@@ -269,9 +311,16 @@ final class LockDirClaimArbiter(lockRoot: String,
 
   override def unlockCommit(root: String): Unit = {
     val held = heldEpoch.remove(holderKey(root))
+    val marked = ownMarker.remove(holderKey(root))
     // after a takeover the lock FILE belongs to the taker: deleting it
     // here would let a third process into the taker's critical section
+    // (and the fence marker now belongs to the takeover — leave it)
     if (held != null && readEpoch(root) != held.longValue) return
+    // clean exit: release the fence marker so the NEXT holder of this
+    // (unchanged) epoch can claim it afresh
+    if (marked != null && !isLocal)
+      try fs.delete(fenceMarkerPath(root, marked.longValue), false)
+      catch { case scala.util.control.NonFatal(_) => () }
     val (np, hp) = commitLock(root)
     if (isLocal) Files.deleteIfExists(np) else fs.delete(hp, false)
   }
@@ -313,6 +362,33 @@ final class LockDirClaimArbiter(lockRoot: String,
       // path continuously, so this delete can only remove the stale lock
       if (mtimeOf(np, hp)
           .exists(System.currentTimeMillis() - _ > staleCommitLockMillis)) {
+        // On a NON-LOCAL root (r20), claim the dying epoch's FENCE MARKER
+        // before anything else: the holder must create the same name
+        // before its tail write, so winning this create guarantees the
+        // paused holder can never land its line. Losing it means the
+        // holder is alive and mid-write — abort the takeover unless the
+        // marker itself has gone stale (holder crashed mid-section after
+        // marking).
+        if (!isLocal) {
+          val e = readEpoch(root)
+          val m = fenceMarkerPath(root, e)
+          def claim(): Boolean =
+            try { fs.create(m, false).close(); true }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+              case _: java.io.IOException if fs.exists(m) => false
+            }
+          if (!claim()) {
+            val mMtime =
+              try Some(fs.getFileStatus(m).getModificationTime)
+              catch { case _: java.io.FileNotFoundException => None }
+            val markerStale = mMtime.exists(t =>
+              System.currentTimeMillis() - t > staleCommitLockMillis)
+            if (!markerStale) return // live writer — do not break
+            fs.delete(m, false)
+            if (!claim()) return
+          }
+        }
         // FENCE the broken holder first: bump the epoch while the stale
         // lock still occupies the path, so by the time anyone can acquire,
         // the old holder's recorded epoch is already dead

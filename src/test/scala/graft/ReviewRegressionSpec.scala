@@ -268,23 +268,40 @@ class ReviewRegressionSpec extends SparkSpec {
       .select("id").as[Long].collect() === Array(1L))
   }
 
-  test("r19 review: replacing a SQL view with a DataFrame view drops the " +
-      "recorded SQL, so exportCatalogViews cannot export a stale definition") {
+  test("r19 review (r20 upgrade): a DataFrame view inside ViewSql's " +
+      "verified grammar EXPORTS its derived SQL; one outside it still " +
+      "invalidates the recording (case-insensitively) and export refuses " +
+      "with the remedy — never a stale definition") {
     import spark.implicits._
     import graft.sources.{Catalog => C, IcebergViews}
-    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("rr_view_src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("rr_view_src")
     C.createOrReplaceView(spark, "rr_stale_v",
       "SELECT count(*) AS n FROM rr_view_src")
     assert(C.recordedViewSql(spark).contains("rr_stale_v"))
-    // the replace arrives under a DIFFERENT case — Spark temp-view names
-    // are case-insensitive, and the invalidation must be too
+    // a DataFrame REPLACE whose plan is derivable (project+filter over a
+    // named view) records the DERIVED canonical SQL — arriving under a
+    // DIFFERENT case (temp-view names are case-insensitive)
     C.createOrReplaceView(spark, "RR_STALE_V",
-      spark.sql("SELECT 42L AS n"))
-    assert(!C.recordedViewSql(spark).contains("rr_stale_v"),
-      "the DataFrame replace must invalidate the recorded SQL")
+      spark.table("rr_view_src").filter(col("id") > 1L).select("id"))
+    val derived = C.recordedViewSql(spark).get("rr_stale_v")
+    assert(derived.isDefined, "the derivable DataFrame view must record SQL")
     val root = Files.createTempDirectory("rr_stale_r").toFile.getAbsolutePath
-    assertThrows[IllegalArgumentException](
-      IcebergViews.exportCatalogViews(spark, root, Seq("rr_stale_v")))
+    assert(IcebergViews.exportCatalogViews(spark, root, Seq("rr_stale_v"))
+      === Seq("rr_stale_v"))
+    assert(IcebergViews.readView(spark, s"$root/rr_stale_v")
+      .as[Long].collect().toSeq === Seq(2L),
+      "the exported derived definition must evaluate like the DataFrame")
+    // an UNDERIVABLE replace (a local relation has no SQL spelling) drops
+    // the recording, and export refuses with the re-create remedy
+    C.createOrReplaceView(spark, "rr_stale_v", Seq(42L).toDF("n"))
+    assert(!C.recordedViewSql(spark).contains("rr_stale_v"),
+      "an underivable DataFrame replace must invalidate the recorded SQL")
+    val e = intercept[IllegalArgumentException](
+      IcebergViews.exportCatalogViews(spark,
+        Files.createTempDirectory("rr_stale_r2").toFile.getAbsolutePath,
+        Seq("rr_stale_v")))
+    assert(e.getMessage.contains("re-create it"))
   }
 
   test("r19 review: an evolution the store cannot express fine-grained " +

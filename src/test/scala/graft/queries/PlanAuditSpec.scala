@@ -157,7 +157,8 @@ class PlanAuditSpec extends SparkSpec {
       }
       s.substring(lastSelect, end)
     }
-    val typeNames = Set("double", "integer", "bigint", "varchar", "date", "timestamp")
+    val typeNames = Set("double", "integer", "bigint", "varchar", "date",
+      "timestamp", "decimal")
     SparkEntry.allQueries.filter(_.oracle.isDefined).foreach { q =>
       val cols = q.run(spark, sfDir).columns.map(_.toLowerCase).toSet
       val aliases = "(?i)AS\\s+([a-z_][a-z0-9_]*)".r

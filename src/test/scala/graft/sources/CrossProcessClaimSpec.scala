@@ -186,6 +186,84 @@ class CrossProcessClaimSpec extends SparkSpec {
     } finally SnapshotTable.unregisterClaimArbiter(root)
   }
 
+  test("token-conditional tail write on a NON-LOCAL lock root (r20): the " +
+      "create-exclusive fence marker rejects a holder paused between the " +
+      "fence check and the tail write after takeover — the OS-lock trick " +
+      "is POSIX-only, so Hadoop-FS roots fence through the marker") {
+    import spark.implicits._
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hconf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val lockLocal = JFiles.createTempDirectory("xproc_fence4").toFile.getAbsolutePath
+    val lockRoot = s"graftfs://$lockLocal"
+    val root = JFiles.createTempDirectory("xproc_fence4_t").toFile.getAbsolutePath
+    val arb = new LockDirClaimArbiter(lockRoot, hconf)
+    arb.staleCommitLockMillis = 80L
+    SnapshotTable.registerClaimArbiter(root, arb)
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((1L, "a")).toDF("id", "v"))
+      val canon = SnapshotTable.canonicalRoot(root)
+      val taker = new LockDirClaimArbiter(lockRoot, hconf)
+      taker.staleCommitLockMillis = 80L
+      @volatile var paused = false
+      // the pause lands AFTER verifyFence has already PASSED — on a
+      // non-local root there is no OS lock to make check+write atomic;
+      // only the marker create can reject this holder
+      t.afterFenceBeforeTail = () => if (!paused) {
+        paused = true
+        Thread.sleep(200)       // past staleness, fence already checked
+        taker.lockCommit(canon) // takeover claims the epoch's fence marker
+      }
+      val e = intercept[IllegalStateException](
+        t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append"))
+      assert(e.getMessage.contains("TAKEN OVER"))
+      t.afterFenceBeforeTail = () => ()
+      taker.unlockCommit(canon)
+      // the rejected append never reached the log
+      assert(t.read().count() === 1)
+      assert(t.history().count() === 1)
+      // a later commit claims the NEW epoch's marker and proceeds; its
+      // clean unlock releases that marker for the next section
+      t.commit(Seq((3L, "c")).toDF("id", "v"), op = "append")
+      assert(t.read().count() === 2)
+      t.commit(Seq((4L, "d")).toDF("id", "v"), op = "append")
+      assert(t.read().count() === 3)
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+  }
+
+  test("a live mid-write holder on a NON-LOCAL lock root is NOT broken: " +
+      "the breaker loses the fence-marker race and aborts its takeover " +
+      "instead of deleting the writer's lock") {
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hconf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val lockLocal = JFiles.createTempDirectory("xproc_fence5").toFile.getAbsolutePath
+    val lockRoot = s"graftfs://$lockLocal"
+    val root = JFiles.createTempDirectory("xproc_fence5_t").toFile.getAbsolutePath
+    val canon = SnapshotTable.canonicalRoot(root)
+    val holder = new LockDirClaimArbiter(lockRoot, hconf)
+    holder.staleCommitLockMillis = 200L
+    // the holder acquires, then its LOCK ages past staleness…
+    holder.lockCommit(canon)
+    Thread.sleep(250)
+    // …but the holder is ALIVE and mid-write: its fence marker is fresh
+    var wrote = false
+    holder.conditionalTailWrite(canon, () => { wrote = true })
+    assert(wrote)
+    val taker = new LockDirClaimArbiter(lockRoot, hconf)
+    taker.staleCommitLockMillis = 200L
+    taker.commitLockTimeoutMillis = 100L // < marker staleness budget
+    val e = intercept[IllegalStateException](taker.lockCommit(canon))
+    assert(e.getMessage.contains("not acquired"),
+      s"the breaker must lose the marker race and time out, not take " +
+        s"over a live writer: ${e.getMessage}")
+    holder.unlockCommit(canon)
+    // after the clean unlock (marker released) the taker acquires normally
+    taker.lockCommit(canon)
+    taker.unlockCommit(canon)
+  }
+
   test("two OS processes with no shared memory interleave appends + a cow " +
       "mutation on an S3-shaped root under the durable lock-dir arbiter: " +
       "zero lost commits") {

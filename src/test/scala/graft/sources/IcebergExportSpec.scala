@@ -1321,6 +1321,89 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
   }
 
+  test("exported data files carry parquet FIELD IDS in their footers — " +
+      "top-level and nested struct subfields (Dataset.to drops schema " +
+      "metadata, so the ids must ride the write projection's aliases)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dest = JFiles.createTempDirectory("iceexp_fids").toFile.getAbsolutePath
+    IcebergExport.export(
+      Seq((1L, "a", (10L, "x")), (2L, "b", (20L, "y")))
+        .toDF("id", "v", "pair")
+        .select(col("id"), col("v"),
+          struct(col("pair._1").as("a"), col("pair._2").as("b")).as("nest"))
+        .coalesce(1), dest)
+    val f = IcebergExport.plannedFiles(spark, dest).head._1
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        spark.sparkContext.hadoopConfiguration))
+    val schema = try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+    val top = schema.getFields.asScala.map(t =>
+      t.getName -> Option(t.getId).map(_.intValue)).toMap
+    assert(top("id") === Some(1) && top("v") === Some(2) &&
+      top("nest") === Some(3),
+      s"top-level columns must carry their Iceberg field ids: $top")
+    val nest = schema.getType(Seq("nest"): _*).asGroupType().getFields.asScala
+      .map(t => t.getName -> Option(t.getId).map(_.intValue)).toMap
+    assert(nest("a") === Some(4) && nest("b") === Some(5),
+      s"struct subfields must carry their Iceberg field ids: $nest")
+  }
+
+  test("a foreign RENAME whose parent snapshot is EXPIRED resolves from " +
+      "the data files' parquet field ids (r20): the mirror lands an evolve " +
+      "commit — no refusal, no fold") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val dest = JFiles.createTempDirectory("iceexp_renexp").toFile.getAbsolutePath
+    val store = JFiles.createTempDirectory("iceexp_renexp_store").toFile
+      .getAbsolutePath
+    val a = IcebergExport.export(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n").coalesce(1),
+      dest)
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    // the foreign engine renames v → w (and appends) in one snapshot…
+    IcebergExport.exportInternal(
+      Seq((3L, "c", 30L)).toDF("id", "w", "n").coalesce(1),
+      dest, Nil, overwrite = false, Map.empty, renames = Map("v" -> "w"))
+    // …then routine retention EXPIRES the (already-synced) parent, so the
+    // no-parent fallback sees add(w)+drop(v) — without footer ids it
+    // could not tell a rename from add+drop and would refuse → fold
+    val hint = java.nio.file.Paths.get(s"$dest/metadata/version-hint.text")
+    val v = JFiles.readString(hint).trim
+    val mpath = java.nio.file.Paths.get(s"$dest/metadata/v$v.metadata.json")
+    val meta = JsonMethods.parse(JFiles.readString(mpath))
+    val headId = (meta \ "current-snapshot-id").extract[Long]
+    val pruned = meta.transformField {
+      case ("snapshots", JArray(ss)) => ("snapshots", JArray(ss.filter(s =>
+        (s \ "snapshot-id").extract[Long] == headId)))
+      case ("snapshot-log", JArray(ls)) => ("snapshot-log", JArray(ls.filter(
+        l => (l \ "snapshot-id").extract[Long] == headId)))
+    }
+    JFiles.writeString(mpath, JsonMethods.compact(JsonMethods.render(pruned)))
+    JFiles.deleteIfExists(
+      java.nio.file.Paths.get(s"$dest/metadata/.v$v.metadata.json.crc"))
+    assert(!IcebergExport.snapshotIds(spark, dest).contains(a.snapshotId))
+    // the mirror reads one footer of the surviving parent-era data file,
+    // recovers id(v)=2, matches it to w's id, and lands a store RENAME
+    assert(IcebergExport.syncFromTable(spark, dest, store).size === 1)
+    val st = new SnapshotTable(spark, store)
+    val ops = st.history().select("operation").as[String].collect().toSeq
+    assert(ops.exists(_.startsWith("evolve:")),
+      s"the expired-parent rename must land as an evolve commit: $ops")
+    assert(!ops.contains("overwrite"),
+      s"the expired-parent rename must not refuse → fold: $ops")
+    assert(st.read().columns.toSeq === Seq("id", "w", "n"))
+    assert(st.read().select("w").as[String].collect().sorted.toSeq
+      === Seq("a", "b", "c"),
+      "pre-rename bytes must read under the renamed column (id carried)")
+    // trailing tick: no-op
+    assert(IcebergExport.syncFromTable(spark, dest, store).isEmpty)
+  }
+
   test("sort orders cross the interchange boundary: metadata declares the " +
       "order, every data file records its sort_order_id, a sorted store's " +
       "sync chain carries it, and a zorder spells as a multi-column order") {
