@@ -356,7 +356,11 @@ object IcebergExport {
                 Some(JsonMethods.compact(JsonMethods.render(
                   pf2 merge JObject("name" -> JString(sf.name)))))
               else if (promotedPrim(pt, nt))
-                Some(s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":$req,"type":${icebergType(nt, nextId)}}""")
+                // nullability widens with the frame, like the top-level
+                // promote: a required subfield whose new data is nullable
+                // must become optional, or the schema would declare
+                // required over files holding nulls
+                Some(s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":${req && !sf.nullable},"type":${icebergType(nt, nextId)}}""")
               else evolveStructJson(pf2 \ "type", nt, nextId,
                 deeper.getOrElse(sf.name, Map.empty)).map { tj =>
                 s"""{"id":$id,"name":"${jsonEsc(sf.name)}","required":$req,"type":$tj}"""

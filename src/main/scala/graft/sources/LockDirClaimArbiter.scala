@@ -214,12 +214,31 @@ final class LockDirClaimArbiter(lockRoot: String,
       val key = holderKey(root)
       if (!ownMarker.containsKey(key)) {
         val m = fenceMarkerPath(root, held.longValue)
-        val won =
+        def claim(): Boolean =
           try { fs.create(m, false).close(); true }
           catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
             case _: java.io.IOException if fs.exists(m) => false
           }
+        var won = claim()
+        if (!won && readEpoch(root) == held.longValue) {
+          // epoch unchanged → no completed takeover owns this marker. A
+          // STALE marker here is a previous holder's leak (its unlock
+          // delete failed, or it crashed before unlocking while we hold
+          // the re-acquired section): reclaim it, or every future commit
+          // of this epoch would be rejected forever. A FRESH marker stays
+          // authoritative — an in-flight breaker claims the marker before
+          // it bumps the epoch, so rejecting on fresh is the safe side.
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(m).getModificationTime > staleCommitLockMillis
+            catch { case _: java.io.FileNotFoundException => true }
+          if (stale) {
+            try fs.delete(m, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            won = claim()
+          }
+        }
         if (!won)
           throw new IllegalStateException(
             s"commit section for $root was TAKEN OVER while this holder " +

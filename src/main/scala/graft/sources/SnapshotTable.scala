@@ -3319,13 +3319,17 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Walk a dotted subfield path under column `parent` of `schema`:
-    * returns (holder struct, holder path label, resolved last segment) —
-    * every intermediate segment must be an existing struct subfield and the
-    * LAST segment must exist too (callers renaming/dropping/promoting an
-    * existing subfield). Case-insensitive like the rest of the surface. */
+    * returns (holder struct, holder path label, resolved last segment,
+    * schema-cased parent name, fully CANONICAL path) — every intermediate
+    * segment must be an existing struct subfield and the LAST segment must
+    * exist too (callers renaming/dropping/promoting an existing subfield).
+    * Case-insensitive like the rest of the surface; the canonical path
+    * carries the SCHEMA's case for every segment (not just the last), so
+    * the recorded evolve op replays — and mirrors through the
+    * case-SENSITIVE chain evolution — under the true names. */
   private def resolveNestedPath(schema: StructType, parent: String,
       path: String): (org.apache.spark.sql.types.StructType, String,
-        org.apache.spark.sql.types.StructField, String) = {
+        org.apache.spark.sql.types.StructField, String, String) = {
     val pf = schema.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
       throw new IllegalArgumentException(s"no column $parent"))
     def asStruct(dt: DataType, at: String) = dt match {
@@ -3334,15 +3338,16 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         s"$at is ${o.simpleString}, not a struct")
     }
     val segs = path.split('.').toSeq
-    val (holder, at) = segs.dropRight(1).foldLeft(
-      (asStruct(pf.dataType, parent), parent)) { case ((s, a), seg) =>
-      val f = s.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
-        throw new IllegalArgumentException(s"no field $a.$seg"))
-      (asStruct(f.dataType, s"$a.$seg"), s"$a.$seg")
+    val (holder, at, canonSegs) = segs.dropRight(1).foldLeft(
+      (asStruct(pf.dataType, parent), parent, Vector.empty[String])) {
+      case ((s, a, cs), seg) =>
+        val f = s.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+          throw new IllegalArgumentException(s"no field $a.$seg"))
+        (asStruct(f.dataType, s"$a.${f.name}"), s"$a.${f.name}", cs :+ f.name)
     }
     val last = holder.fields.find(_.name.equalsIgnoreCase(segs.last)).getOrElse(
       throw new IllegalArgumentException(s"no field $at.${segs.last}"))
-    (holder, at, last, pf.name)
+    (holder, at, last, pf.name, (canonSegs :+ last.name).mkString("."))
   }
 
   /** ALTER TABLE … RENAME COLUMN parent.path TO newName — a NESTED rename
@@ -3355,13 +3360,12 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       val head = mainHead(meta).getOrElse(
         throw new IllegalStateException(s"no snapshots at $root"))
       val schema = resolveVersion(meta, head, None).schema
-      val (holder, at, last, pname) = resolveNestedPath(schema, parent, path)
+      val (holder, at, _, pname, canonical) =
+        resolveNestedPath(schema, parent, path)
       require(!newName.contains('.'),
         s"rename target $newName must be a bare field name")
       require(!holder.fieldNames.exists(_.equalsIgnoreCase(newName)),
         s"field $at.$newName already exists")
-      val canonical =
-        (path.split('.').dropRight(1) :+ last.name).mkString(".")
       val next = claimVersion(meta)
       appendMeta(next,
         encodeEvolve(Seq("renamenested", pname, canonical, newName)),
@@ -3377,10 +3381,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val schema = resolveVersion(meta, head, None).schema
-    val (holder, at, last, pname) = resolveNestedPath(schema, parent, path)
+    val (holder, at, last, pname, canonical) =
+      resolveNestedPath(schema, parent, path)
     require(holder.fields.length > 1,
       s"cannot drop the only field $at.${last.name} of its struct")
-    val canonical = (path.split('.').dropRight(1) :+ last.name).mkString(".")
     val next = claimVersion(meta)
     appendMeta(next, encodeEvolve(Seq("dropnested", pname, canonical)),
       tableRowsAsOf(meta, head))
@@ -3396,13 +3400,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val head = mainHead(meta).getOrElse(
       throw new IllegalStateException(s"no snapshots at $root"))
     val schema = resolveVersion(meta, head, None).schema
-    val (_, at, last, pname) = resolveNestedPath(schema, parent, path)
+    val (_, at, last, pname, canonical) =
+      resolveNestedPath(schema, parent, path)
     val to = DataType.fromDDL(typeDdl)
     require(legalWidening(last.dataType, to),
       s"ALTER COLUMN $at.${last.name} TYPE $typeDdl: " +
         s"${last.dataType.simpleString} → ${to.simpleString} is not a legal " +
         "widening (int→long, float→double, decimal precision increase only)")
-    val canonical = (path.split('.').dropRight(1) :+ last.name).mkString(".")
     val next = claimVersion(meta)
     appendMeta(next,
       encodeEvolve(Seq("widennested", pname, canonical, typeDdl)),

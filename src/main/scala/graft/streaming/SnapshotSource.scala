@@ -203,10 +203,15 @@ final class SnapshotSource(
               // parent struct's CURRENT type still differs from the pinned
               // one — the pinned shape cannot carry the mutated struct, and
               // a restart re-pins it (mutated-then-reverted parents are
-              // deliberately not boundaries: nothing left to adopt)
+              // deliberately not boundaries: nothing left to adopt). A
+              // mutated-then-DROPPED (or renamed) parent is STILL a
+              // boundary, like the top-level widen rule: the restart's
+              // re-pinned schema lacks the column, so a nested-widened
+              // delta conforms by dropping instead of failing the batch
+              // on out-of-range values.
               st.evolveNestedMutation(op).exists { case (p, _, _) =>
                 baseTypes.get(p.toLowerCase).exists(bt =>
-                  currentTypes.get(p.toLowerCase).exists(ct => ct != bt))
+                  currentTypes.get(p.toLowerCase).forall(_ != bt))
               } ||
               // a NESTED ADD is a boundary like a top-level add: the
               // pinned struct type cannot carry the subfield, and after

@@ -353,4 +353,116 @@ class ReviewRegressionSpec extends SparkSpec {
       .select("id", "a").as[(Long, Long)].collect().sorted
       === Array((1L, 10L), (2L, 20L)), "a's history must keep its values")
   }
+
+  test("r20 review: a DEEP nested rename written with different " +
+      "INTERMEDIATE case still mirrors as a chain rename (id carried), " +
+      "not drop+add — the recorded evolve op canonicalizes every segment") {
+    import spark.implicits._
+    import graft.sources.{IcebergExport, SnapshotTable}
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val root = Files.createTempDirectory("rr_deepcase_s").toFile.getAbsolutePath
+    val dest = Files.createTempDirectory("rr_deepcase_t").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 10L)).toDF("id", "a")
+      .select(col("id"),
+        struct(struct(col("a")).as("inner")).as("nest")), op = "append")
+    IcebergExport.syncStore(spark, root, dest)
+    // the user spells the intermediate segment in UPPER case — the store
+    // surface is documented case-insensitive
+    st.renameNestedColumn("nest", "INNER.a", "b")
+    st.commit(Seq((2L, 20L)).toDF("id", "b")
+      .select(col("id"),
+        struct(struct(col("b")).as("inner")).as("nest")), op = "append")
+    IcebergExport.syncStore(spark, root, dest)
+    // the chain's CURRENT schema must carry b under a's ORIGINAL field id
+    // (a rename), not a fresh id (drop+add would null pre-rename history)
+    val hint = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dest/metadata/version-hint.text")).trim
+    val meta = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(
+        s"$dest/metadata/v$hint.metadata.json")))
+    val schemas = (meta \ "schemas").children
+    def innerFields(s: JValue) =
+      ((s \ "fields").children.find(f =>
+        (f \ "name").extract[String] == "nest").get \ "type" \ "fields")
+        .children.find(f => (f \ "name").extract[String] == "inner").get \
+        "type" \ "fields"
+    val first = innerFields(schemas.head).children
+      .map(f => (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    val cur = innerFields(schemas.last).children
+      .map(f => (f \ "name").extract[String] -> (f \ "id").extract[Int]).toMap
+    assert(cur.keySet === Set("b"))
+    assert(cur("b") === first("a"),
+      s"deep rename must carry a's id: first=$first cur=$cur")
+    // and pre-rename history reads under the renamed subfield by id
+    assert(IcebergExport.readTable(spark, dest)
+      .select(col("id"), col("nest.inner.b")).as[(Long, Long)]
+      .collect().sorted === Array((1L, 10L), (2L, 20L)))
+  }
+
+  test("r20 review: a nested PROMOTE from a nullable frame widens the " +
+      "subfield to optional — the chain schema must never declare " +
+      "required over files that hold nulls") {
+    import spark.implicits._
+    import graft.sources.IcebergExport
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val dest = Files.createTempDirectory("rr_nreq_t").toFile.getAbsolutePath
+    // v1: non-nullable int subfield (required in the schema json)
+    IcebergExport.export(Seq((1L, 7)).toDF("id", "c")
+      .select(col("id"), struct(col("c")).as("nest")).coalesce(1), dest)
+    // v2: promote c int→long from a frame whose c is NULLABLE (holds null)
+    IcebergExport.export(Seq((2L, Some(8L)), (3L, None)).toDF("id", "c")
+      .select(col("id"), struct(col("c")).as("nest")).coalesce(1), dest)
+    val meta = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dest/metadata/v2.metadata.json")))
+    val curId = (meta \ "current-schema-id").extract[Int]
+    val cur = (meta \ "schemas").children.find(s =>
+      (s \ "schema-id").extract[Int] == curId).get
+    val c = ((cur \ "fields").children.find(f =>
+      (f \ "name").extract[String] == "nest").get \ "type" \ "fields")
+      .children.find(f => (f \ "name").extract[String] == "c").get
+    assert((c \ "type") === JString("long"))
+    assert((c \ "required") === JBool(false),
+      "the promoted subfield must become optional with the nullable frame")
+    assert(IcebergExport.readTable(spark, dest)
+      .select(col("id"), col("nest.c")).as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+      === Array((1L, Some(7L)), (2L, Some(8L)), (3L, None)))
+  }
+
+  test("r20 review: a LEAKED fence marker (unlock delete failed) does not " +
+      "wedge the table forever — the next holder of the unchanged epoch " +
+      "reclaims a STALE marker and commits") {
+    import spark.implicits._
+    import graft.sources.{LockDirClaimArbiter, SnapshotTable, GraftTestFs}
+    val hconf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hconf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val lockLocal = Files.createTempDirectory("rr_leak").toFile.getAbsolutePath
+    val lockRoot = s"graftfs://$lockLocal"
+    val root = Files.createTempDirectory("rr_leak_t").toFile.getAbsolutePath
+    val arb = new LockDirClaimArbiter(lockRoot, hconf)
+    arb.staleCommitLockMillis = 80L
+    SnapshotTable.registerClaimArbiter(root, arb)
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commit(Seq((1L, "a")).toDF("id", "v"))
+      // simulate the leak: epoch 0's marker left on disk by a crashed
+      // holder / failed unlock delete
+      // the arbiter slugs the CANONICAL root (absolute, normalized)
+      val canon = java.nio.file.Paths.get(root)
+        .toAbsolutePath.normalize.toString
+      val slug = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val marker = java.nio.file.Paths.get(lockLocal, slug, "fence-e0.marker")
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.createFile(marker)
+      Thread.sleep(120) // past staleness: the leak is reclaimable
+      t.commit(Seq((2L, "b")).toDF("id", "v"), op = "append")
+      assert(t.read().count() === 2,
+        "a stale leaked marker must not reject the next holder")
+    } finally SnapshotTable.unregisterClaimArbiter(root)
+  }
 }

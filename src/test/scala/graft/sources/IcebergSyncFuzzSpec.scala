@@ -210,6 +210,7 @@ class IcebergSyncFuzzSpec extends SparkSpec {
               nest = StructType(nest.fields.patch(i, Nil, 1))
               export(3)
             }
+          case _ => export(3) // guarded case missed its guard: plain append
         }
         IcebergExport.syncFromTable(spark, chain, store)
         val back = IcebergExport.readTable(spark, chain)

@@ -681,6 +681,41 @@ class SnapshotSourceSpec extends SparkSpec {
       .as[String].collect().sorted === Array("a", "b", "c"))
   }
 
+  test("adopt-schema-on-evolve: a NESTED widen whose parent struct is " +
+      "later DROPPED is STILL a rollover boundary (r20 review) — the " +
+      "restart's re-pinned schema lacks the struct, so the out-of-range " +
+      "subfield value conforms by dropping instead of failing the batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapsrc_nwdrop").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("snapsrc_nwdrop_out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snapsrc_nwdrop_ck").toFile.getAbsolutePath
+    val st = new SnapshotTable(spark, root)
+    st.commit(Seq((1L, 7, "a")).toDF("id", "q", "wave")
+      .select(col("id"), struct(col("q")).as("nest"), col("wave")),
+      op = "append")                                                   // v0
+    st.alterNestedColumnType("nest", "q", "BIGINT")                    // v1
+    st.commit(Seq((2L, 5000000000L, "b")).toDF("id", "q", "wave")
+      .select(col("id"), struct(col("q")).as("nest"), col("wave")),
+      op = "append")                                                   // v2
+    st.dropColumn("nest")                                              // v3
+    def run(pin: Option[String] = None): Unit = {
+      val r = spark.readStream.format(classOf[SnapshotSourceProvider].getName)
+        .option("adopt-schema-on-evolve", "true")
+      pin.foreach(r.schema)
+      r.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    run(Some("id BIGINT, nest STRUCT<q: INT>, wave STRING"))
+    // run 1 stops AT the nested widen instead of raising on the >2^31 value
+    assert(spark.read.schema("wave STRING").parquet(out)
+      .as[String].collect().sorted === Array("a"))
+    run() // restart: the re-pinned schema LACKS nest; v2's delta conforms
+    assert(spark.read.schema("wave STRING").parquet(out)
+      .as[String].collect().sorted === Array("a", "b"))
+  }
+
   test("adopt-schema-on-evolve ignores an added-then-DROPPED column: the " +
       "rollover never wedges on history a restart cannot adopt") {
     import spark.implicits._

@@ -60,15 +60,22 @@ def main():
             " production eval splits are fixed-size",
     }
     # The exclusion list must not drift silently: an ORACLE_BASELINE name
-    # absent from the measured set (renamed/retired query) is a loud error —
-    # otherwise the worst-growth gate would quietly stop excluding it and the
-    # disclosure block would drop the rationale without a trace.
+    # absent from the measured set is surfaced. A name missing from BOTH
+    # captures entirely was renamed/retired — hard error (the worst-growth
+    # gate would quietly stop excluding it). A name present in a capture
+    # but dropped by best()'s partial-run intersection is a measurement
+    # artifact, not registry drift — it lands as a VISIBLE warning row in
+    # the report instead of aborting the whole capture.
     missing_excl = [q for q in ORACLE_BASELINE if q not in growth]
-    if missing_excl:
+    gone = [q for q in missing_excl if q not in base and q not in ten]
+    if gone:
         raise SystemExit(
-            f"ORACLE_BASELINE names not in the measured query set: "
-            f"{missing_excl} — update the exclusion list to match the "
-            f"registry (was a query renamed?)")
+            f"ORACLE_BASELINE names not in either capture: {gone} — "
+            f"update the exclusion list to match the registry "
+            f"(was a query renamed?)")
+    excl_warnings = [
+        f"{q}: in the registry but dropped by a partial bench run — "
+        f"growth unmeasured this capture" for q in missing_excl]
     measurable = [q for q in common
                   if growth[q] is not None and q not in ORACLE_BASELINE]
     if not measurable:
@@ -94,6 +101,7 @@ def main():
         "oracle_baseline_rows": {
             q: {"growth": growth.get(q), "rationale": why}
             for q, why in ORACLE_BASELINE.items() if q in growth},
+        "warnings": excl_warnings,
         "queries_failed_at_10x": [q for q in base if q not in ten],
         "per_query_sec_10x": ten,
         "per_query_growth": growth,
