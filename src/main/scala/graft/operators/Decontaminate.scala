@@ -25,7 +25,11 @@ object Decontaminate {
   /** Shingle-hash projection: one row per (id, distinct n-gram hash). */
   private def grams(df: DataFrame, idCol: String, textCol: String,
                     n: Int, idAs: String): DataFrame =
-    df.select(col(idCol).as(idAs),
+    // shingle + per-gram hashing is compute-dense; an under-split scan
+    // (e.g. one parquet file) serializes it — fan out first (identity at
+    // real scan widths; see ScaleOps.fanOutForKernels)
+    graft.ops.ScaleOps.fanOutForKernels(df)
+      .select(col(idCol).as(idAs),
         explode(array_distinct(transform(
           shingles(tokens(col(textCol)), n), g => xxhash64(g)))).as("__g"))
 
@@ -76,7 +80,10 @@ object Decontaminate {
       case None => tr // Bloom unavailable: plain (still-correct) join
       case Some(None) => tr.limit(0) // empty eval: nothing can overlap
       case Some(Some(bytes)) =>
-        BloomFunctions.mightContain(spark)(lit(bytes), col("__g"))
+        // reference-object probe: the ~1 MB serialized filter must NOT ride
+        // the plan as a literal (driver-side plan handling cost, see
+        // BloomFunctions.BloomProbe)
+        BloomFunctions.probe(spark)(bytes, col("__g"))
           .map(tr.filter).getOrElse(tr)
     }
     te.join(filtered, "__g")

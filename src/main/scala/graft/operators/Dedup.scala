@@ -105,6 +105,11 @@ object Dedup {
                  k: Int = 32, shingleN: Int = 3): DataFrame = {
     import graft.functions.NativeTextExpressions
     val spark = df.sparkSession
+    // The signature kernel is the most compute-dense map in the engine
+    // (k × |shingles| universal hashes per row); an under-split input
+    // serializes it on one core — fan out first (identity at real scan
+    // widths; see ScaleOps.fanOutForKernels).
+    val src = graft.ops.ScaleOps.fanOutForKernels(df)
     val nativeSh = NativeTextExpressions.shingleHashes(spark)(col(textCol), shingleN)
     val shCol = nativeSh
       .getOrElse(array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
@@ -114,7 +119,7 @@ object Dedup {
         .getOrElse(minhashSignature(col(textCol), k, shingleN))
       case None => minhashSignature(col(textCol), k, shingleN)
     }
-    df.select(col(idCol).as("__id"), shCol.as("__sh"), sigCol.as("__sig"))
+    src.select(col(idCol).as("__id"), shCol.as("__sh"), sigCol.as("__sig"))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against an
@@ -260,7 +265,76 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          smallGraphEdges: Int = -1): DataFrame = {
+    val spark = pairs.sparkSession
+    // SMALL-GRAPH FAST PATH (opt guide §1.2: fix the distributed algorithm
+    // first). Each star round costs ~6 tiny shuffles + a checkpoint + a
+    // checksum action — pure scheduling overhead when the edge list is small,
+    // which it usually is: near-dup edges are a sliver of the corpus, and
+    // mergeComponents CONTRACTS the standing assignment so its graph is
+    // O(delta) by design. Below the bound (default 100k canon edges ≈ 1.6 MB
+    // on the driver — far under any sane spark.driver.maxResultSize; tune
+    // with graft.cc.smallGraphEdges, 0 disables) the canonical edge list is
+    // collected ONCE via a bounded limit(n+1) probe — never an unbounded
+    // collect — and resolved with union-find in O(E α(E)). Labels are
+    // IDENTICAL to the star loop's (component = min member id; pinned by
+    // DedupSpec's fast≡distributed fuzz). Past the bound the probe abandons
+    // and the distributed loop below runs unchanged — 100 TB corpora with
+    // billions of edges never touch the driver.
+    val bound =
+      if (smallGraphEdges >= 0) smallGraphEdges
+      else spark.conf.get("graft.cc.smallGraphEdges", "100000").toInt
+    val proj = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val idTypes = proj.schema.fields.map(_.dataType).toSeq
+    val integral = idTypes.forall(dt =>
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType)
+    if (bound > 0 && integral) {
+      // canon-equivalent bounded probe: distinct undirected non-self edges
+      val canonEdges = proj
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).cast("long").as("u"),
+          least(col("u"), col("v")).cast("long").as("v"))
+        .distinct()
+      val head = canonEdges.limit(bound + 1).collect()
+      if (head.length <= bound) {
+        // union-find, min id as root: parent(larger root) = smaller root
+        val parent = new java.util.HashMap[Long, Long](head.length * 4)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+          r
+        }
+        head.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val outLong = idTypes.contains(org.apache.spark.sql.types.LongType)
+        val outDt: org.apache.spark.sql.types.DataType =
+          if (outLong) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.IntegerType
+        val nullable = proj.schema.fields.exists(_.nullable)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", outDt, nullable),
+          org.apache.spark.sql.types.StructField("component", outDt, nullable)))
+        def boxed(x: Long): Any = if (outLong) x else x.toInt
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+        val it = parent.keySet().iterator()
+        while (it.hasNext) {
+          val n = it.next()
+          rows.add(org.apache.spark.sql.Row(boxed(n), boxed(find(n))))
+        }
+        return spark.createDataFrame(rows, schema)
+      }
+      // over the bound: fall through to the distributed star loop
+    }
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     // lineage truncation per round: reliable when a dir is given, else local
@@ -350,7 +424,9 @@ object Dedup {
     * equi-join on (band, chunk), verify with bit_count(xor) ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__fp"))
+    // per-token 64-lane voting is compute-dense: fan an under-split scan out
+    val fp = graft.ops.ScaleOps.fanOutForKernels(df)
+      .select(col(idCol).as("__id"), simhash64(col(textCol)).as("__fp"))
     val banded = fp.select(col("__id"), col("__fp"), posexplode(
       array((0 until 4).map(b => shiftright(col("__fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("band", "chunk")))

@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Fan a narrow scan out to the session's parallelism before CPU-heavy
+    * map-side kernels (MinHash signatures, marker scoring, shingle
+    * explodes). A small input often arrives as ONE scan task (one parquet
+    * file under maxPartitionBytes — or one unsplittable row group), which
+    * serializes a compute-bound kernel on a single core while the rest of
+    * the session idles (opt guide §2.5 "input skew": repartition right
+    * after the read). SCALE-ADAPTIVE, not a constant: when the plan already
+    * carries at least `defaultParallelism` partitions — any real table at
+    * cluster scale — this is the identity and costs nothing; the round-robin
+    * exchange only fires for under-split inputs, where the bytes moved are
+    * by construction tiny (they fit in fewer splits than the session has
+    * cores). Round-robin keeps Spark's sort-before-repartition retry safety
+    * and adds no key skew. */
+  def fanOutForKernels(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Skew-salted equi join (left big/skewed, right smaller but not
     * broadcastable): the left side gets a random salt in [0, buckets), the
     * right side is replicated once per salt value, and the join key becomes

@@ -58,15 +58,29 @@ object CoreQueries {
         out
       })
     val z = s.read.parquet(path)
-    def overlaps(c: String, lo: org.apache.spark.sql.Column,
-                 hi: org.apache.spark.sql.Column): Long =
-      ScaleOps.fileRangeStats(z, c)
-        .filter(col("lo") <= hi && col("hi") >= lo).count()
-    val nFiles = ScaleOps.fileRangeStats(z, "o_orderkey").count()
-    require(overlaps("o_totalprice", lit(50000.0), lit(100000.0)) < nFiles,
+    // Skipping proof in ONE pass: per-file min/max of BOTH clustered columns
+    // ride the same input_file_name groupBy, and the three counts the
+    // require()s need (file count + per-column overlap counts) reduce to a
+    // single 1-row aggregate — one job where three separate
+    // fileRangeStats scans (3 full reads of the table) ran before
+    // (opt guide §1.2: don't compute things three times). Ranges and the
+    // overlap predicate are unchanged, so the requirement pins the exact
+    // same claim.
+    val dLo = lit("1994-01-01").cast("timestamp")
+    val dHi = lit("1994-03-31").cast("timestamp")
+    val stats = z.groupBy(input_file_name().as("file"))
+      .agg(min(col("o_totalprice")).as("p_lo"), max(col("o_totalprice")).as("p_hi"),
+        min(col("o_orderdate")).as("d_lo"), max(col("o_orderdate")).as("d_hi"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("p_lo") <= lit(100000.0) && col("p_hi") >= lit(50000.0), 1L)
+          .otherwise(0L)).as("p_overlap"),
+        sum(when(col("d_lo") <= dHi && col("d_hi") >= dLo, 1L)
+          .otherwise(0L)).as("d_overlap"))
+      .head()
+    val nFiles = stats.getLong(0)
+    require(stats.getLong(1) < nFiles,
       "z-order layout failed to prune files on o_totalprice")
-    require(overlaps("o_orderdate",
-      lit("1994-01-01").cast("timestamp"), lit("1994-03-31").cast("timestamp")) < nFiles,
+    require(stats.getLong(2) < nFiles,
       "z-order layout failed to prune files on o_orderdate")
     z.filter(col("o_orderdate").between(lit("1994-01-01").cast("timestamp"),
         lit("1994-03-31").cast("timestamp")) &&

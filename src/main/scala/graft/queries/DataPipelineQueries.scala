@@ -714,7 +714,9 @@ object DataPipelineQueries {
     // Aggregated text-quality profile per source, over the same
     // SQL-replicated heuristics — oracle-checked end to end.
     Q("q52_source_profile", (s, dir) => {
-      t(s, dir, "documents")
+      // marker scoring over every doc is compute-dense; fan an under-split
+      // scan out so it parallelizes (identity at real scan widths)
+      graft.ops.ScaleOps.fanOutForKernels(t(s, dir, "documents"))
         .select(col("source"), langId(col("text")).as("lang_pred"),
           qualityScore(col("text")).as("q"))
         .groupBy(col("source"))
@@ -1112,7 +1114,9 @@ object DataPipelineQueries {
     // a single linear pass over the corpus.
     Q("q76_curation_pipeline", (s, dir) => {
       import graft.operators.{Dedup, Sampling}
-      val scored = seededExact(s, dir).select(
+      // marker scoring is the pipeline's compute-dense map stage; fan an
+      // under-split scan out so it parallelizes (identity at real widths)
+      val scored = graft.ops.ScaleOps.fanOutForKernels(seededExact(s, dir)).select(
           col("doc_id"), col("source"), col("text"),
           langId(col("text")).as("lang_pred"),
           qualityScore(col("text")).as("quality"),
@@ -1736,7 +1740,9 @@ object DataPipelineQueries {
     // SET is deterministic on both engines.
     Q("q96_top_ngrams", (s, dir) => {
       import graft.functions.TextFunctions.{shingles, tokens}
-      t(s, dir, "documents")
+      // bigram explode is the compute-dense map stage; fan an under-split
+      // scan out so it parallelizes (identity at real scan widths)
+      graft.ops.ScaleOps.fanOutForKernels(t(s, dir, "documents"))
         .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n_occurrences"),

@@ -57,8 +57,13 @@ class DecontaminateSpec extends SparkSpec {
     val eval = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val out = Decontaminate.overlapReportBloom(spark, train, eval, "id", "text", n = 5)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"),
-      s"expected a might_contain pre-filter in the physical plan:\n$plan")
+    assert(plan.contains("graft_bloom_probe"),
+      s"expected a graft_bloom_probe pre-filter in the physical plan:\n$plan")
+    // the serialized filter must NOT ride the plan as an embedded literal
+    // (reference-object contract, BloomFunctions.BloomProbe): a 1 MB filter
+    // would otherwise reappear in every plan string / task binary
+    assert(plan.length < 100000,
+      s"plan unexpectedly large (${plan.length} chars) — filter bytes inlined?")
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       === Seq((10L, 1L, 2L)))
   }

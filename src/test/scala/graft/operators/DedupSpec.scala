@@ -81,12 +81,48 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents converges on a long chain (diameter >> rounds)") {
     import spark.implicits._
     // a 40-link chain: plain min-label propagation needs 40 rounds; the
-    // alternating star algorithm must finish well inside maxIter
+    // alternating star algorithm must finish well inside maxIter.
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop (the default would
+    // resolve this tiny graph on the driver and skip the rounds under test).
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15)
+    val cc = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15,
+      smallGraphEdges = 0)
     val comps = cc.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comps.length === 41)
     assert(comps.forall(_._2 == 0L))
+  }
+
+  test("small-graph fast path ≡ distributed star loop on random graphs") {
+    import spark.implicits._
+    // the fast path (bounded collect + union-find) must produce the exact
+    // (id, component-min) assignment of the distributed rounds, including
+    // self-loop-only nodes being dropped and duplicate/reversed edges
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) // includes self-loops
+      } ++ Seq((n.toLong, n.toLong)) // a guaranteed self-loop-only node
+      val df = edges.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, "id_a", "id_b",
+          smallGraphEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === dist, s"trial $trial: fast path diverged")
+      assert(!fast.contains(n.toLong), "self-loop-only node must be absent")
+    }
+  }
+
+  test("fast-path bound is a hard cutover: above it the distributed loop runs") {
+    import spark.implicits._
+    // bound smaller than the edge count → the probe must abandon and the
+    // distributed loop produce the same labels
+    val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaBound = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        smallGraphEdges = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBound === (0L to 20L).map(_ -> 0L).toMap)
   }
 
   test("connectedComponents on an empty pair list returns no rows") {
@@ -145,9 +181,10 @@ class DedupSpec extends SparkSpec {
     val pairs = (Seq((2L, 1L), (2L, 3L), (7L, 8L)) ++
       (100L until 120L).map(i => (i, i + 1))).toDF("id_a", "id_b")
     val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b",
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), smallGraphEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        smallGraphEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local)
     // the reliable dir was actually used for round snapshots
