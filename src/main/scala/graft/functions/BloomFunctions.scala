@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.call_function
@@ -22,10 +22,10 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   * explicitly makes the map-side pruning deterministic, plan-assertable,
   * and available to any operator, not just the shapes the rule covers.
   *
-  * Both functions stay inside whole-stage codegen (`BloomFilterMightContain`
-  * implements `doGenCode`); the serialized filter rides the plan as a
-  * foldable binary literal, shipped once per executor via the task
-  * broadcast, bounded by `numBits/8` bytes regardless of data volume.
+  * Both functions stay inside whole-stage codegen; the serialized filter is
+  * a reference-object field on [[BloomProbe]] (shipped once per stage via
+  * the task closure, never a plan literal), bounded by `numBits/8` bytes
+  * regardless of data volume.
   */
 object BloomFunctions {
 
@@ -80,9 +80,6 @@ object BloomFunctions {
       registry.registerFunction(FunctionIdentifier("graft_bloom_agg"),
         new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
         (exprs: Seq[Expression]) => BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0))
-      registry.registerFunction(FunctionIdentifier("graft_bloom_contains"),
-        new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
-        (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1)))
       registry.registerFunction(FunctionIdentifier("graft_bloom_probe"),
         new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
         (exprs: Seq[Expression]) => BloomProbe(exprs(1), exprs(0) match {
@@ -105,13 +102,7 @@ object BloomFunctions {
         org.apache.spark.sql.functions.lit(numBits)))
     else None
 
-  /** Membership probe of a LongType key against a serialized filter (a
-    * foldable binary column — pass `lit(bytes)`). */
-  def mightContain(spark: SparkSession)(bloom: Column, key: Column): Option[Column] =
-    if (install(spark)) Some(call_function("graft_bloom_contains", bloom, key))
-    else None
-
-  /** [[mightContain]] for a driver-held serialized filter: the bytes end up
+  /** Membership probe for a driver-held serialized filter: the bytes end up
     * a reference-object field on [[BloomProbe]] (the literal exists only for
     * the one analysis step that unwraps it), so the optimized plan never
     * carries the payload. Results are identical to the literal form. */

@@ -285,12 +285,23 @@ object Dedup {
     val bound =
       if (smallGraphEdges >= 0) smallGraphEdges
       else spark.conf.get("graft.cc.smallGraphEdges", "100000").toInt
-    val proj = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val idTypes = proj.schema.fields.map(_.dataType).toSeq
+    val proj0 = pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val idTypes = proj0.schema.fields.map(_.dataType).toSeq
     val integral = idTypes.forall(dt =>
       dt == org.apache.spark.sql.types.LongType ||
         dt == org.apache.spark.sql.types.IntegerType)
-    if (bound > 0 && integral) {
+    val probing = bound > 0 && integral
+    // When probing, PERSIST the projected pair list: the probe must evaluate
+    // the (often expensive — LSH candidates + Jaccard verify) upstream
+    // pipeline, and an over-bound graph would otherwise re-run that whole
+    // pipeline from scratch for the distributed loop's first round (review
+    // finding r20). The loop's first truncate() materializes from the cache,
+    // after which the finally-block releases it.
+    val proj =
+      if (probing) proj0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else proj0
+    try {
+    if (probing) {
       // canon-equivalent bounded probe: distinct undirected non-self edges
       val canonEdges = proj
         .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -378,7 +389,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var edges = truncate(canon(pairs.select(col(srcCol).as("u"), col(dstCol).as("v"))))
+    var edges = truncate(canon(proj))
     var prev = checksum(edges)
     var iter = 0
     var converged = prev._1 == 0L
@@ -396,6 +407,11 @@ object Dedup {
     // (= the per-component minima) map to themselves
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+    } finally {
+      // fast path: the returned frame is a local relation; distributed path:
+      // round 0 is already checkpointed — either way the cache is done
+      if (probing) proj.unpersist()
+    }
   }
 
   // --- SimHash --------------------------------------------------------------

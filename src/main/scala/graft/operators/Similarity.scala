@@ -124,7 +124,12 @@ object Similarity {
   private def negDot(spark: org.apache.spark.sql.SparkSession)(
       v: Column, cVec: Array[Double]): Column = {
     val dot = graft.functions.NativeVectorExpressions.dotFast(spark) _
-    -dot(v, array(cVec.map(lit): _*))
+    // ONE ArrayType literal per centroid, not dim separate lit() nodes under
+    // a CreateArray: cellExpr/probeCellsExpr inline nCells × dim of these —
+    // at 16×64 that was ~2k expression nodes per plan, paid in every
+    // analysis/optimization pass of every IVF query (driver time, guide
+    // §7.3). Same values, same kernel, identical results.
+    -dot(v, typedlit(cVec.toSeq))
   }
 
   /** Cell-assignment expression: argmax dot with UNIT centroids (map-side,

@@ -25,7 +25,14 @@ object ScaleOps {
     * and adds no key skew. */
   def fanOutForKernels(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    // Fire only when the reshuffle at least DOUBLES parallelism: a plan at
+    // 1900 of 2048 slots must not round-robin hundreds of GB for a 7% gain
+    // (review finding r20) — the under-split pathology this helper exists
+    // for is 1–2 partitions vs tens of cores, far below par/2. The
+    // `.rdd.getNumPartitions` probe costs one physical-planning pass of the
+    // upstream (file listing is already cached on the logical relation);
+    // that is microseconds-to-ms against the kernel work this gates.
+    if (df.rdd.getNumPartitions * 2 > par) df else df.repartition(par)
   }
 
   /** Skew-salted equi join (left big/skewed, right smaller but not
@@ -148,4 +155,15 @@ object ScaleOps {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
         count(lit(1)).as("n_rows"))
+
+  /** [[fileRangeStats]] for several columns in the SAME single scan (one
+    * groupBy instead of one full read per column): per file,
+    * `<c>_lo`/`<c>_hi` for each requested column plus `n_rows`. */
+  def fileRangeStatsMulti(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "fileRangeStatsMulti: no columns")
+    val aggs = valueCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_lo"), max(col(c)).as(s"${c}_hi"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -20,8 +20,31 @@ object PlanCounts {
     *    no word boundary before its E);
     *  - `\bSort\b` counts SortExec only (no boundary inside "SortAggregate"
     *    / "SortMergeJoin").
+    *
+    * An EXECUTED AdaptiveSparkPlan (e.g. a materialized cached fixture)
+    * prints BOTH "== Final Plan ==" and "== Initial Plan ==" sections, so
+    * the same query would count differently depending on which caches an
+    * earlier query/suite happened to materialize. [[normalize]] drops the
+    * Final sections so every plan counts in its initial-plan form — the
+    * form an unexecuted derivation prints.
     */
-  def shuffleSortCounts(plan: String): (Int, Int) = (
-    "\\bExchange\\b".r.findAllIn(plan).size,
-    "\\bSort\\b".r.findAllIn(plan).size)
+  def shuffleSortCounts(plan: String): (Int, Int) = {
+    val p = normalize(plan)
+    ("\\bExchange\\b".r.findAllIn(p).size,
+      "\\bSort\\b".r.findAllIn(p).size)
+  }
+
+  private[graft] def normalize(plan: String): String = {
+    if (!plan.contains("== Final Plan ==")) plan
+    else {
+      val out = new StringBuilder(plan.length)
+      var skipping = false
+      plan.split("\n", -1).foreach { l =>
+        if (l.contains("== Final Plan ==")) skipping = true
+        else if (l.contains("== Initial Plan ==")) skipping = false
+        else if (!skipping) out.append(l).append('\n')
+      }
+      out.toString
+    }
+  }
 }

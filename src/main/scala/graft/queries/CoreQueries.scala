@@ -68,13 +68,12 @@ object CoreQueries {
     // same claim.
     val dLo = lit("1994-01-01").cast("timestamp")
     val dHi = lit("1994-03-31").cast("timestamp")
-    val stats = z.groupBy(input_file_name().as("file"))
-      .agg(min(col("o_totalprice")).as("p_lo"), max(col("o_totalprice")).as("p_hi"),
-        min(col("o_orderdate")).as("d_lo"), max(col("o_orderdate")).as("d_hi"))
+    val stats = ScaleOps.fileRangeStatsMulti(z, Seq("o_totalprice", "o_orderdate"))
       .agg(count(lit(1)).as("n_files"),
-        sum(when(col("p_lo") <= lit(100000.0) && col("p_hi") >= lit(50000.0), 1L)
+        sum(when(col("o_totalprice_lo") <= lit(100000.0) &&
+          col("o_totalprice_hi") >= lit(50000.0), 1L)
           .otherwise(0L)).as("p_overlap"),
-        sum(when(col("d_lo") <= dHi && col("d_hi") >= dLo, 1L)
+        sum(when(col("o_orderdate_lo") <= dHi && col("o_orderdate_hi") >= dLo, 1L)
           .otherwise(0L)).as("d_overlap"))
       .head()
     val nFiles = stats.getLong(0)

@@ -23,6 +23,13 @@ object PlanBudget {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lines = graft.SparkEntry.allQueries.map { q =>
+      // derivation must not depend on which caches an earlier query
+      // materialized: a materialized InMemoryRelation prints its
+      // AdaptiveSparkPlan with the FINAL plan (extra Exchange text), so the
+      // same query counts differently by session history. Clearing first
+      // makes the recorded counts order-independent (PlanBudgetSpec clears
+      // identically before re-deriving).
+      spark.catalog.clearCache()
       val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
       val (sh, so) = graft.plans.PlanCounts.shuffleSortCounts(plan)
       s"${q.name}\t$sh\t$so"

@@ -24,11 +24,12 @@ object ProfileStages {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         starts.put(j.jobId, (System.nanoTime(),
           Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
-      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val (t0, desc) = starts.remove(j.jobId)
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt > 0.05) println(f"  [job ${j.jobId}%3d] $dt%6.3f s  $desc")
-      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        // the listener bus can drop a JobStart under load — guard the lookup
+        Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt > 0.05) println(f"  [job ${j.jobId}%3d] $dt%6.3f s  $desc")
+        }
     })
     import graft.operators.Dedup
     def time[T](label: String)(f: => T): T = {

@@ -123,6 +123,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the near-dup pair pipeline keeps its budgeted shuffle shape") {
+    // PLAN_BUDGETS can no longer see the q72/q92 pairs pipeline: the CC
+    // small-graph probe evaluates it at DataFrame-construction time, so the
+    // recorded executedPlan is just the local-relation tail (r20 review
+    // finding). Guard the heavy subplan directly: candidate generation +
+    // Jaccard verify must stay a banded equi-join chain — 6 shuffle
+    // exchanges (index fan-out, 2 band-join sides, pair distinct, 2 verify
+    // join sides) and no sort (AQE broadcasts replace the verify shuffles at
+    // runtime; the static plan is the upper bound the budget pins).
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    spark.catalog.clearCache()
+    val d = graft.Tables(spark, sfDir, "documents")
+    val seeded = d.unionAll(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(col("text"), lit(" appended marker token"))))
+    val pairs = Dedup.nearDupPairs(seeded, "doc_id", "text", threshold = 0.5,
+      k = 128, bands = 32)
+    val plan = pairs.queryExecution.executedPlan.toString
+    val (sh, so) = graft.plans.PlanCounts.shuffleSortCounts(plan)
+    assert(sh <= 6 && so <= 1,
+      s"near-dup pair pipeline grew shuffles/sorts: $sh/$so (budget 6/1):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair pipeline lost its equi-join shape:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("every oracle query has matching column names on both sides (static check)") {
     // static guard: every AS alias in the oracle's FINAL top-level SELECT
     // list appears in the Spark result's schema, catching alias drift before

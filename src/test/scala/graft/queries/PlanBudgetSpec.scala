@@ -30,6 +30,10 @@ class PlanBudgetSpec extends SparkSpec {
       }.toMap
 
     val problems = SparkEntry.allQueries.flatMap { q =>
+      // mirror the PlanBudget tool: clear caches so the derived plan text
+      // doesn't depend on which earlier suite materialized a shared
+      // persist (a materialized AdaptiveSparkPlan prints extra Exchanges)
+      spark.catalog.clearCache()
       val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
       val (sh, so) = PlanCounts.shuffleSortCounts(plan)
       budgets.get(q.name) match {
