@@ -24,11 +24,17 @@ runs = [json.loads(l) for l in open(runs_path) if l.strip()]
 if not runs:
     raise SystemExit(f"no bench lines in {runs_path}")
 
-keys = set(runs[0]["queries"])
+def short(k):
+    # bench captures key by full registry name; HEAVY uses the qNN prefix
+    return k.split("_")[0]
+
+keys = set(map(short, runs[0]["queries"]))
 for r in runs[1:]:
-    keys &= set(r["queries"])
-t30 = {k: round(min(r["queries"][k] for r in runs), 3) for k in sorted(keys)}
-t10 = scale["per_query_sec_10x"]
+    keys &= set(map(short, r["queries"]))
+t30 = {short(k): round(min(r["queries"][k2] for r in runs
+                           for k2 in r["queries"] if short(k2) == short(k)), 3)
+       for k in runs[0]["queries"] if short(k) in keys}
+t10 = {short(k): v for k, v in scale["per_query_sec_10x"].items()}
 
 rows = {}
 failed = []
