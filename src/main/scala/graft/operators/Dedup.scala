@@ -125,15 +125,27 @@ object Dedup {
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against an
     * index's shingle sets; keeps pairs at or above `threshold`. */
   private def verifyPairs(cands: DataFrame, idx: DataFrame,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          broadcastCands: Boolean = false): DataFrame = {
     import graft.functions.NativeTextExpressions
     val spark = idx.sparkSession
     val sa = idx.select(col("__id").as("id_a"), col("__sh").as("sh_a"))
     val sb = idx.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
     val jac = NativeTextExpressions.longSetJaccard(spark)(col("sh_a"), col("sh_b"))
       .getOrElse(jaccard(col("sh_a"), col("sh_b")))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", round(jac, 6))
+    // Incremental callers set broadcastCands: their candidate list is
+    // bounded by the ingest wave, and broadcasting it (and the wave-sized
+    // join1 output) keeps the CORPUS-sized index un-shuffled — at 100 TB the
+    // standing index is the side that must never move per wave (guide §8:
+    // move decisions, not payloads). The full-recompute path keeps the
+    // planner's choice: its candidate list is corpus-proportional.
+    val j1 =
+      if (broadcastCands) broadcast(cands).join(sa, "id_a")
+      else cands.join(sa, "id_a")
+    val j2 =
+      if (broadcastCands) broadcast(j1).join(sb, "id_b")
+      else j1.join(sb, "id_b")
+    j2.withColumn("jaccard", round(jac, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -172,20 +184,28 @@ object Dedup {
     * readme.md:381-389 — the same philosophy applied to the dedup index. */
   def nearDupPairsDelta(oldIndex: DataFrame, deltaIndex: DataFrame,
                         threshold: Double, k: Int = 32, bands: Int = 4): DataFrame = {
-    val oldKeys = bandKeys(oldIndex, k, bands)
+    // ONE equi-join of the delta's keys against the keys of old ∪ delta
+    // replaces the previous [new-vs-old join + distinct] ∪ [new-vs-new
+    // self-join + distinct] + union + distinct (three joins' worth of
+    // exchanges collapsed to one join + one distinct — guide §2.4). The
+    // produced pair SET is identical: joining newKeys against allKeys with
+    // id inequality and least/greatest normalization yields every new-old
+    // pair once and every new-new pair from both directions (deduped by the
+    // same final distinct the previous formulation needed anyway).
+    // The delta's keys BROADCAST: the wave is the bounded side by the
+    // incremental contract (micro-batches / ingest waves), and broadcasting
+    // it means the corpus-sized standing key stream is probed map-side —
+    // never shuffled per wave.
     val newKeys = bandKeys(deltaIndex, k, bands)
-    // new-vs-old: equi-join delta keys against the standing key index;
-    // normalize ids so id_a < id_b matches the full-recompute convention
-    val newOld = newKeys.alias("a").join(oldKeys.alias("b"),
+    val allKeys = bandKeys(oldIndex.unionByName(deltaIndex), k, bands)
+    val cands = broadcast(newKeys).alias("a").join(allKeys.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") =!= col("b.__id"))
       .select(least(col("a.__id"), col("b.__id")).as("id_a"),
         greatest(col("a.__id"), col("b.__id")).as("id_b"))
       .distinct()
-    // new-vs-new: the standard banded self-join, delta-only
-    val newNew = minhashCandidatePairs(deltaIndex, col("__id"), col("__sig"), k, bands)
-    val cands = newOld.union(newNew).distinct()
-    verifyPairs(cands, oldIndex.unionByName(deltaIndex), threshold)
+    verifyPairs(cands, oldIndex.unionByName(deltaIndex), threshold,
+      broadcastCands = true)
   }
 
   /** Incremental near-dup maintenance, component stage: fold a delta edge

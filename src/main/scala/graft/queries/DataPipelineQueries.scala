@@ -926,10 +926,16 @@ object DataPipelineQueries {
       val pairs = Dedup.nearDupPairs(seededNear(s, dir), "doc_id", "text",
         threshold = 0.5, k = 128, bands = 32)
       val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "component")
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-          col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+      // cluster size via ONE window over the component key instead of a
+      // groupBy + self-join: the join form evaluated the cc subtree twice
+      // and paid three exchanges for what is one hash-partition pass
+      // (guide §2.4 — two operations keyed the same way share one exchange).
+      // Identical rows: count(*) OVER (PARTITION BY component) = the joined
+      // per-component count.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      cc.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (col("id") === col("component")).as("is_canonical"))
     }, Some("""
       WITH RECURSIVE seeded AS (
         SELECT doc_id, text FROM documents
@@ -1539,10 +1545,12 @@ object DataPipelineQueries {
       val deltaPairs = Dedup.nearDupPairsDelta(idx1, idx2,
         threshold = 0.5, k = 128, bands = 32)
       val merged = Dedup.mergeComponents(oldCC, deltaPairs)
-      val sizes = merged.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-      merged.join(sizes, "component")
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-          col("cluster_size"), (col("id") === col("component")).as("is_canonical"))
+      // cluster size via ONE window pass, not groupBy + self-join (which
+      // re-evaluated the whole merge subtree twice) — same rows, see q72
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      merged.select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (col("id") === col("component")).as("is_canonical"))
     }, Some("""
       WITH RECURSIVE seeded AS (
         SELECT doc_id, text FROM documents

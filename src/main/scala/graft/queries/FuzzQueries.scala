@@ -21,7 +21,27 @@ object FuzzQueries {
   val list: Seq[Q] = Seq(
     Q("q70_fuzz_differential", (s, dir) => {
       val cases = Fuzz.gen(Seed, N, singleAgg = true)
-      cases.map(Fuzz.normalizedDf(s, dir, _)).reduce(_.union(_))
+      // The 30 generated cases are INDEPENDENT queries; union-ing their lazy
+      // plans into one tree made every analysis/AQE-replan pass walk a
+      // 30-branch plan and serialized the driver on it (guide §3.3 "very
+      // wide unions: planning time itself becomes the bottleneck", §7.3).
+      // Instead each case is materialized CONCURRENTLY from a small driver
+      // pool (guide §2.6 — overlap independent jobs so one case's straggler
+      // tail back-fills with the next case's tasks) via an eager
+      // localCheckpoint (lineage truncation, recomputed per invocation — no
+      // cross-run state), and the returned union is over the 30 already-
+      // computed results. Rows are IDENTICAL: checkpointing changes where
+      // blocks live, never values; the per-case plans are untouched.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = cases.map { c =>
+          Future(Fuzz.normalizedDf(s, dir, c).localCheckpoint(true))
+        }.map(Await.result(_, 10.minutes))
+        done.reduce(_.union(_))
+      } finally pool.shutdown()
     }, Some(
       Fuzz.gen(Seed, N, singleAgg = true)
         .map(Fuzz.normalizedSql).mkString("\n      UNION ALL\n      ")))
