@@ -161,6 +161,197 @@ object NativeTextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** One-pass language/quality profile of a raw text column — the fused
+    * kernel behind `TextFunctions.langId` / `qualityScore` / `tokenCount`.
+    *
+    * The declarative formulation paid one interpreted higher-order `filter`
+    * + per-token `array_contains` scan PER LANGUAGE (plus separate regex
+    * passes for punctuation/CJK and a separate split for the token count).
+    * This expression tokenizes ONCE and computes every feature in the same
+    * pass: token count, per-language marker-occurrence counts (one hash
+    * lookup per token), the argmax language, CJK presence, punctuation
+    * count and code-point length. Output struct:
+    *   (n_tok, s0 = markers.head count, best = first-max lang index or -1
+    *    when all counts are 0, cjk, n_punct, n_char).
+    *
+    * Semantics are pinned to the declarative forms it replaces (and fuzzed
+    * against them in LangProfileParitySpec):
+    *  - tokens = split(trim(lower(text)), "\s+") with Spark's exact rules.
+    *    Lower and StringTrim are reproduced EXACTLY by calling the same
+    *    UTF8String.toLowerCase/.trim they are implemented with (trim strips
+    *    ASCII 0x20 only; lower takes the ASCII fast path else default-locale
+    *    String.toLowerCase). Java-regex \s (no UNICODE flag) matches exactly
+    *    the six ASCII bytes 0x09-0x0D and 0x20 — and multi-byte UTF-8
+    *    sequences never contain ASCII bytes — so split("\s+", -1) pieces are
+    *    byte runs between whitespace runs: n_tok = ws-runs + 1 (limit -1
+    *    keeps the trailing empty piece a trailing tab produces, and [""] for
+    *    the empty string);
+    *  - marker counts count every occurrence (not distinct), exactly like
+    *    size(filter(toks, t -> array_contains(markers, t))); marker words
+    *    are short lowercase ASCII, so a token matches via one packed-long
+    *    open-addressed table probe — no per-token String allocation;
+    *  - best is the FIRST maximal language — the (score, -index) argmax
+    *    tie-break of langIdWith;
+    *  - n_char counts code points (Spark's length()), n_punct counts
+    *    [.,!?;:] code points (the regexp_replace-based punctCount), cjk is
+    *    "any code point in [0x4e00,0x9fff]" (length(regexp_replace(..)) > 0
+    *    on the raw, un-lowered text; those code points are exactly the
+    *    3-byte UTF-8 sequences with lead byte 0xE4..0xE9 whose decoded value
+    *    is in range).
+    */
+  case class LangProfile(child: Expression, markers: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", IntegerType, nullable = false),
+      StructField("s0", IntegerType, nullable = false),
+      StructField("best", IntegerType, nullable = false),
+      StructField("cjk", BooleanType, nullable = false),
+      StructField("n_punct", IntegerType, nullable = false),
+      StructField("n_char", IntegerType, nullable = false)))
+    override def prettyName: String = "lang_profile"
+
+    /** Open-addressed long->bitmask table: each marker word (≤7 lowercase
+      * ASCII bytes) packs big-endian into a long key WITH ITS LENGTH in the
+      * top byte — without the length tag, a token with leading NUL bytes
+      * packs to the same long as the marker it shadows ("\0with" = "with";
+      * caught by LangProfileParitySpec's fuzz). The value is the bitmask of
+      * language indices listing the word. Empty slot ⇔ mask 0 (all real
+      * masks are nonzero). */
+    @transient private lazy val (tblKeys, tblMasks, maxWordLen) = {
+      require(markers.nonEmpty && markers.length <= 31,
+        s"lang_profile supports 1..31 languages, got ${markers.length}")
+      val byWord = new java.util.LinkedHashMap[String, Integer]()
+      markers.zipWithIndex.foreach { case ((_, ws), i) =>
+        ws.foreach { w =>
+          require(w.nonEmpty && w.length <= 7 &&
+            w.forall(c => c < 0x80 && !(c >= 'A' && c <= 'Z')),
+            s"lang_profile marker words must be 1..7 lowercase ASCII chars, got '$w'")
+          val prev = byWord.get(w)
+          byWord.put(w, (if (prev == null) 0 else prev.intValue()) | (1 << i))
+        }
+      }
+      var cap = 16
+      while (cap < byWord.size * 4) cap <<= 1
+      val keys = new Array[Long](cap)
+      val masks = new Array[Int](cap)
+      var maxLen = 0
+      val it = byWord.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val w = e.getKey
+        maxLen = math.max(maxLen, w.length)
+        var key = 0L
+        var k = 0
+        while (k < w.length) { key = (key << 8) | (w.charAt(k) & 0xFFL); k += 1 }
+        key |= w.length.toLong << 56
+        var slot = slotOf(key, cap)
+        while (masks(slot) != 0) slot = (slot + 1) & (cap - 1)
+        keys(slot) = key
+        masks(slot) = e.getValue.intValue()
+      }
+      (keys, masks, maxLen)
+    }
+
+    @inline private def slotOf(key: Long, cap: Int): Int = {
+      val h = key * -7046029254386353131L // Fibonacci-style mix
+      ((h ^ (h >>> 32)).toInt) & (cap - 1)
+    }
+
+    @inline private def isWs(b: Byte): Boolean =
+      b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+    /** Add the token tb[st,en)'s language bitmask into counts (no-op for
+      * empty, over-long, or non-ASCII tokens — none can match a marker). */
+    private def countToken(tb: Array[Byte], st: Int, en: Int,
+                           counts: Array[Int]): Unit = {
+      if (en - st < 1 || en - st > maxWordLen) return
+      var key = 0L
+      var k = st
+      while (k < en) {
+        val b = tb(k)
+        if (b < 0) return
+        key = (key << 8) | (b & 0xFFL)
+        k += 1
+      }
+      key |= (en - st).toLong << 56
+      val cap = tblKeys.length
+      var slot = slotOf(key, cap)
+      while (tblMasks(slot) != 0 && tblKeys(slot) != key)
+        slot = (slot + 1) & (cap - 1)
+      var m = tblMasks(slot) // 0 on miss (probe stopped at an empty slot)
+      var li = 0
+      while (m != 0) {
+        if ((m & 1) != 0) counts(li) += 1
+        m >>>= 1
+        li += 1
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String]
+      // raw-text features (the declarative regexes run over un-lowered text)
+      val rb = raw.getBytes
+      var nPunct = 0
+      var cjk = false
+      var i = 0
+      while (i < rb.length) {
+        val b = rb(i)
+        if (b >= 0) {
+          if (b == '.' || b == ',' || b == '!' || b == '?' || b == ';' || b == ':')
+            nPunct += 1
+          i += 1
+        } else {
+          val ub = b & 0xFF
+          if (ub >= 0xE4 && ub <= 0xE9 && i + 2 < rb.length) {
+            val cp = ((ub & 0x0F) << 12) | ((rb(i + 1) & 0x3F) << 6) | (rb(i + 2) & 0x3F)
+            if (cp >= 0x4E00 && cp <= 0x9FFF) cjk = true
+          }
+          i += (if (ub >= 0xF0) 4 else if (ub >= 0xE0) 3 else if (ub >= 0xC0) 2 else 1)
+        }
+      }
+      val nChar = raw.numChars()
+      // tokens of trim(lower(text)): one byte scan, ws runs are separators
+      val tb = raw.toLowerCase.trim.getBytes
+      val counts = new Array[Int](markers.length)
+      var nTok = 1
+      var st = 0
+      var j = 0
+      while (j < tb.length) {
+        if (isWs(tb(j))) {
+          countToken(tb, st, j, counts)
+          nTok += 1
+          j += 1
+          while (j < tb.length && isWs(tb(j))) j += 1
+          st = j
+        } else j += 1
+      }
+      countToken(tb, st, tb.length, counts)
+      var best = -1
+      var bestC = 0
+      var li = 0
+      while (li < counts.length) {
+        if (counts(li) > bestC) { bestC = counts(li); best = li }
+        li += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nTok, counts(0), best, cjk, nPunct, nChar))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("langProfileKernel", this, classOf[LangProfile].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private val installedSessions =
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
@@ -180,6 +371,11 @@ object NativeTextExpressions {
       registry.registerFunction(FunctionIdentifier("long_set_jaccard"),
         new ExpressionInfo(classOf[LongSetJaccard].getName, "long_set_jaccard"),
         (exprs: Seq[Expression]) => LongSetJaccard(exprs(0), exprs(1)))
+      // lang_profile bakes the default marker table; langIdWith falls back
+      // to the declarative form for custom marker sets
+      registry.registerFunction(FunctionIdentifier("lang_profile"),
+        new ExpressionInfo(classOf[LangProfile].getName, "lang_profile"),
+        (exprs: Seq[Expression]) => LangProfile(exprs(0), TextFunctions.defaultMarkers))
       installedSessions.add(spark)
       true
     } catch { case _: Throwable => false }
@@ -196,5 +392,13 @@ object NativeTextExpressions {
 
   def longSetJaccard(spark: SparkSession)(a: Column, b: Column): Option[Column] =
     if (install(spark)) Some(call_function("long_set_jaccard", a, b))
+    else None
+
+  /** The fused text-profile struct over the DEFAULT marker table (None when
+    * the kernel can't install). Identical subtrees in one projection are
+    * deduplicated by codegen subexpression elimination, so langId +
+    * qualityScore + tokenCount over the same column tokenize once. */
+  def langProfile(spark: SparkSession)(text: Column): Option[Column] =
+    if (install(spark)) Some(call_function("lang_profile", text))
     else None
 }

@@ -26,7 +26,17 @@ object TextFunctions {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column =
+    profileOf(text).map(_.getField("n_tok")).getOrElse(size(tokens(text)))
+
+  /** The fused one-pass profile struct (NativeTextExpressions.LangProfile)
+    * when a session is resolvable and the kernel installs; None otherwise.
+    * Session comes from the thread's active/default session — these column
+    * builders deliberately keep their session-free signatures. */
+  private def profileOf(text: Column): Option[Column] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => NativeTextExpressions.langProfile(s)(text))
 
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty array when
     * the document is shorter than n tokens.
@@ -68,15 +78,35 @@ object TextFunctions {
   def langId(text: Column): Column = langIdWith(text, defaultMarkers)
 
   def langIdWith(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    // Default markers: the fused native kernel computes every language's
+    // occurrence count AND the first-max index in one tokenize pass (the
+    // argmax-over-structs form below still paid one interpreted HOF filter
+    // per language per row). `best` already encodes the (score, -index)
+    // tie-break; all-zero counts → -1 → "unknown"; null text → null struct
+    // → both when() conditions null → "unknown", exactly like the
+    // declarative form's null propagation.
+    val native = if (markers == defaultMarkers) profileOf(text) else None
+    native match {
+      case Some(p) =>
+        val names = typedlit(markers.map(_._1))
+        when(p.getField("cjk"), lit("zh"))
+          .otherwise(when(p.getField("best") >= 0,
+            element_at(names, p.getField("best") + 1))
+            .otherwise(lit("unknown")))
+      case None => langIdDeclarative(text, markers)
+    }
+  }
+
+  /** The pre-kernel declarative langId — the fallback when the native
+    * kernel can't install, and the parity pin LangProfileParitySpec fuzzes
+    * the kernel against. */
+  private[graft] def langIdDeclarative(text: Column,
+      markers: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(text)
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
     // argmax via ONE array_max over (score, -index, lang) structs: each
-    // language's marker count is evaluated exactly once. The previous
-    // when/otherwise fold embedded every earlier score subtree twice per
-    // step (2^k copies of the first language's interpreted HOF filter), and
-    // measured 3× slower on the sf0.1 corpus (3.14 s → 1.08 s) for
-    // bit-identical output: max-by-(score, -index) keeps the EARLIEST
-    // language on ties, exactly like the fold's strict `>` replacement.
+    // language's marker count is evaluated exactly once; max-by-
+    // (score, -index) keeps the EARLIEST language on ties.
     val scored = markers.zipWithIndex.map { case ((l, ws), i) =>
       struct(markerHits(toks, ws).as("s"), lit(-i).as("ni"), lit(l).as("lang"))
     }
@@ -101,13 +131,37 @@ object TextFunctions {
     * stopword density (the reference's medallion "silver" cleanliness idea —
     * clinicdata.sql:174-176 — generalized to web-scale text filtering). */
   def qualityScore(text: Column): Column = {
+    // Same arithmetic over the same values either way; the native path just
+    // sources (n_tok, stopword count, n_punct, n_char) from the fused
+    // one-pass kernel instead of a split + interpreted HOF filter + two
+    // regex passes. In a projection that also computes langId/tokenCount,
+    // codegen subexpression elimination evaluates the kernel once.
+    val (nTokI, swI, punctI, charI) = profileOf(text) match {
+      case Some(p) =>
+        (p.getField("n_tok"), p.getField("s0"),
+          p.getField("n_punct"), p.getField("n_char"))
+      case None =>
+        val toks = tokens(text)
+        (size(toks), stopwordCount(toks), punctCount(text), length(text))
+    }
+    qualityFormula(nTokI, swI, punctI, charI)
+  }
+
+  /** The pre-kernel declarative qualityScore — the fallback's feature
+    * sourcing, kept callable for LangProfileParitySpec's fuzz pin. */
+  private[graft] def qualityScoreDeclarative(text: Column): Column = {
     val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
-    val lenOk = when(nTok.between(5, 5000), lit(1.0)).otherwise(lit(0.0))
-    val punctRatio = punctCount(text).cast("double") / greatest(nChar, lit(1.0))
+    qualityFormula(size(toks), stopwordCount(toks), punctCount(text), length(text))
+  }
+
+  private def qualityFormula(nTokI: Column, swI: Column, punctI: Column,
+                             charI: Column): Column = {
+    val nTok = nTokI.cast("double")
+    val nChar = charI.cast("double")
+    val lenOk = when(nTokI.cast("double").between(5, 5000), lit(1.0)).otherwise(lit(0.0))
+    val punctRatio = punctI.cast("double") / greatest(nChar, lit(1.0))
     val punctOk = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
-    val swRatio = stopwordCount(toks).cast("double") / greatest(nTok, lit(1.0))
+    val swRatio = swI.cast("double") / greatest(nTok, lit(1.0))
     val swOk = least(swRatio * 4.0, lit(1.0))
     round(lit(0.4) * lenOk + lit(0.3) * punctOk + lit(0.3) * swOk, 6)
   }
