@@ -714,9 +714,12 @@ object DataPipelineQueries {
     // Aggregated text-quality profile per source, over the same
     // SQL-replicated heuristics — oracle-checked end to end.
     Q("q52_source_profile", (s, dir) => {
-      // marker scoring over every doc is compute-dense; fan an under-split
-      // scan out so it parallelizes (identity at real scan widths)
-      graft.ops.ScaleOps.fanOutForKernels(t(s, dir, "documents"))
+      // No fan-out here (r20 regression, VERDICT #2): the fused lang_profile
+      // kernel made marker scoring ~µs/row, so the round-robin exchange the
+      // r20 fan-out added cost more than the parallelism bought (driver
+      // bench 0.213→0.312 s). At real scan widths the fan-out was identity
+      // anyway, so removing it changes nothing at 100 TB.
+      t(s, dir, "documents")
         .select(col("source"), langId(col("text")).as("lang_pred"),
           qualityScore(col("text")).as("q"))
         .groupBy(col("source"))
@@ -1120,9 +1123,11 @@ object DataPipelineQueries {
     // a single linear pass over the corpus.
     Q("q76_curation_pipeline", (s, dir) => {
       import graft.operators.{Dedup, Sampling}
-      // marker scoring is the pipeline's compute-dense map stage; fan an
-      // under-split scan out so it parallelizes (identity at real widths)
-      val scored = graft.ops.ScaleOps.fanOutForKernels(seededExact(s, dir)).select(
+      // No fan-out on the scored stage (r20 regression family, VERDICT #2):
+      // with the fused lang_profile kernel the scoring map is ~µs/row — the
+      // exactDedup md5 shuffle right after redistributes anyway, so the
+      // extra round-robin exchange was pure cost (identity at real widths).
+      val scored = seededExact(s, dir).select(
           col("doc_id"), col("source"), col("text"),
           langId(col("text")).as("lang_pred"),
           qualityScore(col("text")).as("quality"),
