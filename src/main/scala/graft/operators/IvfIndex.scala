@@ -169,22 +169,41 @@ object IvfIndex {
     * exact brute force. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val centroids = loadCentroids(spark, root, standingGen(spark, root))
+    val st = new SnapshotTable(spark, root)
+    // Index METADATA memoized by the commit version it was derived from
+    // (the manifest-memo pattern): the standing generation is constant for
+    // a given assignment-store version — any append/rebuild/GC bumps the
+    // version and reads fresh — and a generation's centroids are immutable
+    // by construction (gen = content hash of the centroid array). Saves two
+    // driver-blocking jobs per warm serve; a cold/changed index pays them
+    // once. Values are nCells×dim doubles — bounded.
+    val ver = st.currentVersion
+    val gen = IvfIndex.genMemo.computeIfAbsent((root, ver),
+      _ => standingGen(spark, root))
+    val centroids = IvfIndex.centroidMemo.computeIfAbsent((root, gen),
+      _ => loadCentroids(spark, root, gen))
     // the probed-cell UNION is bounded by nCells (small by construction) —
     // collecting it lets the store prune files BEFORE the scan plans; the
     // per-query cell join inside scoreProbed still bounds each query to its
-    // own nprobe cells
-    val probed = queries
-      .select(explode(Similarity.probeCellsExpr(spark, centroids, nprobe)(
-        asDouble(col(vecCol)))).as("cell"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val st = new SnapshotTable(spark, root)
+    // own nprobe cells. Probing every cell needs no collect at all: the
+    // probed union is 0..nCells-1 by construction.
+    val probed =
+      if (nprobe >= centroids.length) centroids.indices.toArray
+      else queries
+        .select(explode(Similarity.probeCellsExpr(spark, centroids, nprobe)(
+          asDouble(col(vecCol)))).as("cell"))
+        .distinct().collect().map(_.getInt(0)).sorted
     val pruned = st.readWhere(col("cell").isin(probed.map(Int.box): _*))
     lastPruneStats = st.lastPruneStats
     val assigned = pruned
       .select(col("id").as("neighbor_id"), col("vec").as("__cv"), col("cell"))
     Similarity.scoreProbed(assigned, queries, idCol, vecCol, k, nprobe, centroids)
   }
+
+  private val genMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[Long]), String]()
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Array[Double]]]()
 
   /** (files scanned, files live) of the most recent [[topK]]'s assignment
     * scan — the audit observable proving a serve read only its probed

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -25,18 +24,43 @@ object Similarity {
     * query_id, neighbor_id, sim (rounded to 6), rank (1-based). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val cos = graft.functions.NativeVectorExpressions.cosineFast(corpus.sparkSession) _
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cos(col("__qv"), col("__cv")).as("__sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__sim"), 6).as("sim"), col("rank"))
+    topKTail(c.join(broadcast(q), col("neighbor_id") =!= col("query_id")), k)
+  }
+
+  /** Shared serve tail of every top-k neighbor search: exact cosine per
+    * (query, candidate) pair, then the k best per query via the BOUNDED
+    * two-phase `topk_min` aggregate (r21; guide §2.3 "aggregate before you
+    * shuffle"). The previous `row_number()` window shuffled and sorted a
+    * query's ENTIRE candidate set into one reducer task — for a hot query
+    * over a 100 TB corpus that is the q97 hot-source pathology. The
+    * aggregate's map-side partial keeps ≤ k entries per partition, the
+    * shuffle carries only those partials, the merge is O(k), and no Sort
+    * operator appears in the plan at all.
+    *
+    * Rows are IDENTICAL to the window form: the ordering key
+    * (-sim with nulls mapped to +∞, neighbor_id) ascending is exactly
+    * (sim DESC NULLS LAST, neighbor_id ASC) — the window's order — the key
+    * is total (neighbor_id is unique per query in every caller), and the
+    * array is emitted ascending, so posexplode's position + 1 reproduces
+    * row_number. The raw sim rides in the struct tail and is rounded on
+    * output, exactly as before. */
+  private[operators] def topKTail(cands: DataFrame, k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
+    val topk = graft.functions.TopKAggregate.topKMin(spark) _
+    val sim = cos(col("__qv"), col("__cv"))
+    val key = struct(
+      coalesce(-sim, lit(Double.PositiveInfinity)).as("ns"),
+      col("neighbor_id").as("nid"),
+      sim.as("s"))
+    cands
+      .groupBy(col("query_id"))
+      .agg(topk(key, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), col("__t.nid").as("neighbor_id"),
+        round(col("__t.s"), 6).as("sim"), (col("__pos") + 1).as("rank"))
   }
 
   /** LSH-bucketed approximate top-k. Same output shape as bruteForceTopK;
@@ -58,14 +82,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
       .dropDuplicates("query_id", "neighbor_id")
-    val cos = graft.functions.NativeVectorExpressions.cosineFast(corpus.sparkSession) _
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id"))
-    cands.withColumn("__sim", cos(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__sim"), 6).as("sim"), col("rank"))
+    topKTail(cands, k)
   }
 
   /** IVF (inverted-file) ANN: coarse k-means quantization + nprobe search.
@@ -81,6 +98,15 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
               iters: Int = 5, sampleN: Int = 10000, seed: Long = 42L): DataFrame = {
+    // nprobe >= nCells probes EVERY cell, so the coarse quantizer is
+    // algebraically a no-op: each corpus row sits in exactly one cell and
+    // each query probes all of them, so every (query, corpus) pair meets
+    // exactly once — precisely the exact broadcast pass. Serve it directly
+    // and skip the training-sample collect, the nCells×dim assignment dots
+    // over the whole corpus, and the probe explode (r21; rows pinned
+    // identical to the cell path by SimilaritySpec's no-shortcut compare).
+    if (nprobe >= nCells)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val centroids =
       trainCentroids(corpus, vecCol, nCells, iters, sampleN, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
@@ -159,21 +185,25 @@ object Similarity {
     * [[ivfTopK]] and [[IvfIndex.topK]]. */
   private[operators] def scoreProbed(assigned: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]],
+      exactShortcut: Boolean = true): DataFrame = {
     val spark = assigned.sparkSession
-    val cos = graft.functions.NativeVectorExpressions.cosineFast(spark) _
+    // all cells probed ⇒ the cell equi-join degenerates to "every query
+    // meets every candidate once": serve the already-pruned candidate set
+    // directly against the BROADCAST (bounded-by-contract) query batch and
+    // skip the probe explode + cell key (same shortcut as ivfTopK;
+    // `exactShortcut = false` lets SimilaritySpec pin cell-path ≡ direct).
+    if (exactShortcut && nprobe >= centroids.length) {
+      val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      return topKTail(assigned.select(col("neighbor_id"), col("__cv"))
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id")), k)
+    }
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("cell",
         explode(probeCellsExpr(spark, centroids, nprobe)(col("__qv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__sim").desc, col("neighbor_id"))
-    assigned.join(q, Seq("cell"))
+    topKTail(assigned.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__sim", cos(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("__sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv")), k)
   }
 
   /** L2-normalize; null for the zero vector. */

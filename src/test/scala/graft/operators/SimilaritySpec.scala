@@ -111,7 +111,21 @@ class SimilaritySpec extends SparkSpec {
     val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall $recall too low")
-    // probing all cells = exact search
+    // probing all cells = exact search. ivfTopK(nprobe = nCells) now serves
+    // this directly via the exact shortcut, so pin the CELL PATH explicitly
+    // (exactShortcut = false): cell assignment + probe-all join must still
+    // reproduce brute force — the equivalence the shortcut relies on.
+    import graft.functions.VectorFunctions.asDouble
+    val centroids = Similarity.trainCentroids(e, "embedding", 8, 5, 10000, 42L)
+    val assigned = e.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("__cv"))
+      .withColumn("cell", Similarity.cellExpr(spark, centroids)(col("__cv")))
+    val cellPath = Similarity.scoreProbed(assigned, q, "vec_id", "embedding",
+      k = 5, nprobe = 8, centroids, exactShortcut = false)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellPath === exact)
+    // and the shortcut serve returns the same set
     val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
       nCells = 8, nprobe = 8)
       .select("query_id", "neighbor_id").collect()

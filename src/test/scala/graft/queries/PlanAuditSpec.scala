@@ -18,7 +18,15 @@ class PlanAuditSpec extends SparkSpec {
     "q46_ann_bruteforce",   // corpus × broadcast queries, id <> id
     // q48 is a blocked equi-join since round 3 — no longer whitelisted
     "q47_ann_lsh",          // embeds the exact baseline for its recall audit
+    "q49_ann_ivf",          // nprobe = nCells ⇒ exact serve: corpus ×
+                            // BROADCAST query batch (bounded by the serve
+                            // contract), id <> id — the same deliberate
+                            // shape as q46/q98 (r21 all-cells shortcut)
     "q49b_ann_ivf_recall",  // embeds the exact baseline for its recall audit
+    "q126_ann_index",       // probe-all serve row takes the same exact
+                            // shortcut: pruned cells × broadcast queries
+    "q131_semantic_hybrid_search", // its vector leg serves nprobe = nCells
+                            // → same exact-serve broadcast shape
     "q98_semantic_decontam", // train × BROADCAST eval: |eval| bounded, the
                             // compare is map-only over the train scan — the
                             // deliberate exact-recall decontamination design
