@@ -352,6 +352,83 @@ object NativeTextExpressions {
       copy(child = newChild)
   }
 
+  /** Word n-gram shingle STRINGS of a raw text column — the native form of
+    * `shingles(tokens(text), n)` (which q96's explode and q44's distinct
+    * consume literally, so parity must be with the DECLARATIVE pipeline,
+    * not with [[WordShingleHashes]]' slightly different legacy
+    * tokenization). Tokenization is byte-exact with [[LangProfile]]:
+    * UTF8String.toLowerCase/.trim (Lower/StringTrim's own implementations),
+    * pieces = byte runs between \s+ runs with limit -1 semantics (leading/
+    * trailing separators produce empty pieces, "" tokenizes to [""]).
+    * Fewer than n tokens → empty array, like the when() guard it replaces.
+    * The declarative form paid an interpreted arrays_zip + transform +
+    * concat_ws per row; this emits each shingle as one byte-copy of the
+    * already-lowered buffer. Fuzz-pinned by LangProfileParitySpec. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"word_shingles: n must be >= 1, got $n")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    @inline private def isWs(b: Byte): Boolean =
+      b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+    override def nullSafeEval(input: Any): Any = {
+      val tb = input.asInstanceOf[UTF8String].toLowerCase.trim.getBytes
+      // token spans under split("\s+", -1) semantics
+      val starts = new java.util.ArrayList[Integer]()
+      val ends = new java.util.ArrayList[Integer]()
+      var st = 0
+      var j = 0
+      while (j < tb.length) {
+        if (isWs(tb(j))) {
+          starts.add(st); ends.add(j)
+          j += 1
+          while (j < tb.length && isWs(tb(j))) j += 1
+          st = j
+        } else j += 1
+      }
+      starts.add(st); ends.add(tb.length)
+      val nTok = starts.size()
+      if (nTok < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](nTok - n + 1)
+        var i = 0
+        while (i <= nTok - n) {
+          var len = n - 1
+          var g = 0
+          while (g < n) { len += ends.get(i + g) - starts.get(i + g); g += 1 }
+          val bytes = new Array[Byte](len)
+          var pos = 0
+          g = 0
+          while (g < n) {
+            if (g > 0) { bytes(pos) = 0x20; pos += 1 }
+            val s0 = starts.get(i + g); val e0 = ends.get(i + g)
+            System.arraycopy(tb, s0, bytes, pos, e0 - s0)
+            pos += e0 - s0
+            g += 1
+          }
+          out(i) = UTF8String.fromBytes(bytes)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("wordShinglesKernel", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private val installedSessions =
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
@@ -376,6 +453,9 @@ object NativeTextExpressions {
       registry.registerFunction(FunctionIdentifier("lang_profile"),
         new ExpressionInfo(classOf[LangProfile].getName, "lang_profile"),
         (exprs: Seq[Expression]) => LangProfile(exprs(0), TextFunctions.defaultMarkers))
+      registry.registerFunction(FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        (exprs: Seq[Expression]) => WordShingles(exprs(0), intLit(exprs(1))))
       installedSessions.add(spark)
       true
     } catch { case _: Throwable => false }
@@ -400,5 +480,11 @@ object NativeTextExpressions {
     * qualityScore + tokenCount over the same column tokenize once. */
   def langProfile(spark: SparkSession)(text: Column): Option[Column] =
     if (install(spark)) Some(call_function("lang_profile", text))
+    else None
+
+  /** Native word-shingle strings (None when the kernel can't install). */
+  def wordShingles(spark: SparkSession)(text: Column, n: Int): Option[Column] =
+    if (install(spark)) Some(call_function("word_shingles", text,
+      org.apache.spark.sql.functions.lit(n)))
     else None
 }

@@ -59,6 +59,17 @@ object TextFunctions {
         p => concat_ws(" ", (0 until n).map(i => p.getField(i.toString)): _*)))
   }
 
+  /** `shingles(tokens(text), n)` served by the native `word_shingles`
+    * kernel when it installs (one pass over the lowered bytes instead of an
+    * interpreted arrays_zip/transform/concat_ws per row), the declarative
+    * form otherwise. Output is position-for-position identical
+    * (LangProfileParitySpec fuzz-pins the equality). */
+  def textShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => NativeTextExpressions.wordShingles(s)(text, n))
+      .getOrElse(shingles(tokens(text), n))
+
   // --- language ID (n-gram/stopword heuristic) ------------------------------
 
   /** Marker words per language. Tiny on purpose: broadcasts as literals into

@@ -528,7 +528,7 @@ object DataPipelineQueries {
     // recomputes the same 3-gram set Jaccard with DuckDB list functions.
     Q("q44_ngram_jaccard", (s, dir) => {
       val base = seededNear(s, dir)
-        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), array_distinct(textShingles(col("text"), 3)).as("sh"))
       val orig = base.filter(col("doc_id") < 1000000L)
         .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val copy = base.filter(col("doc_id") >= 1000000L)
@@ -1752,11 +1752,14 @@ object DataPipelineQueries {
     // Ties at the k-boundary are broken by the n-gram itself so the top-50
     // SET is deterministic on both engines.
     Q("q96_top_ngrams", (s, dir) => {
-      import graft.functions.TextFunctions.{shingles, tokens}
-      // bigram explode is the compute-dense map stage; fan an under-split
-      // scan out so it parallelizes (identity at real scan widths)
-      graft.ops.ScaleOps.fanOutForKernels(t(s, dir, "documents"))
-        .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("ngram"))
+      import graft.functions.TextFunctions.textShingles
+      // No fan-out (r21): the native word_shingles kernel cut the bigram
+      // map to ~µs/row, so the round-robin exchange r20 added cost more
+      // than it bought (0.34 → 0.23 s min-of-5 without it); identity at
+      // real scan widths anyway. Partial aggregation still runs in the
+      // scan stage, so the shuffle carries (ngram, count) states only.
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(textShingles(col("text"), 2)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"))

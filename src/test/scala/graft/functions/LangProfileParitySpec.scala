@@ -109,4 +109,29 @@ class LangProfileParitySpec extends SparkSpec {
     assert(nulls.getDouble(1) === 0.3)
     assert(nulls.isNullAt(2))
   }
+
+  test("word_shingles: position-for-position parity with shingles(tokens(text), n) on fuzz input") {
+    assume(NativeTextExpressions.install(spark))
+    import spark.implicits._
+    val df = fuzzDocs.toDF("text")
+    Seq(1, 2, 3, 5).foreach { n =>
+      val rows = df.select(
+        col("text"),
+        NativeTextExpressions.wordShingles(spark)(col("text"), n).get.as("k"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), n).as("d")).collect()
+      rows.foreach { r =>
+        val doc = Option(r.getString(0)).map(_.take(60)).orNull
+        assert(r.get(1) == r.get(2),
+          s"word_shingles(n=$n) mismatch on <$doc>: ${r.get(1)} vs ${r.get(2)}")
+      }
+    }
+    // real corpus, the two consumed arities
+    Seq(2, 3).foreach { n =>
+      val bad = sf("documents").select(
+        NativeTextExpressions.wordShingles(spark)(col("text"), n).get.as("k"),
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), n).as("d"))
+        .filter(!(col("k") <=> col("d"))).count()
+      assert(bad === 0L, s"n=$n corpus mismatches: $bad")
+    }
+  }
 }
