@@ -160,6 +160,25 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q70's per-case fuzz plans keep their shuffle budget") {
+    // q70's registry plan is a union over per-case results materialized at
+    // construction time (r21 pooling), so PLAN_BUDGETS records 0 exchanges
+    // for it — the ratchet went blind to the 30 plans that actually run.
+    // Pin them directly: every generated case must stay within the measured
+    // 2-shuffle / 2-sort budget and keep equi-join shapes.
+    val cases = graft.tools.Fuzz.gen(70L, 30, singleAgg = true)
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val plan = graft.tools.Fuzz.normalizedDf(spark, sfDir, c)
+        .queryExecution.executedPlan.toString
+      val (sh, so) = graft.plans.PlanCounts.shuffleSortCounts(plan)
+      assert(sh <= 2 && so <= 2,
+        s"fuzz case $i grew shuffles/sorts: $sh/$so (budget 2/2):\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"fuzz case $i lost its equi-join shape:\n$plan")
+    }
+  }
+
   test("every oracle query has matching column names on both sides (static check)") {
     // static guard: every AS alias in the oracle's FINAL top-level SELECT
     // list appears in the Spark result's schema, catching alias drift before
