@@ -29,14 +29,20 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     profileOf(text).map(_.getField("n_tok")).getOrElse(size(tokens(text)))
 
-  /** The fused one-pass profile struct (NativeTextExpressions.LangProfile)
-    * when a session is resolvable and the kernel installs; None otherwise.
-    * Session comes from the thread's active/default session — these column
-    * builders deliberately keep their session-free signatures. */
-  private def profileOf(text: Column): Option[Column] =
+  /** The thread's active/default session, if any — these column builders
+    * keep their session-free signatures, so native kernels install into
+    * (and must be analyzed under) the session current at COLUMN
+    * CONSTRUCTION time. All registry queries build and run under the one
+    * driver session, which is the supported shape; a column built here and
+    * shipped to a different `newSession()` would not resolve the kernel. */
+  private def currentSession: Option[org.apache.spark.sql.SparkSession] =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .flatMap(s => NativeTextExpressions.langProfile(s)(text))
+
+  /** The fused one-pass profile struct (NativeTextExpressions.LangProfile)
+    * when a session is resolvable and the kernel installs; None otherwise. */
+  private def profileOf(text: Column): Option[Column] =
+    currentSession.flatMap(s => NativeTextExpressions.langProfile(s)(text))
 
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]); empty array when
     * the document is shorter than n tokens.
@@ -65,9 +71,7 @@ object TextFunctions {
     * form otherwise. Output is position-for-position identical
     * (LangProfileParitySpec fuzz-pins the equality). */
   def textShingles(text: Column, n: Int): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .flatMap(s => NativeTextExpressions.wordShingles(s)(text, n))
+    currentSession.flatMap(s => NativeTextExpressions.wordShingles(s)(text, n))
       .getOrElse(shingles(tokens(text), n))
 
   // --- language ID (n-gram/stopword heuristic) ------------------------------

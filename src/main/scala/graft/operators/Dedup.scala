@@ -133,18 +133,21 @@ object Dedup {
     val sb = idx.select(col("__id").as("id_b"), col("__sh").as("sh_b"))
     val jac = NativeTextExpressions.longSetJaccard(spark)(col("sh_a"), col("sh_b"))
       .getOrElse(jaccard(col("sh_a"), col("sh_b")))
-    // Incremental callers set broadcastCands: their candidate list is
-    // bounded by the ingest wave, and broadcasting it (and the wave-sized
-    // join1 output) keeps the CORPUS-sized index un-shuffled — at 100 TB the
-    // standing index is the side that must never move per wave (guide §8:
-    // move decisions, not payloads). The full-recompute path keeps the
-    // planner's choice: its candidate list is corpus-proportional.
+    // Incremental callers set broadcastCands: the candidate PAIR LIST is
+    // ids-only (16 bytes/row, distinct'd) and usually wave-sized, so
+    // broadcasting it keeps the CORPUS-sized index un-shuffled for join1
+    // (guide §8: move decisions, not payloads). join2's left side carries
+    // the sh_a hashed-shingle ARRAYS, which a hot standing bucket can make
+    // corpus-proportional (r21 review) — so it is NOT force-broadcast:
+    // AQE's runtime size stats convert it to a broadcast join when it is
+    // actually small (every wave at sane bucket sizes) and degrade to a
+    // shuffle instead of an 8 GB broadcast failure when it is not. The
+    // full-recompute path keeps the planner's choice throughout: its
+    // candidate list is corpus-proportional by construction.
     val j1 =
       if (broadcastCands) broadcast(cands).join(sa, "id_a")
       else cands.join(sa, "id_a")
-    val j2 =
-      if (broadcastCands) broadcast(j1).join(sb, "id_b")
-      else j1.join(sb, "id_b")
+    val j2 = j1.join(sb, "id_b")
     j2.withColumn("jaccard", round(jac, 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

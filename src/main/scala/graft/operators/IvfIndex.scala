@@ -170,18 +170,32 @@ object IvfIndex {
   def topK(spark: SparkSession, root: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val st = new SnapshotTable(spark, root)
-    // Index METADATA memoized by the commit version it was derived from
-    // (the manifest-memo pattern): the standing generation is constant for
-    // a given assignment-store version — any append/rebuild/GC bumps the
-    // version and reads fresh — and a generation's centroids are immutable
-    // by construction (gen = content hash of the centroid array). Saves two
-    // driver-blocking jobs per warm serve; a cold/changed index pays them
-    // once. Values are nCells×dim doubles — bounded.
-    val ver = st.currentVersion
-    val gen = IvfIndex.genMemo.computeIfAbsent((root, ver),
-      _ => standingGen(spark, root))
-    val centroids = IvfIndex.centroidMemo.computeIfAbsent((root, gen),
-      _ => loadCentroids(spark, root, gen))
+    // Index METADATA memoized per root (the manifest-memo pattern): the
+    // standing generation is constant for a given commit-log HEAD IDENTITY
+    // (version + commit timestamp — robust against deleting and recreating
+    // a store at the same path, where a bare version number would alias;
+    // r21 review finding), and a generation's centroids are immutable by
+    // construction (gen = content hash of the centroid array, so a gen
+    // match IS a centroid match). Saves two driver-blocking jobs per warm
+    // serve; any append/rebuild/GC changes the head and reads fresh. One
+    // entry per root on both maps — bounded regardless of wave count.
+    val head = st.headIdentity
+    val cachedGen = IvfIndex.genMemo.get(root)
+    val gen =
+      if (cachedGen != null && cachedGen._1 == head) cachedGen._2
+      else {
+        val g = standingGen(spark, root)
+        IvfIndex.genMemo.put(root, (head, g))
+        g
+      }
+    val cachedCent = IvfIndex.centroidMemo.get(root)
+    val centroids =
+      if (cachedCent != null && cachedCent._1 == gen) cachedCent._2
+      else {
+        val c = loadCentroids(spark, root, gen)
+        IvfIndex.centroidMemo.put(root, (gen, c))
+        c
+      }
     // the probed-cell UNION is bounded by nCells (small by construction) —
     // collecting it lets the store prune files BEFORE the scan plans; the
     // per-query cell join inside scoreProbed still bounds each query to its
@@ -201,9 +215,9 @@ object IvfIndex {
   }
 
   private val genMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Option[Long]), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[(Long, Long)], String)]()
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
 
   /** (files scanned, files live) of the most recent [[topK]]'s assignment
     * scan — the audit observable proving a serve read only its probed

@@ -15,8 +15,10 @@ import graft.tools.Fuzz
   */
 object FuzzQueries {
 
-  private val Seed = 70L
-  private val N = 30
+  // shared with PlanAuditSpec's per-case shuffle-budget pin, so rotating
+  // the batch re-pins the cases that actually run
+  private[graft] val Seed = 70L
+  private[graft] val N = 30
 
   val list: Seq[Q] = Seq(
     Q("q70_fuzz_differential", (s, dir) => {
@@ -37,9 +39,11 @@ object FuzzQueries {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
+        // Duration.Inf: the lazy-union form this replaced had no per-case
+        // deadline either — a straggling case must block, not fail the run
         val done = cases.map { c =>
           Future(Fuzz.normalizedDf(s, dir, c).localCheckpoint(true))
-        }.map(Await.result(_, 10.minutes))
+        }.map(Await.result(_, Duration.Inf))
         done.reduce(_.union(_))
       } finally pool.shutdown()
     }, Some(

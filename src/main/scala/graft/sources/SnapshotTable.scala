@@ -1945,6 +1945,15 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Head of MAIN (side-branch commits are not main's lineage). */
   def currentVersion: Option[Long] = mainHead(readMeta())
 
+  /** Cheap driver-side identity of the commit-log head:
+    * (version, committed_at_ms) of the LAST log line, None for an empty
+    * log. Unlike a bare version number this survives deleting and
+    * recreating a store at the same path (the version counter restarts
+    * but the commit timestamp differs), so it is the correct key for
+    * cross-serve memoization (IvfIndex, r21 review finding). */
+  private[graft] def headIdentity: Option[(Long, Long)] =
+    readMeta().lastOption.map(m => (m._1, m._2))
+
   // ── streaming-read support (graft.streaming.SnapshotSource) ────────────
 
   /** Every commit-log entry as `(version, op)`, oldest first — the

@@ -14,7 +14,9 @@ object AbBench {
     val names = args.headOption.getOrElse("q92").split(",").toSeq
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val confs = args.drop(2).map { kv =>
-      val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
+      val i = kv.indexOf('=')
+      require(i > 0, s"AbBench: conf arg must be key=value, got '$kv'")
+      (kv.take(i), kv.drop(i + 1))
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -166,7 +166,8 @@ class PlanAuditSpec extends SparkSpec {
     // for it — the ratchet went blind to the 30 plans that actually run.
     // Pin them directly: every generated case must stay within the measured
     // 2-shuffle / 2-sort budget and keep equi-join shapes.
-    val cases = graft.tools.Fuzz.gen(70L, 30, singleAgg = true)
+    val cases = graft.tools.Fuzz.gen(FuzzQueries.Seed, FuzzQueries.N,
+      singleAgg = true)
     cases.zipWithIndex.foreach { case (c, i) =>
       val plan = graft.tools.Fuzz.normalizedDf(spark, sfDir, c)
         .queryExecution.executedPlan.toString
